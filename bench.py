@@ -1,0 +1,74 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+{"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the `noop` sink (computes
+every column, no driver collect, no disk write) — the honest way to
+time a distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+# Headline set: mix of scan-agg, multi-join, window, dedup, similarity.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q18_large_orders",
+    "q_top_parts_by_region",
+    "etl_snapshot_diff",
+    "ev_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "txt_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from lime_etl_spark.plans.registry import all_queries
+    from lime_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="lime_etl_spark-bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # plan, not session startup.
+    registry[names[0]].builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    t_total = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].builder(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_total, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

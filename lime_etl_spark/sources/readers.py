@@ -1,0 +1,114 @@
+"""Batch sources: parquet/csv/json readers over the test star schema.
+
+At 100 TB these tables are directory-partitioned parquet; the readers
+stay declarative (``spark.read``) so Catalyst gets predicate pushdown,
+column pruning and partition pruning for free. Never ``collect`` here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def _path(sf_dir: str, name: str) -> str:
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.exists(p):
+        return p
+    # Directory-of-parquet layout (how a real lake stores a table).
+    return os.path.join(sf_dir, name)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Declarative parquet scan → pushdown-friendly."""
+    return spark.read.parquet(_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for ``spark.sql`` plans."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | str, header: bool = True
+) -> DataFrame:
+    """CSV with an explicit schema — never infer at scale (two passes)."""
+    return spark.read.csv(path, schema=schema, header=header)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC source (lime-etl's SQLAlchemy sources' Spark analog).
+
+    Parallel reads require partition_column+bounds; without them the
+    read is single-task — never do that at scale. No JDBC driver ships
+    in this container, so this is exercised only by option-plumbing
+    unit tests.
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column requires lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
