@@ -1,0 +1,356 @@
+"""ETL primitives — the data operations lime-etl jobs exist to perform.
+
+lime-etl orchestrates jobs that do full/incremental refreshes of
+destination tables and then run data tests (reference
+lime_etl/domain/job_spec.py:49 ``run``/``test``; the admin example in
+lime_etl/service/admin/delete_old_logs.py purges + asserts). Here each
+of those data operations is a first-class distributed operator:
+
+- ``snapshot_diff``: keyed diff of two table snapshots → added /
+  deleted / changed rows. One full-outer shuffle join on the key; at
+  100 TB both sides should be bucketed on the key so the join is
+  shuffle-free; compare columns null-safely (no driver collect).
+- ``upsert``: latest-wins merge of an increment into a base table via
+  left-anti + union — no global window sort, so it scales linearly.
+- ``scd2``: slowly-changing-dimension history from a change stream
+  via lead() over (key, ts) — one shuffle on the key.
+- ``dedup_latest``: keep the newest row per key (row_number desc).
+- data-quality checks (row counts, referential orphans, null/dup
+  stats) — lime-etl's ``JobTestResult`` analogs as DataFrames.
+
+The registered ``etl_*``/``dq_*`` queries exercise these operators on
+deterministic synthetic snapshots derived from the driver tables so a
+DuckDB oracle can replay them exactly.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lime_etl_spark.functions.numeric import dec, to_double
+from lime_etl_spark.plans.registry import register
+from lime_etl_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# generic operators
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed diff: one row per key present in either snapshot, with
+    ``change_type`` ∈ {added, deleted, changed, unchanged}.
+
+    Scale: a single full-outer hash join on the keys. With both
+    snapshots bucketed/partitioned on the key this is co-located; AQE
+    handles skew. Column compare is expression-level (JVM codegen).
+    """
+    compare_cols = compare_cols or [c for c in old.columns if c not in keys]
+    o = old.select(*keys, *[F.col(c).alias(f"__old_{c}") for c in compare_cols])
+    n = new.select(*keys, *[F.col(c).alias(f"__new_{c}") for c in compare_cols])
+    joined = o.join(n, on=keys, how="full_outer")
+    old_present = reduce(
+        lambda a, b: a | b, [F.col(f"__old_{c}").isNotNull() for c in compare_cols]
+    )
+    new_present = reduce(
+        lambda a, b: a | b, [F.col(f"__new_{c}").isNotNull() for c in compare_cols]
+    )
+    any_change = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}")) for c in compare_cols],
+    )
+    change = (
+        F.when(~old_present & new_present, F.lit("added"))
+        .when(old_present & ~new_present, F.lit("deleted"))
+        .when(any_change, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *keys,
+        change.alias("change_type"),
+        *[F.col(f"__old_{c}").alias(f"old_{c}") for c in compare_cols],
+        *[F.col(f"__new_{c}").alias(f"new_{c}") for c in compare_cols],
+    )
+
+
+def upsert(base: DataFrame, increment: DataFrame, keys: list[str]) -> DataFrame:
+    """Latest-wins merge: increment rows replace base rows on key.
+
+    left-anti + union instead of window-over-union: two narrow
+    shuffles on the key, no sort, partial aggregation unaffected.
+    """
+    survivors = base.join(increment.select(*keys), on=keys, how="left_anti")
+    return survivors.unionByName(increment)
+
+
+def scd2(
+    changes: DataFrame, keys: list[str], ts_col: Column, tiebreak: list[str]
+) -> DataFrame:
+    """Build SCD-2 validity intervals from a change stream.
+
+    ``ts_col`` must be a monotonic BIGINT event time (we use integer
+    microseconds everywhere — float seconds are not reproducible).
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+    return (
+        changes.withColumn("effective_from_us", ts_col)
+        .withColumn("effective_to_us", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("effective_to_us").isNull())
+    )
+
+
+def dedup_latest(df: DataFrame, keys: list[str], order_cols: list[Column]) -> DataFrame:
+    """Keep exactly one newest row per key (deterministic tie-break)."""
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def referential_orphans(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str
+) -> DataFrame:
+    """Rows in child with no matching parent (left-anti join)."""
+    return child.join(parent, child[fk] == parent[pk], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic snapshots (oracle-replayable)
+# ---------------------------------------------------------------------------
+
+
+def _old_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "previous" snapshot: rows with o_orderkey % 13 == 3 do not exist yet
+    return load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 13 != 3)
+
+
+def _new_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "current" snapshot: %10==0 rows deleted; %7==0 rows repriced +10%
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 != 0)
+    repriced = to_double(dec("o_totalprice", 2, 12) * F.lit("1.1").cast("decimal(2,1)"))
+    return orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, repriced).otherwise(F.col("o_totalprice")),
+    )
+
+
+_OLD_SQL = "SELECT * FROM orders WHERE o_orderkey % 13 <> 3"
+_NEW_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0
+                THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 <> 0
+"""
+
+
+@register(
+    "etl_snapshot_diff",
+    oracle=f"""
+    WITH old AS ({_OLD_SQL}), new AS ({_NEW_SQL})
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'deleted'
+                WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                  OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           old.o_totalprice AS old_o_totalprice,
+           new.o_totalprice AS new_o_totalprice
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE CASE WHEN old.o_orderkey IS NULL THEN 'added'
+               WHEN new.o_orderkey IS NULL THEN 'deleted'
+               WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                 OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus THEN 'changed'
+               ELSE 'unchanged' END <> 'unchanged'
+    """,
+    description="keyed snapshot diff → added/deleted/changed (full-outer hash compare)",
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    diff = snapshot_diff(
+        _old_orders(spark, sf_dir),
+        _new_orders(spark, sf_dir),
+        keys=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    )
+    return diff.where(F.col("change_type") != "unchanged").select(
+        "o_orderkey", "change_type", "old_o_totalprice", "new_o_totalprice"
+    )
+
+
+@register(
+    "etl_upsert_incremental",
+    oracle=f"""
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM ({_OLD_SQL})),
+         inc  AS (SELECT o_orderkey, o_totalprice FROM ({_NEW_SQL}) new
+                  WHERE new.o_orderdate >= TIMESTAMP '1999-01-01')
+    SELECT o_orderkey, o_totalprice, 'inc' AS src FROM inc
+    UNION ALL
+    SELECT b.o_orderkey, b.o_totalprice, 'base' AS src
+    FROM base b WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    """,
+    description="latest-wins keyed upsert via anti-join + union",
+)
+def etl_upsert_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _old_orders(spark, sf_dir).select("o_orderkey", "o_totalprice").withColumn(
+        "src", F.lit("base")
+    )
+    inc = (
+        _new_orders(spark, sf_dir)
+        .where(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("src", F.lit("inc"))
+    )
+    return upsert(base, inc, keys=["o_orderkey"])
+
+
+@register(
+    "etl_scd2_rebuild",
+    oracle="""
+    SELECT user_id, value,
+           epoch_us(ts) AS effective_from_us,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS effective_to_us,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+    FROM events WHERE event_type = 'purchase'
+    """,
+    description="SCD-2 validity intervals from a change stream (lead over key,ts)",
+)
+def etl_scd2_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    out = scd2(
+        ev.select("user_id", "value", "ts", "event_id"),
+        keys=["user_id"],
+        ts_col=F.unix_micros("ts"),
+        tiebreak=["event_id"],
+    )
+    return out.select("user_id", "value", "effective_from_us", "effective_to_us", "is_current")
+
+
+@register(
+    "etl_dedup_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM (
+        SELECT user_id, event_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    description="newest row per key (deterministic dedup)",
+)
+def etl_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = dedup_latest(
+        ev, keys=["user_id"], order_cols=[F.unix_micros("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+
+
+# ---------------------------------------------------------------------------
+# data-quality checks (lime-etl JobTestResult analogs)
+# ---------------------------------------------------------------------------
+
+_DQ_TABLES = ("orders", "lineitem", "customer", "part", "supplier", "events", "documents")
+
+
+@register(
+    "dq_row_counts",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}" for t in _DQ_TABLES
+    ),
+    description="per-table row counts (data-test primitive)",
+)
+def dq_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = [
+        load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for t in _DQ_TABLES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS check_name,
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+    """,
+    description="FK orphan counts via left-anti joins",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    checks = [
+        ("lineitem->orders", referential_orphans(li, orders, "l_orderkey", "o_orderkey")),
+        ("orders->customer", referential_orphans(orders, cust, "o_custkey", "c_custkey")),
+        ("lineitem->part", referential_orphans(li, part, "l_partkey", "p_partkey")),
+        ("lineitem->supplier", referential_orphans(li, supp, "l_suppkey", "s_suppkey")),
+    ]
+    dfs = [
+        df.agg(F.lit(name).alias("check_name"), F.count(F.lit(1)).alias("n_orphans"))
+        for name, df in checks
+    ]
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+@register(
+    "dq_null_uniqueness",
+    oracle="""
+    SELECT 'orders' AS table_name, 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'customer', 'c_custkey', COUNT(*),
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT c_custkey)
+    FROM customer
+    UNION ALL
+    SELECT 'events', 'user_id', COUNT(*),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT user_id)
+    FROM events
+    UNION ALL
+    SELECT 'documents', 'text', COUNT(*),
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT text)
+    FROM documents
+    """,
+    description="null-rate + key-uniqueness stats (lime-etl test() analog)",
+)
+def dq_null_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    specs = [
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+        ("events", "user_id"),
+        ("documents", "text"),
+    ]
+    dfs = [
+        load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"),
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+        )
+        for t, c in specs
+    ]
+    return reduce(lambda a, b: a.unionByName(b), dfs)

@@ -1,0 +1,208 @@
+"""Event analytics: time bucketing, sessionization, funnels, JSON props.
+
+All event-time arithmetic is integer microseconds (``unix_micros`` /
+``epoch_us``): the source parquet stores nanoseconds, Spark truncates
+to µs, and float-second epochs are not bit-reproducible across
+engines. Scale notes:
+
+- sessionization is two window passes over (user_id, ts) — one
+  shuffle on user_id; skewed power users are handled by AQE skew
+  splitting since the window partitions by user only.
+- daily KPIs / funnels are plain partial-aggregable groupBys.
+- JSON extraction uses ``get_json_object`` (JVM, codegen) — never a
+  Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lime_etl_spark.functions.numeric import dec, to_double
+from lime_etl_spark.plans.registry import register
+from lime_etl_spark.sources.readers import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_us: F.Column | None = None,
+    gap_us: int = SESSION_GAP_US,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the
+    time since the previous event of the same user exceeds ``gap_us``.
+
+    Classic lag→flag→cumsum: both windows share one (user) shuffle.
+    """
+    ts_us = ts_us if ts_us is not None else F.unix_micros("ts")
+    w = Window.partitionBy(user_col).orderBy(ts_us, tiebreak)
+    prev = F.lag(ts_us).over(w)
+    new_session = F.when(prev.isNull() | ((ts_us - prev) > gap_us), 1).otherwise(0)
+    return events.withColumn("__ts_us", ts_us).withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+@register(
+    "ev_daily_kpis",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    ORDER BY event_date
+    """,
+    description="event-time daily tumbling aggregate",
+)
+def ev_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            to_double(F.sum(dec("value", 2, 12))).alias("total_value"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases"),
+        )
+        .orderBy("event_date")
+    )
+
+
+@register(
+    "ev_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sessions AS (
+        SELECT user_id, ts_us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    description="gap-based sessionization (lag→flag→cumsum) + per-session rollup",
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev)
+    return (
+        sess.groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("__ts_us").alias("start_us"),
+            F.max("__ts_us").alias("end_us"),
+            (F.max("__ts_us") - F.min("__ts_us")).alias("duration_us"),
+        )
+    )
+
+
+@register(
+    "ev_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+               MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                          AND first_purchase > first_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after_click
+    FROM per_user
+    """,
+    description="view→click→purchase ordered funnel over first-touch times",
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("first_purchase"),
+    )
+    stage1 = F.col("first_view").isNotNull()
+    stage2 = stage1 & (F.col("first_click") > F.col("first_view"))
+    stage3 = stage2 & (F.col("first_purchase") > F.col("first_click"))
+    return per_user.agg(
+        F.sum(F.when(stage1, 1).otherwise(0)).cast("bigint").alias("n_view"),
+        F.sum(F.when(stage2, 1).otherwise(0)).cast("bigint").alias("n_click_after_view"),
+        F.sum(F.when(stage3, 1).otherwise(0)).cast("bigint").alias("n_purchase_after_click"),
+    )
+
+
+@register(
+    "ev_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    description="JSON property extraction (JVM get_json_object) + aggregate",
+)
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            (to_double(F.sum(k)) / to_double(F.count(F.lit(1)))).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ev_top_users_by_spend",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_spend,
+           COUNT(*) AS n_purchases
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY total_spend DESC, user_id
+    LIMIT 20
+    """,
+    description="top-N users by purchase spend",
+)
+def ev_top_users_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            to_double(F.sum(dec("value", 2, 12))).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+        .orderBy(F.desc("total_spend"), "user_id")
+        .limit(20)
+    )

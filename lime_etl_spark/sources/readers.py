@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 TABLES = (
@@ -38,7 +39,19 @@ def _path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table. Declarative parquet scan → pushdown-friendly."""
+    """Load one table. Declarative parquet scan → pushdown-friendly.
+
+    The events table stores TIMESTAMP(NANOS), which Spark 4 refuses by
+    default; we read nanos as long and truncate to Spark's native µs
+    TimestampType so downstream code sees a normal timestamp column.
+    The conf is set at runtime because the driver owns the session.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(_path(sf_dir, name))
 
 

@@ -1,0 +1,49 @@
+"""Sets B (ETL primitives) and D (events) vs DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import assert_query_matches_oracle
+
+KEYS = [
+    "etl_snapshot_diff",
+    "etl_upsert_incremental",
+    "etl_scd2_rebuild",
+    "etl_dedup_latest",
+    "dq_row_counts",
+    "dq_referential_integrity",
+    "dq_null_uniqueness",
+    "ev_daily_kpis",
+    "ev_sessionize",
+    "ev_funnel",
+    "ev_json_props",
+    "ev_top_users_by_spend",
+]
+
+
+@pytest.mark.parametrize("name", KEYS)
+def test_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_snapshot_diff_classifies_all_types(spark, sf_dir):
+    from lime_etl_spark.operators.etl import etl_snapshot_diff
+
+    got = {
+        r["change_type"]
+        for r in etl_snapshot_diff(spark, sf_dir).select("change_type").distinct().collect()
+    }
+    assert got == {"added", "deleted", "changed"}
+
+
+def test_sessionize_monotonic_sessions(spark, sf_dir):
+    from lime_etl_spark.operators.events import ev_sessionize
+
+    pdf = ev_sessionize(spark, sf_dir).toPandas()
+    # session ids are dense per user starting at 1, sessions don't overlap
+    for _, grp in pdf.groupby("user_id"):
+        seqs = sorted(grp["session_seq"])
+        assert seqs == list(range(1, len(seqs) + 1))
+        g = grp.sort_values("session_seq")
+        assert (g["end_us"].values[:-1] < g["start_us"].values[1:]).all()
