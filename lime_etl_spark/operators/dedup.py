@@ -1,0 +1,358 @@
+"""Deduplication family over the documents table (LLM-pipeline core).
+
+Methods, in increasing scale-sophistication:
+
+- exact: hash-groupBy on md5(text). One shuffle on a short hash, not
+  the full text — at 100 TB you never shuffle document bodies.
+- n-gram Jaccard: distinct word shingles → shared-shingle self-join
+  for candidates → exact Jaccard filter. Candidate pruning only — the
+  all-pairs cross join never materializes.
+- MinHash + LSH: the 100 TB path. Per doc: k=16 affine-permutation
+  minhashes computed in ONE groupBy pass (16 min() aggregates,
+  map-side partial), banded 4×4; candidates join on (band,
+  signature); exact Jaccard verify on candidates only.
+- SimHash: 64-bit sign-of-weighted-bits over xxhash64 tokens,
+  16-bit-chunk banding for Hamming≤3 candidates (rows-only: xxhash64
+  has no DuckDB twin; invariants are pytest-checked).
+- embedding cosine: near-dup by vector similarity with label
+  blocking (the bucketed/LSH analog for dense vectors).
+
+All hash arithmetic is the cross-engine md5 bridge in
+lime_etl_spark.functions.text, so DuckDB replays minhash/LSH exactly.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_etl_spark.functions.text import (
+    MERSENNE_P,
+    MINHASH_PERMS,
+    shingle_int,
+    shingle_int_sql,
+    tokens,
+    word_shingles,
+)
+from lime_etl_spark.plans.registry import register
+from lime_etl_spark.sources.readers import load_table
+
+SHINGLE_N = 3
+JACCARD_TAU = 0.5
+N_BANDS, BAND_ROWS = 4, 4  # 16 minhash perms → 4 bands of 4
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def doc_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, x): distinct mod-p shingle ints per document."""
+    return (
+        docs.select("doc_id", F.explode(word_shingles(tokens(), n)).alias("sh"))
+        .select("doc_id", (shingle_int(F.col("sh")) % MERSENNE_P).alias("x"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id,
+           {shingle_int_sql("sh")} % {MERSENNE_P} AS x
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - {SHINGLE_N - 1}),
+                                     i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+"""
+
+
+def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard for candidate pairs (or all shared-shingle pairs)."""
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.x") == F.col("b.x")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+_JACCARD_SQL_TAIL = """
+    , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """One row per doc with k minhash values — single groupBy pass."""
+    aggs = [
+        F.min((F.col("x") * a + b) % MERSENNE_P).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Band the signature 4×4 and join docs sharing any band bucket."""
+    bands = [
+        F.concat_ws(
+            ",", *[F.col(f"mh_{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        ).alias(f"band_{band}")
+        for band in range(N_BANDS)
+    ]
+    banded = sigs.select("doc_id", *bands)
+    per_band = [
+        banded.select("doc_id", F.lit(band).alias("band"), F.col(f"band_{band}").alias("sig"))
+        for band in range(N_BANDS)
+    ]
+    buckets = reduce(lambda x, y: x.unionByName(y), per_band)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+# Synthetic dup corpus: every doc_id % 10 == 0 document also exists as
+# doc_id + 1,000,000 — deterministic, oracle-replayable.
+_DUPCORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_DUPCORPUS_SQL})
+    SELECT md5(text) AS content_md5,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM corpus
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    """,
+    description="exact dedup: hash-groupBy dup groups with keeper choice",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return (
+        corpus.groupBy(F.md5("text").alias("content_md5"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    {_JACCARD_SQL_TAIL}
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {JACCARD_TAU}
+    """,
+    description="word-3-gram Jaccard near-dup pairs via shared-shingle candidates",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(load_table(spark, sf_dir, "documents"))
+    return jaccard_pairs(sh).where(F.col("jaccard") >= JACCARD_TAU)
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"MIN((x * {a} + {b}) % {MERSENNE_P}) AS mh_{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    band_sigs = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, CAST(mh_{c0} AS VARCHAR) || ',' || CAST(mh_{c1} AS VARCHAR) || ',' || CAST(mh_{c2} AS VARCHAR) || ',' || CAST(mh_{c3} AS VARCHAR) AS sig FROM sigs".format(
+            band=band,
+            c0=band * 4,
+            c1=band * 4 + 1,
+            c2=band * 4 + 2,
+            c3=band * 4 + 3,
+        )
+        for band in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    buckets AS ({band_sigs}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    inter_c AS (
+        SELECT i.* FROM inter i JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    )
+    {_JACCARD_SQL_TAIL.replace("FROM inter i", "FROM inter_c i")}
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {JACCARD_TAU}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_sql(),
+    description="MinHash(16)+LSH(4x4) candidates, exact-Jaccard verified",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(load_table(spark, sf_dir, "documents"))
+    cand = lsh_candidates(minhash_signatures(sh))
+    return jaccard_pairs(sh, candidates=cand).where(F.col("jaccard") >= JACCARD_TAU)
+
+
+# --- SimHash (rows-only: xxhash64 has no cross-engine twin) ---------------
+
+HAMMING_MAX = 3
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit simhash per doc from xxhash64 token hashes."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s_{i}")
+            for i in range(64)
+        ]
+    )
+    sim = reduce(
+        lambda acc, i: acc
+        + F.shiftleft(F.when(F.col(f"s_{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i),
+        range(1, 64),
+        F.when(F.col("s_0") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 is Spark-specific; invariants pytest-checked
+    description="SimHash near-dup pairs (16-bit chunk LSH, Hamming<=3)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    chunks = [
+        sigs.select(
+            "doc_id",
+            "simhash",
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+        )
+        for c in range(4)
+    ]
+    buckets = reduce(lambda x, y: x.unionByName(y), chunks)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= HAMMING_MAX)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
+    """,
+    description="embedding-cosine near-dup pairs with label blocking",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+
+    def dot(x: F.Column, y: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(x.cast("array<double>"), y.cast("array<double>"), lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(dot(F.col("a.embedding"), F.col("a.embedding")))
+        * F.sqrt(dot(F.col("b.embedding"), F.col("b.embedding")))
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.35)
+    )

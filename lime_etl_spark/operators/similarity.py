@@ -1,0 +1,185 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+- brute-force top-k cosine: the exactness baseline. The query set is
+  broadcast (it's small by construction); the scan side stays
+  partitioned, so the plan is a broadcast-nested-loop with a per-row
+  codegen'd fold — no shuffle of the big side, then one narrow
+  shuffle for the per-query top-k window.
+- IVF-style bucketed search: the 100 TB path. A deterministic coarse
+  quantizer (sign pattern of the first 8 dims → 256 buckets) plays
+  the role of trained centroids; queries probe only their own bucket,
+  cutting the scanned fraction ~256× at the cost of recall. Real IVF
+  trains centroids; the partitioning/pruning mechanics are identical.
+- kNN label vote: classification on top of the exact top-k.
+
+All dot products fold left-to-right in double — bit-identical to
+DuckDB's list_dot_product (verified), so cosines hash-match with no
+rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lime_etl_spark.plans.registry import register
+from lime_etl_spark.sources.readers import load_table
+
+TOP_K = 10
+QUERY_MOD = 100  # vec_id % 100 == 0 → query set scales with SF
+
+
+def dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x.cast("array<double>"), y.cast("array<double>"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+
+_COS_SQL = (
+    "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))))"
+)
+
+
+def brute_force_topk(
+    queries: DataFrame, vectors: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector."""
+    q, v = queries.alias("q"), vectors.alias("v")
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .where(F.col("q.vec_id") != F.col("v.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("q_vec_id"),
+            F.col("v.vec_id").alias("n_vec_id"),
+            cosine(F.col("q.embedding"), F.col("v.embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cosine"), "n_vec_id")
+    return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    SELECT q_vec_id, n_vec_id, cosine, rank FROM (
+        SELECT q.vec_id AS q_vec_id, v.vec_id AS n_vec_id,
+               {_COS_SQL} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_SQL} DESC, v.vec_id) AS rank
+        FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+    ) WHERE rank <= {TOP_K}
+    """,
+    description="exact top-k cosine neighbors (broadcast queries, windowed top-k)",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    return brute_force_topk(queries, emb).select("q_vec_id", "n_vec_id", "cosine", "rank")
+
+
+def ivf_bucket(emb: Column) -> Column:
+    """Deterministic coarse quantizer: sign bits of the first 8 dims."""
+    e = emb.cast("array<double>")
+    b = F.lit(0)
+    for i in range(8):
+        b = b + F.when(F.element_at(e, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
+_BUCKET_SQL = " + ".join(
+    f"CASE WHEN CAST(embedding AS DOUBLE[])[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+    for i in range(8)
+)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, label, ({_BUCKET_SQL}) AS bucket FROM embeddings)
+    SELECT q_vec_id, n_vec_id, cosine, rank FROM (
+        SELECT q.vec_id AS q_vec_id, v.vec_id AS n_vec_id,
+               {_COS_SQL} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_SQL} DESC, v.vec_id) AS rank
+        FROM b q JOIN b v ON q.bucket = v.bucket AND q.vec_id <> v.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+    ) WHERE rank <= {TOP_K}
+    """,
+    description="IVF-style bucketed ANN: sign-bit coarse quantizer, probe own bucket",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", ivf_bucket(F.col("embedding"))
+    )
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).alias("q")
+    v = emb.alias("v")
+    pairs = (
+        F.broadcast(q)
+        .join(
+            v,
+            (F.col("q.bucket") == F.col("v.bucket"))
+            & (F.col("q.vec_id") != F.col("v.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("q_vec_id"),
+            F.col("v.vec_id").alias("n_vec_id"),
+            cosine(F.col("q.embedding"), F.col("v.embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cosine"), "n_vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("q_vec_id", "n_vec_id", "cosine", "rank")
+    )
+
+
+@register(
+    "knn_label_vote",
+    oracle=f"""
+    WITH topk AS (
+        SELECT q_vec_id, n_vec_id FROM (
+            SELECT q.vec_id AS q_vec_id, v.vec_id AS n_vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_SQL} DESC, v.vec_id) AS rank
+            FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ) WHERE rank <= {TOP_K}
+    ),
+    votes AS (
+        SELECT t.q_vec_id, e.label, COUNT(*) AS n_votes
+        FROM topk t JOIN embeddings e ON t.n_vec_id = e.vec_id
+        GROUP BY t.q_vec_id, e.label
+    )
+    SELECT q_vec_id, label AS pred_label, n_votes FROM (
+        SELECT q_vec_id, label, n_votes,
+               ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY n_votes DESC, label) AS r
+        FROM votes
+    ) WHERE r = 1
+    """,
+    description="k-NN majority label vote over exact top-k neighbors",
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    topk = brute_force_topk(queries, emb).select("q_vec_id", "n_vec_id")
+    labels = emb.select(F.col("vec_id").alias("n_vec_id"), "label")
+    votes = (
+        topk.join(labels, "n_vec_id")
+        .groupBy("q_vec_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("n_votes"), "label")
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("q_vec_id", F.col("label").alias("pred_label"), "n_votes")
+    )

@@ -1,0 +1,178 @@
+"""Text analysis over the documents table (LLM-pipeline operators).
+
+Everything is built-in column expressions (split / transform / filter /
+regexp) — whole-stage-codegen'd JVM work, no Python in the hot path.
+At 100 TB the documents fact is the scaling table and every operator
+here is embarrassingly parallel (per-row projections + one groupBy for
+the corpus-level stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_etl_spark.functions.numeric import to_double
+from lime_etl_spark.functions.text import tokens, word_shingles
+from lime_etl_spark.plans.registry import register
+from lime_etl_spark.sources.readers import load_table
+
+# Per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic. Tiny on purpose: they broadcast as literals inside the
+# expression tree.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "es": ("el", "las", "de", "y", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+    "zh": ("的", "是", "在", "了", "我", "有"),
+}
+
+# BPE-ish token pattern: runs of letters, runs of digits, single other.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _hits(toks: F.Column, words: tuple[str, ...]) -> F.Column:
+    lits = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({inlist})))"
+
+
+@register(
+    "txt_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+           length(text) AS n_chars_calc
+    FROM documents
+    """,
+    description="whitespace + BPE-ish regex token counting",
+)
+def txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens()).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_RE)).cast("int").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+    )
+
+
+@register(
+    "txt_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+           CAST({_hits_sql(LANG_PROFILES['en'])} AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio
+    FROM documents
+    """,
+    description="length / stopword / lexical-diversity quality features",
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tok = to_double(F.size(toks))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        F.size(toks).alias("n_tokens"),
+        (to_double(F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))) / n_tok).alias(
+            "mean_token_len"
+        ),
+        (to_double(_hits(toks, LANG_PROFILES["en"])) / n_tok).alias("stopword_ratio"),
+        (to_double(F.size(F.array_distinct(toks))) / n_tok).alias("distinct_ratio"),
+    )
+
+
+def _langid_case_sql() -> str:
+    hits = {lang: _hits_sql(words) for lang, words in LANG_PROFILES.items()}
+    m = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = " ".join(
+        f"WHEN {hits[lang]} = {m} THEN '{lang}'" for lang in sorted(LANG_PROFILES)
+    )
+    return f"CASE {whens} END"
+
+
+@register(
+    "txt_langid",
+    oracle=f"""
+    SELECT doc_id, lang, {_langid_case_sql()} AS pred_lang,
+           {_langid_case_sql()} = lang AS is_correct
+    FROM documents
+    """,
+    description="stopword-profile language-ID heuristic (argmax, alphabetic ties)",
+)
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    hits = {lang: _hits(toks, words) for lang, words in LANG_PROFILES.items()}
+    m = F.greatest(*hits.values())
+    expr = None
+    for lang in sorted(LANG_PROFILES):
+        cond = hits[lang] == m
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        "lang",
+        expr.alias("pred_lang"),
+        (expr == F.col("lang")).alias("is_correct"),
+    )
+
+
+@register(
+    "txt_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS token_set_fp
+    FROM documents
+    """,
+    description="content md5 + order-insensitive token-set fingerprint",
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(tokens())), " ")).alias(
+            "token_set_fp"
+        ),
+    )
+
+
+@register(
+    "txt_ngram_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    description="corpus-level top-20 bigrams",
+)
+def txt_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(word_shingles(tokens(), 2)).alias("bigram"))
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )

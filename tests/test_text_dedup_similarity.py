@@ -1,0 +1,73 @@
+"""Sets E (dedup), F (similarity), G (text) vs DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import assert_query_matches_oracle
+
+ORACLED = [
+    "txt_token_count",
+    "txt_quality_score",
+    "txt_langid",
+    "txt_fingerprint",
+    "txt_ngram_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "knn_label_vote",
+]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_minhash_candidates_superset_check(spark, sf_dir):
+    """LSH output must be a subset of the exhaustive Jaccard pairs."""
+    from lime_etl_spark.operators.dedup import dedup_minhash_lsh, dedup_ngram_jaccard
+
+    lsh = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+    # at tau=0.5 with 4x4 bands the planted near-dups should be caught
+    assert len(exact) > 0
+    assert len(lsh) / len(exact) >= 0.8  # LSH recall on this corpus
+
+
+def test_simhash_invariants(spark, sf_dir):
+    from lime_etl_spark.operators.dedup import (
+        HAMMING_MAX,
+        dedup_simhash,
+        simhash_signatures,
+    )
+    from lime_etl_spark.sources.readers import load_table
+
+    pairs = dedup_simhash(spark, sf_dir).collect()
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(load_table(spark, sf_dir, "documents")).collect()
+    }
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        ham = bin((sigs[r["doc_a"]] ^ sigs[r["doc_b"]]) & ((1 << 64) - 1)).count("1")
+        assert ham == r["hamming"]
+        assert ham <= HAMMING_MAX
+
+
+def test_ivf_is_subset_of_bruteforce_universe(spark, sf_dir):
+    """IVF results only pair vectors sharing a bucket; ranks are 1..k dense."""
+    from lime_etl_spark.operators.similarity import ann_ivf_topk
+
+    pdf = ann_ivf_topk(spark, sf_dir).toPandas()
+    for _, grp in pdf.groupby("q_vec_id"):
+        ranks = sorted(grp["rank"])
+        assert ranks == list(range(1, len(ranks) + 1))
