@@ -1,0 +1,490 @@
+"""Parquet-backed admin bookkeeping.
+
+Parity: the reference's SQLAlchemy admin schema (lime_etl/adapter/
+admin_orm.py: batches, jobs, job_test_results, batch_log, job_log)
+and its repositories/loggers (sqlalchemy_*_repository.py,
+sqlalchemy_batch_logger.py, sqlalchemy_job_logger.py).
+
+Storage decisions (sized for a 1000-executor deployment where the
+DATA is 100 TB but the admin ledger is kilobytes per batch run):
+
+- **Append-only event sourcing.** Parquet files are immutable, so
+  updates are new rows with a monotonically increasing ``seq``;
+  readers reconstruct current state latest-wins (the same
+  ``dedup_latest`` pattern our ETL operator family exposes).
+- **Driver-side writes via Arrow.** Bookkeeping rows are driver
+  metadata — exactly like Spark's own event logs, they are written
+  by the driver, not the cluster. One tiny parquet file per state
+  transition through pyarrow costs microseconds; routing each row
+  through a distributed Spark job would cost a full job-scheduling
+  round-trip per row and buy nothing (there is no data to
+  distribute). Spark reads the same files for the analytical
+  surface (``read_log`` returns a DataFrame), so the ledger is
+  queryable with the rest of the engine.
+- **Date-partitioned logs** (hive-style ``log_date=YYYY-MM-DD``
+  dirs) so ``delete_old_logs`` (reference service/admin/
+  delete_old_logs.py) is a partition drop — a pure filesystem
+  metadata operation, never a rewrite of retained data. That is the
+  only retention pattern that survives years of cluster logs.
+- **Buffered log appends.** Log lines buffer in memory and flush as
+  one file per batch run (or on explicit ``flush_logs()``); a file
+  per log line would melt any filesystem at scale.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import time
+import uuid
+from typing import Any, Dict, List, Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from lime_etl_spark.domain.statuses import (
+    BatchStatus,
+    JobResult,
+    JobState,
+    JobStatus,
+    TestResult,
+)
+from lime_etl_spark.domain.value_objects import ExecutionMillis, LogLevel, LogMessage, Result
+
+_BATCHES = StructType(
+    [
+        StructField("batch_id", StringType(), False),
+        StructField("name", StringType(), False),
+        StructField("running", BooleanType(), False),
+        StructField("error_occurred", BooleanType(), True),
+        StructField("error_message", StringType(), True),
+        StructField("execution_millis", LongType(), True),
+        StructField("ts", TimestampType(), False),
+        StructField("seq", LongType(), False),
+    ]
+)
+
+_JOBS = StructType(
+    [
+        StructField("job_id", StringType(), False),
+        StructField("batch_id", StringType(), False),
+        StructField("job_name", StringType(), False),
+        StructField("state", StringType(), False),
+        StructField("reason", StringType(), True),
+        StructField("execution_millis", LongType(), True),
+        StructField("ts", TimestampType(), False),
+        StructField("seq", LongType(), False),
+    ]
+)
+
+_TEST_RESULTS = StructType(
+    [
+        StructField("test_id", StringType(), False),
+        StructField("job_id", StringType(), False),
+        StructField("job_name", StringType(), False),
+        StructField("test_name", StringType(), False),
+        StructField("passed", BooleanType(), False),
+        StructField("failure_message", StringType(), True),
+        StructField("execution_millis", LongType(), False),
+        StructField("ts", TimestampType(), False),
+    ]
+)
+
+_LOG = StructType(
+    [
+        StructField("entry_id", LongType(), False),
+        StructField("batch_id", StringType(), True),
+        StructField("job_name", StringType(), True),
+        StructField("level", StringType(), False),
+        StructField("message", StringType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("log_date", StringType(), False),
+    ]
+)
+
+_PA_TYPES = {
+    StringType(): pa.string(),
+    BooleanType(): pa.bool_(),
+    LongType(): pa.int64(),
+    TimestampType(): pa.timestamp("us"),
+}
+
+
+def _pa_schema(schema: StructType, drop: Sequence[str] = ()) -> pa.Schema:
+    return pa.schema(
+        [pa.field(f.name, _PA_TYPES[f.dataType]) for f in schema.fields if f.name not in drop]
+    )
+
+
+class SparkAdminStore:
+    """All admin tables under one root directory.
+
+    Single-writer per root (the reference's admin engine is too);
+    concurrent batches get separate roots via run_batches_in_parallel.
+    """
+
+    LOG_TABLES = ("batch_log", "job_log")
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._log_buffer: Dict[str, List[dict]] = {t: [] for t in self.LOG_TABLES}
+        self._entry_id = 0
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    @staticmethod
+    def _next_seq() -> int:
+        # wall-clock ns: monotone within a process, distinct across store
+        # instances sharing a root (a counter restarting at 0 would not be)
+        return time.time_ns()
+
+    def _append(self, table: str, rows: Sequence[dict], schema: StructType) -> None:
+        """One parquet file per append, hive-partitioned for log tables."""
+        if not rows:
+            return
+        if table in self.LOG_TABLES:
+            by_date: Dict[str, List[dict]] = {}
+            for r in rows:
+                by_date.setdefault(r["log_date"], []).append(r)
+            for log_date, part in by_date.items():
+                path = os.path.join(self._path(table), f"log_date={log_date}")
+                self._write_file(path, part, _pa_schema(schema, drop=("log_date",)))
+        else:
+            self._write_file(self._path(table), rows, _pa_schema(schema))
+
+    @staticmethod
+    def _write_file(dir_path: str, rows: Sequence[dict], schema: pa.Schema) -> None:
+        os.makedirs(dir_path, exist_ok=True)
+        cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+        tbl = pa.table(cols, schema=schema)
+        pq.write_table(tbl, os.path.join(dir_path, f"part-{uuid.uuid4().hex}.parquet"))
+
+    def _load(self, table: str, schema: StructType) -> List[Dict[str, Any]]:
+        """Driver-side read of a bookkeeping table (plus hive partitions)."""
+        path = self._path(table)
+        if not os.path.exists(path):
+            return []
+        tbl = pq.read_table(path)
+        rows = tbl.to_pylist()
+        for f in schema.fields:
+            if isinstance(f.dataType, TimestampType):
+                for r in rows:
+                    v = r.get(f.name)
+                    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+                        r[f.name] = v.astimezone().replace(tzinfo=None)
+        return rows
+
+    def _read(self, table: str, schema: StructType) -> DataFrame:
+        """Analytical surface: the same files as a Spark DataFrame."""
+        path = self._path(table)
+        if table in self.LOG_TABLES:
+            self.flush_logs()
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema=schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    # -- batches ------------------------------------------------------------
+
+    def save_batch(self, status: BatchStatus) -> None:
+        """Insert or update: append a new version row (latest-wins read)."""
+        res = status.execution_success_or_failure
+        self._append(
+            "batches",
+            [
+                {
+                    "batch_id": status.id,
+                    "name": status.name,
+                    "running": status.running,
+                    "error_occurred": None if res is None else res.is_failure,
+                    "error_message": None if res is None else res.failure_message_or_none,
+                    "execution_millis": None
+                    if status.execution_millis is None
+                    else status.execution_millis.value,
+                    "ts": status.ts,
+                    "seq": self._next_seq(),
+                }
+            ],
+            _BATCHES,
+        )
+
+    @staticmethod
+    def _latest(rows: List[Dict[str, Any]], key: str) -> List[Dict[str, Any]]:
+        best: Dict[Any, Dict[str, Any]] = {}
+        for r in rows:
+            cur = best.get(r[key])
+            if cur is None or r["seq"] > cur["seq"]:
+                best[r[key]] = r
+        return list(best.values())
+
+    def get_batch(self, batch_id: str) -> Optional[BatchStatus]:
+        rows = [r for r in self._latest(self._load("batches", _BATCHES), "batch_id") if r["batch_id"] == batch_id]
+        if not rows:
+            return None
+        b = rows[0]
+        job_results = frozenset(self.get_job_results(batch_id))
+        if b["running"]:
+            result, millis = None, None
+        else:
+            result = (
+                Result.failure(b["error_message"] or "No error message was provided.")
+                if b["error_occurred"]
+                else Result.success()
+            )
+            millis = ExecutionMillis(b["execution_millis"] or 0)
+        return BatchStatus(
+            id=b["batch_id"],
+            name=b["name"],
+            job_results=job_results,
+            execution_success_or_failure=result,
+            execution_millis=millis,
+            running=b["running"],
+            ts=b["ts"],
+        )
+
+    def delete_old_batches(self, days_to_keep: int) -> None:
+        """Rewrite retained batch/job state (small tables by design)."""
+        cutoff = _cutoff(days_to_keep)
+        for table, schema in (
+            ("batches", _BATCHES),
+            ("jobs", _JOBS),
+            ("test_results", _TEST_RESULTS),
+        ):
+            path = self._path(table)
+            if not os.path.exists(path):
+                continue
+            kept = [r for r in self._load(table, schema) if r["ts"] >= cutoff]
+            shutil.rmtree(path)
+            self._append(table, kept, schema)
+
+    # -- jobs ----------------------------------------------------------------
+
+    def save_job_result(self, result: JobResult) -> None:
+        self._append(
+            "jobs",
+            [
+                {
+                    "job_id": result.id,
+                    "batch_id": result.batch_id,
+                    "job_name": result.job_name,
+                    "state": str(result.status.state),
+                    "reason": result.status.reason,
+                    "execution_millis": result.execution_millis.value,
+                    "ts": result.ts,
+                    "seq": self._next_seq(),
+                }
+            ],
+            _JOBS,
+        )
+        if result.test_results:
+            self._append(
+                "test_results",
+                [
+                    {
+                        "test_id": t.id,
+                        "job_id": t.job_id,
+                        "job_name": result.job_name,
+                        "test_name": t.test_name,
+                        "passed": t.test_passed,
+                        "failure_message": t.outcome.failure_message_or_none,
+                        "execution_millis": t.execution_millis.value,
+                        "ts": t.ts,
+                    }
+                    for t in result.test_results
+                ],
+                _TEST_RESULTS,
+            )
+
+    def get_job_results(self, batch_id: str) -> List[JobResult]:
+        rows = [
+            r
+            for r in self._latest(self._load("jobs", _JOBS), "job_id")
+            if r["batch_id"] == batch_id
+        ]
+        tests = self.get_test_results({r["job_id"] for r in rows})
+        return [
+            JobResult(
+                id=r["job_id"],
+                batch_id=r["batch_id"],
+                job_name=r["job_name"],
+                status=JobStatus(JobState(r["state"]), r["reason"]),
+                execution_millis=ExecutionMillis(r["execution_millis"] or 0),
+                test_results=frozenset(t for t in tests if t.job_id == r["job_id"]),
+                ts=r["ts"],
+            )
+            for r in rows
+        ]
+
+    def get_test_results(self, job_ids: set) -> List[TestResult]:
+        if not job_ids:
+            return []
+        return [
+            _test_result(r)
+            for r in self._load("test_results", _TEST_RESULTS)
+            if r["job_id"] in job_ids
+        ]
+
+    def get_last_successful_ts(self, job_name: str) -> Optional[datetime.datetime]:
+        """Reference: sqlalchemy_job_repository.get_last_successful_ts."""
+        ts = [
+            r["ts"]
+            for r in self._load("jobs", _JOBS)
+            if r["job_name"] == job_name and r["state"] == "succeeded"
+        ]
+        return max(ts) if ts else None
+
+    def latest_test_results(self, job_name: str) -> List[TestResult]:
+        """Test results belonging to the job's most recent tested run.
+
+        Reference: sqlalchemy_job_repository.latest_test_results."""
+        rows = [
+            r for r in self._load("test_results", _TEST_RESULTS) if r["job_name"] == job_name
+        ]
+        if not rows:
+            return []
+        latest = max(r["ts"] for r in rows)
+        return [_test_result(r) for r in rows if r["ts"] == latest]
+
+    # -- logs -----------------------------------------------------------------
+
+    def log(
+        self,
+        table: str,
+        level: LogLevel,
+        message: str,
+        batch_id: Optional[str],
+        job_name: Optional[str] = None,
+        ts: Optional[datetime.datetime] = None,
+    ) -> None:
+        ts = ts or datetime.datetime.now()
+        self._entry_id += 1
+        self._log_buffer[table].append(
+            {
+                "entry_id": self._entry_id,
+                "batch_id": batch_id,
+                "job_name": job_name,
+                "level": str(level),
+                "message": LogMessage(message).value,
+                "ts": ts,
+                "log_date": ts.strftime("%Y-%m-%d"),
+            }
+        )
+
+    def flush_logs(self) -> None:
+        for table in self.LOG_TABLES:
+            buf, self._log_buffer[table] = self._log_buffer[table], []
+            if buf:
+                self._append(table, buf, _LOG)
+
+    def read_log(self, table: str) -> DataFrame:
+        return self._read(table, _LOG)
+
+    def delete_old_logs(self, days_to_keep: int) -> None:
+        """Drop whole log_date partitions older than the cutoff — a
+        filesystem metadata operation, no data rewrite."""
+        self.flush_logs()
+        cutoff_date = _cutoff(days_to_keep).strftime("%Y-%m-%d")
+        for table in self.LOG_TABLES:
+            path = self._path(table)
+            if not os.path.exists(path):
+                continue
+            for entry in os.listdir(path):
+                if entry.startswith("log_date=") and entry.split("=", 1)[1] < cutoff_date:
+                    shutil.rmtree(os.path.join(path, entry))
+
+    def earliest_log_ts(self, table: str = "batch_log") -> Optional[datetime.datetime]:
+        self.flush_logs()
+        rows = self._load(table, _LOG)
+        return min((r["ts"] for r in rows), default=None)
+
+
+def _test_result(r: Dict[str, Any]) -> TestResult:
+    return TestResult(
+        id=r["test_id"],
+        job_id=r["job_id"],
+        test_name=r["test_name"],
+        outcome=Result.success()
+        if r["passed"]
+        else Result.failure(r["failure_message"] or "No error message was provided."),
+        execution_millis=ExecutionMillis(r["execution_millis"]),
+        ts=r["ts"],
+    )
+
+
+def _cutoff(days_to_keep: int) -> datetime.datetime:
+    now = datetime.datetime.now()
+    return datetime.datetime.combine(
+        (now - datetime.timedelta(days=days_to_keep)).date(), datetime.time.min
+    )
+
+
+class BatchLogger:
+    """Reference SqlAlchemyBatchLogger: writes to batch_log."""
+
+    def __init__(self, store: SparkAdminStore, batch_id: str, to_console: bool = False):
+        self.store = store
+        self.batch_id = batch_id
+        self.to_console = to_console
+
+    def _log(self, level: LogLevel, message: str) -> None:
+        if self.to_console:
+            print(f"{datetime.datetime.now().isoformat()} [{level}] {message}")
+        self.store.log("batch_log", level, message, self.batch_id)
+
+    def debug(self, message: str) -> None:
+        self._log(LogLevel.DEBUG, message)
+
+    def info(self, message: str) -> None:
+        self._log(LogLevel.INFO, message)
+
+    def error(self, message: str) -> None:
+        self._log(LogLevel.ERROR, message)
+
+    def exception(self, e: BaseException) -> None:
+        self._log(LogLevel.ERROR, repr(e))
+
+    def create_job_logger(self, job_name: str) -> "JobLogger":
+        return JobLogger(self.store, self.batch_id, job_name, self.to_console)
+
+
+class JobLogger:
+    """Reference SqlAlchemyJobLogger: writes to job_log."""
+
+    def __init__(
+        self, store: SparkAdminStore, batch_id: str, job_name: str, to_console: bool = False
+    ):
+        self.store = store
+        self.batch_id = batch_id
+        self.job_name = job_name
+        self.to_console = to_console
+
+    def _log(self, level: LogLevel, message: str) -> None:
+        if self.to_console:
+            print(f"{datetime.datetime.now().isoformat()} [{level}] [{self.job_name}] {message}")
+        self.store.log("job_log", level, message, self.batch_id, self.job_name)
+
+    def debug(self, message: str) -> None:
+        self._log(LogLevel.DEBUG, message)
+
+    def info(self, message: str) -> None:
+        self._log(LogLevel.INFO, message)
+
+    def error(self, message: str) -> None:
+        self._log(LogLevel.ERROR, message)
+
+    def exception(self, e: BaseException) -> None:
+        self._log(LogLevel.ERROR, repr(e))

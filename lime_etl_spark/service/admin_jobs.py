@@ -1,0 +1,65 @@
+"""Built-in admin jobs (reference lime_etl/service/admin/).
+
+DeleteOldLogs mirrors reference delete_old_logs.py: purge admin log
+rows older than ``days_to_keep`` and then *test* that nothing older
+remains. On Spark the purge is a date-partition drop (see
+SparkAdminStore.delete_old_logs), so retention cost is O(partitions),
+not O(rows).
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import List, Optional
+
+from lime_etl_spark.domain.specs import JobContext, SparkJobSpec
+from lime_etl_spark.domain.statuses import JobStatus, SimpleTestResult
+from lime_etl_spark.domain.value_objects import DaysToKeep, Result
+
+from lime_etl_spark.adapter.admin_store import SparkAdminStore
+
+
+class DeleteOldLogs(SparkJobSpec):
+    def __init__(
+        self,
+        store: SparkAdminStore,
+        days_logs_to_keep: int = 3,
+        min_seconds_between_runs: int = 0,
+    ):
+        self._store = store
+        self._days = DaysToKeep(days_logs_to_keep).value
+        self._min_seconds_between_runs = min_seconds_between_runs
+
+    @property
+    def job_name(self) -> str:
+        return "delete_old_logs"
+
+    @property
+    def min_seconds_between_refreshes(self) -> int:
+        return self._min_seconds_between_runs
+
+    def run(self, ctx: JobContext) -> Optional[JobStatus]:
+        self._store.delete_old_logs(self._days)
+        ctx.logger.info(f"Deleted log entries older than {self._days} days old.")
+        self._store.delete_old_batches(self._days)
+        ctx.logger.info(f"Deleted batch results older than {self._days} days old.")
+        return JobStatus.success()
+
+    def test(self, ctx: JobContext) -> List[SimpleTestResult]:
+        cutoff = datetime.datetime.combine(
+            (datetime.datetime.now() - datetime.timedelta(days=self._days)).date(),
+            datetime.time.min,
+        )
+        earliest = self._store.earliest_log_ts("batch_log")
+        name = f"No log entries more than {self._days} days old"
+        if earliest is not None and earliest < cutoff:
+            return [
+                SimpleTestResult(
+                    test_name=name,
+                    outcome=Result.failure(
+                        f"The earliest batch log entry is from "
+                        f"{earliest.strftime('%Y-%m-%d %H:%M:%S')}"
+                    ),
+                )
+            ]
+        return [SimpleTestResult(test_name=name, outcome=Result.success())]

@@ -1,0 +1,429 @@
+"""The batch runner — lime-etl's execution semantics on Spark.
+
+Parity target: reference lime_etl/service/batch_runner.py (593 LOC).
+Behavior preserved:
+
+- duplicate job names → DuplicateJobNames (reference :542)
+- missing / out-of-order dependencies → DependencyErrors (:551)
+- a job is skipped when ALL of its dependency results are
+  skipped/failed (:160); when only some failed, starting the job
+  raises and it is recorded as failed (:346-367)
+- refresh-interval skip: if the job last succeeded more recently than
+  min_seconds_between_refreshes, record a skip "not time yet" (:184)
+- retries: re-run up to max_retries times on exception (:503)
+- post-run tests unless batch.skip_tests or within
+  min_seconds_between_tests of the last test run (:408-445)
+- on_execution_error / on_test_failure may return a replacement job,
+  which is run recursively (:294-321)
+- every state transition is persisted to the admin store (running →
+  final), and a BatchStatus row brackets the whole run (:74-119)
+
+Spark-specific: per-job timeout is enforced by running the job body
+in a worker thread and cancelling the job's Spark job group on
+timeout — the Spark-native way to kill distributed work mid-flight.
+Parallel batches share the session via FAIR-scheduler threads rather
+than processes (one JVM, many concurrent DAGs).
+"""
+
+from __future__ import annotations
+
+import datetime
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FutureTimeoutError
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import SparkSession
+
+from lime_etl_spark.adapter.admin_store import BatchLogger, JobLogger, SparkAdminStore
+from lime_etl_spark.domain.batch_delta import BatchDelta
+from lime_etl_spark.domain.exceptions import (
+    DependencyErrors,
+    DuplicateJobNames,
+    JobDependencyIssue,
+)
+from lime_etl_spark.domain.specs import JobContext, SparkBatchSpec, SparkJobSpec
+from lime_etl_spark.domain.statuses import (
+    BatchStatus,
+    JobResult,
+    JobState,
+    JobStatus,
+    SimpleTestResult,
+    TestResult,
+)
+from lime_etl_spark.domain.value_objects import ExecutionMillis, Result, UniqueId
+
+
+def check_for_duplicate_job_names(jobs: Sequence[SparkJobSpec]) -> None:
+    names = [j.job_name for j in jobs]
+    dups = {n: names.count(n) for n in names if names.count(n) > 1}
+    if dups:
+        raise DuplicateJobNames(dups)
+
+
+def check_dependencies(jobs: Sequence[SparkJobSpec]) -> None:
+    all_names = {j.job_name for j in jobs}
+    issues = []
+    seen: set[str] = set()
+    for job in jobs:
+        missing = {d for d in job.dependencies if d not in all_names}
+        out_of_order = {
+            d for d in job.dependencies if d in all_names and d not in seen
+        }
+        seen.add(job.job_name)
+        if missing or out_of_order - missing:
+            issues.append(
+                JobDependencyIssue(
+                    job_name=job.job_name,
+                    missing_dependencies=frozenset(missing),
+                    jobs_out_of_order=frozenset(out_of_order - missing),
+                )
+            )
+    if issues:
+        raise DependencyErrors(frozenset(issues))
+
+
+def run_batch(
+    batch: SparkBatchSpec,
+    spark: SparkSession,
+    store: SparkAdminStore,
+    log_to_console: bool = False,
+    resources: Optional[dict] = None,
+) -> BatchStatus:
+    start = datetime.datetime.now()
+    logger = BatchLogger(store, batch.batch_id, log_to_console)
+    store.save_batch(
+        BatchStatus(
+            id=batch.batch_id,
+            name=batch.batch_name,
+            job_results=frozenset(),
+            execution_success_or_failure=None,
+            execution_millis=None,
+            running=True,
+            ts=start,
+        )
+    )
+    logger.info(f"Starting batch [{batch.batch_name}]...")
+    try:
+        result = _run_jobs(batch, spark, store, logger, start, resources or {})
+    except Exception as e:
+        logger.exception(e)
+        result = BatchStatus(
+            id=batch.batch_id,
+            name=batch.batch_name,
+            job_results=frozenset(),
+            execution_success_or_failure=Result.failure(str(e)),
+            execution_millis=ExecutionMillis.calculate(
+                start=_ts(start), end=_ts(datetime.datetime.now())
+            ),
+            running=False,
+            ts=datetime.datetime.now(),
+        )
+        store.save_batch(result)
+        store.flush_logs()
+        raise
+    store.save_batch(result)
+    logger.info(f"Batch [{batch.batch_name}] finished.")
+    store.flush_logs()
+    return result
+
+
+def _ts(dt: datetime.datetime):
+    from lime_etl_spark.domain.value_objects import Timestamp
+
+    return Timestamp(dt)
+
+
+def _run_jobs(
+    batch: SparkBatchSpec,
+    spark: SparkSession,
+    store: SparkAdminStore,
+    logger: BatchLogger,
+    start: datetime.datetime,
+    resources: dict,
+) -> BatchStatus:
+    jobs = batch.create_jobs()
+    check_dependencies(jobs)
+    check_for_duplicate_job_names(jobs)
+
+    job_results: List[JobResult] = []
+    for job in jobs:
+        job_id = UniqueId.generate().value
+
+        dep_results = [r for r in job_results if r.job_name in job.dependencies]
+        if job.dependencies and dep_results and all(
+            r.status.state in (JobState.SKIPPED, JobState.FAILED) for r in dep_results
+        ):
+            logger.info(
+                f"All the dependencies for [{job.job_name}] were skipped or failed so "
+                f"the job has been skipped."
+            )
+            result = JobResult(
+                id=job_id,
+                batch_id=batch.batch_id,
+                job_name=job.job_name,
+                status=JobStatus.skipped("Dependencies were skipped or failed."),
+                execution_millis=ExecutionMillis(0),
+                ts=start,
+            )
+        else:
+            last_ok = store.get_last_successful_ts(job.job_name)
+            if last_ok is not None:
+                since = (datetime.datetime.now() - last_ok).total_seconds()
+                due = since > job.min_seconds_between_refreshes
+            else:
+                since, due = 0.0, True
+
+            if due:
+                job_logger = logger.create_job_logger(job.job_name)
+                store.save_job_result(
+                    JobResult(
+                        id=job_id,
+                        batch_id=batch.batch_id,
+                        job_name=job.job_name,
+                        status=JobStatus.running(),
+                        execution_millis=ExecutionMillis(0),
+                        ts=start,
+                    )
+                )
+                try:
+                    result = _run_job(
+                        batch, job, job_id, spark, store, job_logger, job_results, resources
+                    )
+                except Exception as e:
+                    logger.exception(e)
+                    millis = ExecutionMillis.calculate(
+                        start=_ts(start), end=_ts(datetime.datetime.now())
+                    )
+                    result = JobResult(
+                        id=job_id,
+                        batch_id=batch.batch_id,
+                        job_name=job.job_name,
+                        status=JobStatus.failed(f"{e}\n{traceback.format_exc(10)}"),
+                        execution_millis=millis,
+                        ts=start,
+                    )
+            else:
+                logger.info(
+                    f"[{job.job_name}] was run successfully {since:.0f} seconds ago and "
+                    f"it is set to refresh every {job.min_seconds_between_refreshes} "
+                    f"seconds, so there is no need to refresh again."
+                )
+                result = JobResult(
+                    id=job_id,
+                    batch_id=batch.batch_id,
+                    job_name=job.job_name,
+                    status=JobStatus.skipped(
+                        f"The job ran {since:.0f} seconds ago, so it is not time yet."
+                    ),
+                    execution_millis=ExecutionMillis(0),
+                    ts=start,
+                )
+
+        job_results.append(result)
+        store.save_job_result(result)
+
+    end = datetime.datetime.now()
+    return BatchStatus(
+        id=batch.batch_id,
+        name=batch.batch_name,
+        job_results=frozenset(job_results),
+        execution_success_or_failure=Result.success(),
+        execution_millis=ExecutionMillis(int((end - start).total_seconds() * 1000)),
+        running=False,
+        ts=end,
+    )
+
+
+def _run_job(
+    batch: SparkBatchSpec,
+    job: SparkJobSpec,
+    job_id: str,
+    spark: SparkSession,
+    store: SparkAdminStore,
+    logger: JobLogger,
+    prior_results: Sequence[JobResult],
+    resources: dict,
+) -> JobResult:
+    """Dependency-failure check → run with retry → tests → handlers."""
+    logger.info(f"Starting [{job.job_name}]...")
+    start = datetime.datetime.now()
+
+    dep_failures = {
+        r.job_name
+        for r in prior_results
+        if r.job_name in job.dependencies and r.status.state is JobState.FAILED
+    }
+    dep_test_failures = {
+        r.job_name
+        for r in prior_results
+        if r.job_name in job.dependencies and r.tests_failed
+    }
+    if dep_failures:
+        errs = ", ".join(sorted(dep_failures))
+        if dep_test_failures:
+            tf = ", ".join(sorted(dep_test_failures))
+            raise Exception(
+                f"The following dependencies failed to execute: {errs} and the "
+                f"following jobs had test failures: {tf}"
+            )
+        raise Exception(f"The following dependencies failed to execute: {errs}")
+
+    ctx = JobContext(spark=spark, logger=logger, resources=resources)
+    status, millis = _run_with_retry(job, ctx, spark, logger, start)
+
+    test_results: frozenset = frozenset()
+    if status.is_success:
+        logger.info(f"[{job.job_name}] finished successfully.")
+        if not batch.skip_tests and _tests_due(job, store, logger):
+            t0 = datetime.datetime.now()
+            simple = job.test(ctx)
+            t_millis = int((datetime.datetime.now() - t0).total_seconds() * 1000)
+            if simple:
+                passed = sum(1 for t in simple if t.test_passed)
+                failed = sum(1 for t in simple if t.test_failed)
+                logger.info(
+                    f"{job.job_name} test results: tests_passed={passed}, tests_failed={failed}"
+                )
+                test_results = frozenset(
+                    TestResult(
+                        id=UniqueId.generate().value,
+                        job_id=job_id,
+                        test_name=t.test_name,
+                        outcome=t.outcome,
+                        execution_millis=ExecutionMillis(t_millis),
+                        ts=start,
+                    )
+                    for t in simple
+                )
+            else:
+                logger.info("The job test method returned no results.")
+    elif status.is_failed:
+        logger.info(f"An exception occurred while running [{job.job_name}]: {status.reason}.")
+    elif status.is_skipped:
+        logger.info(f"[{job.job_name}] was skipped.")
+
+    result = JobResult(
+        id=job_id,
+        batch_id=batch.batch_id,
+        job_name=job.job_name,
+        status=status,
+        execution_millis=millis,
+        test_results=test_results,
+        ts=start,
+    )
+
+    if status.is_failed:
+        replacement = job.on_execution_error(status.reason or "")
+        if replacement is not None:
+            logger.info(f"Running replacement job for [{job.job_name}]...")
+            return _run_job(
+                batch, replacement, job_id, spark, store, logger, prior_results, resources
+            )
+    elif any(t.test_failed for t in test_results):
+        simple_failed = [
+            SimpleTestResult(test_name=t.test_name, outcome=t.outcome) for t in test_results
+        ]
+        replacement = job.on_test_failure(simple_failed)
+        if replacement is not None:
+            logger.info(f"Running test-failure replacement job for [{job.job_name}]...")
+            return _run_job(
+                batch, replacement, job_id, spark, store, logger, prior_results, resources
+            )
+    return result
+
+
+def _tests_due(job: SparkJobSpec, store: SparkAdminStore, logger: JobLogger) -> bool:
+    last = store.latest_test_results(job.job_name)
+    if not last:
+        logger.info(
+            f"The tests for [{job.job_name}] have not been run before, so they will be run now."
+        )
+        return True
+    last_ts = max(t.ts for t in last)
+    since = int((datetime.datetime.now() - last_ts).total_seconds())
+    if since >= job.min_seconds_between_tests:
+        logger.info(
+            f"The tests for [{job.job_name}] were last run {since} seconds ago, and they "
+            f"are set to run every {job.min_seconds_between_tests}, so they will be run now."
+        )
+        return True
+    logger.info(
+        f"The tests for [{job.job_name}] were run {since} seconds ago, and they are set "
+        f"to run every {job.min_seconds_between_tests} so they are not ready to be run again."
+    )
+    return False
+
+
+def _run_with_retry(
+    job: SparkJobSpec,
+    ctx: JobContext,
+    spark: SparkSession,
+    logger: JobLogger,
+    start: datetime.datetime,
+) -> Tuple[JobStatus, ExecutionMillis]:
+    retries = 0
+    while True:
+        try:
+            status = _run_with_timeout(job, ctx, spark)
+            millis = ExecutionMillis.calculate(start=_ts(start), end=_ts(datetime.datetime.now()))
+            return status or JobStatus.success(), millis
+        except Exception:
+            if job.max_retries > retries:
+                logger.info(f"Running retry {retries} of {job.max_retries}...")
+                retries += 1
+                continue
+            logger.info(f"[{job.job_name}] failed after {job.max_retries} retries.")
+            raise
+
+
+def _run_with_timeout(
+    job: SparkJobSpec, ctx: JobContext, spark: SparkSession
+) -> Optional[JobStatus]:
+    if job.timeout_seconds is None:
+        return job.run(ctx)
+    group = f"lime-etl-{job.job_name}"
+
+    def body() -> Optional[JobStatus]:
+        spark.sparkContext.setJobGroup(group, f"job {job.job_name}", interruptOnCancel=True)
+        return job.run(ctx)
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    future = pool.submit(body)
+    try:
+        return future.result(timeout=job.timeout_seconds)
+    except FutureTimeoutError:
+        spark.sparkContext.cancelJobGroup(group)
+        raise TimeoutError(
+            f"[{job.job_name}] timed out after {job.timeout_seconds} seconds."
+        )
+    finally:
+        # wait=False: the cancelled job group unblocks the worker thread on
+        # its own; blocking here would serialize the timeout into the caller
+        pool.shutdown(wait=False)
+
+
+def run_batches_in_parallel(
+    batches: Sequence[SparkBatchSpec],
+    spark: SparkSession,
+    store_root: str,
+    max_workers: Optional[int] = None,
+    log_to_console: bool = False,
+) -> List[BatchStatus]:
+    """Concurrent batches in one Spark session (FAIR-scheduler threads —
+    the single-JVM analog of the reference's multiprocessing pool)."""
+    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
+
+    def one(batch: SparkBatchSpec) -> BatchStatus:
+        import os
+
+        store = SparkAdminStore(spark, os.path.join(store_root, batch.batch_name))
+        return run_batch(batch, spark, store, log_to_console)
+
+    with ThreadPoolExecutor(max_workers=max_workers or len(batches)) as pool:
+        return list(pool.map(one, batches))
+
+
+def batch_delta(store: SparkAdminStore, current: BatchStatus, previous_id: Optional[str]) -> BatchDelta:
+    previous = store.get_batch(previous_id) if previous_id else None
+    return BatchDelta(current=current, previous=previous)

@@ -1,0 +1,112 @@
+"""Integration tests for SparkAdminStore (mirrors reference
+tests/integration/adapter/*: repository round-trips, last-successful
+lookup, log retention)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from lime_etl_spark.adapter.admin_store import SparkAdminStore
+from lime_etl_spark.domain import (
+    BatchStatus,
+    ExecutionMillis,
+    JobResult,
+    JobStatus,
+    Result,
+    UniqueId,
+)
+from lime_etl_spark.domain.statuses import TestResult
+from lime_etl_spark.domain.value_objects import LogLevel
+
+NOW = datetime.datetime.now()
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SparkAdminStore(spark, str(tmp_path / "admin"))
+
+
+def test_batch_round_trip_latest_wins(spark, store):
+    bid = UniqueId.generate().value
+    store.save_batch(
+        BatchStatus(
+            id=bid, name="batch_x", job_results=frozenset(),
+            execution_success_or_failure=None, execution_millis=None,
+            running=True, ts=NOW,
+        )
+    )
+    got = store.get_batch(bid)
+    assert got is not None and got.running
+
+    store.save_batch(
+        BatchStatus(
+            id=bid, name="batch_x", job_results=frozenset(),
+            execution_success_or_failure=Result.failure("boom"),
+            execution_millis=ExecutionMillis(123), running=False, ts=NOW,
+        )
+    )
+    got = store.get_batch(bid)
+    assert got is not None
+    assert not got.running
+    assert got.execution_success_or_failure == Result.failure("boom")
+    assert got.execution_millis == ExecutionMillis(123)
+    assert store.get_batch("f" * 32) is None
+
+
+def test_job_results_and_last_successful_ts(store):
+    bid = UniqueId.generate().value
+    jid1, jid2 = UniqueId.generate().value, UniqueId.generate().value
+    t1 = NOW - datetime.timedelta(hours=2)
+    t2 = NOW - datetime.timedelta(hours=1)
+    store.save_job_result(
+        JobResult(id=jid1, batch_id=bid, job_name="job_a",
+                  status=JobStatus.success(), execution_millis=ExecutionMillis(5), ts=t1)
+    )
+    store.save_job_result(
+        JobResult(id=jid2, batch_id=bid, job_name="job_a",
+                  status=JobStatus.failed("nope"), execution_millis=ExecutionMillis(5), ts=t2)
+    )
+    # last SUCCESSFUL is t1, not the later failure
+    assert store.get_last_successful_ts("job_a") == t1
+    assert store.get_last_successful_ts("never_ran") is None
+
+    results = store.get_job_results(bid)
+    assert {r.id for r in results} == {jid1, jid2}
+
+
+def test_test_results_round_trip(store):
+    bid, jid = UniqueId.generate().value, UniqueId.generate().value
+    tr = TestResult(
+        id=UniqueId.generate().value, job_id=jid, test_name="rowcount check",
+        outcome=Result.failure("expected 10, got 9"),
+        execution_millis=ExecutionMillis(3), ts=NOW,
+    )
+    store.save_job_result(
+        JobResult(id=jid, batch_id=bid, job_name="job_t", status=JobStatus.success(),
+                  execution_millis=ExecutionMillis(9), test_results=frozenset([tr]), ts=NOW)
+    )
+    latest = store.latest_test_results("job_t")
+    assert len(latest) == 1
+    assert latest[0].test_name == "rowcount check"
+    assert latest[0].test_failed
+    assert store.latest_test_results("job_without_tests") == []
+
+
+def test_log_append_and_partition_retention(store):
+    old = NOW - datetime.timedelta(days=10)
+    store.log("batch_log", LogLevel.INFO, "ancient entry", "b1", ts=old)
+    store.log("batch_log", LogLevel.INFO, "fresh entry", "b1", ts=NOW)
+    store.log("job_log", LogLevel.ERROR, "job boom", "b1", "job_a", ts=old)
+    store.flush_logs()
+
+    assert store.earliest_log_ts("batch_log") == old
+
+    store.delete_old_logs(days_to_keep=3)
+
+    remaining = store.read_log("batch_log").collect()
+    assert [r["message"] for r in remaining] == ["fresh entry"]
+    assert store.read_log("job_log").count() == 0
+    earliest = store.earliest_log_ts("batch_log")
+    assert earliest is not None and earliest >= NOW - datetime.timedelta(days=3)
