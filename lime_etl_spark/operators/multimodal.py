@@ -1,0 +1,299 @@
+"""Multimodal columns: image/audio/video as opaque binary payloads.
+
+A 100 TB training-data pipeline carries media as `binary` columns with
+typed metadata, and runs decode / feature-extraction / resize /
+frame-sampling as Arrow-batched Python stages (`mapInPandas`) — the
+media libraries are C extensions, so this is the one operator family
+where Python in the hot path is unavoidable. The Spark-side plumbing
+here is real and tested: schemas, batch shapes, 1→N frame explosion,
+partition sizing. The codec step itself is STUBBED: no image/audio
+libs ship in this container, so each op either raises
+``NotImplementedError`` (real mode) or runs a clearly-marked
+deterministic fake decoder (``LIME_SPARK_FAKE_DECODE=1``) that parses
+the synthetic container format produced by ``build_media_fixture``.
+
+Scale notes:
+
+- **Bytes stay in Arrow.** mapInPandas moves binary columns
+  JVM→Python as Arrow buffers (zero-copy), batch at a time — never
+  row-at-a-time pickling.
+- **Size partitions by bytes, not rows.** Media rows are MBs;
+  `spark.sql.files.maxPartitionBytes` (and
+  `spark.sql.execution.arrow.maxRecordsPerBatch`) keep a batch of
+  decoded frames within executor memory.
+- **Project early.** Feature extraction selects only (id, content);
+  dragging a 10 MB payload through a wide row wastes shuffle.
+- **1→N explosion (frame sampling) is a generator** — frames for one
+  video never materialize as one giant in-memory list.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MAGIC = b"LMM1"  # synthetic container: magic, media_type, dims, payload
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("content", BinaryType(), False),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                    StructField("channels", IntegerType(), True),
+                    StructField("sample_rate", IntegerType(), True),
+                    StructField("duration_ms", IntegerType(), True),
+                    StructField("codec", StringType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+_TYPES = ("image", "audio", "video")
+
+
+def fake_decode_enabled() -> bool:
+    return os.environ.get("LIME_SPARK_FAKE_DECODE", "") == "1"
+
+
+def _require_fake() -> None:
+    if not fake_decode_enabled():
+        raise NotImplementedError(
+            "Real media decode needs image/audio codec libraries that are "
+            "not installed in this environment. Set LIME_SPARK_FAKE_DECODE=1 "
+            "to run the deterministic fake decoder (synthetic LMM1 format)."
+        )
+
+
+# ---------------------------------------------------------------------------
+# synthetic fixture
+# ---------------------------------------------------------------------------
+
+
+def _payload(media_id: int, nbytes: int) -> bytes:
+    out = bytearray()
+    counter = 0
+    while len(out) < nbytes:
+        out += hashlib.md5(f"{media_id}:{counter}".encode()).digest()
+        counter += 1
+    return bytes(out[:nbytes])
+
+
+def _encode(media_id: int) -> tuple:
+    media_type = _TYPES[media_id % 3]
+    width = 16 + (media_id % 7) * 16
+    height = 16 + (media_id % 5) * 16
+    channels = 3
+    sample_rate = 16000 if media_type == "audio" else 0
+    duration_ms = (1 + media_id % 10) * 1000 if media_type in ("audio", "video") else 0
+    header = MAGIC + struct.pack(
+        "<BIIIII", _TYPES.index(media_type), width, height, channels, sample_rate, duration_ms
+    )
+    body_len = 256 + (media_id % 17) * 64
+    content = header + _payload(media_id, body_len)
+    return (
+        media_id,
+        media_type,
+        bytearray(content),
+        (width, height, channels, sample_rate, duration_ms, "lmm1"),
+    )
+
+
+def build_media_fixture(spark: SparkSession, n: int = 200, partitions: int = 8) -> DataFrame:
+    """Deterministic synthetic media table (LMM1 container format).
+
+    Generation is distributed (mapInPandas over spark.range) so the
+    fixture builder itself demonstrates the write path a real ingest
+    job would use — the driver never holds the payload bytes.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_encode(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "media_type": [r[1] for r in rows],
+                    "content": [bytes(r[2]) for r in rows],
+                    "meta": [
+                        {
+                            "width": r[3][0],
+                            "height": r[3][1],
+                            "channels": r[3][2],
+                            "sample_rate": r[3][3],
+                            "duration_ms": r[3][4],
+                            "codec": r[3][5],
+                        }
+                        for r in rows
+                    ],
+                }
+            )
+
+    return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# decode / features / resize / frame sample
+# ---------------------------------------------------------------------------
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("checksum", StringType(), False),
+    ]
+)
+
+
+def _fake_decode_one(media_id: int, content: bytes) -> dict:
+    """FAKE decoder: parses the synthetic LMM1 header. A real build
+    would dispatch to PIL / libav here."""
+    assert content[:4] == MAGIC, "not an LMM1 payload"
+    type_ix, width, height, _ch, _sr, _dur = struct.unpack("<BIIIII", content[4:25])
+    return {
+        "media_id": media_id,
+        "media_type": _TYPES[type_ix],
+        "width": width,
+        "height": height,
+        "n_bytes": len(content),
+        "checksum": hashlib.md5(content).hexdigest(),
+    }
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode payloads → typed rows. Arrow-batched; projects to
+    (media_id, content) before crossing into Python."""
+    _require_fake()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_fake_decode_one(int(i), bytes(c)) for i, c in zip(pdf["media_id"], pdf["content"])]
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, DECODED_SCHEMA)
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("features", ArrayType(FloatType(), False), False),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic hash-projection feature vector per payload (the
+    fake stand-in for an embedding model forward pass)."""
+    _require_fake()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for content in pdf["content"]:
+                h = hashlib.sha256(bytes(content)).digest()
+                while len(h) < 4 * dim:
+                    h += hashlib.sha256(h).digest()
+                vals = struct.unpack(f"<{dim}I", h[: 4 * dim])
+                feats.append([float(v % 10_000) / 10_000.0 for v in vals])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return df.select("media_id", "content").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize image payloads (fake: rewrites the LMM1 header dims and
+    re-chains the payload; real mode would re-encode pixels)."""
+    _require_fake()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_content, out_meta = [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                raw = bytes(content)
+                type_ix, _w, _h, ch, sr, dur = struct.unpack("<BIIIII", raw[4:25])
+                header = MAGIC + struct.pack("<BIIIII", type_ix, width, height, ch, sr, dur)
+                out_content.append(header + raw[25:])
+                m = dict(meta)
+                m["width"], m["height"] = width, height
+                out_meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": out_content,
+                    "meta": out_meta,
+                }
+            )
+
+    return df.where(F.col("media_type") == "image").mapInPandas(run, MEDIA_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_ix", IntegerType(), False),
+        StructField("frame_ts_ms", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Sample frames from video payloads: 1→N row explosion inside the
+    Arrow batch iterator (generator per batch — one video's frames
+    never all sit in memory at once)."""
+    _require_fake()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                _t, _w, _h, _c, _sr, duration_ms = struct.unpack("<BIIIII", raw[4:25])
+                body = raw[25:]
+                n_frames = max(1, duration_ms // every_ms)
+                rows = []
+                for ix in range(n_frames):
+                    # fake frame: a deterministic 32-byte slice per timestamp
+                    start = (ix * 31) % max(1, len(body) - 32)
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "frame_ix": ix,
+                            "frame_ts_ms": ix * every_ms,
+                            "frame": body[start : start + 32],
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+    return (
+        df.where(F.col("media_type") == "video")
+        .select("media_id", "content")
+        .mapInPandas(run, FRAMES_SCHEMA)
+    )

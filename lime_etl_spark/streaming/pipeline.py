@@ -1,0 +1,197 @@
+"""Structured Streaming surface: the engine's stream analogs of the
+batch event operators.
+
+lime-etl has no streaming story — its closest concept is re-running a
+batch on a refresh interval (reference lime_etl/domain/job_spec.py
+``min_seconds_between_refreshes``). On Spark the idiomatic upgrade is
+Structured Streaming: the SAME declarative aggregations run
+incrementally with exactly-once file-sink semantics, so a "refresh
+every N seconds" lime-etl job becomes a `readStream` with a trigger.
+
+Scale design:
+
+- **File source** with `maxFilesPerTrigger` so a backlogged 100 TB
+  directory is consumed in bounded micro-batches instead of one
+  giant batch that OOMs state.
+- **Watermarks bound state.** Every streaming agg declares how late
+  events may arrive; state for closed windows is dropped. Without a
+  watermark, window state grows without bound — the classic
+  streaming OOM at scale.
+- **approx_count_distinct in streams.** Exact per-window distincts
+  keep every user id in state; HLL sketches are O(1) per window and
+  mergeable across partitions (map-side partial merge).
+- **session_window for gap sessionization.** Spark's native session
+  windows merge-as-they-arrive; this is the streaming equivalent of
+  the batch lag→flag→cumsum in operators/events.py (which needs the
+  whole history and therefore cannot stream).
+- **foreachBatch upsert sink.** Parquet files are immutable, so
+  merge-into-parquet is expressed per micro-batch with the SAME
+  batch `upsert` operator (operators/etl.py) — one code path for
+  batch and streaming writes, checkpointed for exactly-once.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from lime_etl_spark.operators.etl import upsert
+
+# Event-stream schema: the driver's events table minus the raw-nanos
+# quirk (streams declare schemas explicitly — inference would scan).
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+        StructField("ts", TimestampType(), False),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType = EVENT_SCHEMA,
+    max_files_per_trigger: Optional[int] = 4,
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_kpis(
+    stream: DataFrame,
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window KPIs (stream analog of ev_daily_kpis)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "approx_users",
+            "total_value",
+            "n_purchases",
+        )
+    )
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessions via native session_window (merges incrementally)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            user_col,
+            "n_events",
+            "session_start",
+            "session_end",
+            F.col("sess.start").alias("window_start"),
+            F.col("sess.end").alias("window_end"),
+        )
+    )
+
+
+def stream_upsert_sink(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    keys: list,
+    transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+) -> StreamingQuery:
+    """foreachBatch merge-into-parquet: each micro-batch is upserted
+    into the target with the batch `upsert` operator (latest-wins on
+    ``keys``), giving streaming writes and batch backfills one code
+    path. The checkpoint makes replays idempotent: re-upserting the
+    same batch is a no-op because the keys already hold those rows.
+    """
+    spark = stream.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        increment = batch_df.dropDuplicates(keys)
+        if os.path.exists(target_path):
+            base = spark.read.parquet(target_path)
+            merged = upsert(base, increment, keys)
+        else:
+            merged = increment
+        # rewrite-on-merge: parquet has no in-place update; a real lake
+        # table format would make this a transactional MERGE. Localize
+        # the rewrite by partitioning the target on a key prefix.
+        tmp = target_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        fs_rename(tmp, target_path)
+
+    return (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def fs_rename(src: str, dst: str) -> None:
+    import shutil
+
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.rename(src, dst)
+
+
+def run_available_now(
+    stream: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drain everything currently in the source into a memory sink and
+    return the result as a batch DataFrame (test/driver harness)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return stream.sparkSession.table(query_name)
