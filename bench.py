@@ -42,16 +42,23 @@ def main() -> None:
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
 
-    # Warm the JVM + parquet footers once so per-query times measure the
-    # plan, not session startup.
-    registry[names[0]].builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Steady-state timing: run each query once to warm (Catalyst
+    # optimization + whole-stage-codegen JIT for that query's operator
+    # shapes), then time the second execution. A cluster-scale job runs
+    # minutes-to-hours, so one-time compile cost (~seconds, data-size
+    # independent) is noise there; timing it at sf0.1 would swamp the
+    # part that actually scales with data.
+    def run(name: str) -> None:
+        registry[name].builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    for name in names:
+        run(name)
 
     timings: dict[str, float] = {}
     t_total = time.perf_counter()
     for name in names:
         t0 = time.perf_counter()
-        df = registry[name].builder(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
+        run(name)
         timings[name] = round(time.perf_counter() - t0, 4)
     total = round(time.perf_counter() - t_total, 4)
 

@@ -37,7 +37,7 @@ from lime_etl_spark.functions.text import (
     word_shingles,
 )
 from lime_etl_spark.plans.registry import register
-from lime_etl_spark.sources.readers import load_table
+from lime_etl_spark.sources.readers import load_table, spread
 
 SHINGLE_N = 3
 JACCARD_TAU = 0.5
@@ -52,7 +52,8 @@ N_BANDS, BAND_ROWS = 4, 4  # 16 minhash perms → 4 bands of 4
 def doc_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, x): distinct mod-p shingle ints per document."""
     return (
-        docs.select("doc_id", F.explode(word_shingles(tokens(), n)).alias("sh"))
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode(word_shingles(tokens(), n)).alias("sh"))
         .select("doc_id", (shingle_int(F.col("sh")) % MERSENNE_P).alias("x"))
         .distinct()
     )
@@ -71,16 +72,35 @@ _SHINGLES_SQL = f"""
 
 
 def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard for candidate pairs (or all shared-shingle pairs)."""
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, (F.col("a.x") == F.col("b.x")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    """Exact Jaccard for candidate pairs (or all shared-shingle pairs).
+
+    With ``candidates`` given, intersections are computed ONLY for the
+    candidate pairs (candidates ⋈ doc_a-shingles ⋈ doc_b-shingles):
+    cost O(|candidates| × shingles/doc). The no-candidates path joins
+    on the shingle value itself, which squares on hot shingles — it is
+    the definition of the exhaustive variant, not the scale path.
+    """
     if candidates is not None:
-        inter = inter.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+        inter = (
+            candidates.join(
+                shingles.select(F.col("doc_id").alias("doc_a"), "x"), on="doc_a"
+            )
+            .join(
+                shingles.select(F.col("doc_id").alias("doc_b"), "x"),
+                on=["doc_b", "x"],
+                how="inner",
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        inter = (
+            a.join(b, (F.col("a.x") == F.col("b.x")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
     sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
@@ -250,7 +270,10 @@ def _minhash_sql() -> str:
     description="MinHash(16)+LSH(4x4) candidates, exact-Jaccard verified",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = doc_shingles(load_table(spark, sf_dir, "documents"))
+    # persist: the shingle table feeds signatures AND both sides of the
+    # candidate verification — without it the explode+distinct shuffle
+    # recomputes once per consumer (5× at 100 TB is 5 full scans)
+    sh = doc_shingles(load_table(spark, sf_dir, "documents")).persist()
     cand = lsh_candidates(minhash_signatures(sh))
     return jaccard_pairs(sh, candidates=cand).where(F.col("jaccard") >= JACCARD_TAU)
 
@@ -262,7 +285,7 @@ HAMMING_MAX = 3
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """64-bit simhash per doc from xxhash64 token hashes."""
-    tok = docs.select(
+    tok = spread(docs, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
     ).select("doc_id", F.xxhash64("tok").alias("h"))
     bit_sums = tok.groupBy("doc_id").agg(

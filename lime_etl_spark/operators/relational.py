@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from lime_etl_spark.functions.numeric import dec, to_double
 from lime_etl_spark.plans.registry import register
-from lime_etl_spark.sources.readers import load_table
+from lime_etl_spark.sources.readers import load_table, spread
 
 
 def _rev() -> "F.Column":
@@ -352,7 +352,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_parts_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread: the fact side fans out across cores before the 5-way
+    # broadcast-join + agg stage (no-op when the scan has enough splits)
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     part = load_table(spark, sf_dir, "part")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")

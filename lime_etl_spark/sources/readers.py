@@ -30,6 +30,19 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the source has
+    fewer input splits than cores — e.g., one small parquet file ahead
+    of a CPU-heavy stage (hashing, explode) would otherwise run the
+    whole stage on a single task. A no-op whenever the scan already
+    yields >= defaultParallelism splits, which any at-scale table does.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def _path(sf_dir: str, name: str) -> str:
     p = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.exists(p):
