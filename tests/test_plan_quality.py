@@ -1,0 +1,90 @@
+"""Plan-quality audits (SURVEY §3: every operator's plan must show
+pushed filters + pruned columns, broadcast dim joins, and no Python
+row UDFs). These are regression tests on the PHYSICAL plan, not the
+results — the properties that decide whether a query survives 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from lime_etl_spark.plans.registry import all_queries
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    """Full formatted physical plan (untruncated), without executing."""
+    df = all_queries()[name].builder(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def final_plan_of(spark, sf_dir, name: str) -> str:
+    """Post-execution plan: AQE finalized, WholeStageCodegen spans visible."""
+    df = all_queries()[name].builder(spark, sf_dir)
+    df.collect()  # a write would wrap the plan in a fresh queryExecution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# crossJoin is the *definition* of brute-force ANN / all-pairs scoring.
+CARTESIAN_OK = {"ann_bruteforce_topk", "knn_label_vote"}
+
+
+def test_no_row_python_udfs_anywhere(spark, sf_dir):
+    for name in all_queries():
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_no_accidental_cartesian_products(spark, sf_dir):
+    for name in all_queries():
+        if name in CARTESIAN_OK:
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name} has an accidental cross join"
+
+
+def test_q6_filters_reach_the_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_revenue_forecast")
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", plan), plan
+    # column pruning: the scan reads only the 4 columns the query uses
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert "l_comment" not in cols and "l_orderkey" not in cols
+    assert len(cols) <= 7, cols
+
+
+@pytest.mark.parametrize(
+    "name", ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items",
+             "q_top_parts_by_region", "q_market_share"]
+)
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    """Multi-join analytics must broadcast the dimension sides — a
+    shuffle join against nation/region/customer at 100 TB is a bug."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+    # and the fact table is never the build (broadcast) side
+    assert not re.search(r"BroadcastExchange[^\n]*\n[^\n]*lineitem", plan)
+
+
+def test_aggregates_are_partial(spark, sf_dir):
+    """groupBy aggs must show map-side partial aggregation."""
+    for name in ("q1_pricing_summary", "ev_daily_kpis", "dedup_exact"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "partial_" in plan, f"{name}: no partial (map-side) aggregation"
+
+
+def test_whole_stage_codegen_everywhere(spark, sf_dir):
+    """The relational core must run inside whole-stage codegen spans
+    (visible only in the AQE-finalized, post-execution plan)."""
+    for name in ("q1_pricing_summary", "q3_shipping_priority", "q6_revenue_forecast"):
+        plan = final_plan_of(spark, sf_dir, name)
+        assert "*(" in plan, f"{name}: no WholeStageCodegen span"

@@ -1,0 +1,67 @@
+"""Training-pipeline operators (sampling/split/as-of/packing) vs
+DuckDB oracle at sf0.001, plus semantic invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lime_etl_spark.operators.training import PACK_BUDGET, SAMPLE_RATES
+from lime_etl_spark.plans.registry import all_queries
+from tests.oracle import assert_query_matches_oracle
+
+KEYS = ["samp_stratified", "samp_hash_split", "ev_asof_attribution", "pack_sequences"]
+
+
+@pytest.mark.parametrize("name", KEYS)
+def test_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_stratified_rates_approximate(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    sampled = {
+        r["lang"]: r["n"]
+        for r in all_queries()["samp_stratified"].builder(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, rate in SAMPLE_RATES.items():
+        got = sampled.get(lang, 0) / totals[lang]
+        assert abs(got - rate) < 0.15, (lang, got, rate)
+
+
+def test_split_is_deterministic_and_total(spark, sf_dir):
+    df = all_queries()["samp_hash_split"].builder(spark, sf_dir)
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in all_queries()["samp_hash_split"].builder(spark, sf_dir).collect())
+    assert a == b
+    from lime_etl_spark.sources.readers import load_table
+
+    assert sum(r[2] for r in a) == load_table(spark, sf_dir, "documents").count()
+
+
+def test_asof_view_precedes_click(spark, sf_dir):
+    rows = all_queries()["ev_asof_attribution"].builder(spark, sf_dir).collect()
+    assert rows
+    matched = [r for r in rows if r["view_us"] is not None]
+    assert matched and all(r["gap_us"] >= 0 for r in matched)
+
+
+def test_packs_respect_budget_start(spark, sf_dir):
+    """Each pack's docs started while the running sum was inside the
+    pack's budget window (greedy fill semantics)."""
+    rows = all_queries()["pack_sequences"].builder(spark, sf_dir).collect()
+    assert rows
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault((r["lang"], r["shard"]), []).append(r)
+    for (_, _), packs in by_shard.items():
+        packs.sort(key=lambda r: r["pack_id"])
+        # pack ids are the running-total div budget: consecutive-ish, starting at 0
+        assert packs[0]["pack_id"] == 0
+        total = sum(p["total_tokens"] for p in packs)
+        assert total >= PACK_BUDGET * (packs[-1]["pack_id"])
