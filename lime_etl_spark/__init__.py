@@ -9,13 +9,103 @@ Re-expresses the capabilities of MarkStefanovic/lime-etl (reference at
 - ``operators``: the data operations ETL jobs perform, as pure
   DataFrame -> DataFrame functions (relational analytics, snapshot
   diff / upsert / SCD2, dedup family, similarity search, text
-  analysis, event sessionization).
+  analysis, event sessionization, training-data sampling/packing,
+  multimodal binary payloads).
 - ``sources`` / ``streaming``: batch readers/writers and structured
   streaming wrappers.
 - ``plans``: the query registry that backs ``__spark_entry__.py``.
+
+The reference's one-import surface (``import lime_etl as le``,
+reference lime_etl/__init__.py) is mirrored here: everything a job
+author needs is importable from the package root.
 """
 
+from lime_etl_spark.adapter.admin_store import BatchLogger, JobLogger, SparkAdminStore
+from lime_etl_spark.domain.batch_delta import BatchDelta
+from lime_etl_spark.domain.exceptions import (
+    BatchNotFound,
+    DependencyErrors,
+    DuplicateJobNames,
+    InvalidBatch,
+    JobDependencyIssue,
+)
+from lime_etl_spark.domain.specs import (
+    JobContext,
+    SimpleJobSpec,
+    SparkBatchSpec,
+    SparkJobSpec,
+)
+from lime_etl_spark.domain.statuses import (
+    BatchStatus,
+    JobResult,
+    JobState,
+    JobStatus,
+    SimpleTestResult,
+    TestResult,
+)
+from lime_etl_spark.domain.value_objects import (
+    BatchName,
+    DaysToKeep,
+    ExecutionMillis,
+    Flag,
+    JobName,
+    LogLevel,
+    LogMessage,
+    MaxRetries,
+    MinSecondsBetweenRefreshes,
+    MinSecondsBetweenTests,
+    Result,
+    TestName,
+    TimeoutSeconds,
+    UniqueId,
+)
+from lime_etl_spark.service.admin_jobs import DeleteOldLogs
+from lime_etl_spark.service.runner import (
+    batch_delta,
+    run_batch,
+    run_batches_in_parallel,
+)
 from lime_etl_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = [
+    "BatchDelta",
+    "BatchLogger",
+    "BatchName",
+    "BatchNotFound",
+    "BatchStatus",
+    "DaysToKeep",
+    "DeleteOldLogs",
+    "DependencyErrors",
+    "DuplicateJobNames",
+    "ExecutionMillis",
+    "Flag",
+    "InvalidBatch",
+    "JobContext",
+    "JobDependencyIssue",
+    "JobLogger",
+    "JobName",
+    "JobResult",
+    "JobState",
+    "JobStatus",
+    "LogLevel",
+    "LogMessage",
+    "MaxRetries",
+    "MinSecondsBetweenRefreshes",
+    "MinSecondsBetweenTests",
+    "Result",
+    "SimpleJobSpec",
+    "SimpleTestResult",
+    "SparkAdminStore",
+    "SparkBatchSpec",
+    "SparkJobSpec",
+    "TestName",
+    "TestResult",
+    "TimeoutSeconds",
+    "UniqueId",
+    "batch_delta",
+    "get_spark",
+    "run_batch",
+    "run_batches_in_parallel",
+]
+
 __version__ = "0.1.0"

@@ -1,0 +1,152 @@
+"""Hypothesis property tests: value-object validation boundaries and
+ETL-operator algebraic invariants (reference test model:
+tests/unit/domain/test_value_objects.py exercises the same boundaries
+example-by-example)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lime_etl_spark.domain.batch_delta import BatchDelta
+from lime_etl_spark.domain.value_objects import (
+    BatchName,
+    ExecutionMillis,
+    JobName,
+    MaxRetries,
+    Result,
+    TimeoutSeconds,
+    UniqueId,
+)
+
+# ---------------------------------------------------------------------------
+# value objects (pure python — full hypothesis example counts)
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(min_size=3, max_size=199))
+def test_job_name_accepts_in_range(s):
+    assert JobName(s).value == s
+
+
+@given(st.text(max_size=2))
+def test_job_name_rejects_short(s):
+    with pytest.raises(ValueError):
+        JobName(s)
+
+
+@given(st.text(min_size=200, max_size=260))
+def test_job_name_rejects_long(s):
+    with pytest.raises(ValueError):
+        BatchName(s)
+
+
+@given(st.integers(min_value=0, max_value=2**31))
+def test_nonnegative_ints_accept(n):
+    assert MaxRetries(n).value == n
+    assert ExecutionMillis(n).value == n
+
+
+@given(st.integers(max_value=-1))
+def test_nonnegative_ints_reject_negative(n):
+    with pytest.raises(ValueError):
+        MaxRetries(n)
+
+
+@given(st.one_of(st.none(), st.integers(min_value=0)))
+def test_timeout_optional(n):
+    assert TimeoutSeconds(n).value == n
+
+
+def test_unique_id_generate_roundtrip():
+    for _ in range(50):
+        uid = UniqueId.generate()
+        assert UniqueId(uid.value) == uid
+
+
+@given(st.text(min_size=1, max_size=500))
+def test_result_failure_holds_message(msg):
+    r = Result.failure(msg)
+    assert r.is_failure and not r.is_success
+    assert r.failure_message_or_none == msg
+
+
+# ---------------------------------------------------------------------------
+# batch delta set algebra
+# ---------------------------------------------------------------------------
+
+_names = st.sets(st.sampled_from([f"job_{i}" for i in range(8)]))
+
+
+class _FakeStatus:
+    def __init__(self, jobs, broken):
+        self._jobs, self._broken = set(jobs), set(broken)
+
+    @property
+    def job_names(self):
+        return self._jobs
+
+    @property
+    def broken_jobs(self):
+        return self._broken
+
+
+@given(_names, _names, _names, _names)
+def test_batch_delta_algebra(cur_jobs, cur_broken, prev_jobs, prev_broken):
+    cur = _FakeStatus(cur_jobs | cur_broken, cur_broken)
+    prev = _FakeStatus(prev_jobs | prev_broken, prev_broken)
+    d = BatchDelta(current=cur, previous=prev)
+    assert d.common_jobs == cur.job_names & prev.job_names
+    assert d.newly_broken_jobs == cur.broken_jobs - prev.broken_jobs
+    assert d.newly_fixed_jobs == prev.broken_jobs - cur.broken_jobs
+    # nothing can be both newly broken and newly fixed
+    assert not (d.newly_broken_jobs & d.newly_fixed_jobs)
+
+
+# ---------------------------------------------------------------------------
+# ETL operator invariants (Spark-backed — few, large examples)
+# ---------------------------------------------------------------------------
+
+_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=100)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(base=_rows, inc=_rows)
+def test_upsert_invariants(spark, base, inc):
+    from lime_etl_spark.operators.etl import upsert
+
+    schema = "k int, v int"
+    base_df = spark.createDataFrame(base, schema)
+    inc_df = spark.createDataFrame([(k, v) for k, v in dict(inc).items()], schema)
+    out = {r["k"]: r["v"] for r in upsert(base_df, inc_df, ["k"]).collect()}
+    # keys = union; increment wins on collision
+    assert set(out) == {k for k, _ in base} | {k for k, _ in inc}
+    for k, v in dict(inc).items():
+        assert out[k] == v
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(old=_rows, new=_rows)
+def test_snapshot_diff_partitions_key_space(spark, old, new):
+    from lime_etl_spark.operators.etl import snapshot_diff
+
+    schema = "k int, v int"
+    old_d, new_d = dict(old), dict(new)
+    old_df = spark.createDataFrame(list(old_d.items()), schema)
+    new_df = spark.createDataFrame(list(new_d.items()), schema)
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old_df, new_df, ["k"]).collect()}
+    assert set(got) == set(old_d) | set(new_d)
+    for k, ct in got.items():
+        if k not in old_d:
+            assert ct == "added"
+        elif k not in new_d:
+            assert ct == "deleted"
+        elif old_d[k] != new_d[k]:
+            assert ct == "changed"
+        else:
+            assert ct == "unchanged"
