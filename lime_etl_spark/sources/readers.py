@@ -106,6 +106,34 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) catalog table.
+
+    Bucketing is THE co-location tool for repeated large-table joins:
+    two tables bucketed on the join key with the same bucket count
+    join with NO exchange on either side — at 100 TB that deletes the
+    dominant shuffle from every downstream join/agg on that key.
+    (File-based ``save`` cannot carry bucket metadata; bucketing
+    requires the catalog, hence ``saveAsTable``.)
+    """
+    writer = df.write.mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a catalog table (bucket metadata preserved)."""
+    return spark.table(table)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

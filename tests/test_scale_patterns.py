@@ -1,0 +1,82 @@
+"""Scale-pattern tests: salted skew joins and bucketed co-located
+joins — correctness AND the plan property that makes them worth it."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lime_etl_spark.functions.skew import salted_join
+from lime_etl_spark.sources.readers import read_table, write_bucketed
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_equals_plain_join(spark):
+    # 90% of the fact rows share one hot key — the shape AQE alone
+    # can't fully split
+    fact = spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("attr"))
+    plain = fact.join(dim, on=["k"], how="inner").select("k", "payload", "attr")
+    salted = salted_join(fact, dim, on=["k"], salts=8).select("k", "payload", "attr")
+    assert _canon(plain) == _canon(salted)
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    fact = spark.range(100).select((F.col("id") % 150).alias("k"), F.col("id").alias("p"))
+    dim = spark.range(10).select(F.col("id").alias("k"), F.lit("x").alias("attr"))
+    plain = fact.join(dim, on=["k"], how="left").select("k", "p", "attr")
+    salted = salted_join(fact, dim, on=["k"], salts=4, how="left").select("k", "p", "attr")
+    assert _canon(plain) == _canon(salted)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "t_orders_b", 8, ["o_orderkey"], sort_cols=["o_orderkey"])
+    write_bucketed(li, "t_lineitem_b", 8, ["l_orderkey"], sort_cols=["l_orderkey"])
+
+    ob, lb = read_table(spark, "t_orders_b"), read_table(spark, "t_lineitem_b")
+    # disable auto-broadcast so the test observes the bucketed shuffle
+    # behavior a 100 TB fact-fact join would have
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).groupBy("o_custkey").agg(
+            F.sum("l_quantity").alias("total_qty")
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        pre_agg = plan.split("HashAggregate")[-1]  # below the agg: join + scans
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in pre_agg, pre_agg[:500]
+
+        # same join on the raw (unbucketed) files DOES shuffle both sides
+        raw = load_table(spark, sf_dir, "orders").join(
+            load_table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        raw.collect()
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert raw_plan.count("Exchange") >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_bucketed_join_matches_plain_values(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(orders, "t_orders_v", 4, ["o_orderkey"])
+    try:
+        got = read_table(spark, "t_orders_v")
+        assert _canon(got) == _canon(orders)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_v")
