@@ -1,0 +1,50 @@
+"""applyInPandasWithState: running totals must converge to the batch
+aggregate of the same files, across multiple micro-batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lime_etl_spark.sources.readers import load_table
+from lime_etl_spark.streaming import read_event_stream
+from lime_etl_spark.streaming.stateful import running_user_totals
+
+
+def test_running_totals_converge_to_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "events")
+    # several files => several micro-batches (maxFilesPerTrigger=1)
+    load_table(spark, sf_dir, "events").repartition(3).write.parquet(src)
+
+    stream = running_user_totals(read_event_stream(spark, src, max_files_per_trigger=1))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_df = spark.table("running_totals")
+    # updates are monotone per user; the final state is the max row
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in got_df.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+        .collect()
+    }
+
+    want = {
+        r["user_id"]: (r["n"], round(r["v"], 6))
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("v"),
+        )
+        .collect()
+    }
+    assert got == want
+    # state actually persisted across micro-batches: at least one user
+    # must have been emitted in more than one batch
+    emits = got_df.groupBy("user_id").count().where("count > 1").count()
+    assert emits > 0
