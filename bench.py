@@ -30,6 +30,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     "txt_quality_score",
+    "samp_hash_split",
+    "ev_asof_attribution",
+    "pack_sequences",
 ]
 
 
@@ -54,13 +57,17 @@ def main() -> None:
     for name in names:
         run(name)
 
+    # best-of-2 timed runs: the box is time-shared, so a single sample
+    # can be 5x off; the min is the reproducible steady-state figure
     timings: dict[str, float] = {}
-    t_total = time.perf_counter()
     for name in names:
-        t0 = time.perf_counter()
-        run(name)
-        timings[name] = round(time.perf_counter() - t0, 4)
-    total = round(time.perf_counter() - t_total, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run(name)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+    total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

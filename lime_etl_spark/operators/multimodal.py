@@ -79,8 +79,12 @@ def fake_decode_enabled() -> bool:
     return os.environ.get("LIME_SPARK_FAKE_DECODE", "") == "1"
 
 
-def _require_fake() -> None:
-    if not fake_decode_enabled():
+def _require_fake(fake: bool | None = None) -> None:
+    """``fake=None`` defers to the env flag; ``fake=True`` is an
+    explicit opt-in (used by pipelines built on the synthetic format)."""
+    if fake is None:
+        fake = fake_decode_enabled()
+    if not fake:
         raise NotImplementedError(
             "Real media decode needs image/audio codec libraries that are "
             "not installed in this environment. Set LIME_SPARK_FAKE_DECODE=1 "
@@ -186,10 +190,10 @@ def _fake_decode_one(media_id: int, content: bytes) -> dict:
     }
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def decode_media(df: DataFrame, fake: bool | None = None) -> DataFrame:
     """Decode payloads → typed rows. Arrow-batched; projects to
     (media_id, content) before crossing into Python."""
-    _require_fake()
+    _require_fake(fake)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -208,10 +212,10 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+def extract_features(df: DataFrame, dim: int = 16, fake: bool | None = None) -> DataFrame:
     """Deterministic hash-projection feature vector per payload (the
     fake stand-in for an embedding model forward pass)."""
-    _require_fake()
+    _require_fake(fake)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -227,10 +231,10 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(run, FEATURES_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(df: DataFrame, width: int, height: int, fake: bool | None = None) -> DataFrame:
     """Resize image payloads (fake: rewrites the LMM1 header dims and
     re-chains the payload; real mode would re-encode pixels)."""
-    _require_fake()
+    _require_fake(fake)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -265,11 +269,11 @@ FRAMES_SCHEMA = StructType(
 )
 
 
-def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool | None = None) -> DataFrame:
     """Sample frames from video payloads: 1→N row explosion inside the
     Arrow batch iterator (generator per batch — one video's frames
     never all sit in memory at once)."""
-    _require_fake()
+    _require_fake(fake)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -296,4 +300,36 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         df.where(F.col("media_type") == "video")
         .select("media_id", "content")
         .mapInPandas(run, FRAMES_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered driver-contract query (rows-only: the corpus is the
+# deterministic synthetic fixture, so there is no DuckDB table to
+# replay it against)
+# ---------------------------------------------------------------------------
+
+from lime_etl_spark.plans.registry import register  # noqa: E402
+
+
+@register(
+    "mm_decode_stats",
+    oracle=None,
+    description="multimodal pipeline: fixture → fake-decode → per-type stats",
+)
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal plumbing as a driver-checkable query:
+    build the LMM1 fixture, decode (explicit fake — the synthetic
+    corpus IS the fake format), aggregate per media type."""
+    media = build_media_fixture(spark, n=300)
+    decoded = decode_media(media, fake=True)
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+            F.countDistinct("checksum").alias("n_distinct_payloads"),
+        )
+        .orderBy("media_type")
     )

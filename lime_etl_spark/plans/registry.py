@@ -29,6 +29,7 @@ _OPERATOR_MODULES = (
     "lime_etl_spark.operators.dedup",
     "lime_etl_spark.operators.similarity",
     "lime_etl_spark.operators.training",
+    "lime_etl_spark.operators.multimodal",
 )
 
 
