@@ -60,6 +60,11 @@ from lime_etl_spark.domain.value_objects import (
     UniqueId,
 )
 from lime_etl_spark.service.admin_jobs import DeleteOldLogs
+from lime_etl_spark.service.table_jobs import (
+    DataTestJob,
+    TableRefreshJob,
+    referential_check,
+)
 from lime_etl_spark.service.runner import (
     batch_delta,
     run_batch,
@@ -73,6 +78,7 @@ __all__ = [
     "BatchName",
     "BatchNotFound",
     "BatchStatus",
+    "DataTestJob",
     "DaysToKeep",
     "DeleteOldLogs",
     "DependencyErrors",
@@ -98,12 +104,14 @@ __all__ = [
     "SparkAdminStore",
     "SparkBatchSpec",
     "SparkJobSpec",
+    "TableRefreshJob",
     "TestName",
     "TestResult",
     "TimeoutSeconds",
     "UniqueId",
     "batch_delta",
     "get_spark",
+    "referential_check",
     "run_batch",
     "run_batches_in_parallel",
 ]
