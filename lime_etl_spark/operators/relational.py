@@ -352,8 +352,11 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_parts_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    # spread: the fact side fans out across cores before the 5-way
-    # broadcast-join + agg stage (no-op when the scan has enough splits)
+    # spread: the fact side fans out across cores before the join+agg
+    # stage (no-op when the scan has enough splits). The part join is
+    # DEFERRED until after the top-3: aggregating on l_partkey keeps
+    # the wide p_name string out of the pre-agg join and the shuffle;
+    # only the ~(3 x regions) winners ever look up their name.
     li = spread(load_table(spark, sf_dir, "lineitem"))
     part = load_table(spark, sf_dir, "part")
     orders = load_table(spark, sf_dir, "orders")
@@ -361,18 +364,18 @@ def q_top_parts_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
     rev = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name", "p_name", "p_partkey")
+        .groupBy("r_name", F.col("l_partkey").alias("p_partkey"))
         .agg(to_double(F.sum(_rev())).alias("revenue"))
     )
     w = Window.partitionBy("r_name").orderBy(F.desc("revenue"), "p_partkey")
     return (
         rev.withColumn("part_rank", F.row_number().over(w))
         .where(F.col("part_rank") <= 3)
+        .join(F.broadcast(part.select("p_partkey", "p_name")), "p_partkey")
         .select("r_name", "p_name", "revenue", "part_rank")
         .orderBy("r_name", "part_rank")
     )

@@ -408,10 +408,15 @@ def run_batches_in_parallel(
     spark: SparkSession,
     store_root: str,
     max_workers: Optional[int] = None,
+    timeout: Optional[int] = None,
     log_to_console: bool = False,
 ) -> List[BatchStatus]:
     """Concurrent batches in one Spark session (FAIR-scheduler threads —
-    the single-JVM analog of the reference's multiprocessing pool)."""
+    the single-JVM analog of the reference's multiprocessing pool).
+    ``timeout`` bounds the whole group, like the reference's
+    ``future.get(timeout)`` (batch_runner.py:46): on expiry a
+    TimeoutError raises and stragglers' Spark jobs keep their own
+    per-job timeouts."""
     spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
 
     def one(batch: SparkBatchSpec) -> BatchStatus:
@@ -420,8 +425,23 @@ def run_batches_in_parallel(
         store = SparkAdminStore(spark, os.path.join(store_root, batch.batch_name))
         return run_batch(batch, spark, store, log_to_console)
 
+    import time as _time
+
     with ThreadPoolExecutor(max_workers=max_workers or len(batches)) as pool:
-        return list(pool.map(one, batches))
+        futures = [pool.submit(one, b) for b in batches]
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        results = []
+        try:
+            for f in futures:
+                remaining = None if deadline is None else max(0.0, deadline - _time.monotonic())
+                results.append(f.result(timeout=remaining))
+        except FutureTimeoutError:
+            for f in futures:
+                f.cancel()
+            raise TimeoutError(
+                f"run_batches_in_parallel timed out after {timeout} seconds."
+            )
+        return results
 
 
 def batch_delta(store: SparkAdminStore, current: BatchStatus, previous_id: Optional[str]) -> BatchDelta:

@@ -309,3 +309,18 @@ def test_run_batches_in_parallel(spark, tmp_path):
     results = run_batches_in_parallel(batches, spark, str(tmp_path / "stores"))
     assert len(results) == 3
     assert all(r.broken_jobs == set() for r in results)
+
+
+def test_parallel_batches_group_timeout(spark, tmp_path):
+    import time
+
+    def slow(ctx):
+        time.sleep(8)
+        return JobStatus.success()
+
+    batches = [
+        SparkBatchSpec(name=f"slow_batch_{i}", jobs=[SimpleJobSpec(name=f"slow_{i}", run=slow)])
+        for i in range(2)
+    ]
+    with pytest.raises(TimeoutError, match="timed out after 1"):
+        run_batches_in_parallel(batches, spark, str(tmp_path / "stores"), timeout=1)
