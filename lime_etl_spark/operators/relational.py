@@ -469,3 +469,36 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
     )
+
+
+@register(
+    "q_price_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           quantile_cont(l_extendedprice, 0.99) AS p99,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="exact interpolated percentiles per group",
+)
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (Spark `percentile` == DuckDB quantile_cont,
+    verified hash-identical). At 100 TB swap to approx_percentile
+    (t-digest, mergeable map-side) — exact percentiles need the full
+    group in one place; the approximate sketch is the scale path but
+    is not bit-reproducible across engines, so the ORACLE uses exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+            F.percentile("l_extendedprice", 0.95).alias("p95"),
+            F.percentile("l_extendedprice", 0.99).alias("p99"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -19,6 +19,7 @@ RELATIONAL = [
     "q_customer_ltv_window",
     "q_order_priority_monthly",
     "q_rollup_revenue",
+    "q_price_quantiles",
 ]
 
 
