@@ -284,25 +284,41 @@ HAMMING_MAX = 3
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit simhash per doc from xxhash64 token hashes."""
+    """64-bit simhash per doc from xxhash64 token hashes.
+
+    The 64 per-bit counters are packed 4-per-long (16-bit fields), so
+    the groupBy carries 16 SUM aggregates instead of 64 — a 4× cut in
+    aggregation state and shuffle width. A field counts distinct
+    tokens per doc, so it cannot overflow below 65k distinct tokens
+    (token-level simhash on bigger docs should chunk first). Bit i is
+    set iff 2·count_i > n_tokens — identical to the classic ±1-sum
+    sign rule."""
     tok = spread(docs, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
     ).select("doc_id", F.xxhash64("tok").alias("h"))
-    bit_sums = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s_{i}")
-            for i in range(64)
-        ]
-    )
-    sim = reduce(
-        lambda acc, i: acc
-        + F.shiftleft(F.when(F.col(f"s_{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i),
-        range(1, 64),
-        F.when(F.col("s_0") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
-    )
-    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+    fields_per_long, field_bits = 4, 16
+    n_groups = 64 // fields_per_long
+    packed = []
+    for j in range(n_groups):
+        expr = None
+        for k in range(fields_per_long):
+            i = j * fields_per_long + k
+            bit = F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit, field_bits * k)
+            expr = term if expr is None else expr + term
+        packed.append(F.sum(expr).alias(f"p_{j}"))
+    counts = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"), *packed)
+
+    sim = None
+    for j in range(n_groups):
+        for k in range(fields_per_long):
+            i = j * fields_per_long + k
+            cnt = F.shiftright(F.col(f"p_{j}"), field_bits * k).bitwiseAND(F.lit(0xFFFF))
+            bit = F.when((cnt * 2) > F.col("n_tok"), F.lit(1)).otherwise(F.lit(0)).cast("long")
+            term = F.shiftleft(bit, i)
+            sim = term if sim is None else sim + term
+    return counts.select("doc_id", sim.alias("simhash"))
 
 
 @register(
