@@ -198,3 +198,60 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r") == 1)
         .select("q_vec_id", F.col("label").alias("pred_label"), "n_votes")
     )
+
+
+N_PROBES_BITS = 8  # probe own bucket + all Hamming-1 neighbors
+
+
+@register(
+    "ann_ivf_multiprobe",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket FROM embeddings),
+    probes AS (
+        SELECT vec_id, embedding, bucket,
+               unnest([bucket, {", ".join(f"xor(bucket, {1 << i})" for i in range(8))}]) AS probe
+        FROM b WHERE vec_id % {QUERY_MOD} = 0
+    )
+    SELECT q_vec_id, n_vec_id, cosine, rank FROM (
+        SELECT q.vec_id AS q_vec_id, v.vec_id AS n_vec_id,
+               {_COS_SQL} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_SQL} DESC, v.vec_id) AS rank
+        FROM probes q JOIN b v ON q.probe = v.bucket AND q.vec_id <> v.vec_id
+    ) WHERE rank <= {TOP_K}
+    """,
+    description="multi-probe IVF: own bucket + all Hamming-1 buckets (recall knob)",
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF: each query probes its own coarse bucket plus
+    the 8 Hamming-1 neighbor buckets. Probing multiplies only the
+    (small, broadcast) query side by 9 — the vector side is still
+    scanned once and joined on bucket equality, so the scanned
+    fraction stays ~9/256 of brute force while recovering most of the
+    recall a single probe loses at bucket boundaries."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", ivf_bucket(F.col("embedding"))
+    )
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_PROBES_BITS)]
+    )
+    q = (
+        emb.where(F.col("vec_id") % QUERY_MOD == 0)
+        .withColumn("probe", F.explode(probes))
+        .alias("q")
+    )
+    v = emb.alias("v")
+    pairs = (
+        F.broadcast(q)
+        .join(v, (F.col("q.probe") == F.col("v.bucket")) & (F.col("q.vec_id") != F.col("v.vec_id")))
+        .select(
+            F.col("q.vec_id").alias("q_vec_id"),
+            F.col("v.vec_id").alias("n_vec_id"),
+            cosine(F.col("q.embedding"), F.col("v.embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cosine"), "n_vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("q_vec_id", "n_vec_id", "cosine", "rank")
+    )

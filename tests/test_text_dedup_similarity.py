@@ -18,6 +18,7 @@ ORACLED = [
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "ann_ivf_multiprobe",
     "knn_label_vote",
 ]
 
@@ -71,3 +72,21 @@ def test_ivf_is_subset_of_bruteforce_universe(spark, sf_dir):
     for _, grp in pdf.groupby("q_vec_id"):
         ranks = sorted(grp["rank"])
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_multiprobe_recall_beats_single_probe(spark, sf_dir):
+    """Multi-probe must recover at least as many true neighbors as a
+    single probe (and in this corpus, strictly more)."""
+    from lime_etl_spark.plans.registry import all_queries
+
+    def pairs(name):
+        return {
+            (r["q_vec_id"], r["n_vec_id"])
+            for r in all_queries()[name].builder(spark, sf_dir).collect()
+        }
+
+    truth = pairs("ann_bruteforce_topk")
+    single = pairs("ann_ivf_topk") & truth
+    multi = pairs("ann_ivf_multiprobe") & truth
+    assert single <= multi
+    assert len(multi) > len(single)
