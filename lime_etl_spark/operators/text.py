@@ -176,3 +176,49 @@ def txt_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+@register(
+    "txt_chunk_windows",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    starts AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - {CHUNK_STRIDE}, 1), {CHUNK_STRIDE})) AS start
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_ix,
+           CAST(len(list_slice(t, start, start + {CHUNK_TOKENS} - 1)) AS INT) AS n_chunk_tokens,
+           array_to_string(list_slice(t, start, start + {CHUNK_TOKENS} - 1), ' ') AS chunk_text
+    FROM starts
+    """,
+    description="overlapping token-window chunking (32-token chunks, stride 16)",
+)
+def txt_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping token windows — the unit a
+    training pipeline embeds/tokenizes downstream. Pure array
+    expressions (sequence/explode/slice): the chunk explosion happens
+    JVM-side in the scan stage, no shuffle until a consumer needs one;
+    stride < chunk gives tail coverage without runt chunks."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - CHUNK_STRIDE, F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), CHUNK_TOKENS)
+    return (
+        docs.select("doc_id", toks.alias("t"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_ix"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -12,6 +12,7 @@ ORACLED = [
     "txt_langid",
     "txt_fingerprint",
     "txt_ngram_stats",
+    "txt_chunk_windows",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
