@@ -1,0 +1,121 @@
+"""Lloyd's k-means over an array<float> column, mllib-free.
+
+The reference (lime-etl) has no clustering; this exists as the
+*trained* coarse quantizer for IVF similarity search
+(operators/similarity.py `ann_ivf_trained`) — the scale path beyond
+the deterministic sign-bit quantizer.
+
+Spark-first design, sized for 100 TB:
+
+- **Assignment is pure codegen, zero shuffle.** Centroids are model
+  state (k × dim doubles ≈ KBs), so they are inlined as literal
+  arrays and the nearest-centroid argmin is a single
+  `array_min(array(struct(dist_i, i)...))` expression evaluated in
+  the scan stage — no crossJoin row explosion, no window, nothing to
+  shuffle. At 1000 executors each task assigns its split
+  independently.
+- **Update is one partial-agg shuffle of k×dim cells.** Per-dimension
+  sums via posexplode → groupBy(cluster, dim) benefit from map-side
+  combine: each task emits at most k×dim partial rows regardless of
+  input size. Only the k×dim aggregated cells (≈1k rows) reach the
+  driver — the classic "collect the model, never the data" loop
+  every distributed k-means (including Spark MLlib's) uses.
+- **Determinism.** Float sums reordered across partitions drift;
+  per-cell sums are accumulated in decimal(38,12) then divided, so
+  centroids — and everything downstream — are bit-stable across
+  partitionings. Argmin ties break on centroid id via struct
+  comparison. Init picks the k vectors with the smallest
+  xxhash64(id) — a deterministic pseudo-random sample computed as a
+  distributed top-k (TakeOrderedAndProject), not a driver sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lit_vec(values: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """||v - c||^2 as a left-to-right fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(vec, _lit_vec(centroid), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid — one codegen'd expression.
+
+    array_min over (distance, id) structs compares lexicographically:
+    smallest distance wins, ties break on lowest id.
+    """
+    cells = [
+        F.struct(_sq_dist(vec, c).alias("d"), F.lit(i).alias("cid"))
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*cells))["cid"]
+
+
+def nearest_centroids(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Ids of the n nearest centroids (multi-probe list for queries)."""
+    cells = [
+        F.struct(_sq_dist(vec, c).alias("d"), F.lit(i).alias("cid"))
+        for i, c in enumerate(centroids)
+    ]
+    ranked = F.slice(F.array_sort(F.array(*cells)), 1, n)
+    return F.transform(ranked, lambda s: s["cid"])
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Fit k centroids with Lloyd iterations; returns the model
+    (a plain list of k dim-length float lists — broadcastable state).
+
+    Per iteration: one zero-shuffle assignment pass fused into the
+    scan, one k×dim-cell aggregation, one ≈1k-row driver collect.
+    Empty clusters keep their previous centroid.
+    """
+    emb = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+
+    init_rows = (
+        emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col)).limit(k).collect()
+    )
+    centroids = [list(r["v"]) for r in init_rows]
+
+    for _ in range(iters):
+        # two selects: a generator (posexplode) in the same projection as
+        # the struct-argmin makes Spark rewrite the struct's field names
+        assigned = emb.select(
+            nearest_centroid(F.col("v"), centroids).alias("cid"), "v"
+        ).select("cid", F.posexplode("v").alias("dim", "val"))
+        cells = (
+            assigned.groupBy("cid", "dim")
+            .agg(
+                F.sum(F.col("val").cast("decimal(38,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty cluster → keep
+        by_cid: dict[int, list[tuple[int, float]]] = {}
+        for row in cells:
+            by_cid.setdefault(row["cid"], []).append(
+                (row["dim"], float(row["s"] / row["n"]))
+            )
+        for cid, dims in by_cid.items():
+            vec = new_centroids[cid]
+            for dim, mean in dims:
+                vec[dim] = mean
+        centroids = new_centroids
+
+    return centroids

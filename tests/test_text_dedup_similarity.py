@@ -75,6 +75,68 @@ def test_ivf_is_subset_of_bruteforce_universe(spark, sf_dir):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_trained_ivf_recall(spark, sf_dir):
+    """Trained-centroid IVF (k-means cells, 4 probes of 16) must
+    recover most of the exact top-k, be deterministic across runs, and
+    produce dense per-query ranks."""
+    from lime_etl_spark.plans.registry import all_queries
+
+    def run():
+        return all_queries()["ann_ivf_trained"].builder(spark, sf_dir).collect()
+
+    rows = run()
+    got = {(r["q_vec_id"], r["n_vec_id"]) for r in rows}
+    truth = {
+        (r["q_vec_id"], r["n_vec_id"])
+        for r in all_queries()["ann_bruteforce_topk"].builder(spark, sf_dir).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"trained IVF recall {recall:.2f} too low"
+    # determinism: decimal-summed means + struct tie-breaks → identical rerun
+    rerun = {(r["q_vec_id"], r["n_vec_id"], r["rank"]) for r in run()}
+    assert rerun == {(r["q_vec_id"], r["n_vec_id"], r["rank"]) for r in rows}
+
+
+def test_kmeans_model_shape_and_convergence(spark, sf_dir):
+    """Model is k × dim; one extra Lloyd step must not increase the
+    within-cluster cost (monotone convergence)."""
+    from lime_etl_spark.functions.clustering import kmeans_fit, nearest_centroid
+    from lime_etl_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+
+    def cost(model):
+        cells = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(model)
+        ]
+        return (
+            emb.select(F.col("embedding").cast("array<double>").alias("v"))
+            .select(F.array_min(F.array(*cells))["d"].alias("d"))
+            .agg(F.sum("d"))
+            .first()[0]
+        )
+
+    m2 = kmeans_fit(emb, k=8, iters=2)
+    m3 = kmeans_fit(emb, k=8, iters=3)
+    assert len(m2) == 8 and all(len(c) == dim for c in m2)
+    assert cost(m3) <= cost(m2) + 1e-9
+    assert nearest_centroid is not None
+
+
 def test_multiprobe_recall_beats_single_probe(spark, sf_dir):
     """Multi-probe must recover at least as many true neighbors as a
     single probe (and in this corpus, strictly more)."""
