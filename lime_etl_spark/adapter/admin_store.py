@@ -38,7 +38,7 @@ import os
 import shutil
 import time
 import uuid
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -255,6 +255,70 @@ class SparkAdminStore:
             running=b["running"],
             ts=b["ts"],
         )
+
+    def get_previous_batch(
+        self, name: str, exclude_id: Optional[str] = None
+    ) -> Optional[BatchStatus]:
+        """Most recent COMPLETED run of this batch name (for BatchDelta).
+
+        Reference: sqlalchemy_batch_repository.get_most_recent — the
+        previous-run lookup batch_delta.py compares against."""
+        rows = [
+            r
+            for r in self._latest(self._load("batches", _BATCHES), "batch_id")
+            if r["name"] == name and not r["running"] and r["batch_id"] != exclude_id
+        ]
+        if not rows:
+            return None
+        return self.get_batch(max(rows, key=lambda r: r["seq"])["batch_id"])
+
+    def compact(self) -> Dict[str, Tuple[int, int]]:
+        """Rewrite each ledger table's many per-append part files into
+        one file per table (one per log_date partition for logs).
+
+        The append-only design trades write latency for file count;
+        after ~10⁴ state transitions the parquet-footer overhead of
+        thousands of tiny files dominates every read. Compaction
+        restores O(1) files while preserving rows byte-for-byte (seq
+        ordering carries the event-sourced history, not file order).
+        Returns {table: (files_before, files_after)}.
+        """
+        self.flush_logs()
+        stats: Dict[str, Tuple[int, int]] = {}
+        for table, schema in (
+            ("batches", _BATCHES),
+            ("jobs", _JOBS),
+            ("test_results", _TEST_RESULTS),
+        ):
+            path = self._path(table)
+            if not os.path.exists(path):
+                continue
+            before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+            rows = self._load(table, schema)
+            shutil.rmtree(path)
+            self._append(table, rows, schema)
+            stats[table] = (before, 1 if rows else 0)
+        for table in self.LOG_TABLES:
+            path = self._path(table)
+            if not os.path.exists(path):
+                continue
+            before = after = 0
+            for entry in os.listdir(path):
+                if not entry.startswith("log_date="):
+                    continue
+                part_dir = os.path.join(path, entry)
+                files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+                before += len(files)
+                if len(files) > 1:
+                    tbl = pq.read_table(part_dir)
+                    shutil.rmtree(part_dir)
+                    os.makedirs(part_dir)
+                    pq.write_table(
+                        tbl, os.path.join(part_dir, f"part-{uuid.uuid4().hex}.parquet")
+                    )
+                after += 1
+            stats[table] = (before, after)
+        return stats
 
     def delete_old_batches(self, days_to_keep: int) -> None:
         """Rewrite retained batch/job state (small tables by design)."""

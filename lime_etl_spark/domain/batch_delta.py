@@ -33,7 +33,7 @@ class BatchDelta:
     @property
     def newly_fixed_jobs(self) -> Set[str]:
         if self.previous is None:
-            return set(self.current.broken_jobs)
+            return set()
         return self.previous.broken_jobs - self.current.broken_jobs
 
     def __str__(self) -> str:

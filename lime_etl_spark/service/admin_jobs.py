@@ -63,3 +63,62 @@ class DeleteOldLogs(SparkJobSpec):
                 )
             ]
         return [SimpleTestResult(test_name=name, outcome=Result.success())]
+
+
+class CompactAdminLedger(SparkJobSpec):
+    """Maintenance job: fold the ledger's per-append part files into
+    one file per table / log partition (SparkAdminStore.compact).
+
+    The reference has no analog (its admin store is a SQL database);
+    this is the parquet-ledger equivalent of VACUUM — scheduled like
+    DeleteOldLogs, typically in the same nightly admin batch. The
+    post-run ``test()`` proves compaction is lossless: per-table row
+    counts must be identical before and after.
+    """
+
+    def __init__(self, store: SparkAdminStore, min_seconds_between_runs: int = 0):
+        self._store = store
+        self._min_seconds_between_runs = min_seconds_between_runs
+        self._counts_before: dict = {}
+        self._counts_after: dict = {}
+
+    @property
+    def job_name(self) -> str:
+        return "compact_admin_ledger"
+
+    @property
+    def min_seconds_between_refreshes(self) -> int:
+        return self._min_seconds_between_runs
+
+    def _row_counts(self) -> dict:
+        from lime_etl_spark.adapter.admin_store import _BATCHES, _JOBS, _TEST_RESULTS
+
+        return {
+            table: len(self._store._load(table, schema))
+            for table, schema in (
+                ("batches", _BATCHES),
+                ("jobs", _JOBS),
+                ("test_results", _TEST_RESULTS),
+            )
+        }
+
+    def run(self, ctx: JobContext) -> Optional[JobStatus]:
+        self._counts_before = self._row_counts()
+        stats = self._store.compact()
+        self._counts_after = self._row_counts()
+        for table, (before, after) in sorted(stats.items()):
+            ctx.logger.info(f"Compacted [{table}]: {before} files -> {after}.")
+        return JobStatus.success()
+
+    def test(self, ctx: JobContext) -> List[SimpleTestResult]:
+        name = "Ledger row counts unchanged by compaction"
+        if self._counts_before != self._counts_after:
+            return [
+                SimpleTestResult(
+                    test_name=name,
+                    outcome=Result.failure(
+                        f"before={self._counts_before} after={self._counts_after}"
+                    ),
+                )
+            ]
+        return [SimpleTestResult(test_name=name, outcome=Result.success())]

@@ -90,8 +90,28 @@ def run_batch(
     log_to_console: bool = False,
     resources: Optional[dict] = None,
 ) -> BatchStatus:
+    status, _ = run_batch_with_delta(batch, spark, store, log_to_console, resources)
+    return status
+
+
+def run_batch_with_delta(
+    batch: SparkBatchSpec,
+    spark: SparkSession,
+    store: SparkAdminStore,
+    log_to_console: bool = False,
+    resources: Optional[dict] = None,
+) -> Tuple[BatchStatus, BatchDelta]:
+    """run_batch plus the batch-over-batch health delta.
+
+    The previous COMPLETED run of the same batch name is looked up
+    before this run starts; afterwards the delta (newly broken /
+    newly fixed jobs — reference batch_delta.py) is logged to the
+    batch log and returned alongside the status, so callers can alert
+    on regressions without re-reading the admin store.
+    """
     start = datetime.datetime.now()
     logger = BatchLogger(store, batch.batch_id, log_to_console)
+    previous = store.get_previous_batch(batch.batch_name, exclude_id=batch.batch_id)
     store.save_batch(
         BatchStatus(
             id=batch.batch_id,
@@ -123,9 +143,10 @@ def run_batch(
         store.flush_logs()
         raise
     store.save_batch(result)
-    logger.info(f"Batch [{batch.batch_name}] finished.")
+    delta = BatchDelta(current=result, previous=previous)
+    logger.info(f"Batch [{batch.batch_name}] finished. Delta — {delta}")
     store.flush_logs()
-    return result
+    return result, delta
 
 
 def _ts(dt: datetime.datetime):

@@ -1,15 +1,23 @@
 from lime_etl_spark.streaming.pipeline import (
+    interval_join_streams,
+    purchase_attribution_stream,
     read_event_stream,
     run_available_now,
+    run_with_metrics,
     sessionize_stream,
     stream_upsert_sink,
+    StreamRunMetrics,
     windowed_kpis,
 )
 from lime_etl_spark.streaming.stateful import running_user_totals
 
 __all__ = [
+    "StreamRunMetrics",
+    "interval_join_streams",
+    "purchase_attribution_stream",
     "read_event_stream",
     "run_available_now",
+    "run_with_metrics",
     "running_user_totals",
     "sessionize_stream",
     "stream_upsert_sink",

@@ -178,6 +178,97 @@ def fs_rename(src: str, dst: str) -> None:
     os.rename(src, dst)
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each left event paired with the right
+    events for the same ``key`` in the window ``(left.ts - max_gap,
+    left.ts]``.
+
+    Both sides are watermarked and the join condition carries an
+    explicit time range — that is what lets Spark BOUND the join
+    state: a buffered right row can be evicted once the watermark
+    passes ``right.ts + max_gap``, because no future left row can
+    match it. A stream-stream join without the range predicate keeps
+    every row forever — the state-OOM trap at 100 TB/day volumes.
+    Inner-join results emit as soon as both sides arrive (no
+    watermark-close latency); the watermark only gates state cleanup.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+        & (F.col("r.ts") > F.col("l.ts") - F.expr(f"INTERVAL {max_gap}")),
+    )
+
+
+def purchase_attribution_stream(
+    stream: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming analog of the batch as-of attribution
+    (operators/events.py ev_asof_attribution): every purchase joined
+    to the clicks by the same user in the preceding ``max_gap``."""
+    purchases = stream.where(F.col("event_type") == "purchase")
+    clicks = stream.where(F.col("event_type") == "click")
+    return interval_join_streams(purchases, clicks, "user_id", max_gap, watermark).select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("purchase_ts"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("r.ts").alias("click_ts"),
+    )
+
+
+class StreamRunMetrics(dict):
+    """Aggregated StreamingQueryProgress counters for one drained run.
+
+    Keys: ``input_rows``, ``rows_dropped_by_watermark``,
+    ``state_rows``, ``micro_batches``. ``rows_dropped_by_watermark``
+    is the operational late-data signal: rows that arrived behind the
+    watermark and were excluded from stateful results. At scale this
+    is the number to alert on — silent late-drop is how streaming
+    pipelines lose data without erroring.
+    """
+
+
+def run_with_metrics(
+    stream: DataFrame,
+    query_name: str,
+    output_mode: str = "update",
+    timeout_s: int = 120,
+) -> tuple[DataFrame, StreamRunMetrics]:
+    """Drain the source (availableNow) into a memory sink and return
+    (result, metrics) where metrics aggregates every micro-batch's
+    progress — in production the same numbers stream to a metrics
+    sink via a StreamingQueryListener."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    metrics = StreamRunMetrics(
+        input_rows=0, rows_dropped_by_watermark=0, state_rows=0, micro_batches=0
+    )
+    for progress in q.recentProgress:
+        metrics["micro_batches"] += 1
+        metrics["input_rows"] += progress.get("numInputRows", 0) or 0
+        for op in progress.get("stateOperators", []):
+            metrics["rows_dropped_by_watermark"] += op.get("numRowsDroppedByWatermark", 0) or 0
+            metrics["state_rows"] = max(metrics["state_rows"], op.get("numRowsTotal", 0) or 0)
+    return stream.sparkSession.table(query_name), metrics
+
+
 def run_available_now(
     stream: DataFrame,
     query_name: str,

@@ -110,3 +110,93 @@ def test_log_append_and_partition_retention(store):
     assert store.read_log("job_log").count() == 0
     earliest = store.earliest_log_ts("batch_log")
     assert earliest is not None and earliest >= NOW - datetime.timedelta(days=3)
+
+
+def test_compact_preserves_rows_and_folds_files(spark, store):
+    import datetime
+    import os
+
+    from lime_etl_spark.domain.statuses import BatchStatus, JobResult, JobStatus
+    from lime_etl_spark.domain.value_objects import ExecutionMillis, Result, UniqueId
+
+    t0 = datetime.datetime(2026, 2, 1, 9, 0)
+    batch_ids = []
+    for i in range(6):
+        bid = UniqueId.generate().value
+        batch_ids.append(bid)
+        store.save_batch(
+            BatchStatus(
+                id=bid,
+                name="nightly",
+                job_results=frozenset(),
+                execution_success_or_failure=Result.success(),
+                execution_millis=ExecutionMillis(i),
+                running=False,
+                ts=t0 + datetime.timedelta(minutes=i),
+            )
+        )
+        store.save_job_result(
+            JobResult(
+                id=UniqueId.generate().value,
+                batch_id=bid,
+                job_name=f"job_{i}",
+                status=JobStatus.success(),
+                execution_millis=ExecutionMillis(i),
+                ts=t0,
+            )
+        )
+        store.log("batch_log", LogLevel.INFO, f"line {i}", bid, ts=t0)
+    store.flush_logs()
+
+    def parquet_files(table):
+        path = os.path.join(store.root, table)
+        return sum(
+            1 for _, _, files in os.walk(path) for f in files if f.endswith(".parquet")
+        )
+
+    assert parquet_files("batches") == 6
+    before_jobs = {r.job_name for b in batch_ids for r in store.get_job_results(b)}
+
+    stats = store.compact()
+    assert parquet_files("batches") == 1 and stats["batches"] == (6, 1)
+    assert parquet_files("jobs") == 1
+    assert parquet_files("batch_log") == 1
+
+    # lossless: same latest-wins state and log rows after compaction
+    after_jobs = {r.job_name for b in batch_ids for r in store.get_job_results(b)}
+    assert after_jobs == before_jobs == {f"job_{i}" for i in range(6)}
+    assert store.read_log("batch_log").count() == 6
+    assert store.get_batch(batch_ids[-1]).execution_millis.value == 5
+
+
+def test_get_previous_batch_skips_running_and_self(spark, store):
+    import datetime
+
+    from lime_etl_spark.domain.statuses import BatchStatus
+    from lime_etl_spark.domain.value_objects import ExecutionMillis, Result, UniqueId
+
+    t0 = datetime.datetime(2026, 2, 1, 9, 0)
+
+    def save(bid, running, minute):
+        store.save_batch(
+            BatchStatus(
+                id=bid,
+                name="nightly",
+                job_results=frozenset(),
+                execution_success_or_failure=None if running else Result.success(),
+                execution_millis=None if running else ExecutionMillis(1),
+                running=running,
+                ts=t0 + datetime.timedelta(minutes=minute),
+            )
+        )
+
+    assert store.get_previous_batch("nightly") is None
+    first = UniqueId.generate().value
+    save(first, running=True, minute=0)
+    save(first, running=False, minute=1)
+    current = UniqueId.generate().value
+    save(current, running=True, minute=2)
+
+    prev = store.get_previous_batch("nightly", exclude_id=current)
+    assert prev is not None and prev.id == first and not prev.running
+    assert store.get_previous_batch("other_name") is None

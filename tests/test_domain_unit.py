@@ -181,7 +181,8 @@ class TestBatchDelta:
         d = BatchDelta(current=cur, previous=None)
         assert d.common_jobs == set()
         assert d.newly_broken_jobs == {"j_1"}
-        assert d.newly_fixed_jobs == {"j_1"}
+        # nothing can be "fixed" on the first-ever run
+        assert d.newly_fixed_jobs == set()
 
     def test_broken_and_fixed_sets(self):
         prev = _batch(

@@ -324,3 +324,80 @@ def test_parallel_batches_group_timeout(spark, tmp_path):
     ]
     with pytest.raises(TimeoutError, match="timed out after 1"):
         run_batches_in_parallel(batches, spark, str(tmp_path / "stores"), timeout=1)
+
+
+def test_run_batch_with_delta_reports_newly_fixed_and_broken(spark, store):
+    """Two runs of the same batch name: a job that fails then succeeds
+    is newly fixed; one that succeeds then fails is newly broken."""
+    from lime_etl_spark.service.runner import run_batch_with_delta
+
+    flaky_fails, stable_fails = {"on": True}, {"on": False}
+
+    def flaky(ctx):
+        if flaky_fails["on"]:
+            raise RuntimeError("flaky kaboom")
+        return JobStatus.success()
+
+    def stable(ctx):
+        if stable_fails["on"]:
+            raise RuntimeError("stable kaboom")
+        return JobStatus.success()
+
+    def mk_batch():
+        return SparkBatchSpec(
+            name="delta_batch",
+            jobs=[
+                SimpleJobSpec(name="flaky", run=flaky),
+                SimpleJobSpec(name="stable", run=stable),
+            ],
+        )
+
+    first_status, first_delta = run_batch_with_delta(mk_batch(), spark, store)
+    # no previous run: everything broken is "newly broken"
+    assert first_status.broken_jobs == {"flaky"}
+    assert first_delta.previous is None
+    assert first_delta.newly_broken_jobs == {"flaky"}
+    assert first_delta.newly_fixed_jobs == set()
+
+    flaky_fails["on"], stable_fails["on"] = False, True
+    second_status, delta = run_batch_with_delta(mk_batch(), spark, store)
+    assert second_status.broken_jobs == {"stable"}
+    assert delta.previous is not None and delta.previous.id == first_status.id
+    assert delta.newly_fixed_jobs == {"flaky"}
+    assert delta.newly_broken_jobs == {"stable"}
+    assert delta.common_jobs == {"flaky", "stable"}
+    # the delta is also in the batch log for operators reading the ledger
+    log = store.read_log("batch_log")
+    assert log.where(F.col("message").contains("newly fixed: ['flaky']")).count() == 1
+
+
+def test_compact_admin_ledger_job(spark, store):
+    """The VACUUM-style admin job folds ledger files and its test()
+    proves losslessness."""
+    import os
+
+    from lime_etl_spark.service.admin_jobs import CompactAdminLedger
+
+    for _ in range(4):
+        run_batch(
+            SparkBatchSpec(name="noise", jobs=[SimpleJobSpec(name="noop", run=_ok)]),
+            spark,
+            store,
+        )
+
+    def batch_files():
+        path = os.path.join(store.root, "batches")
+        return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+    assert batch_files() > 4
+    result = run_batch(
+        SparkBatchSpec(name="maintenance", jobs=[CompactAdminLedger(store)]),
+        spark,
+        store,
+    )
+    assert result.broken_jobs == set()
+    (job,) = [r for r in result.job_results if r.job_name == "compact_admin_ledger"]
+    assert [t.test_passed for t in job.test_results] == [True]
+    # ledger state still folds to one file per pre-compaction table write...
+    # plus the rows this maintenance batch itself appended afterwards
+    assert batch_files() <= 4

@@ -124,3 +124,83 @@ def test_stream_upsert_sink_latest_wins(spark, tmp_path):
     run_once()
     third = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
     assert third == second
+
+
+def test_stream_stream_join_matches_batch(spark, event_dir):
+    """purchase_attribution_stream (watermarked interval join) must
+    produce exactly the pairs the equivalent batch join produces."""
+    from lime_etl_spark.streaming import purchase_attribution_stream, run_available_now
+
+    stream = purchase_attribution_stream(
+        read_event_stream(spark, event_dir), max_gap="30 minutes", watermark="2 hours"
+    )
+    got = run_available_now(stream, "attrib_stream", output_mode="append")
+
+    ev = spark.read.parquet(event_dir)
+    p = ev.where(F.col("event_type") == "purchase").alias("l")
+    c = ev.where(F.col("event_type") == "click").alias("r")
+    batch = p.join(
+        c,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+        & (F.col("r.ts") > F.col("l.ts") - F.expr("INTERVAL 30 minutes")),
+    ).select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("purchase_ts"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("r.ts").alias("click_ts"),
+    )
+    assert len(_canon(batch)) > 0  # corpus actually exercises the join
+    assert _canon(got) == _canon(batch)
+
+
+def test_late_rows_dropped_by_watermark_are_counted(spark, tmp_path):
+    """Rows arriving behind the watermark are excluded from stateful
+    aggregation AND surfaced in run_with_metrics — the silent-loss
+    signal a production pipeline alerts on.
+
+    Two Spark subtleties the layout below accounts for: (1) late-event
+    filtering uses the PREVIOUS micro-batch's watermark (eviction uses
+    the current one), so the stragglers land two batches after the
+    rows that advanced the watermark; (2) the drop counter sits after
+    map-side partial aggregation, so N late rows in one group count as
+    >=1 dropped partial row, not N."""
+    import time
+
+    from lime_etl_spark.streaming import run_with_metrics
+
+    src = str(tmp_path / "late_src")
+    cols = ["event_id", "user_id", "event_type", "value", "props", "ts"]
+    day1 = datetime.datetime(2026, 1, 1, 12, 0)
+    day2 = datetime.datetime(2026, 1, 2, 12, 0)
+
+    def land(rows):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # file source orders batches by modification time
+
+    # batch 0: day2 noon rows -> watermark advances to day2 11:00
+    land([(i, i, "view", 1.0, "{}", day2) for i in range(5)])
+    # batch 1: more on-time rows (makes day2-11:00 the *previous*
+    # watermark that batch 2's late filter applies)
+    land([(10 + i, i, "view", 1.0, "{}", day2) for i in range(5)])
+    # batch 2: stragglers from day1 -- a full day behind the watermark
+    land([(100 + i, i, "view", 1.0, "{}", day1) for i in range(3)])
+
+    stream = windowed_kpis(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        window_duration="1 day",
+        watermark="1 hour",
+    )
+    result, metrics = run_with_metrics(stream, "late_kpis", output_mode="update")
+
+    assert metrics["input_rows"] == 13
+    assert metrics["micro_batches"] >= 3
+    assert metrics["rows_dropped_by_watermark"] >= 1
+    # update mode re-emits a window per refinement; the latest (max)
+    # count is the window's state. day1 never materialized; day2 = 10.
+    rows: dict = {}
+    for r in result.collect():
+        rows[r["window_start"]] = max(rows.get(r["window_start"], 0), r["n_events"])
+    assert rows[datetime.datetime(2026, 1, 2)] == 10
+    assert datetime.datetime(2026, 1, 1) not in rows
