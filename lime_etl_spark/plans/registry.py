@@ -23,6 +23,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # Operator modules that register queries on import.
 _OPERATOR_MODULES = (
     "lime_etl_spark.operators.relational",
+    "lime_etl_spark.operators.relational_sub",
     "lime_etl_spark.operators.etl",
     "lime_etl_spark.operators.events",
     "lime_etl_spark.operators.text",

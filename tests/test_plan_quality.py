@@ -82,6 +82,39 @@ def test_aggregates_are_partial(spark, sf_dir):
         assert "partial_" in plan, f"{name}: no partial (map-side) aggregation"
 
 
+def test_exists_compiles_to_semi_join(spark, sf_dir):
+    """EXISTS must be a hash/merge LEFT SEMI join on the equi key, not
+    a nested-loop probe or a count-then-filter aggregate."""
+    plan = plan_of(spark, sf_dir, "q4_late_ship_priority")
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*LeftSemi", plan), plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_not_exists_compiles_to_anti_join(spark, sf_dir):
+    for name in ("q21_sole_blame_supplier", "q22_dormant_customers"):
+        plan = plan_of(spark, sf_dir, name)
+        assert re.search(
+            r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*LeftAnti", plan
+        ), f"{name}: NOT EXISTS is not an anti join"
+        # the only tolerated nested-loop is the 1-row scalar broadcast
+        # (q22's global average); never a loop join on a keyed probe
+        assert not re.search(
+            r"BroadcastNestedLoopJoin.*(LeftSemi|LeftAnti)", plan
+        ), f"{name}: semi/anti join degenerated to nested loop"
+
+
+@pytest.mark.parametrize(
+    "name", ["q16_supplier_variety", "q17_small_qty_revenue", "q19_bracket_predicates"]
+)
+def test_filtered_part_dim_broadcasts(spark, sf_dir, name):
+    """The pre-filtered part dim must be the broadcast build side, and
+    the part-side predicates must prune the part scan."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: part dim not broadcast"
+    assert not re.search(r"BroadcastExchange[^\n]*\n[^\n]*lineitem", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*p_(brand|size)", plan), f"{name}: part filter not pushed"
+
+
 def test_whole_stage_codegen_everywhere(spark, sf_dir):
     """The relational core must run inside whole-stage codegen spans
     (visible only in the AQE-finalized, post-execution plan)."""
