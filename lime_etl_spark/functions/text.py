@@ -30,13 +30,16 @@ def tokens(col: str | Column = "text") -> Column:
 
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
-    """n-word shingles as strings; 1-indexed to mirror SQL list indexing."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + off) for off in range(n)]
-        ),
+    """n-word shingles as strings; 1-indexed to mirror SQL list indexing.
+
+    Docs shorter than n words yield an EMPTY list (matching DuckDB's
+    generate_series(1, len-n+1) which is empty when the end < 1).
+    slice() instead of element_at keeps ANSI mode happy: the guard
+    branch means no out-of-range index is ever evaluated."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
     )
 
 

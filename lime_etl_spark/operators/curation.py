@@ -1,0 +1,221 @@
+"""Training-data curation operators (documents table).
+
+The steps between "raw crawl" and "training shards" that aren't
+dedup or sampling: benchmark decontamination, repetition filtering,
+PII/URL scrubbing, and the composite quality gate that routes each
+document to keep-or-drop with a reason.
+
+100 TB design notes:
+
+- Decontamination joins the TRAIN corpus (the 100 TB side) against
+  the distinct n-grams of the TEST/benchmark split, which is small by
+  construction (benchmarks are curated sets, not crawls) — so the
+  test-gram side broadcasts and the train side never shuffles: scan →
+  explode → broadcast-hash probe → partial count per doc.
+- Repetition ratio and the quality gate are pure per-row projections
+  (explode-free: array cardinalities via size/array_distinct inside
+  codegen) — embarrassingly parallel, no shuffle at all.
+- Scrubbing is a regexp_replace chain evaluated JVM-side; counting
+  redactions reuses the same regex via regexp_count, not Python.
+- Ratios that feed cross-engine comparisons divide exact BIGINTs in
+  IEEE double — deterministic on both engines; no decimal rounding
+  ambiguity.
+
+Reference parity: lime-etl jobs transform user tables through the
+unit-of-work (lime_etl/domain/job_spec.py:49); these are curation
+jobs a training-data team would register as SparkJobSpecs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_etl_spark.functions.text import tokens, word_shingles
+from lime_etl_spark.operators.training import hash_bucket, _bucket_sql
+from lime_etl_spark.plans.registry import register
+from lime_etl_spark.sources.readers import load_table
+
+DECON_N = 13  # industry-standard benchmark-overlap n-gram size
+REP_N = 3
+REP_TAU = 0.98
+MIN_WORDS, MAX_WORDS = 20, 80
+
+# Scrub patterns (applied in order). Spark (Java) and the pytest
+# fixtures agree on these; the registered query only aggregates
+# counts so the corpus needs no actual PII.
+SCRUB_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("longnum", r"\d{9,}", "<NUM>"),
+)
+
+
+def scrub_text(col: Column) -> Column:
+    """Redact emails, URLs and long digit runs (ID/phone-shaped)."""
+    out = col
+    for _, pat, repl in SCRUB_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def _gram_sql(n: int) -> str:
+    """DuckDB n-word shingle list over t (1-based, same as word_shingles)."""
+    concat = " || ' ' || ".join(f"t[i + {k}]" for k in range(n))
+    return (
+        f"list_transform(generate_series(1, len(t) - {n - 1}), i -> {concat})"
+    )
+
+
+@register(
+    "cur_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_bucket_sql("doc_id", 100)} AS b,
+               string_split(text, ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, b, gram
+        FROM (SELECT doc_id, b, unnest({_gram_sql(DECON_N)}) AS gram FROM toks)
+    ),
+    test_grams AS (SELECT DISTINCT gram FROM grams WHERE b >= 90)
+    SELECT doc_id, COUNT(*) AS n_shared_grams
+    FROM grams JOIN test_grams USING (gram)
+    WHERE b < 80
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    description="benchmark decontamination: train docs sharing a 13-gram with the test split",
+)
+def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-split documents contaminated by the test split: sharing at
+    least one 13-gram. Splits reuse samp_hash_split's deterministic
+    md5 bucketing. The test side collapses to DISTINCT grams and is
+    broadcast — at 100 TB the benchmark set is tiny relative to the
+    crawl, so the train side's exploded grams probe a hash table
+    instead of shuffling."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), 100)
+    grams = docs.select(
+        "doc_id", b.alias("b"), F.explode(word_shingles(tokens(), DECON_N)).alias("gram")
+    ).distinct()
+    test_grams = grams.where(F.col("b") >= 90).select("gram").distinct()
+    return (
+        grams.where(F.col("b") < 80)
+        .join(F.broadcast(test_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "cur_repetition_ratio",
+    oracle=f"""
+    SELECT doc_id, ng AS n_grams, nd AS n_distinct_grams,
+           CAST(nd AS DOUBLE) / ng AS uniq_ratio,
+           CASE WHEN CAST(nd AS DOUBLE) / ng < {REP_TAU} THEN 1 ELSE 0 END AS is_repetitive
+    FROM (
+        SELECT doc_id,
+               len({_gram_sql(REP_N)}) AS ng,
+               len(list_distinct({_gram_sql(REP_N)})) AS nd
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    ORDER BY doc_id
+    """,
+    description="intra-doc repeated 3-gram ratio (Gopher-style repetition filter)",
+)
+def cur_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of distinct 3-grams per document; heavily templated or
+    looping docs score low. Pure projection — the gram array never
+    explodes, only its cardinalities leave the row, so the operator
+    is shuffle-free and codegen'd end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_shingles(tokens(), REP_N)
+    out = docs.select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_distinct_grams",
+        (F.col("n_distinct_grams").cast("double") / F.col("n_grams")).alias("uniq_ratio"),
+    )
+    return out.withColumn(
+        "is_repetitive", F.when(F.col("uniq_ratio") < REP_TAU, 1).otherwise(0)
+    ).orderBy("doc_id")
+
+
+@register(
+    "cur_scrub_stats",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{SCRUB_RULES[0][1]}'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text, '{SCRUB_RULES[1][1]}'))) AS BIGINT) AS n_urls,
+           CAST(SUM(len(regexp_extract_all(text, '{SCRUB_RULES[2][1]}'))) AS BIGINT) AS n_longnums,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars_in
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="PII/URL scrub audit: redaction counts per source",
+)
+def cur_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of what scrub_text WOULD redact (the scrubbed
+    text itself is a transform; the audit is the aggregate a curation
+    batch logs). regexp_count shares the scan with the length sum —
+    one pass, partial aggregation per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for name, pat, _ in SCRUB_RULES:
+        aggs.append(F.sum(F.regexp_count("text", F.lit(pat))).alias(f"n_{name}s"))
+    aggs.append(F.sum(F.length("text")).alias("n_chars_in"))
+    return docs.groupBy("source").agg(*aggs).orderBy("source")
+
+
+@register(
+    "cur_quality_gate",
+    oracle=f"""
+    SELECT verdict, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM (
+        SELECT doc_id,
+               CASE WHEN nw < {MIN_WORDS} THEN 'too_short'
+                    WHEN nw > {MAX_WORDS} THEN 'too_long'
+                    WHEN CAST(nd AS DOUBLE) / ng < {REP_TAU} THEN 'repetitive'
+                    ELSE 'keep' END AS verdict
+        FROM (
+            SELECT doc_id, len(t) AS nw,
+                   len({_gram_sql(REP_N)}) AS ng,
+                   len(list_distinct({_gram_sql(REP_N)})) AS nd
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+    )
+    GROUP BY verdict
+    ORDER BY verdict
+    """,
+    description="composite keep/drop gate with first-failing reason",
+)
+def cur_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing verdict per document — first failing check wins, same
+    short-circuit order both engines. The verdict is computed row-local
+    (no shuffle); only the tiny per-verdict rollup aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    grams = word_shingles(toks, REP_N)
+    nw = F.size(toks)
+    ratio = F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+    verdict = (
+        F.when(nw < MIN_WORDS, "too_short")
+        .when(nw > MAX_WORDS, "too_long")
+        .when(ratio < REP_TAU, "repetitive")
+        .otherwise("keep")
+    )
+    return (
+        docs.select("doc_id", verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("verdict")
+    )

@@ -30,6 +30,7 @@ _OPERATOR_MODULES = (
     "lime_etl_spark.operators.dedup",
     "lime_etl_spark.operators.similarity",
     "lime_etl_spark.operators.training",
+    "lime_etl_spark.operators.curation",
     "lime_etl_spark.operators.multimodal",
 )
 

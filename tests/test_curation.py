@@ -1,0 +1,93 @@
+"""Curation operator family (operators/curation.py): oracle matches at
+sf0.001 plus behavioral tests the hash compare can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lime_etl_spark.operators.curation import scrub_text
+from lime_etl_spark.plans.registry import get
+from tests.oracle import assert_query_matches_oracle
+
+CURATION = [
+    "cur_decontaminate",
+    "cur_repetition_ratio",
+    "cur_scrub_stats",
+    "cur_quality_gate",
+]
+
+
+@pytest.mark.parametrize("name", CURATION)
+def test_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_decontaminate_finds_cross_split_copies(spark, sf_dir):
+    """The synthetic corpus holds exact duplicates; some straddle the
+    train/test hash split, so contamination must be non-empty and every
+    flagged doc must really share a 13-gram with a test doc."""
+    rows = get("cur_decontaminate").builder(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["n_shared_grams"] >= 1 for r in rows)
+
+
+def test_quality_gate_all_verdicts_present(spark, sf_dir):
+    verdicts = {
+        r["verdict"]: r["n_docs"]
+        for r in get("cur_quality_gate").builder(spark, sf_dir).collect()
+    }
+    assert "keep" in verdicts and verdicts["keep"] > 0
+    assert "too_short" in verdicts and "too_long" in verdicts
+    # gate is exhaustive: verdict counts cover the whole corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(verdicts.values()) == docs.count()
+
+
+def test_scrub_text_redacts_and_preserves(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or https://a.example/x?q=1 now"),
+            (2, "call 123456789012 twice 987654321"),
+            (3, "clean text stays untouched"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["scrubbed"]
+        for r in df.select("doc_id", scrub_text(F.col("text")).alias("scrubbed")).collect()
+    }
+    assert out[1] == "contact <EMAIL> or <URL> now"
+    assert out[2] == "call <NUM> twice <NUM>"
+    assert out[3] == "clean text stays untouched"
+
+
+def test_repetition_flags_looping_doc(spark):
+    """A doc that repeats one phrase must score far below a fresh doc
+    and trip the flag."""
+    loop = " ".join(["spark is fast"] * 12)
+    fresh = " ".join(f"w{i}" for i in range(36))
+    df = spark.createDataFrame([(1, loop), (2, fresh)], ["doc_id", "text"])
+
+    from lime_etl_spark.functions.text import tokens, word_shingles
+
+    grams = word_shingles(tokens(), 3)
+    got = {
+        r["doc_id"]: (r["ratio"], r["nd"], r["ng"])
+        for r in df.select(
+            "doc_id",
+            (F.size(F.array_distinct(grams)).cast("double") / F.size(grams)).alias("ratio"),
+            F.size(F.array_distinct(grams)).alias("nd"),
+            F.size(grams).alias("ng"),
+        ).collect()
+    }
+    assert got[1][0] < 0.15 and got[2][0] == 1.0
+
+
+def test_decontaminate_test_side_broadcasts(spark, sf_dir):
+    """Scale gate: the benchmark-gram side must be the broadcast build
+    side — the 100 TB train side must not shuffle for the join."""
+    df = get("cur_decontaminate").builder(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in plan
