@@ -1,0 +1,150 @@
+"""Distributed connected components + duplicate-cluster assignment.
+
+Near-dup PAIRS (dedup.py) are only half the dedup story: to keep one
+canonical doc per duplicate *cluster* you need the transitive closure
+of the pair relation — A≈B, B≈C puts A,C in one cluster even if A,C
+never paired. That closure is connected components over the pair
+graph.
+
+Spark-first design (min-label propagation):
+
+- Each iteration is one join (labels → symmetrized edges) + one
+  groupBy-min, both hashing on vertex id — the label table's
+  partitioning is reused across iterations.
+- Iterating DataFrames grows the lineage/plan exponentially, so each
+  round ``localCheckpoint``s the new label table (materialize +
+  truncate lineage) and unpersists the old one; the edge table is
+  persisted once up front.
+- Convergence = zero labels changed (one count() action per round).
+  Rounds needed = graph diameter; duplicate clusters are shallow
+  (near-clique), so 3–5 rounds in practice. For adversarially long
+  chain graphs the large-star/small-star variant (Kiveris et al.,
+  "Connected Components in MapReduce", SOCC'14) halves diameter per
+  round — documented here as the escalation path; min-propagation is
+  the right default for dedup-shaped graphs.
+- The oracle is a DuckDB RECURSIVE CTE computing the same closure —
+  UNION-dedup semantics guarantee termination; MIN over reachable
+  ids is exactly the propagated label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_etl_spark.operators.dedup import (
+    JACCARD_TAU,
+    _minhash_sql,
+    doc_shingles,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signatures,
+)
+from lime_etl_spark.plans.registry import register
+from lime_etl_spark.sources.readers import load_table
+
+MAX_CC_ITERATIONS = 25
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iterations: int = MAX_CC_ITERATIONS
+) -> DataFrame:
+    """(vid, label) with label = min vertex id in the component.
+
+    ``vertices``: one column ``vid``. ``edges``: columns ``src``,
+    ``dst`` (undirected; one row per pair is enough).
+    """
+    # cache the edge input FIRST: the symmetrizing union has two
+    # branches, and without the cache each branch re-runs the whole
+    # upstream pair-mining pipeline (LSH candidates + verify) once
+    edges_c = edges.select("src", "dst").persist()
+    edges_c.count()
+    sym = edges_c.unionByName(
+        edges_c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    sym.count()
+    edges_c.unpersist()
+    # iterate ONLY the active subgraph: vertices touching an edge.
+    # Isolated vertices (the overwhelming majority in a dedup graph —
+    # most docs have no near-dup) can never change label, so they
+    # skip the loop entirely and rejoin at the end. At 100 TB this is
+    # the difference between iterating N docs and iterating the few
+    # that actually have a duplicate.
+    labels = (
+        sym.select(F.col("src").alias("vid"))
+        .distinct()
+        .select(F.col("vid"), F.col("vid").alias("label"))
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.vid)
+            .groupBy(F.col("dst").alias("nv"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # the moved flag rides along in the SAME materialization, so
+        # convergence detection costs one filter-count on the already
+        # checkpointed table instead of a new-vs-old join per round
+        new_labels = (
+            labels.join(nbr_min, labels.vid == F.col("nv"), "left")
+            .select(
+                labels.vid,
+                F.least(
+                    labels.label, F.coalesce(F.col("nbr_label"), labels.label)
+                ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), labels.label) < labels.label).alias(
+                    "moved"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        labels = new_labels.select("vid", "label")
+        if new_labels.where("moved").count() == 0:
+            break
+    sym.unpersist()
+    return vertices.join(labels, "vid", "left").select(
+        vertices.vid, F.coalesce(F.col("label"), vertices.vid).alias("label")
+    )
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(vid, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.vid
+    )
+    SELECT vid AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+    FROM reach
+    GROUP BY vid
+    ORDER BY doc_id
+    """,
+    description="duplicate clusters: connected components over LSH-verified near-dup pairs",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document labeled with its duplicate-cluster id (min doc_id
+    reachable through Jaccard≥τ near-dup pairs; singletons label
+    themselves). Pairs come from the scale path — MinHash+LSH
+    candidates, candidate-scoped exact-Jaccard verify — then the
+    min-label loop closes the clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
+        F.col("jaccard") >= JACCARD_TAU
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(docs.select(F.col("doc_id").alias("vid")), edges)
+    sh.unpersist()
+    return cc.select(
+        F.col("vid").alias("doc_id"), F.col("label").alias("component_id")
+    ).orderBy("doc_id")

@@ -28,6 +28,7 @@ _OPERATOR_MODULES = (
     "lime_etl_spark.operators.events",
     "lime_etl_spark.operators.text",
     "lime_etl_spark.operators.dedup",
+    "lime_etl_spark.operators.graph",
     "lime_etl_spark.operators.similarity",
     "lime_etl_spark.operators.training",
     "lime_etl_spark.operators.curation",

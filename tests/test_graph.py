@@ -1,0 +1,50 @@
+"""Connected components (operators/graph.py): oracle match plus unit
+tests on crafted graphs the hash compare can't cover."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lime_etl_spark.operators.graph import connected_components
+from lime_etl_spark.plans.registry import get
+from tests.oracle import assert_query_matches_oracle
+
+
+def test_dedup_components_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "dedup_components")
+
+
+def test_dedup_components_has_nontrivial_clusters(spark, sf_dir):
+    rows = get("dedup_components").builder(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(rows) == docs.count()  # exhaustive labeling
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r["doc_id"])
+    sizes = sorted((len(v) for v in by_comp.values()), reverse=True)
+    assert sizes[0] >= 2  # the corpus does contain near-dup clusters
+    # component id is always the minimum member
+    assert all(min(v) == comp for comp, v in by_comp.items())
+
+
+def test_cc_transitive_chain_and_isolates(spark):
+    """A path graph 1-2-3-4 (diameter 3) must converge to one label;
+    isolated vertex keeps its own; two-cliques stay separate."""
+    vertices = spark.createDataFrame([(i,) for i in range(1, 9)], ["vid"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7), (7, 8)], ["src", "dst"]
+    )
+    got = {
+        r["vid"]: r["label"] for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6, 8: 6}
+
+
+def test_cc_label_flows_against_edge_direction(spark):
+    """Edges are undirected: the min label must flow dst→src too."""
+    vertices = spark.createDataFrame([(10,), (3,), (7,)], ["vid"])
+    edges = spark.createDataFrame([(10, 3), (7, 10)], ["src", "dst"])
+    got = {
+        r["vid"]: r["label"] for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {10: 3, 3: 3, 7: 3}
