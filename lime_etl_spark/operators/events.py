@@ -206,3 +206,53 @@ def ev_top_users_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_spend"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "ev_cohort_retention",
+    oracle="""
+    WITH firstw AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cw
+        FROM events GROUP BY user_id
+    ),
+    sizes AS (SELECT cw, COUNT(*) AS cohort_size FROM firstw GROUP BY cw)
+    SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cw, date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           CAST(COUNT(DISTINCT e.user_id) AS DOUBLE) / s.cohort_size AS retention
+    FROM events e
+    JOIN firstw f USING (user_id)
+    JOIN sizes s ON s.cw = f.cw
+    GROUP BY f.cw, week_offset, s.cohort_size
+    ORDER BY cohort_week, week_offset
+    """,
+    description="weekly cohort retention matrix (first-activity cohorts)",
+)
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: users grouped by first-activity week, tracked
+    across subsequent weeks. Three aggregations, all keyed compatibly:
+    first-week per user and the retention rollup both shuffle on
+    user_id-derived keys, and cohort sizes are a tiny aggregate that
+    broadcasts back onto the matrix. week_offset divides day-diffs of
+    Monday-truncated weeks — exact multiples of 7, so the int cast is
+    engine-safe; retention divides two exact BIGINTs in IEEE double."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firstw = ev.groupBy("user_id").agg(F.min(wk).alias("cw"))
+    sizes = firstw.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        ev.join(firstw, "user_id")
+        .groupBy(
+            F.col("cw"),
+            (F.datediff(wk, F.col("cw")) / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .join(F.broadcast(sizes), "cw")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("cohort_size")).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -94,6 +94,24 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same vectorized columnar path as parquet (predicate
+    pushdown + column pruning via the native ORC reader)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

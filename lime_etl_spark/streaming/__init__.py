@@ -1,4 +1,5 @@
 from lime_etl_spark.streaming.pipeline import (
+    dedup_stream,
     interval_join_streams,
     purchase_attribution_stream,
     read_event_stream,
@@ -13,6 +14,7 @@ from lime_etl_spark.streaming.stateful import running_user_totals
 
 __all__ = [
     "StreamRunMetrics",
+    "dedup_stream",
     "interval_join_streams",
     "purchase_attribution_stream",
     "read_event_stream",

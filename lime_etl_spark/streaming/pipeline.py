@@ -286,3 +286,26 @@ def run_available_now(
     )
     q.awaitTermination(timeout_s)
     return stream.sparkSession.table(query_name)
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup within the watermark
+    horizon (``dropDuplicatesWithinWatermark``).
+
+    At-least-once sources (reprocessed files, replayed Kafka offsets)
+    emit the same event twice across micro-batches; plain
+    ``dropDuplicates`` on a stream would keep EVERY key ever seen in
+    state — unbounded at 100 TB/day. The watermark variant holds one
+    state entry per key only until the watermark passes the key's
+    event time, so state size tracks the late-data horizon, not the
+    stream's lifetime. First occurrence wins; duplicates arriving
+    within the horizon are dropped, and a duplicate arriving LATER
+    than the horizon is the documented trade-off (it re-emits — size
+    the watermark to the source's replay window)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

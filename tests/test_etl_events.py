@@ -19,6 +19,7 @@ KEYS = [
     "ev_funnel",
     "ev_json_props",
     "ev_top_users_by_spend",
+    "ev_cohort_retention",
 ]
 
 

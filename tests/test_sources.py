@@ -54,3 +54,25 @@ def test_jdbc_requires_bounds_with_partition_column(spark):
 def test_load_table_events_ts_is_timestamp(spark, sf_dir):
     ev = readers.load_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_orc_roundtrip_partitioned_with_pushdown(spark, tmp_path, sf_dir):
+    """ORC write→read roundtrip preserves rows; partition column
+    survives; filters reach the ORC scan."""
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.sources.readers import load_table, read_orc, write_orc
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path, partition_by=["n_regionkey"])
+
+    back = read_orc(spark, path)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+
+    filtered = back.where(F.col("n_regionkey") == 0)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: non-matching region dirs never scanned
+    assert filtered.count() == nation.where(F.col("n_regionkey") == 0).count()
+    assert "PartitionFilters" in plan or "n_regionkey" in plan

@@ -204,3 +204,34 @@ def test_late_rows_dropped_by_watermark_are_counted(spark, tmp_path):
         rows[r["window_start"]] = max(rows.get(r["window_start"], 0), r["n_events"])
     assert rows[datetime.datetime(2026, 1, 2)] == 10
     assert datetime.datetime(2026, 1, 1) not in rows
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Replayed events (same event_id) landing in LATER micro-batches
+    within the watermark horizon must be dropped; first wins."""
+    import time
+
+    from lime_etl_spark.streaming import dedup_stream, run_available_now
+
+    src = str(tmp_path / "dup_src")
+    cols = ["event_id", "user_id", "event_type", "value", "props", "ts"]
+    t = datetime.datetime(2026, 3, 1, 12, 0)
+
+    def land(rows):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    land([(i, i, "view", 1.0, "{}", t) for i in range(5)])
+    # batch 2 replays ids 2..4 (same event time) and adds 5..6
+    land([(i, i, "view", 99.0, "{}", t) for i in range(2, 7)])
+
+    stream = dedup_stream(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        keys=("event_id",),
+        watermark="1 hour",
+    )
+    got = run_available_now(stream, "dedup_stream_out", output_mode="append")
+    rows = {r["event_id"]: r["value"] for r in got.collect()}
+    assert sorted(rows) == list(range(7))
+    # first occurrence won: replayed ids keep the original value
+    assert all(rows[i] == 1.0 for i in range(5)) and rows[5] == 99.0
