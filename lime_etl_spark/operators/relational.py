@@ -502,3 +502,45 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS days_since_prev,
+           date_diff('day', o_orderdate, LEAD(o_orderdate) OVER w) AS days_to_next,
+           NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS spend_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    description="lag/lead inter-order gaps + ntile spend quartiles per customer",
+)
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence features: days since/until the neighboring
+    order (lag/lead) and the customer-local spend quartile (ntile).
+    Both window specs partition on o_custkey — ONE exchange feeds two
+    sorts (orderdate- and totalprice-ordered); ties broken by
+    o_orderkey so ntile assignment is engine-deterministic. At 100 TB
+    customer partitions are small (orders per customer), so no
+    single-partition window bottleneck exists."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wq = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+            .cast("bigint")
+            .alias("days_since_prev"),
+            F.datediff(F.lead("o_orderdate").over(w), "o_orderdate")
+            .cast("bigint")
+            .alias("days_to_next"),
+            F.ntile(4).over(wq).cast("bigint").alias("spend_quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

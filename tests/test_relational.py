@@ -20,6 +20,7 @@ RELATIONAL = [
     "q_order_priority_monthly",
     "q_rollup_revenue",
     "q_price_quantiles",
+    "q_order_gaps",
 ]
 
 
