@@ -21,6 +21,7 @@ ORACLED = [
     "ann_ivf_topk",
     "ann_ivf_multiprobe",
     "knn_label_vote",
+    "emb_quantize_error",
 ]
 
 
