@@ -354,3 +354,86 @@ def dq_null_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t, c in specs
     ]
     return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def tombstone_delete(base: DataFrame, tombstones: DataFrame, keys: list[str]) -> DataFrame:
+    """Propagate deletions: drop every base row whose key appears in
+    the tombstone set (GDPR erasure, retention purges). LEFT ANTI
+    join — the tombstone side is typically small (a deletion request
+    table) and broadcasts; the base never shuffles."""
+    return base.join(F.broadcast(tombstones.select(*keys).distinct()), keys, "left_anti")
+
+
+@register(
+    "etl_tombstone_delete",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+           CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="deletion propagation audit: anti/semi join against a tombstone table",
+)
+def etl_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-propagation audit: per priority, how many orders a
+    tombstone request (synthetic: every 97th key) removes vs keeps.
+    The operator path is REAL anti/semi joins against a tombstone
+    DataFrame (broadcast, base side unshuffled) — the oracle merely
+    restates the membership test arithmetically."""
+    orders = load_table(spark, sf_dir, "orders")
+    tomb = orders.where(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
+    kept = (
+        tombstone_delete(orders, tomb, ["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    deleted = (
+        orders.join(F.broadcast(tomb), ["o_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_deleted"))
+    )
+    return (
+        kept.join(deleted, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            F.coalesce("n_deleted", F.lit(0)).alias("n_deleted"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "dq_freshness",
+    oracle="""
+    SELECT 'events' AS table_name, strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_event_time,
+           COUNT(*) AS n_rows
+    FROM events
+    UNION ALL
+    SELECT 'lineitem', strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S'), COUNT(*) FROM lineitem
+    UNION ALL
+    SELECT 'orders', strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S'), COUNT(*) FROM orders
+    ORDER BY table_name
+    """,
+    description="data-test: freshness (max event time) per time-bearing table",
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness probe — the staleness alert every scheduled lime-etl
+    batch wants next to its row-count test: latest event time per
+    time-bearing table. One scalar agg per table on the pruned time
+    column only (min/max parquet footer statistics make this a
+    metadata-speed scan at 100 TB)."""
+    from functools import reduce
+
+    specs = [("events", "ts"), ("lineitem", "l_shipdate"), ("orders", "o_orderdate")]
+    dfs = [
+        load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"),
+            F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias("max_event_time"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        for t, c in specs
+    ]
+    return reduce(lambda a, b: a.unionByName(b), dfs).orderBy("table_name")

@@ -14,6 +14,8 @@ KEYS = [
     "dq_row_counts",
     "dq_referential_integrity",
     "dq_null_uniqueness",
+    "etl_tombstone_delete",
+    "dq_freshness",
     "ev_daily_kpis",
     "ev_sessionize",
     "ev_funnel",
