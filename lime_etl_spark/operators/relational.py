@@ -264,6 +264,12 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="agg-then-semi-join HAVING subquery (TPC-H Q18)",
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The HAVING aggregate ALREADY holds each big order's total
+    # quantity — the textbook plan (filter ids, re-join raw lineitem,
+    # re-aggregate) scans and shuffles the fact twice for a number it
+    # computed in pass one. One lineitem pass: aggregate → filter →
+    # join the (tiny) survivors to orders/customer. The group keys are
+    # 1:1 with o_orderkey, so the second aggregate was a no-op anyway.
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -271,14 +277,18 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity", 2, 12)).alias("_q"))
         .where(F.col("_q") > 150)
-        .select("l_orderkey")
     )
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "_bk"), F.col("l_orderkey") == F.col("_bk"), "inner")
-        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(to_double(F.sum(dec("l_quantity", 2, 12))).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            to_double(F.col("_q")).alias("total_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
