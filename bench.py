@@ -70,6 +70,26 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Scaling evidence: the same headline set at the neighboring
+    # (10x smaller) scale factor. A near-linear total ratio means the
+    # plans are data-bound, not overhead/shuffle-bound — the property
+    # that predicts 100 TB behavior. Same steady-state discipline
+    # (warm once, then time).
+    sf_matrix: dict[str, float] = {sf: total}
+    lower = os.path.join(os.path.dirname(sf_dir.rstrip("/")) or "/root/testdata", "sf0.01")
+    if os.path.isdir(lower) and os.path.abspath(lower) != os.path.abspath(sf_dir):
+        def run_at(name: str, d: str) -> None:
+            registry[name].builder(spark, d).write.mode("overwrite").format("noop").save()
+
+        small_total = 0.0
+        for name in names:
+            run_at(name, lower)
+            t0 = time.perf_counter()
+            run_at(name, lower)
+            small_total += time.perf_counter() - t0
+        sf_matrix["0.01"] = round(small_total, 4)
+
     print(
         json.dumps(
             {
@@ -78,6 +98,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf_matrix": sf_matrix,
             }
         )
     )
