@@ -189,3 +189,57 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "shard", "pack_id")
     )
+
+
+TEMP_COEFF = 6.0  # tuned to the token budget in production
+
+
+@register(
+    "samp_temperature",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    thr AS (
+        SELECT lang, n,
+               CAST(FLOOR(1000000 * LEAST(1.0, {TEMP_COEFF} / sqrt(CAST(n AS DOUBLE)))) AS BIGINT) AS t
+        FROM counts
+    )
+    SELECT d.lang,
+           MAX(thr.n) AS n_docs,
+           CAST(SUM(CASE WHEN {_bucket_sql("doc_id", 1000000)} < thr.t THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+    description="temperature-style mixture sampling: rate ∝ 1/sqrt(stratum size)",
+)
+def samp_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalanced training mixture: each language's sampling rate is
+    C/√n — the T=2 'temperature' flattening (kept share ∝ √n) that
+    upweights rare strata without the replication of full balancing.
+    √ is IEEE-correctly-rounded, so unlike pow/log the rates are
+    bit-identical across engines; selection reuses the deterministic
+    md5-bucket (rerun-safe, no rand()). Stratum stats are a tiny
+    aggregate broadcast back onto the fact — the corpus is scanned
+    once and never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    thr = counts.select(
+        "lang",
+        "n",
+        F.floor(
+            1000000
+            * F.least(F.lit(1.0), F.lit(TEMP_COEFF) / F.sqrt(F.col("n").cast("double")))
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    picked = F.when(hash_bucket(F.col("doc_id"), 1000000) < F.col("t"), 1).otherwise(0)
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.sum(picked).cast("bigint").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
