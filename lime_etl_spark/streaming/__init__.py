@@ -6,6 +6,7 @@ from lime_etl_spark.streaming.pipeline import (
     run_available_now,
     run_with_metrics,
     sessionize_stream,
+    stream_scd2_sink,
     stream_upsert_sink,
     StreamRunMetrics,
     windowed_kpis,
@@ -22,6 +23,7 @@ __all__ = [
     "run_with_metrics",
     "running_user_totals",
     "sessionize_stream",
+    "stream_scd2_sink",
     "stream_upsert_sink",
     "windowed_kpis",
 ]

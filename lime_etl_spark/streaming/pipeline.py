@@ -309,3 +309,58 @@ def dedup_stream(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+SCD2_COLS = ("effective_from_us", "effective_to_us", "is_current")
+
+
+def stream_scd2_sink(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    keys: list,
+    tiebreak: Optional[list] = None,
+) -> StreamingQuery:
+    """foreachBatch SCD-2 maintenance: each micro-batch of change
+    events is merged into a parquet dimension-history table with the
+    SAME ``scd2`` operator the batch rebuild uses — one semantics for
+    streaming upkeep and batch backfill.
+
+    Incremental merge, work ∝ touched keys (not table size):
+    history rows for keys ABSENT from the batch pass through via an
+    anti join; rows for touched keys are 'reopened' (the scd2 columns
+    dropped — every history row still carries its original change
+    columns), unioned with the new changes, deduplicated (replay
+    idempotence), and re-windowed. Only that union re-sorts; at scale
+    the per-batch cost tracks the hot-key set. The parquet rewrite is
+    the same rewrite-on-merge trade documented on stream_upsert_sink.
+    """
+    spark = stream.sparkSession
+    tb = list(tiebreak or [])
+
+    from lime_etl_spark.operators.etl import scd2
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        changes = batch_df.dropDuplicates()
+        if os.path.exists(target_path):
+            hist = spark.read.parquet(target_path)
+            touched = changes.select(*keys).distinct()
+            untouched = hist.join(touched, keys, "left_anti")
+            reopened = hist.join(touched, keys, "left_semi").drop(*SCD2_COLS)
+            merged = reopened.unionByName(changes).dropDuplicates()
+            final = untouched.unionByName(
+                scd2(merged, keys, F.unix_micros("ts"), tb)
+            )
+        else:
+            final = scd2(changes, keys, F.unix_micros("ts"), tb)
+        tmp = target_path + ".tmp"
+        final.write.mode("overwrite").parquet(tmp)
+        fs_rename(tmp, target_path)
+
+    return (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -235,3 +235,56 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     assert sorted(rows) == list(range(7))
     # first occurrence won: replayed ids keep the original value
     assert all(rows[i] == 1.0 for i in range(5)) and rows[5] == 99.0
+
+
+def test_stream_scd2_sink_matches_batch_rebuild(spark, tmp_path):
+    """SCD2 maintained incrementally across micro-batches must equal
+    the batch scd2 over the full change set — including versions that
+    arrive for already-closed keys in later batches."""
+    import time
+
+    from lime_etl_spark.operators.etl import scd2
+    from lime_etl_spark.streaming import read_event_stream, stream_scd2_sink
+
+    src = str(tmp_path / "scd_src")
+    target = str(tmp_path / "scd_target")
+    ckpt = str(tmp_path / "scd_ckpt")
+    cols = ["event_id", "user_id", "event_type", "value", "props", "ts"]
+    t = datetime.datetime(2026, 4, 1, 9, 0)
+
+    def land(rows):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    b1 = [(1, 10, "chg", 1.0, "{}", t),
+          (2, 10, "chg", 2.0, "{}", t + datetime.timedelta(hours=1)),
+          (3, 20, "chg", 5.0, "{}", t)]
+    # batch 2 extends user 10's history and starts user 30
+    b2 = [(4, 10, "chg", 3.0, "{}", t + datetime.timedelta(hours=2)),
+          (5, 30, "chg", 9.0, "{}", t),
+          (3, 20, "chg", 5.0, "{}", t)]  # replayed duplicate
+    land(b1)
+    land(b2)
+
+    sel = ["user_id", "value", "ts", "event_id"]
+    q = stream_scd2_sink(
+        read_event_stream(spark, src, max_files_per_trigger=1).select(*sel),
+        target, ckpt, keys=["user_id"], tiebreak=["event_id"],
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(target)
+    allrows = spark.createDataFrame(b1 + b2, cols).dropDuplicates().select(*sel)
+    want = scd2(allrows, ["user_id"], F.unix_micros("ts"), ["event_id"])
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["value"], r["effective_from_us"],
+             r["effective_to_us"], r["is_current"])
+            for r in df.collect()
+        )
+
+    assert canon(got) == canon(want)
+    # user 10's batch-1 current row was closed by the batch-2 version
+    cur = {r["user_id"]: r["value"] for r in got.where("is_current").collect()}
+    assert cur == {10: 3.0, 20: 5.0, 30: 9.0}
