@@ -1,8 +1,10 @@
 from lime_etl_spark.streaming.pipeline import (
     dedup_stream,
     interval_join_streams,
+    kafka_reader_options,
     purchase_attribution_stream,
     read_event_stream,
+    read_kafka_stream,
     run_available_now,
     run_with_metrics,
     sessionize_stream,
@@ -17,8 +19,10 @@ __all__ = [
     "StreamRunMetrics",
     "dedup_stream",
     "interval_join_streams",
+    "kafka_reader_options",
     "purchase_attribution_stream",
     "read_event_stream",
+    "read_kafka_stream",
     "run_available_now",
     "run_with_metrics",
     "running_user_totals",

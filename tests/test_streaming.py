@@ -288,3 +288,29 @@ def test_stream_scd2_sink_matches_batch_rebuild(spark, tmp_path):
     # user 10's batch-1 current row was closed by the batch-2 version
     cur = {r["user_id"]: r["value"] for r in got.where("is_current").collect()}
     assert cur == {10: 3.0, 20: 5.0, 30: 9.0}
+
+
+def test_kafka_option_plumbing(spark):
+    """Connector jar absent (like JDBC): validate the option builder
+    and that the load path fails at data-source lookup, not before."""
+    from lime_etl_spark.streaming import kafka_reader_options, read_kafka_stream
+
+    opts = kafka_reader_options(
+        "b1:9092,b2:9092", "events", max_offsets_per_trigger=100_000
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["maxOffsetsPerTrigger"] == "100000"
+    assert opts["failOnDataLoss"] == "false"
+
+    with pytest.raises(ValueError, match="required"):
+        kafka_reader_options("", "events")
+    with pytest.raises(ValueError, match="positive"):
+        kafka_reader_options("b:9092", "t", max_offsets_per_trigger=0)
+
+    try:
+        df = read_kafka_stream(spark, "b1:9092", "events")
+    except Exception as e:
+        assert "kafka" in str(e).lower()  # DATA_SOURCE_NOT_FOUND
+    else:  # connector present: projection must expose the event schema
+        assert "event_id" in df.columns and "kafka_ts" in df.columns
