@@ -171,6 +171,35 @@ def _run_jobs(
     for job in jobs:
         job_id = UniqueId.generate().value
 
+        # Batch-level timeout: the reference declares
+        # BatchSpec.timeout_seconds (batch_spec.py:62) without consuming
+        # it; here it is enforced as a deadline — jobs that would START
+        # after the budget is spent are skipped (recorded, not silently
+        # dropped). The in-flight job still gets its own per-job
+        # timeout; killing it mid-batch would leave half-written state.
+        if (
+            batch.timeout_seconds is not None
+            and (datetime.datetime.now() - start).total_seconds()
+            > batch.timeout_seconds
+        ):
+            logger.info(
+                f"Batch timeout of {batch.timeout_seconds} seconds exceeded; "
+                f"skipping [{job.job_name}]."
+            )
+            result = JobResult(
+                id=job_id,
+                batch_id=batch.batch_id,
+                job_name=job.job_name,
+                status=JobStatus.skipped(
+                    f"Batch timeout of {batch.timeout_seconds} seconds exceeded."
+                ),
+                execution_millis=ExecutionMillis(0),
+                ts=start,
+            )
+            job_results.append(result)
+            store.save_job_result(result)
+            continue
+
         dep_results = [r for r in job_results if r.job_name in job.dependencies]
         if job.dependencies and dep_results and all(
             r.status.state in (JobState.SKIPPED, JobState.FAILED) for r in dep_results

@@ -401,3 +401,32 @@ def test_compact_admin_ledger_job(spark, store):
     # ledger state still folds to one file per pre-compaction table write...
     # plus the rows this maintenance batch itself appended afterwards
     assert batch_files() <= 4
+
+
+def test_batch_timeout_skips_remaining_jobs(spark, store):
+    """Once the batch deadline passes, later jobs are SKIPPED with the
+    timeout reason (not run, not silently dropped); earlier results
+    stand and the batch still completes."""
+    import time
+
+    def slow(ctx):
+        time.sleep(1.2)
+        return JobStatus.success()
+
+    def never(ctx):  # pragma: no cover - must not run
+        raise AssertionError("job after the deadline must not execute")
+
+    batch = SparkBatchSpec(
+        name="deadline_batch",
+        timeout_seconds=1,
+        jobs=[
+            SimpleJobSpec(name="slow_ok", run=slow),
+            SimpleJobSpec(name="after_deadline", run=never),
+        ],
+    )
+    result = run_batch(batch, spark, store)
+    by_name = {r.job_name: r for r in result.job_results}
+    assert by_name["slow_ok"].status.state == JobState.SUCCEEDED
+    assert by_name["after_deadline"].status.state == JobState.SKIPPED
+    assert "Batch timeout" in (by_name["after_deadline"].status.reason or "")
+    assert result.broken_jobs == set()
