@@ -101,6 +101,14 @@ def connected_components(
         labels = new_labels.select("vid", "label")
         if new_labels.where("moved").count() == 0:
             break
+    else:
+        # a silent cap would return WRONG labels (a half-flooded chain)
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            "(graph diameter exceeds the budget); raise max_iterations or use "
+            "connected_components_star, which converges in O(log diameter)."
+        )
     sym.unpersist()
     return vertices.join(labels, "vid", "left").select(
         vertices.vid, F.coalesce(F.col("label"), vertices.vid).alias("label")
@@ -148,3 +156,77 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("vid").alias("doc_id"), F.col("label").alias("component_id")
     ).orderBy("doc_id")
+
+
+def connected_components_star(
+    vertices: DataFrame, edges: DataFrame, max_iterations: int = MAX_CC_ITERATIONS
+) -> DataFrame:
+    """(vid, label) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC'14) — the escalation path min-propagation documents: star
+    rounds HALVE long paths, so convergence is O(log diameter) rounds
+    instead of O(diameter). Use for adversarially chain-shaped graphs;
+    for shallow near-clique dedup graphs plain propagation wins on
+    constant factors.
+
+    Each round is two groupBy-min passes over the edge list:
+      large-star: every node links its LARGER neighbors to its
+        current minimum (min of neighborhood ∪ self);
+      small-star: every node links its smaller-or-equal neighbors
+        to that minimum, collapsing local stars.
+    Both hash on the node id; each round's edge list is
+    localCheckpoint'd (lineage truncation, same discipline as the
+    propagation loop). Converged when an alternation leaves the
+    canonical edge set unchanged.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", "u").alias("m"))
+        out = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+        )
+        return out.where(F.col("lo") != F.col("hi")).distinct()
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient every edge toward the larger endpoint: u = hi, v = lo
+        nbr = e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        mins = nbr.groupBy("u").agg(F.min("v").alias("m"))
+        linked = nbr.join(mins, "u").select(
+            F.col("m").alias("lo"), F.col("v").alias("hi")
+        )
+        self_link = mins.select(F.col("m").alias("lo"), F.col("u").alias("hi"))
+        out = linked.unionByName(self_link)
+        return out.where(F.col("lo") != F.col("hi")).distinct()
+
+    cur = canon
+    for _ in range(max_iterations):
+        nxt = small_star(large_star(cur)).localCheckpoint()
+        changed = (
+            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} rounds."
+        )
+    # fixpoint is a forest of stars: hi points at its component min
+    star = cur.select(F.col("hi").alias("vid"), F.col("lo").alias("label"))
+    return vertices.join(star, "vid", "left").select(
+        vertices.vid, F.coalesce(F.col("label"), vertices.vid).alias("label")
+    )

@@ -48,3 +48,59 @@ def test_cc_label_flows_against_edge_direction(spark):
         r["vid"]: r["label"] for r in connected_components(vertices, edges).collect()
     }
     assert got == {10: 3, 3: 3, 7: 3}
+
+
+def _labels(df):
+    return {r["vid"]: r["label"] for r in df.collect()}
+
+
+def test_star_cc_matches_propagation_on_crafted_graphs(spark):
+    from lime_etl_spark.operators.graph import connected_components_star
+
+    cases = [
+        # long chain: the case star rounds exist for
+        [(i, i + 1) for i in range(1, 60)],
+        # two cliques + bridge + isolates via vertex list
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (3, 10), (20, 21)],
+        # star already
+        [(5, 1), (5, 2), (5, 3), (5, 4)],
+    ]
+    for edges_py in cases:
+        vids = sorted({x for e in edges_py for x in e} | {99})  # 99 isolated
+        vertices = spark.createDataFrame([(v,) for v in vids], ["vid"])
+        edges = spark.createDataFrame(edges_py, ["src", "dst"])
+        # diameter-59 chain needs > default rounds for plain propagation
+        a = _labels(connected_components(vertices, edges, max_iterations=100))
+        b = _labels(connected_components_star(vertices, edges))
+        assert a == b, f"divergence on {edges_py[:5]}..."
+
+
+def test_star_cc_random_graphs_match(spark):
+    import random
+
+    from lime_etl_spark.operators.graph import connected_components_star
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 80
+        edges_py = [
+            (rng.randint(1, n), rng.randint(1, n)) for _ in range(rng.randint(20, 70))
+        ]
+        edges_py = [(a, b) for a, b in edges_py if a != b]
+        vertices = spark.createDataFrame([(v,) for v in range(1, n + 1)], ["vid"])
+        edges = spark.createDataFrame(edges_py, ["src", "dst"])
+        a = _labels(connected_components(vertices, edges))
+        b = _labels(connected_components_star(vertices, edges))
+        assert a == b
+
+
+
+def test_cc_raises_instead_of_silently_truncating(spark):
+    """A diameter-9 chain with a 3-round budget must raise, not return
+    half-flooded labels."""
+    import pytest as _pytest
+
+    vertices = spark.createDataFrame([(v,) for v in range(1, 11)], ["vid"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 10)], ["src", "dst"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vertices, edges, max_iterations=3)
