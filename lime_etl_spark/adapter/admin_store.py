@@ -552,3 +552,43 @@ class JobLogger:
 
     def exception(self, e: BaseException) -> None:
         self._log(LogLevel.ERROR, repr(e))
+
+
+def job_health_stats(store: "SparkAdminStore") -> "DataFrame":
+    """Operational analytics over the jobs ledger: per job name, run /
+    failure counts, failure rate, and p50/p95 duration of successful
+    runs.
+
+    The ledger is event-sourced (every state transition is a row);
+    latest-wins per job_id is a window over seq — computed IN Spark so
+    the analysis scales with the ledger, unlike the driver-side
+    `_latest` used for point lookups. This is the dashboard query the
+    reference's admin schema exists to serve (adapter/admin_orm.py's
+    batches/jobs tables); here it is one DataFrame away.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    jobs = store._read("jobs", _JOBS)
+    w = Window.partitionBy("job_id").orderBy(F.desc("seq"))
+    latest = (
+        jobs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .where(F.col("state") != "running")
+    )
+    ok_ms = F.when(F.col("state") == "succeeded", F.col("execution_millis"))
+    return (
+        latest.groupBy("job_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum(F.when(F.col("state") == "failed", 1).otherwise(0)).alias("n_failed"),
+            F.sum(F.when(F.col("state") == "skipped", 1).otherwise(0)).alias("n_skipped"),
+            F.percentile(ok_ms, 0.5).alias("p50_millis"),
+            F.percentile(ok_ms, 0.95).alias("p95_millis"),
+        )
+        .withColumn(
+            "failure_rate",
+            F.col("n_failed").cast("double") / F.col("n_runs"),
+        )
+        .orderBy("job_name")
+    )

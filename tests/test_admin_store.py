@@ -200,3 +200,38 @@ def test_get_previous_batch_skips_running_and_self(spark, store):
     prev = store.get_previous_batch("nightly", exclude_id=current)
     assert prev is not None and prev.id == first and not prev.running
     assert store.get_previous_batch("other_name") is None
+
+
+def test_job_health_stats(spark, store):
+    """Dashboard rollup over the event-sourced jobs ledger: latest
+    state per job_id, failure rates, duration percentiles."""
+    import datetime
+
+    from lime_etl_spark.adapter.admin_store import job_health_stats
+    from lime_etl_spark.domain.statuses import JobResult, JobStatus
+    from lime_etl_spark.domain.value_objects import ExecutionMillis, UniqueId
+
+    t0 = datetime.datetime(2026, 5, 1, 8, 0)
+
+    def save(name, status, millis):
+        jid = UniqueId.generate().value
+        # event-sourced: RUNNING first, then the terminal state
+        store.save_job_result(JobResult(
+            id=jid, batch_id="b1", job_name=name,
+            status=JobStatus.running(), execution_millis=ExecutionMillis(0), ts=t0))
+        store.save_job_result(JobResult(
+            id=jid, batch_id="b1", job_name=name,
+            status=status, execution_millis=ExecutionMillis(millis), ts=t0))
+
+    for ms in (100, 200, 300, 400):
+        save("steady", JobStatus.success(), ms)
+    save("flaky", JobStatus.success(), 50)
+    save("flaky", JobStatus.failed("x"), 999)
+
+    stats = {r["job_name"]: r for r in job_health_stats(store).collect()}
+    assert stats["steady"]["n_runs"] == 4 and stats["steady"]["n_failed"] == 0
+    assert stats["steady"]["p50_millis"] == 250.0  # interpolated over 100..400
+    assert stats["flaky"]["n_runs"] == 2 and stats["flaky"]["n_failed"] == 1
+    assert stats["flaky"]["failure_rate"] == 0.5
+    # failed run's millis excluded from the success percentiles
+    assert stats["flaky"]["p50_millis"] == 50.0
