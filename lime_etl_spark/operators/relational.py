@@ -554,3 +554,76 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "q_cube_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    description="CUBE: all grouping-set combinations incl. cross margins",
+)
+def q_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE complements q_rollup_revenue: all 2^k grouping sets, so
+    both one-dimensional margins exist (ROLLUP only nests). Spark
+    expands the cube BEFORE the exchange — each input row fans out to
+    its grouping sets map-side and partial-aggregates, so the shuffle
+    carries pre-combined groups, not row multiples."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            to_double(F.sum(dec("l_quantity", 2, 12))).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "ev_value_histogram",
+    oracle="""
+    SELECT CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0
+                WHEN CAST(value AS DOUBLE) >= 500.0 THEN 21
+                ELSE CAST(FLOOR(CAST(value AS DOUBLE) / 25.0) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n_events,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    description="fixed-width histogram of purchase values (explicit bucket arithmetic)",
+)
+def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram — the profiling primitive behind data-test
+    drift checks. Bucket edges via explicit floor(v/width)+1 with
+    under/overflow bins (width_bucket semantics, spelled out because
+    the oracle engine lacks the function and explicit arithmetic is
+    cross-engine exact anyway); the aggregate is a tiny n_buckets-key
+    groupBy with map-side combine — scan-bound at any scale."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    v = F.col("value").cast("double")
+    bucket = (
+        F.when(v < 0.0, 0)
+        .when(v >= 500.0, 21)
+        .otherwise(F.floor(v / 25.0).cast("bigint") + 1)
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").cast("double").alias("min_value"),
+            F.max("value").cast("double").alias("max_value"),
+        )
+        .orderBy("bucket")
+    )

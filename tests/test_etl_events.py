@@ -22,6 +22,7 @@ KEYS = [
     "ev_json_props",
     "ev_top_users_by_spend",
     "ev_cohort_retention",
+    "ev_value_histogram",
 ]
 
 

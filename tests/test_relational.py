@@ -21,6 +21,7 @@ RELATIONAL = [
     "q_rollup_revenue",
     "q_price_quantiles",
     "q_order_gaps",
+    "q_cube_returns",
 ]
 
 
