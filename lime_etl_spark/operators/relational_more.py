@@ -1,0 +1,388 @@
+"""Relational breadth, part 3: the remaining classic TPC-H plan shapes
+(Q2/Q9/Q11/Q12/Q13/Q20 flavors) adapted to the driver schema — the
+reference schema carries no partsupp table and no
+shipmode/commitdate/receiptdate columns, so lineitem serves as the
+part↔supplier association and ship delay replaces the
+commit/receipt-date comparison.
+
+New plan shapes this module adds over relational.py / relational_sub.py:
+
+- **min-equality rejoin** (q2): a correlated MIN decorrelated onto the
+  join key, rows re-selected by exact-decimal equality with the min.
+- **profit expression across two dims** (q9): fact × 2 broadcast dims,
+  arithmetic combining columns of both, grouped by a dim attribute +
+  a date part.
+- **fraction-of-total HAVING** (q11): group agg filtered against a
+  1-row global aggregate, compared cross-multiplied in exact decimals.
+- **CASE-bucketed conditional counts** (q12): computed bucket as the
+  grouping key, disjoint conditional sums inside one partial agg.
+- **outer-join zero-count distribution** (q13): count-per-key
+  including empty keys, then a second agg over the counts — the
+  orders side is pre-aggregated BEFORE touching customer, so the
+  outer join carries one row per custkey, not one per order.
+- **conditional-vs-total threshold semi-selection** (q20): one pass
+  computes both a windowed-period agg and an all-time agg per key;
+  the ratio test is cross-multiplied.
+
+100 TB notes: every dim (part/supplier/nation/region) is an explicit
+broadcast; every threshold compares exact DECIMAL cross-products
+(never float division); q13 pre-aggregates the fact to one row per
+key before the dimension outer join, so the shuffle volume is
+O(distinct keys), not O(orders).
+
+Reference parity: lime-etl executes arbitrary analyst SQL through its
+unit-of-work (lime_etl/domain/job_spec.py:49, run() contract); these
+are the Spark plans for the remaining classic shapes of that SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_etl_spark.functions.numeric import dec, to_double
+from lime_etl_spark.plans.registry import register
+from lime_etl_spark.sources.readers import load_table
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+def _rev() -> "F.Column":
+    return dec("l_extendedprice", 2, 12) * (
+        F.lit(1).cast("decimal(3,2)") - dec("l_discount", 2, 4)
+    )
+
+
+@register(
+    "q2_min_price_supplier",
+    oracle="""
+    WITH euro AS (
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ), offers AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+        FROM lineitem JOIN euro ON l_suppkey = s_suppkey
+    ), best AS (
+        SELECT l_partkey AS pk, MIN(price) AS best_price
+        FROM offers GROUP BY l_partkey
+    )
+    SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name, n_name,
+           CAST(best_price AS DOUBLE) AS best_price
+    FROM offers
+    JOIN best ON l_partkey = pk AND price = best_price
+    JOIN part ON p_partkey = l_partkey
+    JOIN euro ON s_suppkey = l_suppkey
+    WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+    ORDER BY p_partkey, s_suppkey
+    """,
+    description="correlated-min best-offer supplier per part (TPC-H Q2 flavor)",
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest European supplier(s) per qualifying part. The
+    correlated `MIN(price) WHERE suppkey IN region` subquery is
+    decorrelated into a groupBy on l_partkey — the same key the
+    re-selection joins on, so one exchange of the offers feeds both
+    the MIN and the equality rejoin. Price equality compares exact
+    DECIMAL (ties kept on both engines); supplier/nation/region
+    resolve via broadcast before the fact is touched, part filter
+    broadcasts after. DISTINCT collapses repeat (part, supplier)
+    offers at the same best price."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    euro = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    offers = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", dec("l_extendedprice", 2, 12).alias("price"))
+        .join(F.broadcast(euro.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("price").alias("best_price")
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("pk")) & (F.col("price") == F.col("best_price")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(euro), F.col("l_suppkey") == euro.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            to_double(F.col("best_price")).alias("best_price"),
+        )
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+           CAST(SUM({rev} - CAST(p_retailprice AS DECIMAL(12,2))
+                            * CAST(l_quantity AS DECIMAL(12,2))
+                            * CAST(0.09 AS DECIMAL(4,2))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, strftime(o_orderdate, '%Y')
+    ORDER BY nation, o_year
+    """.format(rev=_REV_SQL),
+    description="product-line profit by supplier nation and year (TPC-H Q9 flavor)",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit (revenue minus a retail-price-based supply-cost proxy —
+    the schema has no partsupp.ps_supplycost) for widget parts, by the
+    supplier's nation and order year. part/supplier/nation broadcast;
+    the only shuffles are the orders equi-join on orderkey and the
+    final small groupBy. The profit expression stays in exact DECIMAL
+    through the sum — the two engines agree to the cent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    cost = (
+        dec("p_retailprice", 2, 12)
+        * dec("l_quantity", 2, 12)
+        * F.lit(0.09).cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        )
+        .agg(to_double(F.sum(_rev() - cost)).alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH asia AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    ), v AS (
+        SELECT l_partkey, SUM({rev}) AS val
+        FROM lineitem JOIN asia ON l_suppkey = s_suppkey
+        GROUP BY l_partkey
+    ), tot AS (SELECT SUM(val) AS t FROM v)
+    SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS part_value
+    FROM v, tot
+    WHERE val * 150 > t
+    ORDER BY part_value DESC, partkey
+    """.format(rev=_REV_SQL),
+    description="fraction-of-total important parts (TPC-H Q11 flavor)",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue through ASIA-region suppliers exceeds 1/150
+    of that region's total. The per-part aggregate is computed once;
+    its global SUM is a second 1-row aggregate broadcast back over the
+    groups. The fraction test cross-multiplies exact decimals
+    (val·150 > total) — no float division, no epsilon. The region
+    membership probe is a broadcast LEFT SEMI on the fact, so
+    disqualified lineitems never shuffle."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.join(F.broadcast(asia), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("val"))
+    )
+    tot = v.agg(F.sum("val").alias("t"))
+    return (
+        v.join(F.broadcast(tot))
+        .where(F.col("val") * 150 > F.col("t"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            to_double(F.col("val")).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+@register(
+    "q12_ship_delay_buckets",
+    oracle="""
+    SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 0 THEN 'early'
+                WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 'on-time'
+                WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN 'late'
+                ELSE 'very-late' END AS delay_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY delay_bucket
+    ORDER BY delay_bucket
+    """,
+    description="ship-delay buckets × priority conditional counts (TPC-H Q12 flavor)",
+)
+def q12_ship_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems bucketed by how long after ordering they shipped, with
+    urgent-vs-rest conditional counts per bucket (the schema has no
+    shipmode/commitdate, so ship delay is the Q12 axis). The computed
+    CASE bucket is the grouping key — it evaluates inside codegen
+    before the partial agg, so the shuffle carries at most 4 groups
+    per partition. Both timestamps are midnight-aligned: day diffs are
+    exact integers on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    bucket = (
+        F.when(delay < 0, "early")
+        .when(delay <= 30, "on-time")
+        .when(delay <= 90, "late")
+        .otherwise("very-late")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, COALESCE(cnt, 0) AS c_count
+        FROM customer LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS cnt
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_custkey
+        ) ON c_custkey = o_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    description="order-count-per-customer distribution incl. zeros (TPC-H Q13)",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed 0, 1, 2, … qualifying orders. Orders
+    are aggregated to one (custkey, count) row BEFORE meeting
+    customer, so the outer join — which must run to surface zero-order
+    customers — carries O(distinct custkeys), not O(orders). The
+    classic formulation (outer join then COUNT(o_orderkey)) shuffles
+    every order row; this one shuffles each key once. The second
+    aggregate is tiny (distinct counts)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ocnt = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_cust = cust.join(ocnt, cust.c_custkey == ocnt.o_custkey, "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q20_concentrated_shippers",
+    oracle="""
+    WITH q AS (
+        SELECT l_suppkey,
+               SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                         AND l_shipdate < TIMESTAMP '1998-01-01'
+                        THEN CAST(l_quantity AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS recent_qty,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(recent_qty AS DOUBLE) AS recent_qty,
+           CAST(total_qty AS DOUBLE) AS total_qty
+    FROM supplier JOIN q ON s_suppkey = l_suppkey
+    WHERE recent_qty * 6 > total_qty
+    ORDER BY s_suppkey
+    """,
+    description="suppliers with period-concentrated shipments (TPC-H Q20 flavor)",
+)
+def q20_concentrated_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped more than a sixth of their all-time bolt
+    quantity during 1997 (the Q20 'excess availability' test, recast
+    without partsupp: period quantity vs all-time quantity per
+    supplier). ONE pass over the qualifying fact computes both the
+    conditional period sum and the total — no self-join, no second
+    scan. The ratio threshold cross-multiplies exact decimals
+    (recent·6 > total); the supplier dim resolves by broadcast after
+    the per-key aggregate."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    in_period = (F.col("l_shipdate") >= "1997-01-01") & (
+        F.col("l_shipdate") < "1998-01-01"
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    q = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in_period, dec("l_quantity", 2, 12)).otherwise(zero)).alias(
+                "recent_qty"
+            ),
+            F.sum(dec("l_quantity", 2, 12)).alias("total_qty"),
+        )
+    )
+    return (
+        q.where(F.col("recent_qty") * 6 > F.col("total_qty"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            to_double(F.col("recent_qty")).alias("recent_qty"),
+            to_double(F.col("total_qty")).alias("total_qty"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -24,6 +24,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 _OPERATOR_MODULES = (
     "lime_etl_spark.operators.relational",
     "lime_etl_spark.operators.relational_sub",
+    "lime_etl_spark.operators.relational_more",
     "lime_etl_spark.operators.etl",
     "lime_etl_spark.operators.events",
     "lime_etl_spark.operators.text",
