@@ -243,3 +243,137 @@ def samp_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+DOMAIN_BUDGET = 1000  # tokens kept per source domain
+BUDGET_SHARDS = 4
+_ORD = 1_000_003  # ordering-hash modulus (prime, >> docs per source)
+
+
+@register(
+    "samp_domain_budget",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               {_bucket_sql("doc_id", BUDGET_SHARDS)} AS shard,
+               {_bucket_sql("doc_id", _ORD)} AS ord,
+               len(regexp_extract_all(text, '{BPE_RE}')) AS n_tokens
+        FROM documents
+    ), placed AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY shard, ord, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM sized
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+           MIN(doc_id) AS min_doc_id
+    FROM placed
+    WHERE cum - n_tokens < {DOMAIN_BUDGET}
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="per-domain token budget: greedy keep in deterministic hash order",
+)
+def samp_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source domain at DOMAIN_BUDGET tokens: docs are taken
+    in a deterministic hash order until the running token total passes
+    the budget (a doc is kept if it STARTS under budget — same greedy
+    rule as pack_sequences). The selection order is shard-major
+    ((shard, ord, doc_id)), which lets the cumulative sum decompose
+    into two bounded windows at scale: a running sum WITHIN each
+    (source, shard) — parallel across shards — plus a per-shard offset
+    computed by a window over the tiny (source, shard) totals and
+    broadcast back. No single task ever sequences a whole 100 TB
+    domain; the oracle's single global window is the semantic spec."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        hash_bucket(F.col("doc_id"), BUDGET_SHARDS).alias("shard"),
+        hash_bucket(F.col("doc_id"), _ORD).alias("ord"),
+        F.regexp_count("text", F.lit(BPE_RE)).cast("bigint").alias("n_tokens"),
+    )
+    w_in = (
+        Window.partitionBy("source", "shard")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        sized.groupBy("source", "shard")
+        .agg(F.sum("n_tokens").alias("st"))
+        .withColumn("offset", F.sum("st").over(w_off) - F.col("st"))
+        .select("source", F.col("shard").alias("off_shard"), "offset")
+    )
+    placed = (
+        sized.withColumn("rsum", F.sum("n_tokens").over(w_in))
+        .join(
+            F.broadcast(offsets),
+            (sized.source == offsets.source) & (F.col("shard") == F.col("off_shard")),
+        )
+        .drop(offsets.source)
+        .withColumn("cum", F.col("offset") + F.col("rsum"))
+    )
+    return (
+        placed.where(F.col("cum") - F.col("n_tokens") < DOMAIN_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+CURRICULUM_PHASES = 4
+
+
+@register(
+    "samp_curriculum",
+    oracle=f"""
+    WITH phased AS (
+        SELECT doc_id, source, n_chars,
+               NTILE({CURRICULUM_PHASES}) OVER (PARTITION BY source
+                                                ORDER BY n_chars, doc_id) AS phase
+        FROM documents
+    )
+    SELECT source, phase,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM phased
+    GROUP BY source, phase
+    ORDER BY source, phase
+    """,
+    description="curriculum phases: per-source ntile by difficulty (easy→hard)",
+)
+def samp_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: within each source, docs are
+    ranked by a difficulty proxy (length — short docs first) and cut
+    into CURRICULUM_PHASES equal phases with NTILE; ties break on
+    doc_id so both engines assign identically. The window partitions
+    by source, so phases compute in parallel across domains. At
+    100 TB a single mega-domain would serialize its partition —
+    there the phase boundary comes from approx_percentile thresholds
+    (a 1-row broadcast) instead of an exact global sort; NTILE is the
+    exact semantic spec the approximation converges to."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        docs.withColumn("phase", F.ntile(CURRICULUM_PHASES).over(w))
+        .groupBy("source", "phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source", "phase")
+    )

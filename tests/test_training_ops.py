@@ -65,3 +65,41 @@ def test_packs_respect_budget_start(spark, sf_dir):
         assert packs[0]["pack_id"] == 0
         total = sum(p["total_tokens"] for p in packs)
         assert total >= PACK_BUDGET * (packs[-1]["pack_id"])
+
+
+@pytest.mark.parametrize("name", ["samp_domain_budget", "samp_curriculum"])
+def test_new_sampling_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_domain_budget_cuts_every_source(spark, sf_dir):
+    """The budget must actually bind: each source keeps fewer docs
+    than it has, but at least one, and kept tokens exceed the budget
+    by at most one doc (greedy start-under-budget rule)."""
+    from lime_etl_spark.operators.training import DOMAIN_BUDGET
+    from lime_etl_spark.sources.readers import load_table
+
+    per_source = {
+        r["source"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    rows = all_queries()["samp_domain_budget"].builder(spark, sf_dir).collect()
+    assert set(r["source"] for r in rows) == set(per_source)
+    for r in rows:
+        assert 0 < r["n_kept"] < per_source[r["source"]]
+        assert r["kept_tokens"] >= DOMAIN_BUDGET  # last doc straddles the line
+
+
+def test_curriculum_phases_ordered_by_difficulty(spark, sf_dir):
+    """Within a source, phase k's max difficulty never exceeds phase
+    k+1's min (ntile on a sorted order is monotone)."""
+    rows = all_queries()["samp_curriculum"].builder(spark, sf_dir).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, phases in by_source.items():
+        phases.sort(key=lambda r: r["phase"])
+        assert [p["phase"] for p in phases] == list(range(1, len(phases) + 1))
+        for a, b in zip(phases, phases[1:]):
+            assert a["max_chars"] <= b["min_chars"], (src, a, b)
