@@ -85,9 +85,12 @@ def main() -> None:
         small_total = 0.0
         for name in names:
             run_at(name, lower)
-            t0 = time.perf_counter()
-            run_at(name, lower)
-            small_total += time.perf_counter() - t0
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run_at(name, lower)
+                best = min(best, time.perf_counter() - t0)
+            small_total += best
         sf_matrix["0.01"] = round(small_total, 4)
 
     print(
