@@ -121,3 +121,44 @@ def test_whole_stage_codegen_everywhere(spark, sf_dir):
     for name in ("q1_pricing_summary", "q3_shipping_priority", "q6_revenue_forecast"):
         plan = final_plan_of(spark, sf_dir, name)
         assert "*(" in plan, f"{name}: no WholeStageCodegen span"
+
+
+def test_q13_outer_join_carries_aggregated_side(spark, sf_dir):
+    """Q13's point at scale: the LEFT OUTER join must consume the
+    pre-aggregated (custkey, count) rows, never raw orders — the
+    HashAggregate must sit BELOW the outer join in the plan."""
+    plan = plan_of(spark, sf_dir, "q13_order_count_distribution")
+    join_at = plan.find("LeftOuter")
+    assert join_at != -1, plan
+    # In formatted explain the operator tree is printed top-down, so an
+    # aggregate feeding the join appears as a numbered node; assert the
+    # count aggregate over o_custkey exists at all, plus no raw orders
+    # columns besides o_custkey survive into the join.
+    assert re.search(r"partial_count", plan), "orders not pre-aggregated"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan.split("orders.parquet")[1])
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"o_custkey", "o_orderpriority"}, cols
+
+
+def test_q2_region_probe_is_broadcast_semi(spark, sf_dir):
+    """The European-supplier membership probe on the fact must be a
+    broadcast LEFT SEMI (disqualified lineitems never shuffle)."""
+    plan = plan_of(spark, sf_dir, "q2_min_price_supplier")
+    assert re.search(r"BroadcastHashJoin[^\n]*LeftSemi", plan), plan[:2000]
+
+
+def test_q9_all_dims_broadcast(spark, sf_dir):
+    """part/supplier/nation are all broadcast; the only exchanges are
+    the orders equi-join and the final small groupBy."""
+    plan = plan_of(spark, sf_dir, "q9_product_profit")
+    assert plan.count("BroadcastExchange") >= 3, "expected 3 broadcast dims"
+    assert not re.search(r"BroadcastExchange[^\n]*\n[^\n]*lineitem", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*p_name", plan), "part LIKE not pushed"
+
+
+def test_q20_single_pass_no_self_join(spark, sf_dir):
+    """Period-vs-total must compute in ONE aggregate over one scan of
+    the qualifying fact — a self-join or second lineitem scan is the
+    regression this gate catches."""
+    plan = plan_of(spark, sf_dir, "q20_concentrated_shippers")
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
