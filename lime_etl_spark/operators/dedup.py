@@ -328,6 +328,13 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    return simhash_band_pairs(sigs).where(F.col("hamming") <= HAMMING_MAX)
+
+
+def simhash_band_pairs(sigs: DataFrame) -> DataFrame:
+    """All candidate pairs sharing a 16-bit simhash band (pigeonhole:
+    any pair within hamming 3 of each other shares at least one of the
+    4 bands intact), with exact hamming attached."""
     chunks = [
         sigs.select(
             "doc_id",
@@ -339,7 +346,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     buckets = reduce(lambda x, y: x.unionByName(y), chunks)
     a, b = buckets.alias("a"), buckets.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -353,7 +360,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.where(F.col("hamming") <= HAMMING_MAX)
+
+
+def simhash_edges_scaled(sigs: DataFrame) -> DataFrame:
+    """Clustering-sufficient near-dup edges for templated corpora.
+
+    The failure mode of plain banding at 100 TB is boilerplate: a
+    template shared by millions of docs yields millions of IDENTICAL
+    signatures, every band bucket of which goes quadratic in the
+    self-join. But listing all O(m²) pairs inside an
+    identical-signature group is pointless for dedup — clustering only
+    needs the group to be connected. So:
+
+    1. collapse identical signatures to a representative (min doc_id)
+       and emit LINEAR star edges rep→member (hamming 0 by identity);
+    2. run the band join on DISTINCT signatures only — the quadratic
+       blow-up disappears because each signature now appears once.
+
+    Connected components over these edges equal components over the
+    full pair list (pytest-verified): within-group pairs are connected
+    through the star, and any cross-group near-dup pair (d1,d2) is
+    witnessed by its representatives (r1,r2), which carry the same two
+    signatures and therefore the same hamming distance."""
+    reps = sigs.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    same_sig = (
+        sigs.join(
+            reps.withColumnRenamed("doc_id", "rep_id"), "simhash"
+        )
+        .where(F.col("doc_id") != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    rep_pairs = simhash_band_pairs(reps).where(F.col("hamming") <= HAMMING_MAX)
+    return same_sig.unionByName(rep_pairs)
+
+
+@register(
+    "dedup_simhash_scaled",
+    description="templated-corpus simhash dedup: star edges for identical signatures + banding over distinct signatures",
+)
+def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    return simhash_edges_scaled(sigs).orderBy("doc_a", "doc_b")
 
 
 @register(

@@ -437,3 +437,77 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t, c in specs
     ]
     return reduce(lambda a, b: a.unionByName(b), dfs).orderBy("table_name")
+
+
+from lime_etl_spark.operators.training import _bucket_sql, hash_bucket  # noqa: E402
+
+DRIFT_WIDTH = 100
+DRIFT_MAX = 2000  # lengths at/above this collapse into the overflow bucket
+
+
+@register(
+    "dq_distribution_drift",
+    oracle=f"""
+    WITH halves AS (
+        SELECT CASE WHEN {_bucket_sql("doc_id", 100)} < 50 THEN 0 ELSE 1 END AS half,
+               CASE WHEN n_chars >= {DRIFT_MAX} THEN {DRIFT_MAX // DRIFT_WIDTH}
+                    ELSE CAST(FLOOR(CAST(n_chars AS DOUBLE) / {DRIFT_WIDTH}.0) AS BIGINT)
+               END AS bucket
+        FROM documents
+    ),
+    counts AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS base_n,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+        FROM halves GROUP BY bucket
+    )
+    SELECT bucket, base_n, cur_n,
+           CAST(base_n AS DOUBLE) / CAST(SUM(base_n) OVER () AS DOUBLE) AS base_rate,
+           CAST(cur_n AS DOUBLE) / CAST(SUM(cur_n) OVER () AS DOUBLE) AS cur_rate,
+           CAST(cur_n AS DOUBLE) / CAST(SUM(cur_n) OVER () AS DOUBLE)
+             - CAST(base_n AS DOUBLE) / CAST(SUM(base_n) OVER () AS DOUBLE) AS rate_delta
+    FROM counts
+    ORDER BY bucket
+    """,
+    description="distribution-drift profile: per-bucket rate delta between two corpus halves",
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift data test: bucket the n_chars distribution of
+    two deterministic corpus halves (md5-bucket split standing in for
+    baseline-vs-current ingests) and report per-bucket counts and
+    rate deltas. This is the profile a drift monitor (PSI / KS) is
+    computed from; we surface per-bucket deltas rather than a single
+    PSI scalar because ln() is not bit-stable cross-engine while
+    exact-count ratios and their differences are.
+
+    Scale: the scan reduces map-side to <= n_buckets x 2 counters, so
+    the groupBy ships ~21 rows per task; the unpartitioned window for
+    the totals runs on that already-tiny aggregate (single partition
+    of ~21 rows at ANY corpus scale - the reduction happened first)."""
+    docs = load_table(spark, sf_dir, "documents")
+    half = F.when(hash_bucket(F.col("doc_id"), 100) < 50, 0).otherwise(1)
+    nc = F.col("n_chars").cast("double")
+    bucket = (
+        F.when(F.col("n_chars") >= DRIFT_MAX, DRIFT_MAX // DRIFT_WIDTH)
+        .otherwise(F.floor(nc / DRIFT_WIDTH).cast("bigint"))
+        .cast("bigint")
+    )
+    counts = (
+        docs.select(half.alias("half"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("base_n"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cur_n"),
+        )
+    )
+    w = Window.partitionBy()
+    base_rate = F.col("base_n").cast("double") / F.sum("base_n").over(w).cast("double")
+    cur_rate = F.col("cur_n").cast("double") / F.sum("cur_n").over(w).cast("double")
+    return counts.select(
+        "bucket",
+        "base_n",
+        "cur_n",
+        base_rate.alias("base_rate"),
+        cur_rate.alias("cur_rate"),
+        (cur_rate - base_rate).alias("rate_delta"),
+    ).orderBy("bucket")

@@ -256,3 +256,74 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "ev_user_lifecycle",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    lab AS (
+        SELECT user_id, wk,
+               LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+               LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        FROM uw
+    )
+    SELECT strftime(wk, '%Y-%m-%d') AS week,
+           CAST(SUM(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN prev_wk IS NOT NULL
+                          AND date_diff('day', prev_wk, wk) = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN prev_wk IS NOT NULL
+                          AND date_diff('day', prev_wk, wk) > 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           CAST(SUM(CASE WHEN next_wk IS NULL
+                          OR date_diff('day', wk, next_wk) > 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_churning
+    FROM lab
+    GROUP BY wk
+    ORDER BY week
+    """,
+    description="weekly active-user lifecycle: new / retained / resurrected / churning",
+)
+def ev_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly user-lifecycle accounting — the growth dashboard behind
+    every events pipeline: for each Monday-truncated active week, how
+    many users are new (first-ever week), retained (also active the
+    immediately preceding week), resurrected (returning after a gap),
+    and churning (no activity the following week; the final corpus
+    week is all-churning by construction, which the dashboard reads
+    as right-censored).
+
+    One shuffle on user_id serves both window functions (lag + lead
+    share the same partitioning and ordering), and the per-week
+    rollup that follows is a tiny map-side-combined aggregate over
+    at most |users| x |weeks| distinct rows. All counts are exact
+    BIGINTs - no float determinism concerns cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    lab = uw.select(
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    gap_in = F.datediff(F.col("wk"), F.col("prev_wk"))
+    gap_out = F.datediff(F.col("next_wk"), F.col("wk"))
+    return (
+        lab.groupBy(F.date_format("wk", "yyyy-MM-dd").alias("week"))
+        .agg(
+            F.sum(F.when(F.col("prev_wk").isNull(), 1).otherwise(0)).alias("n_new"),
+            F.sum(
+                F.when(F.col("prev_wk").isNotNull() & (gap_in == 7), 1).otherwise(0)
+            ).alias("n_retained"),
+            F.sum(
+                F.when(F.col("prev_wk").isNotNull() & (gap_in > 7), 1).otherwise(0)
+            ).alias("n_resurrected"),
+            F.sum(
+                F.when(F.col("next_wk").isNull() | (gap_out > 7), 1).otherwise(0)
+            ).alias("n_churning"),
+        )
+        .orderBy("week")
+    )

@@ -51,21 +51,37 @@ def _path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, name)
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to the session-tz TimestampType.
+
+    The test parquet stores naive µs timestamps (isAdjustedToUTC=false),
+    which Spark 4 infers as TIMESTAMP_NTZ by default. All our event-time
+    arithmetic is ``unix_micros``-based and the DuckDB oracle treats the
+    same values as UTC instants, so we pin the session to UTC and cast —
+    the cast is then numerically a no-op on the stored micros.
+    """
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Declarative parquet scan → pushdown-friendly.
 
-    The events table stores TIMESTAMP(NANOS), which Spark 4 refuses by
-    default; we read nanos as long and truncate to Spark's native µs
-    TimestampType so downstream code sees a normal timestamp column.
-    The conf is set at runtime because the driver owns the session.
+    Confs are set at runtime because the driver owns the session: the
+    session tz must be UTC for the NTZ cast in :func:`_normalize_ntz`
+    to preserve the stored epoch micros, and legacy nanosAsLong covers
+    older testdata generations that wrote TIMESTAMP(NANOS).
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(_path(sf_dir, name))
+        return _normalize_ntz(df)
+    return _normalize_ntz(spark.read.parquet(_path(sf_dir, name)))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -33,6 +33,7 @@ Scale design:
 from __future__ import annotations
 
 import os
+import time
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -420,3 +421,80 @@ def read_kafka_stream(
         F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
         F.col("timestamp").alias("kafka_ts"),
     ).select("v.*", "kafka_ts")
+
+
+class CompactionTrigger:
+    """Rate-limited small-file compaction for append-style streaming
+    sinks (the foreachBatch parquet dirs this module writes; NOT a
+    native file-sink dir, whose ``_spark_metadata`` log must never be
+    rewritten out-of-band).
+
+    An append-per-micro-batch sink at 100 TB mints millions of KB
+    files and scan planning starts to dominate read time. Call
+    :meth:`maybe_compact` after each micro-batch commit; it fires only
+    when BOTH gates pass:
+
+    - file-count gate: the sink holds more than ``max_files`` parquet
+      files (``os.walk`` locally; a lake table answers this from its
+      manifest without listing);
+    - rate gate: at least ``min_interval_s`` elapsed since the last
+      compaction, so a hot stream spends a bounded fraction of its
+      time rewriting and an idle stream never rewrites at all.
+
+    Reference parity: the reference schedules housekeeping as admin
+    jobs (lime_etl/service/admin/delete_old_logs.py); this is the
+    streaming-era equivalent, inlined into the sink's commit point
+    because streams have no natural between-batches scheduler.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        max_files: int = 64,
+        min_interval_s: float = 300.0,
+        target_file_mb: int = 128,
+    ) -> None:
+        self.path = path
+        self.max_files = max_files
+        self.min_interval_s = min_interval_s
+        self.target_file_mb = target_file_mb
+        self._last_compact_mono: float | None = None
+        self.compactions = 0  # observability: exported to batch metrics
+
+    def due(self) -> bool:
+        from lime_etl_spark.operators.maintenance import parquet_file_count
+
+        if not os.path.exists(self.path):
+            return False
+        if parquet_file_count(self.path) <= self.max_files:
+            return False
+        if self._last_compact_mono is None:
+            return True
+        return (time.monotonic() - self._last_compact_mono) >= self.min_interval_s
+
+    def maybe_compact(self, spark: SparkSession) -> bool:
+        """Compact if due; returns whether a compaction ran."""
+        from lime_etl_spark.operators.maintenance import compact_parquet
+
+        if not self.due():
+            return False
+        compact_parquet(spark, self.path, target_file_mb=self.target_file_mb)
+        self._last_compact_mono = time.monotonic()
+        self.compactions += 1
+        return True
+
+
+def with_compaction(
+    process: Callable[[DataFrame, int], None], trigger: CompactionTrigger
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch function so each commit may trigger a
+    rate-limited compaction of the sink it just appended to. The
+    compaction runs on the driver inside the micro-batch slot —
+    intentionally: it must not race the next append into the same dir.
+    """
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        process(batch_df, batch_id)
+        trigger.maybe_compact(batch_df.sparkSession)
+
+    return wrapped

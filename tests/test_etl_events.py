@@ -23,6 +23,8 @@ KEYS = [
     "ev_top_users_by_spend",
     "ev_cohort_retention",
     "ev_value_histogram",
+    "ev_user_lifecycle",
+    "dq_distribution_drift",
 ]
 
 

@@ -314,3 +314,51 @@ def test_kafka_option_plumbing(spark):
         assert "kafka" in str(e).lower()  # DATA_SOURCE_NOT_FOUND
     else:  # connector present: projection must expose the event schema
         assert "event_id" in df.columns and "kafka_ts" in df.columns
+
+
+def test_compaction_trigger_gates_and_compacts(spark, tmp_path):
+    """CompactionTrigger: file-count gate, rate gate, and the actual
+    rewrite — many tiny appended files collapse to ~1; an immediate
+    re-check is rate-limited; data survives byte-for-byte."""
+    from lime_etl_spark.operators.maintenance import parquet_file_count
+    from lime_etl_spark.streaming.pipeline import CompactionTrigger
+
+    sink = str(tmp_path / "sink")
+    for i in range(8):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode("append").parquet(sink)
+    assert parquet_file_count(sink) >= 8
+
+    # below the file-count gate -> not due
+    trig = CompactionTrigger(sink, max_files=100, min_interval_s=0.0)
+    assert trig.maybe_compact(spark) is False
+
+    trig = CompactionTrigger(sink, max_files=4, min_interval_s=3600.0)
+    assert trig.maybe_compact(spark) is True
+    assert parquet_file_count(sink) <= 4
+    assert spark.read.parquet(sink).count() == 80
+
+    # regrow the small files: due again by count, but rate-limited
+    for i in range(8):
+        spark.range(i).coalesce(1).write.mode("append").parquet(sink)
+    assert trig.maybe_compact(spark) is False
+    trig.min_interval_s = 0.0
+    assert trig.maybe_compact(spark) is True
+    assert trig.compactions == 2
+
+
+def test_with_compaction_wraps_foreach_batch(spark, tmp_path):
+    """with_compaction runs the wrapped process first, then the
+    rate-limited compaction against the freshly-appended sink."""
+    from lime_etl_spark.streaming.pipeline import CompactionTrigger, with_compaction
+
+    sink = str(tmp_path / "sink2")
+
+    def process(batch_df, batch_id):
+        batch_df.coalesce(1).write.mode("append").parquet(sink)
+
+    trig = CompactionTrigger(sink, max_files=2, min_interval_s=0.0)
+    wrapped = with_compaction(process, trig)
+    for b in range(5):
+        wrapped(spark.range(b * 5, (b + 1) * 5), b)
+    assert trig.compactions >= 1
+    assert spark.read.parquet(sink).count() == 25

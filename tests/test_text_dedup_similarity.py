@@ -154,3 +154,57 @@ def test_multiprobe_recall_beats_single_probe(spark, sf_dir):
     multi = pairs("ann_ivf_multiprobe") & truth
     assert single <= multi
     assert len(multi) > len(single)
+
+
+def test_simhash_scaled_equals_full_clustering(spark, sf_dir):
+    """Connected components over the scaled edge list (star edges for
+    identical signatures + banding over distinct signatures) must equal
+    components over the full banded pair list."""
+    from lime_etl_spark.operators.dedup import (
+        HAMMING_MAX,
+        simhash_band_pairs,
+        simhash_edges_scaled,
+        simhash_signatures,
+    )
+    from lime_etl_spark.operators.graph import connected_components
+    from lime_etl_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    sigs = simhash_signatures(load_table(spark, sf_dir, "documents")).persist()
+    verts = sigs.select(F.col("doc_id").alias("vid"))
+
+    def comps(edges):
+        labels = connected_components(
+            verts, edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        )
+        return {(r["vid"], r["label"]) for r in labels.collect()}
+
+    full = simhash_band_pairs(sigs).where(F.col("hamming") <= HAMMING_MAX)
+    scaled = simhash_edges_scaled(sigs)
+    assert comps(scaled) == comps(full)
+    sigs.unpersist()
+
+
+def test_simhash_scaled_collapses_templated_corpus(spark):
+    """A boilerplate corpus (many identical docs) must band-join over
+    distinct signatures only: the star edges are linear in group size
+    and the representative pair list stays tiny."""
+    from lime_etl_spark.operators.dedup import simhash_edges_scaled, simhash_signatures
+    from pyspark.sql import functions as F
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(200)] + [
+        (1000, "an entirely different document about spark shuffles"),
+        (1001, "an entirely different document about spark shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = simhash_signatures(docs).persist()
+    assert sigs.select("simhash").distinct().count() == 2
+
+    edges = simhash_edges_scaled(sigs).collect()
+    star = [e for e in edges if e["hamming"] == 0]
+    # linear, not quadratic: 199 star edges for the template group,
+    # 1 for the pair — not C(200,2)+C(2,2)
+    assert len(star) == 200
+    assert all(e["doc_a"] in (0, 1000) for e in star)
+    sigs.unpersist()
