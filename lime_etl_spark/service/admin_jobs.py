@@ -9,6 +9,7 @@ not O(rows).
 
 from __future__ import annotations
 
+import dataclasses
 import datetime
 from typing import List, Optional
 
@@ -122,3 +123,40 @@ class CompactAdminLedger(SparkJobSpec):
                 )
             ]
         return [SimpleTestResult(test_name=name, outcome=Result.success())]
+
+
+@dataclasses.dataclass(frozen=True)
+class AdminConfig:
+    """Reference lime_etl/domain/cfg.py: the knobs an admin batch needs.
+    ``admin_dir`` replaces admin_engine_uri+schema (the parquet ledger
+    root plays both roles); retention default matches the reference
+    (DaysToKeep(3), cfg.py:20)."""
+
+    admin_dir: str
+    days_logs_to_keep: int = 3
+    min_seconds_between_runs: int = 12 * 60 * 60  # admin_batch.py:20
+
+
+def admin_batch(
+    store: SparkAdminStore, config: AdminConfig
+) -> "SparkBatchSpec":
+    """The prebuilt housekeeping batch (reference service/admin/
+    admin_batch.py): a batch named "admin" that purges old logs and —
+    Spark-ledger specific — compacts the append-only admin parquet.
+    Schedule it beside user batches; refresh-interval gating (default
+    12h, like the reference) makes over-scheduling harmless."""
+    from lime_etl_spark.domain.specs import SparkBatchSpec
+
+    return SparkBatchSpec(
+        name="admin",
+        jobs=[
+            DeleteOldLogs(
+                store,
+                days_logs_to_keep=config.days_logs_to_keep,
+                min_seconds_between_runs=config.min_seconds_between_runs,
+            ),
+            CompactAdminLedger(
+                store, min_seconds_between_runs=config.min_seconds_between_runs
+            ),
+        ],
+    )

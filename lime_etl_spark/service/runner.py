@@ -37,6 +37,7 @@ from pyspark.sql import SparkSession
 
 from lime_etl_spark.adapter.admin_store import BatchLogger, JobLogger, SparkAdminStore
 from lime_etl_spark.domain.batch_delta import BatchDelta
+from lime_etl_spark.domain.clock import ClockAdapter, LocalClockAdapter
 from lime_etl_spark.domain.exceptions import (
     DependencyErrors,
     DuplicateJobNames,
@@ -89,8 +90,11 @@ def run_batch(
     store: SparkAdminStore,
     log_to_console: bool = False,
     resources: Optional[dict] = None,
+    clock: Optional[ClockAdapter] = None,
 ) -> BatchStatus:
-    status, _ = run_batch_with_delta(batch, spark, store, log_to_console, resources)
+    status, _ = run_batch_with_delta(
+        batch, spark, store, log_to_console, resources, clock
+    )
     return status
 
 
@@ -100,6 +104,7 @@ def run_batch_with_delta(
     store: SparkAdminStore,
     log_to_console: bool = False,
     resources: Optional[dict] = None,
+    clock: Optional[ClockAdapter] = None,
 ) -> Tuple[BatchStatus, BatchDelta]:
     """run_batch plus the batch-over-batch health delta.
 
@@ -108,8 +113,14 @@ def run_batch_with_delta(
     newly fixed jobs — reference batch_delta.py) is logged to the
     batch log and returned alongside the status, so callers can alert
     on regressions without re-reading the admin store.
+
+    ``clock`` is the reference's TimestampAdapter seam: every
+    time-based decision (refresh skip, test skip, batch deadline,
+    execution_millis) reads it, so tests drive intervals without
+    sleeping. Default is the wall clock.
     """
-    start = datetime.datetime.now()
+    clock = clock or LocalClockAdapter()
+    start = clock.now()
     logger = BatchLogger(store, batch.batch_id, log_to_console)
     previous = store.get_previous_batch(batch.batch_name, exclude_id=batch.batch_id)
     store.save_batch(
@@ -125,7 +136,7 @@ def run_batch_with_delta(
     )
     logger.info(f"Starting batch [{batch.batch_name}]...")
     try:
-        result = _run_jobs(batch, spark, store, logger, start, resources or {})
+        result = _run_jobs(batch, spark, store, logger, start, resources or {}, clock)
     except Exception as e:
         logger.exception(e)
         result = BatchStatus(
@@ -133,11 +144,9 @@ def run_batch_with_delta(
             name=batch.batch_name,
             job_results=frozenset(),
             execution_success_or_failure=Result.failure(str(e)),
-            execution_millis=ExecutionMillis.calculate(
-                start=_ts(start), end=_ts(datetime.datetime.now())
-            ),
+            execution_millis=clock.get_elapsed_time(start),
             running=False,
-            ts=datetime.datetime.now(),
+            ts=clock.now(),
         )
         store.save_batch(result)
         store.flush_logs()
@@ -149,12 +158,6 @@ def run_batch_with_delta(
     return result, delta
 
 
-def _ts(dt: datetime.datetime):
-    from lime_etl_spark.domain.value_objects import Timestamp
-
-    return Timestamp(dt)
-
-
 def _run_jobs(
     batch: SparkBatchSpec,
     spark: SparkSession,
@@ -162,6 +165,7 @@ def _run_jobs(
     logger: BatchLogger,
     start: datetime.datetime,
     resources: dict,
+    clock: ClockAdapter,
 ) -> BatchStatus:
     jobs = batch.create_jobs()
     check_dependencies(jobs)
@@ -179,8 +183,7 @@ def _run_jobs(
         # timeout; killing it mid-batch would leave half-written state.
         if (
             batch.timeout_seconds is not None
-            and (datetime.datetime.now() - start).total_seconds()
-            > batch.timeout_seconds
+            and (clock.now() - start).total_seconds() > batch.timeout_seconds
         ):
             logger.info(
                 f"Batch timeout of {batch.timeout_seconds} seconds exceeded; "
@@ -219,7 +222,7 @@ def _run_jobs(
         else:
             last_ok = store.get_last_successful_ts(job.job_name)
             if last_ok is not None:
-                since = (datetime.datetime.now() - last_ok).total_seconds()
+                since = (clock.now() - last_ok).total_seconds()
                 due = since > job.min_seconds_between_refreshes
             else:
                 since, due = 0.0, True
@@ -238,13 +241,12 @@ def _run_jobs(
                 )
                 try:
                     result = _run_job(
-                        batch, job, job_id, spark, store, job_logger, job_results, resources
+                        batch, job, job_id, spark, store, job_logger, job_results,
+                        resources, clock,
                     )
                 except Exception as e:
                     logger.exception(e)
-                    millis = ExecutionMillis.calculate(
-                        start=_ts(start), end=_ts(datetime.datetime.now())
-                    )
+                    millis = clock.get_elapsed_time(start)
                     result = JobResult(
                         id=job_id,
                         batch_id=batch.batch_id,
@@ -273,7 +275,7 @@ def _run_jobs(
         job_results.append(result)
         store.save_job_result(result)
 
-    end = datetime.datetime.now()
+    end = clock.now()
     return BatchStatus(
         id=batch.batch_id,
         name=batch.batch_name,
@@ -294,10 +296,11 @@ def _run_job(
     logger: JobLogger,
     prior_results: Sequence[JobResult],
     resources: dict,
+    clock: ClockAdapter,
 ) -> JobResult:
     """Dependency-failure check → run with retry → tests → handlers."""
     logger.info(f"Starting [{job.job_name}]...")
-    start = datetime.datetime.now()
+    start = clock.now()
 
     dep_failures = {
         r.job_name
@@ -320,15 +323,15 @@ def _run_job(
         raise Exception(f"The following dependencies failed to execute: {errs}")
 
     ctx = JobContext(spark=spark, logger=logger, resources=resources)
-    status, millis = _run_with_retry(job, ctx, spark, logger, start)
+    status, millis = _run_with_retry(job, ctx, spark, logger, start, clock)
 
     test_results: frozenset = frozenset()
     if status.is_success:
         logger.info(f"[{job.job_name}] finished successfully.")
-        if not batch.skip_tests and _tests_due(job, store, logger):
-            t0 = datetime.datetime.now()
+        if not batch.skip_tests and _tests_due(job, store, logger, clock):
+            t0 = clock.now()
             simple = job.test(ctx)
-            t_millis = int((datetime.datetime.now() - t0).total_seconds() * 1000)
+            t_millis = int((clock.now() - t0).total_seconds() * 1000)
             if simple:
                 passed = sum(1 for t in simple if t.test_passed)
                 failed = sum(1 for t in simple if t.test_failed)
@@ -368,7 +371,8 @@ def _run_job(
         if replacement is not None:
             logger.info(f"Running replacement job for [{job.job_name}]...")
             return _run_job(
-                batch, replacement, job_id, spark, store, logger, prior_results, resources
+                batch, replacement, job_id, spark, store, logger, prior_results,
+                resources, clock,
             )
     elif any(t.test_failed for t in test_results):
         simple_failed = [
@@ -378,12 +382,15 @@ def _run_job(
         if replacement is not None:
             logger.info(f"Running test-failure replacement job for [{job.job_name}]...")
             return _run_job(
-                batch, replacement, job_id, spark, store, logger, prior_results, resources
+                batch, replacement, job_id, spark, store, logger, prior_results,
+                resources, clock,
             )
     return result
 
 
-def _tests_due(job: SparkJobSpec, store: SparkAdminStore, logger: JobLogger) -> bool:
+def _tests_due(
+    job: SparkJobSpec, store: SparkAdminStore, logger: JobLogger, clock: ClockAdapter
+) -> bool:
     last = store.latest_test_results(job.job_name)
     if not last:
         logger.info(
@@ -391,7 +398,7 @@ def _tests_due(job: SparkJobSpec, store: SparkAdminStore, logger: JobLogger) -> 
         )
         return True
     last_ts = max(t.ts for t in last)
-    since = int((datetime.datetime.now() - last_ts).total_seconds())
+    since = int((clock.now() - last_ts).total_seconds())
     if since >= job.min_seconds_between_tests:
         logger.info(
             f"The tests for [{job.job_name}] were last run {since} seconds ago, and they "
@@ -411,12 +418,13 @@ def _run_with_retry(
     spark: SparkSession,
     logger: JobLogger,
     start: datetime.datetime,
+    clock: ClockAdapter,
 ) -> Tuple[JobStatus, ExecutionMillis]:
     retries = 0
     while True:
         try:
             status = _run_with_timeout(job, ctx, spark)
-            millis = ExecutionMillis.calculate(start=_ts(start), end=_ts(datetime.datetime.now()))
+            millis = clock.get_elapsed_time(start)
             return status or JobStatus.success(), millis
         except Exception:
             if job.max_retries > retries:

@@ -430,3 +430,87 @@ def test_batch_timeout_skips_remaining_jobs(spark, store):
     assert by_name["after_deadline"].status.state == JobState.SKIPPED
     assert "Batch timeout" in (by_name["after_deadline"].status.reason or "")
     assert result.broken_jobs == set()
+
+
+def test_fake_clock_drives_refresh_interval(spark, store):
+    """The injectable clock (reference TimestampAdapter) makes
+    refresh-interval gating testable without sleeping: not-yet-due
+    within the window, due again after it passes."""
+    from lime_etl_spark.domain.clock import FakeClockAdapter
+
+    clock = FakeClockAdapter()
+    runs = {"n": 0}
+
+    def counted(ctx):
+        runs["n"] += 1
+        return JobStatus.success()
+
+    def mk():
+        return SparkBatchSpec(
+            name="clocked_batch",
+            jobs=[
+                SimpleJobSpec(
+                    name="interval_job", run=counted, min_seconds_between_refreshes=100
+                )
+            ],
+        )
+
+    r1 = run_batch(mk(), spark, store, clock=clock)
+    assert runs["n"] == 1 and r1.broken_jobs == set()
+
+    clock.advance(50)  # inside the refresh window -> skip
+    r2 = run_batch(mk(), spark, store, clock=clock)
+    assert runs["n"] == 1
+    s2 = next(iter(r2.job_results)).status
+    assert s2.is_skipped and "not time yet" in (s2.reason or "")
+
+    clock.advance(100)  # past the window -> due again
+    run_batch(mk(), spark, store, clock=clock)
+    assert runs["n"] == 2
+
+
+def test_fake_clock_drives_batch_deadline(spark, store):
+    """Batch deadline against the injected clock: a job that 'takes'
+    10 fake seconds exhausts a 5-second budget, so the next job is
+    skipped with the timeout reason — no real time elapses."""
+    from lime_etl_spark.domain.clock import FakeClockAdapter
+
+    clock = FakeClockAdapter()
+
+    def slow(ctx):
+        clock.advance(10)
+        return JobStatus.success()
+
+    batch = SparkBatchSpec(
+        name="deadline_batch",
+        timeout_seconds=5,
+        jobs=[
+            SimpleJobSpec(name="slow_job", run=slow),
+            SimpleJobSpec(name="late_job", run=_ok),
+        ],
+    )
+    result = run_batch(batch, spark, store, clock=clock)
+    by_name = {r.job_name: r for r in result.job_results}
+    assert by_name["slow_job"].status.is_success
+    late = by_name["late_job"].status
+    assert late.is_skipped and "timeout" in (late.reason or "").lower()
+
+
+def test_admin_batch_prebuilt(spark, store, tmp_path):
+    """admin_batch (reference service/admin/admin_batch.py): the
+    prebuilt 'admin' housekeeping batch runs DeleteOldLogs and the
+    ledger compaction as ordinary gated jobs."""
+    from lime_etl_spark.service.admin_jobs import AdminConfig, admin_batch
+
+    # seed some admin history so the jobs have work to do
+    seed = SparkBatchSpec(name="seed", jobs=[SimpleJobSpec(name="seed_job", run=_ok)])
+    run_batch(seed, spark, store)
+
+    cfg = AdminConfig(admin_dir=str(tmp_path / "admin"), min_seconds_between_runs=0)
+    result = run_batch(admin_batch(store, cfg), spark, store)
+    assert result.name == "admin"
+    assert {r.job_name for r in result.job_results} == {
+        "delete_old_logs",
+        "compact_admin_ledger",
+    }
+    assert result.broken_jobs == set()
