@@ -200,3 +200,42 @@ def read_jdbc(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    avro_schema: str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Avro source (the other columnar-lake interchange format next to
+    parquet/orc; common as a Kafka archive dump format).
+
+    Needs the external spark-avro module on the classpath; absent (as
+    in this container) the load raises DATA_SOURCE_NOT_FOUND, so tests
+    exercise the option plumbing and gate on the error — the same
+    pattern as the JDBC and Kafka sources. ``avro_schema`` (an Avro
+    JSON schema string) pins reader-side schema evolution instead of
+    trusting per-file writer schemas — at 100 TB a mixed-schema
+    directory otherwise resolves against whichever file lists first.
+    """
+    reader = spark.read.format("avro")
+    if avro_schema is not None:
+        reader = reader.option("avroSchema", avro_schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Avro sink, gated like :func:`read_avro`."""
+    writer = df.write.format("avro").mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
