@@ -327,3 +327,61 @@ def ev_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "ev_rolling_kpis",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(12,2))) AS day_value_dec
+        FROM events GROUP BY d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           n_events,
+           CAST(day_value_dec AS DOUBLE) AS day_value,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS n_events_7d,
+           CAST(SUM(day_value_dec) OVER w AS DOUBLE) AS value_7d
+    FROM daily
+    WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+    description="7-day rolling KPIs over the daily aggregate (RANGE sliding window)",
+)
+def ev_rolling_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day KPIs — the smoothing every ops dashboard applies
+    to daily series. Two stages with very different scales: the daily
+    rollup is the big one (full events scan, map-side partial combine
+    down to one row per day), and the sliding window then runs over
+    that ~hundreds-of-rows frame — its single-partition global sort is
+    free BECAUSE the reduction happened first; at no scale does raw
+    data enter the window. RANGE (not ROWS) framing so missing days
+    don't silently stretch the window to 7 *observed* days. The rolled
+    value sum stays DECIMAL through the window (exact, order-free) and
+    casts to double only on output — float window sums would disagree
+    across engines on accumulation order."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", 2, 12)).alias("day_value_dec"),
+    )
+    dayn = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(dayn).rangeBetween(-6, 0)
+    return (
+        daily.select(
+            F.col("d"),
+            "n_events",
+            to_double(F.col("day_value_dec")).alias("day_value"),
+            F.sum("n_events").over(w).cast("bigint").alias("n_events_7d"),
+            to_double(F.sum("day_value_dec").over(w)).alias("value_7d"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "day_value",
+            "n_events_7d",
+            "value_7d",
+        )
+        .orderBy("day")
+    )

@@ -25,6 +25,7 @@ KEYS = [
     "ev_value_histogram",
     "ev_user_lifecycle",
     "dq_distribution_drift",
+    "ev_rolling_kpis",
 ]
 
 

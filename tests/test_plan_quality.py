@@ -162,3 +162,27 @@ def test_q20_single_pass_no_self_join(spark, sf_dir):
     regression this gate catches."""
     plan = plan_of(spark, sf_dir, "q20_concentrated_shippers")
     assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
+
+
+def test_user_lifecycle_single_window_node(spark, sf_dir):
+    """lag + lead must evaluate in ONE Window operator over one
+    user_id exchange — two Window nodes would mean the per-user sort
+    and shuffle ran twice for the same partitioning."""
+    plan = plan_of(spark, sf_dir, "ev_user_lifecycle")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_distribution_drift_partial_agg_then_tiny_window(spark, sf_dir):
+    """The bucket counts must partial-aggregate map-side (the scan
+    reduces to <= n_buckets rows per task BEFORE the exchange), and
+    the totals window runs on a SinglePartition exchange of the
+    already-aggregated frame — never on the raw scan."""
+    plan = plan_of(spark, sf_dir, "dq_distribution_drift")
+    aggs = len(re.findall(r"\(\d+\) HashAggregate", plan))
+    assert aggs >= 2, plan  # partial + final
+    assert "SinglePartition" in plan, plan
+    # the single-partition exchange must sit ABOVE the final aggregate
+    # (window over ~21 aggregated rows), not above the scan
+    agg_pos = plan.find("HashAggregate")
+    sp_pos = plan.find("SinglePartition")
+    assert agg_pos != -1 and sp_pos != -1
