@@ -59,7 +59,17 @@ from lime_etl_spark.domain.value_objects import (
     TimeoutSeconds,
     UniqueId,
 )
-from lime_etl_spark.service.admin_jobs import DeleteOldLogs
+from lime_etl_spark.domain.clock import (
+    ClockAdapter,
+    FakeClockAdapter,
+    LocalClockAdapter,
+)
+from lime_etl_spark.service.admin_jobs import (
+    AdminConfig,
+    CompactAdminLedger,
+    DeleteOldLogs,
+    admin_batch,
+)
 from lime_etl_spark.service.table_jobs import (
     DataTestJob,
     TableRefreshJob,
@@ -68,22 +78,27 @@ from lime_etl_spark.service.table_jobs import (
 from lime_etl_spark.service.runner import (
     batch_delta,
     run_batch,
+    run_batch_with_delta,
     run_batches_in_parallel,
 )
 from lime_etl_spark.session import get_spark
 
 __all__ = [
+    "AdminConfig",
     "BatchDelta",
     "BatchLogger",
     "BatchName",
     "BatchNotFound",
     "BatchStatus",
+    "ClockAdapter",
+    "CompactAdminLedger",
     "DataTestJob",
     "DaysToKeep",
     "DeleteOldLogs",
     "DependencyErrors",
     "DuplicateJobNames",
     "ExecutionMillis",
+    "FakeClockAdapter",
     "Flag",
     "InvalidBatch",
     "JobContext",
@@ -93,6 +108,7 @@ __all__ = [
     "JobResult",
     "JobState",
     "JobStatus",
+    "LocalClockAdapter",
     "LogLevel",
     "LogMessage",
     "MaxRetries",
@@ -109,10 +125,12 @@ __all__ = [
     "TestResult",
     "TimeoutSeconds",
     "UniqueId",
+    "admin_batch",
     "batch_delta",
     "get_spark",
     "referential_check",
     "run_batch",
+    "run_batch_with_delta",
     "run_batches_in_parallel",
 ]
 
