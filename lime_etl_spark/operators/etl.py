@@ -511,3 +511,49 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur_rate.alias("cur_rate"),
         (cur_rate - base_rate).alias("rate_delta"),
     ).orderBy("bucket")
+
+
+# Accepted-value domains (the dbt-style "accepted_values" data test).
+ACCEPTED: tuple[tuple[str, str, tuple[str, ...]], ...] = (
+    ("orders", "o_orderstatus", ("O", "F", "P")),
+    ("lineitem", "l_returnflag", ("R", "A", "N")),
+    ("lineitem", "l_linestatus", ("O", "F")),
+    ("events", "event_type", ("view", "click", "purchase", "signup", "error")),
+    ("documents", "lang", ("en", "es", "de", "fr", "zh")),
+)
+
+
+@register(
+    "dq_accepted_values",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{t}.{c}' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IN ({", ".join(repr(v) for v in vals)})
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+    FROM {t}"""
+        for t, c, vals in ACCEPTED
+    )
+    + "\nORDER BY check_name",
+    description="data-test: accepted-value domain checks per coded column",
+)
+def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain validation for every low-cardinality coded column — the
+    `accepted_values` test a lime-etl job's ``test()`` hand-writes
+    (reference job_spec.py:100 returns SimpleTestResults; DataTestJob
+    wires this operator into that protocol). One scalar conditional
+    aggregate per table: a full scan of just the checked column with
+    map-side combine to a single row — no shuffle of data, only of
+    per-task counters, at any scale. NULL counts as a violation (IN
+    yields NULL, not TRUE)."""
+    frames = []
+    for t, c, vals in ACCEPTED:
+        ok = F.col(c).isin(*vals)
+        frames.append(
+            load_table(spark, sf_dir, t).agg(
+                F.lit(f"{t}.{c}").alias("check_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(ok, 0).otherwise(1)).cast("bigint").alias("n_violations"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames).orderBy("check_name")

@@ -26,6 +26,7 @@ KEYS = [
     "ev_user_lifecycle",
     "dq_distribution_drift",
     "ev_rolling_kpis",
+    "dq_accepted_values",
 ]
 
 
