@@ -85,7 +85,15 @@ def kmeans_fit(
     scan, one k×dim-cell aggregation, one ≈1k-row driver collect.
     Empty clusters keep their previous centroid.
     """
-    emb = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    # persist the working frame: Lloyd re-reads it iters+1 times (init
+    # + one assignment pass per iteration); without the cache every
+    # pass repeats the scan+cast. Iterative training over a fixed
+    # corpus is THE canonical persist() case — at 100 TB this cache
+    # (or a deterministic training sample) is what makes k-means
+    # wall-clock ∝ iters·scan_once instead of iters·scan_each_time.
+    emb = vectors.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("v")
+    ).persist()
 
     init_rows = (
         emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col)).limit(k).collect()
@@ -118,4 +126,5 @@ def kmeans_fit(
                 vec[dim] = mean
         centroids = new_centroids
 
+    emb.unpersist()
     return centroids

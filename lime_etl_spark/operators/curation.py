@@ -133,9 +133,16 @@ def cur_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     is shuffle-free and codegen'd end to end."""
     docs = load_table(spark, sf_dir, "documents")
     grams = word_shingles(tokens(), REP_N)
+    # n_grams needs no shingle array at all — it is determined by the
+    # token count (max(len-n+1, 0)); building the gram strings twice
+    # (once for size, once for distinct) doubled the dominant per-row
+    # cost, and higher-order-function expressions don't get common-
+    # subexpression elimination.
+    n_toks = F.size(tokens())
+    n_grams = F.when(n_toks >= REP_N, n_toks - (REP_N - 1)).otherwise(F.lit(0))
     out = docs.select(
         "doc_id",
-        F.size(grams).alias("n_grams"),
+        n_grams.alias("n_grams"),
         F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
     ).select(
         "doc_id",

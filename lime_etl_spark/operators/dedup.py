@@ -423,9 +423,6 @@ def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="embedding-cosine near-dup pairs with label blocking",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
-
     def dot(x: F.Column, y: F.Column) -> F.Column:
         return F.aggregate(
             F.zip_with(x.cast("array<double>"), y.cast("array<double>"), lambda p, q: p * q),
@@ -433,9 +430,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
+    # Precompute each vector's norm ONCE (N sqrt-dots) instead of
+    # twice per candidate pair (2·P dots, P ≫ N under any blocking).
+    # The pair expression keeps the exact oracle structure
+    # dot/(sqrt·sqrt) — norm is the same sqrt(dot(e,e)) float value,
+    # so results stay bit-identical while per-pair work drops 3×.
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.sqrt(dot(F.col("a.embedding"), F.col("a.embedding")))
-        * F.sqrt(dot(F.col("b.embedding"), F.col("b.embedding")))
+        F.col("a.norm") * F.col("b.norm")
     )
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))

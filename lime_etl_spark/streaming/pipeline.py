@@ -69,11 +69,29 @@ def read_event_stream(
     path: str,
     schema: StructType = EVENT_SCHEMA,
     max_files_per_trigger: Optional[int] = 4,
+    latest_first: bool = False,
+    max_file_age: Optional[str] = None,
 ) -> DataFrame:
-    """File-source stream over a directory of event parquet files."""
+    """File-source stream over a directory of event parquet files.
+
+    Rate limiting: ``max_files_per_trigger`` bounds micro-batch size —
+    without it, a backfill (or the first start against a full
+    directory) becomes ONE giant batch whose state update and sink
+    commit must succeed atomically; bounded batches keep checkpoint
+    deltas and watermark advances incremental. ``latest_first`` serves
+    freshest-data-first after a long outage (at the cost of event-time
+    disorder — watermarks will drop more late rows). ``max_file_age``
+    (e.g. "7d") stops the source from even listing files older than
+    the horizon — the listing itself is the bottleneck on a 100 TB
+    directory, so age-bounding it matters before any row is read.
+    """
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if latest_first:
+        reader = reader.option("latestFirst", "true")
+    if max_file_age is not None:
+        reader = reader.option("maxFileAge", max_file_age)
     return reader.parquet(path)
 
 
