@@ -48,3 +48,64 @@ def test_running_totals_converge_to_batch(spark, sf_dir, tmp_path):
     # must have been emitted in more than one batch
     emits = got_df.groupBy("user_id").count().where("count > 1").count()
     assert emits > 0
+
+
+def test_tws_running_totals_converge_to_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas processor converges to the same batch
+    aggregate as the applyInPandasWithState path.
+
+    GATED like the JDBC/Kafka sources: the TWS state protocol needs a
+    working google.protobuf, which this container lacks — without it
+    the driver worker fails initialization and we assert that exact
+    gate instead (the operator itself is exercised wherever protobuf
+    is present)."""
+    import pyspark.errors
+
+    from lime_etl_spark.streaming.stateful import running_user_totals_tws
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        protobuf_ok = True
+    except ImportError:
+        protobuf_ok = False
+
+    src = str(tmp_path / "events_tws")
+    load_table(spark, sf_dir, "events").repartition(3).write.parquet(src)
+
+    stream = running_user_totals_tws(
+        read_event_stream(spark, src, max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("running_totals_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not protobuf_ok:
+        try:
+            q.awaitTermination(180)
+        except pyspark.errors.exceptions.captured.StreamingQueryException as e:
+            assert "TransformWithStateInPySpark" in str(e)
+            return
+        raise AssertionError("expected the protobuf gate to trip")
+    q.awaitTermination(180)
+    got_df = spark.table("running_totals_tws")
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in got_df.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["v"], 6))
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("v"),
+        )
+        .collect()
+    }
+    assert got == want
