@@ -24,7 +24,12 @@ Usage::
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
@@ -46,6 +51,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
 
 
 class SyntheticEventsReader(DataSourceReader):
@@ -101,3 +109,67 @@ class SyntheticEventsReader(DataSourceReader):
 def register_synthetic_source(spark) -> None:
     """Idempotent registration of the synthevents format."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the synthevents source (SimpleDataSourceStreamReader).
+
+    Offsets are row indices (``{"row": n}``), so the stream is exactly
+    replayable: ``readBetweenOffsets`` regenerates any committed batch
+    byte-identically for recovery, which is the contract a streaming
+    source must honor for end-to-end exactly-once. Each micro-batch
+    emits ``rows_per_batch`` rows continuing the deterministic
+    sequence. The simple reader yields driver-side tuples — right for
+    tests and protocol demos; a partition-parallel
+    ``DataSourceStreamReader`` is the scale path.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 7))
+        self.n_users = int(options.get("n_users", 1_000))
+        self.start_us = int(options.get("start_us", _EPOCH_2024_US))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def _gen(self, lo: int, hi: int):
+        # returns a LIST: the harness prefetch cache copy.copy()s the
+        # iterator for replay, which a generator cannot survive
+        import datetime
+
+        import numpy as np
+
+        n = hi - lo
+        if n <= 0:
+            return []
+        rng = np.random.RandomState(self.seed * 1_000_003 + lo)
+        event_id = np.arange(lo, hi, dtype=np.int64)
+        ts_us = (
+            self.start_us
+            + event_id * 1_000_000
+            + rng.randint(0, 1_000_000, size=n).astype(np.int64)
+        )
+        user_id = rng.randint(0, self.n_users, size=n)
+        type_idx = rng.choice(len(EVENT_TYPES), size=n, p=(0.5, 0.25, 0.1, 0.05, 0.1))
+        value = np.round(rng.exponential(scale=40.0, size=n), 2)
+        return [
+            (
+                int(event_id[j]),
+                datetime.datetime.utcfromtimestamp(ts_us[j] / 1e6),
+                int(user_id[j]),
+                EVENT_TYPES[type_idx[j]],
+                float(value[j]),
+                '{"src":"synthstream"}',
+            )
+            for j in range(n)
+        ]
+
+    def read(self, start: dict):
+        lo = int(start["row"])
+        hi = lo + self.rows_per_batch
+        return iter(self._gen(lo, hi)), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._gen(int(start["row"]), int(end["row"]))
+

@@ -134,3 +134,42 @@ def test_synthetic_events_datasource(spark):
 
     daily = df.groupBy(F.col("ts").cast("date")).count().collect()
     assert sum(r["count"] for r in daily) == 5000
+
+
+def test_synthetic_events_stream_source(spark, tmp_path):
+    """Streaming read of the synthevents source: row-offset micro-batches,
+    deterministic continuation, and watermark/agg compatibility."""
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthevents")
+        .option("rows_per_batch", 250)
+        .option("seed", 9)
+        .load()
+    )
+    assert stream.isStreaming
+    agg = stream.withWatermark("ts", "1 hour").groupBy(
+        F.window("ts", "1 hour").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("synth_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_synth"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    total = 0
+    while time.time() < deadline:
+        total = sum(r["n"] for r in spark.table("synth_stream").collect())
+        if total >= 500:  # at least two micro-batches consumed
+            break
+        time.sleep(2)
+    q.stop()
+    assert total >= 500 and total % 250 == 0
