@@ -230,3 +230,64 @@ def connected_components_star(
     return vertices.join(star, "vid", "left").select(
         vertices.vid, F.coalesce(F.col("label"), vertices.vid).alias("label")
     )
+
+
+@register(
+    "cur_cluster_dedup_weights",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(vid, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.vid
+    ),
+    comp AS (
+        SELECT vid AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+        FROM reach GROUP BY vid
+    )
+    SELECT component_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS multiplicity,
+           CAST(SUM(n_chars) AS BIGINT) AS cluster_chars
+    FROM comp JOIN documents USING (doc_id)
+    GROUP BY component_id
+    ORDER BY doc_id
+    """,
+    description="cluster-deduped corpus: one representative per duplicate cluster with multiplicity weight",
+)
+def cur_cluster_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER duplicate clustering in a real curation pipeline:
+    collapse each near-dup cluster to its representative (min doc_id)
+    and carry the evidence as columns — ``multiplicity`` (cluster
+    size, the standard upweighting/downsampling signal: dup count ≈
+    popularity) and ``cluster_chars`` (bytes the dedup saved).
+
+    Scale: reuses the LSH→verify→connected-components pipeline
+    (candidate-scoped, active-subgraph-only); the final rollup is a
+    groupBy on component_id — cluster-sized groups, overwhelmingly
+    singletons in a real corpus, so the shuffle carries one row per
+    document and combines map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
+        F.col("jaccard") >= JACCARD_TAU
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(docs.select(F.col("doc_id").alias("vid")), edges)
+    sh.unpersist()
+    return (
+        cc.join(docs.select(F.col("doc_id").alias("vid"), "n_chars"), "vid")
+        .groupBy(F.col("label").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("multiplicity"),
+            F.sum("n_chars").cast("bigint").alias("cluster_chars"),
+        )
+        .orderBy("doc_id")
+    )

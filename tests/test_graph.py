@@ -104,3 +104,20 @@ def test_cc_raises_instead_of_silently_truncating(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(1, 10)], ["src", "dst"])
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(vertices, edges, max_iterations=3)
+
+
+def test_cluster_dedup_weights_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "cur_cluster_dedup_weights")
+
+
+def test_cluster_dedup_weights_conserve_corpus(spark, sf_dir):
+    """Representatives + multiplicities must account for every document
+    and every character exactly once."""
+    rows = get("cur_cluster_dedup_weights").builder(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["multiplicity"] for r in rows) == docs.count()
+    total_chars = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r["cluster_chars"] for r in rows) == total_chars
+    # representatives are cluster minima, hence unique
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
