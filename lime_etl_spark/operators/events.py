@@ -385,3 +385,91 @@ def ev_rolling_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+ANOM_WIN_DAYS = 28
+ANOM_Z = 3.0
+
+
+@register(
+    "ev_anomaly_zscore",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events GROUP BY d
+    ),
+    stats AS (
+        SELECT d, n,
+               CAST(SUM(n) OVER w AS BIGINT) AS s1,
+               CAST(SUM(n * n) OVER w AS BIGINT) AS s2,
+               CAST(COUNT(*) OVER w AS BIGINT) AS cnt
+        FROM daily
+        WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL {ANOM_WIN_DAYS - 1} DAYS PRECEDING
+                     AND CURRENT ROW)
+    ),
+    scored AS (
+        SELECT d, n,
+               CAST(s1 AS DOUBLE) / cnt AS mean_28d,
+               sqrt(CASE WHEN CAST(s2 AS DOUBLE) / cnt
+                              - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt) > 0
+                         THEN CAST(s2 AS DOUBLE) / cnt
+                              - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt)
+                         ELSE 0 END) AS std_28d
+        FROM stats
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n_events, mean_28d, std_28d,
+           CASE WHEN std_28d > 0 THEN (n - mean_28d) / std_28d ELSE 0.0 END AS zscore,
+           CASE WHEN std_28d > 0
+                 AND abs((n - mean_28d) / std_28d) >= {ANOM_Z} THEN 1 ELSE 0 END AS is_anomaly
+    FROM scored
+    ORDER BY day
+    """,
+    description="daily-volume anomaly z-scores vs a trailing 28-day window (bit-stable manual stddev)",
+)
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly scoring — the alerting query a scheduled data-test
+    batch runs on every ingest series. The trailing mean/std come from
+    EXACT integer window sums (Σn, Σn², count) so the double-precision
+    formula evaluates identically on any engine — built-in STDDEV
+    aggregates would not be bit-reproducible (accumulation order), the
+    manual sum-of-squares form is. Variance is clamped at 0 before
+    sqrt (float cancellation can dip epsilon-negative; DuckDB raises
+    on sqrt of a negative where Spark yields NaN).
+
+    Scale: identical shape to ev_rolling_kpis — the full scan reduces
+    to one row per day map-side; the window runs over that tiny
+    frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dayn = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(dayn).rangeBetween(-(ANOM_WIN_DAYS - 1), 0)
+    stats = daily.select(
+        "d",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cnt"),
+    )
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    var = F.col("s2").cast("double") / F.col("cnt") - mean * mean
+    std = F.sqrt(F.when(var > 0, var).otherwise(F.lit(0.0)))
+    scored = stats.select(
+        "d", "n", mean.alias("mean_28d"), std.alias("std_28d")
+    )
+    z = (F.col("n") - F.col("mean_28d")) / F.col("std_28d")
+    return (
+        scored.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n_events"),
+            "mean_28d",
+            "std_28d",
+            F.when(F.col("std_28d") > 0, z).otherwise(F.lit(0.0)).alias("zscore"),
+            F.when(
+                (F.col("std_28d") > 0) & (F.abs(z) >= ANOM_Z), 1
+            ).otherwise(0).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )

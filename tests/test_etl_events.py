@@ -27,6 +27,7 @@ KEYS = [
     "dq_distribution_drift",
     "ev_rolling_kpis",
     "dq_accepted_values",
+    "ev_anomaly_zscore",
 ]
 
 
