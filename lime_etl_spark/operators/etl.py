@@ -557,3 +557,67 @@ def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), frames).orderBy("check_name")
+
+
+@register(
+    "etl_scd2_pit_join",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, value,
+               epoch_us(ts) AS f,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+           d.value AS active_value, d.f AS version_from_us
+    FROM events c JOIN dim d ON c.user_id = d.user_id
+         AND epoch_us(c.ts) >= d.f AND (d.t IS NULL OR epoch_us(c.ts) < d.t)
+    WHERE c.event_type = 'click'
+    ORDER BY event_id
+    """,
+    description="point-in-time join: each fact row matched to the SCD2 dimension version valid at its event time",
+)
+def etl_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) dimension lookup — the query SCD-2 history
+    exists to serve: each click joined to the purchase-value version
+    whose [effective_from, effective_to) interval contains the click
+    time. Clicks before a user's first version drop (inner join).
+
+    Scale: the join key is the EQUI half (user_id) — Spark hashes on
+    it and the validity-interval predicate evaluates inside the join,
+    so this is one key shuffle, not a range-join explosion; version
+    counts per key are small by construction (dimension history). At
+    100 TB, bucket both sides on the key and the shuffle disappears
+    too. Intervals are half-open integer micros — zero-width versions
+    (same-timestamp changes) match nothing, identically on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2(
+        ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "value", "ts", "event_id"
+        ),
+        keys=["user_id"],
+        ts_col=F.unix_micros("ts"),
+        tiebreak=["event_id"],
+    ).select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("value").alias("active_value"),
+        F.col("effective_from_us").alias("version_from_us"),
+        F.col("effective_to_us").alias("version_to_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("click_us")
+    )
+    return (
+        clicks.join(
+            dim,
+            (F.col("user_id") == F.col("d_user_id"))
+            & (F.col("click_us") >= F.col("version_from_us"))
+            & (
+                F.col("version_to_us").isNull()
+                | (F.col("click_us") < F.col("version_to_us"))
+            ),
+        )
+        .select("event_id", "user_id", "click_us", "active_value", "version_from_us")
+        .orderBy("event_id")
+    )

@@ -28,6 +28,7 @@ KEYS = [
     "ev_rolling_kpis",
     "dq_accepted_values",
     "ev_anomaly_zscore",
+    "etl_scd2_pit_join",
 ]
 
 
