@@ -386,3 +386,54 @@ def q20_concentrated_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "q_customer_set_ops",
+    oracle="""
+    WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'),
+         y98 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1999-01-01')
+    SELECT 'churned' AS cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)
+    UNION ALL
+    SELECT 'retained', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98)
+    UNION ALL
+    SELECT 'acquired', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y97)
+    ORDER BY cohort
+    """,
+    description="INTERSECT/EXCEPT year-over-year customer cohorts (set ops -> semi/anti joins)",
+)
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer movement via relational set operators —
+    churned (1997 \\ 1998), retained (∩), acquired (1998 \\ 1997).
+    Catalyst rewrites EXCEPT/INTERSECT into hash anti/semi joins over
+    the deduplicated keysets, so each cohort is one narrow shuffle of
+    distinct custkeys (tiny vs the orders scan that feeds it); the two
+    year scans are shared via the same pushed date-range predicate
+    shape the plan gates check elsewhere."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_keys(lo: str, hi: str) -> DataFrame:
+        return (
+            orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y97 = year_keys("1997-01-01", "1998-01-01")
+    y98 = year_keys("1998-01-01", "1999-01-01")
+
+    def count_of(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("cohort"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        )
+
+    churned = count_of(y97.exceptAll(y98), "churned")
+    retained = count_of(y97.intersect(y98), "retained")
+    acquired = count_of(y98.exceptAll(y97), "acquired")
+    return churned.unionByName(retained).unionByName(acquired).orderBy("cohort")

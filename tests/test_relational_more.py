@@ -16,6 +16,7 @@ MORE_SET = [
     "q12_ship_delay_buckets",
     "q13_order_count_distribution",
     "q20_concentrated_shippers",
+    "q_customer_set_ops",
 ]
 
 
