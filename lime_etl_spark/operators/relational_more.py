@@ -410,8 +410,10 @@ def q20_concentrated_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year customer movement via relational set operators —
     churned (1997 \\ 1998), retained (∩), acquired (1998 \\ 1997).
-    Catalyst rewrites EXCEPT/INTERSECT into hash anti/semi joins over
-    the deduplicated keysets, so each cohort is one narrow shuffle of
+    ``subtract``/``intersect`` (DISTINCT set semantics — the inputs are
+    already keysets) lower to hash anti/semi joins over the
+    deduplicated keysets (``exceptAll`` would instead rewrite to a
+    counting-aggregate union — heavier for no benefit here), so each cohort is one narrow shuffle of
     distinct custkeys (tiny vs the orders scan that feeds it); the two
     year scans are shared via the same pushed date-range predicate
     shape the plan gates check elsewhere."""
@@ -433,7 +435,7 @@ def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         )
 
-    churned = count_of(y97.exceptAll(y98), "churned")
+    churned = count_of(y97.subtract(y98), "churned")
     retained = count_of(y97.intersect(y98), "retained")
-    acquired = count_of(y98.exceptAll(y97), "acquired")
+    acquired = count_of(y98.subtract(y97), "acquired")
     return churned.unionByName(retained).unionByName(acquired).orderBy("cohort")

@@ -186,3 +186,13 @@ def test_distribution_drift_partial_agg_then_tiny_window(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     sp_pos = plan.find("SinglePartition")
     assert agg_pos != -1 and sp_pos != -1
+
+
+def test_set_ops_compile_to_hash_semi_anti(spark, sf_dir):
+    """INTERSECT/EXCEPT must lower to hash semi/anti joins on the
+    distinct keysets — a sort-based or nested-loop lowering would
+    turn the cohort queries into multi-exchange monsters at scale."""
+    plan = plan_of(spark, sf_dir, "q_customer_set_ops")
+    assert re.search(r"LeftSemi", plan), plan
+    assert re.search(r"LeftAnti", plan), plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan, plan
