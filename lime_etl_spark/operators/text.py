@@ -222,3 +222,54 @@ def txt_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+@register(
+    "txt_doc_frequency",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks
+    ),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT bigram,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n_docs FROM tot) AS doc_share
+    FROM grams
+    GROUP BY bigram
+    HAVING COUNT(*) * 20 >= (SELECT n_docs FROM tot)
+    ORDER BY doc_freq DESC, bigram
+    """,
+    description="document frequency of bigrams above a 5% floor (IDF input without the non-reproducible log)",
+)
+def txt_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency table — the IDF input and the standard
+    boilerplate detector (grams in a large share of documents are
+    template/stop phrases). Emits exact counts and shares, not IDF
+    itself: ln() is not bit-stable cross-engine, and every consumer
+    (tf-idf weighting, stop-gram lists) can apply its own transform.
+
+    Scale: distinct-per-doc before the count (one row per (doc,gram))
+    so hot grams don't multiply; the 5% floor is cross-multiplied in
+    exact integers against a 1-row broadcast total — same pattern as
+    the q11/q15 scalar subqueries, never a collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(tokens(), 2)).alias("bigram")
+    ).distinct()
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .join(F.broadcast(total))
+        .where(F.col("doc_freq") * 20 >= F.col("n_docs"))
+        .select(
+            "bigram",
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            (F.col("doc_freq").cast("double") / F.col("n_docs")).alias("doc_share"),
+        )
+        .orderBy(F.desc("doc_freq"), "bigram")
+    )

@@ -13,6 +13,7 @@ ORACLED = [
     "txt_fingerprint",
     "txt_ngram_stats",
     "txt_chunk_windows",
+    "txt_doc_frequency",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
