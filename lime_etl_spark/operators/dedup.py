@@ -327,24 +327,37 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     description="SimHash near-dup pairs (16-bit chunk LSH, Hamming<=3)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    # persist: the self-join consumes the signature pipeline twice;
+    # the cached frame is doc_id+one long per doc — negligible memory
+    sigs = simhash_signatures(load_table(spark, sf_dir, "documents")).persist()
     return simhash_band_pairs(sigs).where(F.col("hamming") <= HAMMING_MAX)
 
 
 def simhash_band_pairs(sigs: DataFrame) -> DataFrame:
     """All candidate pairs sharing a 16-bit simhash band (pigeonhole:
     any pair within hamming 3 of each other shares at least one of the
-    4 bands intact), with exact hamming attached."""
-    chunks = [
-        sigs.select(
-            "doc_id",
-            "simhash",
-            F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+    4 bands intact), with exact hamming attached.
+
+    The 4 band rows per signature come from ONE explode over an inline
+    array — a 4-way union would re-run the whole upstream signature
+    pipeline once per branch (and the self-join doubles whatever the
+    input costs, so input work is paid 2×, not 8×)."""
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright(F.col("simhash"), c * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("ck"),
+                )
+                for c in range(4)
+            ]
         )
-        for c in range(4)
-    ]
-    buckets = reduce(lambda x, y: x.unionByName(y), chunks)
+    )
+    buckets = sigs.select("doc_id", "simhash", band.alias("b")).select(
+        "doc_id", "simhash", F.col("b.chunk").alias("chunk"), F.col("b.ck").alias("ck")
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -403,7 +416,7 @@ def simhash_edges_scaled(sigs: DataFrame) -> DataFrame:
     description="templated-corpus simhash dedup: star edges for identical signatures + banding over distinct signatures",
 )
 def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    sigs = simhash_signatures(load_table(spark, sf_dir, "documents")).persist()
     return simhash_edges_scaled(sigs).orderBy("doc_a", "doc_b")
 
 
