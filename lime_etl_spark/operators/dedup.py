@@ -139,19 +139,26 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
 
 
 def lsh_candidates(sigs: DataFrame) -> DataFrame:
-    """Band the signature 4×4 and join docs sharing any band bucket."""
-    bands = [
-        F.concat_ws(
-            ",", *[F.col(f"mh_{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-        ).alias(f"band_{band}")
-        for band in range(N_BANDS)
-    ]
-    banded = sigs.select("doc_id", *bands)
-    per_band = [
-        banded.select("doc_id", F.lit(band).alias("band"), F.col(f"band_{band}").alias("sig"))
-        for band in range(N_BANDS)
-    ]
-    buckets = reduce(lambda x, y: x.unionByName(y), per_band)
+    """Band the signature 4×4 and join docs sharing any band bucket.
+
+    One explode builds all band rows in a single pass over the
+    signatures — a per-band union would re-run the minhash aggregation
+    once per branch (see simhash_band_pairs for the same fix)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh_{band * BAND_ROWS + r}") for r in range(BAND_ROWS)],
+                ).alias("sig"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -223,7 +230,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="word-3-gram Jaccard near-dup pairs via shared-shingle candidates",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = doc_shingles(load_table(spark, sf_dir, "documents"))
+    # persist: the pairwise-Jaccard self-join reads the shingle table
+    # from both sides; uncached it re-runs the explode+distinct twice
+    sh = doc_shingles(load_table(spark, sf_dir, "documents")).persist()
     return jaccard_pairs(sh).where(F.col("jaccard") >= JACCARD_TAU)
 
 
