@@ -238,7 +238,11 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-safe; retention divides two exact BIGINTs in IEEE double."""
     ev = load_table(spark, sf_dir, "events")
     wk = F.date_trunc("week", F.col("ts"))
-    firstw = ev.groupBy("user_id").agg(F.min(wk).alias("cw"))
+    # persist: firstw feeds BOTH the retention join and the cohort-size
+    # aggregate — uncached, each consumer repeats the full events scan
+    # and per-user aggregation. One row per user: MEMORY_AND_DISK-safe
+    # at any scale (always ≪ the events fact it summarizes).
+    firstw = ev.groupBy("user_id").agg(F.min(wk).alias("cw")).persist()
     sizes = firstw.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
     return (
         ev.join(firstw, "user_id")
