@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from lime_etl_spark.functions.numeric import dec, to_double
 from lime_etl_spark.plans.registry import register
@@ -439,3 +440,75 @@ def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     retained = count_of(y97.intersect(y98), "retained")
     acquired = count_of(y98.subtract(y97), "acquired")
     return churned.unionByName(retained).unionByName(acquired).orderBy("cohort")
+
+
+@register(
+    "q_open_orders_sweep",
+    oracle="""
+    WITH bounds AS (
+        SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS start_d,
+               CAST(MAX(l.l_shipdate) AS DATE) AS end_d
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    ev AS (
+        SELECT start_d AS d, 1 AS delta FROM bounds
+        UNION ALL
+        SELECT end_d, -1 FROM bounds
+    ),
+    daily AS (
+        SELECT d,
+               CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_opened,
+               CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+               SUM(delta) AS net
+        FROM ev GROUP BY d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, n_opened, n_closed,
+           CAST(SUM(net) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS open_orders
+    FROM daily ORDER BY day
+    """,
+    description="interval sweep: orders in flight per day via +1/-1 boundary events and a running sum",
+)
+def q_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting — 'how many orders were in flight
+    on each day' — via the sweep-line trick: each order contributes a
+    +1 event at order date and a -1 at its last ship date, daily net
+    deltas aggregate map-side, and one running sum over the tiny daily
+    frame reconstructs the open count. This is THE scalable shape for
+    interval overlap questions: no order-x-day explosion (an order
+    open 300 days emits 2 events, not 300 rows), and the only global
+    sort is over distinct days. Both boundary events come from one
+    explode over an inline array — single pass over the bounds."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = (
+        orders.select("o_orderkey", F.col("o_orderdate").cast("date").alias("start_d"))
+        .join(li.select("l_orderkey", "l_shipdate"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "start_d")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("end_d"))
+    )
+    ev = bounds.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("start_d").alias("d"), F.lit(1).alias("delta")),
+                F.struct(F.col("end_d").alias("d"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e")
+    ).select(F.col("e.d").alias("d"), F.col("e.delta").alias("delta"))
+    daily = ev.groupBy("d").agg(
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).cast("bigint").alias("n_opened"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0)).cast("bigint").alias("n_closed"),
+        F.sum("delta").alias("net"),
+    )
+    dayn = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(dayn).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_opened",
+            "n_closed",
+            F.sum("net").over(w).cast("bigint").alias("open_orders"),
+        )
+        .orderBy("day")
+    )

@@ -17,6 +17,7 @@ MORE_SET = [
     "q13_order_count_distribution",
     "q20_concentrated_shippers",
     "q_customer_set_ops",
+    "q_open_orders_sweep",
 ]
 
 
