@@ -196,3 +196,23 @@ def test_set_ops_compile_to_hash_semi_anti(spark, sf_dir):
     assert re.search(r"LeftSemi", plan), plan
     assert re.search(r"LeftAnti", plan), plan
     assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_pit_join_is_hash_join_on_the_equi_key(spark, sf_dir):
+    """The point-in-time lookup must hash-join on user_id with the
+    validity-interval predicate evaluated inside the join — a
+    nested-loop lowering would make dimension lookup O(facts x
+    versions)."""
+    plan = plan_of(spark, sf_dir, "etl_scd2_pit_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_open_orders_sweep_shape(spark, sf_dir):
+    """The sweep must stay two-events-per-order: one Generate (the
+    inline boundary array), partial daily aggregation before any
+    exchange, and no join after the bounds build."""
+    plan = plan_of(spark, sf_dir, "q_open_orders_sweep")
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
