@@ -377,3 +377,49 @@ def samp_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "phase")
     )
+
+
+@register(
+    "samp_mixture_stats",
+    oracle="""
+    WITH per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share,
+           sqrt(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)) AS temp_weight
+    FROM per
+    ORDER BY source
+    """,
+    description="per-source mixture stats: docs, tokens, natural share, sqrt-temperature weight",
+)
+def samp_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture table a training-run config is derived from: per
+    source, document and token counts, the natural token share, and
+    the T=2 temperature weight sqrt(share) (the same √-rebalancing
+    samp_temperature applies row-wise; √ is IEEE-exact so it
+    cross-checks, where pow/log would not). Weights are emitted
+    UN-normalized: the normalizer Σ√share is a sum of doubles whose
+    accumulation order engines don't agree on — consumers divide by
+    their own sum, which is a 5-row driver-side operation anywhere.
+
+    Scale: one groupBy(source) with map-side combine (token counting
+    is size(split()) — no explode), and the share window runs over the
+    already-reduced per-source frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double")
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.sqrt(share).alias("temp_weight"),
+    ).orderBy("source")

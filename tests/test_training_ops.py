@@ -10,7 +10,7 @@ from lime_etl_spark.operators.training import PACK_BUDGET, SAMPLE_RATES
 from lime_etl_spark.plans.registry import all_queries
 from tests.oracle import assert_query_matches_oracle
 
-KEYS = ["samp_stratified", "samp_hash_split", "ev_asof_attribution", "pack_sequences"]
+KEYS = ["samp_stratified", "samp_hash_split", "ev_asof_attribution", "pack_sequences", "samp_mixture_stats"]
 
 
 @pytest.mark.parametrize("name", KEYS)
