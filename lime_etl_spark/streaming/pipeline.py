@@ -516,3 +516,21 @@ def with_compaction(
         trigger.maybe_compact(batch_df.sparkSession)
 
     return wrapped
+
+
+def enrich_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup pattern for
+    streams: each micro-batch joins against a STATIC DataFrame, no
+    state, no watermark interaction (only stream-stream joins build
+    join state). The dim is re-planned per micro-batch, so at scale
+    broadcast it (small dims — done here automatically under the
+    broadcast threshold) or pre-bucket both sides on the key; for a
+    slowly-changing dim, swap in ``stream_scd2_sink``'s output and
+    re-read per batch via foreachBatch instead.
+    """
+    return stream.join(F.broadcast(dim), on=on, how=how)

@@ -362,3 +362,28 @@ def test_with_compaction_wraps_foreach_batch(spark, tmp_path):
         wrapped(spark.range(b * 5, (b + 1) * 5), b)
     assert trig.compactions >= 1
     assert spark.read.parquet(sink).count() == 25
+
+
+def test_stream_static_enrichment_matches_batch(spark, event_dir):
+    """Stream-static join: per-micro-batch lookup against a static dim
+    must produce exactly the batch join of the same inputs, and the
+    join builds no streaming state (stateless operator)."""
+    from lime_etl_spark.streaming.pipeline import enrich_with_static
+
+    # static dim derived once: per-user first-seen event type
+    dim = (
+        spark.read.parquet(event_dir)
+        .groupBy("user_id")
+        .agg(F.min("event_type").alias("first_type"))
+    )
+    enriched = enrich_with_static(
+        read_event_stream(spark, event_dir), dim, on="user_id"
+    ).select("event_id", "user_id", "first_type")
+    got = run_available_now(enriched, "enriched_stream", output_mode="append")
+
+    want = (
+        spark.read.parquet(event_dir)
+        .join(dim, "user_id")
+        .select("event_id", "user_id", "first_type")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
