@@ -477,3 +477,62 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ev_power_users",
+    oracle="""
+    WITH spend AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(12,2))
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS total_spend,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    thresh AS (SELECT quantile_cont(total_spend, 0.95) AS p95 FROM spend)
+    SELECT user_id, total_spend, n_events,
+           total_spend - (SELECT p95 FROM thresh) AS above_p95_by
+    FROM spend
+    WHERE total_spend > (SELECT p95 FROM thresh)
+    ORDER BY total_spend DESC, user_id
+    """,
+    description="users above the global p95 spend (exact percentile threshold via 1-row broadcast)",
+)
+def ev_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-tail selection by an exact percentile threshold — the
+    'power user' / outlier-cohort query. The p95 is a 1-row aggregate
+    broadcast back over the per-user spend frame (the q15/q11 scalar-
+    subquery pattern — never a collect); Spark `percentile` and DuckDB
+    `quantile_cont` compute the same interpolated value, verified
+    hash-identical (same guarantee q_price_quantiles relies on). The
+    per-user rollup is the only full-data shuffle; the threshold probe
+    is a broadcast nested-loop over ONE row — constant cost.
+
+    At 100 TB swap the exact percentile for approx_percentile and the
+    threshold becomes sketch-mergeable map-side; exact needs the full
+    spend vector in one place (documented trade, as in
+    q_price_quantiles)."""
+    ev = load_table(spark, sf_dir, "events")
+    spend = ev.groupBy("user_id").agg(
+        to_double(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", dec("value", 2, 12)).otherwise(
+                    F.lit(0).cast("decimal(12,2)")
+                )
+            )
+        ).alias("total_spend"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    thresh = spend.agg(F.percentile("total_spend", 0.95).alias("p95"))
+    return (
+        spend.join(F.broadcast(thresh))
+        .where(F.col("total_spend") > F.col("p95"))
+        .select(
+            "user_id",
+            "total_spend",
+            "n_events",
+            (F.col("total_spend") - F.col("p95")).alias("above_p95_by"),
+        )
+        .orderBy(F.desc("total_spend"), "user_id")
+    )

@@ -29,6 +29,7 @@ KEYS = [
     "dq_accepted_values",
     "ev_anomaly_zscore",
     "etl_scd2_pit_join",
+    "ev_power_users",
 ]
 
 
