@@ -89,18 +89,30 @@ class TableRefreshJob(SparkJobSpec):
         return self._min_refresh
 
     def run(self, ctx: JobContext) -> Optional[JobStatus]:
+        from pyspark.sql import Observation
+
         df = self._source(ctx.spark)
+        # Observation rides the write action itself: the rows-written
+        # metric is collected by the SAME job that writes — at 100 TB a
+        # separate count() would be a second full pass over the output.
+        obs = Observation(f"{self._name}_refresh")
         if self._mode == "full" or not os.path.exists(self._target):
-            writer = df.write.mode("overwrite")
+            out = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+            writer = out.write.mode("overwrite")
             if self._partition_by:
                 writer = writer.partitionBy(*self._partition_by)
             writer.parquet(self._target)
-            ctx.logger.info(f"[{self._name}] full refresh -> {self._target}")
+            self.last_metrics = dict(obs.get)
+            ctx.logger.info(
+                f"[{self._name}] full refresh -> {self._target} "
+                f"({self.last_metrics['rows_written']} rows)"
+            )
         else:
             base = ctx.spark.read.parquet(self._target)
             merged = upsert(base, df.dropDuplicates(self._keys), self._keys)
+            out = merged.observe(obs, F.count(F.lit(1)).alias("rows_written"))
             tmp = self._target + ".tmp"
-            writer = merged.write.mode("overwrite")
+            writer = out.write.mode("overwrite")
             if self._partition_by:
                 writer = writer.partitionBy(*self._partition_by)
             writer.parquet(tmp)
@@ -108,7 +120,11 @@ class TableRefreshJob(SparkJobSpec):
 
             shutil.rmtree(self._target)
             os.rename(tmp, self._target)
-            ctx.logger.info(f"[{self._name}] incremental upsert on {self._keys}")
+            self.last_metrics = dict(obs.get)
+            ctx.logger.info(
+                f"[{self._name}] incremental upsert on {self._keys} "
+                f"({self.last_metrics['rows_written']} rows)"
+            )
         return JobStatus.success()
 
     def test(self, ctx: JobContext) -> List[SimpleTestResult]:

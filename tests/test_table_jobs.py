@@ -103,3 +103,28 @@ def test_data_test_job_referential(spark, sf_dir, tmp_path):
     persisted = store.latest_test_results("ri_checks")
     assert [t.test_name for t in persisted] == ["lineitem->orders fk"]
     assert persisted[0].test_passed
+
+
+def test_refresh_observes_rows_written_without_extra_scan(spark, sf_dir, tmp_path):
+    """The rows-written metric must come from the Observation riding
+    the write action (last_metrics), matching the persisted count."""
+    from lime_etl_spark.domain.specs import JobContext
+    from lime_etl_spark.service.table_jobs import TableRefreshJob
+
+    target = str(tmp_path / "nation_copy")
+    job = TableRefreshJob(
+        name="nation_refresh",
+        source=lambda s: s.read.parquet(f"{sf_dir}/nation.parquet"),
+        target_path=target,
+    )
+
+    class _Log:
+        def info(self, msg):
+            self.last = msg
+
+    ctx = JobContext(spark=spark, logger=_Log(), resources={})
+    status = job.run(ctx)
+    assert status.is_success
+    n = spark.read.parquet(target).count()
+    assert job.last_metrics["rows_written"] == n
+    assert str(n) in ctx.logger.last
