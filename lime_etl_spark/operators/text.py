@@ -273,3 +273,37 @@ def txt_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("doc_freq"), "bigram")
     )
+
+
+@register(
+    "txt_langid_confusion",
+    oracle=f"""
+    SELECT lang, {_langid_case_sql()} AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+    """,
+    description="language-ID confusion matrix: labeled vs heuristic-predicted language",
+)
+def txt_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the stopword-profile language classifier —
+    the eval artifact any classifier component ships with (which
+    language pairs the heuristic confuses, not just the accuracy
+    scalar txt_langid exposes per doc). The prediction expression is
+    evaluated once in the scan projection and the rollup is a
+    |langs|²-key groupBy — counters-only shuffle at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    hits = {lang: _hits(toks, words) for lang, words in LANG_PROFILES.items()}
+    m = F.greatest(*hits.values())
+    expr = None
+    for lang in sorted(LANG_PROFILES):
+        cond = hits[lang] == m
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return (
+        docs.select("lang", expr.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )

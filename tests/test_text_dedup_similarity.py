@@ -14,6 +14,7 @@ ORACLED = [
     "txt_ngram_stats",
     "txt_chunk_windows",
     "txt_doc_frequency",
+    "txt_langid_confusion",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
