@@ -333,3 +333,32 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+@register(
+    "mm_payload_integrity",
+    oracle=None,
+    description="binary-payload integrity audit: per-type counts, bytes, md5 uniqueness — no decode",
+)
+def mm_payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity audit of raw binary payloads WITHOUT any decode: the
+    check an ingest runs before spending decode compute — payload
+    sizes vs declared metadata, md5 uniqueness, empty-payload count.
+    Everything here is a built-in over the binary column (length/md5
+    are JVM codegen on bytes), so at 100 TB this is a single scan with
+    counters-only shuffle — Python never touches the payload."""
+    media = build_media_fixture(spark, n=300)
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.length("content")).cast("bigint").alias("payload_bytes"),
+            F.sum(F.when(F.length("content") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_empty"),
+            F.countDistinct(F.md5("content")).alias("n_distinct_md5"),
+            F.min(F.length("content")).alias("min_bytes"),
+            F.max(F.length("content")).alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )

@@ -81,3 +81,17 @@ def test_real_mode_raises(spark, media, monkeypatch):
     monkeypatch.delenv("LIME_SPARK_FAKE_DECODE")
     with pytest.raises(NotImplementedError):
         mm.decode_media(media)
+
+
+def test_payload_integrity_audit(spark, sf_dir):
+    """The no-decode integrity audit: every payload non-empty, unique,
+    and counted — computed entirely JVM-side over the binary column."""
+    from lime_etl_spark.plans.registry import get
+
+    rows = get("mm_payload_integrity").builder(spark, sf_dir).collect()
+    assert {r["media_type"] for r in rows} == {"audio", "image", "video"}
+    assert sum(r["n_media"] for r in rows) == 300
+    for r in rows:
+        assert r["n_empty"] == 0
+        assert r["n_distinct_md5"] == r["n_media"]  # synthetic payloads unique
+        assert 0 < r["min_bytes"] <= r["max_bytes"]
