@@ -621,3 +621,116 @@ def etl_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "click_us", "active_value", "version_from_us")
         .orderBy("event_id")
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changelog: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an insert/update/delete changelog to a base snapshot —
+    MERGE semantics, the general form of :func:`upsert` (which cannot
+    express deletes): per key the highest-``seq_col`` change wins;
+    an op of ``'D'`` removes the key; any other op's row becomes the
+    new version; base rows with no change pass through.
+
+    Scale: two hash ops on the key, no sort-merge — the per-key
+    latest pick is a row_number window over the changelog ONLY
+    (changelogs are increments, orders of magnitude smaller than the
+    base), and the base side is one left-anti hash join; at 100 TB
+    the base is never windowed, only probed.
+    """
+    latest = dedup_latest(
+        changelog, keys, [F.col(seq_col).desc()]
+    )
+    survivors = base.join(changelog.select(*keys).distinct(), keys, "left_anti")
+    applied = latest.where(F.col(op_col) != "D").drop(seq_col, op_col)
+    return survivors.unionByName(applied)
+
+
+_CDC_NEW_KEY_OFFSET = 100_000_000
+
+
+def _orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic CDC feed over orders (oracle-replayable):
+    %10==1 keys get TWO updates (seq 1: +10, seq 2: +20 — latest must
+    win), %10==2 one update (+5), %10==0 a delete, %10==7 an insert
+    under a fresh key. Built in ONE scan: each row emits an inline
+    array of change structs and explodes it — never a 4-way union of
+    projections of the same table (§6 rule: unions re-run the scan
+    per branch)."""
+    o = load_table(spark, sf_dir, "orders")
+    key, price = F.col("o_orderkey"), F.col("o_totalprice")
+
+    def entry(k: Column, seq: int, op: str, p: Column) -> Column:
+        return F.struct(
+            k.cast("bigint").alias("o_orderkey"),
+            F.lit(seq).cast("bigint").alias("seq"),
+            F.lit(op).alias("op"),
+            p.cast("double").alias("o_totalprice"),
+        )
+
+    m = key % 10
+    empty = F.array().cast(
+        "array<struct<o_orderkey:bigint,seq:bigint,op:string,o_totalprice:double>>"
+    )
+    arr = (
+        F.when(m == 1, F.array(entry(key, 1, "U", price + 10.0), entry(key, 2, "U", price + 20.0)))
+        .when(m == 2, F.array(entry(key, 1, "U", price + 5.0)))
+        .when(m == 0, F.array(entry(key, 1, "D", price)))
+        .when(m == 7, F.array(entry(key + _CDC_NEW_KEY_OFFSET, 1, "I", price)))
+        .otherwise(empty)
+    )
+    return o.select(F.explode(arr).alias("c")).select("c.*")
+
+
+_CDC_CHG_SQL = f"""
+    SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, 'U' AS op,
+           o_totalprice + 10.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 1
+    UNION ALL
+    SELECT o_orderkey, CAST(2 AS BIGINT), 'U', o_totalprice + 20.0
+    FROM orders WHERE o_orderkey % 10 = 1
+    UNION ALL
+    SELECT o_orderkey, CAST(1 AS BIGINT), 'U', o_totalprice + 5.0
+    FROM orders WHERE o_orderkey % 10 = 2
+    UNION ALL
+    SELECT o_orderkey, CAST(1 AS BIGINT), 'D', o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey + {_CDC_NEW_KEY_OFFSET}, CAST(1 AS BIGINT), 'I', o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 7
+"""
+
+
+@register(
+    "etl_cdc_merge",
+    oracle=f"""
+    WITH chg AS ({_CDC_CHG_SQL}),
+    latest AS (
+        SELECT o_orderkey, op, o_totalprice FROM (
+            SELECT o_orderkey, op, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+            FROM chg
+        ) WHERE rn = 1
+    )
+    SELECT b.o_orderkey, b.o_totalprice
+    FROM orders b
+    WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM latest WHERE op <> 'D'
+    """,
+    description="I/U/D changelog MERGE onto a base snapshot (latest-seq wins, deletes drop)",
+)
+def etl_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final table state after applying a CDC changelog (inserts,
+    multi-version updates, deletes) to the orders snapshot — the
+    lakehouse MERGE INTO primitive, and the incremental-refresh path
+    a lime-etl job would run against a transactional source
+    (reference job pattern: lime_etl/domain/job_spec.py run() doing
+    arbitrary ETL — here the ETL is the canonical one)."""
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    chg = _orders_changelog(spark, sf_dir)
+    return cdc_apply(base, chg, keys=["o_orderkey"])

@@ -291,3 +291,168 @@ def cur_cluster_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+LP_MAX_ITERATIONS = 10
+
+
+def label_propagation(
+    vertices: DataFrame, edges: DataFrame, max_iterations: int = LP_MAX_ITERATIONS
+) -> DataFrame:
+    """(vid, community) via synchronous label propagation (Raghavan et
+    al. 2007): each round every vertex adopts the most frequent label
+    in its neighborhood, ties broken by smallest label. Communities
+    are denser-than-their-surroundings groups — on a near-dup graph
+    this separates template families that connected components would
+    merge through a single accidental bridge edge.
+
+    Determinism: synchronous updates + the (count desc, label asc)
+    tie-break make every round a pure function of the previous
+    labeling. A self-loop vote is added for every vertex — without
+    it, 2-cycles swap labels forever (a←b, b←a); with it the pair
+    ties and both take the min.
+
+    Scale: one join (labels → symmetrized edges) + one (dst, label)
+    count + one per-dst top-1 window per round — all hash on vertex
+    id, same reuse discipline as connected_components; each round
+    localCheckpoints to stop lineage growth. Runs on the active
+    subgraph only (vertices with an edge); isolated vertices label
+    themselves and skip the loop. Fixed round budget: LP is a
+    heuristic that stabilizes in a handful of rounds on clustered
+    graphs; unlike connected_components a non-fixpoint is still a
+    valid community labeling, so hitting the cap is not an error."""
+    from pyspark.sql import Window
+
+    edges_c = edges.select("src", "dst").where(F.col("src") != F.col("dst")).persist()
+    edges_c.count()
+    active = (
+        edges_c.select(F.col("src").alias("vid"))
+        .unionByName(edges_c.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    # symmetrize + self-loops: every vertex votes for itself once
+    sym = (
+        edges_c.unionByName(
+            edges_c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .unionByName(active.select(F.col("vid").alias("src"), F.col("vid").alias("dst")))
+        .persist()
+    )
+    sym.count()
+    edges_c.unpersist()
+    labels = active.select("vid", F.col("vid").alias("community")).localCheckpoint()
+    top1 = Window.partitionBy("dst").orderBy(
+        F.desc("n_votes"), F.asc("community")
+    )
+    for _ in range(max_iterations):
+        votes = (
+            sym.join(labels, sym.src == labels.vid)
+            .groupBy("dst", "community")
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        new_labels = (
+            votes.withColumn("rn", F.row_number().over(top1))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("vid"), "community")
+        )
+        # carry a moved flag in the same materialization (one action/round)
+        flagged = (
+            labels.withColumnRenamed("community", "prev")
+            .join(new_labels, "vid")
+            .select("vid", "community", (F.col("community") != F.col("prev")).alias("moved"))
+            .localCheckpoint()
+        )
+        labels = flagged.select("vid", "community")
+        if flagged.where("moved").count() == 0:
+            break
+    sym.unpersist()
+    return vertices.join(labels, "vid", "left").select(
+        vertices.vid, F.coalesce(F.col("community"), vertices.vid).alias("community")
+    )
+
+
+@register(
+    "graph_cluster_density",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(vid, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.vid
+    ),
+    comp AS (
+        SELECT vid AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+        FROM reach GROUP BY vid
+    ),
+    ncnt AS (
+        SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM comp GROUP BY component_id
+    ),
+    ecnt AS (
+        SELECT c.component_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM pairs p JOIN comp c ON p.doc_a = c.doc_id
+        GROUP BY c.component_id
+    )
+    SELECT n.component_id, n.n_docs, e.n_edges,
+           CAST(2 * e.n_edges AS DOUBLE) / (n.n_docs * (n.n_docs - 1)) AS density
+    FROM ncnt n JOIN ecnt e USING (component_id)
+    WHERE n.n_docs >= 2
+    ORDER BY n_docs DESC, component_id
+    """,
+    description="per-duplicate-cluster edge density (templated-corpus detector)",
+)
+def graph_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density profile of every duplicate cluster: n_docs, verified
+    near-dup edge count, and edge density 2E/(n(n-1)). Density ≈ 1
+    with large n is the templated-corpus signature (every member
+    near-dups every other — a boilerplate family worth one
+    representative); low density flags chain-merged clusters where a
+    bridge doc glued unrelated groups (the classic over-merge audit
+    before trusting transitive dedup).
+
+    Scale: the verified pair table is persisted and used twice (CC
+    edge input + per-cluster edge rollup) — never recomputed; both
+    rollups are counters-only groupBys on component_id. The density
+    division is one IEEE-exact double op over exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = (
+        jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh)))
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    pairs.count()
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(docs.select(F.col("doc_id").alias("vid")), edges)
+    sh.unpersist()
+    ncnt = cc.groupBy(F.col("label").alias("component_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    ecnt = (
+        pairs.join(cc, pairs.doc_a == cc.vid)
+        .groupBy(F.col("label").alias("component_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    return (
+        ncnt.join(ecnt, "component_id")
+        .where(F.col("n_docs") >= 2)
+        .select(
+            "component_id",
+            "n_docs",
+            "n_edges",
+            (
+                (F.lit(2) * F.col("n_edges")).cast("double")
+                / (F.col("n_docs") * (F.col("n_docs") - 1))
+            ).alias("density"),
+        )
+        .orderBy(F.desc("n_docs"), "component_id")
+    )

@@ -9,7 +9,7 @@ the corpus-level stats).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lime_etl_spark.functions.numeric import to_double
@@ -306,4 +306,82 @@ def txt_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("lang", "pred_lang")
+    )
+
+
+TFIDF_TOP_K = 5
+
+
+@register(
+    "txt_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf * (SELECT n_docs FROM tot) AS DOUBLE) / df.df
+                   AS tfidf_ratio,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf * (SELECT n_docs FROM tot) AS DOUBLE)
+                                / df.df DESC,
+                            df.df ASC, tf.term ASC
+               ) AS rnk
+        FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df, tfidf_ratio, CAST(rnk AS BIGINT) AS rnk
+    FROM scored
+    WHERE rnk <= {TFIDF_TOP_K}
+    ORDER BY doc_id, rnk
+    """,
+    description="per-doc top-k salient terms by the tf*(N/df) ratio (log-free tf-idf)",
+)
+def txt_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most salient terms per document, ranked by tf * N / df —
+    tf-idf with the monotone ln() dropped so the score is pure integer
+    arithmetic plus ONE double division (correctly rounded per IEEE
+    754, hence bit-identical cross-engine; ln() is not). Ranking is
+    identical to classic tf-idf within a document because N is
+    constant and ln is monotone. Ties break on rarer-term-first
+    (df asc) then term text, so row_number is a total order.
+
+    Scale: tf is the explode fan-out (one row per token) immediately
+    reduced by a map-side-combining groupBy on (doc_id, term); df is a
+    counters-only rollup OF tf (never re-tokenizes); tf is persisted
+    because it feeds both the df rollup and the scoring join — the
+    never-self-join-an-unpersisted-pipeline rule. N is a 1-row
+    broadcast, not a collect. The final top-k is one window over the
+    (doc_id, term)-partitioned join output."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .join(F.broadcast(total))
+        .withColumn(
+            "tfidf_ratio",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_ratio"), F.asc("df"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf_ratio", "rnk")
+        .orderBy("doc_id", "rnk")
     )

@@ -30,6 +30,7 @@ KEYS = [
     "ev_anomaly_zscore",
     "etl_scd2_pit_join",
     "ev_power_users",
+    "etl_cdc_merge",
 ]
 
 

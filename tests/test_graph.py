@@ -121,3 +121,71 @@ def test_cluster_dedup_weights_conserve_corpus(spark, sf_dir):
     # representatives are cluster minima, hence unique
     ids = [r["doc_id"] for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_cluster_density_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "graph_cluster_density")
+
+
+def test_cluster_density_bounds(spark, sf_dir):
+    """Every cluster's density lies in (0, 1]; a 2-doc cluster is
+    exactly 1.0; edge counts never exceed n(n-1)/2."""
+    rows = get("graph_cluster_density").builder(spark, sf_dir).collect()
+    assert rows  # corpus has near-dup clusters
+    for r in rows:
+        n, e = r["n_docs"], r["n_edges"]
+        assert 1 <= e <= n * (n - 1) // 2
+        assert 0.0 < r["density"] <= 1.0
+        if n == 2:
+            assert r["density"] == 1.0
+
+
+def test_label_propagation_cliques_equal_components(spark):
+    """On disjoint cliques LP must agree with connected components
+    (each clique is its own maximal community)."""
+    from lime_etl_spark.operators.graph import label_propagation
+
+    cliques = [[1, 2, 3], [4, 5, 6, 7], [8, 9]]
+    edges = [
+        (a, b) for grp in cliques for i, a in enumerate(grp) for b in grp[i + 1 :]
+    ]
+    vs = spark.createDataFrame([(v,) for grp in cliques for v in grp] + [(99,)], ["vid"])
+    es = spark.createDataFrame(edges, ["src", "dst"])
+    lp = {r["vid"]: r["community"] for r in label_propagation(vs, es).collect()}
+    cc = {r["vid"]: r["label"] for r in connected_components(vs, es).collect()}
+    assert lp == cc
+    assert lp[99] == 99  # isolated vertex labels itself
+
+
+def test_label_propagation_two_cycle_converges(spark):
+    """The self-vote breaks the a<->b label swap oscillation."""
+    from lime_etl_spark.operators.graph import label_propagation
+
+    vs = spark.createDataFrame([(1,), (2,)], ["vid"])
+    es = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    got = {r["vid"]: r["community"] for r in label_propagation(vs, es).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_label_propagation_splits_bridged_communities(spark):
+    """Two 4-cliques joined by ONE bridge edge: CC merges them, LP
+    keeps them as two communities — the over-merge audit LP exists
+    for (each vertex in a clique gets 4+ same-clique votes vs 1
+    bridge vote)."""
+    from lime_etl_spark.operators.graph import label_propagation
+
+    left = [1, 2, 3, 4]
+    right = [11, 12, 13, 14]
+    edges = (
+        [(a, b) for i, a in enumerate(left) for b in left[i + 1 :]]
+        + [(a, b) for i, a in enumerate(right) for b in right[i + 1 :]]
+        + [(4, 11)]  # the bridge
+    )
+    vs = spark.createDataFrame([(v,) for v in left + right], ["vid"])
+    es = spark.createDataFrame(edges, ["src", "dst"])
+    lp = {r["vid"]: r["community"] for r in label_propagation(vs, es).collect()}
+    cc = {r["vid"]: r["label"] for r in connected_components(vs, es).collect()}
+    assert len(set(cc.values())) == 1  # CC sees one blob
+    assert len({lp[v] for v in left}) == 1
+    assert len({lp[v] for v in right}) == 1
+    assert lp[1] != lp[11]  # LP separates the bridged cliques

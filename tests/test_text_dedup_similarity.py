@@ -15,6 +15,7 @@ ORACLED = [
     "txt_chunk_windows",
     "txt_doc_frequency",
     "txt_langid_confusion",
+    "txt_tfidf_topk",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
