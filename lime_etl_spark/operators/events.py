@@ -536,3 +536,63 @@ def ev_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_spend"), "user_id")
     )
+
+
+@register(
+    "ev_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / SUM(n_transitions) OVER (PARTITION BY prev_type) AS p_next
+    FROM cnt
+    ORDER BY prev_type, next_type
+    """,
+    description="event-type Markov transition matrix (per-user lag, corpus rollup, row-normalized)",
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral model of the event stream: for every
+    (previous event type → next event type) pair, the transition count
+    and row-normalized probability. The per-user ordering lag and the
+    later per-prev_type normalization are the funnel/churn modeling
+    primitive (what usually follows a view? how absorbing is
+    purchase?).
+
+    Scale: ONE shuffle on user_id for the lag window; the rollup
+    collapses to |event_types|² counter rows before the tiny
+    normalization window, so the second exchange carries a handful of
+    rows regardless of corpus size. p_next is one IEEE-exact division
+    of exact integer counts (sum of bigint counts, not of doubles)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    cnt = (
+        ev.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm)
+        ).alias("p_next"),
+    ).orderBy("prev_type", "next_type")
