@@ -734,3 +734,141 @@ def etl_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     chg = _orders_changelog(spark, sf_dir)
     return cdc_apply(base, chg, keys=["o_orderkey"])
+
+
+from lime_etl_spark.functions.text import shingle_int, shingle_int_sql  # noqa: E402
+
+# (table, row-identity columns) for the parity checksum. Columns are
+# integers / strings / timestamps only: doubles are excluded because
+# double→string rendering differs across engines, and the identity of
+# a row is its keys + coded attributes anyway.
+_CHECKSUM_SPECS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("orders", ("o_orderkey", "o_orderstatus", "o_orderpriority")),
+    ("customer", ("c_custkey", "c_name", "c_mktsegment")),
+    ("lineitem", ("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")),
+)
+
+
+def table_checksum(df: DataFrame, cols: tuple[str, ...], table_name: str) -> DataFrame:
+    """One-row (table_name, n_rows, row_checksum) content fingerprint:
+    md5 each row's '|'-joined identity columns, take the 60-bit
+    integer prefix, SUM as decimal(38,0). Order-insensitive (sum
+    commutes), incremental-friendly (a partition's subtotal is its
+    own checksum), and engine-portable (md5 + integer sum only)."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    return df.agg(
+        F.lit(table_name).alias("table_name"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(shingle_int(F.md5(key)).cast("decimal(38,0)")).alias("row_checksum"),
+    )
+
+
+def _checksum_sql(table: str, cols: tuple[str, ...]) -> str:
+    key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    return f"""
+    SELECT '{table}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({shingle_int_sql(f"md5({key})")}) AS DECIMAL(38,0)) AS row_checksum
+    FROM {table}
+    """
+
+
+@register(
+    "dq_checksum_parity",
+    oracle=" UNION ALL ".join(
+        _checksum_sql(t, cols) for t, cols in _CHECKSUM_SPECS
+    )
+    + " ORDER BY table_name",
+    description="order-insensitive per-table content checksums (cross-system migration parity)",
+)
+def dq_checksum_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content checksums for the core tables — the check a migration
+    (or this engine replacing the reference, lime-etl's own use case:
+    post-run `test()` validating the refreshed table) runs on both
+    systems to prove the copy is faithful without moving data:
+    matching (n_rows, row_checksum) pairs certify row-level parity.
+
+    Scale: each table contributes one full scan reduced map-side to a
+    single (count, sum) pair — no shuffle beyond the 1-row partial
+    merge; the union is across DIFFERENT tables so no scan repeats.
+    Timestamp columns are excluded here only because identity columns
+    suffice; epoch_us casting makes them portable when needed."""
+    parts = [
+        table_checksum(load_table(spark, sf_dir, t), cols, t)
+        for t, cols in _CHECKSUM_SPECS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+_INC_CUTOFF = "1998-06-01"
+
+
+@register(
+    "etl_incremental_agg",
+    oracle=f"""
+    WITH hist AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue_dec
+        FROM orders WHERE o_orderdate < TIMESTAMP '{_INC_CUTOFF}'
+        GROUP BY order_month
+    ),
+    inc AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue_dec
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{_INC_CUTOFF}'
+        GROUP BY order_month
+    ),
+    both_parts AS (
+        SELECT * FROM hist UNION ALL SELECT * FROM inc
+    )
+    SELECT order_month,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(revenue_dec) AS DOUBLE) AS revenue
+    FROM both_parts
+    GROUP BY order_month
+    ORDER BY order_month
+    """,
+    description="incremental aggregate maintenance: merge partial (count,sum) states, never re-scan history",
+)
+def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a monthly revenue rollup: the
+    history partition's aggregate state (count + decimal sum) is
+    merged with the fresh increment's state by RE-AGGREGATING THE
+    PARTIALS — the algebraic-aggregate merge property
+    (agg(A ∪ B) == merge(agg(A), agg(B))) that lets a 100 TB pipeline
+    refresh a rollup by scanning only the day's increment while the
+    oracle proves equivalence to a full recompute. COUNT/SUM carry
+    their own state; AVG rides as sum/count; the decimal sum keeps the
+    merge exact (double partials would make it order-dependent).
+
+    Scale: the history side would be a STORED aggregate in production
+    (read |months| rows, not the fact table); here both partials are
+    built from the same orders scan split by a date predicate that
+    pushes down to the parquet reader. The merge groupBy touches
+    |months| rows — driver-size, still done distributed."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def rollup(part: DataFrame) -> DataFrame:
+        return part.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(dec("o_totalprice", 2, 12)).alias("revenue_dec"),
+        )
+
+    hist = rollup(orders.where(F.col("o_orderdate") < _INC_CUTOFF))
+    inc = rollup(orders.where(F.col("o_orderdate") >= _INC_CUTOFF))
+    return (
+        hist.unionByName(inc)
+        .groupBy("order_month")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            to_double(F.sum("revenue_dec")).alias("revenue"),
+        )
+        .orderBy("order_month")
+    )

@@ -31,6 +31,9 @@ KEYS = [
     "etl_scd2_pit_join",
     "ev_power_users",
     "etl_cdc_merge",
+    "ev_markov_transitions",
+    "dq_checksum_parity",
+    "etl_incremental_agg",
 ]
 
 
