@@ -373,3 +373,76 @@ def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+    WITH m AS (
+        SELECT MAX(list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))) / 127 AS s
+        FROM embeddings
+    ),
+    q AS (
+        SELECT label,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   v -> CAST(GREATEST(LEAST(floor(v / s + 0.5), 127), -127) AS BIGINT)
+               ) AS qv
+        FROM embeddings, m
+    ),
+    ex AS (SELECT label, qv, unnest(generate_series(1, len(qv))) AS i FROM q)
+    SELECT label, CAST(i - 1 AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(qv[i]) AS BIGINT) AS sum_q,
+           CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*) AS centroid_q
+    FROM ex GROUP BY label, i
+    ORDER BY label, pos
+    """,
+    description="per-label centroids accumulated in int8-quantized space (exact integer sums)",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids — the seed step for IVF coarse
+    quantizers, k-NN prototypes, and label-drift monitors. Components
+    are first quantized to int8 under the corpus-global scale (same
+    expression as emb_quantize_error, which audits what that costs),
+    so the per-dimension accumulation is a SUM OF INTEGERS — exact and
+    order-independent, where a double sum would be partition-order
+    noise. The centroid itself is one IEEE division of exact ints.
+
+    Scale: posexplode fans each vector into dim rows, but the (label,
+    pos) groupBy combines map-side, so the shuffle carries at most
+    |labels| x dim counter rows no matter how many vectors; the scale
+    scalar is a 1-row broadcast. Int64 sum headroom: 127 x N rows
+    overflows only past ~7e16 vectors per label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    scale = emb.agg(
+        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
+    )
+    qv = F.transform(
+        x,
+        lambda v: (
+            F.greatest(
+                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
+            )
+        ).cast("bigint"),
+    )
+    ex = (
+        emb.join(F.broadcast(scale))
+        .select("label", F.posexplode(qv).alias("pos", "v"))
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("v").cast("bigint").alias("sum_q"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n_vecs",
+            "sum_q",
+            (F.col("sum_q").cast("double") / F.col("n_vecs")).alias("centroid_q"),
+        )
+        .orderBy("label", "pos")
+    )

@@ -25,6 +25,7 @@ ORACLED = [
     "ann_ivf_multiprobe",
     "knn_label_vote",
     "emb_quantize_error",
+    "emb_label_centroids",
 ]
 
 
