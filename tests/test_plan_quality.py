@@ -216,3 +216,76 @@ def test_open_orders_sweep_shape(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_open_orders_sweep")
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+
+
+def test_cdc_merge_windows_only_the_changelog(spark, sf_dir):
+    """MERGE must window the changelog increment only; the base table
+    is probed by one left-anti hash join, never sorted or windowed."""
+    plan = plan_of(spark, sf_dir, "etl_cdc_merge")
+    # Window\s excludes WindowGroupLimit — the rank<=1 pushdown Spark
+    # adds around the real Window, which we WANT present
+    assert len(re.findall(r"\(\d+\) Window\s", plan)) == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "LeftAnti" in plan, plan
+    # the changelog is an exploded single scan per use (2 uses: anti
+    # probe keys + latest window), never a 4-way union per use
+    assert len(re.findall(r"\(\d+\) Generate", plan)) <= 2, plan
+
+
+def test_tfidf_reuses_the_tf_table_and_aggregates_partially(spark, sf_dir):
+    """tf must be computed once (persisted — InMemoryRelation feeds
+    both the df rollup and the scoring join), with map-side partial
+    aggregation and exactly one top-k window."""
+    plan = plan_of(spark, sf_dir, "txt_tfidf_topk")
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    assert "partial_count" in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\s", plan)) == 1, plan
+
+
+def test_markov_transitions_shape(spark, sf_dir):
+    """One lag window over user_id, one tiny normalization window over
+    the counter rollup; counts aggregate partially in between."""
+    plan = plan_of(spark, sf_dir, "ev_markov_transitions")
+    assert len(re.findall(r"\(\d+\) Window\s", plan)) == 2, plan
+    assert "partial_count" in plan, plan
+
+
+def test_checksum_scans_identity_columns_only(spark, sf_dir):
+    """Each table's checksum scan must prune to the declared identity
+    columns — reading doubles (or all columns) for a 3-column
+    fingerprint is exactly the scan waste the op exists to avoid."""
+    from lime_etl_spark.operators.etl import _CHECKSUM_SPECS
+
+    plan = plan_of(spark, sf_dir, "dq_checksum_parity")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == len(_CHECKSUM_SPECS), plan
+    allowed = {c for _, cols in _CHECKSUM_SPECS for c in cols}
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= allowed, (cols, allowed)
+    # global aggregates only: any exchange is a 1-row partial merge,
+    # never a data-bearing hash repartition
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_incremental_agg_pushes_the_cutoff_to_both_scans(spark, sf_dir):
+    """The history/increment split must reach the parquet reader as a
+    pushed date predicate on both branches (at scale the history side
+    is a stored aggregate; the gate keeps the scan split honest)."""
+    plan = plan_of(spark, sf_dir, "etl_incremental_agg")
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(o_orderdate", plan), plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan), plan
+    assert "partial_count" in plan, plan
+
+
+def test_label_centroids_prunes_and_combines_mapside(spark, sf_dir):
+    """The centroid scan reads only (embedding, label); the dim
+    explosion is reduced by partial aggregation before the (label,
+    pos) exchange."""
+    plan = plan_of(spark, sf_dir, "emb_label_centroids")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"embedding", "label"}, cols
+    assert "partial_count" in plan, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan  # one posexplode
