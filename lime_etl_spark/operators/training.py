@@ -423,3 +423,49 @@ def samp_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("token_share"),
         F.sqrt(share).alias("temp_weight"),
     ).orderBy("source")
+
+
+FIXED_K = 20
+
+
+@register(
+    "samp_fixed_k",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {shingle_int_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+               ) AS rnk
+        FROM documents
+    )
+    WHERE rnk <= {FIXED_K}
+    ORDER BY lang, rnk
+    """,
+    description="exact-k-per-stratum deterministic sample (hash-order row_number)",
+)
+def samp_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k documents per language, chosen by ordering each
+    stratum on a cryptographic hash of the key — a deterministic
+    uniform draw that is stable under reruns AND under corpus growth
+    for the retained prefix, unlike Bernoulli sampling
+    (samp_stratified) which can only promise a rate. This is the
+    eval-set / human-review draw: fixed budget per stratum, no
+    randomness source, replayable by any engine.
+
+    Scale: one shuffle on the stratum key; Spark pushes the rank
+    filter down as WindowGroupLimit, so each map task keeps only its
+    local top-k rows before the exchange — the shuffle carries
+    O(k x partitions) rows, not the corpus. The hash order also
+    breaks any correlation with ingestion order (doc_id), which a
+    naive ORDER BY doc_id draw would inherit."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        shingle_int(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= FIXED_K)
+        .orderBy("lang", "rnk")
+    )

@@ -10,7 +10,30 @@ from lime_etl_spark.operators.training import PACK_BUDGET, SAMPLE_RATES
 from lime_etl_spark.plans.registry import all_queries
 from tests.oracle import assert_query_matches_oracle
 
-KEYS = ["samp_stratified", "samp_hash_split", "ev_asof_attribution", "pack_sequences", "samp_mixture_stats"]
+KEYS = ["samp_stratified", "samp_hash_split", "ev_asof_attribution", "pack_sequences", "samp_mixture_stats", "samp_fixed_k"]
+
+
+def test_fixed_k_is_exact_and_stable(spark, sf_dir):
+    """Every stratum yields exactly min(k, stratum size) rows, and the
+    draw is identical across runs (no randomness source)."""
+    from lime_etl_spark.operators.training import FIXED_K
+    from lime_etl_spark.sources.readers import load_table
+
+    out = all_queries()["samp_fixed_k"].builder(spark, sf_dir).collect()
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    per_lang: dict = {}
+    for r in out:
+        per_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    for lang, n in totals.items():
+        assert len(per_lang.get(lang, set())) == min(FIXED_K, n)
+    again = all_queries()["samp_fixed_k"].builder(spark, sf_dir).collect()
+    assert sorted((r["lang"], r["doc_id"]) for r in out) == sorted(
+        (r["lang"], r["doc_id"]) for r in again
+    )
 
 
 @pytest.mark.parametrize("name", KEYS)
