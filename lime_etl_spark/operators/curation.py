@@ -226,3 +226,89 @@ def cur_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .orderBy("verdict")
     )
+
+
+from lime_etl_spark.operators.dedup import (  # noqa: E402
+    JACCARD_TAU,
+    _minhash_sql,
+    doc_shingles,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signatures,
+)
+
+
+def _split_expr() -> Column:
+    """The samp_hash_split assignment, shared so the leakage audit
+    audits the SAME split the sampler ships."""
+    b = hash_bucket(F.col("doc_id"), 100)
+    return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+
+_SPLIT_SQL = f"""
+    CASE WHEN {_bucket_sql("doc_id", 100)} < 80 THEN 'train'
+         WHEN {_bucket_sql("doc_id", 100)} < 90 THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@register(
+    "cur_split_leakage",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    spl AS (SELECT doc_id, {_SPLIT_SQL} AS split FROM documents)
+    SELECT LEAST(sa.split, sb.split) AS split_lo,
+           GREATEST(sa.split, sb.split) AS split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           LEAST(sa.split, sb.split) <> GREATEST(sa.split, sb.split) AS is_leaky
+    FROM pairs p
+    JOIN spl sa ON p.doc_a = sa.doc_id
+    JOIN spl sb ON p.doc_b = sb.doc_id
+    GROUP BY split_lo, split_hi
+    ORDER BY split_lo, split_hi
+    """,
+    description="near-dup pairs crossing train/val/test boundaries (split-leakage audit)",
+)
+def cur_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-integrity audit 13-gram decontamination cannot do:
+    NEAR-duplicate leakage across the hash-split boundary. A val/test
+    doc whose near-twin sits in train inflates every metric; this
+    query counts verified Jaccard>=tau pairs per (split, split) cell,
+    flagging the off-diagonal ones. Run it before trusting any eval
+    on a deduplicated-but-not-cluster-aware split (the fix is
+    cluster-aware splitting: assign whole dedup_components clusters
+    to one split).
+
+    Scale: the pair table is the LSH-verified output (candidate-
+    scoped, tiny vs the corpus); each side joins the split projection
+    on its doc id — two hash probes of a two-column frame — and the
+    rollup is a 6-cell counter. The split expression is shared with
+    samp_hash_split so the audit can never drift from the sampler."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
+        F.col("jaccard") >= JACCARD_TAU
+    )
+    spl = docs.select("doc_id", _split_expr().alias("split"))
+    sa = spl.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = spl.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    out = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (F.col("split_lo") != F.col("split_hi")).alias("is_leaky"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+    return out

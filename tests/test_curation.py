@@ -15,7 +15,20 @@ CURATION = [
     "cur_repetition_ratio",
     "cur_scrub_stats",
     "cur_quality_gate",
+    "cur_split_leakage",
 ]
+
+
+def test_split_leakage_counts_reconcile(spark, sf_dir):
+    """Cell counts must sum to the verified near-dup pair total, and
+    the is_leaky flag must mark exactly the off-diagonal cells."""
+    from lime_etl_spark.operators.dedup import dedup_minhash_lsh
+
+    rows = get("cur_split_leakage").builder(spark, sf_dir).collect()
+    total_pairs = dedup_minhash_lsh(spark, sf_dir).count()
+    assert sum(r["n_pairs"] for r in rows) == total_pairs
+    for r in rows:
+        assert r["is_leaky"] == (r["split_lo"] != r["split_hi"])
 
 
 @pytest.mark.parametrize("name", CURATION)
