@@ -312,3 +312,84 @@ def cur_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("split_lo", "split_hi")
     )
     return out
+
+
+from lime_etl_spark.operators.graph import connected_components  # noqa: E402
+
+
+def cluster_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split) with the WHOLE near-dup cluster hashed into one
+    split — the fix for what cur_split_leakage measures. Splitting on
+    the component id instead of the doc id makes cross-split near-dup
+    pairs structurally impossible (both endpoints share a component,
+    hence a split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
+        F.col("jaccard") >= JACCARD_TAU
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(docs.select(F.col("doc_id").alias("vid")), edges)
+    sh.unpersist()
+    b = hash_bucket(F.col("label"), 100)
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return cc.select(F.col("vid").alias("doc_id"), split.alias("split"))
+
+
+@register(
+    "samp_cluster_split",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(vid, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.vid
+    ),
+    comp AS (
+        SELECT vid AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+        FROM reach GROUP BY vid
+    ),
+    assigned AS (
+        SELECT doc_id,
+               CASE WHEN {_bucket_sql("component_id", 100)} < 80 THEN 'train'
+                    WHEN {_bucket_sql("component_id", 100)} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM comp
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+    description="cluster-aware train/val/test split (whole near-dup cluster per split; zero structural leakage)",
+)
+def samp_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-size summary of the cluster-aware assignment (the full
+    per-doc frame is :func:`cluster_split_assignment`; the pytest
+    proves zero cross-split near-dup pairs under it, the exact failure
+    cur_split_leakage counts under the naive doc-hash split).
+
+    Scale: the only addition over the CC pipeline is one hash over
+    the component id — the split decision needs no extra shuffle
+    because the label rides the CC output; the summary is a 3-key
+    counter rollup. Singleton docs (no near-dup, the vast majority)
+    hash on their own id, so the 80/10/10 proportions hold."""
+    assigned = cluster_split_assignment(spark, sf_dir)
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+        .orderBy("split")
+    )

@@ -16,7 +16,32 @@ CURATION = [
     "cur_scrub_stats",
     "cur_quality_gate",
     "cur_split_leakage",
+    "samp_cluster_split",
 ]
+
+
+def test_cluster_split_has_zero_leakage(spark, sf_dir):
+    """The cluster-aware split must make cross-split near-dup pairs
+    structurally impossible — the property the naive doc-hash split
+    violates (cur_split_leakage's off-diagonal cells)."""
+    from lime_etl_spark.operators.curation import cluster_split_assignment
+    from lime_etl_spark.operators.dedup import dedup_minhash_lsh
+
+    asg = cluster_split_assignment(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    leaks = (
+        pairs.join(
+            asg.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa"),
+            "doc_a",
+        )
+        .join(
+            asg.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"),
+            "doc_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert leaks == 0
 
 
 def test_split_leakage_counts_reconcile(spark, sf_dir):
