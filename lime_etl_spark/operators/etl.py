@@ -872,3 +872,51 @@ def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+@register(
+    "dq_sketch_accuracy",
+    oracle=None,  # sketch internals (HLL++ registers, quantile summary
+    # compaction) are engine-specific; pytest bounds the relative error
+    description="approx-sketch accuracy audit: HLL distinct + approx percentile vs exact, relative error",
+)
+def dq_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit that justifies every 'approx_* is the scale path'
+    note in this repo: run the sketch and the exact aggregate side by
+    side and report the relative error. At 100 TB the exact forms are
+    the problem — COUNT(DISTINCT) shuffles every key, exact
+    percentiles buffer whole groups — while HLL++ and quantile
+    summaries are tiny MERGEABLE partial states (map-side sketches,
+    one reduce), so the question a pipeline owner needs answered is
+    'what does the cheap path cost in accuracy?'. This keeps the
+    answer measured, per corpus, not assumed.
+
+    Scale note on the exact side here: it exists to CALIBRATE the
+    sketch at test SF; production runs the sketch alone."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    distinct_users = ev.agg(
+        F.lit("distinct_users").alias("metric"),
+        F.countDistinct("user_id").cast("double").alias("exact_value"),
+        F.approx_count_distinct("user_id").cast("double").alias("approx_value"),
+    )
+    p95 = orders.agg(
+        F.lit("p95_order_value").alias("metric"),
+        F.expr("percentile(o_totalprice, 0.95)").cast("double").alias("exact_value"),
+        F.expr("approx_percentile(o_totalprice, 0.95, 10000)")
+        .cast("double")
+        .alias("approx_value"),
+    )
+    return (
+        distinct_users.unionByName(p95)
+        .select(
+            "metric",
+            "exact_value",
+            "approx_value",
+            (
+                F.abs(F.col("approx_value") - F.col("exact_value"))
+                / F.col("exact_value")
+            ).alias("rel_err"),
+        )
+        .orderBy("metric")
+    )

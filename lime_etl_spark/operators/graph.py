@@ -456,3 +456,44 @@ def graph_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_docs"), "component_id")
     )
+
+
+@register(
+    "graph_template_communities",
+    oracle=None,  # LP is iterative/majority-vote — not SQL-expressible;
+    # pytest asserts community⊆component containment + corpus coverage
+    description="template families: label-propagation communities over the near-dup graph with size/volume stats",
+)
+def graph_template_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-family mining: label-propagation communities over
+    the verified near-dup graph, one row per multi-doc community with
+    member count, representative (min doc id), and total characters —
+    the triage table a curation team reads top-down to decide which
+    template explosions to collapse. Differs from dedup_components
+    exactly where it matters: a bridge edge glues two families into
+    one component, but LP keeps them separate communities (the
+    containment is strict: every community lies inside one component).
+
+    Scale: same candidate-scoped LSH pair input and active-subgraph
+    iteration as CC; the stats rollup rides the community label —
+    one counter groupBy. Rows-only: the majority-vote fixpoint has no
+    SQL twin; the invariants are pytest-gated instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
+        F.col("jaccard") >= JACCARD_TAU
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    lp = label_propagation(docs.select(F.col("doc_id").alias("vid")), edges)
+    sh.unpersist()
+    return (
+        lp.join(docs.select(F.col("doc_id").alias("vid"), "n_chars"), "vid")
+        .groupBy(F.col("community").alias("community_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("vid").cast("bigint").alias("rep_doc_id"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "community_id")
+    )

@@ -62,3 +62,17 @@ def test_sessionize_monotonic_sessions(spark, sf_dir):
         assert seqs == list(range(1, len(seqs) + 1))
         g = grp.sort_values("session_seq")
         assert (g["end_us"].values[:-1] < g["start_us"].values[1:]).all()
+
+
+def test_sketch_accuracy_within_documented_bounds(spark, sf_dir):
+    """HLL++ distinct must land within its default 5% rsd; the
+    10k-accuracy quantile summary within 1% on p95 — the measured
+    cost of the documented 100 TB sketch paths."""
+    from lime_etl_spark.plans.registry import all_queries
+
+    rows = {r["metric"]: r for r in all_queries()["dq_sketch_accuracy"].builder(spark, sf_dir).collect()}
+    assert set(rows) == {"distinct_users", "p95_order_value"}
+    assert rows["distinct_users"]["rel_err"] <= 0.05
+    assert rows["p95_order_value"]["rel_err"] <= 0.01
+    for r in rows.values():
+        assert r["exact_value"] > 0 and r["approx_value"] > 0

@@ -189,3 +189,46 @@ def test_label_propagation_splits_bridged_communities(spark):
     assert len({lp[v] for v in left}) == 1
     assert len({lp[v] for v in right}) == 1
     assert lp[1] != lp[11]  # LP separates the bridged cliques
+
+
+def test_template_communities_contained_in_components(spark, sf_dir):
+    """Every LP community must lie inside ONE connected component
+    (LP refines CC, never crosses it), and multi-doc community
+    membership must cover >= as many docs as the largest clusters
+    suggest."""
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from lime_etl_spark.operators.graph import dedup_components, label_propagation
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = get("graph_template_communities").builder(spark, sf_dir).collect()
+    assert rows and all(r["n_docs"] >= 2 for r in rows)
+    assert all(r["rep_doc_id"] == r["community_id"] or r["n_docs"] >= 2 for r in rows)
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(
+        sh, candidates=lsh_candidates(minhash_signatures(sh))
+    ).where(F.col("jaccard") >= JACCARD_TAU)
+    lp = label_propagation(
+        docs.select(F.col("doc_id").alias("vid")),
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    )
+    comp = dedup_components(spark, sf_dir).select(
+        F.col("doc_id").alias("vid"), "component_id"
+    )
+    spanning = (
+        lp.join(comp, "vid")
+        .groupBy("community")
+        .agg(F.countDistinct("component_id").alias("nc"))
+        .where(F.col("nc") > 1)
+        .count()
+    )
+    assert spanning == 0
