@@ -512,3 +512,53 @@ def q_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_supplier_rank_pct",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, SUM({_REV_SQL}) AS revenue_dec
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT n_name, s_suppkey,
+           CAST(revenue_dec AS DOUBLE) AS revenue,
+           PERCENT_RANK() OVER (PARTITION BY n_name ORDER BY revenue_dec DESC) AS pct_rank,
+           CUME_DIST() OVER (PARTITION BY n_name ORDER BY revenue_dec DESC) AS cume
+    FROM rev
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    ORDER BY n_name, revenue DESC, s_suppkey
+    """,
+    description="supplier revenue percentile standing per nation (percent_rank + cume_dist)",
+)
+def q_supplier_rank_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each supplier's revenue standing within its nation as a
+    percentile (percent_rank) and distribution position (cume_dist) —
+    the vendor-scorecard query. Both functions are (rank-1)/(n-1) and
+    rows<=current/n over EXACT decimal revenue, so the ordering and
+    the divisions are bit-identical cross-engine (ties collapse to
+    equal ranks deterministically; doubles would make tie membership
+    engine-dependent).
+
+    Scale: the per-supplier rollup reduces the fact table map-side to
+    |suppliers| rows BEFORE any window; supplier and nation broadcast
+    onto it; the window partitions by nation — bounded-cardinality
+    groups, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("revenue_dec"))
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue_dec"))
+    return (
+        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            "s_suppkey",
+            to_double(F.col("revenue_dec")).alias("revenue"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("n_name", F.desc("revenue"), "s_suppkey")
+    )

@@ -18,6 +18,7 @@ MORE_SET = [
     "q20_concentrated_shippers",
     "q_customer_set_ops",
     "q_open_orders_sweep",
+    "q_supplier_rank_pct",
 ]
 
 
