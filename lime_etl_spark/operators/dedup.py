@@ -138,12 +138,14 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidates(sigs: DataFrame) -> DataFrame:
-    """Band the signature 4×4 and join docs sharing any band bucket.
+def band_buckets(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): the 4×4 LSH banding of a signature table.
 
     One explode builds all band rows in a single pass over the
     signatures — a per-band union would re-run the minhash aggregation
-    once per branch (see simhash_band_pairs for the same fix)."""
+    once per branch (see simhash_band_pairs for the same fix). Exposed
+    separately from the self-join because the streaming sink persists
+    this table as its incremental index."""
     band_structs = F.array(
         *[
             F.struct(
@@ -156,9 +158,14 @@ def lsh_candidates(sigs: DataFrame) -> DataFrame:
             for band in range(N_BANDS)
         ]
     )
-    buckets = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+    return sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
     )
+
+
+def lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Band the signature 4×4 and join docs sharing any band bucket."""
+    buckets = band_buckets(sigs)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(

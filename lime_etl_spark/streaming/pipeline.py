@@ -534,3 +534,109 @@ def enrich_with_static(
     re-read per batch via foreachBatch instead.
     """
     return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def stream_near_dup_sink(
+    doc_stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_path: str,
+    tau: Optional[float] = None,
+) -> StreamingQuery:
+    """Incremental near-duplicate detection: every micro-batch of new
+    documents is LSH-probed against ALL documents seen so far, using
+    the same minhash/banding/verify operators as the batch
+    ``dedup_minhash_lsh`` — detected pairs accumulate in
+    ``pairs_path``, and the stream's union-over-batches equals the
+    batch pipeline over the union corpus (pytest-gated).
+
+    The index under ``index_path`` is two append-only parquet tables:
+    ``buckets`` (doc_id, band, sig) — the LSH postings probed per
+    batch — and ``shingles`` (doc_id, x) — read back ONLY for docs
+    that became candidates (left-semi on candidate ids), so verify
+    work scales with the batch's candidate set, never the corpus.
+
+    Scale: per batch the work is shingle+minhash the increment (∝
+    batch size), one hash probe of the bucket index (at 100 TB the
+    postings are key-partitioned; the probe touches matching buckets),
+    and candidate-scoped exact verification — the same asymptotics as
+    re-running LSH on just the increment. Appends never rewrite the
+    index. Replays are fenced by the checkpoint; a crash BETWEEN the
+    pairs append and the index append can duplicate rows on redelivery
+    — consumers read with dropDuplicates, the idempotence trade every
+    at-least-once parquet sink makes (same note as stream_upsert_sink).
+    """
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        band_buckets,
+        doc_shingles,
+        jaccard_pairs,
+        minhash_signatures,
+    )
+
+    spark = doc_stream.sparkSession
+    tau_v = JACCARD_TAU if tau is None else tau
+    sh_dir = os.path.join(index_path, "shingles")
+    bk_dir = os.path.join(index_path, "buckets")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+        new_sh = doc_shingles(batch).persist()
+        new_bk = band_buckets(minhash_signatures(new_sh)).persist()
+        new_bk.count()
+
+        a, b = new_bk.alias("a"), new_bk.alias("b")
+        within = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        )
+        if os.path.exists(bk_dir):
+            old_bk = spark.read.parquet(bk_dir).alias("o")
+            # old×new probe: either id order can occur, canonicalize
+            cross = (
+                old_bk.join(
+                    new_bk.alias("n"),
+                    (F.col("o.band") == F.col("n.band"))
+                    & (F.col("o.sig") == F.col("n.sig"))
+                    & (F.col("o.doc_id") != F.col("n.doc_id")),
+                )
+                .select(
+                    F.least(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_a"),
+                    F.greatest(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_b"),
+                )
+            )
+            cands = within.unionByName(cross).distinct().persist()
+            cand_ids = (
+                cands.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+            )
+            # verify shingles: the increment's own + ONLY the touched
+            # old docs (left-semi) — never the whole historical table
+            old_sh = spark.read.parquet(sh_dir).join(cand_ids, "doc_id", "left_semi")
+            ver_sh = new_sh.unionByName(old_sh)
+        else:
+            cands = within.distinct().persist()
+            ver_sh = new_sh
+        pairs = jaccard_pairs(ver_sh, candidates=cands).where(
+            F.col("jaccard") >= tau_v
+        )
+        pairs.write.mode("append").parquet(pairs_path)
+        new_sh.write.mode("append").parquet(sh_dir)
+        new_bk.write.mode("append").parquet(bk_dir)
+        cands.unpersist()
+        new_bk.unpersist()
+        new_sh.unpersist()
+
+    return (
+        doc_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )

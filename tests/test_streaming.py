@@ -387,3 +387,61 @@ def test_stream_static_enrichment_matches_batch(spark, event_dir):
         .select("event_id", "user_id", "first_type")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_near_dup_matches_batch_lsh(spark, sf_dir, tmp_path):
+    """Incremental LSH across micro-batches must find exactly the
+    pairs the batch pipeline finds on the union corpus — including
+    the planted duplicates that are CROSS-batch by construction
+    (originals land in batch 1, their copies in batch 2)."""
+    import time
+
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from lime_etl_spark.streaming import stream_near_dup_sink
+
+    src = str(tmp_path / "docs_src")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    docs.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes so file order is deterministic
+    copies.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_near_dup_sink(
+        stream,
+        index_path=str(tmp_path / "nd_index"),
+        pairs_path=str(tmp_path / "nd_pairs"),
+        checkpoint_path=str(tmp_path / "nd_ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in spark.read.parquet(str(tmp_path / "nd_pairs"))
+        .dropDuplicates()
+        .collect()
+    }
+    corpus = docs.unionByName(copies)
+    sh = doc_shingles(corpus).persist()
+    want = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh)))
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .collect()
+    }
+    sh.unpersist()
+    assert got == want
+    # the planted copies are cross-batch: they MUST appear
+    assert any(b - a == 1000000 for a, b, _ in got)
