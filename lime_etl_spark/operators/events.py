@@ -596,3 +596,87 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(norm)
         ).alias("p_next"),
     ).orderBy("prev_type", "next_type")
+
+
+FUNNEL_WINDOW_US = 7 * 86_400 * 1_000_000  # 7 days in integer micros
+
+
+@register(
+    "ev_funnel_windowed",
+    oracle=f"""
+    WITH fv AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS first_view_us
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fc AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_click_us
+        FROM events e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(e.ts) >= fv.first_view_us
+          AND epoch_us(e.ts) <= fv.first_view_us + {FUNNEL_WINDOW_US}
+        GROUP BY e.user_id
+    ),
+    fp AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase_us
+        FROM events e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) >= fc.first_click_us
+          AND epoch_us(e.ts) <= fc.first_click_us + {FUNNEL_WINDOW_US}
+        GROUP BY e.user_id
+    )
+    SELECT fv.user_id, fv.first_view_us, fc.first_click_us, fp.first_purchase_us,
+           fc.user_id IS NOT NULL AS converted_click,
+           fp.user_id IS NOT NULL AS converted_purchase
+    FROM fv
+    LEFT JOIN fc ON fv.user_id = fc.user_id
+    LEFT JOIN fp ON fv.user_id = fp.user_id
+    ORDER BY fv.user_id
+    """,
+    description="view→click→purchase funnel with a bounded 7-day conversion window per stage",
+)
+def ev_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with the constraint real attribution demands: each
+    stage must fire within 7 days of the previous one (ev_funnel's
+    unconstrained ordering credits a purchase months after the view).
+    Timestamps stay integer microseconds end-to-end — the window
+    arithmetic is exact, never float seconds.
+
+    Scale: three aggregations and two left joins, ALL hashing on
+    user_id — one logical partitioning reused across every stage (no
+    re-shuffle between stages under AQE exchange reuse); each stage's
+    input is pre-filtered by event type at the scan, so the joins
+    carry per-stage cohorts, not the event firehose."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("first_view_us"))
+    )
+    fc = (
+        ev.where(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .where((us >= F.col("first_view_us")) & (us <= F.col("first_view_us") + FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("first_click_us"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .where((us >= F.col("first_click_us")) & (us <= F.col("first_click_us") + FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("first_purchase_us"))
+    )
+    return (
+        fv.join(fc, "user_id", "left")
+        .join(fp, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view_us",
+            "first_click_us",
+            "first_purchase_us",
+            F.col("first_click_us").isNotNull().alias("converted_click"),
+            F.col("first_purchase_us").isNotNull().alias("converted_purchase"),
+        )
+        .orderBy("user_id")
+    )

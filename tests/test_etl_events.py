@@ -34,6 +34,7 @@ KEYS = [
     "ev_markov_transitions",
     "dq_checksum_parity",
     "etl_incremental_agg",
+    "ev_funnel_windowed",
 ]
 
 
