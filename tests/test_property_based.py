@@ -150,3 +150,43 @@ def test_snapshot_diff_partitions_key_space(spark, old, new):
             assert ct == "changed"
         else:
             assert ct == "unchanged"
+
+
+_cdc_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),          # key
+        st.integers(min_value=1, max_value=9),           # seq
+        st.sampled_from(["I", "U", "D"]),                # op
+        st.integers(min_value=0, max_value=100),         # value
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(base=_rows, ops=_cdc_ops)
+def test_cdc_apply_matches_sequential_replay(spark, base, ops):
+    """cdc_apply (set-oriented, one pass) must equal the obvious
+    sequential interpretation: replay ops in seq order per key, drop
+    keys whose LAST op is a delete."""
+    from lime_etl_spark.operators.etl import cdc_apply
+
+    base_d = dict(base)
+    # one op per (key, seq): latest-listed wins inside a slot to keep
+    # the reference well-defined, mirroring dropDuplicates semantics
+    slots = {(k, s): (op, v) for k, s, op, v in ops}
+    expected = dict(base_d)
+    for k in {k for k, _ in slots}:
+        seqs = sorted(s for kk, s in slots if kk == k)
+        op, v = slots[(k, seqs[-1])]
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+
+    base_df = spark.createDataFrame(list(base_d.items()), "k int, v int")
+    chg_rows = [(k, s, op, v) for (k, s), (op, v) in slots.items()]
+    chg_df = spark.createDataFrame(chg_rows, "k int, seq int, op string, v int")
+    got = {r["k"]: r["v"] for r in cdc_apply(base_df, chg_df, ["k"]).collect()}
+    assert got == expected
