@@ -680,3 +680,64 @@ def ev_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+DOUBLE_FIRE_GAP_US = 3600 * 1_000_000  # 1 hour
+
+
+@register(
+    "dq_double_fire",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, ts_us, prev_ts_us,
+           ts_us - prev_ts_us AS gap_us
+    FROM (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id
+               ) AS prev_ts_us
+        FROM events
+    )
+    WHERE prev_ts_us IS NOT NULL
+      AND ts_us - prev_ts_us <= {DOUBLE_FIRE_GAP_US}
+    ORDER BY event_id
+    """,
+    description="telemetry double-fire detector: repeated (user, type) events within one hour",
+)
+def dq_double_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumentation-bug detector: the same user re-emitting the same
+    event type within an hour is the retry/double-mounted-handler
+    signature — the inflation a KPI pipeline quarantines before
+    aggregation (the exact-key streaming twin is dedup_stream's
+    dropDuplicatesWithinWatermark; this batch audit measures what it
+    would remove, and surfaces the gap distribution for tuning the
+    watermark horizon).
+
+    Scale: one lag window partitioned by (user, type) —
+    high-cardinality partitioning, no global sort; gap arithmetic in
+    integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id", "event_type").orderBy(us, "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            us.alias("ts_us"),
+            F.lag(us).over(w).alias("prev_ts_us"),
+        )
+        .where(
+            F.col("prev_ts_us").isNotNull()
+            & ((F.col("ts_us") - F.col("prev_ts_us")) <= DOUBLE_FIRE_GAP_US)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts_us",
+            "prev_ts_us",
+            (F.col("ts_us") - F.col("prev_ts_us")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )

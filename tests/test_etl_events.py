@@ -35,6 +35,7 @@ KEYS = [
     "dq_checksum_parity",
     "etl_incremental_agg",
     "ev_funnel_windowed",
+    "dq_double_fire",
 ]
 
 
