@@ -362,3 +362,50 @@ def mm_payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+@register(
+    "mm_preprocess_audit",
+    oracle=None,
+    description="preprocessing plumbing audit: resize + frame-sample legs with per-leg invariant stats",
+)
+def mm_preprocess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two preprocessing legs a vision/video training pipeline
+    runs between ingest and feature extraction, audited in one frame:
+    the resize leg (images re-headered to 64×64 — decode re-reads the
+    REWRITTEN payload, proving the binary round-trip, not just the
+    metadata) and the frame-sampling leg (videos exploded 1→N at 1
+    fps inside the Arrow batch iterator). Per leg: item counts, total
+    output bytes, and the invariant the fake preserves (uniform dims /
+    frames-per-video floor).
+
+    Scale: both legs are mapInPandas over the binary column —
+    Arrow-batched, generator-per-batch so one video's frames never
+    co-reside in memory; each leg filters its media type at the scan
+    so the other types are never shipped to Python."""
+    media = build_media_fixture(spark, n=300)
+    resized = decode_media(resize_images(media, 64, 64, fake=True), fake=True)
+    resize_leg = resized.agg(
+        F.lit("resize_64x64").alias("leg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum(
+            F.when((F.col("width") == 64) & (F.col("height") == 64), 0).otherwise(1)
+        )
+        .cast("bigint")
+        .alias("n_invariant_violations"),
+    )
+    frames = frame_sample(media, every_ms=1000, fake=True)
+    per_video = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame")).alias("frame_bytes"),
+    )
+    frame_leg = per_video.agg(
+        F.lit("frame_sample_1fps").alias("leg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("frame_bytes").cast("bigint").alias("total_bytes"),
+        F.sum(F.when(F.col("n_frames") >= 1, 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_invariant_violations"),
+    )
+    return resize_leg.unionByName(frame_leg).orderBy("leg")

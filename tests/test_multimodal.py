@@ -95,3 +95,16 @@ def test_payload_integrity_audit(spark, sf_dir):
         assert r["n_empty"] == 0
         assert r["n_distinct_md5"] == r["n_media"]  # synthetic payloads unique
         assert 0 < r["min_bytes"] <= r["max_bytes"]
+
+
+def test_preprocess_audit_invariants(spark, sf_dir):
+    """Both preprocessing legs present, non-empty, and invariant-clean
+    (uniform resize dims; >=1 frame per video)."""
+    from lime_etl_spark.plans.registry import get
+
+    rows = {r["leg"]: r for r in get("mm_preprocess_audit").builder(spark, sf_dir).collect()}
+    assert set(rows) == {"resize_64x64", "frame_sample_1fps"}
+    for r in rows.values():
+        assert r["n_items"] > 0
+        assert r["total_bytes"] > 0
+        assert r["n_invariant_violations"] == 0
