@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lime_etl_spark.functions.numeric import to_double
 from lime_etl_spark.functions.text import shingle_int, shingle_int_sql
 from lime_etl_spark.operators.text import BPE_RE
 from lime_etl_spark.plans.registry import register
@@ -468,4 +469,68 @@ def samp_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= FIXED_K)
         .orderBy("lang", "rnk")
+    )
+
+
+@register(
+    "samp_winsorize_audit",
+    oracle="""
+    WITH th AS (
+        SELECT quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events
+    ),
+    clipped AS (
+        SELECT value,
+               GREATEST(LEAST(value, (SELECT p95 FROM th)), (SELECT p05 FROM th)) AS winsorized,
+               CASE WHEN value < (SELECT p05 FROM th) THEN 1 ELSE 0 END AS below,
+               CASE WHEN value > (SELECT p95 FROM th) THEN 1 ELSE 0 END AS above
+        FROM events
+    )
+    SELECT CAST(SUM(below) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(above) AS BIGINT) AS n_clipped_high,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS raw_sum,
+           CAST(SUM(CAST(winsorized AS DECIMAL(12,2))) AS DOUBLE) AS winsorized_sum,
+           (SELECT p05 FROM th) AS p05,
+           (SELECT p95 FROM th) AS p95
+    FROM clipped
+    """,
+    description="winsorization audit: clip event values at exact p5/p95, report clipped counts + mass shift",
+)
+def samp_winsorize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clipping (winsorization) audit — the standard guard
+    before any value-weighted sampling or loss weighting: a handful of
+    extreme values otherwise dominate the mixture. Reports how many
+    rows each tail clips and the total mass the clip moves (both sums
+    decimal-exact; the thresholds are exact interpolated percentiles,
+    bit-identical to DuckDB's quantile_cont).
+
+    Scale: the thresholds are ONE 1-row aggregate broadcast over the
+    scan (q15/q11 scalar pattern); the audit itself is a single
+    map-side-combined global aggregate — counters and two decimal
+    sums, no per-key shuffle at all. At 100 TB swap exact percentiles
+    for approx_percentile (sketch-mergeable) — dq_sketch_accuracy
+    measures precisely what that swap costs."""
+    ev = load_table(spark, sf_dir, "events")
+    th = ev.agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    wz = F.greatest(F.least(F.col("value"), F.col("p95")), F.col("p05"))
+    return (
+        ev.join(F.broadcast(th))
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            to_double(F.sum(F.col("value").cast("decimal(12,2)"))).alias("raw_sum"),
+            to_double(F.sum(wz.cast("decimal(12,2)"))).alias("winsorized_sum"),
+            F.first("p05").alias("p05"),
+            F.first("p95").alias("p95"),
+        )
     )

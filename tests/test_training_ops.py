@@ -10,7 +10,7 @@ from lime_etl_spark.operators.training import PACK_BUDGET, SAMPLE_RATES
 from lime_etl_spark.plans.registry import all_queries
 from tests.oracle import assert_query_matches_oracle
 
-KEYS = ["samp_stratified", "samp_hash_split", "ev_asof_attribution", "pack_sequences", "samp_mixture_stats", "samp_fixed_k"]
+KEYS = ["samp_stratified", "samp_hash_split", "ev_asof_attribution", "pack_sequences", "samp_mixture_stats", "samp_fixed_k", "samp_winsorize_audit"]
 
 
 def test_fixed_k_is_exact_and_stable(spark, sf_dir):
