@@ -393,3 +393,70 @@ def samp_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "cur_rarity_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY term),
+    ranked AS (
+        SELECT term,
+               CAST(DENSE_RANK() OVER (ORDER BY n DESC, term) AS BIGINT) AS rnk
+        FROM freq
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(rnk) AS BIGINT) AS rank_sum,
+           CAST(SUM(rnk) AS DOUBLE) / COUNT(*) AS mean_rank
+    FROM tok JOIN ranked USING (term)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    description="token-rarity score: mean corpus-frequency rank per doc (log-free perplexity proxy)",
+)
+def cur_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A unigram 'how surprising is this document' score with NO
+    transcendentals: each token's corpus-frequency DENSE_RANK stands
+    in for -log p(token) (both are monotone in rarity), and the
+    per-doc mean rank is integer sum / integer count — one IEEE
+    division, bit-stable where a log-prob sum is not. High mean rank
+    flags gibberish/rare-token soup; very low flags boilerplate — the
+    two tails a quality gate trims.
+
+    Scale: the vocabulary table is corpus-BOUNDED (vocab ≪ tokens),
+    so its global dense_rank is a one-task sort of a small table —
+    the same deliberate trade as exact percentiles, with
+    approx ranking (bucketed freq bands) as the documented mega-vocab
+    path. The token→rank join hashes on term with the rank side tiny;
+    the per-doc rollup combines map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    tok = docs.select("doc_id", F.explode(tokens()).alias("term")).persist()
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = freq.select(
+        "term",
+        F.dense_rank()
+        .over(Window.orderBy(F.desc("n"), F.asc("term")))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    out = (
+        tok.join(ranked, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("rnk").cast("bigint").alias("rank_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "rank_sum",
+            (F.col("rank_sum").cast("double") / F.col("n_tokens")).alias("mean_rank"),
+        )
+        .orderBy("doc_id")
+    )
+    return out

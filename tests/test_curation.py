@@ -17,6 +17,7 @@ CURATION = [
     "cur_quality_gate",
     "cur_split_leakage",
     "samp_cluster_split",
+    "cur_rarity_score",
 ]
 
 
