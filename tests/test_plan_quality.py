@@ -289,3 +289,38 @@ def test_label_centroids_prunes_and_combines_mapside(spark, sf_dir):
         assert cols <= {"embedding", "label"}, cols
     assert "partial_count" in plan, plan
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan  # one posexplode
+
+
+def test_winsorize_is_counters_only(spark, sf_dir):
+    """The clip audit must be a shuffle-free global aggregate: the
+    only 'joins' are 1-row threshold broadcasts (BNLJ), and no
+    data-bearing hash repartition exists anywhere."""
+    plan = plan_of(spark, sf_dir, "samp_winsorize_audit")
+    assert "hashpartitioning" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_rarity_score_reuses_token_table(spark, sf_dir):
+    """The exploded token table must be computed once (persisted) and
+    feed both the vocab rollup and the scoring join; the vocab rank is
+    the single window."""
+    plan = plan_of(spark, sf_dir, "cur_rarity_score")
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    assert "partial_count" in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\s", plan)) == 1, plan
+
+
+def test_double_fire_single_window_no_joins(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dq_double_fire")
+    assert len(re.findall(r"\(\d+\) Window\s", plan)) == 1, plan
+    assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_fixed_k_pushes_group_limit(spark, sf_dir):
+    """The docstring's claim — per-task top-k before the stratum
+    exchange — must be visible as WindowGroupLimit in the plan."""
+    plan = plan_of(spark, sf_dir, "samp_fixed_k")
+    assert "WindowGroupLimit" in plan, plan
+    assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
