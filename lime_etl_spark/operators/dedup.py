@@ -481,3 +481,103 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine") >= 0.35)
     )
+
+
+# ---------------------------------------------------------------------------
+# shingle containment (excerpt / subset duplicates)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_TAU = 0.8
+
+# Excerpt corpus: every 10th document also appears as its first half —
+# the quote/excerpt shape. Containment of the excerpt in its source is
+# ~1.0 while Jaccard is ~0.5, which is exactly the asymmetry this
+# operator exists to catch (Broder's containment vs resemblance).
+_EXCERPT_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           substr(text, 1, CAST(FLOOR(length(text) / 2) AS INT)) AS text
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+_EXCERPT_SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id,
+           {shingle_int_sql("sh")} % {MERSENNE_P} AS x
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - {SHINGLE_N - 1}),
+                                     i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM ({_EXCERPT_CORPUS_SQL}))
+    )
+"""
+
+
+def _excerpt_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = F.substring(
+        F.col("text"), 1, F.floor(F.length("text") / 2).cast("int")
+    )
+    excerpts = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), half.alias("text")
+    )
+    return docs.unionByName(excerpts)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_EXCERPT_SHINGLES_SQL}),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE)
+             / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment,
+           CAST(i.n_inter AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE)
+             / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) >= {CONTAINMENT_TAU}
+    """,
+    description="shingle containment: excerpt/subset duplicates symmetric Jaccard misses",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment C(A,B) = |A∩B| / min(|A|,|B|): a short excerpt
+    embedded in a long source scores ~1.0 here but can sit far below
+    any usable Jaccard threshold, so resemblance-based dedup keeps the
+    quote and the source as "distinct". This is the filter that
+    catches quote-farms and boilerplate-wrapped republication.
+
+    Scale shape is identical to dedup_ngram_jaccard (shared-shingle
+    candidates → candidate-scoped intersection counts, shingle table
+    persisted across its self-join); in a production corpus the
+    candidate generator would be the LSH banding, with the containment
+    score replacing the Jaccard verify.
+    """
+    sh = doc_shingles(_excerpt_corpus(spark, sf_dir)).persist()
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.x") == F.col("b.x")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("n_inter").cast("double") / F.least("n_a", "n_b").cast("double")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", cont.alias("containment"), jac.alias("jaccard"))
+        .where(F.col("containment") >= CONTAINMENT_TAU)
+    )

@@ -741,3 +741,112 @@ def dq_double_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+MAU_WINDOW_DAYS = 28
+
+
+@register(
+    "ev_dau_mau",
+    oracle=f"""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT days.d AS day,
+           COUNT(DISTINCT CASE WHEN ud.d = days.d THEN ud.user_id END) AS dau,
+           COUNT(DISTINCT ud.user_id) AS mau,
+           CAST(COUNT(DISTINCT CASE WHEN ud.d = days.d THEN ud.user_id END) AS DOUBLE)
+               / COUNT(DISTINCT ud.user_id) AS stickiness
+    FROM days JOIN ud
+      ON ud.d BETWEEN days.d - {MAU_WINDOW_DAYS - 1} AND days.d
+    GROUP BY days.d
+    ORDER BY day
+    """,
+    description="DAU / trailing-28d MAU stickiness per active day",
+)
+def ev_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness: DAU(d) / MAU(d) where MAU counts distinct
+    users active in [d−27, d].
+
+    A trailing distinct count cannot ride a sliding window (distinct
+    state is not subtractable), and the naive day×user-day range join
+    is O(days·|user-days|). Instead each DISTINCT (user, day) pair is
+    exploded into the ≤28 observation days it contributes to — fan-out
+    is a fixed 28× of the *reduced* pair set, then one groupBy does
+    both distinct counts. The semi join keeps only days that actually
+    had activity (matching the oracle's ``days`` CTE); active-day count
+    is tiny, so it broadcasts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    obs = ud.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), MAU_WINDOW_DAYS - 1))
+        ).alias("day"),
+    ).join(F.broadcast(days), "day", "left_semi")
+    dau = F.countDistinct(F.when(F.col("d") == F.col("day"), F.col("user_id")))
+    return (
+        obs.groupBy("day")
+        .agg(dau.alias("dau"), F.countDistinct("user_id").alias("mau"))
+        .select(
+            "day",
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "ev_event_path3",
+    oracle="""
+    SELECT path, COUNT(*) AS n_paths, COUNT(DISTINCT user_id) AS n_users
+    FROM (
+        SELECT user_id,
+               LAG(event_type, 2) OVER w || '>' || LAG(event_type, 1) OVER w
+                   || '>' || event_type AS path
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    WHERE path IS NOT NULL
+    GROUP BY path
+    ORDER BY n_paths DESC, path
+    """,
+    description="3-step event-type path frequencies (behavioral trigrams)",
+)
+def ev_event_path3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral trigrams: consecutive 3-event type sequences per
+    user, counted corpus-wide — the input to funnel discovery (which
+    ordered paths actually occur, before you hand-pick one to measure
+    with ev_funnel).
+
+    One (user) shuffle feeds both lags; the rollup output is bounded by
+    |types|³ regardless of corpus size, so the final agg is a
+    counters-only exchange. NULL lag rows (first two events per user)
+    drop, matching the oracle's WHERE.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    path = F.concat_ws(
+        ">",
+        F.lag("event_type", 2).over(w),
+        F.lag("event_type", 1).over(w),
+        F.col("event_type"),
+    )
+    # concat_ws skips NULLs, so guard on the oldest lag explicitly.
+    return (
+        ev.select(
+            "user_id",
+            F.when(F.lag("event_type", 2).over(w).isNotNull(), path).alias("path"),
+        )
+        .where(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_paths"), "path")
+    )

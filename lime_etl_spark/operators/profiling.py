@@ -1,0 +1,201 @@
+"""Data-profiling operators: digit-law audits, robust dispersion,
+outlier fences.
+
+These are the statistical data-quality checks a curation pipeline runs
+beside the schema-level ones in ``operators/etl.py`` (dq_* family):
+Benford's-law drift catches synthetic/duplicated numeric columns, IQR
+fences and MAD are the robust outlier screens that survive the heavy
+tails exact stddev does not. (lime-etl analog: the ``test()`` hook on
+a JobSpec — `/root/reference/lime_etl/domain/job_spec.py:60` — these
+are prebuilt tests a TableRefreshJob can attach.)
+
+Determinism rules (shared with the rest of the engine):
+- first-digit extraction is a CASE ladder over powers of ten, not
+  log10/string-cast — double→string formatting and log-edge rounding
+  both differ across engines;
+- percentiles are exact interpolated (Spark ``percentile`` == DuckDB
+  ``quantile_cont``, same (1-f)·a+f·b form); approx_percentile is the
+  documented 100 TB path;
+- shares/fences use single IEEE ops (one division / one multiply-sub),
+  which are correctly-rounded and cross-engine stable.
+
+Scale shape: every operator reduces to a handful of group rows before
+any join; the join back onto the fact is a broadcast of those rows, so
+the fact table is scanned at most twice and never shuffled on data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lime_etl_spark.plans.registry import register
+from lime_etl_spark.sources.readers import load_table
+
+# -- first significant digit ------------------------------------------------
+
+# o_totalprice < 10^7 in every TPC-H scale; extend the ladder if not.
+_POW10 = [10**k for k in range(6, -1, -1)]
+
+
+def first_digit(col: F.Column) -> F.Column:
+    """First significant digit of a positive numeric as a CASE ladder.
+
+    floor(x / 10^k) for the matching magnitude k: one correctly-rounded
+    IEEE division + floor, bit-identical everywhere, no log10, no
+    double→string formatting.
+    """
+    expr = F.lit(None).cast("int")
+    ladder = F.when(col >= _POW10[0], F.floor(col / _POW10[0]))
+    for p in _POW10[1:]:
+        ladder = ladder.when(col >= p, F.floor(col / p))
+    return ladder.otherwise(expr).cast("int")
+
+
+def _first_digit_sql(expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {expr} >= {p} THEN CAST(FLOOR({expr} / {p}) AS INT)" for p in _POW10
+    )
+    return f"CASE {cases} ELSE NULL END"
+
+
+@register(
+    "dq_benford",
+    oracle=f"""
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+    FROM (
+        SELECT {_first_digit_sql("o_totalprice")} AS digit, COUNT(*) AS n
+        FROM orders
+        GROUP BY 1
+    )
+    ORDER BY digit
+    """,
+    description="Benford first-significant-digit distribution of order totals",
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit histogram of o_totalprice with exact shares.
+
+    The scan aggregates straight to <=9 counter rows (map-side partial
+    combine; counters-only shuffle); the share window runs over those 9
+    rows on one task. Comparing `share` against log10(1+1/d) is left to
+    the caller — the ln/log10 constants are not bit-stable cross-engine
+    so the engine emits exact counts and one exact division.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        first_digit(F.col("o_totalprice")).alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "digit", "n", (F.col("n").cast("double") / total).alias("share")
+    ).orderBy("digit")
+
+
+# -- IQR outlier fences -----------------------------------------------------
+
+
+@register(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH fences AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.25) AS p25,
+               quantile_cont(o_totalprice, 0.75) AS p75
+        FROM orders
+        GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           MAX(f.p25) AS p25,
+           MAX(f.p75) AS p75,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o.o_totalprice < f.p25 - 1.5 * (f.p75 - f.p25)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN o.o_totalprice > f.p75 + 1.5 * (f.p75 - f.p25)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM orders o JOIN fences f USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    description="Tukey 1.5-IQR outlier counts per order priority",
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Tukey fences (p25/p75 ± 1.5·IQR) and outlier counts.
+
+    Pass 1 reduces orders to |priorities| fence rows (exact percentile;
+    approx_percentile is the sketch path at 100 TB). Pass 2 re-scans
+    orders with the fences BROADCAST — flagging is row-local, the only
+    shuffle carries counter partials. The fence arithmetic is a single
+    multiply and add/sub per side, IEEE-stable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.75)))
+    fences = orders.groupBy("o_orderpriority").agg(
+        pct[0].alias("p25"), pct[1].alias("p75")
+    )
+    iqr = F.col("p75") - F.col("p25")
+    low, high = F.col("p25") - 1.5 * iqr, F.col("p75") + 1.5 * iqr
+    return (
+        orders.join(F.broadcast(fences), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("p25").alias("p25"),
+            F.max("p75").alias("p75"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("o_totalprice") < low, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(F.col("o_totalprice") > high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# -- median absolute deviation ----------------------------------------------
+
+
+@register(
+    "q_mad_price",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           MAX(m.p50) AS p50,
+           quantile_cont(ABS(l.l_extendedprice - m.p50), 0.5) AS mad,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    description="median absolute deviation of price per return flag",
+)
+def q_mad_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD = median(|x − median(x)|) per group — the robust dispersion
+    used where stddev is blown up by tails.
+
+    Two exact-percentile passes: medians reduce to |flags| rows and
+    broadcast back; the deviation |x−p50| is one IEEE sub + abs, so the
+    second median sees bit-identical inputs in both engines. At 100 TB
+    both passes switch to approx_percentile and the join stays a
+    broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50")
+    )
+    dev = F.abs(F.col("l_extendedprice") - F.col("p50"))
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("p50").alias("p50"),
+            F.percentile(dev, F.lit(0.5)).alias("mad"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )

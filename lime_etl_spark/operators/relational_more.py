@@ -562,3 +562,121 @@ def q_supplier_rank_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", F.desc("revenue"), "s_suppkey")
     )
+
+
+@register(
+    "q_yoy_growth",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+    )
+    SELECT n_name, order_year, revenue,
+           LAG(revenue) OVER (PARTITION BY n_name ORDER BY order_year) AS prev_revenue,
+           revenue / LAG(revenue) OVER (PARTITION BY n_name ORDER BY order_year) - 1.0
+               AS yoy_growth
+    FROM rev
+    ORDER BY n_name, order_year
+    """,
+    description="year-over-year revenue growth per nation (lag over the annual rollup)",
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annual revenue per nation with YoY growth ratio.
+
+    The fact reduces to |nations|×|years| rows BEFORE the window — the
+    lag never sees order-grain data, so the window's sort is over a
+    few hundred rows however big the fact is. Revenue is decimal-exact
+    then double; the growth ratio is a single IEEE division + sub, so
+    it hashes identically cross-engine. Nation/customer dims broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(to_double(F.sum(dec("o_totalprice", 2, 12))).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("order_year")
+    prev = F.lag("revenue").over(w)
+    return rev.select(
+        "n_name",
+        "order_year",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (F.col("revenue") / prev - 1.0).alias("yoy_growth"),
+    ).orderBy("n_name", "order_year")
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate), (SELECT MAX(o_orderdate) FROM orders))
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, monetary,
+               NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+               NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        FROM per_cust
+    )
+    SELECT r_score * 100 + f_score * 10 + m_score AS segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(14,2))) AS DOUBLE) AS segment_value
+    FROM scored
+    GROUP BY r_score * 100 + f_score * 10 + m_score
+    ORDER BY segment
+    """,
+    description="RFM quartile segmentation of customers from the order history",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary quartile segments — the classic
+    customer-scoring rollup a marketing pipeline feeds from the lake.
+
+    Orders reduce to one row per customer first (one shuffle, partial
+    aggs); the three global NTILEs then sort only the |customers|-row
+    rollup. A global ntile is a single-partition sort — fine because
+    its input is the reduced rollup, not the fact; at extreme customer
+    counts the documented path is percent_rank-from-approx-percentile
+    bucketing, which needs no global sort. The reference-date scalar
+    (MAX orderdate) is a 1-row broadcast, never a collect. All three
+    scores tie-break on custkey so ntile boundaries are deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        orders.join(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("ref_date"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            to_double(F.sum(dec("o_totalprice", 2, 12))).alias("monetary"),
+        )
+    )
+    r = F.ntile(4).over(Window.orderBy("recency_days", "o_custkey"))
+    f_ = F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+    return (
+        per_cust.select(
+            "monetary", (r * 100 + f_ * 10 + m).alias("segment")
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            to_double(F.sum(dec("monetary", 2, 14))).alias("segment_value"),
+        )
+        .orderBy("segment")
+    )

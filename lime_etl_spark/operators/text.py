@@ -385,3 +385,63 @@ def txt_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "tfidf_ratio", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+# Character classes for the charset profile. ASCII-safe regexes that
+# mean the same thing to Java regex (Spark) and RE2 (DuckDB).
+_CHAR_CLASSES = (
+    ("alpha", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ ]"),
+    ("punct", "[.,;:!?'\"()-]"),
+)
+
+
+@register(
+    "txt_charset_profile",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           {", ".join(
+               f"CAST(SUM(len(regexp_extract_all(text, '{_re_.replace(chr(39), chr(39) * 2)}'))) AS DOUBLE)"
+               f" / SUM(length(text)) AS {name}_ratio"
+               for name, _re_ in _CHAR_CLASSES
+           )},
+           CAST(SUM(length(text) - len(regexp_extract_all(text, '[ -~]'))) AS BIGINT)
+               AS n_non_ascii
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description="per-language character-class profile (alpha/digit/space/punct/non-ASCII)",
+)
+def txt_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset composition per language — the encoding-health screen
+    that catches mojibake, binary-in-text and wrong-language ingest
+    before tokenization (a zh corpus with 99% ASCII is a red flag, as
+    is an en corpus suddenly full of non-ASCII after a crawler change).
+
+    All counting is JVM regexp_count over the row (codegen, no
+    Python); the shuffle carries only per-language counter partials.
+    The ratio is one IEEE division of two exact integer counts, so it
+    hash-matches DuckDB bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    ]
+    for name, pat in _CHAR_CLASSES:
+        aggs.append(
+            (
+                F.sum(F.regexp_count("text", F.lit(pat))).cast("double")
+                / F.sum(F.length("text"))
+            ).alias(f"{name}_ratio")
+        )
+    aggs.append(
+        F.sum(F.length("text") - F.regexp_count("text", F.lit("[ -~]")))
+        .cast("bigint")
+        .alias("n_non_ascii")
+    )
+    return docs.groupBy("lang").agg(*aggs).orderBy("lang")

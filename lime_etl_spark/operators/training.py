@@ -534,3 +534,50 @@ def samp_winsorize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("p95").alias("p95"),
         )
     )
+
+
+N_FOLDS = 5
+
+
+@register(
+    "samp_kfold",
+    oracle=f"""
+    SELECT fold, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS min_doc_id
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               CAST({_bucket_sql("doc_id", N_FOLDS)} AS INT) AS fold
+        FROM documents
+    )
+    GROUP BY fold, lang
+    ORDER BY fold, lang
+    """,
+    description="deterministic 5-fold cross-validation assignment + per-fold balance",
+)
+def samp_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold assignment by content-independent key hash — the
+    cross-validation / ablation-shard primitive. Fold membership is a
+    pure function of doc_id (same md5-bucket family as samp_hash_split,
+    so folds nest consistently with the train/val/test split), which
+    makes every fold reproducible across runs, engines and re-shards.
+
+    Scale: fold assignment is a row-local projection (no shuffle); the
+    balance rollup groups on (fold, lang) — a counters-only exchange of
+    ≤ folds×langs rows. The balance table is the check that hash
+    folding actually equidistributed chars, not just docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            hash_bucket(F.col("doc_id"), N_FOLDS).cast("int").alias("fold"),
+        )
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("fold", "lang")
+    )

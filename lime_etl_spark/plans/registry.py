@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "lime_etl_spark.operators.training",
     "lime_etl_spark.operators.curation",
     "lime_etl_spark.operators.multimodal",
+    "lime_etl_spark.operators.profiling",
 )
 
 
