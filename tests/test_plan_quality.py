@@ -324,3 +324,82 @@ def test_fixed_k_pushes_group_limit(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "samp_fixed_k")
     assert "WindowGroupLimit" in plan, plan
     assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
+
+
+def test_benford_counters_only(spark, sf_dir):
+    """Digit histogram must reduce to ≤9 counter rows before the share
+    window: partial counts, no join anywhere, and the only exchanges
+    are the counter rollup + the 9-row window repartition."""
+    plan = plan_of(spark, sf_dir, "dq_benford")
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_outlier_iqr_fences_broadcast(spark, sf_dir):
+    """The per-group fences (5 rows) must broadcast back onto orders —
+    a sort-merge join here would shuffle the fact on a 5-value key."""
+    plan = plan_of(spark, sf_dir, "dq_outlier_iqr")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_mad_medians_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_mad_price")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_yoy_window_rides_the_rollup(spark, sf_dir):
+    """Dims broadcast; the lag window sits above the nation×year
+    aggregate (partial agg present), never above order grain."""
+    plan = plan_of(spark, sf_dir, "q_yoy_growth")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\s", plan)) == 1, plan
+
+
+def test_rfm_ntiles_sort_only_the_customer_rollup(spark, sf_dir):
+    """Three quartile windows, each over the per-customer rollup (the
+    fact is aggregated first — partial_count proves map-side reduce);
+    the MAX-date reference is a 1-row broadcast, not a collect."""
+    plan = plan_of(spark, sf_dir, "q_rfm_segments")
+    assert len(re.findall(r"\(\d+\) Window\s", plan)) == 3, plan
+    assert "partial_count" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_dau_mau_shape(spark, sf_dir):
+    """Bounded 28× explode of the distinct pair set (Generate node),
+    active-day semi probe broadcast; no cartesian day join."""
+    plan = plan_of(spark, sf_dir, "ev_dau_mau")
+    assert re.search(r"\(\d+\) Generate", plan), plan
+    assert re.search(r"BroadcastHashJoin LeftSemi", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_event_path_single_user_shuffle(spark, sf_dir):
+    """Both lags share one (user) window; only other exchange is the
+    bounded path rollup."""
+    plan = plan_of(spark, sf_dir, "ev_event_path3")
+    assert len(re.findall(r"\(\d+\) Window\s", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_containment_persists_shingles(spark, sf_dir):
+    """The shingle table feeds the self-join from both sides and the
+    size rollup — must be computed once (InMemoryRelation)."""
+    plan = plan_of(spark, sf_dir, "dedup_containment")
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+
+
+def test_charset_profile_single_shuffle_no_python(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "txt_charset_profile")
+    assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_kfold_rowlocal_then_single_rollup(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "samp_kfold")
+    assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
