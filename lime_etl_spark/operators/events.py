@@ -850,3 +850,78 @@ def ev_event_path3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_paths"), "path")
     )
+
+
+_LATENCY_BUCKETS_US = (
+    ("lt_1h", 3600 * 1_000_000),
+    ("lt_1d", 24 * 3600 * 1_000_000),
+    ("lt_7d", 7 * 24 * 3600 * 1_000_000),
+)
+
+
+@register(
+    "ev_purchase_latency",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_converted,
+           MIN(lat) AS min_latency_us,
+           MAX(lat) AS max_latency_us,
+           CAST(quantile_cont(lat, 0.5) AS BIGINT) AS p50_latency_us,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN lat < {us} THEN 1 ELSE 0 END) AS BIGINT) AS n_{name}"
+               for name, us in _LATENCY_BUCKETS_US
+           )}
+    FROM (
+        SELECT first_purchase_us - first_view_us AS lat
+        FROM firsts
+        WHERE first_view_us IS NOT NULL AND first_purchase_us IS NOT NULL
+          AND first_purchase_us >= first_view_us
+    )
+    """,
+    description="first-view→first-purchase conversion latency distribution",
+)
+def ev_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for every user whose first
+    purchase follows their first view, the time between the two —
+    the number an acquisition team watches move.
+
+    ONE conditional-aggregation pass computes both firsts per user
+    (no per-type self-join); converting users reduce to a single
+    latency value each, and the summary is one global aggregate.
+    Exact median here (the reduced set is per-user, not per-event);
+    approx_percentile is the documented swap at extreme user counts.
+    Integer-microsecond arithmetic throughout.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("first_purchase_us"),
+    )
+    lat = (
+        firsts.where(
+            F.col("first_view_us").isNotNull()
+            & F.col("first_purchase_us").isNotNull()
+            & (F.col("first_purchase_us") >= F.col("first_view_us"))
+        )
+        .select((F.col("first_purchase_us") - F.col("first_view_us")).alias("lat"))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("lat").alias("min_latency_us"),
+        F.max("lat").alias("max_latency_us"),
+        F.percentile("lat", F.lit(0.5)).cast("bigint").alias("p50_latency_us"),
+    ]
+    for name, bound in _LATENCY_BUCKETS_US:
+        aggs.append(
+            F.sum(F.when(F.col("lat") < bound, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+    return lat.agg(*aggs)

@@ -497,3 +497,82 @@ def graph_template_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), "community_id")
     )
+
+
+@register(
+    "graph_dense_templates",
+    oracle=None,  # rides label_propagation (iterative majority vote) —
+    # no SQL twin; density/share invariants are pytest-gated
+    description="densest-template mining: LP communities ranked by density × char volume",
+)
+def graph_dense_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The triage table for boilerplate collapse, ranked by payoff:
+    label-propagation communities with their internal edge density,
+    representative doc, and share of total corpus characters. A
+    curation team works this list top-down — a community with
+    density ≈ 1 and a large char_share is a template explosion where
+    keeping one representative deletes the most redundant bytes with
+    the least risk (low-density communities need human eyes first;
+    graph_cluster_density measures that failure mode corpus-wide).
+
+    Scale: ONE LSH pair pipeline feeds both uses (community detection
+    and the within-community edge count) — the pair table is persisted
+    across them, so the expensive candidate-verify runs once. The
+    density join rides the community labels (broadcast-sized rollup);
+    the corpus char total is a 1-row broadcast, and char_share is a
+    single IEEE division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = (
+        jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh)))
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    pairs.count()
+    sh.unpersist()
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    lp = label_propagation(docs.select(F.col("doc_id").alias("vid")), edges).persist()
+
+    # within-community verified edges: both endpoints share the label
+    la = lp.select(F.col("vid").alias("doc_a"), F.col("community").alias("comm_a"))
+    lb = lp.select(F.col("vid").alias("doc_b"), F.col("community").alias("comm_b"))
+    e_in = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .where(F.col("comm_a") == F.col("comm_b"))
+        .groupBy(F.col("comm_a").alias("community_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    total_chars = docs.agg(F.sum("n_chars").cast("bigint").alias("corpus_chars"))
+    stats = (
+        lp.join(docs.select(F.col("doc_id").alias("vid"), "n_chars"), "vid")
+        .groupBy(F.col("community").alias("community_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("vid").cast("bigint").alias("rep_doc_id"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    out = (
+        stats.join(e_in, "community_id")
+        .join(F.broadcast(total_chars))
+        .select(
+            "community_id",
+            "n_docs",
+            "rep_doc_id",
+            "n_edges",
+            (
+                (2 * F.col("n_edges")).cast("double")
+                / (F.col("n_docs") * (F.col("n_docs") - 1)).cast("double")
+            ).alias("density"),
+            "total_chars",
+            (F.col("total_chars").cast("double") / F.col("corpus_chars").cast("double")).alias(
+                "char_share"
+            ),
+        )
+        .orderBy(F.desc("density"), F.desc("total_chars"), "community_id")
+    )
+    return out

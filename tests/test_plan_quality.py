@@ -403,3 +403,37 @@ def test_kfold_rowlocal_then_single_rollup(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "samp_kfold")
     assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
     assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_dim_stats_bounded_output_no_python(spark, sf_dir):
+    """posexplode fan-out reduces straight to |dims| counter rows —
+    partial agg present, no Python, no join."""
+    plan = plan_of(spark, sf_dir, "emb_dim_stats")
+    assert re.search(r"\(\d+\) Generate", plan), plan
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_norm_audit_rowlocal_fold(spark, sf_dir):
+    """Squared norm is a row-local array fold: one counter shuffle on
+    label, no explode, no join."""
+    plan = plan_of(spark, sf_dir, "emb_norm_audit")
+    assert "Generate" not in plan, plan
+    assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_purchase_latency_one_pass_no_self_join(spark, sf_dir):
+    """Both first-touch times come from ONE conditional aggregation —
+    no per-type self-join of the events fact."""
+    plan = plan_of(spark, sf_dir, "ev_purchase_latency")
+    assert "Join" not in plan, plan
+    assert plan.count("events.parquet") == 1, "events scanned more than once"
+
+
+def test_join_skew_counters_only(spark, sf_dir):
+    """Three per-key rollups + 1-row reduces; nothing but counters in
+    any exchange, no join, no window."""
+    plan = plan_of(spark, sf_dir, "dq_join_skew")
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "partial_count" in plan, plan
