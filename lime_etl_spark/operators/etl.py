@@ -920,3 +920,60 @@ def dq_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("metric")
     )
+
+
+@register(
+    "etl_backfill_plan",
+    oracle="""
+    WITH present AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d
+        FROM events
+        WHERE day(ts) % 7 <> 0   -- simulated checkpoint log with gaps
+    ),
+    bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events
+    ),
+    expected AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds
+    )
+    SELECT e.d AS missing_day
+    FROM expected e
+    LEFT JOIN present p ON p.d = e.d
+    WHERE p.d IS NULL
+    ORDER BY missing_day
+    """,
+    description="partition backfill planner: expected-date range anti-joined with the processed log",
+)
+def etl_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-refresh planner: which date partitions are
+    missing between the table's bounds and the processed-partition log?
+    This is the first step of every backfill job — lime-etl's
+    refresh-interval logic answers "is the whole job due"; this
+    operator answers "WHICH slices are due" so the TableRefreshJob can
+    target only the gap (here the processed log is simulated by
+    dropping every 7th day-of-month).
+
+    Scale: the expected set is generated from a 1-row min/max
+    aggregate (a metadata-only footer read on a date-partitioned
+    lake table) — days count is tiny at any data size, so the
+    anti join BROADCASTS the generated calendar against the distinct
+    processed days; no fact-grain shuffle at all.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    present = (
+        ev.where(F.dayofmonth("ts") % 7 != 0)
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    expected = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("missing_day")
+    )
+    return (
+        expected.join(
+            present.select(F.col("d").alias("missing_day")), "missing_day", "left_anti"
+        )
+        .orderBy("missing_day")
+    )

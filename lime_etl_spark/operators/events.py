@@ -925,3 +925,79 @@ def ev_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"n_{name}")
         )
     return lat.agg(*aggs)
+
+
+ATTRIB_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+@register(
+    "ev_attribution_touches",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id, user_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+        SELECT user_id, event_id AS v_id, epoch_us(ts) AS v_us
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(v.v_id) AS n_touches,
+           MIN(v.v_us) AS first_touch_us,
+           MAX(v.v_us) AS last_touch_us,
+           CAST(MIN(v.v_id) FILTER (WHERE v.v_us = ft.min_us) AS BIGINT) AS first_touch_id
+    FROM purchases p
+    JOIN views v
+      ON v.user_id = p.user_id
+     AND v.v_us <= p.p_us AND v.v_us > p.p_us - {ATTRIB_WINDOW_US}
+    JOIN (
+        SELECT p2.event_id, MIN(v2.v_us) AS min_us
+        FROM purchases p2 JOIN views v2
+          ON v2.user_id = p2.user_id
+         AND v2.v_us <= p2.p_us AND v2.v_us > p2.p_us - {ATTRIB_WINDOW_US}
+        GROUP BY p2.event_id
+    ) ft ON ft.event_id = p.event_id
+    GROUP BY p.event_id, p.user_id, ft.min_us
+    ORDER BY purchase_id
+    """,
+    description="multi-touch attribution profile: views within 7d of each purchase",
+)
+def ev_attribution_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution input table: for every purchase, the count and the
+    first/last of the user's views inside the 7-day lookback — the
+    touch profile any credit model (first/last/U-shaped) consumes.
+    Deliberately emits touch STRUCTURE, not float credit: credit
+    division (0.2/(n-2) style) belongs downstream where the model
+    choice lives, and float credit sums are not order-reproducible.
+
+    One (user) equi-join carrying the time-range predicate — the range
+    rides the hash join as a post-probe filter, so there is exactly one
+    fact shuffle pair and never a cartesian; the rollup then groups on
+    purchase id. Skewed power-users split under AQE. The oracle needs a
+    second scan to recover the first-touch id; Spark gets it free via
+    min_by.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    us = F.unix_micros("ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", us.alias("p_us")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_id"), us.alias("v_us")
+    )
+    joined = purchases.join(views, "user_id").where(
+        (F.col("v_us") <= F.col("p_us"))
+        & (F.col("v_us") > F.col("p_us") - ATTRIB_WINDOW_US)
+    )
+    return (
+        joined.groupBy("purchase_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.min("v_us").alias("first_touch_us"),
+            F.max("v_us").alias("last_touch_us"),
+            F.min_by("v_id", F.struct("v_us", "v_id")).cast("bigint").alias("first_touch_id"),
+        )
+        .orderBy("purchase_id")
+    )

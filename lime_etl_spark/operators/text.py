@@ -9,6 +9,7 @@ the corpus-level stats).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -445,3 +446,58 @@ def txt_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_non_ascii")
     )
     return docs.groupBy("lang").agg(*aggs).orderBy("lang")
+
+
+@register(
+    "txt_compression_ratio",
+    oracle=None,  # zlib has no SQL twin; pytest cross-checks the UDF
+    # against direct python zlib on the same rows
+    description="per-source zlib compression ratio (Arrow-batched Pandas UDF)",
+)
+def txt_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression ratio as a text-quality signal (Gopher-style):
+    highly repetitive or templated text compresses far below natural
+    prose, random/binary junk barely compresses at all — both tails
+    are what a curation gate drops.
+
+    This is the engine's canonical example of the SANCTIONED Python
+    path: zlib genuinely cannot be expressed in column expressions, so
+    it runs as a scalar ``pandas_udf`` — Arrow-batched columnar
+    transfer, one Python call per batch (ArrowEvalPython in the plan,
+    never row-at-a-time BatchEvalPython). Everything around it stays
+    JVM-side, and the AGGREGATED outputs are integer byte counts, so
+    the per-source rollup is deterministic (the ratio is one IEEE
+    division of two exact integers — no float sums across rows).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def compressed_len(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        compressed_len("text").alias("n_compressed"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_compressed").cast("bigint").alias("total_compressed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_compressed",
+            (F.col("total_compressed").cast("double") / F.col("total_chars").cast("double")).alias(
+                "compression_ratio"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -640,3 +640,60 @@ def stream_near_dup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class DqGateResult(dict):
+    """Per-batch gate ledger: batch_id → {passed, n_rows, null_rate}."""
+
+
+def with_dq_gate(
+    apply: Callable[[DataFrame, int], None],
+    check_cols: list,
+    quarantine_path: str,
+    max_null_rate: float = 0.0,
+    min_rows: int = 0,
+    ledger: Optional[DqGateResult] = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming data-quality circuit breaker at the foreachBatch
+    commit point: each micro-batch is profiled (null rate over
+    ``check_cols``, row floor) BEFORE the sink function runs; a
+    failing batch is diverted whole to the quarantine directory and
+    the sink never sees it — the streaming analog of a lime-etl job
+    ``test()`` guarding a refresh (reference job_spec.py:60), placed
+    where exactly-once semantics already exist.
+
+    Quarantine-not-drop: the bad batch is preserved (partitioned by
+    batch id) for replay after the upstream fix, which is the
+    operational contract a 100 TB ingest needs — data is never lost to
+    a gate, only parked. The profile is ONE aggregate over the batch
+    (counters only); the batch DataFrame is reused for the sink, so
+    the gate adds a single cheap pass.
+    """
+    gate_ledger = ledger if ledger is not None else DqGateResult()
+
+    def gated(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_null_{c}")
+            for c in check_cols
+        ]
+        prof = batch_df.agg(*aggs).collect()[0]
+        n = prof["n_rows"]
+        n_null = max((prof[f"n_null_{c}"] for c in check_cols), default=0)
+        null_rate = (n_null / n) if n else 0.0
+        passed = n >= min_rows and null_rate <= max_null_rate
+        gate_ledger[batch_id] = {
+            "passed": passed,
+            "n_rows": n,
+            "null_rate": null_rate,
+        }
+        if not passed:
+            if n:
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(quarantine_path, f"batch_id={batch_id}")
+                )
+            return
+        apply(batch_df, batch_id)
+
+    return gated
