@@ -680,3 +680,54 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT
+        r_name, o_orderpriority,
+        GROUPING(r_name) + 2 * GROUPING(o_orderpriority) AS gid,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), (o_orderpriority))
+    ORDER BY gid, r_name NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    description="explicit GROUPING SETS with grouping_id (beyond rollup/cube fixed shapes)",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the shape rollup/cube can't express
+    (here: the two 1-column sets plus the pair, but NOT the grand
+    total). Spark plans one Expand over the reduced join output with
+    partial aggregation per set — each input row fans into exactly
+    |sets| aggregation rows map-side, so the shuffle carries counter
+    partials × sets, never data × sets.
+
+    Uses the spark.sql surface over registered views — the same query
+    text a migrating SQL user would run verbatim.
+    """
+    from lime_etl_spark.sources.readers import load_table as _lt
+
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _lt(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _lt(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT
+            r_name, o_orderpriority,
+            CAST(grouping(r_name) + 2 * grouping(o_orderpriority) AS BIGINT) AS gid,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+            COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), (o_orderpriority))
+        ORDER BY gid, r_name NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )

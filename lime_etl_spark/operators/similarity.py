@@ -544,3 +544,73 @@ def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+HARD_NEG_K = 5
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    SELECT q_vec_id, q_label, n_vec_id, n_label, cosine, rank FROM (
+        SELECT q.vec_id AS q_vec_id, q.label AS q_label,
+               v.vec_id AS n_vec_id, v.label AS n_label,
+               {_COS_SQL} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_SQL} DESC, v.vec_id) AS rank
+        FROM embeddings q JOIN embeddings v
+          ON q.vec_id <> v.vec_id AND q.label <> v.label
+        WHERE q.vec_id % {QUERY_MOD} = 0
+    ) WHERE rank <= {HARD_NEG_K}
+    """,
+    description="hard-negative mining: top-k most-similar vectors with a DIFFERENT label",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training sampler: for each anchor, the most
+    cosine-similar vectors that carry a different label — exactly the
+    negatives that maximize training signal (easy negatives are
+    already far away; these sit on the decision boundary).
+
+    Same broadcast-anchor / windowed-top-k shape as the brute-force
+    kNN (norms precomputed once per vector; WindowGroupLimit prunes to
+    a per-partition local top-k before the one narrow shuffle), with
+    the label-mismatch predicate applied before scoring so same-label
+    pairs never pay the dot product. At corpus scale the anchor side
+    is the batch being mined (small, broadcast); the production swap
+    is the IVF bucketed variant with the same mismatch predicate.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "label", "embedding")
+        .withColumn("norm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
+        .alias("q")
+    )
+    v = (
+        emb.select("vec_id", "label", "embedding")
+        .withColumn("norm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
+        .alias("v")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .where(
+            (F.col("q.vec_id") != F.col("v.vec_id"))
+            & (F.col("q.label") != F.col("v.label"))
+        )
+        .select(
+            F.col("q.vec_id").alias("q_vec_id"),
+            F.col("q.label").alias("q_label"),
+            F.col("v.vec_id").alias("n_vec_id"),
+            F.col("v.label").alias("n_label"),
+            (
+                dot(F.col("q.embedding"), F.col("v.embedding"))
+                / (F.col("q.norm") * F.col("v.norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cosine"), "n_vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HARD_NEG_K)
+        .select("q_vec_id", "q_label", "n_vec_id", "n_label", "cosine", "rank")
+    )

@@ -239,3 +239,67 @@ def write_avro(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Raw-text ingest → the engine's ``documents`` shape.
+
+    ``spark.read.text`` streams line-per-row with zero parsing cost;
+    each line becomes a document with a content-derived 63-bit id
+    (md5-prefix — deterministic across runs/partitionings, unlike
+    monotonically_increasing_id, and collision-safe at corpus scale),
+    ``source`` = the originating file. This is the first hop of the
+    LLM pipeline: land raw dumps, then run the text/dedup/curation
+    operator families unchanged.
+
+    Scale: one narrow projection per line; ids need no shuffle and no
+    driver coordination, so ingest parallelism == input split count.
+    """
+    raw = spark.read.text(path).where(F.length("value") > 0)
+    doc_id = F.conv(F.substring(F.md5("value"), 1, 15), 16, 10).cast("bigint")
+    return raw.select(
+        doc_id.alias("doc_id"),
+        F.col("value").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("source"),
+        F.length("value").cast("bigint").alias("n_chars"),
+    )
+
+
+def read_media_dir(
+    spark: SparkSession, path: str, pattern: str = "*", max_bytes: int | None = None
+) -> DataFrame:
+    """Binary-media ingest via Spark's ``binaryFile`` source — the
+    real-world entry point of the multimodal family (operators/
+    multimodal.py): files land as opaque ``binary`` payloads with
+    typed provenance columns, then decode/resize/frame-sample run as
+    the same Arrow-batched stages regardless of how payloads arrived.
+
+    media_id is content-derived (md5-prefix of the path — stable under
+    re-listing); media_type comes from the extension. ``max_bytes``
+    maps to pathGlobFilter/sizes a production ingest would set so a
+    stray 10 GB video cannot OOM an executor reading a 128 MB batch.
+    """
+    reader = (
+        spark.read.format("binaryFile").option("pathGlobFilter", pattern)
+    )
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    media_type = (
+        F.when(ext.isin("png", "jpg", "jpeg", "gif", "bmp"), "image")
+        .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+        .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+        .otherwise("binary")
+    )
+    return df.select(
+        F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("media_id"),
+        media_type.alias("media_type"),
+        F.col("content"),
+        F.col("path").alias("file_path"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("modified_ts"),
+    )
