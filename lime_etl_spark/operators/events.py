@@ -1001,3 +1001,149 @@ def ev_attribution_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+BUCKET_US = 3600 * 1_000_000  # 1-hour interval-join buckets
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str = "start_us",
+    l_end: str = "end_us",
+    r_start: str = "start_us",
+    r_end: str = "end_us",
+    bucket_us: int = BUCKET_US,
+    extra_pred: F.Column | None = None,
+) -> DataFrame:
+    """Generic RANGE (interval-overlap) join as a bucketed equi-join.
+
+    Spark executes a bare ``a.start <= b.end AND b.start <= a.end``
+    condition as a broadcast-nested-loop — O(L×R) comparisons, the
+    join that dies first at scale. The standard fix (same trick as
+    DuckDB/Postgres range-join optimizations): explode each interval
+    into the fixed-width time buckets it covers, equi-join on the
+    bucket (hash join!), dedupe the pair, then verify the exact
+    overlap predicate. Cost: O((L+R)·buckets_per_interval) fan-out +
+    one hash join — and two overlapping intervals always share the
+    bucket containing max(start), so recall is exact.
+
+    Bucket width tunes fan-out vs selectivity: ~the median interval
+    length is the usual choice (1h here, matching the 30-min session
+    gap upper bound).
+    """
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(l_start) / bucket_us).cast("bigint"),
+                (F.col(l_end) / bucket_us).cast("bigint"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(r_start) / bucket_us).cast("bigint"),
+                (F.col(r_end) / bucket_us).cast("bigint"),
+            )
+        ),
+    )
+    cond = (F.col(f"l.{l_start}") <= F.col(f"r.{r_end}")) & (
+        F.col(f"r.{r_start}") <= F.col(f"l.{l_end}")
+    )
+    if extra_pred is not None:
+        cond = cond & extra_pred
+    return (
+        lb.alias("l")
+        .join(rb.alias("r"), on="__bucket")
+        .where(cond)
+        .drop("__bucket")
+        .distinct()
+    )
+
+
+@register(
+    "ev_concurrent_sessions",
+    oracle=f"""
+    WITH sess AS (
+        SELECT user_id, session_seq, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        FROM (
+            SELECT user_id, ts_us,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            )
+        )
+        GROUP BY user_id, session_seq
+    )
+    SELECT a.user_id, CAST(a.session_seq AS BIGINT) AS session_seq,
+           a.start_us, a.end_us,
+           CAST(COUNT(b.user_id) AS BIGINT) AS n_concurrent
+    FROM sess a LEFT JOIN sess b
+      ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+     AND a.user_id <> b.user_id
+    GROUP BY a.user_id, a.session_seq, a.start_us, a.end_us
+    ORDER BY a.user_id, session_seq
+    """,
+    description="per-session concurrency via bucketed interval-overlap join (range join)",
+)
+def ev_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many other users' sessions overlap each session — the
+    concurrency/load profile (and the engine's RANGE-join showcase:
+    the oracle writes the naive O(n²) overlap join; the Spark plan is
+    the bucketed hash join from :func:`interval_overlap_join`, which
+    is the only form that survives when sessions number in the
+    billions).
+
+    LEFT join semantics (sessions with zero overlap appear with 0) are
+    recovered by rejoining the overlap counts onto the session table —
+    the overlap join itself stays inner/hash.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev)
+        .groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq"))
+        .agg(F.min("__ts_us").alias("start_us"), F.max("__ts_us").alias("end_us"))
+        .persist()
+    )
+    pairs = interval_overlap_join(
+        sess.select(
+            F.col("user_id").alias("a_user"),
+            F.col("session_seq").alias("a_seq"),
+            F.col("start_us").alias("a_start"),
+            F.col("end_us").alias("a_end"),
+        ),
+        sess.select(
+            F.col("user_id").alias("b_user"),
+            F.col("session_seq").alias("b_seq"),
+            F.col("start_us").alias("b_start"),
+            F.col("end_us").alias("b_end"),
+        ),
+        l_start="a_start",
+        l_end="a_end",
+        r_start="b_start",
+        r_end="b_end",
+        extra_pred=F.col("l.a_user") != F.col("r.b_user"),
+    )
+    counts = pairs.groupBy(
+        F.col("a_user").alias("user_id"), F.col("a_seq").alias("session_seq")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_concurrent"))
+    return (
+        sess.join(counts, ["user_id", "session_seq"], "left")
+        .select(
+            "user_id",
+            "session_seq",
+            "start_us",
+            "end_us",
+            F.coalesce("n_concurrent", F.lit(0)).cast("bigint").alias("n_concurrent"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -731,3 +731,50 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, r_name NULLS FIRST, o_orderpriority NULLS FIRST
         """
     )
+
+
+@register(
+    "q_order_value_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_order_value,
+           LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS latest_order_value,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_order_value,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS trailing3_value
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    description="window frame breadth: first/last/nth_value + trailing ROWS sum in one customer shuffle",
+)
+def q_order_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-function battery (first_value / last_value over the
+    full frame / nth_value / a bounded trailing ROWS sum) — four
+    different frames sharing ONE (custkey, orderdate) sort: Catalyst
+    plans a single Window node because partitioning and ordering
+    agree, so the fact shuffles once however many frame variants ride
+    it. The trailing sum is decimal-exact through the frame.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ob = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    grow = Window.partitionBy("o_custkey").orderBy(*ob).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.partitionBy("o_custkey").orderBy(*ob).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    trail = Window.partitionBy("o_custkey").orderBy(*ob).rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(grow).alias("first_order_value"),
+        F.last("o_totalprice").over(full).alias("latest_order_value"),
+        F.nth_value("o_totalprice", 2).over(grow).alias("second_order_value"),
+        to_double(F.sum(dec("o_totalprice", 2, 12)).over(trail)).alias("trailing3_value"),
+    ).orderBy("o_custkey", "o_orderkey")
