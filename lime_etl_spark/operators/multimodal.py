@@ -409,3 +409,148 @@ def mm_preprocess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_invariant_violations"),
     )
     return resize_leg.unionByName(frame_leg).orderBy("leg")
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup (average-hash + hamming banding)
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ahash", LongType(), False),
+    ]
+)
+
+AHASH_GRID = 64  # 8×8 sample grid → 64-bit signature
+AHASH_HAMMING_TAU = 6
+
+
+def media_ahash(df: DataFrame, fake: bool | None = None) -> DataFrame:
+    """64-bit average-hash per payload — the perceptual-dedup
+    signature. Fake mode samples 64 evenly-spaced body bytes as the
+    "pixel grid" and thresholds against their mean, which preserves
+    the property that matters: payloads differing in a few bytes get
+    signatures differing in a few BITS (a cryptographic hash would
+    scatter them). A real build would decode pixels, resize to 8×8
+    grayscale and threshold — same signature contract.
+
+    Arrow-batched like every payload stage; output is 8 bytes/item,
+    so the downstream dedup join never touches the binary again.
+    """
+    _require_fake(fake)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                body = bytes(content)[25:]  # skip the LMM1 header
+                if not body:
+                    body = b"\x00"
+                cells = [
+                    body[(i * len(body)) // AHASH_GRID] for i in range(AHASH_GRID)
+                ]
+                mean = sum(cells) / AHASH_GRID
+                sig = 0
+                for i, c in enumerate(cells):
+                    if c > mean:
+                        sig |= 1 << i
+                # store as signed 64-bit
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                ids.append(int(media_id))
+                sigs.append(sig)
+            yield pd.DataFrame({"media_id": ids, "ahash": sigs})
+
+    return df.select("media_id", "content").mapInPandas(run, AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(
+    sigs: DataFrame, tau: int = AHASH_HAMMING_TAU
+) -> DataFrame:
+    """Candidate pairs by 4×16-bit hamming banding (two signatures
+    within hamming distance ≤ 15 MUST agree on at least one band when
+    tau < 16/... — with tau=6 < 4 bands, pigeonhole guarantees a
+    shared band), verified by exact popcount on the XOR. All JVM-side:
+    band split is shift/mask arithmetic, verify is bit_count — the
+    Python stage ended at signature extraction."""
+    bands = sigs.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_ix"),
+                        F.shiftright("ahash", 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "ahash", "band.band_ix", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_ix") == F.col("b.band_ix"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("a.ahash").alias("hash_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("b.ahash").alias("hash_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b")))
+    return cands.select(
+        "media_a", "media_b", hamming.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= tau)
+
+
+def _perturbed_media_corpus(spark: SparkSession, n: int = 200) -> DataFrame:
+    """Fixture ∪ lightly-perturbed copies of every 10th payload (3
+    flipped body bytes — a re-encode/metadata-tweak stand-in)."""
+    base = build_media_fixture(spark, n=n)
+
+    def perturb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = pdf[pdf["media_id"] % 10 == 0].copy()
+            out = []
+            for content in keep["content"]:
+                raw = bytearray(bytes(content))
+                for off in (30, 60, 90):
+                    if off < len(raw):
+                        raw[off] ^= 0xFF
+                out.append(bytes(raw))
+            keep["content"] = out
+            keep["media_id"] = keep["media_id"] + 1_000_000
+            yield keep
+
+    copies = base.mapInPandas(perturb, MEDIA_SCHEMA)
+    return base.unionByName(copies)
+
+
+@register(
+    "mm_image_near_dup",
+    oracle=None,  # signature extraction is the (fake-gated) Python stage;
+    # pytest proves planted perturbed copies are found and distinct
+    # payloads are not
+    description="perceptual near-dup: average-hash signatures + hamming-band candidates",
+)
+def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection for binary media — the image twin of
+    MinHash text dedup: Python touches each payload once to emit a
+    64-bit average-hash; banding, candidate join and popcount verify
+    run JVM-side on 8-byte signatures. At 100 TB the signature table
+    is ~1/10⁶ the payload bytes, so the dedup join costs what text
+    LSH costs regardless of media size.
+    """
+    corpus = _perturbed_media_corpus(spark, n=200)
+    sigs = media_ahash(corpus, fake=True).persist()
+    return ahash_near_dup_pairs(sigs).orderBy("media_a", "media_b")

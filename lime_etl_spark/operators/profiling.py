@@ -269,3 +269,118 @@ def dq_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("key_name")
+
+
+# -- count-min sketch heavy hitters -----------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOP = 20
+
+
+def _cms_bucket(key: F.Column, j: int) -> F.Column:
+    from lime_etl_spark.functions.text import shingle_int
+
+    return shingle_int(F.concat(key.cast("string"), F.lit(f"#{j}"))) % CMS_WIDTH
+
+
+def _cms_bucket_sql(expr: str, j: int) -> str:
+    from lime_etl_spark.functions.text import shingle_int_sql
+
+    keyed = f"CAST({expr} AS VARCHAR) || '#{j}'"
+    return f"{shingle_int_sql(keyed)} % {CMS_WIDTH}"
+
+
+@register(
+    "sketch_heavy_hitters",
+    oracle=f"""
+    WITH sketch AS (
+        SELECT j, bucket, COUNT(*) AS cnt
+        FROM (
+            SELECT user_id,
+                   unnest([{", ".join(str(j) for j in range(CMS_DEPTH))}]) AS j,
+                   unnest([{", ".join(_cms_bucket_sql("user_id", j) for j in range(CMS_DEPTH))}]) AS bucket
+            FROM events
+        )
+        GROUP BY j, bucket
+    ),
+    exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id),
+    est AS (
+        SELECT e.user_id, e.exact_n, MIN(s.cnt) AS est_n
+        FROM exact e
+        JOIN sketch s
+          ON (s.j = 0 AND s.bucket = {_cms_bucket_sql("e.user_id", 0)})
+          OR (s.j = 1 AND s.bucket = {_cms_bucket_sql("e.user_id", 1)})
+          OR (s.j = 2 AND s.bucket = {_cms_bucket_sql("e.user_id", 2)})
+          OR (s.j = 3 AND s.bucket = {_cms_bucket_sql("e.user_id", 3)})
+        GROUP BY e.user_id, e.exact_n
+    )
+    SELECT user_id, CAST(est_n AS BIGINT) AS est_n, exact_n,
+           CAST(est_n - exact_n AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY est_n DESC, user_id
+    LIMIT {CMS_TOP}
+    """,
+    description="count-min sketch heavy hitters: mergeable d×w counters vs exact counts",
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter estimation through a count-min sketch built AS a
+    DataFrame: each row votes into d={CMS_DEPTH} hashed buckets of
+    width w={CMS_WIDTH}, the sketch is the (j, bucket)→count rollup —
+    d·w counters of state however large the key space, mergeable
+    across partitions/days by plain addition (the same property HLL
+    gives distincts). Estimates are min over the d rows, guaranteed
+    ≥ exact (pytest also bounds the overestimate by the εN CMS bound).
+
+    Everything is integer arithmetic on the cross-engine md5 hash
+    bridge, so DuckDB replays the sketch EXACTLY — the oracle builds
+    the same sketch and must land on identical estimates. At 100 TB
+    you keep the sketch, not the keys: this query joins the exact
+    counts only to measure the error, a test you run at small scale to
+    size (d, w) before trusting the sketch alone at large scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    votes = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cms_bucket(F.col("user_id"), j).alias("bucket")
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("v"),
+    ).select("user_id", "v.j", "v.bucket")
+    sketch = votes.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cms_bucket(F.col("user_id"), j).alias("bucket")
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "exact_n", "p.j", "p.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").cast("bigint").alias("est_n"))
+    )
+    return (
+        est.select(
+            "user_id",
+            "est_n",
+            "exact_n",
+            (F.col("est_n") - F.col("exact_n")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.desc("est_n"), "user_id")
+        .limit(CMS_TOP)
+    )

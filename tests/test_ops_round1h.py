@@ -1,0 +1,65 @@
+"""Batch-8: perceptual media near-dup + count-min sketch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lime_etl_spark.plans.registry import get
+from tests.oracle import assert_query_matches_oracle
+
+
+def test_sketch_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "sketch_heavy_hitters")
+
+
+def test_sketch_never_underestimates_and_bounded(spark, sf_dir):
+    """CMS guarantees est >= exact; overestimate is bounded by εN with
+    ε = e/w (here generously doubled — the bound is probabilistic)."""
+    from lime_etl_spark.operators.profiling import CMS_WIDTH
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = get("sketch_heavy_hitters").builder(spark, sf_dir).collect()
+    assert rows
+    n_total = load_table(spark, sf_dir, "events").count()
+    bound = 2 * 2.718 * n_total / CMS_WIDTH
+    for r in rows:
+        assert r["est_n"] >= r["exact_n"]
+        assert r["overestimate"] == r["est_n"] - r["exact_n"]
+        assert r["overestimate"] <= bound
+
+
+def test_image_near_dup_finds_planted_only(spark, sf_dir, monkeypatch):
+    monkeypatch.setenv("LIME_SPARK_FAKE_DECODE", "1")
+    rows = get("mm_image_near_dup").builder(spark, sf_dir).collect()
+    planted = {(r["media_a"], r["media_b"]) for r in rows if r["media_b"] == r["media_a"] + 1_000_000}
+    assert len(planted) == 20, "every perturbed copy must pair with its source"
+    from lime_etl_spark.operators.multimodal import AHASH_HAMMING_TAU
+
+    assert all(0 <= r["hamming"] <= AHASH_HAMMING_TAU for r in rows)
+    # byte-perturbation flips few signature bits; unrelated payloads
+    # sit near hamming 32 — no cross pairs at tau
+    assert all((a, b) in planted for a, b in ((r["media_a"], r["media_b"]) for r in rows))
+
+
+def test_ahash_banding_is_pigeonhole_exact(spark, monkeypatch):
+    """Any two signatures within tau=6 bits MUST share a 16-bit band
+    (pigeonhole over 4 bands) — verify the candidate generator loses
+    nothing vs brute force on a random signature set."""
+    monkeypatch.setenv("LIME_SPARK_FAKE_DECODE", "1")
+    import random
+
+    from lime_etl_spark.operators.multimodal import ahash_near_dup_pairs
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(63) for _ in range(40)]
+    sigs = base + [s ^ (1 << rng.randrange(60)) ^ (1 << rng.randrange(60)) for s in base[:10]]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(sigs)], "media_id long, ahash long")
+    got = {(r["media_a"], r["media_b"]) for r in ahash_near_dup_pairs(df, tau=6).collect()}
+    brute = {
+        (i, j)
+        for i in range(len(sigs))
+        for j in range(i + 1, len(sigs))
+        if bin(sigs[i] ^ sigs[j]).count("1") <= 6
+    }
+    assert got == brute
