@@ -1147,3 +1147,66 @@ def ev_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@register(
+    "ev_audience_overlap",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both,
+           MAX(na.n) AS n_a, MAX(nb.n) AS n_b,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(MAX(na.n) + MAX(nb.n) - COUNT(*) AS DOUBLE) AS jaccard
+    FROM tu a
+    JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type) na
+      ON na.event_type = a.event_type
+    JOIN (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type) nb
+      ON nb.event_type = b.event_type
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b
+    """,
+    description="audience overlap: Jaccard of distinct-user sets per event-type pair",
+)
+def ev_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which behaviors share an audience: |users(A)∩users(B)| /
+    |users(A)∪users(B)| for every event-type pair — the segmentation
+    input for cross-sell and the sanity check that a new event type
+    isn't just an alias of an old one (Jaccard ≈ 1).
+
+    The fact reduces to DISTINCT (type, user) pairs first; the
+    self-join hashes on user_id (each user contributes |their types|²
+    pairs — bounded by the tiny type alphabet, never by event count),
+    and the per-type audience sizes broadcast onto the |types|²
+    rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct().persist()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    na = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -697,3 +697,61 @@ def with_dq_gate(
         apply(batch_df, batch_id)
 
     return gated
+
+
+def stream_cms_sink(
+    stream: DataFrame,
+    sketch_path: str,
+    checkpoint_path: str,
+    key_col: str = "user_id",
+) -> StreamingQuery:
+    """Incremental count-min sketch maintenance: each micro-batch
+    builds its partial sketch (d×w counters — operators/profiling.py)
+    and MERGES it into the stored sketch by plain counter addition.
+    This is why sketches, not exact counts, are the streaming state
+    story at 100 TB: the stored state is d×w rows forever, the merge
+    is associative/commutative (replay-safe), and the result equals
+    the batch sketch over all data seen — proven in pytest.
+    """
+    from lime_etl_spark.operators.profiling import CMS_DEPTH, _cms_bucket
+
+    spark = stream.sparkSession
+
+    def batch_sketch(df: DataFrame) -> DataFrame:
+        votes = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _cms_bucket(F.col(key_col), j).alias("bucket"),
+                        )
+                        for j in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("v")
+        ).select("v.j", "v.bucket")
+        return votes.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        inc = batch_sketch(batch_df)
+        if os.path.exists(sketch_path):
+            base = spark.read.parquet(sketch_path)
+            merged = (
+                base.unionByName(inc)
+                .groupBy("j", "bucket")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        else:
+            merged = inc.select("j", "bucket", F.col("cnt").cast("bigint").alias("cnt"))
+        tmp = sketch_path + ".tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        fs_rename(tmp, sketch_path)
+
+    return (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -63,3 +63,57 @@ def test_ahash_banding_is_pigeonhole_exact(spark, monkeypatch):
         if bin(sigs[i] ^ sigs[j]).count("1") <= 6
     }
     assert got == brute
+
+
+def test_audience_overlap_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "ev_audience_overlap")
+
+
+def test_audience_overlap_bounds(spark, sf_dir):
+    rows = get("ev_audience_overlap").builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_stream_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Union of per-micro-batch sketches (merged by addition) must
+    equal the batch sketch over the same rows — the mergeability
+    property that makes sketches THE streaming state at scale."""
+    from lime_etl_spark.operators.profiling import CMS_DEPTH, _cms_bucket
+    from lime_etl_spark.sources.readers import load_table
+    from lime_etl_spark.streaming import read_event_stream, stream_cms_sink
+
+    src = str(tmp_path / "src")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+
+    sketch_path = str(tmp_path / "sketch")
+    q = stream_cms_sink(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        sketch_path,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(sketch_path).collect()
+    }
+    batch = (
+        spark.read.parquet(src)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("j"), _cms_bucket(F.col("user_id"), j).alias("bucket"))
+                        for j in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("v")
+        )
+        .groupBy("v.j", "v.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want = {(r["j"], r["bucket"]): r["cnt"] for r in batch.collect()}
+    assert got == want
