@@ -460,3 +460,51 @@ def cur_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return out
+
+
+BOILER_N = 8
+BOILER_MIN_DOCS = 5
+
+
+@register(
+    "cur_boilerplate_lines",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, unnest({_gram_sql(BOILER_N)}) AS gram
+        FROM toks
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM grams
+    GROUP BY gram
+    HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+    ORDER BY n_docs DESC, gram
+    """,
+    description="boilerplate phrase mining: long n-grams shared across many documents",
+)
+def cur_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detector: 8-word grams appearing in
+    ≥{BOILER_MIN_DOCS} DISTINCT documents. Short-gram stats
+    (txt_ngram_stats) surface common language; LONG grams shared
+    across documents are almost never natural prose — they are
+    footers, license headers, cookie banners and template scaffolding,
+    the strings a curation pass strips before near-dup clustering
+    (after stripping, fewer false near-dup edges between unrelated
+    pages sharing a footer).
+
+    Scale: distinct-per-doc before the count (a doc repeating its own
+    footer votes once); the gram explode is the same JVM array fan-out
+    every shingle operator uses, and the rollup output is capped by
+    the HAVING floor — rare grams (the overwhelming majority) die in
+    the partial aggregate's map-side combine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(tokens(), BOILER_N)).alias("gram")
+    ).distinct()
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), "gram")
+    )

@@ -778,3 +778,61 @@ def q_order_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(grow).alias("second_order_value"),
         to_double(F.sum(dec("o_totalprice", 2, 12)).over(trail)).alias("trailing3_value"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "q_revenue_deciles",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, spend,
+               NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+        FROM per_cust
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(spend AS DECIMAL(14,2))) AS DOUBLE) AS decile_revenue,
+           CAST(SUM(SUM(CAST(spend AS DECIMAL(14,2)))) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS cumulative_revenue
+    FROM ranked
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    description="customer revenue deciles with cumulative concentration (the 80/20 report)",
+)
+def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report: customers bucketed into spend
+    deciles, each decile's revenue and the cumulative share curve —
+    the one-glance "top 10% drives X%" table.
+
+    Orders reduce per-customer first; the single global ntile sorts
+    only the customer rollup (same documented approx-percentile escape
+    as q_rfm_segments at extreme cardinality); the cumulative sum then
+    runs over exactly 10 rows. All money stays decimal-exact until the
+    final cast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        to_double(F.sum(dec("o_totalprice", 2, 12))).alias("spend")
+    )
+    decile = F.ntile(10).over(Window.orderBy(F.desc("spend"), "o_custkey"))
+    per_dec = (
+        per_cust.select("spend", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(dec("spend", 2, 14)).alias("__dec_rev"),
+        )
+    )
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_dec.select(
+        "decile",
+        "n_customers",
+        to_double(F.col("__dec_rev")).alias("decile_revenue"),
+        to_double(F.sum("__dec_rev").over(cum)).alias("cumulative_revenue"),
+    ).orderBy("decile")

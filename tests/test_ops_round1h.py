@@ -117,3 +117,30 @@ def test_stream_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
     )
     want = {(r["j"], r["bucket"]): r["cnt"] for r in batch.collect()}
     assert got == want
+
+
+def test_boilerplate_lines_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "cur_boilerplate_lines")
+
+
+def test_revenue_deciles_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "q_revenue_deciles")
+
+
+def test_revenue_deciles_concentration(spark, sf_dir):
+    rows = get("q_revenue_deciles").builder(spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # decile 1 is the top spenders: revenues must be non-increasing
+    revs = [r["decile_revenue"] for r in rows]
+    assert all(a >= b for a, b in zip(revs, revs[1:]))
+    # cumulative is a prefix sum ending at the total
+    assert abs(rows[-1]["cumulative_revenue"] - sum(revs)) < 1e-6
+
+
+def test_boilerplate_grams_are_8_words_and_cross_doc(spark, sf_dir):
+    from lime_etl_spark.operators.curation import BOILER_MIN_DOCS
+
+    rows = get("cur_boilerplate_lines").builder(spark, sf_dir).collect()
+    for r in rows:
+        assert len(r["gram"].split(" ")) == 8
+        assert r["n_docs"] >= BOILER_MIN_DOCS
