@@ -272,6 +272,36 @@ class SparkAdminStore:
             return None
         return self.get_batch(max(rows, key=lambda r: r["seq"])["batch_id"])
 
+    _VERSION_KEYS = {"batches": "batch_id", "jobs": "job_id"}
+
+    def snapshot_as_of(self, table: str, ts: datetime.datetime) -> DataFrame:
+        """Time travel over the event-sourced ledger: the latest-wins
+        state of ``batches``/``jobs`` as it stood at ``ts`` — every
+        version row with ts ≤ the snapshot time, reduced to the newest
+        (max seq) per entity. Because the ledger is append-only, old
+        states are never destroyed, so "what did the scheduler believe
+        at 03:00 when the page fired?" is a filter, not a restore —
+        the operational debugging read the reference's UPDATE-in-place
+        admin schema cannot answer.
+
+        Returned as a Spark DataFrame (the analytical surface): the
+        filter and the per-entity window both push into the scan.
+        """
+        if table not in self._VERSION_KEYS:
+            raise ValueError(f"snapshot_as_of supports {tuple(self._VERSION_KEYS)}, got {table!r}")
+        key = self._VERSION_KEYS[table]
+        schema = _BATCHES if table == "batches" else _JOBS
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        df = self._read(table, schema).where(_F.col("ts") <= _F.lit(ts))
+        w = _W.partitionBy(key).orderBy(_F.desc("seq"))
+        return (
+            df.withColumn("__rn", _F.row_number().over(w))
+            .where(_F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
     def compact(self) -> Dict[str, Tuple[int, int]]:
         """Rewrite each ledger table's many per-append part files into
         one file per table (one per log_date partition for logs).

@@ -384,3 +384,39 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_n"), "user_id")
         .limit(CMS_TOP)
     )
+
+
+# -- schema snapshot ---------------------------------------------------------
+
+
+@register(
+    "dq_schema_snapshot",
+    oracle=None,  # dtype names are engine-specific (bigint vs BIGINT vs
+    # INT64) — normalizing them cross-engine would test the normalizer,
+    # not the schemas; invariants are pytest-gated instead
+    description="schema snapshot: (table, column, dtype, ordinal) for every source table",
+)
+def dq_schema_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The schema-drift guard: a deterministic inventory of every
+    source table's columns, types and positions. Persist one snapshot
+    per pipeline release and diff against the live read before running
+    anything — an upstream producer renaming a column or widening a
+    type is caught at the gate, not three jobs downstream in a cast
+    error (the metadata twin of dq_distribution_drift's data check).
+
+    Metadata-only: Spark reads parquet FOOTERS, never data — this runs
+    in seconds on a 100 TB lake.
+    """
+    from lime_etl_spark.sources.readers import TABLES
+
+    rows = []
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        for i, (name, dtype) in enumerate(df.dtypes):
+            rows.append((t, name, dtype, i))
+    return (
+        spark.createDataFrame(
+            rows, "table_name string, column_name string, dtype string, ordinal int"
+        )
+        .orderBy("table_name", "ordinal")
+    )
