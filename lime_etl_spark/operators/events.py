@@ -1210,3 +1210,39 @@ def ev_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "ev_weekday_hour_profile",
+    oracle="""
+    SELECT strftime(ts, '%a') AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY strftime(ts, '%a'), CAST(EXTRACT(hour FROM ts) AS INT)
+    ORDER BY dow, hour
+    """,
+    description="day-of-week × hour activity heatmap input (seasonality profile)",
+)
+def ev_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality surface: events and distinct users per
+    (weekday, hour) cell — capacity planning, anomaly baselines, and
+    the scheduling input for when to run heavy batches. Weekday is the
+    locale-independent 3-letter NAME ('Mon'), not a number: Spark and
+    DuckDB disagree on whether Sunday is 0, 1 or 7, names are the
+    cross-engine-safe spelling. 7×24-bounded output; counters-only
+    shuffle with map-side combine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "E").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hour")
+    )

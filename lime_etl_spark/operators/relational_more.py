@@ -836,3 +836,42 @@ def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_double(F.col("__dec_rev")).alias("decile_revenue"),
         to_double(F.sum("__dec_rev").over(cum)).alias("cumulative_revenue"),
     ).orderBy("decile")
+
+
+@register(
+    "q_priority_mode_by_year",
+    oracle="""
+    SELECT order_year, o_orderpriority AS mode_priority, n
+    FROM (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+               o_orderpriority, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY CAST(EXTRACT(year FROM o_orderdate) AS INT)
+                                  ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        FROM orders
+        GROUP BY 1, 2
+    )
+    WHERE rn = 1
+    ORDER BY order_year
+    """,
+    description="per-year modal order priority with deterministic tie-break",
+)
+def q_priority_mode_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group, spelled as count → top-1
+    window rather than a MODE() builtin: builtin mode tie-breaking is
+    engine-defined (and Spark's is non-deterministic across partition
+    orders), while count-desc + value-asc is reproducible everywhere —
+    the same determinism rule the engine applies to every ranking.
+    The window input is the (year × priority) rollup, dozens of rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("order_year").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("order_year", F.col("o_orderpriority").alias("mode_priority"), "n")
+        .orderBy("order_year")
+    )

@@ -112,3 +112,23 @@ if HAVE_HYPOTHESIS:
             if a[0] < b[0] and a[1] <= b[2] and b[1] <= a[2]
         }
         assert got == want
+
+
+def test_priority_mode_matches_oracle(spark, sf_dir):
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, sf_dir, "q_priority_mode_by_year")
+
+
+def test_weekday_profile_matches_oracle(spark, sf_dir):
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, sf_dir, "ev_weekday_hour_profile")
+
+
+def test_weekday_profile_shape(spark, sf_dir):
+    rows = get("ev_weekday_hour_profile").builder(spark, sf_dir).collect()
+    assert len(rows) <= 7 * 24
+    names = {"Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"}
+    assert {r["dow"] for r in rows} <= names
+    assert all(0 <= r["hour"] <= 23 and r["n_users"] <= r["n_events"] for r in rows)
