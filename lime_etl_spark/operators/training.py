@@ -581,3 +581,87 @@ def samp_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "lang")
     )
+
+
+SHARD_DOCS = 100
+
+
+@register(
+    "pack_shard_manifest",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY {_bucket_sql("doc_id", 1000000)}, doc_id) AS rk
+        FROM documents
+    )
+    SELECT CAST((rk - 1) // {SHARD_DOCS} AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM ranked
+    GROUP BY CAST((rk - 1) // {SHARD_DOCS} AS BIGINT)
+    ORDER BY shard_id
+    """,
+    description="training-shard manifest: hash-ordered fixed-size shard assignment + per-shard stats",
+)
+def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The output side of the curation pipeline: docs assigned to
+    fixed-size shards in HASH order (content-independent, shuffle-proof
+    — re-running on re-partitioned input yields byte-identical shards),
+    plus the manifest the training data-loader reads (doc/char counts
+    per shard; a loader balances workers by these stats without
+    opening shards).
+
+    The global row_number is a single total-order window — at corpus
+    scale the documented swap is rangepartition-by-hash + per-partition
+    row_number + broadcast partition-offset cumsum (the same sharded
+    decomposition samp_domain_budget already implements for its
+    cumulative sums); the manifest rollup is counters-only either way.
+    ``write_training_shards`` materializes the same assignment
+    partitioned by shard_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.orderBy(hash_bucket(F.col("doc_id"), 1_000_000), "doc_id")
+    )
+    ranked = docs.select("doc_id", "n_chars", rk.alias("rk"))
+    shard = ((F.col("rk") - 1) / SHARD_DOCS).cast("bigint")
+    return (
+        ranked.select("doc_id", "n_chars", shard.alias("shard_id"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    shard_docs: int = SHARD_DOCS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize shard-partitioned parquet (`shard_id=N/` dirs) with
+    deterministic hash-order assignment, returning the manifest. One
+    file per shard: the writer repartitions BY the shard column so
+    each task owns whole shards — a data loader streams shard files
+    sequentially with no cross-file doc splits."""
+    rk = F.row_number().over(
+        Window.orderBy(hash_bucket(F.col(id_col), 1_000_000), id_col)
+    )
+    sharded = docs.withColumn("__rk", rk).withColumn(
+        "shard_id", ((F.col("__rk") - 1) / shard_docs).cast("bigint")
+    ).drop("__rk")
+    sharded.repartition("shard_id").write.mode("overwrite").partitionBy(
+        "shard_id"
+    ).parquet(path)
+    out = sharded.sparkSession.read.parquet(path)
+    return (
+        out.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("shard_id")
+    )

@@ -132,3 +132,43 @@ def test_weekday_profile_shape(spark, sf_dir):
     names = {"Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"}
     assert {r["dow"] for r in rows} <= names
     assert all(0 <= r["hour"] <= 23 and r["n_users"] <= r["n_events"] for r in rows)
+
+
+def test_shard_manifest_matches_oracle(spark, sf_dir):
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, sf_dir, "pack_shard_manifest")
+
+
+def test_shard_manifest_full_shards(spark, sf_dir):
+    from lime_etl_spark.operators.training import SHARD_DOCS
+
+    rows = get("pack_shard_manifest").builder(spark, sf_dir).collect()
+    assert [r["shard_id"] for r in rows] == list(range(len(rows)))
+    # every shard but the last is exactly full
+    for r in rows[:-1]:
+        assert r["n_docs"] == SHARD_DOCS
+    assert 0 < rows[-1]["n_docs"] <= SHARD_DOCS
+
+
+def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
+    """Materialized shards must agree with the manifest query and be
+    re-readable with intact shard partitioning."""
+    from lime_etl_spark.operators.training import write_training_shards
+    from lime_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shards")
+    manifest = {r["shard_id"]: r["n_docs"] for r in write_training_shards(docs, path).collect()}
+    query = {
+        r["shard_id"]: r["n_docs"]
+        for r in get("pack_shard_manifest").builder(spark, sf_dir).collect()
+    }
+    assert manifest == query
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert "shard_id" in back.columns
+    # determinism: a second write lands identical assignment
+    path2 = str(tmp_path / "shards2")
+    manifest2 = {r["shard_id"]: r["n_docs"] for r in write_training_shards(docs.repartition(7), path2).collect()}
+    assert manifest2 == manifest
