@@ -875,3 +875,104 @@ def q_priority_mode_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("order_year", F.col("o_orderpriority").alias("mode_priority"), "n")
         .orderBy("order_year")
     )
+
+
+_RETURN_FLAGS = ("A", "N", "R")
+
+
+@register(
+    "q_pivot_returns_matrix",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN l.l_returnflag = '{fl}' "
+               f"THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_{fl}"
+               for fl in _RETURN_FLAGS
+           )}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+    ORDER BY order_year
+    """,
+    description="year × returnflag revenue matrix via the DataFrame pivot API",
+)
+def q_pivot_returns_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `.pivot()` surface: long (year, flag, revenue) → wide
+    year × flag matrix. Pivot values are EXPLICIT — with them the plan
+    is one pass of conditional aggregates (exactly the oracle's CASE
+    battery, partial-aggregated map-side); without them Spark must run
+    a distinct-values collect first (two jobs) and the output schema
+    becomes data-dependent, which no downstream contract wants.
+    Decimal-exact sums; zero-fill keeps absent cells 0 not NULL.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "l_returnflag",
+        dec("l_extendedprice", 2, 12).alias("price"),
+    )
+    wide = (
+        joined.groupBy("order_year")
+        .pivot("l_returnflag", list(_RETURN_FLAGS))
+        .agg(F.sum("price"))
+    )
+    out = wide.select(
+        "order_year",
+        *[
+            to_double(F.coalesce(F.col(fl), F.lit(0).cast("decimal(12,2)"))).alias(f"rev_{fl}")
+            for fl in _RETURN_FLAGS
+        ],
+    )
+    return out.orderBy("order_year")
+
+
+_NATION_METRICS = ("revenue", "n_orders", "n_customers")
+
+
+@register(
+    "q_unpivot_nation_metrics",
+    oracle="""
+    WITH agg AS (
+        SELECT n.n_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS DOUBLE) AS n_orders,
+               CAST(COUNT(DISTINCT o.o_custkey) AS DOUBLE) AS n_customers
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT n_name, 'revenue' AS metric, revenue AS value FROM agg
+    UNION ALL
+    SELECT n_name, 'n_orders', n_orders FROM agg
+    UNION ALL
+    SELECT n_name, 'n_customers', n_customers FROM agg
+    ORDER BY n_name, metric
+    """,
+    description="wide→long metric melt via the DataFrame unpivot API",
+)
+def q_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `.unpivot()`/melt surface: a wide per-nation metric rollup
+    reshaped to (nation, metric, value) rows — the long form every
+    generic dashboard/alerting sink consumes. Unpivot is a zero-shuffle
+    Expand over the already-reduced rollup (3 output rows per input
+    row); the oracle's UNION ALL is what the operator replaces — N
+    scans of the aggregate become one.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    agg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            to_double(F.sum(dec("o_totalprice", 2, 12))).alias("revenue"),
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+        )
+    )
+    return agg.unpivot(
+        ids=["n_name"], values=list(_NATION_METRICS), variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("n_name", "metric")

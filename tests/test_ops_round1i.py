@@ -172,3 +172,22 @@ def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
     path2 = str(tmp_path / "shards2")
     manifest2 = {r["shard_id"]: r["n_docs"] for r in write_training_shards(docs.repartition(7), path2).collect()}
     assert manifest2 == manifest
+
+
+@pytest.mark.parametrize("name", ["q_pivot_returns_matrix", "q_unpivot_nation_metrics"])
+def test_pivot_unpivot_match_oracle(spark, sf_dir, name):
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_pivot_unpivot_are_single_pass(spark, sf_dir):
+    """Explicit pivot values → one conditional-agg pass (no distinct
+    collect job); unpivot → Expand, no extra scan of the rollup."""
+    from tests.test_plan_quality import plan_of
+
+    p = plan_of(spark, sf_dir, "q_pivot_returns_matrix")
+    assert p.count("lineitem.parquet") == 1
+    u = plan_of(spark, sf_dir, "q_unpivot_nation_metrics")
+    assert u.count("orders.parquet") == 1
+    assert "Expand" in u
