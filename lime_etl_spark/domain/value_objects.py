@@ -245,3 +245,53 @@ class Result:
 
     def __repr__(self) -> str:
         return "Success()" if self.is_success else f"Failure({self._message!r})"
+
+
+class ResourceName(_BoundedStr):
+    """Key into the shared ``resources`` dict a JobContext carries
+    (reference value_objects.py:332)."""
+
+    MIN_LEN, MAX_LEN = 3, 199
+
+
+class Days(_NonNegativeInt):
+    """A day count (reference value_objects.py:386)."""
+
+
+class SecondsSinceLastRefresh(_NonNegativeInt):
+    """Elapsed seconds since a job's last successful run — the number
+    the refresh-interval gate compares (reference value_objects.py:536)."""
+
+
+class MaxProcesses(ValueObject):
+    """Optional worker-count bound for parallel batch/job execution
+    (reference value_objects.py:420 — there a multiprocessing pool
+    size, here the ThreadPoolExecutor width). None = one worker per
+    batch/layer."""
+
+    def __init__(self, value: "Optional[int]" = None, /):
+        if value is not None:
+            if not isinstance(value, int) or isinstance(value, bool):
+                raise TypeError(f"MaxProcesses expects an int or None, but got {value!r}")
+            if value < 1:
+                raise ValueError(f"MaxProcesses must be >= 1, but got {value!r}.")
+        super().__init__(value)
+
+
+class Password(ValueObject):
+    """Secret wrapper whose repr/str NEVER leak the value (reference
+    value_objects.py:447) — for JDBC credentials in sources/readers
+    option plumbing; logs and tracebacks show only asterisks."""
+
+    def __init__(self, value: str, /):
+        if value is None:
+            raise ValueError("Password value is required, but got None.")
+        if not isinstance(value, str):
+            raise TypeError(f"Password expects a str, but got a {type(value).__name__}")
+        super().__init__(value)
+
+    def __repr__(self) -> str:  # pragma: no cover - trivial
+        return "Password(******)"
+
+    def __str__(self) -> str:
+        return "******"

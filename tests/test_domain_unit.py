@@ -200,3 +200,43 @@ class TestBatchDelta:
         assert d.common_jobs == {"stays_broken", "gets_fixed", "always_ok"}
         assert d.newly_broken_jobs == {"newly_broken"}
         assert d.newly_fixed_jobs == {"gets_fixed"}
+
+
+def test_password_never_leaks():
+    from lime_etl_spark.domain import Password
+
+    p = Password("s3cret!")
+    assert "s3cret" not in repr(p)
+    assert "s3cret" not in str(p)
+    assert "s3cret" not in f"connection failed for {p}"
+    assert p.value == "s3cret!"
+    import pytest
+
+    with pytest.raises(TypeError):
+        Password(123)
+
+
+def test_max_processes_bounds():
+    import pytest
+
+    from lime_etl_spark.domain import MaxProcesses
+
+    assert MaxProcesses(None).value is None
+    assert MaxProcesses(4).value == 4
+    with pytest.raises(ValueError):
+        MaxProcesses(0)
+    with pytest.raises(TypeError):
+        MaxProcesses(True)
+
+
+def test_resource_name_and_days():
+    import pytest
+
+    from lime_etl_spark.domain import Days, ResourceName, SecondsSinceLastRefresh
+
+    assert ResourceName("warehouse").value == "warehouse"
+    with pytest.raises(ValueError):
+        ResourceName("ab")
+    assert Days(0).value == 0 and SecondsSinceLastRefresh(30).value == 30
+    with pytest.raises(ValueError):
+        Days(-1)
