@@ -198,7 +198,12 @@ def read_jdbc(
             .option("upperBound", str(upper_bound))
         )
     for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
+        # accept domain.Password for the password option so call sites
+        # can pass the redacting wrapper all the way down; unwrap only
+        # at the option boundary (Spark needs the raw str)
+        from lime_etl_spark.domain.value_objects import Password
+
+        reader = reader.option(k, v.value if isinstance(v, Password) else v)
     return reader.load()
 
 

@@ -173,3 +173,22 @@ def test_synthetic_events_stream_source(spark, tmp_path):
         time.sleep(2)
     q.stop()
     assert total >= 500 and total % 250 == 0
+
+
+def test_jdbc_accepts_password_wrapper(spark):
+    """read_jdbc unwraps domain.Password at the option boundary — so
+    the raw secret exists only inside Spark's option map, never in any
+    caller-side repr/log. (No driver in the container: we only assert
+    the option plumbing accepts the wrapper and fails at load with the
+    driver error, not a type error.)"""
+    from lime_etl_spark.domain import Password
+
+    with pytest.raises(Exception) as ei:
+        readers.read_jdbc(
+            spark,
+            "jdbc:postgresql://host/db",
+            "t",
+            properties={"user": "etl", "password": Password("s3cret!")},
+        )
+    assert "s3cret" not in str(ei.value)
+    assert "Password(" not in str(ei.value)
