@@ -976,3 +976,47 @@ def q_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids=["n_name"], values=list(_NATION_METRICS), variableColumnName="metric",
         valueColumnName="value",
     ).orderBy("n_name", "metric")
+
+
+@register(
+    "q_order_lines_nested",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(*) AS n_lines,
+           list_sort(list(l_linenumber || ':' || CAST(CAST(l_quantity AS INT) AS VARCHAR)))
+               AS line_summaries
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    description="denormalized nested export: per-order sorted array of line summaries",
+)
+def q_order_lines_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document-export shape: child rows collapsed into a sorted
+    array per parent (what you write before handing an order feed to a
+    document store / API that wants one record per order). collect_list
+    is partial-aggregable (arrays concatenate map-side) and sort_array
+    makes the result partition-order independent — an unsorted
+    collect_list is NON-deterministic and would fail any replay or
+    cross-engine diff, which is why the sort is part of the operator,
+    not a courtesy.
+
+    The modulus filter stands in for the incremental slice a real
+    export job would take; it pushes to the scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    summary = F.concat_ws(
+        ":",
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("int").cast("string"),
+    )
+    return (
+        li.where(F.col("l_orderkey") % 50 == 0)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sort_array(F.collect_list(summary)).alias("line_summaries"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -191,3 +191,17 @@ def test_pivot_unpivot_are_single_pass(spark, sf_dir):
     u = plan_of(spark, sf_dir, "q_unpivot_nation_metrics")
     assert u.count("orders.parquet") == 1
     assert "Expand" in u
+
+
+def test_nested_export_matches_oracle(spark, sf_dir):
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, sf_dir, "q_order_lines_nested")
+
+
+def test_nested_export_arrays_sorted_and_sized(spark, sf_dir):
+    rows = get("q_order_lines_nested").builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r["line_summaries"]) == r["n_lines"]
+        assert r["line_summaries"] == sorted(r["line_summaries"])
