@@ -308,3 +308,27 @@ def read_media_dir(
         F.col("length").alias("n_bytes"),
         F.col("modificationTime").alias("modified_ts"),
     )
+
+
+def write_partition_overwrite(
+    df: DataFrame, path: str, partition_by: tuple[str, ...]
+) -> None:
+    """Incremental partition refresh: overwrite ONLY the partitions
+    present in ``df``, leaving every other partition's files untouched
+    (spark.sql.sources.partitionOverwriteMode=dynamic, scoped to this
+    write). This is how a daily backfill (etl_backfill_plan's output)
+    lands: recompute the stale days, rewrite just those directories —
+    at 100 TB the difference between touching 3 partitions and
+    rewriting the table.
+
+    STATIC mode (the default) would first DELETE every partition and
+    replace the table with df's content — the classic
+    data-loss-on-backfill footgun this helper exists to avoid.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -192,3 +192,31 @@ def test_jdbc_accepts_password_wrapper(spark):
         )
     assert "s3cret" not in str(ei.value)
     assert "Password(" not in str(ei.value)
+
+
+def test_partition_overwrite_touches_only_changed_partitions(spark, tmp_path):
+    """Dynamic partition overwrite must rewrite only the partitions in
+    the increment — other partitions' files stay byte-identical — and
+    must NOT drop absent partitions (the static-mode footgun)."""
+    import glob
+
+    from lime_etl_spark.sources.readers import write_partition_overwrite
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d2", 20), (3, "d3", 30)], "id bigint, day string, v int"
+    )
+    base.write.partitionBy("day").parquet(path)
+    before = {f: os.path.getmtime(f) for f in glob.glob(f"{path}/day=*/**", recursive=True)}
+
+    inc = spark.createDataFrame([(2, "d2", 99)], "id bigint, day string, v int")
+    write_partition_overwrite(inc, path, ("day",))
+
+    back = {r["day"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert back == {"d1": 10, "d2": 99, "d3": 30}, back
+    # untouched partitions kept their exact files
+    for f, mt in before.items():
+        if "day=d2" not in f and f.endswith(".parquet"):
+            assert os.path.exists(f) and os.path.getmtime(f) == mt
+    # conf restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
