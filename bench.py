@@ -33,6 +33,9 @@ HEADLINE = [
     "samp_hash_split",
     "ev_asof_attribution",
     "pack_sequences",
+    "ev_dau_mau",
+    "ev_concurrent_sessions",
+    "sketch_heavy_hitters",
 ]
 
 
