@@ -581,3 +581,73 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", cont.alias("containment"), jac.alias("jaccard"))
         .where(F.col("containment") >= CONTAINMENT_TAU)
     )
+
+
+# Normalization shared by both engines: lowercase, strip the ASCII
+# punctuation the corpus uses, collapse whitespace runs.
+_NORM_PUNCT_RE = "[.,;:!?'\"()-]"
+
+
+def normalized_text(col: F.Column) -> F.Column:
+    out = F.lower(col)
+    out = F.regexp_replace(out, _NORM_PUNCT_RE, "")
+    out = F.regexp_replace(out, " +", " ")
+    return F.trim(out)
+
+
+def _normalized_sql(expr: str) -> str:
+    pat = _NORM_PUNCT_RE.replace("'", "''")
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({expr}), '{pat}', '', 'g'),"
+        f" ' +', ' ', 'g'))"
+    )
+
+
+@register(
+    "dedup_normalized_exact",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id,
+               upper(substr(text, 1, 1)) || substr(text, 2) || '.' AS text
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5({_normalized_sql("text")}) AS norm_md5,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM corpus
+    GROUP BY md5({_normalized_sql("text")})
+    HAVING COUNT(*) > 1
+    """,
+    description="normalization-then-exact dedup: catches case/punct-reformatted copies raw md5 misses",
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheap middle ground between exact dedup and MinHash: hash
+    AFTER canonicalization (lowercase, punctuation strip, whitespace
+    collapse), so trivially-reformatted republication — capitalization
+    tweaks, added trailing punctuation, double spaces — collapses into
+    one group while raw-md5 dedup sees distinct bytes. (Planted here:
+    every 10th doc re-capitalized + a trailing period; dedup_exact
+    provably misses all of them, pytest-asserted.)
+
+    Same counters-only shuffle shape as dedup_exact; normalization is
+    three JVM regexp passes in the scan projection — at 100 TB this
+    runs at within-epsilon the cost of raw exact dedup and typically
+    removes 2-5× more than it.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reformatted = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 1)),
+            F.expr("substring(text, 2)"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(reformatted)
+    return (
+        corpus.groupBy(F.md5(normalized_text(F.col("text"))).alias("norm_md5"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .where(F.col("n_copies") > 1)
+    )

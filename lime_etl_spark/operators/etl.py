@@ -977,3 +977,67 @@ def etl_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("missing_day")
     )
+
+
+@register(
+    "etl_dim_conformance",
+    oracle="""
+    WITH ck AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+    sk AS (SELECT DISTINCT s_nationkey AS k FROM supplier),
+    nk AS (SELECT DISTINCT n_nationkey AS k FROM nation)
+    SELECT 'customer_nations' AS side,
+           (SELECT COUNT(*) FROM ck) AS n_keys,
+           (SELECT COUNT(*) FROM ck WHERE k NOT IN (SELECT k FROM nk)) AS n_unconformed
+    UNION ALL
+    SELECT 'supplier_nations',
+           (SELECT COUNT(*) FROM sk),
+           (SELECT COUNT(*) FROM sk WHERE k NOT IN (SELECT k FROM nk))
+    UNION ALL
+    SELECT 'customer_only_nations',
+           (SELECT COUNT(*) FROM ck WHERE k NOT IN (SELECT k FROM sk)),
+           0
+    ORDER BY side
+    """,
+    description="conformed-dimension audit: nation keysets across customer/supplier vs the dim",
+)
+def etl_dim_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conformed-dimension check (Kimball's rule for a star schema fed
+    by several sources): every nation key used by customer and by
+    supplier must exist in the nation dim, and the audit also surfaces
+    keys one fact-feeding source uses that the other never does — the
+    early signal of two sources disagreeing about a shared dimension.
+
+    Each keyset reduces to DISTINCT keys first (tiny for any real
+    dim); membership checks are anti joins over those reduced sets, so
+    nothing fact-grain ever shuffles. Complements dq_referential_
+    integrity (row-level orphans) at the keyset level.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    ).distinct()
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    ).distinct()
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k")
+    ).distinct()
+
+    def side(name: str, keys: DataFrame, universe: DataFrame) -> DataFrame:
+        missing = keys.join(F.broadcast(universe), "k", "left_anti")
+        return keys.agg(
+            F.lit(name).alias("side"),
+            F.count(F.lit(1)).alias("n_keys"),
+        ).join(F.broadcast(missing.agg(F.count(F.lit(1)).alias("n_unconformed"))))
+
+    cust_only = cust.join(F.broadcast(supp), "k", "left_anti")
+    third = cust_only.agg(
+        F.lit("customer_only_nations").alias("side"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.lit(0).cast("bigint").alias("n_unconformed"),
+    )
+    return (
+        side("customer_nations", cust, nat)
+        .unionByName(side("supplier_nations", supp, nat))
+        .unionByName(third)
+        .orderBy("side")
+    )

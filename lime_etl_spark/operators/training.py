@@ -665,3 +665,66 @@ def write_training_shards(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("shard_id")
     )
+
+
+@register(
+    "samp_source_interleave",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY {_bucket_sql("doc_id", 1000000)}, doc_id) AS rk,
+               DENSE_RANK() OVER (ORDER BY source) AS src_ix,
+               (SELECT COUNT(DISTINCT source) FROM documents) AS n_src
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           MIN((rk - 1) * n_src + src_ix - 1) AS first_pos,
+           MAX((rk - 1) * n_src + src_ix - 1) AS last_pos,
+           CAST(SUM((rk - 1) * n_src + src_ix - 1) AS DOUBLE) / COUNT(*) AS mean_pos
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="deterministic round-robin source interleave for training order + spread audit",
+)
+def samp_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order interleaving: docs take global position
+    (rank_within_source − 1) × n_sources + source_index — a strict
+    round-robin over sources, with hash-ordered ranks inside each
+    source. Long same-source runs in training order bias gradient
+    noise; round-robin bounds any run at 1, deterministically
+    (rerun-identical — no shuffle-seed dependence). The audit reports
+    per-source position spread: equal mean_pos across sources IS the
+    uniformity proof.
+
+    One window per source partition (hash order, no global sort); the
+    source index and count come from a tiny dense_rank / 1-row
+    broadcast. The interleaved position is pure arithmetic — a writer
+    materializes training order by range-partitioning on it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_src = docs.agg(F.countDistinct("source").alias("n_src"))
+    src_ix = F.dense_rank().over(Window.orderBy("source"))
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(hash_bucket(F.col("doc_id"), 1_000_000), "doc_id")
+    )
+    ranked = (
+        docs.select("doc_id", "source")
+        .withColumn("rk", rk)
+        .withColumn("src_ix", src_ix)
+        .join(F.broadcast(n_src))
+    )
+    pos = (F.col("rk") - 1) * F.col("n_src") + F.col("src_ix") - 1
+    return (
+        ranked.select("source", pos.alias("pos"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+            (F.sum("pos").cast("double") / F.count(F.lit(1))).alias("mean_pos"),
+        )
+        .orderBy("source")
+    )
