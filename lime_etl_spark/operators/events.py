@@ -1246,3 +1246,67 @@ def ev_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+@register(
+    "ev_bounce_rate",
+    oracle=f"""
+    WITH sess AS (
+        SELECT user_id, session_seq, MIN(ts_us) AS start_us, COUNT(*) AS n_events
+        FROM (
+            SELECT user_id, ts_us,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            )
+        )
+        GROUP BY user_id, session_seq
+    )
+    SELECT CAST(to_timestamp(start_us // 1000000) AS DATE) AS day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS bounce_rate
+    FROM sess
+    GROUP BY CAST(to_timestamp(start_us // 1000000) AS DATE)
+    ORDER BY day
+    """,
+    description="daily bounce rate: single-event sessions / sessions, on the session rollup",
+)
+def ev_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per day (sessions that never got a second event) —
+    the engagement-health headline that rides the SAME sessionization
+    the other session metrics use, so definitions can't drift between
+    dashboards. Day attribution is by session START (a session belongs
+    to the day it began). One user shuffle for sessionize, then
+    counters; the rate is one exact integer division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev)
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("__ts_us").alias("start_us"), F.count(F.lit(1)).alias("n_events"))
+    )
+    day = F.to_date(F.timestamp_micros(F.col("start_us")))
+    return (
+        sess.groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            (F.col("n_bounces").cast("double") / F.col("n_sessions")).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )

@@ -1020,3 +1020,52 @@ def q_order_lines_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+@register(
+    "q_ship_lag_percentiles",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           MIN(date_diff('day', o.o_orderdate, l.l_shipdate)) AS min_lag_days,
+           quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate), 0.5) AS p50_lag_days,
+           quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate), 0.95) AS p95_lag_days,
+           MAX(date_diff('day', o.o_orderdate, l.l_shipdate)) AS max_lag_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    description="order→ship fulfillment-lag percentiles per priority (the SLA table)",
+)
+def q_ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA table: order-to-ship lag distribution per
+    priority class — min/p50/p95/max in integer DAYS (datediff is
+    exact integer arithmetic; the percentiles interpolate over
+    integers identically in both engines). One fact join shuffled on
+    orderkey, then a |priorities|-row percentile aggregate; at 100 TB
+    the p50/p95 switch to approx_percentile like every other exact
+    percentile here.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lag = F.datediff("l_shipdate", "o_orderdate")
+    pct = F.percentile(lag, F.array(F.lit(0.5), F.lit(0.95)))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min(lag).alias("min_lag_days"),
+            pct.alias("p"),
+            F.max(lag).alias("max_lag_days"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_items",
+            "min_lag_days",
+            F.col("p")[0].alias("p50_lag_days"),
+            F.col("p")[1].alias("p95_lag_days"),
+            "max_lag_days",
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -71,3 +71,26 @@ def test_interleave_spreads_sources_uniformly(spark, sf_dir):
     # equal-sized sources → means differ by at most n_src
     if len({r["n_docs"] for r in rows}) == 1:
         assert max(means) - min(means) <= n_src
+
+
+@pytest.mark.parametrize("name", ["ev_bounce_rate", "q_ship_lag_percentiles"])
+def test_batch17_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_bounce_rate_bounds(spark, sf_dir):
+    rows = get("ev_bounce_rate").builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_bounces"] <= r["n_sessions"]
+        assert 0.0 <= r["bounce_rate"] <= 1.0
+
+
+def test_ship_lag_ordered(spark, sf_dir):
+    for r in get("q_ship_lag_percentiles").builder(spark, sf_dir).collect():
+        assert (
+            r["min_lag_days"]
+            <= r["p50_lag_days"]
+            <= r["p95_lag_days"]
+            <= r["max_lag_days"]
+        )
