@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from lime_etl_spark.operators.dedup import (
     JACCARD_TAU,
@@ -576,3 +577,94 @@ def graph_dense_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("density"), F.desc("total_chars"), "community_id")
     )
     return out
+
+
+@register(
+    "cur_best_rep_dedup",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(vid, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.vid
+    ),
+    comp AS (
+        SELECT vid AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+        FROM reach GROUP BY vid
+    ),
+    ranked AS (
+        SELECT c.component_id, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY c.component_id) AS n_docs,
+               SUM(d.n_chars) OVER (PARTITION BY c.component_id) AS cluster_chars
+        FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component_id, CAST(n_docs AS BIGINT) AS n_docs,
+           doc_id AS rep_doc_id,
+           CAST(n_chars AS BIGINT) AS rep_chars,
+           CAST(cluster_chars AS BIGINT) AS cluster_chars,
+           CAST(cluster_chars - n_chars AS BIGINT) AS chars_saved
+    FROM ranked
+    WHERE rn = 1 AND n_docs >= 2
+    ORDER BY component_id
+    """,
+    description="quality-aware cluster collapse: keep the LONGEST member of each near-dup cluster",
+)
+def cur_best_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection that keeps CONTENT, not the accident of
+    the smallest id: within each near-dup cluster the longest member
+    (ties → min id) survives — the excerpt/truncated variants are the
+    ones dropped, which is what you want when clusters mix a full
+    article with its teasers (dedup_containment finds exactly those
+    shapes). chars_saved is the dedup payoff ledger per cluster.
+
+    Same persisted LSH→verify→CC pipeline as cur_cluster_dedup_weights;
+    the argmax is a per-cluster top-1 window (WindowGroupLimit prunes
+    map-side), so collapsing adds one bounded window over cluster-sized
+    groups to the clustering cost.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
+        F.col("jaccard") >= JACCARD_TAU
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(docs.select(F.col("doc_id").alias("vid")), edges)
+    sh.unpersist()
+    member = cc.join(docs.select(F.col("doc_id").alias("vid"), "n_chars"), "vid").select(
+        F.col("label").alias("component_id"),
+        F.col("vid").alias("doc_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("component_id")
+    ranked = member.select(
+        "component_id",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_docs"),
+        F.sum("n_chars").over(w).alias("cluster_chars"),
+    )
+    return (
+        ranked.where((F.col("rn") == 1) & (F.col("n_docs") >= 2))
+        .select(
+            "component_id",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").cast("bigint").alias("rep_chars"),
+            F.col("cluster_chars").cast("bigint").alias("cluster_chars"),
+            (F.col("cluster_chars") - F.col("n_chars")).cast("bigint").alias("chars_saved"),
+        )
+        .orderBy("component_id")
+    )

@@ -253,3 +253,27 @@ def test_dense_templates_invariants(spark, sf_dir):
         for r in get("graph_template_communities").builder(spark, sf_dir).collect()
     }
     assert {r["community_id"] for r in rows} <= tc
+
+
+def test_best_rep_dedup_matches_oracle(spark, sf_dir):
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, sf_dir, "cur_best_rep_dedup")
+
+
+def test_best_rep_is_longest_member_and_consistent_with_weights(spark, sf_dir):
+    """The representative must be the longest member (so reps carry at
+    least cluster_chars / n_docs), and clusters must agree with
+    cur_cluster_dedup_weights on membership counts."""
+    reps = get("cur_best_rep_dedup").builder(spark, sf_dir).collect()
+    assert reps
+    for r in reps:
+        assert r["n_docs"] >= 2
+        assert r["rep_chars"] * r["n_docs"] >= r["cluster_chars"]
+        assert r["chars_saved"] == r["cluster_chars"] - r["rep_chars"]
+    weights = {
+        r["doc_id"]: r["multiplicity"]
+        for r in get("cur_cluster_dedup_weights").builder(spark, sf_dir).collect()
+        if r["multiplicity"] >= 2
+    }
+    assert {r["component_id"]: r["n_docs"] for r in reps} == weights
