@@ -1069,3 +1069,51 @@ def q_ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_returns_rate_by_brand",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returned,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS return_rate,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+               AS returned_value
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    description="product-quality screen: return rate and returned value per brand",
+)
+def q_returns_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate league table per brand — the product-quality screen
+    merchandising watches (a brand whose return_rate jumps is the
+    recall/listing-error signal). Part dim broadcasts; the only
+    shuffle carries |brands| counter+decimal partials; the rate is one
+    exact integer division and returned value stays decimal-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    returned = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(returned).cast("bigint").alias("n_returned"),
+            (F.sum(returned).cast("double") / F.count(F.lit(1))).alias("return_rate"),
+            to_double(
+                F.sum(
+                    F.when(
+                        F.col("l_returnflag") == "R", dec("l_extendedprice", 2, 12)
+                    ).otherwise(F.lit(0).cast("decimal(12,2)"))
+                )
+            ).alias("returned_value"),
+        )
+        .orderBy("p_brand")
+    )

@@ -94,3 +94,15 @@ def test_ship_lag_ordered(spark, sf_dir):
             <= r["p95_lag_days"]
             <= r["max_lag_days"]
         )
+
+
+def test_returns_rate_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "q_returns_rate_by_brand")
+
+
+def test_returns_rate_bounds(spark, sf_dir):
+    rows = get("q_returns_rate_by_brand").builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_returned"] <= r["n_items"]
+        assert 0.0 <= r["return_rate"] <= 1.0
