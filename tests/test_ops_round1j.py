@@ -106,3 +106,14 @@ def test_returns_rate_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_returned"] <= r["n_items"]
         assert 0.0 <= r["return_rate"] <= 1.0
+
+
+def test_surrogate_keys_match_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "etl_surrogate_keys")
+
+
+def test_surrogate_keys_collision_free(spark, sf_dir):
+    r = get("etl_surrogate_keys").builder(spark, sf_dir).collect()[0]
+    assert r["n_collisions"] == 0
+    assert r["n_keys"] == r["n_distinct"] > 0
+    assert 0 <= r["min_sk"] <= r["max_sk"] < 1 << 60
