@@ -35,6 +35,7 @@ _OPERATOR_MODULES = (
     "lime_etl_spark.operators.curation",
     "lime_etl_spark.operators.multimodal",
     "lime_etl_spark.operators.profiling",
+    "lime_etl_spark.operators.sql_surface",
 )
 
 

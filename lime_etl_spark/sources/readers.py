@@ -110,6 +110,44 @@ def read_json(
     return reader.json(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """XML ingest (built into Spark 4 — no spark-xml jar needed).
+
+    ``row_tag`` names the repeated element that becomes one row.
+    Explicit schema for production: inference reads the data twice,
+    and XML inference is the most type-ambiguous of all the formats
+    (everything is text). XML files split per-FILE, not per-block —
+    a 100 GB single XML file is one task, so land many medium files.
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML export — the interchange format B2B/legacy feeds still
+    demand. One file per partition, rows under ``root_tag``."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same vectorized columnar path as parquet (predicate
     pushdown + column pruning via the native ORC reader)."""

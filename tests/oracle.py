@@ -41,7 +41,7 @@ def _canon(v: object) -> str:
         return pd.Timestamp(v).isoformat()
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_canon(x) for x in v) + "]"
     if isinstance(v, (int, bool, str, bytes)):
         return repr(v)
