@@ -115,3 +115,64 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path, sf_dir):
+    """Python DataSource writer: per-partition staged files, driver
+    commit renames + _SUCCESS manifest; every row lands exactly once."""
+    import json
+    import os
+
+    from lime_etl_spark.sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    nation = load_table(spark, sf_dir, "nation").repartition(4)
+    out = str(tmp_path / "feed")
+    nation.write.mode("overwrite").format("jsonlsink").option("path", out).save()
+
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(files) == 4  # one per partition, no driver funnel
+    rows = []
+    for fn in files:
+        with open(os.path.join(out, fn), encoding="utf-8") as f:
+            rows += [json.loads(line) for line in f]
+    assert sorted(r["n_nationkey"] for r in rows) == sorted(
+        r.n_nationkey for r in nation.collect()
+    )
+    with open(os.path.join(out, "_SUCCESS"), encoding="utf-8") as f:
+        manifest = json.load(f)
+    assert manifest["total_rows"] == nation.count()
+    assert sum(manifest["files"].values()) == nation.count()
+    assert not os.path.isdir(os.path.join(out, "_staging"))  # staging cleaned
+
+
+def test_jsonl_sink_abort_leaves_nothing(spark, tmp_path, sf_dir):
+    """A failing partition must abort the job with no visible output —
+    the half-written feed is the classic custom-sink footgun."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    poisoned = (
+        load_table(spark, sf_dir, "nation")
+        .repartition(4)
+        .withColumn(
+            "boom",
+            F.when(F.col("n_nationkey") >= 0, F.col("n_nationkey"))
+            .otherwise(F.col("n_nationkey"))
+            .cast("int"),
+        )
+        .withColumn("boom", F.expr("assert_true(n_nationkey < 10)"))
+    )
+    out = str(tmp_path / "feed_fail")
+    try:
+        poisoned.write.mode("overwrite").format("jsonlsink").option("path", out).save()
+        raise AssertionError("write should have failed")
+    except Exception:
+        pass
+    visible = [f for f in os.listdir(out) if f.endswith(".jsonl")] if os.path.isdir(out) else []
+    assert visible == []
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
