@@ -651,3 +651,97 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
         .where(F.col("n_copies") > 1)
     )
+
+
+SPAN_N = 16  # span length (tokens) for the memorization audit
+SPAN_TOP = 50
+
+
+def _span_gram_sql(n: int) -> str:
+    """DuckDB n-word span list over t (1-based; empty when doc < n)."""
+    concat = " || ' ' || ".join(f"t[i + {k}]" for k in range(n))
+    return f"list_transform(generate_series(1, len(t) - {n - 1}), i -> {concat})"
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    spans AS (
+        SELECT doc_id, {shingle_int_sql('s')} AS h
+        FROM (SELECT doc_id, unnest({_span_gram_sql(SPAN_N)}) AS s FROM toks)
+    ),
+    shared AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM spans)
+        GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    per_doc AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_starts,
+               CAST(SUM(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared_starts
+        FROM spans s LEFT JOIN shared sh ON s.h = sh.h
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_starts, n_shared_starts,
+           CAST(n_shared_starts AS DOUBLE) / CAST(n_starts AS DOUBLE) AS shared_ratio
+    FROM per_doc
+    WHERE n_shared_starts > 0
+    ORDER BY shared_ratio DESC, doc_id
+    LIMIT {SPAN_TOP}
+    """,
+    description="cross-doc repeated 16-token spans: per-doc memorization-risk coverage",
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk audit (the ExactSubstr idea from "Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022, at
+    span granularity): for each document, the fraction of its
+    {SPAN_N}-token span START positions whose span text also appears
+    in ANOTHER document. Near-1 ratios are verbatim republication that
+    symmetric near-dup metrics under-rank when the host document is
+    long; mid ratios are quote farms / heavy template reuse — the docs
+    a dedup pass should send to span-level surgery rather than drop.
+
+    Scale: spans hash to 60-bit ints (16 B/row into the shuffle, never
+    span STRINGS); the shared-span set reduces per-doc-DISTINCT before
+    the ≥2-docs count so a doc repeating its own refrain doesn't
+    self-vote; coverage joins spans→shared on the hash — a plain
+    shuffle equi-join both sides already partitioned by. Output capped
+    at the top {SPAN_TOP}."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(), SPAN_N)).alias("s"),
+    ).select("doc_id", shingle_int(F.col("s")).alias("h"))
+    # spans is consumed twice (shared-set reduce + coverage join); both
+    # consumers re-run the scan→explode→hash stage, which is cheap
+    # map-side work — persisting ~n_tokens rows per doc would cost more
+    # memory than the recompute at 100 TB
+    shared = (
+        spans.distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_shared"))
+    )
+    per_doc = (
+        spans.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_starts"),
+            F.sum(F.when(F.col("is_shared").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_starts"),
+        )
+        .where(F.col("n_shared_starts") > 0)
+    )
+    out = per_doc.select(
+        "doc_id",
+        "n_starts",
+        "n_shared_starts",
+        (
+            F.col("n_shared_starts").cast("double")
+            / F.col("n_starts").cast("double")
+        ).alias("shared_ratio"),
+    ).orderBy(F.desc("shared_ratio"), "doc_id").limit(SPAN_TOP)
+    return out

@@ -728,3 +728,158 @@ def samp_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+EPOCH_SHARDS = 16
+EPOCH_BUCKETS = 10
+
+
+@register(
+    "samp_epoch_shuffle",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_bucket_sql('doc_id', EPOCH_SHARDS)} AS shard
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY shard
+                   ORDER BY {shingle_int_sql("CAST(doc_id AS VARCHAR) || ':e0'")}, doc_id) AS pos0,
+               ROW_NUMBER() OVER (PARTITION BY shard
+                   ORDER BY {shingle_int_sql("CAST(doc_id AS VARCHAR) || ':e1'")}, doc_id) AS pos1,
+               COUNT(*) OVER (PARTITION BY shard) AS n_shard
+        FROM d
+    )
+    SELECT CAST(FLOOR(ABS(pos0 - pos1) * {EPOCH_BUCKETS} * 1.0 / n_shard) AS BIGINT) AS displacement_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pos0 = pos1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fixed_points
+    FROM pos
+    GROUP BY displacement_decile
+    ORDER BY displacement_decile
+    """,
+    description="deterministic per-epoch reshuffle + cross-epoch displacement audit",
+)
+def samp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch training order as a pure function of (doc_id, epoch):
+    position = rank of md5(doc_id:epoch) within the doc's shard. Every
+    rerun/executor/engine derives the identical order (no rand(), no
+    seed plumbing), yet epochs decorrelate — the output audits exactly
+    that: the distribution of |pos_e0 - pos_e1| displacement deciles,
+    plus fixed points (docs whose position didn't move; a healthy
+    reshuffle has ~none). An epoch-order bug (e.g. the classic
+    forgotten per-epoch reseed — every epoch replays epoch 0's order)
+    shows up as 100% fixed points in decile 0.
+
+    Scale: positions are ranked WITHIN hash shards ({EPOCH_SHARDS}
+    here), never globally — a global row_number serializes the corpus
+    through one task. The shard-local order IS the training stream
+    order because the loader walks shards round-robin
+    (pack_shard_manifest / samp_source_interleave establish that
+    contract). One shuffle on shard; both epoch ranks and the shard
+    size ride the same window exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", hash_bucket(F.col("doc_id"), EPOCH_SHARDS).alias("shard")
+    )
+    def epoch_key(e: int) -> F.Column:
+        return shingle_int(F.concat(F.col("doc_id").cast("string"), F.lit(f":e{e}")))
+
+    w0 = Window.partitionBy("shard").orderBy(epoch_key(0), "doc_id")
+    w1 = Window.partitionBy("shard").orderBy(epoch_key(1), "doc_id")
+    ws = Window.partitionBy("shard")
+    pos = d.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w0).alias("pos0"),
+        F.row_number().over(w1).alias("pos1"),
+        F.count(F.lit(1)).over(ws).alias("n_shard"),
+    )
+    disp = F.abs(F.col("pos0") - F.col("pos1"))
+    return (
+        pos.select(
+            # FLOOR on both sides: DuckDB CAST(double AS BIGINT) rounds
+            # while Spark truncates — floor is the one they agree on
+            F.floor(disp * EPOCH_BUCKETS / F.col("n_shard"))
+            .cast("bigint")
+            .alias("displacement_decile"),
+            (F.col("pos0") == F.col("pos1")).cast("int").alias("fixed"),
+        )
+        .groupBy("displacement_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("fixed").cast("bigint").alias("n_fixed_points"),
+        )
+        .orderBy("displacement_decile")
+    )
+
+
+@register(
+    "pack_best_fit",
+    oracle=None,  # iterative bin packing has no SQL twin; pytest proves invariants
+    description="best-fit-decreasing sequence packing (per-shard applyInPandas)",
+)
+def pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing packing of documents into fixed
+    token-budget context windows — the higher-utilization alternative
+    to the window-function greedy fill (pack_sequences): docs sorted
+    longest-first, each placed into the fullest bin it still fits,
+    new bin otherwise. BFD is iterative state (the open-bin table),
+    which SQL windows can't express — this is the sanctioned
+    applyInPandas shape: shard by (lang, doc_id-hash), pack WHOLE
+    shards in Arrow batches, emit per-bin rows.
+
+    Oversized docs (> budget) get a bin of their own, flagged — the
+    caller truncates/splits them downstream; silently dropping them
+    would bias the corpus against long documents.
+
+    Scale: packing is per-shard sequential (inherently — bin state),
+    so shards bound the sequential unit exactly like pack_sequences'
+    running sums; shard packing is O(n log bins) with a peak-memory
+    footprint of one shard's doc-length table (ints, not text)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.regexp_count("text", F.lit(BPE_RE)).cast("bigint").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        lang, shard = pdf.iloc[0]["lang"], pdf.iloc[0]["shard"]
+        bins: list[list[int]] = []  # [used_tokens, n_docs, oversize]
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > PACK_BUDGET:
+                bins.append([n, 1, 1])
+                continue
+            best_i, best_left = -1, PACK_BUDGET + 1
+            for i, b in enumerate(bins):
+                left = PACK_BUDGET - b[0]
+                if not b[2] and n <= left < best_left:
+                    best_i, best_left = i, left
+            if best_i < 0:
+                bins.append([n, 1, 0])
+            else:
+                bins[best_i][0] += n
+                bins[best_i][1] += 1
+        return pd.DataFrame(
+            {
+                "lang": lang,
+                "shard": shard,
+                "bin_id": range(len(bins)),
+                "used_tokens": [b[0] for b in bins],
+                "n_docs": [b[1] for b in bins],
+                "oversize": [bool(b[2]) for b in bins],
+            }
+        )
+
+    return sized.groupBy("lang", "shard").applyInPandas(
+        pack,
+        schema=(
+            "lang string, shard bigint, bin_id bigint, "
+            "used_tokens bigint, n_docs bigint, oversize boolean"
+        ),
+    )

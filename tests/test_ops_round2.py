@@ -1,0 +1,133 @@
+"""Round-2 operator tests: repeated-span memorization audit,
+epoch-shuffle determinism, best-fit packing invariants."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lime_etl_spark.operators.training import PACK_BUDGET
+from lime_etl_spark.plans.registry import all_queries
+from tests.oracle import assert_query_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_repeated_spans", "samp_epoch_shuffle"]
+)
+def test_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_repeated_spans_catches_planted_excerpt(spark):
+    """A document quoting a 20-token excerpt of another must surface
+    with the right coverage ratio; unrelated docs must not."""
+    from lime_etl_spark.operators.dedup import SPAN_N
+
+    base_words = [f"w{i}" for i in range(60)]
+    excerpt = base_words[10:30]  # 20 tokens → 20-SPAN_N+1 shared starts
+    quoter = [f"q{i}" for i in range(10)] + excerpt + [f"z{i}" for i in range(10)]
+    other = [f"x{i}" for i in range(50)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(base_words), "en", "s", len(" ".join(base_words))),
+            (2, " ".join(quoter), "en", "s", len(" ".join(quoter))),
+            (3, " ".join(other), "en", "s", len(" ".join(other))),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            r.doc_id: r
+            for r in all_queries()["dedup_repeated_spans"]
+            .builder(spark, d)
+            .collect()
+        }
+    assert 3 not in out  # no shared spans
+    assert set(out) == {1, 2}
+    shared_starts = len(excerpt) - SPAN_N + 1
+    assert out[2].n_shared_starts == shared_starts
+    assert out[1].n_shared_starts == shared_starts
+    # the quoter (40 tokens) has higher coverage than the source (60)
+    assert out[2].shared_ratio > out[1].shared_ratio
+
+
+def test_epoch_shuffle_decorrelates(spark, sf_dir):
+    """Epochs must actually reshuffle: few fixed points, mass spread
+    beyond the zero-displacement decile."""
+    rows = all_queries()["samp_epoch_shuffle"].builder(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in rows)
+    fixed = sum(r.n_fixed_points for r in rows)
+    assert fixed < 0.05 * total  # a replayed epoch would be 100% fixed
+    decile0 = next(r.n_docs for r in rows if r.displacement_decile == 0)
+    assert decile0 < 0.5 * total
+
+
+def test_best_fit_invariants_and_beats_greedy(spark, sf_dir):
+    qs = all_queries()
+    bf = qs["pack_best_fit"].builder(spark, sf_dir).toPandas()
+    # no regular bin exceeds the budget; oversize bins are exactly the >budget docs
+    regular = bf[~bf.oversize]
+    assert (regular.used_tokens <= PACK_BUDGET).all()
+    assert (bf[bf.oversize].n_docs == 1).all()
+    assert (bf[bf.oversize].used_tokens > PACK_BUDGET).all()
+
+    # every doc is packed exactly once
+    from lime_etl_spark.operators.text import BPE_RE
+    from lime_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert int(bf.n_docs.sum()) == n_docs
+    toks = docs.select(
+        F.sum(F.regexp_count("text", F.lit(BPE_RE)).cast("bigint")).alias("t")
+    ).collect()[0].t
+    assert int(bf.used_tokens.sum()) == toks  # token mass conserved
+
+    # BFD uses no more bins than a budget-respecting next-fit greedy
+    # (pack_sequences is a running-sum splitter whose packs may
+    # overflow the budget, so bin counts aren't comparable with it)
+    sized = (
+        docs.select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") % 8).alias("shard"),
+            F.regexp_count("text", F.lit(BPE_RE)).cast("bigint").alias("n"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    next_fit_bins = 0
+    for _, grp in sized.groupby(["lang", "shard"]):
+        used = PACK_BUDGET + 1  # force-open the first bin
+        for n in grp.n:
+            n = int(n)
+            if used + n > PACK_BUDGET:
+                next_fit_bins += 1
+                used = 0
+            used += n
+    assert len(bf) <= next_fit_bins
+
+    # deterministic: a rerun is byte-identical
+    bf2 = qs["pack_best_fit"].builder(spark, sf_dir).toPandas()
+    key = ["lang", "shard", "bin_id"]
+    assert bf.sort_values(key).reset_index(drop=True).equals(
+        bf2.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_best_fit_is_arrow_batched(spark, sf_dir):
+    plan = (
+        all_queries()["pack_best_fit"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+
+
+_ = pd  # imported for type availability in applyInPandas operators
