@@ -36,6 +36,8 @@ HEADLINE = [
     "ev_dau_mau",
     "ev_concurrent_sessions",
     "sketch_heavy_hitters",
+    "ev_variant_props",
+    "dedup_repeated_spans",
 ]
 
 

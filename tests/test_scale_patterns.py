@@ -114,3 +114,55 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
 
     # and the filtered read returns exactly that day's rows
     assert scan.count() == ev.where(F.col("event_date") == F.lit(target)).count()
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling — the runtime answer to hot keys the
+    static planner can't see: one key owning most of the fact rows
+    gets its shuffle partition split into multiple tasks at runtime.
+    Thresholds are lowered to trigger at test scale; the final
+    adaptive plan must carry the skew=true marker AND the join result
+    must be unchanged."""
+    import pyspark.sql.functions as F
+
+    # 200k rows on one hot key, a few rows on 1000 cold keys
+    hot = spark.range(200_000).select(F.lit(7).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(5_000).select(
+        (F.col("id") % 1000 + 100).alias("k"), F.col("id").alias("v")
+    )
+    fact = hot.unionByName(cold)
+    dim = spark.range(2_000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+
+        joined = fact.join(dim, "k")
+        # execute THIS DataFrame (count() would plan a different query
+        # whose executedPlan is not joined's), then read the finalized
+        # adaptive plan
+        rows = joined.collect()
+        assert len(rows) == 200_000 + 5_000  # every key matches
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
