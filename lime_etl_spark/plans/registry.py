@@ -36,6 +36,7 @@ _OPERATOR_MODULES = (
     "lime_etl_spark.operators.multimodal",
     "lime_etl_spark.operators.profiling",
     "lime_etl_spark.operators.sql_surface",
+    "lime_etl_spark.operators.insights",
 )
 
 

@@ -1,0 +1,146 @@
+"""Round-3 insights operators: streaks, inter-arrival, reconciliation,
+degree profile, vocab overlap, range search, length buckets, session
+depth — every ✓SQL op cross-checked against its DuckDB oracle, plus
+semantic spot checks that the oracle alone can't express."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lime_etl_spark.plans.registry import all_queries
+from tests.oracle import assert_query_matches_oracle
+
+INSIGHT_QUERIES = [
+    "ev_active_streaks",
+    "ev_inter_arrival",
+    "dq_order_reconcile",
+    "graph_degree_distribution",
+    "txt_vocab_overlap",
+    "ann_range_search",
+    "pack_length_buckets",
+    "ev_session_depth_hist",
+]
+
+
+@pytest.mark.parametrize("name", INSIGHT_QUERIES)
+def test_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_streaks_islands_split_on_gap(spark, tmp_path):
+    """Three users: 3-day run, run broken by a gap, single day —
+    the max-streak histogram must be exactly {1:1, 2:1, 3:1}."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, day):
+        return (eid, base + dt.timedelta(days=day), uid, "view", 1.0, "{}")
+
+    rows = [
+        # user 1: days 0,1,2 → streak 3
+        ev(1, 1, 0), ev(2, 1, 1), ev(3, 1, 2),
+        # user 2: days 0,1 then 3 → max streak 2
+        ev(4, 2, 0), ev(5, 2, 1), ev(6, 2, 3),
+        # user 3: day 5 only → streak 1
+        ev(7, 3, 5),
+    ]
+    docs = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    docs.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        r.max_streak_days: r.n_users
+        for r in all_queries()["ev_active_streaks"].builder(spark, d).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_session_depth_counts_bounce_bucket(spark, sf_dir):
+    """depth==1 sessions in the histogram must equal the bounce count
+    ev_bounce_rate reports summed over days (same sessionization)."""
+    hist = {
+        r.session_depth: r.n_sessions
+        for r in all_queries()["ev_session_depth_hist"].builder(spark, sf_dir).collect()
+    }
+    bounce = (
+        all_queries()["ev_bounce_rate"]
+        .builder(spark, sf_dir)
+        .agg(
+            F.sum("n_bounces").alias("b"), F.sum("n_sessions").alias("s")
+        )
+        .collect()[0]
+    )
+    assert hist.get(1, 0) == bounce.b
+    assert sum(hist.values()) == bounce.s
+
+
+def test_reconcile_counts_childless_orders(spark, sf_dir):
+    """n_childless summed over statuses == orders with no lineitem
+    (independent left-anti count)."""
+    from lime_etl_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).distinct()
+    expected = orders.join(li, "o_orderkey", "left_anti").count()
+    out = (
+        all_queries()["dq_order_reconcile"]
+        .builder(spark, sf_dir)
+        .agg(F.sum("n_childless").alias("c"))
+        .collect()[0]
+    )
+    assert out.c == expected
+
+
+def test_length_buckets_conserve_docs(spark, sf_dir):
+    """Every non-empty doc lands in exactly one bucket and padding is
+    non-negative; fill ratio within (0, 1]."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["pack_length_buckets"].builder(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_nonempty = docs.where(F.trim("text") != "").count()
+    # no doc in the synthetic corpus exceeds the 4096 cap
+    assert sum(r.n_docs for r in rows) == n_nonempty
+    for r in rows:
+        assert r.padding_tokens >= 0
+        assert 0.0 < r.fill_ratio <= 1.0
+        assert r.sum_tokens + r.padding_tokens == r.n_docs * r.bucket_cap
+
+
+def test_range_search_agrees_with_bruteforce_topk(spark, sf_dir):
+    """A query whose best top-k cosine clears τ must report
+    n_in_range ≥ 1 with the same best cosine."""
+    from lime_etl_spark.operators.insights import RANGE_TAU
+
+    topk = (
+        all_queries()["ann_bruteforce_topk"]
+        .builder(spark, sf_dir)
+        .groupBy("q_vec_id")
+        .agg(F.max("cosine").alias("best"))
+        .collect()
+    )
+    rng = {
+        r.q_vec_id: r
+        for r in all_queries()["ann_range_search"].builder(spark, sf_dir).collect()
+    }
+    for row in topk:
+        r = rng[row.q_vec_id]
+        if row.best >= RANGE_TAU:
+            assert r.n_in_range >= 1
+            assert r.best_cosine == row.best
+        else:
+            assert r.n_in_range == 0 or r.best_cosine >= RANGE_TAU
+
+
+def test_vocab_overlap_bounds(spark, sf_dir):
+    rows = all_queries()["txt_vocab_overlap"].builder(spark, sf_dir).collect()
+    assert rows, "expected at least one source pair"
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 < r.n_common <= min(r.n_words_a, r.n_words_b)
+        assert 0.0 < r.jaccard <= 1.0
