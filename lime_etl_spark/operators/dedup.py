@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lime_etl_spark.functions.text import (
@@ -656,6 +656,16 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_N = 16  # span length (tokens) for the memorization audit
 SPAN_TOP = 50
 
+# Span hashing stays concat+md5 (shingle_int over the joined span
+# string): a per-token-md5 + Horner-fold rewrite was measured SLOWER
+# at sf0.1 (2.4s vs 1.5s per scan) — Spark evaluates higher-order
+# lambda functions interpreted, outside whole-stage codegen, so 32
+# fused multiply-mods per position lose to one codegen'd md5; and a
+# naive nested-HOF form re-inlines the token-hash array per position
+# (no common-subexpression elimination across lambda bodies) for an
+# O(n²)-md5 blowup measured 10× slower. The win that DID land is
+# structural: one shared exchange instead of two scans (see builder).
+
 
 def _span_gram_sql(n: int) -> str:
     """DuckDB n-word span list over t (1-based; empty when doc < n)."""
@@ -671,17 +681,19 @@ def _span_gram_sql(n: int) -> str:
         SELECT doc_id, {shingle_int_sql('s')} AS h
         FROM (SELECT doc_id, unnest({_span_gram_sql(SPAN_N)}) AS s FROM toks)
     ),
+    pairs AS (
+        SELECT doc_id, h, COUNT(*) AS m FROM spans GROUP BY doc_id, h
+    ),
     shared AS (
-        SELECT h FROM (SELECT DISTINCT doc_id, h FROM spans)
-        GROUP BY h HAVING COUNT(*) >= 2
+        SELECT h FROM pairs GROUP BY h HAVING COUNT(*) >= 2
     ),
     per_doc AS (
-        SELECT s.doc_id,
-               COUNT(*) AS n_starts,
-               CAST(SUM(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        SELECT p.doc_id,
+               CAST(SUM(p.m) AS BIGINT) AS n_starts,
+               CAST(SUM(CASE WHEN sh.h IS NOT NULL THEN p.m ELSE 0 END) AS BIGINT)
                    AS n_shared_starts
-        FROM spans s LEFT JOIN shared sh ON s.h = sh.h
-        GROUP BY s.doc_id
+        FROM pairs p LEFT JOIN shared sh ON p.h = sh.h
+        GROUP BY p.doc_id
     )
     SELECT doc_id, n_starts, n_shared_starts,
            CAST(n_shared_starts AS DOUBLE) / CAST(n_starts AS DOUBLE) AS shared_ratio
@@ -709,27 +721,43 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle equi-join both sides already partitioned by. Output capped
     at the top {SPAN_TOP}."""
     docs = load_table(spark, sf_dir, "documents")
-    spans = docs.select(
-        "doc_id",
-        F.explode(word_shingles(tokens(), SPAN_N)).alias("s"),
-    ).select("doc_id", shingle_int(F.col("s")).alias("h"))
-    # spans is consumed twice (shared-set reduce + coverage join); both
-    # consumers re-run the scan→explode→hash stage, which is cheap
-    # map-side work — persisting ~n_tokens rows per doc would cost more
-    # memory than the recompute at 100 TB
+    spans = (
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles(tokens(), SPAN_N)).alias("s"),
+        )
+        .select("doc_id", shingle_int(F.col("s")).alias("h"))
+        # always true (md5 of a non-null string): mirrors the
+        # isnotnull(h) constraint the join infers into the build-side
+        # branch, keeping both branches canonically identical
+        .where(F.col("h").isNotNull())
+    )
+    # ONE scan: both consumers (shared-set reduce + coverage rollup)
+    # read the same (doc_id, h) groupBy — the identical Exchange
+    # appears twice in the final plan and Catalyst's exchange reuse
+    # (ReusedExchange, on by default) serves the second consumer from
+    # the first's shuffle files. The earlier spans.distinct() + raw-
+    # spans join shuffled on DIFFERENT keys, so the scan→explode→md5
+    # stage ran twice. Shuffle files live on disk — this works at any
+    # scale, unlike persisting the span table.
+    pairs = spans.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("m"))
+    # m > 0 is always true (counts are ≥ 1): it exists to keep `m` in
+    # this branch's column set, so column pruning doesn't rewrite the
+    # pairs aggregate to a distinct — which would make the two
+    # exchanges canonically different and defeat the reuse.
     shared = (
-        spans.distinct()
+        pairs.where(F.col("m") > 0)
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
         .where(F.col("nd") >= 2)
         .select("h", F.lit(1).alias("is_shared"))
     )
     per_doc = (
-        spans.join(shared, "h", "left")
+        pairs.join(shared, "h", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_starts"),
-            F.sum(F.when(F.col("is_shared").isNotNull(), 1).otherwise(0))
+            F.sum("m").cast("bigint").alias("n_starts"),
+            F.sum(F.when(F.col("is_shared").isNotNull(), F.col("m")).otherwise(0))
             .cast("bigint")
             .alias("n_shared_starts"),
         )

@@ -437,3 +437,16 @@ def test_join_skew_counters_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dq_join_skew")
     assert "Join" not in plan and "Window" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_repeated_spans_single_scan_via_exchange_reuse(spark, sf_dir):
+    """The shared-span reduce and the coverage rollup both consume the
+    (doc_id, h) pair aggregate: the final adaptive plan must serve the
+    second consumer from the first's shuffle files (ReusedExchange),
+    leaving exactly ONE scan of documents — the property that halves
+    the corpus IO at 100 TB."""
+    plan = final_plan_of(spark, sf_dir, "dedup_repeated_spans").split(
+        "== Initial Plan =="
+    )[0]
+    assert "Reused" in plan, plan
+    assert plan.count("documents.parquet") == 1, "documents scanned more than once"
