@@ -1,0 +1,290 @@
+"""Product quantization (PQ) similarity search: compressed codes +
+asymmetric-distance (ADC) shortlist + exact re-rank.
+
+The memory story brute-force/IVF can't tell: a 64-dim float vector is
+256 B; with m=8 subspaces × 16 centroids it compresses to 8 nibbles
+(4 B, 64×). At 100 TB of embeddings the PQ code table fits where the
+raw vectors never will, ADC scans it with integer lookups + m-1 adds
+per candidate, and only the tiny shortlist ever touches raw vectors
+again (Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011).
+
+Spark-first shape — centroids travel as a broadcast DATAFRAME, not as
+literal expressions: an earlier constant-folded formulation (a CASE
+chain of m argmins over k literal centroids — m·k fold cells per row)
+spent its whole runtime in expression compilation, and re-embedding
+the updated centroids re-paid it EVERY Lloyd iteration (~30 s/iter at
+sf0.01 for sub-second data). With centroids as data, every plan is
+small and structurally identical across iterations (janino cache
+hit); distance math is one zip_with fold per (row, centroid) pair.
+
+- training (`pq_fit`): corpus exploded ONCE into (id, s, subvec) rows
+  and persisted; per iteration one job: broadcast-join the m·k
+  centroid rows, per-(id,s) argmin via min(struct(dist, cid)), then a
+  (s, cid, dim) cell aggregate (= dim·k rows) drives the update —
+  action count = iters + 2, independent of m.
+- encoding (`pq_encode`): same broadcast-join argmin, codes assembled
+  per id with sort_array(collect_list) — codes shuffle as m small
+  ints per vector.
+- search (`pq_search`): per-query LUTs (LUT[s][c] = sqdist of the
+  query's s-th slice to centroid c) are ALSO built by the join, then
+  folded to one array<array<double>> per query; ADC per (query, code)
+  pair is m element_at lookups + adds; per-query top-N via the same
+  WindowGroupLimit local-top-k the brute-force path uses; the ≤N
+  shortlist joins back to raw vectors for exact re-rank.
+
+Registered rows-only: k-means training is iterative — no SQL twin;
+pytest proves recall@k against exact L2 top-k and the compression
+arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lime_etl_spark.operators.similarity import QUERY_MOD
+from lime_etl_spark.plans.registry import register
+from lime_etl_spark.sources.readers import load_table
+
+PQ_M = 8  # subspaces (8-dim each on the 64-dim corpus)
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_TOP_K = 10
+PQ_SHORTLIST = 100  # ADC candidates per query before exact re-rank
+
+
+def _sub(vec: Column, s: int, sub_dim: int) -> Column:
+    """s-th subvector slice (1-based slice; cast once to double)."""
+    return F.slice(vec.cast("array<double>"), s * sub_dim + 1, sub_dim)
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two double arrays (one fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _explode_subs(
+    emb: DataFrame, vec_col: str, id_col: str, m: int, sub_dim: int
+) -> DataFrame:
+    """(id, s, v): one row per (vector, subspace)."""
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(*[_sub(F.col(vec_col), s, sub_dim) for s in range(m)])
+        ).alias("s", "v"),
+    )
+
+
+def _books_df(
+    spark: SparkSession, books: list[list[list[float]]]
+) -> DataFrame:
+    rows = [
+        (s, cid, list(map(float, c)))
+        for s, book in enumerate(books)
+        for cid, c in enumerate(book)
+    ]
+    return spark.createDataFrame(rows, "s int, cid int, cv array<double>")
+
+
+def _assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, s, cid, v): nearest centroid per (vector, subspace).
+
+    Broadcast join fans each row out to its k centroids; the argmin is
+    min(struct(dist, cid)) — smallest distance wins, ties break on
+    lowest cid (same tie rule as functions/clustering.py)."""
+    pairs = subs.join(F.broadcast(cent), "s").select(
+        "id",
+        "s",
+        "v",
+        F.struct(_sq_dist(F.col("v"), F.col("cv")).alias("d"), F.col("cid").alias("cid")).alias("cell"),
+    )
+    return (
+        pairs.groupBy("id", "s")
+        .agg(F.min("cell").alias("best"), F.first("v").alias("v"))
+        .select("id", "s", F.col("best.cid").alias("cid"), "v")
+    )
+
+
+def pq_fit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 3,
+) -> list[list[list[float]]]:
+    """Train m per-subspace codebooks (k centroids each) jointly —
+    every Lloyd action shared across subspaces (see module docstring).
+    3 iterations: measured recall@10 plateaus by iter 3 on this corpus
+    and each extra iteration is a full assignment action."""
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub_dim = dim // m
+    subs = _explode_subs(emb, vec_col, id_col, m, sub_dim).persist()
+
+    # deterministic init: k hash-ordered rows per subspace, one action
+    w = Window.partitionBy("s").orderBy(F.xxhash64("id"), "id")
+    init_rows = (
+        subs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .collect()
+    )
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(init_rows, key=lambda r: (r["s"], r["rn"])):
+        books[r["s"]].append(list(r["v"]))
+
+    for _ in range(iters):
+        cells = (
+            _assign(subs, _books_df(spark, books))
+            .select("s", "cid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("s", "cid", "dim")
+            .agg(
+                F.sum(F.col("val").cast("decimal(38,12)")).alias("sum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_books = [[list(c) for c in book] for book in books]
+        for row in cells:  # empty cluster → keeps previous centroid
+            new_books[row["s"]][row["cid"]][row["dim"]] = float(
+                row["sum"] / row["n"]
+            )
+        books = new_books
+
+    subs.unpersist()
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes): m 4-bit codes per vector, assembled in s-order."""
+    spark = emb.sparkSession
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    assigned = _assign(
+        _explode_subs(emb, vec_col, id_col, m, sub_dim),
+        _books_df(spark, codebooks),
+    )
+    return (
+        assigned.groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("s", "cid"))),
+                lambda x: x["cid"],
+            ).alias("codes")
+        )
+        .select(F.col("id").alias("vec_id"), "codes")
+    )
+
+
+def pq_search(
+    queries: DataFrame,
+    encoded: DataFrame,
+    raw: DataFrame,
+    codebooks: list[list[list[float]]],
+    top_k: int = PQ_TOP_K,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """ADC shortlist + exact re-rank; returns (q_vec_id, n_vec_id,
+    sq_dist, rank) with rank ≤ top_k per query."""
+    spark = queries.sparkSession
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    cent = _books_df(spark, codebooks)
+    qsubs = _explode_subs(queries, "embedding", "vec_id", m, sub_dim)
+    # LUT[s][c] per query, built by the same join then folded to one
+    # array<array<double>> per query (cid/s are dense 0..k-1 / 0..m-1,
+    # so sorted collect_lists reassemble positionally)
+    lut_rows = qsubs.join(F.broadcast(cent), "s").select(
+        F.col("id").alias("q_vec_id"),
+        "s",
+        "cid",
+        _sq_dist(F.col("v"), F.col("cv")).alias("d"),
+    )
+    lut = (
+        lut_rows.groupBy("q_vec_id", "s")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("cid", "d"))),
+                lambda x: x["d"],
+            ).alias("row")
+        )
+        .groupBy("q_vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("s", "row"))),
+                lambda x: x["row"],
+            ).alias("lut")
+        )
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("lut").getItem(s),
+            F.col("codes").getItem(s).cast("int") + 1,
+        )
+        adc = term if adc is None else adc + term
+    pairs = (
+        F.broadcast(lut)
+        .crossJoin(encoded)
+        .where(F.col("q_vec_id") != F.col("vec_id"))
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("n_vec_id"),
+            adc.alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy("adc_dist", "n_vec_id")
+    cand = (
+        pairs.withColumn("adc_rank", F.row_number().over(w))
+        .where(F.col("adc_rank") <= shortlist)
+        .select("q_vec_id", "n_vec_id")
+    )
+    # exact re-rank: only the shortlist reads raw vectors
+    q = queries.select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    v = raw.select(
+        F.col("vec_id").alias("n_vec_id"),
+        F.col("embedding").cast("array<double>").alias("n_vec"),
+    )
+    exact = (
+        cand.join(F.broadcast(q), "q_vec_id")
+        .join(v, "n_vec_id")
+        .select(
+            "q_vec_id",
+            "n_vec_id",
+            _sq_dist(F.col("q_vec"), F.col("n_vec")).alias("sq_dist"),
+        )
+    )
+    w2 = Window.partitionBy("q_vec_id").orderBy("sq_dist", "n_vec_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= top_k)
+        .orderBy("q_vec_id", "rank")
+    )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=None,  # k-means training is iterative — no SQL twin;
+    # pytest proves recall@k vs exact L2 top-k + code compactness
+    description="product-quantization ANN: 8×4-bit codes, ADC shortlist, exact re-rank",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    books = pq_fit(emb)
+    encoded = pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    return pq_search(queries, encoded, emb, books)
