@@ -586,3 +586,255 @@ def ev_session_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy("session_depth")
     )
+
+
+# --- repeat-purchase curve --------------------------------------------------
+
+
+@register(
+    "ev_repeat_purchase_curve",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ), per_user AS (
+        SELECT user_id,
+               COUNT(*) AS n_purchases,
+               CAST(FLOOR((MAX(CASE WHEN rn = 2 THEN ts_us END)
+                           - MAX(CASE WHEN rn = 1 THEN ts_us END))
+                          / 86400000000.0) AS BIGINT) AS gap_days
+        FROM p GROUP BY user_id
+    )
+    SELECT CAST(n_purchases AS BIGINT) AS n_purchases,
+           COUNT(*) AS n_users,
+           CAST(FLOOR(quantile_cont(gap_days, 0.5)) AS BIGINT) AS median_gap_days
+    FROM per_user
+    GROUP BY n_purchases
+    ORDER BY n_purchases
+    """,
+    description="purchases-per-user histogram + median 1st→2nd purchase gap per bucket (repeat-buyer curve)",
+)
+def ev_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repeat-buyer curve: how many users bought exactly n times,
+    and — per bucket — the median days between first and second
+    purchase (the reorder-cycle input for retention economics).
+
+    One user_id shuffle covers the row_number window AND the per-user
+    rollup; first/second timestamps come from the same pass as
+    conditional MAXes (no self-join); the bucket rollup reduces to
+    ≤max(n_purchases) rows. Gap days are FLOOR'd integer µs both
+    engines (DuckDB CAST rounds, Spark truncates — FLOOR first).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(ts, "event_id")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", ts.alias("ts_us"), F.row_number().over(w).alias("rn")
+    )
+    per_user = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.floor(
+            (
+                F.max(F.when(F.col("rn") == 2, F.col("ts_us")))
+                - F.max(F.when(F.col("rn") == 1, F.col("ts_us")))
+            )
+            / 86400000000.0
+        )
+        .cast("bigint")
+        .alias("gap_days"),
+    )
+    return (
+        per_user.groupBy("n_purchases")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.floor(F.expr("percentile(gap_days, 0.5)"))
+            .cast("bigint")
+            .alias("median_gap_days"),
+        )
+        .orderBy("n_purchases")
+    )
+
+
+# --- candidate-key uniqueness profile ---------------------------------------
+
+# declared candidate keys: (table, [cols]) — the contract dq tests assert
+CANDIDATE_KEYS = (
+    ("region", ["r_regionkey"]),
+    ("nation", ["n_nationkey"]),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+)
+
+
+@register(
+    "dq_candidate_keys",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{t}' AS table_name,
+               '{",".join(cols)}' AS key_cols,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT {" || '#' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)}) AS n_distinct,
+               COUNT(*) = COUNT(DISTINCT {" || '#' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)}) AS is_unique
+        FROM {t}
+        """
+        for t, cols in CANDIDATE_KEYS
+    )
+    + " ORDER BY table_name",
+    description="declared candidate-key uniqueness profile across every table (the PK contract check)",
+)
+def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is each declared key actually a key? One row per (table, key):
+    row count, distinct-key count, and the verdict — the structural
+    contract every downstream MERGE/upsert/SCD operator in this engine
+    assumes (their docstrings say 'keyed'; this is the test).
+
+    Per table: one scan → one count + distinct-count aggregate
+    (two-phase partial agg; the composite key hashes as one
+    canonical concat). Output is |tables| rows unioned driver-side —
+    each leg independently partial-aggregated, no cross-table joins.
+    """
+    legs = []
+    for t, cols in CANDIDATE_KEYS:
+        df = load_table(spark, sf_dir, t)
+        key = F.concat_ws("#", *[F.col(c).cast("string") for c in cols])
+        legs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(key).alias("n_distinct"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                F.lit(",".join(cols)).alias("key_cols"),
+                "n_rows",
+                "n_distinct",
+                (F.col("n_rows") == F.col("n_distinct")).alias("is_unique"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("table_name")
+
+
+# --- Simpson token diversity ------------------------------------------------
+
+
+@register(
+    "txt_simpson_diversity",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), counts AS (
+        SELECT source, word, COUNT(*) AS n FROM tok GROUP BY source, word
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct_tokens,
+           CAST(SUM(CAST(n AS DECIMAL(38,0)) * (n - 1)) AS DOUBLE)
+               / CAST(SUM(CAST(n AS DECIMAL(38,0))) * (SUM(CAST(n AS DECIMAL(38,0))) - 1) AS DOUBLE)
+               AS simpson
+    FROM counts
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="log-free token diversity per source: Simpson index from exact integer counts",
+)
+def txt_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary concentration per source WITHOUT logs: Simpson's
+    index Σ nᵢ(nᵢ-1) / N(N-1) — the probability two random tokens
+    match. High values flag templated/repetitive sources the same way
+    Shannon entropy would, but every input to the single final
+    division is an exact integer (ln/log2 are not bit-stable
+    cross-engine — the reason the entropy twin of this table can't be
+    oracle-checked).
+
+    Scale: (source, word) counts combine map-side; products are
+    decimal(38,0) — nᵢ² overflows int64 once a word passes ~3×10⁹
+    occurrences, which a 100 TB corpus reaches.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum(nd * (F.col("n") - 1)).alias("num"),
+            F.sum(nd).alias("nn"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct_tokens",
+            (
+                F.col("num").cast("double")
+                / (F.col("nn") * (F.col("nn") - 1)).cast("double")
+            ).alias("simpson"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- hourly load percentiles ------------------------------------------------
+
+
+@register(
+    "ev_hourly_load_percentiles",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS hod,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(hod AS INT) AS hour_of_day,
+           COUNT(*) AS n_days,
+           MIN(n) AS min_events,
+           CAST(FLOOR(quantile_cont(n, 0.5)) AS BIGINT) AS p50_events,
+           CAST(FLOOR(quantile_cont(n, 0.95)) AS BIGINT) AS p95_events,
+           MAX(n) AS max_events
+    FROM hourly
+    GROUP BY hod
+    ORDER BY hour_of_day
+    """,
+    description="per-hour-of-day daily volume percentiles (capacity-planning seasonality bands)",
+)
+def ev_hourly_load_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-planning bands: for each hour of the day, the
+    distribution (min/p50/p95/max) of that hour's DAILY event volume —
+    the p95 row is what you provision for, the max row is the incident
+    threshold. Complements ev_weekday_hour_profile (means) with tail
+    percentiles.
+
+    Counters-only first rollup (date×hour grain), then exact
+    percentiles over ≤|days| values per hour — 24 output rows.
+    UTC session timezone pins EXTRACT(hour) on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("d"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pct = F.expr("percentile(n, array(0.5, 0.95))")
+    return (
+        hourly.groupBy(F.col("hod").cast("int").alias("hour_of_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.min("n").alias("min_events"),
+            F.floor(pct.getItem(0)).cast("bigint").alias("p50_events"),
+            F.floor(pct.getItem(1)).cast("bigint").alias("p95_events"),
+            F.max("n").alias("max_events"),
+        )
+        .orderBy("hour_of_day")
+    )

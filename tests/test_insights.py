@@ -144,3 +144,37 @@ def test_vocab_overlap_bounds(spark, sf_dir):
         assert r.source_a < r.source_b
         assert 0 < r.n_common <= min(r.n_words_a, r.n_words_b)
         assert 0.0 < r.jaccard <= 1.0
+
+
+BATCH2 = [
+    "ev_repeat_purchase_curve",
+    "dq_candidate_keys",
+    "txt_simpson_diversity",
+    "ev_hourly_load_percentiles",
+]
+
+
+@pytest.mark.parametrize("name", BATCH2)
+def test_batch2_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_candidate_keys_verdicts_on_synthetic(spark, sf_dir):
+    """Single-column surrogate keys hold on every driver table; the
+    composite (l_orderkey, l_linenumber) does NOT — the synthetic
+    generator draws line numbers with replacement — and the profile
+    is precisely the operator that surfaces that."""
+    rows = {r.table_name: r for r in all_queries()["dq_candidate_keys"].builder(spark, sf_dir).collect()}
+    assert len(rows) == 10
+    for t, r in rows.items():
+        if t == "lineitem":
+            assert not r.is_unique and r.n_distinct < r.n_rows
+        else:
+            assert r.is_unique, (t, r.n_rows, r.n_distinct)
+
+
+def test_simpson_bounds(spark, sf_dir):
+    rows = all_queries()["txt_simpson_diversity"].builder(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r.simpson <= 1.0
+        assert r.n_distinct_tokens <= r.n_tokens
