@@ -31,6 +31,7 @@ from lime_etl_spark.domain.exceptions import (
 )
 from lime_etl_spark.domain.specs import (
     JobContext,
+    RetryPolicy,
     SimpleJobSpec,
     SparkBatchSpec,
     SparkJobSpec,
@@ -115,6 +116,7 @@ __all__ = [
     "MinSecondsBetweenRefreshes",
     "MinSecondsBetweenTests",
     "Result",
+    "RetryPolicy",
     "SimpleJobSpec",
     "SimpleTestResult",
     "SparkAdminStore",

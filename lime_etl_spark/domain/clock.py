@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import abc
 import datetime
+import time
 
 from lime_etl_spark.domain.value_objects import ExecutionMillis, Timestamp
 
@@ -20,6 +21,11 @@ __all__ = ("ClockAdapter", "LocalClockAdapter", "FakeClockAdapter")
 class ClockAdapter(abc.ABC):
     @abc.abstractmethod
     def now(self) -> datetime.datetime:
+        raise NotImplementedError
+
+    @abc.abstractmethod
+    def sleep(self, seconds: float) -> None:
+        """Wait (retry backoff); FakeClockAdapter advances instantly."""
         raise NotImplementedError
 
     def get_elapsed_time(self, start: datetime.datetime) -> ExecutionMillis:
@@ -32,6 +38,10 @@ class ClockAdapter(abc.ABC):
 class LocalClockAdapter(ClockAdapter):
     def now(self) -> datetime.datetime:
         return datetime.datetime.now()
+
+    def sleep(self, seconds: float) -> None:
+        if seconds > 0:
+            time.sleep(seconds)
 
 
 class FakeClockAdapter(ClockAdapter):
@@ -46,3 +56,7 @@ class FakeClockAdapter(ClockAdapter):
 
     def advance(self, seconds: float) -> None:
         self._now += datetime.timedelta(seconds=seconds)
+
+    def sleep(self, seconds: float) -> None:
+        """No real wait — time just moves (backoff tests run instantly)."""
+        self.advance(seconds)

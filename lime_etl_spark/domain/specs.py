@@ -44,6 +44,36 @@ class JobContext:
     resources: Dict[str, Any] = field(default_factory=dict)
 
 
+@dataclass(frozen=True)
+class RetryPolicy:
+    """Backoff between retry attempts (the reference retries
+    immediately — batch_runner.py:503; immediate is still the default
+    here via base_seconds=0).
+
+    delay(attempt) = min(base_seconds · factor^attempt, max_seconds),
+    attempt 0-based. Deliberately DETERMINISTIC (no jitter): the
+    runner's time decisions are all replayable under FakeClockAdapter;
+    when thousands of jobs hammer one external system, stagger them
+    with per-job base_seconds offsets (e.g. hash(job_name) % k), not
+    randomness.
+    """
+
+    base_seconds: float = 0.0
+    factor: float = 2.0
+    max_seconds: float = 300.0
+
+    def __post_init__(self) -> None:
+        if self.base_seconds < 0 or self.factor < 1 or self.max_seconds < 0:
+            raise ValueError(
+                "RetryPolicy requires base_seconds >= 0, factor >= 1, max_seconds >= 0"
+            )
+
+    def delay(self, attempt: int) -> float:
+        if self.base_seconds <= 0:
+            return 0.0
+        return min(self.base_seconds * (self.factor**attempt), self.max_seconds)
+
+
 class SparkJobSpec(abc.ABC):
     """Abstract job: override ``run`` (and optionally ``test``)."""
 
@@ -71,6 +101,11 @@ class SparkJobSpec(abc.ABC):
     @property
     def timeout_seconds(self) -> Optional[int]:
         return None
+
+    @property
+    def retry_policy(self) -> RetryPolicy:
+        """Backoff between retries; default = immediate (reference parity)."""
+        return RetryPolicy()
 
     @abc.abstractmethod
     def run(self, ctx: JobContext) -> Optional[JobStatus]:
@@ -125,6 +160,7 @@ class SimpleJobSpec(SparkJobSpec):
         max_retries: int = 0,
         min_seconds_between_refreshes: int = 0,
         min_seconds_between_tests: int = 0,
+        retry_policy: Optional[RetryPolicy] = None,
         on_execution_error: Optional[Callable[[str], Optional[SparkJobSpec]]] = None,
         on_test_failure: Optional[
             Callable[[Sequence[SimpleTestResult]], Optional[SparkJobSpec]]
@@ -138,6 +174,7 @@ class SimpleJobSpec(SparkJobSpec):
         self._max_retries = MaxRetries(max_retries).value
         self._min_refresh = MinSecondsBetweenRefreshes(min_seconds_between_refreshes).value
         self._min_tests = MinSecondsBetweenTests(min_seconds_between_tests).value
+        self._retry_policy = retry_policy or RetryPolicy()
         self._on_execution_error = on_execution_error
         self._on_test_failure = on_test_failure
 
@@ -164,6 +201,10 @@ class SimpleJobSpec(SparkJobSpec):
     @property
     def min_seconds_between_tests(self) -> int:
         return self._min_tests
+
+    @property
+    def retry_policy(self) -> RetryPolicy:
+        return self._retry_policy
 
     def run(self, ctx: JobContext) -> Optional[JobStatus]:
         return self._run(ctx)

@@ -590,6 +590,13 @@ def _run_with_retry(
             return status or JobStatus.success(), millis
         except Exception:
             if job.max_retries > retries:
+                delay = job.retry_policy.delay(retries)
+                if delay > 0:
+                    logger.info(
+                        f"Backing off {delay:g}s before retry {retries} of "
+                        f"{job.max_retries}..."
+                    )
+                    clock.sleep(delay)
                 logger.info(f"Running retry {retries} of {job.max_retries}...")
                 retries += 1
                 continue

@@ -514,3 +514,50 @@ def test_admin_batch_prebuilt(spark, store, tmp_path):
         "compact_admin_ledger",
     }
     assert result.broken_jobs == set()
+
+
+def test_retry_policy_backoff_via_clock(spark, store):
+    """Exponential backoff between retries runs through the injected
+    clock: two failures with base=10,factor=2 advance the FakeClock by
+    10 + 20 = 30 s, then the third attempt succeeds — no real sleeps."""
+    from lime_etl_spark.domain import RetryPolicy
+    from lime_etl_spark.domain.clock import FakeClockAdapter
+
+    clock = FakeClockAdapter()
+    t0 = clock.now()
+    attempts = {"n": 0}
+
+    def flaky(ctx):
+        attempts["n"] += 1
+        if attempts["n"] <= 2:
+            raise RuntimeError("transient")
+        return JobStatus.success()
+
+    batch = SparkBatchSpec(
+        name="backoff_batch",
+        jobs=[
+            SimpleJobSpec(
+                name="flaky_job",
+                run=flaky,
+                max_retries=3,
+                retry_policy=RetryPolicy(base_seconds=10, factor=2.0),
+            )
+        ],
+    )
+    result = run_batch(batch, spark, store, clock=clock)
+    assert attempts["n"] == 3
+    assert result.broken_jobs == set()
+    assert (clock.now() - t0).total_seconds() == 30.0
+
+
+def test_retry_policy_defaults_and_cap():
+    from lime_etl_spark.domain import RetryPolicy
+
+    immediate = RetryPolicy()
+    assert immediate.delay(0) == 0.0 and immediate.delay(5) == 0.0
+    p = RetryPolicy(base_seconds=10, factor=3.0, max_seconds=50)
+    assert [p.delay(a) for a in range(4)] == [10.0, 30.0, 50.0, 50.0]
+    with pytest.raises(ValueError):
+        RetryPolicy(base_seconds=-1)
+    with pytest.raises(ValueError):
+        RetryPolicy(base_seconds=1, factor=0.5)
