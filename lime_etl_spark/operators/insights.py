@@ -838,3 +838,201 @@ def ev_hourly_load_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day")
     )
+
+
+# --- purchase velocity (sliding RANGE window rule) --------------------------
+
+VELOCITY_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "ev_purchase_velocity",
+    oracle=f"""
+    WITH bursts AS (
+        SELECT user_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN {VELOCITY_WINDOW_US - 1} PRECEDING
+                                        AND CURRENT ROW) AS burst
+        FROM events WHERE event_type = 'purchase'
+    ), per_user AS (
+        SELECT user_id, MAX(burst) AS max_burst FROM bursts GROUP BY user_id
+    )
+    SELECT CAST(max_burst AS BIGINT) AS max_burst_1h,
+           COUNT(*) AS n_users
+    FROM per_user
+    GROUP BY max_burst
+    ORDER BY max_burst_1h
+    """,
+    description="per-user max purchases in any sliding 1h window (velocity/fraud rule) → burst histogram",
+)
+def ev_purchase_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity rule: the max number of purchases any user fit into a
+    sliding one-hour window — the classic fraud/abuse trigger shape
+    ('more than N per hour'), reported as a burst histogram so the
+    rule threshold can be set from the actual tail.
+
+    The sliding count is a RANGE frame over integer microseconds (the
+    event-time sliding window EXPRESSED IN BATCH — the streaming twin
+    is a watermarked window agg); one user_id shuffle carries the
+    window and the per-user max. RANGE, not ROWS: simultaneous events
+    all see the same window, so replays/reorderings don't change it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts)
+        .rangeBetween(-(VELOCITY_WINDOW_US - 1), Window.currentRow)
+    )
+    bursts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.count(F.lit(1)).over(w).alias("burst")
+    )
+    per_user = bursts.groupBy("user_id").agg(
+        F.max("burst").cast("bigint").alias("max_burst_1h")
+    )
+    return (
+        per_user.groupBy("max_burst_1h")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("max_burst_1h")
+    )
+
+
+# --- full-width null profile ------------------------------------------------
+
+
+@register(
+    "dq_null_profile",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+        f"COUNT(*) AS n_rows, COUNT(*) - COUNT({c}) AS n_nulls FROM {t}"
+        for t, cols in (
+            ("region", ["r_regionkey", "r_name"]),
+            ("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+            ("customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]),
+            ("supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]),
+            ("part", ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]),
+            ("orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]),
+            ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"]),
+            ("events", ["event_id", "ts", "user_id", "event_type", "value", "props"]),
+            ("documents", ["doc_id", "text", "lang", "source", "n_chars"]),
+            ("embeddings", ["vec_id", "embedding", "label"]),
+        )
+        for c in cols
+    )
+    + " ORDER BY table_name, column_name",
+    description="every column of every table: null counts in one scan per table (profiling baseline)",
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profiling baseline every DQ rule builds on: per (table,
+    column) row counts and null counts across the WHOLE schema —
+    schema-driven, so new columns are profiled without code changes
+    (the oracle enumerates today's schema; the operator reads it).
+
+    One scan per table computes ALL its columns' null counters in a
+    single agg row (conditional counters combine map-side), then the
+    wide row unpivots to (column, n_nulls) rows driver-free via
+    stack(). The DuckDB oracle is per-column UNION legs — the Spark
+    plan is |tables| scans, the oracle's is |columns|; same table.
+    """
+    legs = []
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        df = load_table(spark, sf_dir, t)
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__n_{c}")
+            for c in df.columns
+        ]
+        wide = df.agg(*aggs)
+        stack_expr = "stack({n}, {args}) as (column_name, n_nulls)".format(
+            n=len(df.columns),
+            args=", ".join(f"'{c}', __n_{c}" for c in df.columns),
+        )
+        legs.append(
+            wide.select(
+                F.lit(t).alias("table_name"),
+                F.expr(stack_expr),
+                "n_rows",
+            ).select("table_name", "column_name", "n_rows", "n_nulls")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("table_name", "column_name")
+
+
+# --- near-dup rate by source ------------------------------------------------
+
+
+@register(
+    "cur_near_dup_rate_by_source",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ), dup_docs AS (
+        SELECT DISTINCT vid FROM (
+            SELECT doc_a AS vid FROM pairs
+            UNION ALL SELECT doc_b AS vid FROM pairs
+        )
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN dd.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN dd.vid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.vid
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    description="share of docs per source with ≥1 verified near-dup (where the duplication actually lives)",
+)
+def cur_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the duplication lives: per source, the share of documents
+    participating in at least one verified near-dup pair — the triage
+    table that decides which ingestion pipeline gets the dedup budget
+    (a 40%-dup crawl source and a 2%-dup curated source need different
+    handling).
+
+    The pair pipeline runs once (persisted); dup doc-ids reduce to
+    DISTINCT before the broadcast membership probe against documents;
+    final rollup is |sources| counter rows and one exact division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = (
+        jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh)))
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    pairs.count()
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("vid"))
+        .unionAll(pairs.select(F.col("doc_b").alias("vid")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    j = docs.join(
+        F.broadcast(dup_docs), docs.doc_id == dup_docs.vid, "left"
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            (F.col("n_dup_docs").cast("double") / F.col("n_docs")).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )

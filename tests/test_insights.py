@@ -178,3 +178,52 @@ def test_simpson_bounds(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.simpson <= 1.0
         assert r.n_distinct_tokens <= r.n_tokens
+
+
+BATCH3 = [
+    "ev_purchase_velocity",
+    "dq_null_profile",
+    "cur_near_dup_rate_by_source",
+]
+
+
+@pytest.mark.parametrize("name", BATCH3)
+def test_batch3_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_velocity_range_window_counts_simultaneous(spark, tmp_path):
+    """Three purchases inside one hour → burst 3; a fourth 2h later
+    starts its own window. RANGE semantics: ties share the frame."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (1, base, 7, "purchase", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=20), 7, "purchase", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=40), 7, "purchase", 1.0, "{}"),
+        (4, base + dt.timedelta(hours=3), 7, "purchase", 1.0, "{}"),
+        (5, base, 8, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        r.max_burst_1h: r.n_users
+        for r in all_queries()["ev_purchase_velocity"].builder(spark, d).collect()
+    }
+    assert out == {3: 1}
+
+
+def test_null_profile_covers_every_column(spark, sf_dir):
+    from lime_etl_spark.sources.readers import TABLES, load_table
+
+    rows = all_queries()["dq_null_profile"].builder(spark, sf_dir).collect()
+    got = {(r.table_name, r.column_name) for r in rows}
+    want = {
+        (t, c) for t in TABLES for c in load_table(spark, sf_dir, t).columns
+    }
+    assert got == want
+    assert all(0 <= r.n_nulls <= r.n_rows for r in rows)
