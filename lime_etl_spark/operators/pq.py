@@ -283,7 +283,11 @@ def pq_search(
     description="product-quantization ANN: 8×4-bit codes, ADC shortlist, exact re-rank",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    # no outer persist: pq_fit caches (and unpersists) its own subvector
+    # frame, and a persist here would leak past the builder — later
+    # queries on embeddings would silently read the cache instead of
+    # the parquet scan (breaking their pruning/pushdown plans)
+    emb = load_table(spark, sf_dir, "embeddings")
     books = pq_fit(emb)
     encoded = pq_encode(emb, books)
     queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)

@@ -883,3 +883,120 @@ def pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "used_tokens bigint, n_docs bigint, oversize boolean"
         ),
     )
+
+
+# --- deterministic negative sampling (recommendation training) -------------
+
+NEG_K = 4  # negatives per user
+NEG_BUCKETS = 64  # part-space partitioned into hash buckets
+NEG_PROBES = 2  # buckets probed per user
+
+
+@register(
+    "samp_negatives_per_user",
+    oracle=f"""
+    WITH pb AS (
+        SELECT p_partkey,
+               {shingle_int_sql("'pb:' || CAST(p_partkey AS VARCHAR)")} % {NEG_BUCKETS} AS b
+        FROM part
+    ), probes AS (
+        SELECT c_custkey,
+               {shingle_int_sql("'cp:' || CAST(c_custkey AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} % {NEG_BUCKETS} AS b
+        FROM customer, (SELECT unnest(range({NEG_PROBES})) AS j)
+    ), cand AS (
+        SELECT DISTINCT c_custkey, p_partkey FROM probes JOIN pb USING (b)
+    ), pos AS (
+        SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), neg AS (
+        SELECT c.c_custkey, c.p_partkey
+        FROM cand c LEFT JOIN pos p
+          ON c.c_custkey = p.c_custkey AND c.p_partkey = p.p_partkey
+        WHERE p.c_custkey IS NULL
+    )
+    SELECT c_custkey, p_partkey, CAST(neg_rank AS INT) AS neg_rank FROM (
+        SELECT c_custkey, p_partkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_custkey
+                   ORDER BY {shingle_int_sql("'neg:' || CAST(c_custkey AS VARCHAR) || ':' || CAST(p_partkey AS VARCHAR)")}, p_partkey
+               ) AS neg_rank
+        FROM neg
+    )
+    WHERE neg_rank <= {NEG_K}
+    ORDER BY c_custkey, neg_rank
+    """,
+    description=f"deterministic negative sampling: {NEG_K} never-purchased parts per customer via bucket probing — no customer×part cross join",
+)
+def samp_negatives_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for recommendation/contrastive training:
+    {NEG_K} parts the customer never bought, drawn DETERMINISTICALLY
+    (rerun- and engine-stable, like every sampler here — md5 order,
+    no RNG seeds).
+
+    The scale trap is the candidate space: customers × parts is a
+    cross join (3×10^8 rows at sf0.1 and quadratic beyond). Instead
+    the part space is hash-partitioned into {NEG_BUCKETS} buckets and
+    each customer probes {NEG_PROBES} hash-chosen buckets — an
+    EQUI-join on bucket id whose fan-out is customers ×
+    (probes/buckets)·|parts|, a ~{NEG_BUCKETS // NEG_PROBES}× reduction
+    that tightens by raising NEG_BUCKETS. Positives anti-join on the
+    (cust, part) grain; per-customer rank keeps the {NEG_K} smallest
+    hash values (WindowGroupLimit prunes to a local top-k before the
+    shuffle). A probed bucket short on unseen parts yields fewer
+    negatives for that customer — deterministic, and visible to the
+    caller by row count.
+    """
+    part = load_table(spark, sf_dir, "part")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    pb = part.select(
+        "p_partkey",
+        (
+            shingle_int(F.concat(F.lit("pb:"), F.col("p_partkey").cast("string")))
+            % NEG_BUCKETS
+        ).alias("b"),
+    )
+    probes = customer.select(
+        "c_custkey",
+        F.explode(F.array(*[F.lit(j) for j in range(NEG_PROBES)])).alias("j"),
+    ).select(
+        "c_custkey",
+        (
+            shingle_int(
+                F.concat(
+                    F.lit("cp:"),
+                    F.col("c_custkey").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            )
+            % NEG_BUCKETS
+        ).alias("b"),
+    )
+    cand = probes.join(pb, "b").select("c_custkey", "p_partkey").distinct()
+    pos = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("p_partkey"),
+        )
+        .distinct()
+    )
+    neg = cand.join(pos, ["c_custkey", "p_partkey"], "left_anti")
+    order_hash = shingle_int(
+        F.concat(
+            F.lit("neg:"),
+            F.col("c_custkey").cast("string"),
+            F.lit(":"),
+            F.col("p_partkey").cast("string"),
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy(order_hash, "p_partkey")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= NEG_K)
+        .select("c_custkey", "p_partkey", F.col("neg_rank").cast("int"))
+        .orderBy("c_custkey", "neg_rank")
+    )

@@ -66,7 +66,9 @@ def test_pq_recall_vs_exact(spark, sf_dir):
 
 
 def test_pq_codes_compact_and_deterministic(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    # no persist: caching the raw table here would leak into other
+    # tests' plans (InMemoryTableScan instead of the parquet scan)
+    emb = load_table(spark, sf_dir, "embeddings")
     books = pq_fit(emb)
     assert len(books) == PQ_M
     assert all(len(b) <= PQ_K for b in books)

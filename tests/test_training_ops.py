@@ -126,3 +126,40 @@ def test_curriculum_phases_ordered_by_difficulty(spark, sf_dir):
         assert [p["phase"] for p in phases] == list(range(1, len(phases) + 1))
         for a, b in zip(phases, phases[1:]):
             assert a["max_chars"] <= b["min_chars"], (src, a, b)
+
+
+def test_negatives_match_oracle(spark, sf_dir):
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, sf_dir, "samp_negatives_per_user")
+
+
+def test_negatives_never_positive_and_deterministic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.plans.registry import all_queries
+    from lime_etl_spark.sources.readers import load_table
+
+    build = all_queries()["samp_negatives_per_user"].builder
+    neg1 = build(spark, sf_dir).collect()
+    neg2 = build(spark, sf_dir).collect()
+    assert neg1 == neg2  # rerun-identical
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pos = {
+        (r.c_custkey, r.p_partkey)
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("p_partkey"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert all((r.c_custkey, r.p_partkey) not in pos for r in neg1)
+    per_user = {}
+    for r in neg1:
+        per_user.setdefault(r.c_custkey, []).append(r.neg_rank)
+    for ranks in per_user.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 4
