@@ -1,0 +1,635 @@
+"""Round-3 batch 4 insights: market-basket part affinity, row-local
+cross-field constraint battery, new-vs-returning revenue split, and
+per-source hapax (vocabulary-richness) profile.
+
+lime-etl analog: the nightly report/test jobs a BatchSpec schedules
+(`/root/reference/lime_etl/domain/job_spec.py:40` — `run()` builds a
+table, `test()` asserts invariants); each is a first-class DataFrame
+operator with a DuckDB oracle here.
+
+Shared determinism rules (operators/events.py, insights.py): money
+decimal-cast before SUM, shares as ONE IEEE division over exact
+integer/decimal aggregates, deterministic total-order top-k
+(count desc + key asc), bounded outputs so every ORDER BY sorts a
+handful of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lime_etl_spark.functions.numeric import dec, to_double
+from lime_etl_spark.functions.text import shingle_int_sql
+from lime_etl_spark.plans.registry import register
+from lime_etl_spark.sources.readers import load_table
+
+# --- market-basket part affinity -------------------------------------------
+
+BASKET_MIN_BOTH = 2  # min co-occurrence count for a pair to surface
+BASKET_TOP_K = 50
+
+
+@register(
+    "q_basket_pairs",
+    oracle=f"""
+    WITH bp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), total AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM bp
+    ), pc AS (
+        SELECT l_partkey, COUNT(*) AS n FROM bp GROUP BY l_partkey
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_both
+        FROM bp a
+        JOIN bp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           ca.n AS n_orders_a, cb.n AS n_orders_b,
+           CAST(t.n_orders * p.n_both AS DOUBLE) / (ca.n * cb.n) AS lift
+    FROM pairs p
+    JOIN pc ca ON ca.l_partkey = p.part_a
+    JOIN pc cb ON cb.l_partkey = p.part_b
+    CROSS JOIN total t
+    WHERE p.n_both >= {BASKET_MIN_BOTH}
+    ORDER BY n_both DESC, part_a, part_b
+    LIMIT {BASKET_TOP_K}
+    """,
+    description="market-basket part-pair co-occurrence with lift (association mining)",
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs that co-occur in the same order, with lift
+    N·n_ab/(n_a·n_b) — the association-rule signal behind
+    'frequently bought together'.
+
+    Scale: the fact reduces to DISTINCT (order, part) FIRST, so the
+    self-join fan-out is bounded by basket size (k lines → ≤k² pairs
+    per order), never |lineitem|²; the a<b predicate halves it and
+    kills self-pairs. The pair rollup combines map-side; per-part
+    counts and the 1-row order total are broadcast onto the
+    pair-grain rollup (never joined at pair-expansion grain). Lift is
+    an exact-integer cross-product with ONE IEEE division, and the
+    top-k order (n_both desc, part_a, part_b) is a total order so the
+    LIMIT boundary is deterministic cross-engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bp = li.select("l_orderkey", "l_partkey").distinct().persist()
+    total = bp.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    pc = bp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = bp.alias("a")
+    b = bp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= BASKET_MIN_BOTH)
+    )
+    ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_orders_a"))
+    cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_orders_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_orders_a",
+            "n_orders_b",
+            (
+                (F.col("n_orders") * F.col("n_both")).cast("double")
+                / (F.col("n_orders_a") * F.col("n_orders_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )
+
+
+# --- row-local cross-field constraint battery ------------------------------
+
+
+@register(
+    "dq_cross_field",
+    oracle="""
+    WITH li AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE l_quantity <= 0) AS neg_quantity,
+               COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS neg_price,
+               COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.5)
+                   AS discount_range,
+               COUNT(*) FILTER (WHERE l_tax < 0) AS neg_tax
+        FROM lineitem
+    ), o AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE o_totalprice <= 0) AS neg_total,
+               COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS null_date
+        FROM orders
+    )
+    SELECT tbl, chk, n_rows, n_violations,
+           CAST(n_violations AS DOUBLE) / n_rows AS violation_rate
+    FROM (
+        SELECT 'lineitem' AS tbl, 'neg_quantity' AS chk, n_rows, neg_quantity AS n_violations FROM li
+        UNION ALL SELECT 'lineitem', 'neg_price', n_rows, neg_price FROM li
+        UNION ALL SELECT 'lineitem', 'discount_range', n_rows, discount_range FROM li
+        UNION ALL SELECT 'lineitem', 'neg_tax', n_rows, neg_tax FROM li
+        UNION ALL SELECT 'orders', 'neg_total', n_rows, neg_total FROM o
+        UNION ALL SELECT 'orders', 'null_date', n_rows, null_date FROM o
+    )
+    ORDER BY tbl, chk
+    """,
+    description="row-local cross-field constraint battery (counters-only, shuffle-free scans)",
+)
+def dq_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-row sanity constraints every load should gate on
+    (non-positive money/quantity, out-of-domain discount, null key
+    dates) — the row-local complement to dq_referential_integrity
+    (cross-table) and dq_accepted_values (code domains).
+
+    Scale: each table contributes ONE counters-only aggregate — a
+    shuffle-free scan reducing to a single row of int64 counters
+    (conditional counts combine map-side), then stack() unpivots the
+    wide row to the (table, check) report grain driver-side-free.
+    Rates are one IEEE division per output row. The oracle scans with
+    FILTER counters and unions — same counters, readable shape.
+    """
+
+    def battery(df: DataFrame, tbl: str, checks: dict[str, F.Column]) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+            for name, cond in checks.items()
+        ]
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(f"'{name}', {name}" for name in checks)
+        return wide.select(
+            F.lit(tbl).alias("tbl"),
+            F.expr(f"stack({len(checks)}, {stack_args}) AS (chk, n_violations)"),
+            "n_rows",
+        ).select("tbl", "chk", "n_rows", "n_violations")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    li_checks = {
+        "neg_quantity": F.col("l_quantity") <= 0,
+        "neg_price": F.col("l_extendedprice") <= 0,
+        "discount_range": (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+        "neg_tax": F.col("l_tax") < 0,
+    }
+    o_checks = {
+        "neg_total": F.col("o_totalprice") <= 0,
+        "null_date": F.col("o_orderdate").isNull(),
+    }
+    out = battery(li, "lineitem", li_checks).unionByName(
+        battery(orders, "orders", o_checks)
+    )
+    return out.select(
+        "tbl",
+        "chk",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations").cast("double") / F.col("n_rows")).alias(
+            "violation_rate"
+        ),
+    ).orderBy("tbl", "chk")
+
+
+# --- new vs returning revenue ----------------------------------------------
+
+
+@register(
+    "ev_new_vs_returning",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(value AS DECIMAL(12,2)) AS v,
+               MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_d
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(SUM(CASE WHEN d = first_d THEN v END), 0) AS DOUBLE)
+               AS new_revenue,
+           CAST(COALESCE(SUM(CASE WHEN d > first_d THEN v END), 0) AS DOUBLE)
+               AS returning_revenue,
+           COUNT(DISTINCT CASE WHEN d = first_d THEN user_id END) AS new_buyers,
+           COUNT(DISTINCT CASE WHEN d > first_d THEN user_id END)
+               AS returning_buyers
+    FROM p
+    GROUP BY d
+    ORDER BY day
+    """,
+    description="daily revenue split by new vs returning buyers (acquisition-vs-retention mix)",
+)
+def ev_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase revenue and buyer counts split into new
+    (first-ever purchase day) vs returning — the acquisition/retention
+    mix report behind every growth dashboard.
+
+    Scale: first-purchase day is a MIN window over user_id on the
+    purchase-filtered fact — ONE user_id shuffle, no per-user rollup
+    join; the daily rollup after it is a second (calendar-bounded)
+    exchange whose output is |days| rows. Money is decimal-cast
+    before SUM; empty legs COALESCE to exact 0 before the one
+    double conversion. Day is formatted as a string so both engines
+    emit the identical calendar key.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id")
+    p = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        dec("value", 2, 12).alias("v"),
+    ).withColumn("first_d", F.min("d").over(w))
+    return (
+        p.groupBy("d")
+        .agg(
+            to_double(
+                F.coalesce(
+                    F.sum(F.when(F.col("d") == F.col("first_d"), F.col("v"))),
+                    F.lit(0).cast("decimal(12,2)"),
+                )
+            ).alias("new_revenue"),
+            to_double(
+                F.coalesce(
+                    F.sum(F.when(F.col("d") > F.col("first_d"), F.col("v"))),
+                    F.lit(0).cast("decimal(12,2)"),
+                )
+            ).alias("returning_revenue"),
+            F.count_distinct(
+                F.when(F.col("d") == F.col("first_d"), F.col("user_id"))
+            ).alias("new_buyers"),
+            F.count_distinct(
+                F.when(F.col("d") > F.col("first_d"), F.col("user_id"))
+            ).alias("returning_buyers"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "new_revenue",
+            "returning_revenue",
+            "new_buyers",
+            "returning_buyers",
+        )
+        .orderBy("day")
+    )
+
+
+# --- hapax / vocabulary richness -------------------------------------------
+
+
+@register(
+    "txt_hapax_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT source, word
+        FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+    ), counts AS (
+        SELECT source, word, COUNT(*) AS n FROM toks GROUP BY source, word
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           COUNT(*) AS vocab_size,
+           COUNT(*) FILTER (WHERE n = 1) AS hapax_count,
+           CAST(COUNT(*) FILTER (WHERE n = 1) AS DOUBLE) / COUNT(*)
+               AS hapax_share,
+           CAST(COUNT(*) AS DOUBLE) / SUM(n) AS type_token_ratio
+    FROM counts
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="per-source hapax legomena + type/token ratio (vocabulary-richness / junk screen)",
+)
+def txt_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness profile per source: hapax legomena share
+    (words occurring exactly once) and type/token ratio — boilerplate
+    and template-heavy sources sit low, OCR-noise/junk sources
+    spike high, so both tails feed the curation gate.
+
+    Scale: one (source, word) count aggregate with full map-side
+    combine — the explode never shuffles raw text, only (source,
+    word-hash-partitioned) counter rows; the rollup output is
+    |sources| rows. Shares are single IEEE divisions over exact
+    int64 counters. Same lowercase/[^a-z0-9] tokenizer as
+    txt_vocab_overlap, so 'vocabulary' agrees across the family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("n").alias("total_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax_count"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "vocab_size",
+            "hapax_count",
+            (F.col("hapax_count").cast("double") / F.col("vocab_size")).alias(
+                "hapax_share"
+            ),
+            (F.col("vocab_size").cast("double") / F.col("total_tokens")).alias(
+                "type_token_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --- Zipf rank-frequency audit ---------------------------------------------
+
+ZIPF_TOP_K = 50
+
+
+@register(
+    "txt_zipf_audit",
+    oracle=f"""
+    WITH c AS (
+        SELECT word, COUNT(*) AS n
+        FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    ), r AS (
+        SELECT word, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk,
+               LEAD(n) OVER (ORDER BY n DESC, word) AS next_n
+        FROM c
+    )
+    SELECT rnk, word, n,
+           CAST(n AS DOUBLE) / next_n AS decay
+    FROM r
+    WHERE rnk <= {ZIPF_TOP_K}
+    ORDER BY rnk
+    """,
+    description="Zipf rank-frequency head audit: top-k words with consecutive-rank decay ratios (log-free)",
+)
+def txt_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rank-frequency head: top-k words with the frequency
+    decay ratio f(r)/f(r+1) — natural text sits near 1+1/r (Zipf);
+    generated/templated corpora flatten or step. Log-free: the decay
+    ratio is rank-equivalent to the log-log slope.
+
+    Scale: word counts combine map-side to |vocab| counter rows; the
+    global rank window is a single-task sort bounded by VOCAB (same
+    documented trade as cur_rarity_score — vocabulary grows ~log of
+    corpus size, so the one-task sort holds at 100 TB; the fact scan
+    never sorts). Ties at the LIMIT boundary break on word asc, so
+    the k-th row is deterministic cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "word")
+    ranked = counts.select(
+        F.row_number().over(w).alias("rnk"),
+        "word",
+        "n",
+        (F.col("n").cast("double") / F.lead("n").over(w)).alias("decay"),
+    )
+    return ranked.where(F.col("rnk") <= ZIPF_TOP_K).orderBy("rnk")
+
+
+# --- embedding pair-distance histogram -------------------------------------
+
+PAIR_SAMPLE_MOD = 20  # ~5% of vectors → ≤(N/20)² /2 sampled pairs
+
+
+@register(
+    "emb_pair_distance_hist",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+        WHERE {shingle_int_sql("CAST(vec_id AS VARCHAR)")} % {PAIR_SAMPLE_MOD} = 0
+    ), pairs AS (
+        SELECT list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))) AS cosine
+        FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(FLOOR(cosine * 10) AS BIGINT) AS bucket,
+           COUNT(*) AS n_pairs
+    FROM pairs
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    description="cosine distribution over hash-sampled vector pairs (embedding-space health / hubness screen)",
+)
+def emb_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of pairwise cosines over a deterministic ~5% vector
+    sample — the embedding-space health screen: a healthy space is a
+    bell away from 1.0; mass piling near 1.0 means collapsed/duplicate
+    embeddings, mass at 0 with no tail means the metric won't rank.
+
+    Scale: the md5-bucket sample makes pair count (N/20)²/2 — at any
+    corpus size the sample fraction is the knob, and the sampled side
+    is small enough to BROADCAST against itself, so no shuffle at
+    all; norms are computed once per sampled vector (N sqrts, not
+    2·P). Bucketing is FLOOR on bit-identical doubles (the row-local
+    fixed-order fold both engines share), output ≤21 rows.
+    """
+    from lime_etl_spark.operators.similarity import dot
+    from lime_etl_spark.operators.training import hash_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = (
+        emb.where(hash_bucket(F.col("vec_id"), PAIR_SAMPLE_MOD) == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        )
+        .persist()
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.floor(cos * 10).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("bucket")
+    )
+
+
+# --- cross-table temporal consistency --------------------------------------
+
+SLOW_SHIP_DAYS = 90
+
+
+@register(
+    "dq_temporal_consistency",
+    oracle=f"""
+    SELECT EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+           COUNT(*) AS n_lines,
+           COUNT(*) FILTER (WHERE l.l_shipdate < o.o_orderdate) AS n_ship_before_order,
+           COUNT(*) FILTER (
+               WHERE date_diff('day', o.o_orderdate, l.l_shipdate) > {SLOW_SHIP_DAYS}
+           ) AS n_slow_ship,
+           MAX(date_diff('day', o.o_orderdate, l.l_shipdate)) AS max_lag_days,
+           MIN(date_diff('day', o.o_orderdate, l.l_shipdate)) AS min_lag_days
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY yr
+    ORDER BY yr
+    """,
+    description="cross-table temporal sanity: ship-before-order / slow-ship counters per order year",
+)
+def dq_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-ordering sanity across the header/detail join: lineitems
+    shipped BEFORE their order date (clock skew / bad backfill) and
+    ship lags beyond the SLA horizon, per order year — the temporal
+    complement to dq_cross_field's row-local battery.
+
+    Scale: one orderkey equi-shuffle joins detail to header (both
+    fact-sized — no broadcast pretense), then everything reduces to
+    |years| rows of int64 counters with full map-side combine; lag
+    arithmetic is integer days on DATE, no timestamps or floats.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        j.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            ).alias("n_ship_before_order"),
+            F.sum(F.when(lag > SLOW_SHIP_DAYS, 1).otherwise(0)).alias("n_slow_ship"),
+            F.max(lag).alias("max_lag_days"),
+            F.min(lag).alias("min_lag_days"),
+        )
+        .orderBy("yr")
+    )
+
+
+# --- mutual k-NN graph ------------------------------------------------------
+
+MUTUAL_MOD = 10  # vec_id % 10 == 0 → graph over a deterministic 10% shard
+MUTUAL_K = 5
+
+
+@register(
+    "ann_mutual_knn",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id % {MUTUAL_MOD} = 0
+    ), scored AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))) AS cosine
+        FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ), knn AS (
+        SELECT va, vb, cosine,
+               ROW_NUMBER() OVER (PARTITION BY va ORDER BY cosine DESC, vb) AS rnk
+        FROM scored
+    )
+    SELECT e1.va AS vec_a, e1.vb AS vec_b, e1.cosine,
+           e1.rnk AS rank_ab, e2.rnk AS rank_ba
+    FROM (SELECT * FROM knn WHERE rnk <= {MUTUAL_K}) e1
+    JOIN (SELECT * FROM knn WHERE rnk <= {MUTUAL_K}) e2
+      ON e1.va = e2.vb AND e1.vb = e2.va AND e1.va < e1.vb
+    ORDER BY vec_a, vec_b
+    """,
+    description="mutual k-NN graph edges (a∈kNN(b) ∧ b∈kNN(a)) — the hub-resistant input to density clustering",
+)
+def ann_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN edges over a deterministic vector shard: the edge
+    survives only if each endpoint ranks the other in its top-k —
+    the standard hub-suppression step before density/agglomerative
+    clustering (hubs dominate one-directional kNN lists; mutuality
+    filters them).
+
+    Scale: per-shard mutual graphs are how this runs at 100 TB (the
+    mod-shard is the blocking unit; IVF/LSH buckets replace it when
+    recall beyond the shard matters). The kNN lists come from ONE
+    windowed top-k over the pair scores (WindowGroupLimit keeps
+    per-key state at k), and the mutual join touches only the
+    k·|shard| surviving edges, not the pair expansion. Ranks order by
+    (cosine desc, vec_id) — bit-identical doubles + total tie-break =
+    the same k-set on both engines.
+    """
+    from lime_etl_spark.operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = (
+        emb.where(F.col("vec_id") % MUTUAL_MOD == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        )
+        .persist()
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    scored = a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("va").orderBy(F.desc("cosine"), "vb")
+    knn = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= MUTUAL_K)
+        .persist()
+    )
+    e1, e2 = knn.alias("e1"), knn.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.va") == F.col("e2.vb"))
+            & (F.col("e1.vb") == F.col("e2.va"))
+            & (F.col("e1.va") < F.col("e1.vb")),
+        )
+        .select(
+            F.col("e1.va").alias("vec_a"),
+            F.col("e1.vb").alias("vec_b"),
+            F.col("e1.cosine").alias("cosine"),
+            F.col("e1.rnk").alias("rank_ab"),
+            F.col("e2.rnk").alias("rank_ba"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -37,6 +37,7 @@ _OPERATOR_MODULES = (
     "lime_etl_spark.operators.profiling",
     "lime_etl_spark.operators.sql_surface",
     "lime_etl_spark.operators.insights",
+    "lime_etl_spark.operators.insights2",
     "lime_etl_spark.operators.pq",
     "lime_etl_spark.operators.sketches",
 )

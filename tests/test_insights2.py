@@ -1,0 +1,183 @@
+"""Round-3 batch-4 insights: market-basket lift, cross-field DQ
+battery, new-vs-returning revenue split, hapax profile — oracle
+cross-checks plus semantic invariants the hash compare can't express."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lime_etl_spark.plans.registry import all_queries
+from tests.oracle import assert_query_matches_oracle
+
+NEW_QUERIES = [
+    "q_basket_pairs",
+    "dq_cross_field",
+    "ev_new_vs_returning",
+    "txt_hapax_ratio",
+    "txt_zipf_audit",
+    "emb_pair_distance_hist",
+    "dq_temporal_consistency",
+    "ann_mutual_knn",
+]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_basket_lift_on_planted_affinity(spark, tmp_path):
+    """Parts 1+2 always co-occur (4 orders), part 3 appears alone in 4
+    more: lift(1,2) = N·n12/(n1·n2) = 8·4/(4·4) = 2; no pair involving
+    part 3 surfaces (zero co-occurrence)."""
+    rows = []
+    ln = 0
+    for ok in range(1, 5):  # orders 1-4: parts 1 and 2 together
+        for pk in (1, 2):
+            ln += 1
+            rows.append((ok, pk, 1, ln, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.date(2024, 1, 1)))
+    for ok in range(5, 9):  # orders 5-8: part 3 alone (twice → distinct collapses)
+        for _ in range(2):
+            ln += 1
+            rows.append((ok, 3, 1, ln, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.date(2024, 1, 1)))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber bigint,"
+        " l_quantity double, l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate date",
+    )
+    d = str(tmp_path / "sf")
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = all_queries()["q_basket_pairs"].builder(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.part_a, r.part_b, r.n_both) == (1, 2, 4)
+    assert r.lift == pytest.approx(2.0)
+
+
+def test_cross_field_counts_planted_violations(spark, tmp_path):
+    """One bad row per check is counted exactly once, clean rows zero."""
+    li_rows = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.05, 0.02, "N", "O", dt.date(2024, 1, 1)),  # clean
+        (1, 2, 1, 2, -1.0, 10.0, 0.05, 0.02, "N", "O", dt.date(2024, 1, 1)),  # neg qty
+        (1, 3, 1, 3, 1.0, -5.0, 0.9, -0.1, "N", "O", dt.date(2024, 1, 1)),  # 3 checks
+    ]
+    o_rows = [
+        (1, 1, "O", 100.0, dt.date(2024, 1, 1), "1-URGENT"),
+        (2, 1, "O", -1.0, None, "1-URGENT"),  # neg total + null date
+    ]
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber bigint,"
+        " l_quantity double, l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate date",
+    )
+    o = spark.createDataFrame(
+        o_rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    d = str(tmp_path / "sf")
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    o.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    out = {
+        (r.tbl, r.chk): r.n_violations
+        for r in all_queries()["dq_cross_field"].builder(spark, d).collect()
+    }
+    assert out == {
+        ("lineitem", "neg_quantity"): 1,
+        ("lineitem", "neg_price"): 1,
+        ("lineitem", "discount_range"): 1,
+        ("lineitem", "neg_tax"): 1,
+        ("orders", "neg_total"): 1,
+        ("orders", "null_date"): 1,
+    }
+
+
+def test_new_vs_returning_mass_conservation(spark, sf_dir):
+    """new + returning revenue summed over days == total purchase
+    revenue (decimal-exact), and day-1 revenue is all 'new'."""
+    from lime_etl_spark.functions.numeric import dec, to_double
+    from lime_etl_spark.sources.readers import load_table
+
+    out = all_queries()["ev_new_vs_returning"].builder(spark, sf_dir)
+    got = out.agg(
+        F.sum(dec("new_revenue", 2, 18)).alias("n"),
+        F.sum(dec("returning_revenue", 2, 18)).alias("r"),
+    ).collect()[0]
+    total = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .agg(to_double(F.sum(dec("value", 2, 12))).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert float(got.n) + float(got.r) == pytest.approx(total)
+    first = out.orderBy("day").first()
+    assert first.returning_revenue == 0.0 and first.returning_buyers == 0
+
+
+def test_zipf_head_is_monotone(spark, sf_dir):
+    """Ranks are 1..k contiguous and frequencies non-increasing, so
+    every decay ratio ≥ 1."""
+    rows = all_queries()["txt_zipf_audit"].builder(spark, sf_dir).collect()
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(r.decay >= 1.0 for r in rows if r.decay is not None)
+
+
+def test_pair_hist_mass_equals_sample_pairs(spark, sf_dir):
+    """Bucket counts sum to C(|sample|, 2) — no pair lost or double-
+    bucketed — and cosine buckets stay within [-1, 1] range."""
+    from lime_etl_spark.operators.insights2 import PAIR_SAMPLE_MOD
+    from lime_etl_spark.operators.training import hash_bucket
+    from lime_etl_spark.sources.readers import load_table
+
+    n = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(hash_bucket(F.col("vec_id"), PAIR_SAMPLE_MOD) == 0)
+        .count()
+    )
+    rows = all_queries()["emb_pair_distance_hist"].builder(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in rows) == n * (n - 1) // 2
+    assert all(-10 <= r.bucket <= 10 for r in rows)
+
+
+def test_temporal_consistency_covers_every_line(spark, sf_dir):
+    """Yearly n_lines sums to the full lineitem count (inner join is
+    lossless here — referential integrity holds on the synthetic data)."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["dq_temporal_consistency"].builder(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_lines for r in rows) == total
+    for r in rows:
+        assert r.min_lag_days <= r.max_lag_days
+
+
+def test_mutual_knn_edges_are_mutual_and_bounded(spark, sf_dir):
+    """Every edge is canonical (a<b), both ranks ≤ k, and the edge set
+    is a subset of the one-directional kNN lists by construction —
+    spot-check symmetry: no duplicate unordered pair."""
+    from lime_etl_spark.operators.insights2 import MUTUAL_K
+
+    rows = all_queries()["ann_mutual_knn"].builder(spark, sf_dir).collect()
+    assert rows, "shard should produce at least one mutual edge"
+    seen = set()
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert 1 <= r.rank_ab <= MUTUAL_K and 1 <= r.rank_ba <= MUTUAL_K
+        assert (r.vec_a, r.vec_b) not in seen
+        seen.add((r.vec_a, r.vec_b))
+
+
+def test_hapax_share_bounds_and_consistency(spark, sf_dir):
+    """hapax_count ≤ vocab_size ≤ total_tokens and shares in [0,1]."""
+    for r in all_queries()["txt_hapax_ratio"].builder(spark, sf_dir).collect():
+        assert 0 <= r.hapax_count <= r.vocab_size <= r.total_tokens
+        assert 0.0 <= r.hapax_share <= 1.0
+        assert 0.0 < r.type_token_ratio <= 1.0
