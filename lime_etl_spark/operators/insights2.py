@@ -22,6 +22,8 @@ from pyspark.sql.window import Window
 
 from lime_etl_spark.functions.numeric import dec, to_double
 from lime_etl_spark.functions.text import shingle_int_sql
+from lime_etl_spark.operators.dedup import _minhash_sql
+from lime_etl_spark.operators.training import _bucket_sql
 from lime_etl_spark.plans.registry import register
 from lime_etl_spark.sources.readers import load_table
 
@@ -633,3 +635,186 @@ def ann_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --- duplication-aware sampling --------------------------------------------
+
+DEDUP_W_SCALE = 1000
+
+
+def _dedup_weighted_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(vid, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.vid
+    ),
+    comp AS (
+        SELECT vid AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+        FROM reach GROUP BY vid
+    ),
+    sized AS (
+        SELECT doc_id, component_id,
+               COUNT(*) OVER (PARTITION BY component_id) AS multiplicity
+        FROM comp
+    )
+    SELECT CAST(multiplicity AS BIGINT) AS multiplicity,
+           CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (
+               WHERE {_bucket_sql("doc_id", DEDUP_W_SCALE)} * multiplicity
+                     < {DEDUP_W_SCALE}
+           ) AS BIGINT) AS n_kept
+    FROM sized
+    GROUP BY multiplicity
+    ORDER BY multiplicity
+    """
+
+
+@register(
+    "samp_dedup_weighted",
+    oracle=_dedup_weighted_oracle(),
+    description="duplication-aware downsampling: keep-prob 1/cluster-size via md5 bucket (soft dedup, expectation-uniform per cluster)",
+)
+def samp_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup for training mixtures: instead of hard-collapsing
+    each near-dup cluster to one representative, every member keeps
+    survival probability 1/cluster_size — in expectation each cluster
+    contributes exactly one doc, but the draw stays diverse across
+    reruns of the corpus (different members survive in different
+    shards) and no popularity signal is destroyed. The keep decision
+    is bucket(doc_id)·multiplicity < SCALE — an exact integer
+    cross-multiply of the md5 bucket, rerun- and engine-stable.
+
+    Scale: rides the same candidate-scoped LSH→verify→CC pipeline as
+    cur_cluster_dedup_weights; multiplicity is ONE count-window over
+    the CC labels (label shuffle, cluster-sized groups), the keep
+    flag is row-local, and the report rolls up to |distinct
+    multiplicities| rows.
+    """
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from lime_etl_spark.operators.graph import connected_components
+    from lime_etl_spark.operators.training import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
+        F.col("jaccard") >= JACCARD_TAU
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(docs.select(F.col("doc_id").alias("vid")), edges)
+    sh.unpersist()
+    sized = cc.withColumn(
+        "multiplicity", F.count(F.lit(1)).over(Window.partitionBy("label"))
+    )
+    keep = (
+        hash_bucket(F.col("vid"), DEDUP_W_SCALE) * F.col("multiplicity")
+        < DEDUP_W_SCALE
+    )
+    return (
+        sized.groupBy(F.col("multiplicity").cast("bigint").alias("multiplicity"))
+        .agg(
+            F.count_distinct("label").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("bigint")).alias("n_kept"),
+        )
+        .orderBy("multiplicity")
+    )
+
+
+# --- per-column cardinality profile ----------------------------------------
+
+_CARD_TABLES: dict[str, tuple[str, ...]] = {
+    "customer": ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "orders": (
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ),
+    "part": ("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+}
+
+
+def _cardinality_oracle() -> str:
+    legs = []
+    for tbl, cols in _CARD_TABLES.items():
+        for c in cols:
+            legs.append(
+                f"SELECT '{tbl}' AS tbl, '{c}' AS col,"
+                f" COUNT(*) AS n_rows, COUNT(DISTINCT {c}) AS n_distinct"
+                f" FROM {tbl}"
+            )
+    union = "\n    UNION ALL ".join(legs)
+    return f"""
+    SELECT tbl, col, n_rows, n_distinct,
+           CAST(n_distinct AS DOUBLE) / n_rows AS uniqueness
+    FROM ({union})
+    ORDER BY tbl, col
+    """
+
+
+@register(
+    "dq_cardinality_profile",
+    oracle=_cardinality_oracle(),
+    description="per-column distinct-count profile (join/broadcast planning input; approx_count_distinct = 100 TB path)",
+)
+def dq_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count and uniqueness ratio for every column of
+    the keyed tables — the statistic that decides broadcast vs
+    shuffle joins, bucketing keys, and dictionary-encoding wins, and
+    the companion to dq_candidate_keys (which checks only DECLARED
+    keys; this surfaces undeclared near-unique columns).
+
+    Scale: one aggregate per table computes all its distinct counts
+    in a single pass (Catalyst expands to one Expand node ×|cols| —
+    the documented trade; at 100 TB swap count_distinct for
+    approx_count_distinct and the Expand collapses into mergeable HLL
+    partials, see dq_sketch_accuracy for the measured ≤5% error).
+    The wide row stack()-unpivots to (table, column) grain; output is
+    Σ|cols| rows.
+    """
+    frames = []
+    for tbl, cols in _CARD_TABLES.items():
+        df = load_table(spark, sf_dir, tbl)
+        wide = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.count_distinct(F.col(c)).alias(f"d_{c}") for c in cols],
+        )
+        stack_args = ", ".join(f"'{c}', d_{c}" for c in cols)
+        frames.append(
+            wide.select(
+                F.lit(tbl).alias("tbl"),
+                F.expr(
+                    f"stack({len(cols)}, {stack_args}) AS (col, n_distinct)"
+                ),
+                "n_rows",
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out.select(
+        "tbl",
+        "col",
+        "n_rows",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_rows")).alias("uniqueness"),
+    ).orderBy("tbl", "col")

@@ -178,6 +178,49 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_evolving_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under
+    DIFFERENT schema versions (columns added over time) as one frame
+    with the UNION schema — rows from older files carry NULL in the
+    columns they predate.
+
+    Why explicit: Spark's default parquet read takes the schema from
+    ONE footer (or the summary file), silently DROPPING columns that
+    only newer files have — the schema-evolution footgun for any
+    landing zone written by a long-lived pipeline. ``mergeSchema``
+    reconciles all footers instead. Cost note for 100 TB: the merge
+    is a footer-metadata operation (driver-side, one footer per
+    file) — data is not scanned twice, but directories with millions
+    of files should land a _common_metadata or move to a catalog
+    table; per-query cost is listing + footer reads.
+
+    lime-etl analog: user-database schema drift between job runs —
+    the reference leaves it to each job's SQL; here it's a reader
+    guarantee.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def align_to_schema(df: DataFrame, schema: StructType) -> DataFrame:
+    """Project ``df`` onto a target contract schema: missing columns
+    become typed NULLs, present columns are cast to the contract
+    type, extra columns are dropped, order follows the contract.
+
+    This is the write-side half of schema evolution: every producer
+    aligns to the contract before appending, so readers never need
+    mergeSchema for columns the contract already declares. Row-local
+    projection — no shuffle, survives whole-stage codegen.
+    """
+    cols = []
+    have = {f.name for f in df.schema.fields}
+    for field in schema.fields:
+        if field.name in have:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

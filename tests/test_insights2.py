@@ -21,6 +21,8 @@ NEW_QUERIES = [
     "emb_pair_distance_hist",
     "dq_temporal_consistency",
     "ann_mutual_knn",
+    "samp_dedup_weighted",
+    "dq_cardinality_profile",
 ]
 
 
@@ -173,6 +175,78 @@ def test_mutual_knn_edges_are_mutual_and_bounded(spark, sf_dir):
         assert 1 <= r.rank_ab <= MUTUAL_K and 1 <= r.rank_ba <= MUTUAL_K
         assert (r.vec_a, r.vec_b) not in seen
         seen.add((r.vec_a, r.vec_b))
+
+
+def test_dedup_weighted_expectation_and_singletons(spark, sf_dir):
+    """Singleton clusters (multiplicity 1) keep EVERY doc — the
+    cross-multiply bucket·1 < SCALE always holds — so soft dedup
+    never touches unique content; doc mass conserves across buckets."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["samp_dedup_weighted"].builder(spark, sf_dir).collect()
+    by_mult = {r.multiplicity: r for r in rows}
+    assert by_mult[1].n_kept == by_mult[1].n_docs == by_mult[1].n_clusters
+    total_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total_docs
+    for r in rows:
+        assert r.n_kept <= r.n_docs
+        assert r.n_docs == r.n_clusters * r.multiplicity
+
+
+def test_cardinality_profile_flags_primary_keys(spark, sf_dir):
+    """Declared PKs profile at uniqueness 1.0; low-cardinality codes
+    (status, priority, segment) sit far below."""
+    rows = all_queries()["dq_cardinality_profile"].builder(spark, sf_dir).collect()
+    u = {(r.tbl, r.col): r.uniqueness for r in rows}
+    assert u[("customer", "c_custkey")] == 1.0
+    assert u[("orders", "o_orderkey")] == 1.0
+    assert u[("part", "p_partkey")] == 1.0
+    assert u[("orders", "o_orderstatus")] < 0.01
+    assert u[("customer", "c_mktsegment")] < 0.1
+
+
+def test_schema_evolution_read_and_align(spark, tmp_path):
+    """mergeSchema read unions v1/v2 file schemas (v1 rows NULL in the
+    added column); align_to_schema projects any frame onto the
+    contract with typed nulls and casts."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from lime_etl_spark.sources.readers import align_to_schema, read_evolving_parquet
+
+    d = str(tmp_path / "landing")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+    v2 = spark.createDataFrame(
+        [(3, "c", 1.5)], "id bigint, name string, score double"
+    )
+    v1.write.mode("append").parquet(d)
+    v2.write.mode("append").parquet(d)
+
+    merged = read_evolving_parquet(spark, d)
+    assert set(merged.columns) == {"id", "name", "score"}
+    got = {r.id: r.score for r in merged.collect()}
+    assert got[1] is None and got[2] is None and got[3] == 1.5
+
+    contract = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+            StructField("rank", LongType()),  # not produced yet anywhere
+        ]
+    )
+    aligned = align_to_schema(v1, contract)
+    assert [f.name for f in aligned.schema.fields] == ["id", "name", "score", "rank"]
+    r = aligned.where(F.col("id") == 1).collect()[0]
+    assert r.score is None and r.rank is None
+    # extra producer columns are dropped by the contract projection
+    extra = v2.withColumn("debug", F.lit("x"))
+    assert "debug" not in align_to_schema(extra, contract).columns
 
 
 def test_hapax_share_bounds_and_consistency(spark, sf_dir):
