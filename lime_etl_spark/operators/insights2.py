@@ -637,6 +637,172 @@ def ann_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- session-grain conversion ----------------------------------------------
+
+
+def _session_rollup_sql(gap_us: int) -> str:
+    """DuckDB twin of operators.events.sessionize reduced to session
+    grain — same lag→flag→cumsum expression the bounce-rate oracle
+    uses, so session definitions cannot drift between metrics."""
+    return f"""
+        SELECT user_id, session_seq, MIN(ts_us) AS start_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases
+        FROM (
+            SELECT user_id, event_type, ts_us,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM (
+                SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                       CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {gap_us}
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            )
+        )
+        GROUP BY user_id, session_seq
+    """
+
+
+def _ev_session_conversion_oracle() -> str:
+    from lime_etl_spark.operators.events import SESSION_GAP_US
+
+    return f"""
+    WITH sess AS ({_session_rollup_sql(SESSION_GAP_US)})
+    SELECT CAST(to_timestamp(start_us // 1000000) AS DATE) AS day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converting,
+           CAST(SUM(n_purchases) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS conversion_rate
+    FROM sess
+    GROUP BY CAST(to_timestamp(start_us // 1000000) AS DATE)
+    ORDER BY day
+    """
+
+
+@register(
+    "ev_session_conversion",
+    oracle=_ev_session_conversion_oracle(),
+    description="daily session-grain conversion rate (sessions containing a purchase) on the shared sessionization",
+)
+def ev_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion measured at SESSION grain — the funnel metric
+    product teams actually quote ('what share of visits buy') — on
+    the exact sessionization bounce rate and session depth ride, so
+    the denominator is the same number across the dashboard family.
+
+    Scale: one user shuffle for sessionize (shared lag+cumsum
+    windows), session rollup carries 3 int64 counters, then a
+    calendar-bounded day rollup; the rate is one IEEE division over
+    exact integers. Day attribution by session START, same as
+    ev_bounce_rate.
+    """
+    from lime_etl_spark.operators.events import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("__ts_us").alias("start_us"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases"),
+        )
+    )
+    day = F.to_date(F.timestamp_micros(F.col("start_us")))
+    return (
+        sess.groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_purchases") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_converting"),
+            F.sum("n_purchases").cast("bigint").alias("n_purchases"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_converting",
+            "n_purchases",
+            (F.col("n_converting").cast("double") / F.col("n_sessions")).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# --- seasonal-naive forecast backtest ---------------------------------------
+
+SEASONAL_LAG_DAYS = 7
+
+
+@register(
+    "ev_forecast_seasonal_naive",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               SUM(CAST(value AS DECIMAL(12,2))) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    )
+    SELECT strftime(a.d, '%a') AS dow,
+           COUNT(*) AS n_days_scored,
+           CAST(SUM(ABS(a.rev - b.rev)) AS DOUBLE) AS total_abs_err,
+           CAST(SUM(ABS(a.rev - b.rev)) AS DOUBLE) / COUNT(*) AS mae
+    FROM daily a
+    JOIN daily b ON b.d = a.d - INTERVAL {SEASONAL_LAG_DAYS} DAY
+    GROUP BY strftime(a.d, '%a')
+    ORDER BY dow
+    """,
+    description="seasonal-naive (t-7) revenue forecast backtest: MAE per weekday over the daily rollup",
+)
+def ev_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the strongest trivial forecaster — predict today's
+    revenue with the same weekday last week — per weekday. This is
+    the baseline every real forecast must beat, and its MAE is the
+    noise floor ev_anomaly_zscore alerts should be calibrated above.
+
+    Scale: the fact reduces to the |days|-row daily rollup FIRST
+    (decimal-exact revenue); prediction is a self-join of that tiny
+    rollup on exact date arithmetic (broadcast-sized by construction
+    — the calendar bounds it at any corpus scale); errors are decimal
+    subtractions summed exactly, ONE double conversion + division at
+    the end. Weekday is the cross-engine-safe NAME.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(dec("value", 2, 12)).alias("rev"))
+        .persist()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    err = F.abs(F.col("a.rev") - F.col("b.rev"))
+    return (
+        a.join(
+            F.broadcast(b),
+            F.col("b.d") == F.date_sub(F.col("a.d"), SEASONAL_LAG_DAYS),
+        )
+        .groupBy(F.date_format("a.d", "E").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days_scored"),
+            to_double(F.sum(err)).alias("total_abs_err"),
+        )
+        .select(
+            "dow",
+            "n_days_scored",
+            "total_abs_err",
+            (F.col("total_abs_err") / F.col("n_days_scored")).alias("mae"),
+        )
+        .orderBy("dow")
+    )
+
+
 # --- duplication-aware sampling --------------------------------------------
 
 DEDUP_W_SCALE = 1000

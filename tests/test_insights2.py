@@ -23,6 +23,8 @@ NEW_QUERIES = [
     "ann_mutual_knn",
     "samp_dedup_weighted",
     "dq_cardinality_profile",
+    "ev_session_conversion",
+    "ev_forecast_seasonal_naive",
 ]
 
 
@@ -247,6 +249,35 @@ def test_schema_evolution_read_and_align(spark, tmp_path):
     # extra producer columns are dropped by the contract projection
     extra = v2.withColumn("debug", F.lit("x"))
     assert "debug" not in align_to_schema(extra, contract).columns
+
+
+def test_session_conversion_shares_denominator_with_bounce(spark, sf_dir):
+    """Same sessionization ⇒ same daily session counts as
+    ev_bounce_rate; converting ≤ sessions; purchases ≥ converting."""
+    conv = {
+        r.day: r
+        for r in all_queries()["ev_session_conversion"].builder(spark, sf_dir).collect()
+    }
+    bounce = {
+        r.day: r.n_sessions
+        for r in all_queries()["ev_bounce_rate"].builder(spark, sf_dir).collect()
+    }
+    assert {d: r.n_sessions for d, r in conv.items()} == bounce
+    for r in conv.values():
+        assert r.n_converting <= r.n_sessions
+        assert r.n_purchases >= r.n_converting
+
+
+def test_seasonal_naive_scores_only_lagged_days(spark, sf_dir):
+    """Days scored per weekday == days having a d-7 partner; MAE is
+    total_abs_err / n_days exactly."""
+    import pytest as _pytest
+
+    rows = all_queries()["ev_forecast_seasonal_naive"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mae == _pytest.approx(r.total_abs_err / r.n_days_scored)
+        assert r.total_abs_err >= 0
 
 
 def test_hapax_share_bounds_and_consistency(spark, sf_dir):
