@@ -450,3 +450,50 @@ def test_repeated_spans_single_scan_via_exchange_reuse(spark, sf_dir):
     )[0]
     assert "Reused" in plan, plan
     assert plan.count("documents.parquet") == 1, "documents scanned more than once"
+
+
+def test_basket_pairs_broadcasts_counts_no_smj(spark, sf_dir):
+    """Per-part counts and the 1-row total must broadcast onto the
+    pair rollup (never shuffle-join at pair grain); the only hash
+    exchanges are the orderkey distinct/self-join and the partkey
+    pair rollup."""
+    plan = plan_of(spark, sf_dir, "q_basket_pairs")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"l_orderkey", "l_partkey"}, keys
+
+
+def test_cross_field_battery_is_shuffle_free(spark, sf_dir):
+    """Row-local constraint counters: scalar aggregates only — no
+    hash exchange, no join, no window anywhere in the plan."""
+    plan = plan_of(spark, sf_dir, "dq_cross_field")
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_session_conversion_rides_one_user_shuffle(spark, sf_dir):
+    """Sessionize windows + session rollup share the user_id
+    exchange; only the calendar-bounded day rollup adds another."""
+    plan = plan_of(spark, sf_dir, "ev_session_conversion")
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"user_id", "_groupingexpression"}, keys
+    assert "Join" not in plan, plan
+
+
+def test_pair_hist_broadcasts_sample_only_bucket_exchange(spark, sf_dir):
+    """The md5 sample joins against itself via broadcast — the only
+    hash exchange left is the ≤21-row bucket rollup."""
+    plan = plan_of(spark, sf_dir, "emb_pair_distance_hist")
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"bucket"}, keys
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cardinality_profile_expands_per_table(spark, sf_dir):
+    """Multi-distinct in one pass per table = one Expand per table
+    (the documented trade; approx_count_distinct removes it at
+    100 TB). No joins anywhere."""
+    plan = plan_of(spark, sf_dir, "dq_cardinality_profile")
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
