@@ -803,6 +803,244 @@ def ev_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- kNN label self-consistency --------------------------------------------
+
+CONSIST_K = 10
+
+
+@register(
+    "emb_knn_label_consistency",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id % {MUTUAL_MOD} = 0
+    ), scored AS (
+        SELECT a.vec_id AS va, a.label AS own_label, b.label AS nbr_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_dot_product(a.e, b.e)
+                              / (sqrt(list_dot_product(a.e, a.e))
+                                 * sqrt(list_dot_product(b.e, b.e))) DESC,
+                            b.vec_id
+               ) AS rnk
+        FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ), votes AS (
+        SELECT va, own_label, nbr_label, COUNT(*) AS n
+        FROM scored WHERE rnk <= {CONSIST_K}
+        GROUP BY va, own_label, nbr_label
+    ), majority AS (
+        SELECT va, own_label, nbr_label AS voted_label
+        FROM (
+            SELECT va, own_label, nbr_label,
+                   ROW_NUMBER() OVER (PARTITION BY va
+                                      ORDER BY n DESC, nbr_label) AS r
+            FROM votes
+        ) WHERE r = 1
+    )
+    SELECT own_label AS label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN voted_label = own_label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_consistent,
+           CAST(SUM(CASE WHEN voted_label = own_label THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS consistency
+    FROM majority
+    GROUP BY own_label
+    ORDER BY label
+    """,
+    description="leave-one-out kNN label self-consistency per label (embedding-quality eval; majority tie-break count desc + label asc)",
+)
+def emb_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN self-consistency: for every vector in the
+    shard, does the majority label of its k nearest neighbors match
+    its own? Per-label consistency is the standard intrinsic eval of
+    an embedding space (low consistency for one label = that class
+    is smeared; low everywhere = the metric doesn't separate).
+
+    Scale: same deterministic mod-shard as ann_mutual_knn — the
+    blocking unit at 100 TB; one windowed top-k (WindowGroupLimit),
+    then vote counting and the majority pick ride the va shuffle;
+    output is |labels| rows. Majority tie-break is (count desc,
+    label asc) — the reproducible mode convention from
+    q_priority_mode_by_year.
+    """
+    from lime_etl_spark.operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = (
+        emb.where(F.col("vec_id") % MUTUAL_MOD == 0)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        )
+        .persist()
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    scored = a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("va"),
+        F.col("a.label").alias("own_label"),
+        F.col("b.label").alias("nbr_label"),
+        cos.alias("cosine"),
+        F.col("b.vec_id").alias("vb"),
+    )
+    wk = Window.partitionBy("va").orderBy(F.desc("cosine"), "vb")
+    votes = (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= CONSIST_K)
+        .groupBy("va", "own_label", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = Window.partitionBy("va").orderBy(F.desc("n"), "nbr_label")
+    majority = (
+        votes.withColumn("r", F.row_number().over(wm))
+        .where(F.col("r") == 1)
+        .select("va", "own_label", F.col("nbr_label").alias("voted_label"))
+    )
+    hit = F.when(F.col("voted_label") == F.col("own_label"), 1).otherwise(0)
+    return (
+        majority.groupBy(F.col("own_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(hit).cast("bigint").alias("n_consistent"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "n_consistent",
+            (F.col("n_consistent").cast("double") / F.col("n_vectors")).alias(
+                "consistency"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# --- bridge edges between communities ---------------------------------------
+
+
+@register(
+    "graph_bridge_edges",
+    oracle=None,  # LP is iterative/majority-vote — not SQL-expressible;
+    # pytest plants a bridged-cliques fixture and asserts exactly the
+    # bridge edge surfaces
+    description="near-dup edges whose endpoints land in different LP communities — the over-merge culprits to cut",
+)
+def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edges that GLUE template families: verified near-dup pairs
+    whose endpoints belong to different label-propagation
+    communities. These are exactly the links that make connected
+    components over-merge (graph_cluster_density measures the damage;
+    this names the culprit edges to cut or human-review before
+    collapsing clusters).
+
+    Scale: ONE persisted LSH-verified pair pipeline feeds both the LP
+    iteration and the final edge classification; community labels
+    join onto the edge list by vertex id (the |active-vertices|-sized
+    LP output, not the corpus). Output is bounded by the bridge count
+    — near-zero on a healthy corpus.
+    """
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from lime_etl_spark.operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = (
+        jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh)))
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .persist()
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    lp = label_propagation(docs.select(F.col("doc_id").alias("vid")), edges)
+    sh.unpersist()
+    return bridge_edges(pairs, lp)
+
+
+def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
+    """Classify verified pair edges against a (vid, community)
+    labeling: keep the edges whose endpoints disagree. Two broadcast-
+    sized joins on the LP output (active vertices only)."""
+    ca = communities.select(
+        F.col("vid").alias("doc_a"), F.col("community").alias("comm_a")
+    )
+    cb = communities.select(
+        F.col("vid").alias("doc_b"), F.col("community").alias("comm_b")
+    )
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(F.col("comm_a") != F.col("comm_b"))
+        .select("doc_a", "doc_b", "jaccard", "comm_a", "comm_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- per-file layout stats ---------------------------------------------------
+
+SMALL_FILE_MB = 16
+
+
+def file_stats(df: DataFrame) -> DataFrame:
+    """Per-file layout profile of any file-backed DataFrame via the
+    ``_metadata`` hidden column: rows, bytes, rows/MB, and a
+    small-file flag — the audit that decides WHAT compact_parquet
+    should rewrite (streaming sinks and over-parallel writers leave
+    thousands of KB-files; at 100 TB the fix is a partition rewrite,
+    and this table names the partitions).
+
+    Scale: `_metadata.file_path/file_size` are constant per split —
+    the rollup combines map-side to |files| rows and never widens the
+    scan (file metadata rides the task context, no extra IO).
+    """
+    return (
+        df.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.file_size").alias("file_bytes"),
+        )
+        .groupBy("file_path", "file_bytes")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "file_path",
+            "file_bytes",
+            "n_rows",
+            (F.col("file_bytes") < SMALL_FILE_MB * 1024 * 1024).alias("is_small"),
+        )
+    )
+
+
+@register(
+    "dq_file_stats",
+    oracle=None,  # _metadata is a Spark scan-level column; DuckDB's
+    # filename option can't reach the pre-registered oracle views —
+    # pytest checks exact counts against os.stat instead
+    description="per-file rows/bytes layout audit via the _metadata hidden column (names the compaction targets)",
+)
+def dq_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout audit of the fact tables: one row per physical parquet
+    file with row count, byte size and a small-file flag (see
+    :func:`file_stats`). Summarized per table so output stays
+    |tables|-bounded regardless of file count."""
+    out = None
+    for tbl in ("lineitem", "orders", "events"):
+        st = file_stats(load_table(spark, sf_dir, tbl)).agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("file_bytes").alias("total_bytes"),
+            F.sum(F.when(F.col("is_small"), 1).otherwise(0)).alias("n_small_files"),
+        ).select(F.lit(tbl).alias("tbl"), "n_files", "n_rows", "total_bytes", "n_small_files")
+        out = st if out is None else out.unionByName(st)
+    return out.orderBy("tbl")
+
+
 # --- duplication-aware sampling --------------------------------------------
 
 DEDUP_W_SCALE = 1000

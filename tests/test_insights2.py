@@ -25,6 +25,7 @@ NEW_QUERIES = [
     "dq_cardinality_profile",
     "ev_session_conversion",
     "ev_forecast_seasonal_naive",
+    "emb_knn_label_consistency",
 ]
 
 
@@ -278,6 +279,69 @@ def test_seasonal_naive_scores_only_lagged_days(spark, sf_dir):
     for r in rows:
         assert r.mae == _pytest.approx(r.total_abs_err / r.n_days_scored)
         assert r.total_abs_err >= 0
+
+
+def test_knn_consistency_bounds_and_coverage(spark, sf_dir):
+    """Every shard vector gets exactly one majority verdict; rates in
+    [0,1]; labels cover the shard's label set."""
+    from lime_etl_spark.operators.insights2 import MUTUAL_MOD
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["emb_knn_label_consistency"].builder(spark, sf_dir).collect()
+    shard = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % MUTUAL_MOD == 0)
+    )
+    assert sum(r.n_vectors for r in rows) == shard.count()
+    for r in rows:
+        assert 0 <= r.n_consistent <= r.n_vectors
+        assert 0.0 <= r.consistency <= 1.0
+
+
+def test_bridge_edges_surface_exactly_the_bridge(spark):
+    """Two 4-cliques joined by ONE bridge edge: LP separates the
+    cliques, so bridge classification returns exactly (4, 11)."""
+    from lime_etl_spark.operators.graph import label_propagation
+    from lime_etl_spark.operators.insights2 import bridge_edges
+
+    left = [1, 2, 3, 4]
+    right = [11, 12, 13, 14]
+    edges_py = (
+        [(a, b) for i, a in enumerate(left) for b in left[i + 1 :]]
+        + [(a, b) for i, a in enumerate(right) for b in right[i + 1 :]]
+        + [(4, 11)]
+    )
+    vs = spark.createDataFrame([(v,) for v in left + right], ["vid"])
+    es = spark.createDataFrame(edges_py, ["src", "dst"])
+    lp = label_propagation(vs, es)
+    pairs = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges_py], ["doc_a", "doc_b", "jaccard"]
+    )
+    got = bridge_edges(pairs, lp).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(4, 11)]
+    assert got[0].comm_a != got[0].comm_b
+
+
+def test_file_stats_counts_physical_files(spark, tmp_path):
+    """file_stats reports one row per physical file with exact row
+    counts and byte sizes matching os.stat."""
+    import os
+
+    from lime_etl_spark.operators.insights2 import file_stats
+
+    d = str(tmp_path / "many")
+    spark.range(1000).repartition(5).write.parquet(d)
+    st = {r.file_path: r for r in file_stats(spark.read.parquet(d)).collect()}
+    disk = {
+        f: os.path.getsize(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    }
+    assert len(st) == len(disk) == 5
+    assert sum(r.n_rows for r in st.values()) == 1000
+    for path, r in st.items():
+        assert r.file_bytes == disk[os.path.basename(path.replace("file://", ""))]
+        assert r.is_small  # tiny test files sit under the 16 MB floor
 
 
 def test_hapax_share_bounds_and_consistency(spark, sf_dir):
