@@ -984,6 +984,252 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- dedup funnel ------------------------------------------------------------
+
+
+def _dedup_funnel_oracle() -> str:
+    from lime_etl_spark.operators.dedup import _minhash_sql, _normalized_sql
+
+    return f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(vid, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.vid
+    ),
+    comp AS (
+        SELECT vid AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+        FROM reach GROUP BY vid
+    ),
+    raw AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(kc) AS BIGINT) AS n_chars
+        FROM (SELECT arg_min(n_chars, doc_id) AS kc
+              FROM documents GROUP BY md5(text))
+    ),
+    norm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(kc) AS BIGINT) AS n_chars
+        FROM (SELECT arg_min(n_chars, doc_id) AS kc
+              FROM documents GROUP BY md5({_normalized_sql("text")}))
+    ),
+    near AS (
+        SELECT CAST(COUNT(DISTINCT c.component_id) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN d.doc_id = c.component_id
+                             THEN d.n_chars ELSE 0 END) AS BIGINT) AS n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    funnel AS (
+        SELECT 0 AS stage_ord, 'raw' AS stage, n_docs, n_chars FROM raw
+        UNION ALL SELECT 1, 'exact_dedup', n_docs, n_chars FROM exact
+        UNION ALL SELECT 2, 'normalized_dedup', n_docs, n_chars FROM norm
+        UNION ALL SELECT 3, 'near_dup_collapse', n_docs, n_chars FROM near
+    )
+    SELECT f.stage_ord, f.stage, f.n_docs, f.n_chars,
+           CAST(f.n_docs AS DOUBLE) / r.n_docs AS docs_kept_share,
+           CAST(f.n_chars AS DOUBLE) / r.n_chars AS chars_kept_share
+    FROM funnel f CROSS JOIN raw r
+    ORDER BY stage_ord
+    """
+
+
+@register(
+    "cur_dedup_funnel",
+    oracle=_dedup_funnel_oracle(),
+    description="end-to-end dedup funnel: raw → exact → normalized-exact → near-dup collapse, docs/chars kept at each stage",
+)
+def cur_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-table answer to 'what does each dedup stage buy us':
+    corpus size in docs and characters after (1) raw-byte exact
+    dedup, (2) normalize-then-hash dedup, (3) near-dup cluster
+    collapse — each stage keeping the min-id representative. The
+    stages are strictly coarser equivalences, so the funnel is
+    monotone (pytest-gated); the deltas between rows are each
+    stage's marginal payoff, which is exactly the number a curation
+    team budgets against.
+
+    Scale: the two hash stages are counters-only groupBys with
+    min_by keeping the representative's chars WITHOUT a rejoin; the
+    near stage rides the shared LSH→CC pipeline. Shares are computed
+    against the 1-row raw total (broadcast cross join).
+    """
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+        normalized_text,
+    )
+    from lime_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+
+    def hash_stage(key: F.Column, ord_: int, name: str) -> DataFrame:
+        return (
+            docs.groupBy(key.alias("h"))
+            .agg(F.min_by("n_chars", "doc_id").alias("kc"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("kc").cast("bigint").alias("n_chars"),
+            )
+            .select(
+                F.lit(ord_).alias("stage_ord"),
+                F.lit(name).alias("stage"),
+                "n_docs",
+                "n_chars",
+            )
+        )
+
+    raw = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    ).select(
+        F.lit(0).alias("stage_ord"), F.lit("raw").alias("stage"), "n_docs", "n_chars"
+    )
+    exact = hash_stage(F.md5("text"), 1, "exact_dedup")
+    norm = hash_stage(F.md5(normalized_text(F.col("text"))), 2, "normalized_dedup")
+
+    sh = doc_shingles(docs).persist()
+    lsh_pairs = jaccard_pairs(
+        sh, candidates=lsh_candidates(minhash_signatures(sh))
+    ).where(F.col("jaccard") >= JACCARD_TAU)
+    edges = lsh_pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(docs.select(F.col("doc_id").alias("vid")), edges)
+    sh.unpersist()
+    near = (
+        cc.join(docs.select(F.col("doc_id").alias("vid"), "n_chars"), "vid")
+        .agg(
+            F.count_distinct("label").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("vid") == F.col("label"), F.col("n_chars")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_chars"),
+        )
+        .select(
+            F.lit(3).alias("stage_ord"),
+            F.lit("near_dup_collapse").alias("stage"),
+            "n_docs",
+            "n_chars",
+        )
+    )
+    funnel = raw.unionByName(exact).unionByName(norm).unionByName(near)
+    raw_tot = raw.select(
+        F.col("n_docs").alias("r_docs"), F.col("n_chars").alias("r_chars")
+    )
+    return (
+        funnel.crossJoin(F.broadcast(raw_tot))
+        .select(
+            "stage_ord",
+            "stage",
+            "n_docs",
+            "n_chars",
+            (F.col("n_docs").cast("double") / F.col("r_docs")).alias(
+                "docs_kept_share"
+            ),
+            (F.col("n_chars").cast("double") / F.col("r_chars")).alias(
+                "chars_kept_share"
+            ),
+        )
+        .orderBy("stage_ord")
+    )
+
+
+# --- rolling retention curve -------------------------------------------------
+
+RETENTION_OFFSETS = (1, 7, 14, 28)
+
+
+@register(
+    "ev_retention_curve",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), maxd AS (
+        SELECT MAX(d) AS md FROM ud
+    ), expanded AS (
+        SELECT u.user_id, u.d, k.k, u.d + k.k * INTERVAL 1 DAY AS target_d
+        FROM ud u
+        CROSS JOIN (VALUES {", ".join(f"({k})" for k in RETENTION_OFFSETS)}) AS k(k)
+    )
+    SELECT e.k AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_base,
+           CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+           CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS retention
+    FROM expanded e
+    CROSS JOIN maxd m
+    LEFT JOIN ud b ON b.user_id = e.user_id AND b.d = e.target_d
+    WHERE e.target_d <= m.md
+    GROUP BY e.k
+    ORDER BY day_offset
+    """,
+    description="rolling dN retention curve (d1/d7/d14/d28): right-censored denominator, bounded ×4 explode of distinct user-days",
+)
+def ev_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased rolling retention: of all user-days, what share saw
+    the user return exactly k days later, for k ∈ {1,7,14,28} — the
+    curve every growth team tracks. The denominator drops user-days
+    whose d+k falls past the observation window (right-censoring),
+    so the tail offsets aren't artificially deflated.
+
+    Scale: the fact reduces to DISTINCT (user, day) FIRST; the ×4
+    offset explode is a bounded fan-out of that reduced set, and the
+    retention probe is ONE equi-join on (user, target_day) — hash
+    join, never a range join. Max date is a 1-row broadcast. Output
+    is |offsets| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct().persist()
+    maxd = ud.agg(F.max("d").alias("md"))
+    offsets = F.array(*[F.lit(k) for k in RETENTION_OFFSETS])
+    expanded = ud.select(
+        "user_id", "d", F.explode(offsets).alias("k")
+    ).withColumn("target_d", F.date_add(F.col("d"), F.col("k")))
+    b = ud.select(F.col("user_id").alias("b_user"), F.col("d").alias("b_d"))
+    probed = (
+        expanded.crossJoin(F.broadcast(maxd))
+        .where(F.col("target_d") <= F.col("md"))
+        .join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("target_d") == F.col("b_d")),
+            "left",
+        )
+    )
+    return (
+        probed.groupBy(F.col("k").alias("day_offset"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_base"),
+            F.sum(F.when(F.col("b_user").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_retained"),
+        )
+        .select(
+            "day_offset",
+            "n_base",
+            "n_retained",
+            (F.col("n_retained").cast("double") / F.col("n_base")).alias("retention"),
+        )
+        .orderBy("day_offset")
+    )
+
+
 # --- per-file layout stats ---------------------------------------------------
 
 SMALL_FILE_MB = 16

@@ -26,6 +26,8 @@ NEW_QUERIES = [
     "ev_session_conversion",
     "ev_forecast_seasonal_naive",
     "emb_knn_label_consistency",
+    "cur_dedup_funnel",
+    "ev_retention_curve",
 ]
 
 
@@ -342,6 +344,40 @@ def test_file_stats_counts_physical_files(spark, tmp_path):
     for path, r in st.items():
         assert r.file_bytes == disk[os.path.basename(path.replace("file://", ""))]
         assert r.is_small  # tiny test files sit under the 16 MB floor
+
+
+def test_dedup_funnel_is_monotone(spark, sf_dir):
+    """Each stage is a coarser equivalence, so docs and chars kept
+    can only shrink down the funnel; raw shares are exactly 1.0."""
+    rows = sorted(
+        all_queries()["cur_dedup_funnel"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.stage_ord,
+    )
+    assert [r.stage for r in rows] == [
+        "raw",
+        "exact_dedup",
+        "normalized_dedup",
+        "near_dup_collapse",
+    ]
+    assert rows[0].docs_kept_share == 1.0 and rows[0].chars_kept_share == 1.0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs <= prev.n_docs
+        assert cur.n_chars <= prev.n_chars
+
+
+def test_retention_curve_censoring_and_bounds(spark, sf_dir):
+    """Base shrinks as the offset grows (right-censoring drops more
+    tail days); retention stays in [0,1]."""
+    rows = sorted(
+        all_queries()["ev_retention_curve"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.day_offset,
+    )
+    assert [r.day_offset for r in rows] == [1, 7, 14, 28]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_base <= prev.n_base
+    for r in rows:
+        assert 0 <= r.n_retained <= r.n_base
+        assert 0.0 <= r.retention <= 1.0
 
 
 def test_hapax_share_bounds_and_consistency(spark, sf_dir):
