@@ -984,6 +984,135 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- tokenizer fertility ----------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    from lime_etl_spark.operators.text import BPE_RE
+
+    return f"""
+    WITH per_doc AS (
+        SELECT lang,
+               length(text) AS n_chars_calc,
+               len(regexp_extract_all(text, '{BPE_RE}')) AS n_tok,
+               len(string_split(text, ' ')) AS n_words
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars_calc) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars_calc) AS DOUBLE) / SUM(n_tok) AS chars_per_token,
+           CAST(SUM(n_tok) AS DOUBLE) / SUM(n_words) AS tokens_per_word
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@register(
+    "cur_tokenizer_fertility",
+    oracle=_fertility_oracle(),
+    description="tokenizer fertility per language: chars/token + tokens/word (cost-per-language budgeting input)",
+)
+def cur_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — how many characters one
+    token buys, and how many tokens a word costs. Languages the
+    tokenizer serves badly (low chars/token, high tokens/word) pay
+    more compute per unit of text; this table is the input to
+    per-language token-budget corrections in samp_domain_budget /
+    samp_temperature.
+
+    Scale: shuffle-free row-local counting (regexp_count stays in
+    codegen) reduced to |langs| rows of exact int64 sums; the two
+    ratios are single IEEE divisions over those sums — aggregate
+    ratios, NOT averages of per-doc ratios (which would weight tiny
+    docs equally with huge ones and float-sum nondeterministically).
+    """
+    from lime_etl_spark.operators.text import BPE_RE
+    from lime_etl_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.length("text").alias("n_chars_calc"),
+        F.regexp_count("text", F.lit(BPE_RE)).alias("n_tok"),
+        F.size(tokens()).alias("n_words"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars_calc").cast("bigint").alias("total_chars"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("n_words").alias("total_words"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            (F.col("total_chars").cast("double") / F.col("total_tokens")).alias(
+                "chars_per_token"
+            ),
+            (F.col("total_tokens").cast("double") / F.col("total_words")).alias(
+                "tokens_per_word"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- context-window fit profile ---------------------------------------------
+
+CONTEXT_WINDOWS = (512, 2048, 8192, 32768)
+
+
+def _context_fit_oracle() -> str:
+    from lime_etl_spark.operators.text import BPE_RE
+
+    n_tok = f"len(regexp_extract_all(text, '{BPE_RE}'))"
+    fits = ",\n           ".join(
+        f"CAST(COUNT(*) FILTER (WHERE {n_tok} <= {w}) AS BIGINT) AS fit_{w}"
+        for w in CONTEXT_WINDOWS
+    )
+    return f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {fits}
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register(
+    "txt_context_fit",
+    oracle=_context_fit_oracle(),
+    description="per-source share of docs fitting each context window (truncation-loss forecast before packing)",
+)
+def txt_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each source fits whole into each training context
+    window — the truncation-loss forecast that decides between
+    pad-to-window, concat-packing (pack_sequences) and long-context
+    upsampling BEFORE any data is moved.
+
+    Scale: row-local token count (codegen regexp) + cumulative
+    conditional counters in ONE shuffle-free pass per source; output
+    is |sources| rows × |windows| counters. Counts are monotone in
+    the window size by construction (pytest-gated).
+    """
+    from lime_etl_spark.operators.text import BPE_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.regexp_count("text", F.lit(BPE_RE))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")] + [
+        F.sum(F.when(n_tok <= w, 1).otherwise(0)).cast("bigint").alias(f"fit_{w}")
+        for w in CONTEXT_WINDOWS
+    ]
+    return docs.groupBy("source").agg(*aggs).orderBy("source")
+
+
 # --- dedup funnel ------------------------------------------------------------
 
 

@@ -28,6 +28,8 @@ NEW_QUERIES = [
     "emb_knn_label_consistency",
     "cur_dedup_funnel",
     "ev_retention_curve",
+    "cur_tokenizer_fertility",
+    "txt_context_fit",
 ]
 
 
@@ -378,6 +380,29 @@ def test_retention_curve_censoring_and_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_retained <= r.n_base
         assert 0.0 <= r.retention <= 1.0
+
+
+def test_fertility_ratios_are_aggregate_not_mean_of_means(spark, sf_dir):
+    """chars_per_token must equal total_chars/total_tokens exactly
+    (one division over exact sums) and sit in a sane band for
+    space-separated text."""
+    import pytest as _pytest
+
+    for r in all_queries()["cur_tokenizer_fertility"].builder(spark, sf_dir).collect():
+        assert r.chars_per_token == _pytest.approx(r.total_chars / r.total_tokens)
+        assert 1.0 < r.chars_per_token < 20.0
+        assert r.tokens_per_word >= 1.0  # BPE-ish splits never merge words
+
+
+def test_context_fit_counts_are_monotone(spark, sf_dir):
+    """Larger windows fit at least as many docs; no count exceeds
+    n_docs."""
+    from lime_etl_spark.operators.insights2 import CONTEXT_WINDOWS
+
+    for r in all_queries()["txt_context_fit"].builder(spark, sf_dir).collect():
+        fits = [r[f"fit_{w}"] for w in CONTEXT_WINDOWS]
+        assert fits == sorted(fits)
+        assert all(0 <= f <= r.n_docs for f in fits)
 
 
 def test_hapax_share_bounds_and_consistency(spark, sf_dir):
