@@ -984,6 +984,172 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- revenue concentration (HHI) --------------------------------------------
+
+
+@register(
+    "q_customer_concentration_hhi",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ), nat AS (
+        SELECT n.n_name AS nation,
+               CAST(c2.cents AS DECIMAL(19,0)) AS cents
+        FROM cust c2
+        JOIN customer c ON c.c_custkey = c2.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(cents * cents) AS DOUBLE)
+             / (CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)) AS hhi
+    FROM nat
+    GROUP BY nation
+    ORDER BY nation
+    """,
+    description="Herfindahl revenue-concentration index per nation (key-account risk), exact integer-cents squares",
+)
+def q_customer_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation as the Herfindahl–Hirschman
+    index Σ shareᵢ² — the one number that says whether a market is a
+    few key accounts (HHI→1) or a long tail (HHI→1/n). Complements
+    q_revenue_deciles: deciles show the curve, HHI ranks markets.
+
+    Scale: orders reduce to per-customer cents FIRST (customer-key
+    shuffle with map-side combine); the nation attribution joins the
+    customer and nation DIMS broadcast onto that reduced rollup. HHI
+    needs Σx² — computed in exact integer cents lifted to
+    decimal(19) so the squares sum losslessly in decimal(38) (cents²
+    overflows int64 at whale-account scale); ONE double division at
+    the end. No floats ever enter an aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = orders.groupBy("o_custkey").agg(
+        (F.sum(dec("o_totalprice", 2, 12)) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    nat = (
+        cust.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            cust.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("cents").cast("decimal(19,0)").alias("cents"))
+    )
+    sq = F.sum(F.col("cents") * F.col("cents"))
+    tot = F.sum("cents")
+    return (
+        nat.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            tot.cast("bigint").alias("total_cents"),
+            (to_double(sq) / (to_double(tot) * to_double(tot))).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --- supply coverage ---------------------------------------------------------
+
+
+@register(
+    "q_supplier_part_coverage",
+    oracle="""
+    WITH sp AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), per_part AS (
+        SELECT l_partkey, COUNT(*) AS n_suppliers FROM sp GROUP BY l_partkey
+    )
+    SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM per_part
+    GROUP BY n_suppliers
+    ORDER BY n_suppliers
+    """,
+    description="suppliers-per-part coverage histogram (the n_suppliers=1 bucket is single-source supply risk)",
+)
+def q_supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain redundancy: how many suppliers have actually
+    shipped each part, as a histogram — the n_suppliers=1 bucket is
+    the single-source risk list procurement reviews first.
+
+    Scale: the fact reduces to DISTINCT (part, supplier) edges FIRST
+    (bounded by the bipartite edge set, not shipment count); two
+    keyed counter rollups, histogram output bounded by the max
+    supplier fan-in. All map-side combinable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select("l_partkey", "l_suppkey").distinct()
+    per_part = sp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return (
+        per_part.groupBy(F.col("n_suppliers").cast("bigint").alias("n_suppliers"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("n_suppliers")
+    )
+
+
+# --- event-type mix drift ----------------------------------------------------
+
+
+@register(
+    "ev_type_mix_drift",
+    oracle="""
+    WITH wk AS (
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), shared AS (
+        SELECT week, event_type, n,
+               CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY week) AS share
+        FROM wk
+    )
+    SELECT week, event_type, n, share,
+           share - LAG(share) OVER (PARTITION BY event_type ORDER BY week)
+               AS share_delta
+    FROM shared
+    ORDER BY week, event_type
+    """,
+    description="weekly event-type mix shares + week-over-week share drift (composition-change monitor)",
+)
+def ev_type_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition drift: each event type's weekly share of traffic
+    and its change versus the previous week — the monitor that
+    catches instrumentation changes (a type vanishing) and product
+    shifts (purchase share climbing) that total-volume alerting
+    (ev_anomaly_zscore) is blind to.
+
+    Scale: the fact reduces to the |weeks|×|types| counter rollup in
+    one map-side-combining pass; BOTH windows (per-week share sum,
+    per-type lag) run over that tiny rollup, never event grain.
+    Shares are exact-int divisions; the delta is a single double
+    subtraction of bit-identical shares.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_share = Window.partitionBy("week")
+    w_lag = Window.partitionBy("event_type").orderBy("week")
+    shared = wk.withColumn(
+        "share", F.col("n").cast("double") / F.sum("n").over(w_share)
+    )
+    return shared.select(
+        "week",
+        "event_type",
+        "n",
+        "share",
+        (F.col("share") - F.lag("share").over(w_lag)).alias("share_delta"),
+    ).orderBy("week", "event_type")
+
+
 # --- tokenizer fertility ----------------------------------------------------
 
 

@@ -30,6 +30,9 @@ NEW_QUERIES = [
     "ev_retention_curve",
     "cur_tokenizer_fertility",
     "txt_context_fit",
+    "q_customer_concentration_hhi",
+    "q_supplier_part_coverage",
+    "ev_type_mix_drift",
 ]
 
 
@@ -403,6 +406,39 @@ def test_context_fit_counts_are_monotone(spark, sf_dir):
         fits = [r[f"fit_{w}"] for w in CONTEXT_WINDOWS]
         assert fits == sorted(fits)
         assert all(0 <= f <= r.n_docs for f in fits)
+
+
+def test_hhi_bounds(spark, sf_dir):
+    """HHI lies in [1/n, 1] for every nation with n customers."""
+    for r in (
+        all_queries()["q_customer_concentration_hhi"].builder(spark, sf_dir).collect()
+    ):
+        assert 1.0 / r.n_customers <= r.hhi <= 1.0 + 1e-12
+
+
+def test_supplier_coverage_mass_conservation(spark, sf_dir):
+    """Σ n_parts over histogram buckets == distinct parts shipped."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["q_supplier_part_coverage"].builder(spark, sf_dir).collect()
+    parts = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in rows) == parts
+
+
+def test_type_mix_shares_sum_to_one_per_week(spark, sf_dir):
+    """Weekly shares are a distribution; first week has NULL delta."""
+    import collections
+
+    rows = all_queries()["ev_type_mix_drift"].builder(spark, sf_dir).collect()
+    by_week = collections.defaultdict(float)
+    for r in rows:
+        by_week[r.week] += r.share
+    for wk, s in by_week.items():
+        assert abs(s - 1.0) < 1e-9, (wk, s)
+    first_week = min(by_week)
+    assert all(r.share_delta is None for r in rows if r.week == first_week)
 
 
 def test_hapax_share_bounds_and_consistency(spark, sf_dir):
