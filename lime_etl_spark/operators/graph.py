@@ -668,3 +668,116 @@ def cur_best_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (power iteration)
+# ---------------------------------------------------------------------------
+
+PR_ITERATIONS = 10
+PR_DAMPING = 0.85
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iterations: int = PR_ITERATIONS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """(vid, pagerank) by fixed-round power iteration over the
+    UNDIRECTED graph: pr'(v) = (1-d)/N + d·Σ_{u~v} pr(u)/deg(u).
+
+    Determinism: a FIXED iteration count (no float convergence test),
+    and the per-vertex message sum adds contributions of the same
+    magnitude order through a hash aggregate — replay-stable to 1e-12
+    on graphs whose per-round message sets are identical, exact when
+    neighbor contributions are equal (cliques/stars). Symmetrized
+    edges mean no dangling-mass correction is needed: every vertex
+    with an edge has out-degree ≥ 1; pass only the ACTIVE vertex set
+    (isolated vertices hold the analytic (1-d)/N and never need
+    iterating — same active-subgraph discipline as CC/LP).
+
+    Scale: each round is one join (ranks → symmetrized edges) + one
+    dst-keyed sum — both hash on vertex id, so every round reuses the
+    same partitioning; localCheckpoint per round stops lineage/plan
+    growth exactly like connected_components. Degrees are computed
+    once and ride the rank frame. At 1000 executors the cost is
+    iterations × one shuffle of |edges| messages — PageRank's
+    irreducible core.
+
+    lime-etl analog: none — this is LLM-corpus graph triage (rank
+    template hubs by centrality, not just size), grouped with the
+    reference's report-job pattern (job_spec.py:40).
+    """
+    edges_c = edges.select("src", "dst").persist()
+    sym = (
+        edges_c.unionByName(
+            edges_c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = vertices.count()
+    base = (1.0 - damping) / n
+    ranks = vertices.join(deg, vertices.vid == deg.src).select(
+        "vid", "deg", F.lit(1.0 / n).alias("pr")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(sym, ranks.vid == sym.src)
+            .select(F.col("dst").alias("vid"), (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("vid")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        ranks = (
+            ranks.select("vid", "deg")
+            .join(contrib, "vid", "left")
+            .select(
+                "vid",
+                "deg",
+                (F.lit(base) + F.lit(damping) * F.coalesce("inbound", F.lit(0.0))).alias(
+                    "pr"
+                ),
+            )
+            .localCheckpoint()
+        )
+    edges_c.unpersist()
+    sym.unpersist()
+    return ranks.select("vid", F.col("deg").cast("bigint").alias("degree"), F.col("pr").alias("pagerank"))
+
+
+PR_TOP_K = 20
+
+
+@register(
+    "graph_pagerank_top",
+    oracle=None,  # iterative power method — pytest checks analytic
+    # fixpoints (clique uniformity, star center mass, Σpr conservation)
+    description="PageRank centrality over the near-dup graph: top hub documents (iterative; active subgraph only)",
+)
+def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template HUBS by centrality: the documents that near-duplicate
+    into the most (and most-connected) neighborhoods — degree counts
+    edges, PageRank weighs them by how duplicated the neighbors
+    themselves are, which ranks the true template root above
+    incidental members of the same family.
+
+    Scale: same persisted LSH pair input as the CC/LP family; the
+    power iteration runs on the active subgraph only. Top-k order is
+    (pagerank desc, vid) — rank ties (isomorphic positions) break on
+    the id."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
+        F.col("jaccard") >= JACCARD_TAU
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    active = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    pr = pagerank(active, edges)
+    sh.unpersist()
+    return pr.orderBy(F.desc("pagerank"), "vid").limit(PR_TOP_K)

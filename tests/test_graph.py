@@ -277,3 +277,65 @@ def test_best_rep_is_longest_member_and_consistent_with_weights(spark, sf_dir):
         if r["multiplicity"] >= 2
     }
     assert {r["component_id"]: r["n_docs"] for r in reps} == weights
+
+
+def test_pagerank_uniform_on_clique(spark):
+    """A 4-clique is regular: uniform rank 1/4 is the exact fixpoint
+    and must be reproduced bit-exactly (equal contributions sum
+    order-independently)."""
+    from lime_etl_spark.operators.graph import pagerank
+
+    vids = [1, 2, 3, 4]
+    edges_py = [(a, b) for i, a in enumerate(vids) for b in vids[i + 1 :]]
+    vs = spark.createDataFrame([(v,) for v in vids], ["vid"])
+    es = spark.createDataFrame(edges_py, ["src", "dst"])
+    got = {r.vid: r.pagerank for r in pagerank(vs, es).collect()}
+    assert got == {v: 0.25 for v in vids}
+
+
+def test_pagerank_star_center_dominates_and_mass_conserves(spark):
+    """Star K1,4: the center must outrank every leaf; total mass stays
+    1; values match a driver-side power iteration with the same
+    round count."""
+    import pytest
+
+    from lime_etl_spark.operators.graph import (
+        PR_DAMPING,
+        PR_ITERATIONS,
+        pagerank,
+    )
+
+    vids = [0, 1, 2, 3, 4]
+    edges_py = [(0, leaf) for leaf in vids[1:]]
+    vs = spark.createDataFrame([(v,) for v in vids], ["vid"])
+    es = spark.createDataFrame(edges_py, ["src", "dst"])
+    got = {r.vid: r.pagerank for r in pagerank(vs, es).collect()}
+
+    # reference power iteration (same fixed rounds, same formula)
+    n, d = len(vids), PR_DAMPING
+    deg = {0: 4, 1: 1, 2: 1, 3: 1, 4: 1}
+    pr = {v: 1.0 / n for v in vids}
+    for _ in range(PR_ITERATIONS):
+        inbound = {v: 0.0 for v in vids}
+        for a, b in edges_py:
+            inbound[b] += pr[a] / deg[a]
+            inbound[a] += pr[b] / deg[b]
+        pr = {v: (1 - d) / n + d * inbound[v] for v in vids}
+
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in vids:
+        assert got[v] == pytest.approx(pr[v], abs=1e-12)
+    assert all(got[0] > got[leaf] for leaf in vids[1:])
+
+
+def test_pagerank_top_is_ordered_and_bounded(spark, sf_dir):
+    """Registered query: ≤ k rows, ordered by (pr desc, vid), every
+    vertex has degree ≥ 1 (active subgraph only)."""
+    from lime_etl_spark.operators.graph import PR_TOP_K
+    from lime_etl_spark.plans.registry import all_queries
+
+    rows = all_queries()["graph_pagerank_top"].builder(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PR_TOP_K
+    keys = [(-r.pagerank, r.vid) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r.degree >= 1 for r in rows)
