@@ -984,6 +984,84 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- GFS retention plan ------------------------------------------------------
+
+GFS_DAILY_DAYS = 7
+GFS_WEEKLY_DAYS = 28
+GFS_MONTHLY_DAYS = 365
+
+
+@register(
+    "etl_gfs_retention_plan",
+    oracle=f"""
+    WITH days AS (
+        SELECT DISTINCT o_orderdate AS d FROM orders
+    ), m AS (
+        SELECT MAX(d) AS md FROM days
+    ), tiered AS (
+        SELECT d,
+               CASE
+                 WHEN date_diff('day', d, md) < {GFS_DAILY_DAYS} THEN 'daily'
+                 WHEN date_diff('day', d, md) < {GFS_WEEKLY_DAYS}
+                      AND strftime(d, '%a') = 'Mon' THEN 'weekly'
+                 WHEN date_diff('day', d, md) < {GFS_MONTHLY_DAYS}
+                      AND EXTRACT(day FROM d) = 1 THEN 'monthly'
+                 ELSE 'expire'
+               END AS tier
+        FROM days CROSS JOIN m
+    )
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           strftime(MIN(d), '%Y-%m-%d') AS oldest,
+           strftime(MAX(d), '%Y-%m-%d') AS newest
+    FROM tiered
+    GROUP BY tier
+    ORDER BY tier
+    """,
+    description="grandfather-father-son partition retention plan: keep dailies 7d, Monday weeklies 28d, month-firsts 365d, expire the rest",
+)
+def etl_gfs_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention planning for a date-partitioned fact: classify every
+    observed partition date into the grandfather-father-son ladder —
+    keep all recent dailies, thin to Monday weeklies, then
+    first-of-month monthlies, expire beyond the horizon. The 'expire'
+    row is the partition-drop list (the cheap retention mechanism the
+    date-partitioned ledger design exists for — deleting is a
+    metadata operation, never a rewrite).
+
+    Scale: the fact reduces to DISTINCT partition dates (calendar-
+    bounded) before any logic; the anchor MAX date is a 1-row
+    broadcast; classification is row-local date arithmetic using the
+    cross-engine-safe forms (integer datediff, weekday NAME,
+    day-of-month — never locale-dependent week numbers).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    days = orders.select(F.col("o_orderdate").alias("d")).distinct()
+    m = days.agg(F.max("d").alias("md"))
+    age = F.datediff(F.col("md"), F.col("d"))
+    tier = (
+        F.when(age < GFS_DAILY_DAYS, "daily")
+        .when(
+            (age < GFS_WEEKLY_DAYS) & (F.date_format("d", "E") == "Mon"), "weekly"
+        )
+        .when(
+            (age < GFS_MONTHLY_DAYS) & (F.dayofmonth("d") == 1), "monthly"
+        )
+        .otherwise("expire")
+    )
+    return (
+        days.crossJoin(F.broadcast(m))
+        .select("d", tier.alias("tier"))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("oldest"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("newest"),
+        )
+        .orderBy("tier")
+    )
+
+
 # --- revenue concentration (HHI) --------------------------------------------
 
 

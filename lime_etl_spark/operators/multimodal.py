@@ -554,3 +554,88 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _perturbed_media_corpus(spark, n=200)
     sigs = media_ahash(corpus, fake=True).persist()
     return ahash_near_dup_pairs(sigs).orderBy("media_a", "media_b")
+
+
+# ---------------------------------------------------------------------------
+# audio energy windows
+# ---------------------------------------------------------------------------
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("window_ix", IntegerType(), False),
+        StructField("energy", FloatType(), False),
+    ]
+)
+
+
+def audio_energy_windows(
+    df: DataFrame, window_ms: int = 500, fake: bool | None = None
+) -> DataFrame:
+    """Per-window RMS-style energy profile for audio payloads — the
+    silence-trim / voice-activity precursor every audio pipeline runs
+    before feature extraction. 1→N window explosion happens inside
+    the Arrow batch generator (same discipline as frame_sample: one
+    clip's windows never materialize as a list-of-all).
+
+    FAKE path: energy per window is a deterministic byte-mean over
+    the payload slice covering that window (a real build reads PCM
+    via libav/soundfile and computes true RMS); window COUNT comes
+    from the header duration, so the Spark-side shape — schema,
+    explosion factor, partitioning — is exactly what the real decode
+    produces.
+    """
+    _require_fake(fake)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                _ti, _w, _h, _ch, _sr, dur = struct.unpack("<BIIIII", raw[4:25])
+                payload = raw[25:]
+                n_windows = max(1, (dur + window_ms - 1) // window_ms)
+                step = max(1, len(payload) // n_windows)
+                rows = []
+                for ix in range(n_windows):
+                    sl = payload[ix * step : (ix + 1) * step] or b"\x00"
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "window_ix": ix,
+                            "energy": float(sum(sl) / len(sl)) / 255.0,
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+    return (
+        df.where(F.col("media_type") == "audio")
+        .select("media_id", "content")
+        .mapInPandas(run, ENERGY_SCHEMA)
+    )
+
+
+@register(
+    "mm_audio_energy",
+    oracle=None,
+    description="audio energy-window profile: fixture → per-window fake RMS → per-clip silence/peak stats",
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the multimodal family: window-energy profile per
+    clip rolled up to (n_windows, mean/peak energy, silent-window
+    count) — the triage table that decides which clips are worth
+    real decode compute. Windows explode inside Arrow batches;
+    the rollup is a counters-only groupBy on media_id."""
+    media = build_media_fixture(spark, n=300)
+    en = audio_energy_windows(media, fake=True)
+    return (
+        en.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.avg("energy").alias("mean_energy"),
+            F.max("energy").alias("peak_energy"),
+            F.sum(F.when(F.col("energy") < 0.05, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_silent_windows"),
+        )
+        .orderBy("media_id")
+    )

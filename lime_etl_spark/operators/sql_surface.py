@@ -197,11 +197,13 @@ def sketch_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "etl_month_spine_rcte",
     oracle="""
-    WITH RECURSIVE spine(month_start) AS (
-        SELECT date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+    WITH RECURSIVE spine(month_start, last_month) AS (
+        SELECT date_trunc('month', MIN(o_orderdate)),
+               date_trunc('month', MAX(o_orderdate))
+        FROM orders
         UNION ALL
-        SELECT month_start + INTERVAL 1 MONTH FROM spine
-        WHERE month_start < date_trunc('month', (SELECT MAX(o_orderdate) FROM orders))
+        SELECT month_start + INTERVAL 1 MONTH, last_month FROM spine
+        WHERE month_start < last_month
     ),
     per_month AS (
         SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n
@@ -225,15 +227,25 @@ def etl_month_spine_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg. The sequence()-based generator in etl_backfill_plan is the
     non-SQL twin; this is the surface a migrating SQL user ports
     verbatim. (Transitive-closure recursion still needs UNION-dedup,
-    unsupported in 4.1 — dedup clustering keeps the min-label loop.)"""
+    unsupported in 4.1 — dedup clustering keeps the min-label loop.)
+
+    Perf note (measured sf0.1): the textbook form with the MAX bound
+    as a scalar subquery in the recursive step re-ran the orders
+    aggregate EVERY iteration (~84 rounds × a fact scan ≈ 14s).
+    Computing both bounds in the ANCHOR and threading last_month
+    through the recursion as a column makes each step pure row
+    arithmetic — 14.4s → ~1s, and at 100 TB the difference is 84
+    fact scans."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
-        WITH RECURSIVE spine(month_start) AS (
-            SELECT date_trunc('MONTH', (SELECT MIN(o_orderdate) FROM orders))
+        WITH RECURSIVE spine(month_start, last_month) AS (
+            SELECT date_trunc('MONTH', MIN(o_orderdate)),
+                   date_trunc('MONTH', MAX(o_orderdate))
+            FROM orders
             UNION ALL
-            SELECT month_start + INTERVAL '1' MONTH FROM spine
-            WHERE month_start < date_trunc('MONTH', (SELECT MAX(o_orderdate) FROM orders))
+            SELECT month_start + INTERVAL '1' MONTH, last_month FROM spine
+            WHERE month_start < last_month
         ),
         per_month AS (
             SELECT date_trunc('MONTH', o_orderdate) AS m, COUNT(*) AS n

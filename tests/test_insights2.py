@@ -33,6 +33,7 @@ NEW_QUERIES = [
     "q_customer_concentration_hhi",
     "q_supplier_part_coverage",
     "ev_type_mix_drift",
+    "etl_gfs_retention_plan",
 ]
 
 
@@ -439,6 +440,47 @@ def test_type_mix_shares_sum_to_one_per_week(spark, sf_dir):
         assert abs(s - 1.0) < 1e-9, (wk, s)
     first_week = min(by_week)
     assert all(r.share_delta is None for r in rows if r.week == first_week)
+
+
+def test_gfs_plan_covers_every_partition_once(spark, sf_dir):
+    """Tier counts partition every distinct order date; the daily
+    tier holds at most GFS_DAILY_DAYS partitions."""
+    from lime_etl_spark.operators.insights2 import GFS_DAILY_DAYS
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["etl_gfs_retention_plan"].builder(spark, sf_dir).collect()
+    total = (
+        load_table(spark, sf_dir, "orders").select("o_orderdate").distinct().count()
+    )
+    assert sum(r.n_partitions for r in rows) == total
+    tiers = {r.tier: r for r in rows}
+    assert tiers["daily"].n_partitions <= GFS_DAILY_DAYS
+    assert tiers["daily"].newest >= tiers["daily"].oldest
+
+
+def test_audio_energy_windows_match_duration(spark):
+    """Window count per clip == ceil(duration/window_ms); energies in
+    [0,1]; rerun is byte-identical (deterministic fake)."""
+    import math
+
+    from lime_etl_spark.operators.multimodal import (
+        audio_energy_windows,
+        build_media_fixture,
+    )
+
+    media = build_media_fixture(spark, n=60).where(F.col("media_type") == "audio")
+    meta = {r.media_id: r.meta["duration_ms"] for r in media.collect()}
+    win = 500
+    en = audio_energy_windows(media, window_ms=win, fake=True)
+    rows = en.collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+        assert 0.0 <= r.energy <= 1.0
+    for mid, rs in by_media.items():
+        assert len(rs) == max(1, math.ceil(meta[mid] / win))
+    again = {(r.media_id, r.window_ix): r.energy for r in en.collect()}
+    assert again == {(r.media_id, r.window_ix): r.energy for r in rows}
 
 
 def test_hapax_share_bounds_and_consistency(spark, sf_dir):
