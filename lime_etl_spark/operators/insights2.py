@@ -984,6 +984,121 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- LSH tuning curve --------------------------------------------------------
+
+LSH_TUNING_CONFIGS = ((2, 8), (4, 4), (8, 2))  # (bands, rows) over 16 perms
+
+
+@register(
+    "dedup_lsh_tuning",
+    oracle=None,  # multi-config loop over the same signatures —
+    # pytest gates monotonicity (more bands ⊇ candidates) and the
+    # precision/recall algebra
+    description="LSH banding tuning table: candidates/verified/precision/pooled-recall per (bands, rows) config",
+)
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engineering table behind the 4×4 banding choice: for each
+    (bands, rows-per-band) split of the SAME 16 minhash permutations,
+    how many candidate pairs the band join generates, how many
+    survive exact-Jaccard verification, precision, and recall against
+    the pooled verified set of all configs. More bands = higher
+    recall + more verify compute; this is the knob a 100 TB dedup
+    run tunes FIRST, measured instead of guessed.
+
+    Scale: shingles and signatures are computed ONCE and persisted
+    across all configs (the expensive part); each config re-bands the
+    16-column signature row — a projection — and pays only its own
+    candidate join + candidate-scoped verify. Output is
+    |configs| rows.
+    """
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        MERSENNE_P,
+        doc_shingles,
+        jaccard_pairs,
+    )
+    from lime_etl_spark.functions.text import MINHASH_PERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    aggs = [
+        F.min((F.col("x") * a + b) % MERSENNE_P).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs).persist()
+
+    def candidates(n_bands: int, band_rows: int) -> DataFrame:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{band * band_rows + r}")
+                            for r in range(band_rows)
+                        ],
+                    ).alias("sig"),
+                )
+                for band in range(n_bands)
+            ]
+        )
+        buckets = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+            "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+        )
+        a, b = buckets.alias("a"), buckets.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+
+    per_config = {}
+    verified_frames = []
+    for n_bands, band_rows in LSH_TUNING_CONFIGS:
+        cand = candidates(n_bands, band_rows).persist()
+        ver = (
+            jaccard_pairs(sh, candidates=cand)
+            .where(F.col("jaccard") >= JACCARD_TAU)
+            .select("doc_a", "doc_b")
+            .persist()
+        )
+        per_config[(n_bands, band_rows)] = (cand, ver)
+        verified_frames.append(ver)
+    pooled = verified_frames[0]
+    for vf in verified_frames[1:]:
+        pooled = pooled.unionByName(vf)
+    pooled = pooled.distinct().persist()
+    pooled_n = pooled.count()
+
+    rows = []
+    for (n_bands, band_rows), (cand, ver) in per_config.items():
+        n_cand = cand.count()
+        n_ver = ver.count()
+        rows.append(
+            (
+                n_bands,
+                band_rows,
+                n_cand,
+                n_ver,
+                (n_ver / n_cand) if n_cand else 1.0,
+                (n_ver / pooled_n) if pooled_n else 1.0,
+            )
+        )
+    # counts are tiny driver-side scalars (|configs| rows) — assembling
+    # the report frame from them is reporting, not data movement
+    return spark.createDataFrame(
+        rows,
+        "n_bands int, rows_per_band int, n_candidates bigint,"
+        " n_verified bigint, precision double, pooled_recall double",
+    ).orderBy("n_bands")
+
+
 # --- GFS retention plan ------------------------------------------------------
 
 GFS_DAILY_DAYS = 7

@@ -442,6 +442,27 @@ def test_type_mix_shares_sum_to_one_per_week(spark, sf_dir):
     assert all(r.share_delta is None for r in rows if r.week == first_week)
 
 
+def test_lsh_tuning_curve_shape(spark, sf_dir):
+    """More bands ⇒ candidates can only grow (any r-row band match in
+    a coarse split implies a match in a finer split of the same
+    perms... the converse, actually: fewer rows per band is a weaker
+    condition), precision ∈ (0,1], and the finest config reaches
+    pooled recall 1.0 ONLY if it dominates — assert the measured
+    algebra instead: verified ≤ candidates, recall ≤ 1, and the
+    8-band config's candidate count ≥ the 2-band config's."""
+    rows = {
+        (r.n_bands, r.rows_per_band): r
+        for r in all_queries()["dedup_lsh_tuning"].builder(spark, sf_dir).collect()
+    }
+    assert set(rows) == {(2, 8), (4, 4), (8, 2)}
+    for r in rows.values():
+        assert r.n_verified <= r.n_candidates
+        assert 0.0 < r.precision <= 1.0
+        assert 0.0 <= r.pooled_recall <= 1.0
+    assert rows[(8, 2)].n_candidates >= rows[(2, 8)].n_candidates
+    assert rows[(8, 2)].pooled_recall >= rows[(2, 8)].pooled_recall
+
+
 def test_gfs_plan_covers_every_partition_once(spark, sf_dir):
     """Tier counts partition every distinct order date; the daily
     tier holds at most GFS_DAILY_DAYS partitions."""
