@@ -984,6 +984,118 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- source distribution distance (total variation) --------------------------
+
+
+@register(
+    "txt_source_tvd",
+    oracle="""
+    WITH counts AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY source, word
+    ), totals AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS nn FROM counts GROUP BY source
+    ), common AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(ABS(a.n * tb.nn - b.n * ta.nn)) AS BIGINT) AS sum_abs,
+               CAST(SUM(a.n) AS BIGINT) AS common_a,
+               CAST(SUM(b.n) AS BIGINT) AS common_b
+        FROM counts a
+        JOIN counts b ON a.word = b.word AND a.source < b.source
+        JOIN totals ta ON ta.source = a.source
+        JOIN totals tb ON tb.source = b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT c.source_a, c.source_b,
+           CAST((c.sum_abs
+                 + tb.nn * (ta.nn - c.common_a)
+                 + ta.nn * (tb.nn - c.common_b)) AS DOUBLE)
+             / (2.0 * ta.nn * tb.nn) AS tvd
+    FROM common c
+    JOIN totals ta ON ta.source = c.source_a
+    JOIN totals tb ON tb.source = c.source_b
+    ORDER BY source_a, source_b
+    """,
+    description="exact total-variation distance between source unigram distributions (cross-multiplied integers; disjoint mass by closed form, no outer join)",
+)
+def txt_source_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution distance between every source pair as total
+    variation ½Σ|p−q| — the domain-shift number mixture weighting
+    and drift alarms want, computed EXACTLY: shares never appear;
+    each term is the integer cross-product |n_a·N_b − n_b·N_a|, so
+    the sum is exact int64 and order-independent, with ONE double
+    division at the end. KL/JS need logs (not cross-engine
+    bit-stable); TVD bounds JS via Pinsker anyway.
+
+    Scale trick: words present in only one source never join — their
+    mass enters by the closed form N_b·(N_a−Σ_common n_a) +
+    N_a·(N_b−Σ_common n_b), so an INNER word join suffices (no
+    per-pair full-outer explosion); the join is bounded by shared
+    vocab × |source pairs|, and totals broadcast onto the rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    totals = counts.groupBy("source").agg(F.sum("n").cast("bigint").alias("nn"))
+    a, b = counts.alias("a"), counts.alias("b")
+    ta = totals.select(F.col("source").alias("source_a"), F.col("nn").alias("na"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("nn").alias("nb"))
+    common = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.abs(F.col("n_a") * F.col("nb") - F.col("n_b") * F.col("na")))
+            .cast("bigint")
+            .alias("sum_abs"),
+            F.sum("n_a").cast("bigint").alias("common_a"),
+            F.sum("n_b").cast("bigint").alias("common_b"),
+        )
+    )
+    return (
+        common.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            (
+                (
+                    F.col("sum_abs")
+                    + F.col("nb") * (F.col("na") - F.col("common_a"))
+                    + F.col("na") * (F.col("nb") - F.col("common_b"))
+                ).cast("double")
+                / (2.0 * F.col("na") * F.col("nb")).cast("double")
+            ).alias("tvd"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 # --- LSH tuning curve --------------------------------------------------------
 
 LSH_TUNING_CONFIGS = ((2, 8), (4, 4), (8, 2))  # (bands, rows) over 16 perms

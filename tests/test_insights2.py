@@ -34,6 +34,7 @@ NEW_QUERIES = [
     "q_supplier_part_coverage",
     "ev_type_mix_drift",
     "etl_gfs_retention_plan",
+    "txt_source_tvd",
 ]
 
 
@@ -440,6 +441,31 @@ def test_type_mix_shares_sum_to_one_per_week(spark, sf_dir):
         assert abs(s - 1.0) < 1e-9, (wk, s)
     first_week = min(by_week)
     assert all(r.share_delta is None for r in rows if r.week == first_week)
+
+
+def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
+    """Hand-checkable corpus: src A = 'x x y', src B = 'x y y',
+    src C = 'x x y' (identical to A). TVD(A,C)=0, TVD(A,B)=1/3,
+    symmetry in the canonical (a<b) orientation."""
+    import pytest as _pytest
+
+    rows_in = [
+        (1, "x x y", "en", "a", 5),
+        (2, "x y y", "en", "b", 5),
+        (3, "x x y", "en", "c", 5),
+    ]
+    docs = spark.createDataFrame(
+        rows_in, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    d = str(tmp_path / "sf")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        (r.source_a, r.source_b): r.tvd
+        for r in all_queries()["txt_source_tvd"].builder(spark, d).collect()
+    }
+    assert got[("a", "c")] == 0.0
+    assert got[("a", "b")] == _pytest.approx(1 / 3)
+    assert got[("b", "c")] == _pytest.approx(1 / 3)
 
 
 def test_lsh_tuning_curve_shape(spark, sf_dir):
