@@ -984,6 +984,158 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- ANN tuning curve --------------------------------------------------------
+
+
+@register(
+    "ann_tuning_curve",
+    oracle=None,  # multi-strategy loop with driver-assembled scalars —
+    # pytest gates the recall/scan-fraction monotonicity
+    description="ANN strategy tuning table: measured scan fraction vs recall@k for own-bucket / multiprobe / brute force",
+)
+def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured compute-vs-recall trade for the similarity
+    family, one row per search strategy: exact brute force (scan
+    fraction 1.0, recall 1.0 by definition), own-IVF-bucket
+    (~1/256 scan), and Hamming-1 multiprobe (~9/256) — the table
+    that justifies which path a 100 TB corpus runs. Companion to
+    dedup_lsh_tuning: every approximate operator in this engine
+    ships with its error measured, not asserted.
+
+    Scale: candidates and hits are counted with distributed
+    aggregates; only |strategies| scalar rows reach the driver. The
+    ground truth reuses brute_force_topk on the same deterministic
+    query shard, so recall is against the true top-k, not a pooled
+    proxy.
+    """
+    from lime_etl_spark.operators.similarity import (
+        QUERY_MOD,
+        TOP_K,
+        brute_force_topk,
+        dot,
+        ivf_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", ivf_bucket(F.col("embedding"))
+    ).persist()
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0).persist()
+    n_q = queries.count()
+    n_v = emb.count()
+
+    truth = (
+        brute_force_topk(
+            queries.select("vec_id", "embedding"), emb.select("vec_id", "embedding")
+        )
+        .select(
+            F.col("q_vec_id").alias("q"),
+            F.col("n_vec_id").alias("n"),
+        )
+        .persist()
+    )
+
+    def probe(strategy: str, bucket_cond) -> tuple:
+        q, v = queries.alias("q"), emb.alias("v")
+        cand = q.join(
+            F.broadcast(v) if n_q * n_v < 10**8 else v,
+            bucket_cond & (F.col("q.vec_id") != F.col("v.vec_id")),
+        ).select(
+            F.col("q.vec_id").alias("q"),
+            F.col("v.vec_id").alias("n"),
+            (
+                dot(F.col("q.embedding"), F.col("v.embedding"))
+                / (
+                    F.sqrt(dot(F.col("q.embedding"), F.col("q.embedding")))
+                    * F.sqrt(dot(F.col("v.embedding"), F.col("v.embedding")))
+                )
+            ).alias("cosine"),
+        )
+        n_cand = cand.count()
+        w = Window.partitionBy("q").orderBy(F.desc("cosine"), "n")
+        topk = cand.withColumn("r", F.row_number().over(w)).where(F.col("r") <= TOP_K)
+        hits = topk.join(truth, ["q", "n"]).count()
+        return (
+            strategy,
+            n_cand / (n_q * (n_v - 1)),
+            hits / (n_q * TOP_K),
+        )
+
+    def hamming1(a, b):
+        # popcount(xor) <= 1 over the 8-bit sign bucket
+        x = a.bitwiseXOR(b)
+        ones = sum(
+            F.when(x.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(0) for i in range(8)
+        )
+        return ones <= 1
+
+    def probe_trained() -> tuple:
+        from lime_etl_spark.functions.clustering import (
+            kmeans_fit,
+            nearest_centroid,
+            nearest_centroids,
+        )
+        from lime_etl_spark.operators.similarity import (
+            KMEANS_ITERS,
+            KMEANS_K,
+            N_PROBE_CENTROIDS,
+        )
+
+        centroids = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+        v = emb.withColumn(
+            "cell",
+            nearest_centroid(F.col("embedding").cast("array<double>"), centroids),
+        ).alias("v")
+        q = queries.withColumn(
+            "probe",
+            F.explode(
+                nearest_centroids(
+                    F.col("embedding").cast("array<double>"),
+                    centroids,
+                    N_PROBE_CENTROIDS,
+                )
+            ),
+        ).alias("q")
+        cand = (
+            F.broadcast(q)
+            .join(
+                v,
+                (F.col("q.probe") == F.col("v.cell"))
+                & (F.col("q.vec_id") != F.col("v.vec_id")),
+            )
+            .select(
+                F.col("q.vec_id").alias("q"),
+                F.col("v.vec_id").alias("n"),
+                (
+                    dot(F.col("q.embedding"), F.col("v.embedding"))
+                    / (
+                        F.sqrt(dot(F.col("q.embedding"), F.col("q.embedding")))
+                        * F.sqrt(dot(F.col("v.embedding"), F.col("v.embedding")))
+                    )
+                ).alias("cosine"),
+            )
+        )
+        n_cand = cand.count()
+        w = Window.partitionBy("q").orderBy(F.desc("cosine"), "n")
+        topk = cand.withColumn("r", F.row_number().over(w)).where(F.col("r") <= TOP_K)
+        hits = topk.join(truth, ["q", "n"]).count()
+        return (
+            f"ivf_trained_{N_PROBE_CENTROIDS}of{KMEANS_K}",
+            n_cand / (n_q * (n_v - 1)),
+            hits / (n_q * TOP_K),
+        )
+
+    rows = [
+        probe("own_signbucket", F.col("q.bucket") == F.col("v.bucket")),
+        probe("multiprobe_h1", hamming1(F.col("q.bucket"), F.col("v.bucket"))),
+        probe_trained(),
+        ("brute_force", 1.0, 1.0),
+    ]
+    emb.unpersist()
+    return spark.createDataFrame(
+        rows, "strategy string, scan_fraction double, recall_at_k double"
+    ).orderBy("scan_fraction")
+
+
 # --- source distribution distance (total variation) --------------------------
 
 

@@ -468,6 +468,22 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("b", "c")] == _pytest.approx(1 / 3)
 
 
+def test_ann_tuning_curve_is_monotone_in_scan_fraction(spark, sf_dir):
+    """Recall@k must not decrease as scan fraction grows; brute force
+    anchors at (1.0, 1.0); every fraction ∈ (0,1]."""
+    rows = sorted(
+        all_queries()["ann_tuning_curve"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.scan_fraction,
+    )
+    assert rows[-1].strategy == "brute_force"
+    assert rows[-1].recall_at_k == 1.0
+    recalls = [r.recall_at_k for r in rows]
+    assert recalls == sorted(recalls)
+    for r in rows:
+        assert 0.0 < r.scan_fraction <= 1.0
+        assert 0.0 <= r.recall_at_k <= 1.0
+
+
 def test_lsh_tuning_curve_shape(spark, sf_dir):
     """More bands ⇒ candidates can only grow (any r-row band match in
     a coarse split implies a match in a finer split of the same
