@@ -984,6 +984,141 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- Bloom filter sketch -----------------------------------------------------
+
+BLOOM_BITS = 1 << 14  # m
+BLOOM_HASHES = 3  # k
+
+
+def _bloom_oracle() -> str:
+    probes = ", ".join(str(i) for i in range(BLOOM_HASHES))
+    return f"""
+    WITH buyers AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+    ), bits AS (
+        SELECT DISTINCT {shingle_int_sql("'bf' || CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)")} % {BLOOM_BITS} AS pos
+        FROM buyers, (SELECT unnest([{probes}]) AS i)
+    ), probe_keys AS (
+        -- members AND guaranteed non-members (shifted keys), so the
+        -- false-positive rate is actually exercised
+        SELECT c_custkey AS k FROM customer
+        UNION ALL
+        SELECT c_custkey + 10000000 FROM customer
+    ), probe_pos AS (
+        SELECT p.k,
+               {shingle_int_sql("'bf' || CAST(i AS VARCHAR) || ':' || CAST(p.k AS VARCHAR)")} % {BLOOM_BITS} AS pos
+        FROM probe_keys p, (SELECT unnest([{probes}]) AS i)
+    ), verdicts AS (
+        SELECT p.k,
+               COUNT(*) FILTER (WHERE b.pos IS NOT NULL) = {BLOOM_HASHES} AS reported
+        FROM probe_pos p LEFT JOIN bits b ON b.pos = p.pos
+        GROUP BY p.k
+    ), truth AS (
+        SELECT v.k, v.reported, (b.k IS NOT NULL) AS actual
+        FROM verdicts v LEFT JOIN buyers b ON b.k = v.k
+    )
+    SELECT CAST((SELECT COUNT(*) FROM buyers) AS BIGINT) AS n_inserted,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(COUNT(*) FILTER (WHERE reported) AS BIGINT) AS n_reported,
+           CAST(COUNT(*) FILTER (WHERE actual) AS BIGINT) AS n_true_members,
+           CAST(COUNT(*) FILTER (WHERE reported AND NOT actual) AS BIGINT)
+               AS n_false_positives,
+           CAST(COUNT(*) FILTER (WHERE NOT reported AND actual) AS BIGINT)
+               AS n_false_negatives
+    FROM truth
+    """
+
+
+@register(
+    "sketch_bloom_filter",
+    oracle=_bloom_oracle(),
+    description=f"Bloom-filter membership sketch ({BLOOM_BITS} bits, {BLOOM_HASHES} hashes) with exact-truth audit — md5-bridge hashing makes DuckDB replay the filter EXACTLY",
+)
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter as a first-class mergeable sketch: the set-bit
+    positions of the buyers keyset (m={BLOOM_BITS}, k={BLOOM_HASHES})
+    probed by every customer, with the exact-truth confusion counts —
+    false negatives MUST be zero (the Bloom guarantee, pytest-gated),
+    false positives are the measured price of the {BLOOM_BITS}-bit
+    budget. Like sketch_heavy_hitters, the arithmetic md5-bridge
+    hashing means the ORACLE replays the sketch bit-for-bit.
+
+    Scale: the filter state is ≤m DISTINCT positions — mergeable by
+    union across partitions/days exactly like the CMS counters add;
+    the probe is an equi-join on position (bits side broadcast at
+    any realistic m), reduced per key by a count==k flag. At 100 TB
+    this is the pre-join existence screen for keys too numerous to
+    broadcast raw — the hand-rolled twin of the runtime
+    bloom-pruning the session enables, exposed as data.
+    """
+    from lime_etl_spark.functions.text import shingle_int
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    buyers = orders.select(F.col("o_custkey").alias("k")).distinct().persist()
+    idx = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_HASHES)])).alias("i")
+
+    def positions(df: DataFrame, key: str) -> DataFrame:
+        return df.select(F.col(key).alias("k"), idx).select(
+            "k",
+            (
+                shingle_int(
+                    F.concat(
+                        F.lit("bf"),
+                        F.col("i").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    )
+                )
+                % BLOOM_BITS
+            ).alias("pos"),
+        )
+
+    bits = positions(buyers, "k").select("pos").distinct().persist()
+    # probe members AND guaranteed non-members (shifted keys) so the
+    # false-positive rate is actually exercised
+    probe_keys = customer.select(F.col("c_custkey").alias("k")).unionByName(
+        customer.select((F.col("c_custkey") + 10_000_000).alias("k"))
+    )
+    probe = positions(probe_keys, "k")
+    verdicts = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("k")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) == BLOOM_HASHES).alias("reported"))
+    )
+    truth = verdicts.join(
+        buyers.withColumn("actual", F.lit(True)), "k", "left"
+    ).withColumn("actual", F.coalesce("actual", F.lit(False)))
+    n_inserted = buyers.select(F.count(F.lit(1)).alias("v"))
+    n_bits = bits.select(F.count(F.lit(1)).alias("v"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    report = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        flag(F.col("reported")).alias("n_reported"),
+        flag(F.col("actual")).alias("n_true_members"),
+        flag(F.col("reported") & ~F.col("actual")).alias("n_false_positives"),
+        flag(~F.col("reported") & F.col("actual")).alias("n_false_negatives"),
+    )
+    return (
+        report.crossJoin(
+            F.broadcast(n_inserted.select(F.col("v").cast("bigint").alias("n_inserted")))
+        )
+        .crossJoin(
+            F.broadcast(n_bits.select(F.col("v").cast("bigint").alias("n_bits_set")))
+        )
+        .select(
+            "n_inserted",
+            "n_bits_set",
+            "n_probes",
+            "n_reported",
+            "n_true_members",
+            "n_false_positives",
+            "n_false_negatives",
+        )
+    )
+
+
 # --- ANN tuning curve --------------------------------------------------------
 
 

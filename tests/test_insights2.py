@@ -35,6 +35,7 @@ NEW_QUERIES = [
     "ev_type_mix_drift",
     "etl_gfs_retention_plan",
     "txt_source_tvd",
+    "sketch_bloom_filter",
 ]
 
 
@@ -466,6 +467,22 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_bloom_guarantees(spark, sf_dir):
+    """The Bloom contract: ZERO false negatives always; the measured
+    false-positive rate on non-member probes stays within 3× the
+    theoretical (fill_ratio)^k bound."""
+    from lime_etl_spark.operators.insights2 import BLOOM_BITS, BLOOM_HASHES
+
+    r = all_queries()["sketch_bloom_filter"].builder(spark, sf_dir).collect()[0]
+    assert r.n_false_negatives == 0
+    assert r.n_reported == r.n_true_members + r.n_false_positives
+    n_non_members = r.n_probes - r.n_true_members
+    if n_non_members:
+        fpr = r.n_false_positives / n_non_members
+        theoretical = (r.n_bits_set / BLOOM_BITS) ** BLOOM_HASHES
+        assert fpr <= 3 * theoretical + 0.01, (fpr, theoretical)
 
 
 def test_ann_tuning_curve_is_monotone_in_scan_fraction(spark, sf_dir):

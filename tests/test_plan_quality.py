@@ -445,6 +445,10 @@ def test_repeated_spans_single_scan_via_exchange_reuse(spark, sf_dir):
     second consumer from the first's shuffle files (ReusedExchange),
     leaving exactly ONE scan of documents — the property that halves
     the corpus IO at 100 TB."""
+    # hermetic: another test's persisted lineage over documents would
+    # swap the parquet scan for an InMemoryRelation and break the
+    # scan-count assertion (seen flaky only under the full suite)
+    spark.catalog.clearCache()
     plan = final_plan_of(spark, sf_dir, "dedup_repeated_spans").split(
         "== Initial Plan =="
     )[0]
