@@ -984,6 +984,228 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- SCD3 current + previous -------------------------------------------------
+
+
+@register(
+    "etl_scd3_current_prev",
+    oracle="""
+    SELECT user_id, value AS current_value, prev_value,
+           ts_us AS changed_at_us
+    FROM (
+        SELECT user_id, value, epoch_us(ts) AS ts_us,
+               LAG(value) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS prev_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    description="SCD-3 dimension view: current + immediately-previous value per key in one pass (completes SCD1/2/3 + PIT coverage)",
+)
+def etl_scd3_current_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 3 — the 'current and previous' dimension shape for
+    consumers who only ever ask 'what changed last' (one column of
+    history instead of SCD2's row-per-version). Together with upsert
+    (SCD1), scd2/PIT and CDC merge this completes the slowly-changing
+    toolbox.
+
+    Scale: BOTH windows (lag in ascending change order, row_number in
+    descending) partition by the key, so Spark plans ONE user_id
+    exchange with two sorts — the q_order_gaps pattern; output is one
+    row per key.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    us = F.unix_micros("ts")
+    w_asc = Window.partitionBy("user_id").orderBy(us, "event_id")
+    w_desc = Window.partitionBy("user_id").orderBy(us.desc(), F.col("event_id").desc())
+    return (
+        ev.select(
+            "user_id",
+            "value",
+            us.alias("ts_us"),
+            F.lag("value").over(w_asc).alias("prev_value"),
+            F.row_number().over(w_desc).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("current_value"),
+            "prev_value",
+            F.col("ts_us").alias("changed_at_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- revenue-decile migration matrix ----------------------------------------
+
+
+@register(
+    "q_decile_transition_matrix",
+    oracle="""
+    WITH cy AS (
+        SELECT o_custkey, EXTRACT(YEAR FROM o_orderdate) AS yr,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders GROUP BY o_custkey, yr
+    ), ranked AS (
+        SELECT o_custkey, yr,
+               NTILE(10) OVER (PARTITION BY yr ORDER BY rev DESC, o_custkey)
+                   AS decile
+        FROM cy
+    )
+    SELECT a.decile AS from_decile, b.decile AS to_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM ranked a
+    JOIN ranked b ON b.o_custkey = a.o_custkey AND b.yr = a.yr + 1
+    GROUP BY from_decile, to_decile
+    ORDER BY from_decile, to_decile
+    """,
+    description="customer revenue-decile migration matrix between consecutive years (CRM mobility — who moves up/down)",
+)
+def q_decile_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer mobility: the 10×10 matrix of revenue-decile
+    transitions between consecutive years — diagonal mass = a stable
+    base, lower-triangle = churn risk sliding down, upper = growth
+    accounts. The decile expression matches q_revenue_deciles'
+    (rev desc, custkey ntile) so 'decile' means the same thing
+    across reports.
+
+    Scale: orders reduce to (customer, year) revenue FIRST
+    (decimal-exact); the ntile windows run per year over that rollup;
+    the transition self-join is an equi-join on (customer, year+1)
+    over the rollup grain, and the output is ≤100 cells.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cy = orders.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(F.sum(dec("o_totalprice", 2, 12)).alias("rev"))
+    w = Window.partitionBy("yr").orderBy(F.desc("rev"), "o_custkey")
+    ranked = cy.select("o_custkey", "yr", F.ntile(10).over(w).alias("decile")).persist()
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.o_custkey") == F.col("a.o_custkey"))
+            & (F.col("b.yr") == F.col("a.yr") + 1),
+        )
+        .groupBy(
+            F.col("a.decile").alias("from_decile"),
+            F.col("b.decile").alias("to_decile"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("from_decile", "to_decile")
+    )
+
+
+# --- skip-gram co-occurrence lift -------------------------------------------
+
+SKIPGRAM_MIN_COUNT = 5
+SKIPGRAM_TOP_K = 50
+
+
+@register(
+    "txt_skipgram_lift",
+    oracle=f"""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+    ), pairs AS (
+        SELECT p.w1, p.w2
+        FROM toks, unnest(
+            [struct_pack(w1 := t[i+1], w2 := t[i+2]) for i in range(len(t)-1)]
+            || [struct_pack(w1 := t[i+1], w2 := t[i+3]) for i in range(len(t)-2)]
+        ) AS u(p)
+    ), pc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM pairs GROUP BY w1, w2
+    ), uni AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest(t) AS word FROM toks
+        ) GROUP BY word
+    ), tot AS (
+        SELECT CAST((SELECT SUM(n) FROM uni) AS BIGINT) AS n_u,
+               CAST((SELECT SUM(n_ab) FROM pc) AS BIGINT) AS n_p
+    )
+    SELECT p.w1, p.w2, p.n_ab,
+           ua.n AS n_a, ub.n AS n_b,
+           CAST(p.n_ab AS DOUBLE) * t.n_u * t.n_u
+             / (CAST(t.n_p AS DOUBLE) * ua.n * ub.n) AS lift
+    FROM pc p
+    JOIN uni ua ON ua.word = p.w1
+    JOIN uni ub ON ub.word = p.w2
+    CROSS JOIN tot t
+    WHERE p.n_ab >= {SKIPGRAM_MIN_COUNT}
+    ORDER BY p.n_ab DESC, p.w1, p.w2
+    LIMIT {SKIPGRAM_TOP_K}
+    """,
+    description="skip-gram (window ≤2) co-occurrence lift — the log-free PMI table word-vector pipelines start from",
+)
+def txt_skipgram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence within a ±2-token window scored by lift
+    n_ab·N_u²/(N_p·n_a·n_b) — rank-equivalent to PMI without logs
+    (log is monotone), so this IS the collocation/PMI table an
+    embedding pipeline starts from.
+
+    Scale: pair generation is a ROW-LOCAL array transform (both
+    skip distances built in one concat'd inline array → ONE explode;
+    never a per-distance union re-scanning the corpus); the pair
+    rollup combines map-side and is vocab²-bounded with the count
+    floor killing the tail in the partial agg. Unigram counts and
+    the 1-row totals broadcast onto the surviving rollup. The final
+    lift is one double expression evaluated in identical order on
+    both engines; top-k orders by exact counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    empty = "cast(array() as array<struct<w1:string,w2:string>>)"
+    pair_expr = (
+        "concat("
+        f"if(size(t) >= 2, transform(sequence(0, size(t)-2),"
+        f" i -> struct(t[i] as w1, t[i+1] as w2)), {empty}),"
+        f"if(size(t) >= 3, transform(sequence(0, size(t)-3),"
+        f" i -> struct(t[i] as w1, t[i+2] as w2)), {empty})"
+        ")"
+    )
+    toks = docs.select(F.split("text", " ").alias("t")).persist()
+    pairs = toks.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= SKIPGRAM_MIN_COUNT)
+    )
+    uni = (
+        toks.select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    tot = uni.agg(F.sum("n").cast("bigint").alias("n_u")).crossJoin(
+        pairs.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_p"))
+    )
+    ua = uni.select(F.col("word").alias("w1"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("word").alias("w2"), F.col("n").alias("n_b"))
+    return (
+        pc.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_ab").cast("double") * F.col("n_u") * F.col("n_u")
+                / (F.col("n_p").cast("double") * F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "w1", "w2")
+        .limit(SKIPGRAM_TOP_K)
+    )
+
+
 # --- Bloom filter sketch -----------------------------------------------------
 
 BLOOM_BITS = 1 << 14  # m

