@@ -984,6 +984,138 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- skyline (Pareto front) --------------------------------------------------
+
+
+@register(
+    "q_skyline_parts",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_brand,
+               CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents,
+               p_size
+        FROM part
+    ), scanned AS (
+        SELECT p_partkey, p_brand, price_cents, p_size,
+               MIN(p_size) OVER (ORDER BY price_cents
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS min_cheaper_size,
+               MIN(p_size) OVER (PARTITION BY price_cents) AS min_same_price_size
+        FROM p
+    )
+    SELECT p_partkey, p_brand,
+           CAST(price_cents AS DOUBLE) / 100 AS retail_price,
+           p_size
+    FROM scanned
+    WHERE (min_cheaper_size IS NULL OR p_size < min_cheaper_size)
+      AND p_size <= min_same_price_size
+    ORDER BY price_cents, p_partkey
+    """,
+    description="skyline / Pareto front (min price, min size): classic skyline operator as ONE monotone-chain window pass, never the O(n²) dominance self-join",
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skyline (Pareto-front) operator: parts not dominated on
+    (retail price, size) — no other part is ≤ in both dimensions and
+    < in one. Skylines power 'best trade-off' screens (cheapest
+    part at each size class, most-economical supplier, …) and are a
+    named operator in several reference engines.
+
+    Scale: the textbook formulation is an O(n²) dominance self-join.
+    For 2-D the skyline is a MONOTONE CHAIN: sort by price, keep rows
+    whose size beats the running minimum over all strictly-cheaper
+    rows — one window pass. Prices move as exact integer cents so
+    the strictly-cheaper RANGE frame ('1 PRECEDING' on cents) is
+    well-defined; the equal-price group keeps only its minimal sizes
+    (ties on both dims are mutually non-dominating and all survive).
+    Runs on the dim-sized part table (the global sort is a documented
+    one-task step, same as cur_rarity_score's vocab sort); the fact
+    tables never enter.
+    """
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_brand",
+        (dec("p_retailprice", 2, 12) * 100).cast("bigint").alias("price_cents"),
+        "p_size",
+    )
+    w_cheaper = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_cents")
+    scanned = p.select(
+        "p_partkey",
+        "p_brand",
+        "price_cents",
+        "p_size",
+        F.min("p_size").over(w_cheaper).alias("min_cheaper_size"),
+        F.min("p_size").over(w_same).alias("min_same_price_size"),
+    )
+    return (
+        scanned.where(
+            (
+                F.col("min_cheaper_size").isNull()
+                | (F.col("p_size") < F.col("min_cheaper_size"))
+            )
+            & (F.col("p_size") <= F.col("min_same_price_size"))
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            (F.col("price_cents").cast("double") / 100).alias("retail_price"),
+            "p_size",
+        )
+        .orderBy("retail_price", "p_partkey")
+    )
+
+
+# --- partition write-skew report --------------------------------------------
+
+
+@register(
+    "etl_partition_skew_report",
+    oracle="""
+    WITH per_day AS (
+        SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderdate
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(MIN(n) AS BIGINT) AS min_rows,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n) AS skew_factor
+    FROM per_day
+    """,
+    description="date-partition write-skew profile: max/avg partition-size ratio (the repartitionByRange trigger)",
+)
+def etl_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-skew screen for a date-partitioned fact: rows per
+    partition date reduced to (count, min, max, skew_factor =
+    max/mean). A skew factor near 1 means even partitions; >>1 means
+    the biggest partition dominates wall-clock on write AND read —
+    the trigger for repartitionByRange / salting before the write
+    (the write-side sibling of dq_join_skew).
+
+    Scale: one map-side-combining count per date, then a 1-row
+    reduce; the ratio is a single double expression over exact
+    counters, evaluated in identical order on both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_day = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return per_day.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+        F.min("n").cast("bigint").alias("min_rows"),
+        F.max("n").cast("bigint").alias("max_rows"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        (
+            F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n")
+        ).alias("skew_factor"),
+    )
+
+
 # --- SCD3 current + previous -------------------------------------------------
 
 

@@ -39,6 +39,8 @@ NEW_QUERIES = [
     "etl_scd3_current_prev",
     "q_decile_transition_matrix",
     "txt_skipgram_lift",
+    "q_skyline_parts",
+    "etl_partition_skew_report",
 ]
 
 
@@ -470,6 +472,49 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_skyline_equals_brute_force_dominance(spark, sf_dir):
+    """The one-pass monotone-chain skyline must equal the O(n²)
+    dominance definition computed brute-force on the collected dim."""
+    from lime_etl_spark.sources.readers import load_table
+
+    parts = [
+        (r.p_partkey, int(round(r.p_retailprice * 100)), r.p_size)
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(row):
+        k, price, size = row
+        return any(
+            p2 <= price and s2 <= size and (p2 < price or s2 < size)
+            for k2, p2, s2 in parts
+            if k2 != k
+        )
+
+    expected = {k for (k, p, s) in parts if not dominated((k, p, s))}
+    got = {
+        r.p_partkey
+        for r in all_queries()["q_skyline_parts"].builder(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_partition_skew_algebra(spark, sf_dir):
+    """min ≤ max, totals conserve, and skew_factor = max·n/total."""
+    import pytest as _pytest
+
+    from lime_etl_spark.sources.readers import load_table
+
+    r = all_queries()["etl_partition_skew_report"].builder(spark, sf_dir).collect()[0]
+    assert r.min_rows <= r.max_rows
+    assert r.total_rows == load_table(spark, sf_dir, "orders").count()
+    assert r.skew_factor == _pytest.approx(
+        r.max_rows * r.n_partitions / r.total_rows
+    )
+    assert r.skew_factor >= 1.0
 
 
 def test_scd3_matches_scd2_current_version(spark, sf_dir):
