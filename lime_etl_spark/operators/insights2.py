@@ -984,6 +984,163 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- Neyman allocation -------------------------------------------------------
+
+
+@register(
+    "samp_neyman_alloc",
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS s1,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs,
+           CAST(s1 AS DOUBLE) / n_docs AS mean_chars,
+           sqrt(CASE WHEN CAST(s2 AS DOUBLE) / n_docs
+                          - (CAST(s1 AS DOUBLE) / n_docs) * (CAST(s1 AS DOUBLE) / n_docs) > 0
+                     THEN CAST(s2 AS DOUBLE) / n_docs
+                          - (CAST(s1 AS DOUBLE) / n_docs) * (CAST(s1 AS DOUBLE) / n_docs)
+                     ELSE 0 END) AS std_chars,
+           n_docs * sqrt(CASE WHEN CAST(s2 AS DOUBLE) / n_docs
+                          - (CAST(s1 AS DOUBLE) / n_docs) * (CAST(s1 AS DOUBLE) / n_docs) > 0
+                     THEN CAST(s2 AS DOUBLE) / n_docs
+                          - (CAST(s1 AS DOUBLE) / n_docs) * (CAST(s1 AS DOUBLE) / n_docs)
+                     ELSE 0 END) AS neyman_weight
+    FROM s
+    ORDER BY lang
+    """,
+    description="Neyman optimal sample allocation per stratum: N_h·S_h weights from exact integer sums (un-normalized — consumer divides)",
+)
+def samp_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal (Neyman) stratified-sampling allocation: for a fixed
+    labeling/eval budget, stratum h should get n·N_h·S_h/ΣN·S draws —
+    big AND variable strata earn more samples than proportional
+    allocation gives them. This emits the N_h·S_h weights per
+    language; proportional allocation (samp_stratified) is what you
+    run when you haven't measured S_h — this table is the upgrade.
+
+    Determinism: variance from exact integer Σx/Σx² (the
+    ev_anomaly_zscore discipline — built-in STDDEV is not
+    bit-reproducible), clamped pre-sqrt; the weight stays
+    UN-normalized because Σ of per-stratum doubles is
+    engine-order-dependent (same rule as samp_mixture_stats) — the
+    consumer divides by their own total. One counters-only rollup to
+    |langs| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_docs")
+    var = F.col("s2").cast("double") / F.col("n_docs") - mean * mean
+    std = F.sqrt(F.when(var > 0, var).otherwise(0.0))
+    return s.select(
+        "lang",
+        "n_docs",
+        mean.alias("mean_chars"),
+        std.alias("std_chars"),
+        (F.col("n_docs") * std).alias("neyman_weight"),
+    ).orderBy("lang")
+
+
+# --- k-core decomposition ----------------------------------------------------
+
+KCORE_K = 2
+KCORE_MAX_ITERATIONS = 50
+
+
+def k_core(vertices: DataFrame, edges: DataFrame, k: int = KCORE_K,
+           max_iterations: int = KCORE_MAX_ITERATIONS) -> DataFrame:
+    """Vertices of the k-core: the maximal subgraph where every vertex
+    keeps degree ≥ k — computed by iterative peeling (remove
+    degree<k vertices, recompute, repeat to fixpoint). The 2-core
+    strips pendant/chain near-dup links and leaves only the genuinely
+    clustered mass; peeling order never changes the result (the
+    k-core is unique), so the loop is deterministic.
+
+    Scale: each round is one degree count over the alive edge set +
+    a semi-join filter — all hashed on vertex id; rounds
+    localCheckpoint to stop lineage growth (the CC/LP/PageRank
+    discipline). Peeling rounds are bounded by the degeneracy
+    ordering depth, not vertex count.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    alive = vertices.select("vid").localCheckpoint()
+    n_alive = alive.count()
+    for _ in range(max_iterations):
+        live_edges = (
+            sym.join(alive.withColumnRenamed("vid", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+        )
+        deg = live_edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        nxt = (
+            deg.where(F.col("deg") >= k)
+            .select(F.col("src").alias("vid"))
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        alive = nxt
+        if n_nxt == n_alive:
+            break
+        n_alive = n_nxt
+    else:
+        raise RuntimeError(f"k_core did not converge in {max_iterations} rounds")
+    sym.unpersist()
+    return alive
+
+
+@register(
+    "graph_kcore_summary",
+    oracle=None,  # iterative peeling — pytest proves the analytic
+    # cases (cliques survive, chains dissolve, pendants strip)
+    description=f"{KCORE_K}-core of the near-dup graph: clustered mass after stripping pendant/chain links",
+)
+def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the near-dup graph is REAL clustering: the 2-core
+    drops pendant vertices and chains (one accidental shared shingle)
+    and keeps vertices embedded in at least a cycle — the robust
+    denominator for 'how duplicated is this corpus' beside
+    graph_degree_distribution's raw counts."""
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
+        F.col("jaccard") >= JACCARD_TAU
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).persist()
+    active = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .persist()
+    )
+    core = k_core(active, edges, k=KCORE_K)
+    sh.unpersist()
+    n_active = active.count()
+    n_core = core.count()
+    return spark.createDataFrame(
+        [(KCORE_K, n_active, n_core, (n_core / n_active) if n_active else 0.0)],
+        "k int, n_active_vertices bigint, n_kcore_vertices bigint, core_share double",
+    )
+
+
 # --- skyline (Pareto front) --------------------------------------------------
 
 

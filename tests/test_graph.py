@@ -339,3 +339,24 @@ def test_pagerank_top_is_ordered_and_bounded(spark, sf_dir):
     keys = [(-r.pagerank, r.vid) for r in rows]
     assert keys == sorted(keys)
     assert all(r.degree >= 1 for r in rows)
+
+
+def test_kcore_analytic_cases(spark):
+    """Peeling fixpoints: a 4-clique IS its own 3-core; a 5-chain has
+    an empty 2-core (ends peel and the chain cascades); a clique with
+    a pendant strips exactly the pendant at k=2."""
+    from lime_etl_spark.operators.insights2 import k_core
+
+    def run(vids, edges_py, k):
+        vs = spark.createDataFrame([(v,) for v in vids], ["vid"])
+        es = spark.createDataFrame(edges_py, ["src", "dst"])
+        return {r.vid for r in k_core(vs, es, k=k).collect()}
+
+    clique = [(a, b) for i, a in enumerate([1, 2, 3, 4]) for b in [1, 2, 3, 4][i + 1 :]]
+    assert run([1, 2, 3, 4], clique, 3) == {1, 2, 3, 4}
+
+    chain = [(i, i + 1) for i in range(1, 5)]
+    assert run(list(range(1, 6)), chain, 2) == set()
+
+    pendant = clique + [(4, 9)]
+    assert run([1, 2, 3, 4, 9], pendant, 2) == {1, 2, 3, 4}

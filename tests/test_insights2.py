@@ -41,6 +41,7 @@ NEW_QUERIES = [
     "txt_skipgram_lift",
     "q_skyline_parts",
     "etl_partition_skew_report",
+    "samp_neyman_alloc",
 ]
 
 
@@ -472,6 +473,19 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_neyman_weight_algebra(spark, sf_dir):
+    """weight == n_docs·std exactly; std ≥ 0; strata cover all docs."""
+    import pytest as _pytest
+
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["samp_neyman_alloc"].builder(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r.std_chars >= 0
+        assert r.neyman_weight == _pytest.approx(r.n_docs * r.std_chars)
 
 
 def test_skyline_equals_brute_force_dominance(spark, sf_dir):
