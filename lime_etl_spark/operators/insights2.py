@@ -984,6 +984,155 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- top movers --------------------------------------------------------------
+
+TOP_MOVERS_K = 25
+
+
+@register(
+    "q_top_movers",
+    oracle=f"""
+    WITH py AS (
+        SELECT l_partkey, EXTRACT(YEAR FROM l_shipdate) AS yr,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+        FROM lineitem GROUP BY l_partkey, yr
+    ), lagged AS (
+        SELECT l_partkey, yr, rev,
+               LAG(rev) OVER (PARTITION BY l_partkey ORDER BY yr) AS prev_rev,
+               yr - LAG(yr) OVER (PARTITION BY l_partkey ORDER BY yr) AS yr_gap
+        FROM py
+    )
+    SELECT l_partkey, CAST(yr AS BIGINT) AS yr,
+           CAST(rev AS DOUBLE) AS rev,
+           CAST(prev_rev AS DOUBLE) AS prev_rev,
+           CAST(rev - prev_rev AS DOUBLE) AS delta
+    FROM lagged
+    WHERE prev_rev IS NOT NULL AND yr_gap = 1
+    ORDER BY ABS(CAST(rev - prev_rev AS DOUBLE)) DESC, l_partkey, yr
+    LIMIT {TOP_MOVERS_K}
+    """,
+    description="biggest YoY part-revenue movers (consecutive years only): decimal-exact deltas over the part×year rollup, total-order top-k",
+)
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'what changed most' report: parts whose revenue moved the
+    most between consecutive years, signed delta included — the
+    triage list a category manager reads before the averages.
+
+    Scale: the fact reduces to the part×year decimal rollup first;
+    the lag window runs at rollup grain; a year-gap guard keeps
+    non-consecutive comparisons out (a part dormant for a year is a
+    re-entry, not a mover). Deltas are exact decimal subtractions
+    converted once; the top-k order (|delta| desc, part, year) is a
+    total order so the LIMIT boundary is deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        "l_partkey", F.year("l_shipdate").alias("yr")
+    ).agg(F.sum(dec("l_extendedprice", 2, 12)).alias("rev"))
+    w = Window.partitionBy("l_partkey").orderBy("yr")
+    lagged = py.select(
+        "l_partkey",
+        F.col("yr").cast("bigint").alias("yr"),
+        "rev",
+        F.lag("rev").over(w).alias("prev_rev"),
+        (F.col("yr") - F.lag("yr").over(w)).alias("yr_gap"),
+    )
+    return (
+        lagged.where(F.col("prev_rev").isNotNull() & (F.col("yr_gap") == 1))
+        .select(
+            "l_partkey",
+            "yr",
+            to_double(F.col("rev")).alias("rev"),
+            to_double(F.col("prev_rev")).alias("prev_rev"),
+            to_double(F.col("rev") - F.col("prev_rev")).alias("delta"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), "l_partkey", "yr")
+        .limit(TOP_MOVERS_K)
+    )
+
+
+# --- id-space audit -----------------------------------------------------------
+
+_ID_COLUMNS = {
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "events": "event_id",
+    "documents": "doc_id",
+}
+
+
+def _id_space_oracle() -> str:
+    legs = [
+        f"SELECT '{tbl}' AS tbl, '{col}' AS id_col,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_ids,"
+        f" CAST(MIN({col}) AS BIGINT) AS min_id,"
+        f" CAST(MAX({col}) AS BIGINT) AS max_id"
+        f" FROM {tbl}"
+        for tbl, col in _ID_COLUMNS.items()
+    ]
+    union = "\n    UNION ALL ".join(legs)
+    return f"""
+    SELECT tbl, id_col, n_rows, n_ids, min_id, max_id,
+           CAST(n_ids AS DOUBLE) / (max_id - min_id + 1) AS density
+    FROM ({union})
+    ORDER BY tbl
+    """
+
+
+@register(
+    "dq_id_space_audit",
+    oracle=_id_space_oracle(),
+    description="id-space density per keyed table (gap/exhaustion screen; density≪1 ⇒ deletes or sparse allocators)",
+)
+def dq_id_space_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-space health: distinct ids vs the [min, max] span per
+    table. Density near 1 = compact sequential ids; ≪1 = heavy
+    deletes, sharded allocators or synthetic id collisions waiting to
+    happen — and the span itself is the int-overflow runway check
+    (an id allocator at 2³¹ is an outage with a date).
+
+    Scale: one counters-only aggregate per table (min/max/count
+    combine map-side; COUNT DISTINCT documented — swap for
+    approx_count_distinct at extreme cardinality); |tables|-row
+    output, one IEEE division per row.
+    """
+    out = None
+    for tbl, col in _ID_COLUMNS.items():
+        st = (
+            load_table(spark, sf_dir, tbl)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct(F.col(col)).cast("bigint").alias("n_ids"),
+                F.min(col).cast("bigint").alias("min_id"),
+                F.max(col).cast("bigint").alias("max_id"),
+            )
+            .select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(col).alias("id_col"),
+                "n_rows",
+                "n_ids",
+                "min_id",
+                "max_id",
+            )
+        )
+        out = st if out is None else out.unionByName(st)
+    return out.select(
+        "tbl",
+        "id_col",
+        "n_rows",
+        "n_ids",
+        "min_id",
+        "max_id",
+        (
+            F.col("n_ids").cast("double")
+            / (F.col("max_id") - F.col("min_id") + 1)
+        ).alias("density"),
+    ).orderBy("tbl")
+
+
 # --- Neyman allocation -------------------------------------------------------
 
 

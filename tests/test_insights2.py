@@ -42,6 +42,8 @@ NEW_QUERIES = [
     "q_skyline_parts",
     "etl_partition_skew_report",
     "samp_neyman_alloc",
+    "q_top_movers",
+    "dq_id_space_audit",
 ]
 
 

@@ -190,3 +190,84 @@ def test_cdc_apply_matches_sequential_replay(spark, base, ops):
     chg_df = spark.createDataFrame(chg_rows, "k int, seq int, op string, v int")
     got = {r["k"]: r["v"] for r in cdc_apply(base_df, chg_df, ["k"]).collect()}
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(1, 30), st.integers(1, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_skyline_chain_equals_dominance_definition(spark, pts):
+    """The monotone-chain skyline window (q_skyline_parts shape) must
+    equal the O(n²) dominance definition on random (price, size)
+    sets, including duplicate points (mutually non-dominating)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [(i, p, s) for i, (p, s) in enumerate(pts)]
+
+    def dominated(i, p, s):
+        return any(
+            p2 <= p and s2 <= s and (p2 < p or s2 < s)
+            for j, p2, s2 in rows
+            if j != i
+        )
+
+    expected = {i for i, p, s in rows if not dominated(i, p, s)}
+
+    df = spark.createDataFrame(rows, "id int, price bigint, size int")
+    w_cheaper = Window.orderBy("price").rangeBetween(Window.unboundedPreceding, -1)
+    w_same = Window.partitionBy("price")
+    scanned = df.select(
+        "id",
+        "price",
+        "size",
+        F.min("size").over(w_cheaper).alias("mc"),
+        F.min("size").over(w_same).alias("ms"),
+    )
+    got = {
+        r.id
+        for r in scanned.where(
+            (F.col("mc").isNull() | (F.col("size") < F.col("mc")))
+            & (F.col("size") <= F.col("ms"))
+        ).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    k=st.integers(2, 3),
+)
+def test_kcore_equals_reference_peeling(spark, edges, k):
+    """Distributed k_core must equal sequential peeling on random
+    graphs (the k-core is unique, so any peeling order agrees)."""
+    from lime_etl_spark.operators.insights2 import k_core
+
+    vids = sorted({v for e in edges for v in e}) or [1]
+    adj = {v: set() for v in vids}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(vids)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(alive):
+            if len(adj[v] & alive) < k:
+                alive.discard(v)
+                changed = True
+    vs = spark.createDataFrame([(v,) for v in vids], ["vid"])
+    es = spark.createDataFrame(edges or [(1, 1)], ["src", "dst"]).where("src <> dst")
+    got = {r.vid for r in k_core(vs, es, k=k).collect()}
+    assert got == alive
