@@ -984,6 +984,91 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- fuzzy key match (entity resolution) -------------------------------------
+
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "etl_fuzzy_key_match",
+    oracle=f"""
+    WITH variants AS (
+        -- planted dirty feed: every 10th customer name with one
+        -- character substituted mid-string (edit distance 1)
+        SELECT c_custkey + 5000000 AS dirty_id,
+               substr(c_name, 1, 9) || 'X' || substr(c_name, 11) AS dirty_name
+        FROM customer WHERE c_custkey % 10 = 0
+    ), blocked AS (
+        SELECT v.dirty_id, v.dirty_name, c.c_custkey, c.c_name,
+               levenshtein(v.dirty_name, c.c_name) AS dist
+        FROM variants v
+        JOIN customer c
+          ON substr(v.dirty_name, length(v.dirty_name) - 3, 4)
+             = substr(c.c_name, length(c.c_name) - 3, 4)
+         AND abs(length(v.dirty_name) - length(c.c_name)) <= {FUZZY_MAX_DIST}
+    )
+    SELECT dirty_id, c_custkey AS matched_custkey, CAST(dist AS BIGINT) AS dist
+    FROM (
+        SELECT dirty_id, c_custkey, dist,
+               ROW_NUMBER() OVER (PARTITION BY dirty_id
+                                  ORDER BY dist, c_custkey) AS rn
+        FROM blocked WHERE dist <= {FUZZY_MAX_DIST}
+    ) WHERE rn = 1
+    ORDER BY dirty_id
+    """,
+    description="fuzzy entity resolution: blocked Levenshtein match (suffix block + length band — never the cross join), best-match-wins",
+)
+def etl_fuzzy_key_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution for dirty feeds: match each incoming
+    (typo-bearing) name to its master customer by edit distance —
+    the join every CRM/vendor-file ingest needs when the natural key
+    arrives misspelled. Planted here: every 10th name with one
+    substituted character, so ground truth is checkable (pytest
+    asserts 100% of variants resolve to their true customer).
+
+    Scale: Levenshtein against all masters is the O(n²) trap — the
+    BLOCKING key (last-4-chars + length band) turns it into an
+    equi-join whose fan-out is the block size; edit distance runs
+    only inside blocks, JVM-side (codegen levenshtein). A typo
+    model that can corrupt the suffix needs a second blocking pass
+    on a different slice (multi-pass blocking — the standard ER
+    recipe); best match wins by (distance, key) total order.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    variants = customer.where(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 5_000_000).alias("dirty_id"),
+        F.concat(
+            F.substring("c_name", 1, 9),
+            F.lit("X"),
+            F.expr("substring(c_name, 11)"),
+        ).alias("dirty_name"),
+    )
+    suffix = lambda c: F.expr(f"substring({c}, length({c}) - 3, 4)")  # noqa: E731
+    blocked = variants.join(
+        F.broadcast(customer.select("c_custkey", "c_name")),
+        (suffix("dirty_name") == suffix("c_name"))
+        & (
+            F.abs(F.length("dirty_name") - F.length("c_name")) <= FUZZY_MAX_DIST
+        ),
+    ).select(
+        "dirty_id",
+        "c_custkey",
+        F.levenshtein("dirty_name", "c_name").alias("dist"),
+    )
+    w = Window.partitionBy("dirty_id").orderBy("dist", "c_custkey")
+    return (
+        blocked.where(F.col("dist") <= FUZZY_MAX_DIST)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "dirty_id",
+            F.col("c_custkey").alias("matched_custkey"),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+        .orderBy("dirty_id")
+    )
+
+
 # --- top movers --------------------------------------------------------------
 
 TOP_MOVERS_K = 25

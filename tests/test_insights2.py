@@ -44,6 +44,7 @@ NEW_QUERIES = [
     "samp_neyman_alloc",
     "q_top_movers",
     "dq_id_space_audit",
+    "etl_fuzzy_key_match",
 ]
 
 
@@ -475,6 +476,24 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_fuzzy_match_resolves_every_planted_typo(spark, sf_dir):
+    """Every planted dirty name (one substituted char) must resolve
+    to its TRUE customer at distance 1 — recall 1.0 on the known
+    typo model, no spurious closer match."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["etl_fuzzy_key_match"].builder(spark, sf_dir).collect()
+    planted = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .count()
+    )
+    assert len(rows) == planted
+    for r in rows:
+        assert r.matched_custkey == r.dirty_id - 5_000_000
+        assert r.dist == 1
 
 
 def test_neyman_weight_algebra(spark, sf_dir):
