@@ -45,6 +45,7 @@ NEW_QUERIES = [
     "q_top_movers",
     "dq_id_space_audit",
     "etl_fuzzy_key_match",
+    "etl_incremental_join",
 ]
 
 
@@ -476,6 +477,18 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_incremental_join_quadrants_partition_the_join(spark, sf_dir):
+    """Each joined row lands in exactly one quadrant: the quadrant
+    line counts must sum to the plain join's row count."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["etl_incremental_join"].builder(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    full = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    assert sum(r.n_lines for r in rows) == full
 
 
 def test_fuzzy_match_resolves_every_planted_typo(spark, sf_dir):
