@@ -306,3 +306,46 @@ def txt_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL chunk_windows_udtf(d.doc_id, d.text) c
         """
     )
+
+
+@register(
+    "q_collation_distinct",
+    oracle="""
+    WITH corpus AS (
+        SELECT c_mktsegment AS seg FROM customer
+        UNION ALL
+        SELECT lower(c_mktsegment) FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_distinct_binary,
+           CAST(COUNT(DISTINCT lower(seg)) AS BIGINT) AS n_distinct_ci
+    FROM corpus
+    """,
+    description="Spark 4 string collations: case-insensitive distinct via UTF8_LCASE collation (vs binary) — the engine-level fix for case-drifted codes",
+)
+def q_collation_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0 collations as the engine-level answer to case-drifted
+    code columns: a planted mixed-case segment feed (every 10th row
+    re-lowercased) counts 2× the segments under binary comparison but
+    collapses correctly under the UTF8_LCASE collation — WITHOUT
+    rewriting data through lower() (the collation rides the
+    comparison/agg, preserving original spellings for display and
+    letting future indexes/joins be collation-aware). The oracle
+    proves equivalence to the lower()-normalization a collation-less
+    engine must apply.
+
+    Scale: counters-only distinct aggregate, map-side combinable;
+    collation comparison is JVM-side codegen (no UDF)."""
+    customer = load_table(spark, sf_dir, "customer")
+    corpus = customer.select(F.col("c_mktsegment").alias("seg")).unionByName(
+        customer.where(F.col("c_custkey") % 10 == 0).select(
+            F.lower("c_mktsegment").alias("seg")
+        )
+    )
+    return corpus.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("seg").cast("bigint").alias("n_distinct_binary"),
+        F.count_distinct(F.collate(F.col("seg"), "UTF8_LCASE"))
+        .cast("bigint")
+        .alias("n_distinct_ci"),
+    )

@@ -17,7 +17,16 @@ SQL_SURFACE_QUERIES = [
     "sketch_approx_topk",
     "etl_month_spine_rcte",
     "txt_chunk_udtf",
+    "q_collation_distinct",
 ]
+
+
+def test_collation_counts_tell_the_case_story(spark, sf_dir):
+    """Binary distinct counts the planted lowercase variants as new
+    values; the UTF8_LCASE count equals the true segment count."""
+    r = all_queries()["q_collation_distinct"].builder(spark, sf_dir).collect()[0]
+    assert r.n_distinct_ci < r.n_distinct_binary
+    assert r.n_distinct_binary == 2 * r.n_distinct_ci
 
 
 @pytest.mark.parametrize("name", SQL_SURFACE_QUERIES)
