@@ -33,7 +33,12 @@ import json
 import os
 import uuid
 
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 
 class JsonlCommitMessage(WriterCommitMessage):
@@ -83,8 +88,67 @@ class JsonlSinkWriter(DataSourceWriter):
                 os.remove(m.staged_path)
 
 
+class JsonlSinkStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the sink: the same stage-then-rename protocol
+    per MICRO-BATCH. Files commit under ``batch-{id}-part-*.jsonl``
+    names, so a replayed micro-batch (restart between sink commit and
+    checkpoint advance — the at-least-once window) OVERWRITES its own
+    batch's files instead of duplicating rows: per-batch idempotence,
+    which together with the engine's exactly-once offset tracking
+    gives end-to-end exactly-once modulo rename atomicity. A
+    ``_streaming_manifest.jsonl`` line per commit records (batch id,
+    files, rows) — the downstream feed's consumption ledger."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlsink requires .option('path', ...)")
+
+    def write(self, iterator) -> JsonlCommitMessage:  # executor-side
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx else 0
+        attempt = ctx.taskAttemptId() if ctx else uuid.uuid4().int % 10**9
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"stream-{part:05d}-{attempt}.jsonl")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return JsonlCommitMessage(staged, n)
+
+    def commit(self, messages, batchId: int) -> None:  # driver-side
+        manifest = {}
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"batch-{batchId}-part-{i:05d}.jsonl")
+            os.replace(m.staged_path, final)
+            manifest[os.path.basename(final)] = m.rows
+        with open(
+            os.path.join(self.path, "_streaming_manifest.jsonl"), "a", encoding="utf-8"
+        ) as f:
+            f.write(
+                json.dumps(
+                    {
+                        "batch_id": batchId,
+                        "files": manifest,
+                        "rows": sum(manifest.values()),
+                    }
+                )
+                + "\n"
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
+
+
 class JsonlSinkDataSource(DataSource):
-    """``df.write.format("jsonlsink").option("path", d).save()``.
+    """``df.write.format("jsonlsink").option("path", d).save()`` for
+    batch, ``df.writeStream.format("jsonlsink")`` for streaming.
 
     Local-filesystem staging/rename; on a real cluster the same
     protocol targets the sink system's transaction primitive (e.g.
@@ -97,6 +161,9 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
         return JsonlSinkWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlSinkStreamWriter:
+        return JsonlSinkStreamWriter(self.options)
 
 
 def register_jsonl_sink(spark) -> None:

@@ -176,3 +176,54 @@ def test_jsonl_sink_abort_leaves_nothing(spark, tmp_path, sf_dir):
     visible = [f for f in os.listdir(out) if f.endswith(".jsonl")] if os.path.isdir(out) else []
     assert visible == []
     assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_jsonl_sink_streaming_micro_batches(spark, tmp_path, sf_dir):
+    """Streaming half of the Python DataSource sink: one commit per
+    micro-batch (batch-{id} file names + manifest lines), every source
+    row lands exactly once across batches."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    src = str(tmp_path / "src")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang").limit(40)
+    half1 = docs.where(F.col("doc_id") % 2 == 0)
+    half2 = docs.where(F.col("doc_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(f"{src}/f1.parquet")
+    half2.coalesce(1).write.parquet(f"{src}/f2.parquet")
+
+    out = str(tmp_path / "feed")
+    q = (
+        spark.readStream.schema("doc_id bigint, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+        .writeStream.format("jsonlsink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    files = [
+        f for f in os.listdir(out) if f.endswith(".jsonl") and not f.startswith("_")
+    ]
+    assert files and all(f.startswith("batch-") for f in files)
+    got = []
+    for fn in files:
+        with open(os.path.join(out, fn), encoding="utf-8") as f:
+            got += [json.loads(line)["doc_id"] for line in f]
+    expected = sorted(r.doc_id for r in half1.collect()) + sorted(
+        r.doc_id for r in half2.collect()
+    )
+    assert sorted(got) == sorted(expected)
+
+    with open(os.path.join(out, "_streaming_manifest.jsonl"), encoding="utf-8") as f:
+        manifest = [json.loads(line) for line in f]
+    assert len({m["batch_id"] for m in manifest}) == len(manifest) >= 2
+    assert sum(m["rows"] for m in manifest) == len(expected)
