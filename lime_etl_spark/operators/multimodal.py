@@ -639,3 +639,37 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+def decode_media_arrow(df: DataFrame, fake: bool | None = None) -> DataFrame:
+    """``decode_media`` on the LOWER-overhead interop surface:
+    ``mapInArrow`` hands the worker raw ``pyarrow.RecordBatch``es —
+    no Arrow→pandas→Arrow conversion, no pandas object boxing of the
+    binary payloads. For MB-scale media rows that conversion is real
+    CPU and a full extra copy of every payload, so the Arrow-native
+    form is the one a production decode stage wants; pytest proves it
+    row-identical to the pandas form. Same fake-decode gate."""
+    import pyarrow as pa
+
+    _require_fake(fake)
+
+    def run(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("content").to_pylist()
+            rows = [_fake_decode_one(int(i), bytes(c)) for i, c in zip(ids, payloads)]
+            yield pa.RecordBatch.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [
+                        ("media_id", pa.int64()),
+                        ("media_type", pa.string()),
+                        ("width", pa.int32()),
+                        ("height", pa.int32()),
+                        ("n_bytes", pa.int32()),
+                        ("checksum", pa.string()),
+                    ]
+                ),
+            )
+
+    return df.select("media_id", "content").mapInArrow(run, DECODED_SCHEMA)

@@ -108,3 +108,18 @@ def test_preprocess_audit_invariants(spark, sf_dir):
         assert r["n_items"] > 0
         assert r["total_bytes"] > 0
         assert r["n_invariant_violations"] == 0
+
+
+def test_arrow_decode_equals_pandas_decode(spark):
+    """mapInArrow decode must emit exactly the rows the mapInPandas
+    decode does — the surfaces differ only in interop overhead."""
+    from lime_etl_spark.operators.multimodal import (
+        build_media_fixture,
+        decode_media,
+        decode_media_arrow,
+    )
+
+    media = build_media_fixture(spark, n=120)
+    a = {r.media_id: r.asDict() for r in decode_media(media, fake=True).collect()}
+    b = {r.media_id: r.asDict() for r in decode_media_arrow(media, fake=True).collect()}
+    assert a == b
