@@ -984,6 +984,91 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- cumulative adoption ------------------------------------------------------
+
+
+@register(
+    "ev_cumulative_adoption",
+    oracle="""
+    WITH firstd AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ), daily AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users FROM firstd GROUP BY d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM daily
+    ORDER BY day
+    """,
+    description="user adoption curve: daily first-time users + running cumulative total (cumulative DISTINCT via first-activity reduce)",
+)
+def ev_cumulative_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth chart: new users per day and the cumulative user
+    count. Cumulative DISTINCT doesn't window (state would be the
+    full user set per day) — the standard rewrite reduces each user
+    to their FIRST activity day, after which it's integer counters
+    and one running sum over the calendar-bounded daily rollup.
+
+    Scale: one user_id rollup (map-side combinable MIN), one
+    |days|-row daily count, one running-sum window over that tiny
+    frame (single-task, calendar-bounded — documented like every
+    global window here).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firstd = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    daily = firstd.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- order size distribution --------------------------------------------------
+
+
+@register(
+    "q_order_size_distribution",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM per_order
+    GROUP BY n_lines
+    ORDER BY n_lines
+    """,
+    description="lines-per-order histogram (basket-size distribution; the fan-out bound every orderkey join inherits)",
+)
+def q_order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: how many lines an order carries.
+    Beyond the merchandising read, this histogram IS the fan-out
+    bound for every orderkey join and the q_basket_pairs self-join
+    (pairs per order = n·(n-1)/2) — the number to check before
+    trusting those plans at a new corpus.
+
+    Scale: two keyed counter rollups with map-side combine; output
+    bounded by the max basket size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return (
+        per_order.groupBy("n_lines")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy("n_lines")
+    )
+
+
 # --- incremental join-view maintenance ---------------------------------------
 
 IVM_SPLIT_DATE = "1996-01-01"

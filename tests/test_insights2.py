@@ -46,6 +46,8 @@ NEW_QUERIES = [
     "dq_id_space_audit",
     "etl_fuzzy_key_match",
     "etl_incremental_join",
+    "ev_cumulative_adoption",
+    "q_order_size_distribution",
 ]
 
 
@@ -477,6 +479,32 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_adoption_curve_is_monotone_and_ends_at_total(spark, sf_dir):
+    """Cumulative users strictly increase and finish at the total
+    distinct user count; new_users sum to the same."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = sorted(
+        all_queries()["ev_cumulative_adoption"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    total = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert rows[-1].cumulative_users == total
+    assert sum(r.new_users for r in rows) == total
+    cums = [r.cumulative_users for r in rows]
+    assert cums == sorted(cums)
+
+
+def test_order_size_histogram_mass(spark, sf_dir):
+    """Histogram accounts for every order and every line exactly."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["q_order_size_distribution"].builder(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    assert sum(r.n_orders for r in rows) == li.select("l_orderkey").distinct().count()
+    assert sum(r.n_lines * r.n_orders for r in rows) == li.count()
 
 
 def test_incremental_join_quadrants_partition_the_join(spark, sf_dir):
