@@ -984,6 +984,69 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- shingle-size sensitivity -------------------------------------------------
+
+SHINGLE_KS = (3, 5, 8)
+
+
+@register(
+    "dedup_shingle_sensitivity",
+    oracle=None,  # multi-config loop over shingle sizes — pytest
+    # gates the monotonicity (larger shingles ⇒ stricter matching)
+    description="shingle-size tuning table: verified near-dup pairs + mean Jaccard per k∈{3,5,8} (granularity knob measured, third tuning table)",
+)
+def dedup_shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third measured tuning table (after LSH bands and ANN
+    probes): how shingle GRANULARITY moves near-dup detection.
+    Small k (3 words) matches loosely — paraphrase-tolerant but
+    boilerplate-prone; large k (8) demands long verbatim runs. For
+    each k this reports candidate pairs, verified pairs (J ≥ τ) and
+    the mean verified Jaccard — the evidence for the shipped k=5.
+
+    Scale: each k re-shingles the corpus (the shingle set is a
+    different projection per k — unlike LSH banding there is nothing
+    to share), but everything downstream stays candidate-scoped;
+    |configs| scalar rows reach the driver. Mean Jaccard is a
+    diagnostic float (rows-only op; never hash-compared).
+    """
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = []
+    for k in SHINGLE_KS:
+        sh = doc_shingles(docs, n=k).persist()
+        cand = lsh_candidates(minhash_signatures(sh)).persist()
+        verified = (
+            jaccard_pairs(sh, candidates=cand)
+            .where(F.col("jaccard") >= JACCARD_TAU)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("jaccard").alias("mean_j"),
+            )
+            .collect()[0]
+        )
+        rows.append(
+            (
+                k,
+                cand.count(),
+                verified.n,
+                float(verified.mean_j) if verified.mean_j is not None else None,
+            )
+        )
+        sh.unpersist()
+        cand.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "shingle_k int, n_candidates bigint, n_verified bigint, mean_jaccard double",
+    ).orderBy("shingle_k")
+
+
 # --- cumulative adoption ------------------------------------------------------
 
 

@@ -481,6 +481,21 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("b", "c")] == _pytest.approx(1 / 3)
 
 
+def test_shingle_sensitivity_is_monotone_strict(spark, sf_dir):
+    """Larger shingles are a stricter similarity: the mean verified
+    Jaccard can only drop as k grows; verified ≤ candidates at
+    every k."""
+    rows = sorted(
+        all_queries()["dedup_shingle_sensitivity"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.shingle_k,
+    )
+    assert [r.shingle_k for r in rows] == [3, 5, 8]
+    for r in rows:
+        assert r.n_verified <= r.n_candidates
+    means = [r.mean_jaccard for r in rows if r.mean_jaccard is not None]
+    assert means == sorted(means, reverse=True)
+
+
 def test_adoption_curve_is_monotone_and_ends_at_total(spark, sf_dir):
     """Cumulative users strictly increase and finish at the total
     distinct user count; new_users sum to the same."""
