@@ -984,6 +984,157 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- missing-value imputation -------------------------------------------------
+
+
+@register(
+    "etl_impute_median",
+    oracle="""
+    WITH corpus AS (
+        -- planted gaps: every 10th event's value arrives NULL;
+        -- money moves as exact integer CENTS (interpolated medians
+        -- of integers are exact .0/.5 doubles on both engines)
+        SELECT event_type,
+               CASE WHEN event_id % 10 = 0 THEN NULL
+                    ELSE CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               END AS v_cents
+        FROM events
+    ), med AS (
+        SELECT event_type,
+               CAST(FLOOR(quantile_cont(v_cents, 0.5) + 0.5) AS BIGINT)
+                   AS med_cents
+        FROM corpus WHERE v_cents IS NOT NULL GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN c.v_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_imputed,
+           CAST(m.med_cents AS DOUBLE) / 100 AS imputed_value,
+           CAST(SUM(COALESCE(c.v_cents, m.med_cents)) AS BIGINT)
+               AS sum_after_impute_cents
+    FROM corpus c JOIN med m ON m.event_type = c.event_type
+    GROUP BY c.event_type, m.med_cents
+    ORDER BY c.event_type
+    """,
+    description="median imputation operator: per-group exact median fills planted nulls; audit counts + decimal-exact post-impute mass",
+)
+def etl_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation as a first-class ETL operator: per-
+    group exact median fills the gaps, and the output is the AUDIT
+    (how many filled, with what, total mass after) — the numbers a
+    reviewer signs off before an imputed table feeds anything. Gaps
+    are planted (every 10th value NULLed) so ground truth is
+    checkable.
+
+    Scale: the median comes from one exact-percentile reduce per
+    group (approx_percentile is the documented mega-group path, as
+    in q_price_quantiles) broadcast back onto the fact; imputation
+    itself is a row-local COALESCE; the audit is counters + one
+    exact integer sum. Money moves as integer CENTS through the
+    whole operator: interpolated medians of integers are exact
+    .0/.5 doubles, so the half-up FLOOR rounding is cross-engine
+    deterministic where decimal-median interpolation is NOT (Spark
+    percentile and DuckDB median disagree on decimal inputs — found
+    by the oracle). Median (not mean) because it is rank-based —
+    robust to the outliers that usually accompany missingness.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    corpus = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 10 == 0, F.lit(None))
+        .otherwise((dec("value", 2, 12) * 100).cast("bigint"))
+        .alias("v_cents"),
+    )
+    med = (
+        corpus.where(F.col("v_cents").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.floor(F.expr("percentile(v_cents, 0.5)") + 0.5)
+            .cast("bigint")
+            .alias("med_cents")
+        )
+    )
+    return (
+        corpus.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med_cents")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("v_cents").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_imputed"),
+            F.sum(F.coalesce("v_cents", "med_cents"))
+            .cast("bigint")
+            .alias("sum_after_impute_cents"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_imputed",
+            (F.col("med_cents").cast("double") / 100).alias("imputed_value"),
+            "sum_after_impute_cents",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- tolerant type coercion ---------------------------------------------------
+
+
+@register(
+    "etl_try_cast_audit",
+    oracle="""
+    WITH feed AS (
+        -- planted dirty feed: every 10th balance arrives as 'N/A'
+        SELECT CASE WHEN c_custkey % 10 = 0 THEN 'N/A'
+                    ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+               END AS raw
+        FROM customer
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN TRY_CAST(raw AS DECIMAL(12,2)) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unparseable,
+           CAST(SUM(COALESCE(TRY_CAST(raw AS DECIMAL(12,2)), 0)) AS DOUBLE)
+               AS parsed_total,
+           CAST(SUM(CASE WHEN TRY_CAST(raw AS DECIMAL(12,2)) IS NULL
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS unparseable_rate
+    FROM feed
+    """,
+    description="tolerant type coercion: try_cast ingest with failure accounting (ANSI mode would abort the whole job on row one)",
+)
+def etl_try_cast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant ingest of a string feed with dirty numerics: try_cast
+    parses what it can, NULLs what it can't, and the audit counts the
+    casualties — under ANSI mode (this engine's default, and the
+    driver's) a plain CAST would kill the whole job on the FIRST
+    'N/A'. try_* is the production answer: the job completes, the
+    quarantine count is measured, and the gate decides.
+
+    Scale: entirely row-local (try_cast is codegen'd JVM), reduced to
+    one counters+decimal row; no shuffle beyond the final 1-row agg.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    feed = customer.select(
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("N/A"))
+        .otherwise(dec("c_acctbal", 2, 12).cast("string"))
+        .alias("raw")
+    )
+    parsed = F.expr("try_cast(raw AS decimal(12,2))")
+    return feed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(parsed.isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unparseable"),
+        to_double(F.sum(F.coalesce(parsed, F.lit(0).cast("decimal(12,2)")))).alias(
+            "parsed_total"
+        ),
+        (
+            F.sum(F.when(parsed.isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("unparseable_rate"),
+    )
+
+
 # --- shingle-size sensitivity -------------------------------------------------
 
 SHINGLE_KS = (3, 5, 8)

@@ -48,6 +48,8 @@ NEW_QUERIES = [
     "etl_incremental_join",
     "ev_cumulative_adoption",
     "q_order_size_distribution",
+    "etl_impute_median",
+    "etl_try_cast_audit",
 ]
 
 
@@ -479,6 +481,38 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_impute_counts_planted_gaps_exactly(spark, sf_dir):
+    """n_imputed must equal the planted every-10th count per type;
+    the post-impute mass equals observed mass + n_imputed·median."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["etl_impute_median"].builder(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    planted = {
+        r.event_type: r.n
+        for r in ev.where(F.col("event_id") % 10 == 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_imputed == planted[r.event_type]
+
+
+def test_try_cast_audit_counts_planted_dirt(spark, sf_dir):
+    """Exactly the every-10th 'N/A' rows fail to parse; the rate is
+    their share."""
+    import pytest as _pytest
+
+    from lime_etl_spark.sources.readers import load_table
+
+    r = all_queries()["etl_try_cast_audit"].builder(spark, sf_dir).collect()[0]
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.where(F.col("c_custkey") % 10 == 0).count()
+    assert r.n_unparseable == dirty
+    assert r.unparseable_rate == _pytest.approx(dirty / r.n_rows)
 
 
 def test_shingle_sensitivity_is_monotone_strict(spark, sf_dir):
