@@ -984,6 +984,155 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- full-row duplicate probe --------------------------------------------------
+
+_DUPROW_TABLES: dict[str, tuple[str, ...]] = {
+    "orders": (
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ),
+    "lineitem": (
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ),
+    "customer": ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "events": ("event_id", "ts", "user_id", "event_type", "value", "props"),
+}
+
+
+def _dup_rows_oracle() -> str:
+    legs = []
+    for tbl, cols in _DUPROW_TABLES.items():
+        tup = ", ".join(cols)
+        legs.append(
+            f"SELECT '{tbl}' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(COUNT(DISTINCT ({tup})) AS BIGINT) AS n_distinct_rows"
+            f" FROM {tbl}"
+        )
+    union = "\n    UNION ALL ".join(legs)
+    return f"""
+    SELECT tbl, n_rows, n_distinct_rows,
+           n_rows - n_distinct_rows AS n_dup_rows
+    FROM ({union})
+    ORDER BY tbl
+    """
+
+
+@register(
+    "dq_duplicate_rows",
+    oracle=_dup_rows_oracle(),
+    description="full-row duplicate probe per table (double-ingest detector; tuple-valued distinct, no string casts)",
+)
+def dq_duplicate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-row duplicates — the double-ingest / replayed-batch
+    signature that keyed checks miss when the duplicate carries a
+    fresh surrogate... and that dq_candidate_keys misses when no key
+    is declared. Counts distinct TUPLES (value-based; never a
+    string-concat hash, whose date/float formatting diverges across
+    engines).
+
+    Scale: one count-distinct-over-struct aggregate per table — the
+    same Expand trade as dq_cardinality_profile, and at 100 TB the
+    cheap screen is a two-level groupBy on a 64-bit row hash first
+    with tuple-distinct only on colliding buckets.
+    """
+    out = None
+    for tbl, cols in _DUPROW_TABLES.items():
+        df = load_table(spark, sf_dir, tbl)
+        st = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(F.struct(*[F.col(c) for c in cols]))
+            .cast("bigint")
+            .alias("n_distinct_rows"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "n_distinct_rows")
+        out = st if out is None else out.unionByName(st)
+    return out.select(
+        "tbl",
+        "n_rows",
+        "n_distinct_rows",
+        (F.col("n_rows") - F.col("n_distinct_rows")).alias("n_dup_rows"),
+    ).orderBy("tbl")
+
+
+# --- temporal train/test split --------------------------------------------------
+
+TIME_SPLIT_CUTOFF = "2024-01-22"  # ~¾ through the events window
+
+
+@register(
+    "samp_time_split",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id,
+               CASE WHEN ts < TIMESTAMP '{TIME_SPLIT_CUTOFF}' THEN 'train'
+                    ELSE 'test' END AS split
+        FROM events
+    ), sizes AS (
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM tagged GROUP BY split
+    ), overlap AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap_users FROM (
+            SELECT user_id FROM tagged WHERE split = 'train'
+            INTERSECT
+            SELECT user_id FROM tagged WHERE split = 'test'
+        )
+    )
+    SELECT s.split, s.n_events, s.n_users, o.n_overlap_users
+    FROM sizes s CROSS JOIN overlap o
+    ORDER BY s.split
+    """,
+    description="temporal train/test split (past→train, recent→test — the anti-leakage split for forecasting) + cross-split user-overlap audit",
+)
+def samp_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The time-based split every forecasting/recommendation eval
+    needs (hash splits leak the future into training): events before
+    the cutoff train, after it test — plus the USER-overlap count
+    across splits, because for user-level objectives shared users
+    are themselves leakage and the modeler must decide (user-level
+    temporal split vs event-level).
+
+    Scale: split assignment is a row-local predicate (partition
+    pruning does it for free on a date-partitioned lake); sizes are
+    counters; the overlap is a semi-join of the two DISTINCT user
+    keysets — same INTERSECT→hash-semi-join lowering as
+    q_customer_set_ops.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(TIME_SPLIT_CUTOFF).cast("timestamp")
+    tagged = ev.select(
+        "user_id",
+        F.when(F.col("ts") < cutoff, "train").otherwise("test").alias("split"),
+    )
+    sizes = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+    tr = tagged.where(F.col("split") == "train").select("user_id").distinct()
+    te = tagged.where(F.col("split") == "test").select("user_id").distinct()
+    overlap = tr.intersect(te).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap_users")
+    )
+    return (
+        sizes.crossJoin(F.broadcast(overlap))
+        .select("split", "n_events", "n_users", "n_overlap_users")
+        .orderBy("split")
+    )
+
+
 # --- missing-value imputation -------------------------------------------------
 
 

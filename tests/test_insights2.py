@@ -50,6 +50,8 @@ NEW_QUERIES = [
     "q_order_size_distribution",
     "etl_impute_median",
     "etl_try_cast_audit",
+    "dq_duplicate_rows",
+    "samp_time_split",
 ]
 
 
@@ -481,6 +483,41 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_duplicate_rows_detects_a_replayed_batch(spark, tmp_path, sf_dir):
+    """Appending (replaying) part of a table must surface exactly that
+    many full-row duplicates."""
+    from lime_etl_spark.sources.readers import load_table
+
+    d = str(tmp_path / "sf")
+    for tbl in ("orders", "lineitem", "customer", "events"):
+        load_table(spark, sf_dir, tbl).write.parquet(f"{d}/{tbl}.parquet")
+    # replay a slice of orders into the same table path (double ingest)
+    replay = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    replay.write.mode("append").parquet(f"{d}/orders.parquet")
+    rows = {
+        r.tbl: r for r in all_queries()["dq_duplicate_rows"].builder(spark, d).collect()
+    }
+    assert rows["orders"].n_dup_rows == replay.count()
+    assert rows["customer"].n_dup_rows == 0
+
+
+def test_time_split_masses_and_boundary(spark, sf_dir):
+    """Split sizes sum to the full event count and both splits are
+    non-empty (the cutoff sits inside the data window)."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = {
+        r.split: r
+        for r in all_queries()["samp_time_split"].builder(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"train", "test"}
+    total = load_table(spark, sf_dir, "events").count()
+    assert rows["train"].n_events + rows["test"].n_events == total
+    assert rows["train"].n_events > 0 and rows["test"].n_events > 0
+    for r in rows.values():
+        assert r.n_overlap_users <= min(rows["train"].n_users, rows["test"].n_users)
 
 
 def test_impute_counts_planted_gaps_exactly(spark, sf_dir):
