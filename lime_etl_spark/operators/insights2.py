@@ -984,6 +984,113 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- triangle census ----------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    return f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ), tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM pairs p1
+        JOIN pairs p2 ON p2.doc_a = p1.doc_b
+        JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+    ), deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT doc_a AS v FROM pairs
+            UNION ALL SELECT doc_b FROM pairs
+        ) GROUP BY v
+    ), wedge AS (
+        SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+               CAST(COUNT(*) AS BIGINT) AS n_vertices,
+               CAST(CAST(SUM(d) AS BIGINT) / 2 AS BIGINT) AS n_edges
+        FROM deg
+    )
+    SELECT w.n_vertices, w.n_edges, t.n_triangles, w.n_wedges,
+           CASE WHEN w.n_wedges > 0
+                THEN CAST(3 * t.n_triangles AS DOUBLE) / w.n_wedges
+                ELSE 0.0 END AS global_clustering
+    FROM tri t CROSS JOIN wedge w
+    """
+
+
+@register(
+    "graph_triangles",
+    oracle=_triangle_oracle(),
+    description="triangle census + global clustering coefficient of the near-dup graph (canonical-order 3-join — each triangle counted once; wedges from the degree sequence)",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count and global clustering coefficient
+    3·triangles/wedges of the near-dup graph — the transitivity
+    number: near 1 the graph is clique-like true duplicate clusters,
+    near 0 it's chains/stars of accidental shared shingles (the same
+    story graph_cluster_density tells per cluster, here as one
+    corpus-level scalar with an EXACT SQL oracle — rare for a graph
+    statistic).
+
+    Scale: the canonical edge order (a<b everywhere) means each
+    triangle is counted exactly once by the a<b<c join — the classic
+    distributed triangle enumeration; at scale the join is ordered
+    so the lower-degree endpoint expands (degree-ordered
+    enumeration), and wedges come from the degree sequence, never a
+    path join.
+    """
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = (
+        jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh)))
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    sh.unpersist()
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    tri = (
+        p1.join(p2, F.col("p2.doc_a") == F.col("p1.doc_b"))
+        .join(
+            p3,
+            (F.col("p3.doc_a") == F.col("p1.doc_a"))
+            & (F.col("p3.doc_b") == F.col("p2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    wedge = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        (F.sum("d").cast("bigint") / 2).cast("bigint").alias("n_edges"),
+    )
+    return (
+        tri.crossJoin(F.broadcast(wedge))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                (3 * F.col("n_triangles")).cast("double") / F.col("n_wedges"),
+            )
+            .otherwise(0.0)
+            .alias("global_clustering"),
+        )
+    )
+
+
 # --- full-row duplicate probe --------------------------------------------------
 
 _DUPROW_TABLES: dict[str, tuple[str, ...]] = {

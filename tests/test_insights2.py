@@ -52,6 +52,7 @@ NEW_QUERIES = [
     "etl_try_cast_audit",
     "dq_duplicate_rows",
     "samp_time_split",
+    "graph_triangles",
 ]
 
 
@@ -483,6 +484,17 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_triangle_census_identities(spark, sf_dir):
+    """Handshake + transitivity bounds: clustering ∈ [0,1], 3·Δ ≤
+    wedges, and on the planted-clique corpus the graph is fully
+    transitive (clustering == 1.0: every near-dup cluster is a
+    clique, so no open wedge exists)."""
+    r = all_queries()["graph_triangles"].builder(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.global_clustering <= 1.0
+    assert 3 * r.n_triangles <= r.n_wedges
+    assert r.global_clustering == 1.0
 
 
 def test_duplicate_rows_detects_a_replayed_batch(spark, tmp_path, sf_dir):
