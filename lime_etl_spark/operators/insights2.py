@@ -984,6 +984,93 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- user survival curve -------------------------------------------------------
+
+SURVIVAL_DAYS = (0, 7, 14, 21, 28)
+
+
+@register(
+    "ev_survival_curve",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id,
+               MIN(CAST(ts AS DATE)) AS first_d,
+               MAX(CAST(ts AS DATE)) AS last_d
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT MAX(last_d) AS maxd FROM spans
+    ), expanded AS (
+        SELECT s.user_id, k.k,
+               date_diff('day', s.first_d, s.last_d) AS span_days,
+               date_diff('day', s.first_d, m.maxd) AS window_days
+        FROM spans s
+        CROSS JOIN m
+        CROSS JOIN (VALUES {", ".join(f"({k})" for k in SURVIVAL_DAYS)}) AS k(k)
+    )
+    SELECT k AS day_k,
+           CAST(COUNT(*) AS BIGINT) AS n_observable,
+           CAST(SUM(CASE WHEN span_days >= k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_surviving,
+           CAST(SUM(CASE WHEN span_days >= k THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS survival
+    FROM expanded
+    WHERE window_days >= k
+    GROUP BY k
+    ORDER BY day_k
+    """,
+    description="user survival curve S(k): share still active ≥k days after first touch, right-censored denominators (the churn half of the retention story)",
+)
+def ev_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis in integer days: S(k) = share of users whose
+    activity SPAN (first→last event) reaches k days, computed only
+    over users observable for ≥ k days (right-censoring — a user who
+    joined 3 days before the window's end can't prove 7-day
+    survival, and counting them would bias churn high). The
+    complement of ev_retention_curve: retention asks 'back on day
+    k?', survival asks 'still alive at k?'.
+
+    Scale: per-user reduce to (first, last) — one map-side-combining
+    rollup; the ×|k| expansion runs over USERS (already reduced),
+    the 1-row max date broadcasts, and everything after is integer
+    counters to a |k|-row output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d"),
+        F.max(F.to_date("ts")).alias("last_d"),
+    )
+    m = spans.agg(F.max("last_d").alias("maxd"))
+    ks = F.explode(F.array(*[F.lit(k) for k in SURVIVAL_DAYS])).alias("k")
+    expanded = (
+        spans.crossJoin(F.broadcast(m))
+        .select(
+            "user_id",
+            ks,
+            F.datediff("last_d", "first_d").alias("span_days"),
+            F.datediff("maxd", "first_d").alias("window_days"),
+        )
+        .where(F.col("window_days") >= F.col("k"))
+    )
+    return (
+        expanded.groupBy(F.col("k").alias("day_k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_observable"),
+            F.sum(F.when(F.col("span_days") >= F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_surviving"),
+        )
+        .select(
+            "day_k",
+            "n_observable",
+            "n_surviving",
+            (F.col("n_surviving").cast("double") / F.col("n_observable")).alias(
+                "survival"
+            ),
+        )
+        .orderBy("day_k")
+    )
+
+
 # --- triangle census ----------------------------------------------------------
 
 

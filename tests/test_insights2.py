@@ -53,6 +53,7 @@ NEW_QUERIES = [
     "dq_duplicate_rows",
     "samp_time_split",
     "graph_triangles",
+    "ev_survival_curve",
 ]
 
 
@@ -484,6 +485,20 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_survival_curve_is_monotone_and_censored(spark, sf_dir):
+    """S(0)=1 exactly; survival never increases with k; observable
+    counts never increase with k (censoring only removes users)."""
+    rows = sorted(
+        all_queries()["ev_survival_curve"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.day_k,
+    )
+    assert rows[0].day_k == 0 and rows[0].survival == 1.0
+    surv = [r.survival for r in rows]
+    obs = [r.n_observable for r in rows]
+    assert surv == sorted(surv, reverse=True)
+    assert obs == sorted(obs, reverse=True)
 
 
 def test_triangle_census_identities(spark, sf_dir):
