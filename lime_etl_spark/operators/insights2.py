@@ -984,6 +984,148 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- ABC classification --------------------------------------------------------
+
+
+@register(
+    "q_abc_classification",
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+        SELECT CAST(SUM(rev) AS DECIMAL(38,2)) AS total FROM pr
+    ), ranked AS (
+        SELECT l_partkey, rev,
+               CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(38,2)) AS cum
+        FROM pr
+    ), classed AS (
+        SELECT r.l_partkey, r.rev,
+               CASE WHEN r.cum * 100 <= t.total * 80 THEN 'A'
+                    WHEN r.cum * 100 <= t.total * 95 THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM ranked r CROSS JOIN tot t
+    )
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM classed
+    GROUP BY abc
+    ORDER BY abc
+    """,
+    description="ABC revenue classification (A=first 80% of cumulative revenue, B=to 95%, C=tail): decimal-exact running sum, integer cross-multiplied thresholds",
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merchandising ABC split: parts ranked by revenue, class A
+    carries the first 80% of cumulative revenue, B to 95%, C the
+    tail — where q_revenue_deciles draws the whole concentration
+    curve, this emits the three operational buckets stockage policy
+    keys on.
+
+    Scale: per-part decimal reduce FIRST; ONE global running-sum
+    window over the |parts| rollup (documented one-task sort, dim-
+    bounded); class thresholds are decimal×integer cross-multiplies —
+    no share division ever happens, so the boundary part lands
+    identically on both engines. 3-row output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice", 2, 12)).alias("rev")
+    )
+    tot = pr.agg(F.sum("rev").cast("decimal(38,2)").alias("total"))
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pr.withColumn("cum", F.sum("rev").over(w).cast("decimal(38,2)"))
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "rev",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            to_double(F.sum("rev")).alias("revenue"),
+        )
+        .orderBy("abc")
+    )
+
+
+# --- vocabulary coverage curve --------------------------------------------------
+
+VOCAB_CUTOFFS = (100, 1000, 10000)
+
+
+def _vocab_coverage_oracle() -> str:
+    legs = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN rnk <= {c} THEN n ELSE 0 END) AS BIGINT)"
+        f" AS tokens_top_{c}"
+        for c in VOCAB_CUTOFFS
+    )
+    return f"""
+    WITH c AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    ), ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk FROM c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           {legs}
+    FROM ranked
+    """
+
+
+@register(
+    "txt_vocab_coverage",
+    oracle=_vocab_coverage_oracle(),
+    description="vocabulary coverage curve: tokens covered by the top 100/1k/10k words (the tokenizer vocab-size sizing input)",
+)
+def txt_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the corpus the top-N words cover — the sizing
+    curve for tokenizer vocabularies and stopword lists: if the top
+    1k words cover 95% of tokens, an OOV/byte-fallback path only
+    ever sees the remaining 5%. Companion to txt_zipf_audit (the
+    head's shape) and txt_hapax_ratio (the tail's mass).
+
+    Scale: word counts combine map-side to |vocab| rows; the global
+    rank is the documented vocab-bounded one-task sort; the coverage
+    sums are conditional int64 counters to a 1-row output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "word")
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+    ] + [
+        F.sum(F.when(F.col("rnk") <= c, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias(f"tokens_top_{c}")
+        for c in VOCAB_CUTOFFS
+    ]
+    return ranked.agg(*aggs)
+
+
 # --- user survival curve -------------------------------------------------------
 
 SURVIVAL_DAYS = (0, 7, 14, 21, 28)

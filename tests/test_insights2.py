@@ -54,6 +54,8 @@ NEW_QUERIES = [
     "samp_time_split",
     "graph_triangles",
     "ev_survival_curve",
+    "q_abc_classification",
+    "txt_vocab_coverage",
 ]
 
 
@@ -485,6 +487,36 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_abc_masses_and_ordering(spark, sf_dir):
+    """All three classes exist, totals conserve, and per-part mean
+    revenue strictly decreases A → B → C."""
+    from lime_etl_spark.functions.numeric import dec
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = {
+        r.abc: r
+        for r in all_queries()["q_abc_classification"].builder(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"A", "B", "C"}
+    li = load_table(spark, sf_dir, "lineitem")
+    assert (
+        sum(r.n_parts for r in rows.values())
+        == li.select("l_partkey").distinct().count()
+    )
+    means = [rows[c].revenue / rows[c].n_parts for c in "ABC"]
+    assert means == sorted(means, reverse=True)
+
+
+def test_vocab_coverage_is_monotone(spark, sf_dir):
+    """Coverage grows with the cutoff and never exceeds the total."""
+    from lime_etl_spark.operators.insights2 import VOCAB_CUTOFFS
+
+    r = all_queries()["txt_vocab_coverage"].builder(spark, sf_dir).collect()[0]
+    covs = [r[f"tokens_top_{c}"] for c in VOCAB_CUTOFFS]
+    assert covs == sorted(covs)
+    assert covs[-1] <= r.total_tokens
 
 
 def test_survival_curve_is_monotone_and_censored(spark, sf_dir):
