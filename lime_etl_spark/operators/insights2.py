@@ -984,6 +984,92 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- cohort LTV curve -----------------------------------------------------------
+
+
+@register(
+    "ev_cohort_ltv",
+    oracle="""
+    WITH firstw AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cw
+        FROM events GROUP BY user_id
+    ), sizes AS (
+        SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM firstw GROUP BY cw
+    ), spend AS (
+        SELECT f.cw,
+               CAST(date_diff('day', f.cw, date_trunc('week', e.ts)) / 7 AS BIGINT)
+                   AS week_offset,
+               SUM(CAST(e.value AS DECIMAL(12,2))) AS rev
+        FROM events e
+        JOIN firstw f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY f.cw, week_offset
+    )
+    SELECT strftime(s.cw, '%Y-%m-%d') AS cohort_week,
+           s.week_offset,
+           z.cohort_size,
+           CAST(s.rev AS DOUBLE) AS week_revenue,
+           CAST(CAST(SUM(s.rev) OVER (PARTITION BY s.cw ORDER BY s.week_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS DOUBLE) / z.cohort_size
+               AS cum_ltv_per_user
+    FROM spend s JOIN sizes z ON z.cw = s.cw
+    ORDER BY cohort_week, week_offset
+    """,
+    description="cohort LTV curve: cumulative revenue per user by weeks-since-first-touch (the payback-period table) — decimal-exact cumsum over the cohort×offset rollup",
+)
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime value by cohort age: cumulative purchase revenue per
+    cohort member at each week offset since first touch — the curve
+    whose crossing point with acquisition cost IS the payback
+    period. The money sibling of ev_cohort_retention (same cohort
+    keys, so the two matrices join cleanly).
+
+    Scale: revenue reduces to the |cohorts|×|offsets| rollup before
+    any window; the cumulative sum runs per cohort over that tiny
+    frame in exact decimal (cast back to decimal(38,2) after the
+    window — window SUM re-widens precision engine-specifically);
+    cohort sizes broadcast; ONE double division per output row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    sizes = firstw.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    spend = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(firstw, "user_id")
+        .groupBy(
+            "cw",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cw")) / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.sum(dec("value", 2, 12)).alias("rev"))
+    )
+    w = Window.partitionBy("cw").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spend.join(F.broadcast(sizes), "cw")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "cohort_size",
+            to_double(F.col("rev")).alias("week_revenue"),
+            (
+                to_double(F.sum("rev").over(w).cast("decimal(38,2)"))
+                / F.col("cohort_size")
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 # --- ABC classification --------------------------------------------------------
 
 

@@ -56,6 +56,7 @@ NEW_QUERIES = [
     "ev_survival_curve",
     "q_abc_classification",
     "txt_vocab_coverage",
+    "ev_cohort_ltv",
 ]
 
 
@@ -487,6 +488,34 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_cohort_ltv_is_cumulative_within_cohort(spark, sf_dir):
+    """cum_ltv_per_user is non-decreasing in week_offset within each
+    cohort, and total week revenue equals total purchase revenue."""
+    import collections
+
+    import pytest as _pytest
+
+    from lime_etl_spark.functions.numeric import dec, to_double
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["ev_cohort_ltv"].builder(spark, sf_dir).collect()
+    by_cohort = collections.defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_week].append(r)
+    for grp in by_cohort.values():
+        grp.sort(key=lambda r: r.week_offset)
+        curve = [r.cum_ltv_per_user for r in grp]
+        assert curve == sorted(curve)
+    total = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .agg(to_double(F.sum(dec("value", 2, 12))).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert sum(r.week_revenue for r in rows) == _pytest.approx(total)
 
 
 def test_abc_masses_and_ordering(spark, sf_dir):
