@@ -984,6 +984,108 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- degree assortativity -------------------------------------------------------
+
+
+def _assortativity_oracle() -> str:
+    return f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), deg AS (
+        SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a
+    ), ends AS (
+        SELECT da.d AS x, db.d AS y
+        FROM sym s JOIN deg da ON da.v = s.a JOIN deg db ON db.v = s.b
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM ends
+    )
+    SELECT n AS n_directed_edges,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+                ELSE 0.0 END AS assortativity
+    FROM sums
+    """
+
+
+@register(
+    "graph_assortativity",
+    oracle=_assortativity_oracle(),
+    description="degree assortativity of the near-dup graph (hub-to-hub vs hub-to-leaf wiring) — Pearson r from EXACT integer sums, one sqrt+division",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman): the Pearson correlation of
+    endpoint degrees over edges. Positive = template hubs link to
+    other hubs (one mega-family — collapse carefully); negative =
+    hub-and-spoke (one root document spawning leaves — collapse to
+    the root is safe). The fourth exact-oracle graph statistic
+    beside degree distribution, triangles and bridge edges.
+
+    Determinism: every Pearson term (Σx, Σxy, Σx²...) is an integer
+    sum over integer degrees — order-independent and exact; ONE
+    float sqrt + division at the end, guarded against zero variance
+    (a regular graph has undefined r; report 0). Scale: degrees from
+    one rollup, the ends join hashes on vertex id, sums combine
+    map-side to a 1-row state.
+    """
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = (
+        jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh)))
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    sh.unpersist()
+    sym = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("x"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("y"))
+    ends = sym.join(da, "a").join(db, "b")
+    s = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            cov.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")),
+        )
+        .otherwise(0.0)
+        .alias("assortativity"),
+    )
+
+
 # --- cohort LTV curve -----------------------------------------------------------
 
 

@@ -57,6 +57,7 @@ NEW_QUERIES = [
     "q_abc_classification",
     "txt_vocab_coverage",
     "ev_cohort_ltv",
+    "graph_assortativity",
 ]
 
 
@@ -488,6 +489,15 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_assortativity_is_one_on_disjoint_cliques(spark, sf_dir):
+    """Every edge in the planted-clique corpus joins equal-degree
+    endpoints (x == y per edge), so Pearson r is exactly 1.0; |r| ≤ 1
+    always."""
+    r = all_queries()["graph_assortativity"].builder(spark, sf_dir).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.assortativity == 1.0
 
 
 def test_cohort_ltv_is_cumulative_within_cohort(spark, sf_dir):
