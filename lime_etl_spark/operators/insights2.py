@@ -984,6 +984,98 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- weighted median ------------------------------------------------------------
+
+
+@register(
+    "q_weighted_median_price",
+    oracle="""
+    WITH pp AS (
+        -- reduce to (brand, unit-price-cents) with total quantity;
+        -- unit price via pure INTEGER floor-division (decimal
+        -- division rounds at engine-specific result scales)
+        SELECT p.p_brand,
+               (CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 100)
+                 // CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
+                   AS qty_cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand, price_cents
+    ), tot AS (
+        SELECT p_brand, CAST(SUM(qty_cents) AS BIGINT) AS total_qty
+        FROM pp GROUP BY p_brand
+    ), cum AS (
+        SELECT pp.p_brand, pp.price_cents,
+               CAST(SUM(pp.qty_cents) OVER (PARTITION BY pp.p_brand
+                    ORDER BY pp.price_cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_qty,
+               t.total_qty
+        FROM pp JOIN tot t ON t.p_brand = pp.p_brand
+    )
+    SELECT p_brand,
+           CAST(MIN(price_cents) AS DOUBLE) / 100 AS weighted_median_price,
+           CAST(MAX(total_qty) AS BIGINT) AS total_qty_cents
+    FROM cum
+    WHERE 2 * cum_qty >= total_qty
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    description="quantity-weighted median unit price per brand: cumulative-weight window with integer cross-multiplied threshold (the weighted-quantile primitive)",
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median — the quantile primitive percentile() lacks: the
+    unit price below which half the QUANTITY (not half the rows)
+    trades, per brand. Unweighted medians over line items overweight
+    small orders; volume-weighted is what pricing actually reads.
+
+    Scale: the fact reduces to (brand, price) weight cells FIRST
+    (everything after is cell-grain); the cumulative-weight window
+    runs per brand over those cells; the median pick is the MIN price
+    with 2·cum ≥ total — an integer cross-multiply, no division, so
+    the boundary cell is engine-exact. The unit price itself is a
+    pure INTEGER floor-division of cents (decimal division rounds at
+    engine-specific result scales — found by the oracle: Spark and
+    DuckDB disagreed by one cent).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    price_cents = F.expr(
+        "(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 100)"
+        " div CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    )
+    pp = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", price_cents.alias("price_cents"))
+        .agg((F.sum(dec("l_quantity", 2, 12)) * 100).cast("bigint").alias("qty_cents"))
+    )
+    tot = pp.groupBy("p_brand").agg(
+        F.sum("qty_cents").cast("bigint").alias("total_qty")
+    )
+    w = Window.partitionBy("p_brand").orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pp.join(tot, "p_brand").select(
+        "p_brand",
+        "price_cents",
+        F.sum("qty_cents").over(w).cast("bigint").alias("cum_qty"),
+        "total_qty",
+    )
+    return (
+        cum.where(2 * F.col("cum_qty") >= F.col("total_qty"))
+        .groupBy("p_brand")
+        .agg(
+            (F.min("price_cents").cast("double") / 100).alias(
+                "weighted_median_price"
+            ),
+            F.max("total_qty").cast("bigint").alias("total_qty_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 # --- degree assortativity -------------------------------------------------------
 
 

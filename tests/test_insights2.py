@@ -58,6 +58,7 @@ NEW_QUERIES = [
     "txt_vocab_coverage",
     "ev_cohort_ltv",
     "graph_assortativity",
+    "q_weighted_median_price",
 ]
 
 
@@ -489,6 +490,30 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_weighted_median_is_a_real_price_point(spark, sf_dir):
+    """The weighted median per brand lies within that brand's observed
+    unit-price range (it IS an observed cell, not an interpolation)."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["q_weighted_median_price"].builder(spark, sf_dir).collect()
+    assert rows
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rng = {
+        r.p_brand: (r.lo, r.hi)
+        for r in li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("lo"),
+            F.max(F.col("l_extendedprice") / F.col("l_quantity")).alias("hi"),
+        )
+        .collect()
+    }
+    for r in rows:
+        lo, hi = rng[r.p_brand]
+        assert lo - 0.011 <= r.weighted_median_price <= hi + 0.011
 
 
 def test_assortativity_is_one_on_disjoint_cliques(spark, sf_dir):
