@@ -984,6 +984,81 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- A/B assignment + A/A audit -------------------------------------------------
+
+
+def _ab_oracle() -> str:
+    return f"""
+    WITH users AS (
+        SELECT user_id,
+               CASE WHEN {_bucket_sql("user_id", 2)} = 0
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases
+        FROM events
+        GROUP BY user_id, arm
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(n_purchases) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS converter_rate
+    FROM users
+    GROUP BY arm
+    ORDER BY arm
+    """
+
+
+@register(
+    "ev_ab_assignment_aa",
+    oracle=_ab_oracle(),
+    description="experimentation primitive: deterministic md5 50/50 user bucketing + A/A validity audit (SRM + metric balance, no randomness)",
+)
+def ev_ab_assignment_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assignment half of an experimentation platform: users
+    hash-bucketed 50/50 into arms DETERMINISTICALLY (md5 of the unit
+    id — rerun-stable, no seed coordination, same family as every
+    sampler here), reported as an A/A audit: with no treatment
+    applied, arm sizes must pass the sample-ratio-mismatch bound and
+    converter rates must agree — the validity check every experiment
+    platform runs before trusting its bucketing. Both gates are
+    pytest-asserted.
+
+    Scale: assignment is a row-local hash (no state, no assignment
+    table to join — the unit id IS the assignment); the audit is a
+    per-user reduce then a 2-row arm rollup.
+    """
+    from lime_etl_spark.operators.training import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(hash_bucket(F.col("user_id"), 2) == 0, "control").otherwise(
+        "treatment"
+    )
+    users = ev.groupBy("user_id", arm.alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+    return (
+        users.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("n_purchases").cast("bigint").alias("n_purchases"),
+            (
+                F.sum(F.when(F.col("n_purchases") > 0, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("converter_rate"),
+        )
+        .orderBy("arm")
+    )
+
+
 # --- weighted median ------------------------------------------------------------
 
 

@@ -59,6 +59,7 @@ NEW_QUERIES = [
     "ev_cohort_ltv",
     "graph_assortativity",
     "q_weighted_median_price",
+    "ev_ab_assignment_aa",
 ]
 
 
@@ -490,6 +491,26 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_ab_assignment_passes_srm_and_partitions_users(spark, sf_dir):
+    """Arms partition the user base; |n_c − n_t| stays within the
+    3σ sample-ratio-mismatch bound 3·√n for a fair 50/50 coin; and
+    with no treatment applied (A/A) converter rates agree."""
+    import math
+
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = {
+        r.arm: r
+        for r in all_queries()["ev_ab_assignment_aa"].builder(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"control", "treatment"}
+    total = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    nc, nt = rows["control"].n_users, rows["treatment"].n_users
+    assert nc + nt == total
+    assert abs(nc - nt) <= 3 * math.sqrt(total)
+    assert abs(rows["control"].converter_rate - rows["treatment"].converter_rate) < 0.2
 
 
 def test_weighted_median_is_a_real_price_point(spark, sf_dir):
