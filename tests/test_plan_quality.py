@@ -501,3 +501,41 @@ def test_cardinality_profile_expands_per_table(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dq_cardinality_profile")
     assert "Expand" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_abc_windows_run_at_rollup_grain(spark, sf_dir):
+    """The only hash exchange is the per-part reduce — the running-sum
+    window and class thresholds never touch fact grain."""
+    plan = plan_of(spark, sf_dir, "q_abc_classification")
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"l_partkey"}, keys
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_windows_on_cells(spark, sf_dir):
+    """Cumulative-weight window partitions by brand over (brand,
+    price) cells; part dim broadcasts; no sort-merge join."""
+    plan = plan_of(spark, sf_dir, "q_weighted_median_price")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_match_blocks_never_cross_join(spark, sf_dir):
+    """The Levenshtein verify runs inside suffix blocks via a
+    broadcast equi-join — never a cartesian expansion; the only hash
+    exchange is the per-dirty-key best-match window."""
+    plan = plan_of(spark, sf_dir, "etl_fuzzy_key_match")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"dirty_id"}, keys
+
+
+def test_ab_assignment_is_join_free(spark, sf_dir):
+    """Hash assignment is row-local: no join anywhere; exchanges only
+    for the per-user reduce and the 2-row arm rollup."""
+    plan = plan_of(spark, sf_dir, "ev_ab_assignment_aa")
+    assert "Join" not in plan, plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"arm", "user_id"}, keys
