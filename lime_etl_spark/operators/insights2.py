@@ -984,6 +984,89 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- word burstiness ------------------------------------------------------------
+
+BURST_TOP_K = 40
+
+
+@register(
+    "txt_word_burstiness",
+    oracle=f"""
+    WITH dw AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY doc_id, word
+    ), nd AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dw
+    ), per_word AS (
+        SELECT word,
+               CAST(SUM(n) AS BIGINT) AS s1,
+               CAST(SUM(n * n) AS BIGINT) AS s2,
+               CAST(COUNT(*) AS BIGINT) AS df
+        FROM dw GROUP BY word
+    )
+    SELECT word, s1 AS total_count, df AS doc_frequency,
+           (CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE))
+             - (CAST(s1 AS DOUBLE) / t.n_docs) AS burstiness
+    FROM per_word CROSS JOIN nd t
+    ORDER BY s1 DESC, word
+    LIMIT {BURST_TOP_K}
+    """,
+    description="word burstiness (VMR−... Church-Gale style: mean repeat count minus expected) for the corpus head — topical words bursty, function words flat",
+)
+def txt_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness for the corpus head: E[n | word occurs]·adjusted —
+    computed as Σn²/Σn − Σn/N (mean occurrences per occurrence minus
+    the global rate). Function words spread evenly (low), topical/
+    template words clump into few documents (high) — the signal
+    separating 'frequent because everywhere' from 'frequent because
+    duplicated', which ranks stopword candidates vs boilerplate
+    candidates from the same frequency table.
+
+    Scale: one (doc, word) counter rollup (map-side combine), one
+    per-word reduce of exact int64 Σn/Σn² (zeros contribute nothing
+    — the identity needs only occurring docs), a 1-row doc-count
+    broadcast; the score is a fixed chain of double ops identical on
+    both engines. Top-k orders by exact counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    nd = dw.agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
+    per_word = dw.groupBy("word").agg(
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    return (
+        per_word.crossJoin(F.broadcast(nd))
+        .select(
+            "word",
+            F.col("s1").alias("total_count"),
+            F.col("df").alias("doc_frequency"),
+            (
+                (F.col("s2").cast("double") / F.col("s1").cast("double"))
+                - (F.col("s1").cast("double") / F.col("n_docs"))
+            ).alias("burstiness"),
+        )
+        .orderBy(F.desc("total_count"), "word")
+        .limit(BURST_TOP_K)
+    )
+
+
 # --- A/B assignment + A/A audit -------------------------------------------------
 
 

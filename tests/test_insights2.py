@@ -60,6 +60,7 @@ NEW_QUERIES = [
     "graph_assortativity",
     "q_weighted_median_price",
     "ev_ab_assignment_aa",
+    "txt_word_burstiness",
 ]
 
 
@@ -491,6 +492,16 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_burstiness_bounds(spark, sf_dir):
+    """Σn²/Σn ≥ 1 always and the global-rate correction keeps the
+    score > -1; df ≤ total_count."""
+    rows = all_queries()["txt_word_burstiness"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_frequency <= r.total_count
+        assert r.burstiness > -1.0
 
 
 def test_ab_assignment_passes_srm_and_partitions_users(spark, sf_dir):
