@@ -984,6 +984,70 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- telemetry protocol violations ----------------------------------------------
+
+
+@register(
+    "dq_protocol_violations",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_purchasing_users,
+           CAST(SUM(CASE WHEN f.first_view_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchases_no_view_ever,
+           CAST(SUM(CASE WHEN f.first_view_us IS NOT NULL
+                          AND epoch_us(e.ts) < f.first_view_us
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchases_before_first_view,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM events e
+    JOIN firsts f ON f.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+    description="telemetry ordering audit: purchases with no prior view (client-clock skew / lost events / bot traffic) — one user shuffle, counters-only",
+)
+def dq_protocol_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event-PROTOCOL audit: a purchase should follow a view —
+    purchases from users who never viewed, or timestamped before the
+    user's first view, mean client-clock skew, dropped events, or
+    bot traffic. ev_funnel measures the conversion rate among the
+    well-behaved; this counts the ill-behaved, which is the
+    instrumentation-quality number.
+
+    Scale: first-view time is one conditional MIN per user (rides
+    the same user rollup family as ev_purchase_latency); the probe
+    is an equi-join of purchases onto that rollup; output is one row
+    of int64 counters, all map-side combinable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("first_view_us")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase")
+    j = purchases.join(firsts, "user_id")
+    return j.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_purchasing_users"),
+        F.sum(F.when(F.col("first_view_us").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases_no_view_ever"),
+        F.sum(
+            F.when(
+                F.col("first_view_us").isNotNull()
+                & (F.unix_micros("ts") < F.col("first_view_us")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_purchases_before_first_view"),
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+    )
+
+
 # --- word burstiness ------------------------------------------------------------
 
 BURST_TOP_K = 40

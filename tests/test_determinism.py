@@ -1,0 +1,39 @@
+"""Partition-count invariance: the determinism §3 claims rest on —
+decimal-exact aggregation means results are BIT-IDENTICAL whatever
+shuffle layout AQE or the cluster picks. This drives the same query
+under different spark.sql.shuffle.partitions settings and compares
+canonical row forms exactly (floats included: they only exist
+post-aggregation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lime_etl_spark.plans.registry import all_queries
+from tests.oracle import canonical_rows
+
+# A float-bearing cross-family sample: money aggs, window ratios,
+# cosine pair scores, sessionized rates, percentiles.
+INVARIANCE_QUERIES = [
+    "q1_pricing_summary",
+    "q_revenue_deciles",
+    "dedup_embedding_cosine",
+    "ev_bounce_rate",
+    "q_price_quantiles",
+    "ev_cohort_ltv",
+    "q_weighted_median_price",
+]
+
+
+@pytest.mark.parametrize("name", INVARIANCE_QUERIES)
+def test_results_invariant_to_shuffle_partitions(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    builder = all_queries()[name].builder
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = canonical_rows(builder(spark, sf_dir).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = canonical_rows(builder(spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b, f"{name}: results differ across shuffle layouts"

@@ -61,6 +61,7 @@ NEW_QUERIES = [
     "q_weighted_median_price",
     "ev_ab_assignment_aa",
     "txt_word_burstiness",
+    "dq_protocol_violations",
 ]
 
 
