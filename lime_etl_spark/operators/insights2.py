@@ -984,6 +984,134 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- monthly seasonal index -----------------------------------------------------
+
+
+@register(
+    "q_seasonal_index",
+    oracle="""
+    WITH monthly AS (
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+               EXTRACT(MONTH FROM o_orderdate) AS mo,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders GROUP BY yr, mo
+    ), yearly AS (
+        SELECT yr,
+               CAST(SUM(rev) AS DECIMAL(38,2)) AS yr_rev,
+               CAST(COUNT(*) AS BIGINT) AS n_months
+        FROM monthly GROUP BY yr
+    )
+    SELECT CAST(m.yr AS BIGINT) AS yr, CAST(m.mo AS BIGINT) AS mo,
+           CAST(m.rev AS DOUBLE) AS month_revenue,
+           CAST(m.rev AS DOUBLE) * y.n_months / CAST(y.yr_rev AS DOUBLE)
+               AS seasonal_index
+    FROM monthly m JOIN yearly y ON y.yr = m.yr
+    ORDER BY yr, mo
+    """,
+    description="monthly seasonal index (month revenue vs the year's monthly mean; index>1 = peak month) — calendar-bounded rollups, one double chain",
+)
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retail seasonality table: each month's revenue relative to
+    its year's monthly average (index 1.2 = a 20%-over-trend month).
+    Inventory pre-builds and the seasonal-naive forecast
+    (ev_forecast_seasonal_naive) both key off exactly this index.
+
+    Scale: the fact reduces to the |years×12| monthly rollup; yearly
+    totals join back broadcast; the index is one fixed double chain
+    (rev·n_months/yr_rev — multiply before divide, identical order
+    both engines) so no decimal division happens.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.sum(dec("o_totalprice", 2, 12)).alias("rev"))
+    yearly = monthly.groupBy("yr").agg(
+        F.sum("rev").cast("decimal(38,2)").alias("yr_rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+    )
+    return (
+        monthly.join(F.broadcast(yearly), "yr")
+        .select(
+            F.col("yr").cast("bigint").alias("yr"),
+            F.col("mo").cast("bigint").alias("mo"),
+            to_double(F.col("rev")).alias("month_revenue"),
+            (
+                to_double(F.col("rev")) * F.col("n_months")
+                / to_double(F.col("yr_rev"))
+            ).alias("seasonal_index"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+# --- per-user contribution cap ---------------------------------------------------
+
+USER_EVENT_CAP = 50
+
+
+@register(
+    "samp_cap_per_user",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY {_bucket_sql("event_id", 1000000)}, event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN rn <= {USER_EVENT_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rn <= {USER_EVENT_CAP} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS keep_rate
+    FROM ranked
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description=f"per-user contribution cap (≤{USER_EVENT_CAP} events, md5-order draw): whale/bot users can't dominate a training mixture; WindowGroupLimit-bounded",
+)
+def samp_cap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution capping — the per-ENTITY quota every training
+    mixture needs (a whale user or bot would otherwise BE the
+    behavioral dataset): keep at most N events per user, drawn in
+    md5-hash order so the kept subset is a stable pseudo-random
+    sample (never head-of-time bias, rerun-identical). Reported at
+    the per-user audit grain; the kept rows themselves are the
+    rn ≤ cap filter of the same window.
+
+    Scale: one user-keyed window whose rn≤cap filter Spark lowers to
+    WindowGroupLimit — per-key state is the cap, not the whale's
+    event count, so the shuffle carries O(cap·users) rows of
+    ordering state; the audit rollup rides the same user hash.
+    """
+    from lime_etl_spark.operators.training import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        hash_bucket(F.col("event_id"), 1_000_000), "event_id"
+    )
+    ranked = ev.select("user_id", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    kept = F.when(F.col("rn") <= USER_EVENT_CAP, 1).otherwise(0)
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_kept",
+            (F.col("n_kept").cast("double") / F.col("n_events")).alias("keep_rate"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # --- telemetry protocol violations ----------------------------------------------
 
 

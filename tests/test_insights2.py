@@ -62,6 +62,8 @@ NEW_QUERIES = [
     "ev_ab_assignment_aa",
     "txt_word_burstiness",
     "dq_protocol_violations",
+    "q_seasonal_index",
+    "samp_cap_per_user",
 ]
 
 
@@ -493,6 +495,30 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_seasonal_index_averages_to_one_per_year(spark, sf_dir):
+    """Within a year the mean of the monthly indices is exactly 1
+    (each index is month/mean-of-months)."""
+    import collections
+
+    import pytest as _pytest
+
+    rows = all_queries()["q_seasonal_index"].builder(spark, sf_dir).collect()
+    by_year = collections.defaultdict(list)
+    for r in rows:
+        by_year[r.yr].append(r.seasonal_index)
+    for yr, idx in by_year.items():
+        assert sum(idx) / len(idx) == _pytest.approx(1.0), yr
+
+
+def test_cap_per_user_caps_and_keeps_small_users_whole(spark, sf_dir):
+    """n_kept = min(cap, n_events) per user — under-cap users keep
+    everything, whales are clipped exactly at the cap."""
+    from lime_etl_spark.operators.insights2 import USER_EVENT_CAP
+
+    for r in all_queries()["samp_cap_per_user"].builder(spark, sf_dir).collect():
+        assert r.n_kept == min(USER_EVENT_CAP, r.n_events)
 
 
 def test_burstiness_bounds(spark, sf_dir):
