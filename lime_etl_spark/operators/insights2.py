@@ -984,6 +984,132 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- repeat rate by segment -----------------------------------------------------
+
+
+@register(
+    "q_repeat_rate_by_segment",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_buyers,
+           CAST(SUM(CASE WHEN p.n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat_buyers,
+           CAST(SUM(CASE WHEN p.n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS repeat_rate
+    FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    description="repeat-purchase rate per market segment (the retention KPI sliced by the acquisition dimension)",
+)
+def q_repeat_rate_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of buyers with a second order, per market segment — the
+    simplest retention KPI on the dimension acquisition teams buy
+    against, so segment-level repeat rates directly price segment
+    acquisition.
+
+    Scale: orders reduce to per-customer counts FIRST; the segment
+    attribution joins the customer dim broadcast onto that rollup;
+    output is |segments| rows, one IEEE division each.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    repeat = F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+    return (
+        per_cust.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            per_cust.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buyers"),
+            F.sum(repeat).cast("bigint").alias("n_repeat_buyers"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_buyers",
+            "n_repeat_buyers",
+            (F.col("n_repeat_buyers").cast("double") / F.col("n_buyers")).alias(
+                "repeat_rate"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- numeric range profile ------------------------------------------------------
+
+_RANGE_COLUMNS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "orders": ("o_totalprice",),
+    "customer": ("c_acctbal",),
+    "part": ("p_retailprice", "p_size"),
+    "events": ("value",),
+}
+
+
+def _range_profile_oracle() -> str:
+    legs = []
+    for tbl, cols in _RANGE_COLUMNS.items():
+        for c in cols:
+            legs.append(
+                f"SELECT '{tbl}' AS tbl, '{c}' AS col,"
+                f" CAST(MIN({c}) AS DOUBLE) AS min_v,"
+                f" CAST(MAX({c}) AS DOUBLE) AS max_v,"
+                f" CAST(SUM(CASE WHEN {c} < 0 THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n_negative"
+                f" FROM {tbl}"
+            )
+    union = "\n    UNION ALL ".join(legs)
+    return f"SELECT * FROM ({union}) ORDER BY tbl, col"
+
+
+@register(
+    "dq_range_profile",
+    oracle=_range_profile_oracle(),
+    description="numeric min/max/negative-count profile per column (the third profiling axis beside nulls and cardinality; feeds range-constraint generation)",
+)
+def dq_range_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed numeric ranges per column — the profiling axis that
+    complements dq_null_profile (completeness) and
+    dq_cardinality_profile (distinctness): these measured bounds are
+    what range CONSTRAINTS (dq_cross_field) should be generated
+    from, instead of hand-guessing domains, and a new load whose min
+    or max escapes yesterday's envelope is the cheapest drift alarm.
+
+    Scale: min/max/conditional-count are classic map-side-combining
+    counters — one scan per table, Σ|cols| output rows; these are
+    exactly the statistics parquet footers hold, so at 100 TB the
+    same report can come from metadata alone (dq_freshness's trick).
+    """
+    out = None
+    for tbl, cols in _RANGE_COLUMNS.items():
+        df = load_table(spark, sf_dir, tbl)
+        for c in cols:
+            st = df.agg(
+                F.min(c).cast("double").alias("min_v"),
+                F.max(c).cast("double").alias("max_v"),
+                F.sum(F.when(F.col(c) < 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_negative"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(c).alias("col"),
+                "min_v",
+                "max_v",
+                "n_negative",
+            )
+            out = st if out is None else out.unionByName(st)
+    return out.orderBy("tbl", "col")
+
+
 # --- monthly seasonal index -----------------------------------------------------
 
 

@@ -64,6 +64,8 @@ NEW_QUERIES = [
     "dq_protocol_violations",
     "q_seasonal_index",
     "samp_cap_per_user",
+    "q_repeat_rate_by_segment",
+    "dq_range_profile",
 ]
 
 
@@ -495,6 +497,31 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_repeat_rate_buyers_cover_customers_with_orders(spark, sf_dir):
+    """Buyers across segments equal distinct ordering customers;
+    repeat ≤ buyers per segment."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["q_repeat_rate_by_segment"].builder(spark, sf_dir).collect()
+    total = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_buyers for r in rows) == total
+    for r in rows:
+        assert 0 <= r.n_repeat_buyers <= r.n_buyers
+
+
+def test_range_profile_bounds_are_consistent(spark, sf_dir):
+    """min ≤ max everywhere; negative counts zero for columns known
+    non-negative in the synthetic data (quantity, prices)."""
+    rows = all_queries()["dq_range_profile"].builder(spark, sf_dir).collect()
+    got = {(r.tbl, r.col): r for r in rows}
+    for r in rows:
+        assert r.min_v <= r.max_v
+    assert got[("lineitem", "l_quantity")].n_negative == 0
+    assert got[("orders", "o_totalprice")].n_negative == 0
 
 
 def test_seasonal_index_averages_to_one_per_year(spark, sf_dir):
