@@ -984,6 +984,113 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- dedup method agreement -----------------------------------------------------
+
+
+def _method_agreement_oracle() -> str:
+    from lime_etl_spark.operators.dedup import (
+        _EXCERPT_SHINGLES_SQL,
+        CONTAINMENT_TAU,
+        JACCARD_TAU,
+    )
+
+    return f"""
+    WITH sh AS ({_EXCERPT_SHINGLES_SQL}),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    scored AS (
+        SELECT CAST(i.n_inter AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {JACCARD_TAU}
+                   AS j_hit,
+               CAST(i.n_inter AS DOUBLE)
+                 / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) >= {CONTAINMENT_TAU}
+                   AS c_hit
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(SUM(CASE WHEN j_hit AND c_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both,
+           CAST(SUM(CASE WHEN c_hit AND NOT j_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_containment_only,
+           CAST(SUM(CASE WHEN j_hit AND NOT c_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_jaccard_only
+    FROM scored
+    """
+
+
+@register(
+    "dedup_method_agreement",
+    oracle=_method_agreement_oracle(),
+    description="detector-agreement audit on the excerpt corpus: Jaccard vs containment 2×2 — jaccard_only provably 0 (C ≥ J), containment_only = the excerpt mass resemblance misses",
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ensemble audit for the dedup stack: over one candidate
+    pipeline, how the resemblance (Jaccard ≥ τ_J) and containment
+    (C ≥ τ_C) verdicts overlap. Since C(A,B) ≥ J(A,B) for every pair
+    and τ_C ≥ τ_J here, 'jaccard-only' is MATHEMATICALLY empty
+    (pytest pins it at 0 — a broken shingle pipeline would violate
+    it), and 'containment-only' measures exactly the excerpt mass a
+    Jaccard-only dedup ships to training twice.
+
+    Scale: ONE shared-shingle candidate pipeline scores both metrics
+    from the same (intersection, sizes) aggregates — the agreement
+    table costs one extra CASE, not a second pipeline; output is a
+    single counter row.
+    """
+    from lime_etl_spark.operators.dedup import (
+        CONTAINMENT_TAU,
+        JACCARD_TAU,
+        _excerpt_corpus,
+        doc_shingles,
+        jaccard_pairs,
+    )
+
+    corpus = _excerpt_corpus(spark, sf_dir)
+    sh = doc_shingles(corpus).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.x") == F.col("b.x"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    scored = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+                >= JACCARD_TAU
+            ).alias("j_hit"),
+            (
+                F.col("n_inter").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+                >= CONTAINMENT_TAU
+            ).alias("c_hit"),
+        )
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        flag(F.col("j_hit") & F.col("c_hit")).alias("n_both"),
+        flag(F.col("c_hit") & ~F.col("j_hit")).alias("n_containment_only"),
+        flag(F.col("j_hit") & ~F.col("c_hit")).alias("n_jaccard_only"),
+    )
+
+
 # --- repeat rate by segment -----------------------------------------------------
 
 

@@ -66,6 +66,7 @@ NEW_QUERIES = [
     "samp_cap_per_user",
     "q_repeat_rate_by_segment",
     "dq_range_profile",
+    "dedup_method_agreement",
 ]
 
 
@@ -497,6 +498,15 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_method_agreement_respects_containment_dominance(spark, sf_dir):
+    """C(A,B) ≥ J(A,B) with τ_C ≥ τ_J ⇒ jaccard-only is EMPTY; the
+    planted excerpts guarantee containment-only is not."""
+    r = all_queries()["dedup_method_agreement"].builder(spark, sf_dir).collect()[0]
+    assert r.n_jaccard_only == 0
+    assert r.n_containment_only > 0
+    assert r.n_both + r.n_containment_only <= r.n_candidate_pairs
 
 
 def test_repeat_rate_buyers_cover_customers_with_orders(spark, sf_dir):
