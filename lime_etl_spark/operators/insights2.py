@@ -984,6 +984,124 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- Gini coefficient -----------------------------------------------------------
+
+
+@register(
+    "q_gini_revenue",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+        FROM cust
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sx,
+               CAST(SUM(i * cents) AS BIGINT) AS six
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           (2.0 * six) / (CAST(n AS DOUBLE) * sx)
+             - (CAST(n + 1 AS DOUBLE) / n) AS gini
+    FROM sums
+    """,
+    description="Gini coefficient of customer revenue (THE inequality scalar beside HHI/deciles): exact rank formula over integer cents, fixed double chain",
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gini coefficient of customer revenue — 0 is perfect
+    equality, →1 is one whale — by the exact rank identity
+    G = 2Σ(i·xᵢ)/(nΣx) − (n+1)/n over ascending-sorted values.
+    Completes the concentration family: deciles draw the curve, HHI
+    squares the shares, Gini integrates the Lorenz gap.
+
+    Determinism: revenue moves as integer cents, ranks are exact
+    ints with a custkey tie-break, so Σi·xᵢ and Σx are exact int64
+    (i·x ≈ 1e5·1e9 = 1e14 per term; the sum's envelope is the
+    documented decimal38 upgrade at extreme scale); the final Gini
+    is one fixed double chain. Scale: per-customer reduce first, one
+    global rank over the rollup (documented one-task sort), 1-row
+    output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        (F.sum(dec("o_totalprice", 2, 12)) * 100).cast("bigint").alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = cust.select(
+        "cents", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("six"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        (
+            (2.0 * F.col("six")) / (F.col("n").cast("double") * F.col("sx"))
+            - ((F.col("n") + 1).cast("double") / F.col("n"))
+        ).alias("gini"),
+    )
+
+
+# --- dimension churn rate -------------------------------------------------------
+
+
+@register(
+    "etl_dim_churn_rate",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id,
+               strftime(date_trunc('month', ts), '%Y-%m') AS mo
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT mo,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys_changed,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id)
+               AS versions_per_key
+    FROM changes
+    GROUP BY mo
+    ORDER BY mo
+    """,
+    description="dimension churn rate: SCD version volume per month (the storage/compaction forecast for every SCD2 history this engine maintains)",
+)
+def etl_dim_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How fast the dimension churns: change events (the SCD2 input
+    stream) per month and per key — the number that sizes SCD2
+    history growth, decides snapshot-vs-history modeling per
+    attribute, and schedules ledger compaction. A dimension at 30
+    versions/key/month should carry that attribute in a fact, not
+    SCD2.
+
+    Scale: calendar-bounded counter rollup with a distinct-key count
+    (map-side combinable + Expand for the distinct; approx at
+    extreme cardinality); |months|-row output.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("mo"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+            F.count_distinct("user_id").cast("bigint").alias("n_keys_changed"),
+        )
+        .select(
+            "mo",
+            "n_versions",
+            "n_keys_changed",
+            (F.col("n_versions").cast("double") / F.col("n_keys_changed")).alias(
+                "versions_per_key"
+            ),
+        )
+        .orderBy("mo")
+    )
+
+
 # --- dedup method agreement -----------------------------------------------------
 
 

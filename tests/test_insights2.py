@@ -67,6 +67,8 @@ NEW_QUERIES = [
     "q_repeat_rate_by_segment",
     "dq_range_profile",
     "dedup_method_agreement",
+    "q_gini_revenue",
+    "etl_dim_churn_rate",
 ]
 
 
@@ -498,6 +500,48 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_gini_bounds_and_uniform_zero(spark, sf_dir):
+    """On real data 0 ≤ G < 1; on a hand-built perfectly-equal frame
+    the rank formula must return exactly 0."""
+    import datetime as dt
+
+    r = all_queries()["q_gini_revenue"].builder(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+
+    rows = [
+        (k, 1, "O", 100.0, dt.date(2024, 1, 1), "1-URGENT") for k in range(1, 21)
+    ]
+    eq = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    # every customer distinct with identical revenue → G = 0 exactly
+    eq = eq.withColumn("o_custkey", F.col("o_orderkey"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        eq.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        g = all_queries()["q_gini_revenue"].builder(spark, d).collect()[0]
+    assert g.gini == 0.0
+
+
+def test_dim_churn_versions_dominate_keys(spark, sf_dir):
+    """versions ≥ keys changed per month; totals match purchase count."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["etl_dim_churn_rate"].builder(spark, sf_dir).collect()
+    total = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.n_versions for r in rows) == total
+    for r in rows:
+        assert r.n_versions >= r.n_keys_changed
+        assert r.versions_per_key >= 1.0
 
 
 def test_method_agreement_respects_containment_dominance(spark, sf_dir):
