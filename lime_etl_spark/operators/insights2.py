@@ -984,6 +984,154 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- length × quality grid ------------------------------------------------------
+
+
+@register(
+    "cur_length_quality_grid",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               length(text) AS n_chars_calc,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS distinct_ratio
+        FROM documents
+    ), deciled AS (
+        SELECT NTILE(10) OVER (ORDER BY n_chars_calc, doc_id) AS len_decile,
+               NTILE(10) OVER (ORDER BY distinct_ratio, doc_id) AS qual_decile
+        FROM feats
+    )
+    SELECT len_decile, qual_decile, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM deciled
+    GROUP BY len_decile, qual_decile
+    ORDER BY len_decile, qual_decile
+    """,
+    description="curation 2D heat grid: length-decile × quality-decile doc counts (where the filter thresholds should bend, not a 1D cut)",
+)
+def cur_length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The joint view 1-D curation cuts miss: docs bucketed into
+    length deciles × lexical-diversity deciles. Mass concentrated in
+    (long, low-diversity) is template spam a pure length floor would
+    KEEP; (short, high-diversity) is dense content a length floor
+    would DROP — the grid says where thresholds should bend.
+
+    Scale: row-local features (same expressions as
+    txt_quality_score, so 'quality' agrees), two global ntiles over
+    the doc-grain rollup with doc_id tie-breaks (documented
+    one-task sorts), ≤100-cell output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feats = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("distinct_ratio"),
+    )
+    w_len = Window.orderBy("n_chars_calc", "doc_id")
+    w_q = Window.orderBy("distinct_ratio", "doc_id")
+    deciled = feats.select(
+        F.ntile(10).over(w_len).alias("len_decile"),
+        F.ntile(10).over(w_q).alias("qual_decile"),
+    )
+    return (
+        deciled.groupBy("len_decile", "qual_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("len_decile", "qual_decile")
+    )
+
+
+# --- first-week value predictability --------------------------------------------
+
+
+@register(
+    "ev_w1_value_predictability",
+    oracle="""
+    WITH firstd AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ), per_user AS (
+        SELECT e.user_id,
+               CAST(SUM(CASE WHEN CAST(e.ts AS DATE) < f.d0 + INTERVAL 7 DAY
+                             THEN CAST(e.value AS DECIMAL(12,2)) END) * 100
+                    AS BIGINT) AS w1_cents,
+               CAST(SUM(CASE WHEN CAST(e.ts AS DATE) >= f.d0 + INTERVAL 7 DAY
+                             THEN CAST(e.value AS DECIMAL(12,2)) END) * 100
+                    AS BIGINT) AS later_cents
+        FROM events e JOIN firstd f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    ), xy AS (
+        SELECT COALESCE(w1_cents, 0) AS x, COALESCE(later_cents, 0) AS y
+        FROM per_user
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM xy
+    )
+    SELECT n AS n_users,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+                ELSE 0.0 END AS w1_later_correlation
+    FROM sums
+    """,
+    description="does week-1 spend predict the rest? Pearson r from EXACT integer-cents sums (the LTV-predictability scalar behind early-scoring models)",
+)
+def ev_w1_value_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number that justifies (or kills) early-LTV scoring: the
+    correlation between a user's first-7-days spend and everything
+    after. High r → week-1 bids/budgets can be trusted; low r → wait
+    for more signal. Same exact-integer Pearson discipline as
+    graph_assortativity: every Σ term is int64 cents, one guarded
+    sqrt+division.
+
+    Scale: first-day via per-user reduce, spends as TWO conditional
+    decimal sums in one pass over purchases (no second scan), the
+    correlation from a 1-row sum state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firstd = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    p = ev.where(F.col("event_type") == "purchase").join(firstd, "user_id")
+    in_w1 = F.to_date("ts") < F.date_add("d0", 7)
+    per_user = p.groupBy("user_id").agg(
+        (F.sum(F.when(in_w1, dec("value", 2, 12))) * 100)
+        .cast("bigint")
+        .alias("w1_cents"),
+        (F.sum(F.when(~in_w1, dec("value", 2, 12))) * 100)
+        .cast("bigint")
+        .alias("later_cents"),
+    )
+    xy = per_user.select(
+        F.coalesce("w1_cents", F.lit(0)).alias("x"),
+        F.coalesce("later_cents", F.lit(0)).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            cov.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")),
+        )
+        .otherwise(0.0)
+        .alias("w1_later_correlation"),
+    )
+
+
 # --- Gini coefficient -----------------------------------------------------------
 
 

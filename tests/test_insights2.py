@@ -69,6 +69,8 @@ NEW_QUERIES = [
     "dedup_method_agreement",
     "q_gini_revenue",
     "etl_dim_churn_rate",
+    "cur_length_quality_grid",
+    "ev_w1_value_predictability",
 ]
 
 
@@ -500,6 +502,38 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_length_quality_grid_mass_and_balance(spark, sf_dir):
+    """Grid mass equals the doc count and each length decile holds
+    ~n/10 docs (ntile balance)."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["cur_length_quality_grid"].builder(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n
+    import collections
+
+    per_len = collections.Counter()
+    for r in rows:
+        per_len[r.len_decile] += r.n_docs
+    assert max(per_len.values()) - min(per_len.values()) <= 1
+
+
+def test_w1_predictability_is_a_correlation(spark, sf_dir):
+    """|r| ≤ 1 and the user count matches purchasing users."""
+    from lime_etl_spark.sources.readers import load_table
+
+    r = all_queries()["ev_w1_value_predictability"].builder(spark, sf_dir).collect()[0]
+    assert -1.0 <= r.w1_later_correlation <= 1.0
+    purchasers = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_users == purchasers
 
 
 def test_gini_bounds_and_uniform_zero(spark, sf_dir):
