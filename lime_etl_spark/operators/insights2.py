@@ -984,6 +984,56 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- id/time monotonicity audit -------------------------------------------------
+
+
+@register(
+    "dq_id_time_monotonicity",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_id, epoch_us(ts) AS ts_us,
+               LAG(epoch_us(ts)) OVER (ORDER BY event_id) AS prev_us
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_us IS NOT NULL AND ts_us < prev_us
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+           CAST(MAX(CASE WHEN prev_us IS NOT NULL AND ts_us < prev_us
+                         THEN prev_us - ts_us ELSE 0 END) AS BIGINT)
+               AS max_inversion_us
+    FROM ordered
+    """,
+    description="allocator-order audit: timestamp inversions along the event_id sequence (can an id range stand in for a time range?)",
+)
+def dq_id_time_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whether the id allocator agrees with event time: inversions
+    (a later id carrying an earlier timestamp) along the id
+    sequence, plus the worst inversion in µs. Zero inversions means
+    id ranges can stand in for time ranges (cheap incremental
+    loads keyed on id); a large max inversion bounds the overlap
+    re-read window an id-keyed incremental load must add.
+
+    Scale: ONE lag window along the id order (the documented global
+    sort — at 100 TB this runs per id-shard with shard-boundary
+    stitching, the same decomposition samp_domain_budget documents);
+    counters-only output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    us = F.unix_micros("ts")
+    ordered = ev.select(
+        "event_id", us.alias("ts_us"), F.lag(us).over(w).alias("prev_us")
+    )
+    inv = F.col("prev_us").isNotNull() & (F.col("ts_us") < F.col("prev_us"))
+    return ordered.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(inv, 1).otherwise(0)).cast("bigint").alias("n_inversions"),
+        F.max(F.when(inv, F.col("prev_us") - F.col("ts_us")).otherwise(0))
+        .cast("bigint")
+        .alias("max_inversion_us"),
+    )
+
+
 # --- length × quality grid ------------------------------------------------------
 
 

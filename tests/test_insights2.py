@@ -71,6 +71,7 @@ NEW_QUERIES = [
     "etl_dim_churn_rate",
     "cur_length_quality_grid",
     "ev_w1_value_predictability",
+    "dq_id_time_monotonicity",
 ]
 
 
