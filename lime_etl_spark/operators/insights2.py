@@ -984,6 +984,129 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- suspect duplicate orders ---------------------------------------------------
+
+
+@register(
+    "dq_suspect_duplicate_orders",
+    oracle="""
+    WITH grp AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS tp, o_orderdate,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(o_orderkey) AS BIGINT) AS first_orderkey
+        FROM orders
+        GROUP BY o_custkey, tp, o_orderdate
+        HAVING COUNT(*) > 1
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(tp AS DOUBLE) AS totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           n_orders, first_orderkey
+    FROM grp
+    ORDER BY o_custkey, totalprice, orderdate
+    """,
+    description="business-rule duplicate detector: same customer+amount+day orders (double-submit/replay with FRESH keys — what full-row dedup can't see)",
+)
+def dq_suspect_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The finance-control dup check: orders sharing (customer,
+    amount, day) but with DIFFERENT order keys — double-submits and
+    replayed batches that minted fresh surrogates, which
+    dq_duplicate_rows (full-row) and dq_candidate_keys (declared PK)
+    are both structurally blind to. Output is the review queue,
+    ordered deterministically.
+
+    Scale: one counters-only groupBy on the natural business key
+    (map-side combine; HAVING>1 kills the tail in the partial);
+    decimal-exact amount equality (float equality would
+    false-negative on representation noise).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            "o_custkey",
+            dec("o_totalprice", 2, 12).alias("tp"),
+            "o_orderdate",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").cast("bigint").alias("first_orderkey"),
+        )
+        .where(F.col("n_orders") > 1)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            to_double(F.col("tp")).alias("totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "n_orders",
+            "first_orderkey",
+        )
+        .orderBy("o_custkey", "totalprice", "orderdate")
+    )
+
+
+# --- per-user action diversity --------------------------------------------------
+
+
+@register(
+    "ev_action_diversity",
+    oracle="""
+    WITH cnt AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+    ), per_user AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(SUM(n * (n - 1)) AS BIGINT) AS pair_hits
+        FROM cnt GROUP BY user_id
+    )
+    SELECT n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN n_events > 1
+                          AND pair_hits * 10 >= 8 * n_events * (n_events - 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_monotone_users
+    FROM per_user
+    GROUP BY n_types
+    ORDER BY n_types
+    """,
+    description="behavioral diversity profile: action-type breadth per user + Simpson-concentration ≥0.8 'monotone' users (bot/scraper signature) via integer cross-multiply",
+)
+def ev_action_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral breadth: users bucketed by how many action types
+    they touch, with the count of 'monotone' users — Simpson
+    concentration Σn(n−1)/N(N−1) ≥ 0.8, i.e. four-in-five random
+    action pairs are the SAME action: the scraper/bot signature
+    (view-view-view…) that volume caps alone miss.
+
+    Scale: (user, type) counter rollup with map-side combine; the
+    Simpson threshold is an integer cross-multiply (pair_hits·10 ≥
+    8·N(N−1)) — no division, exact on both engines (the
+    txt_simpson_diversity discipline at user grain); output bounded
+    by |types| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_user = cnt.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("pair_hits"),
+    )
+    monotone = (F.col("n_events") > 1) & (
+        F.col("pair_hits") * 10 >= 8 * F.col("n_events") * (F.col("n_events") - 1)
+    )
+    return (
+        per_user.groupBy("n_types")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.when(monotone, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_monotone_users"),
+        )
+        .orderBy("n_types")
+    )
+
+
 # --- id/time monotonicity audit -------------------------------------------------
 
 

@@ -72,6 +72,8 @@ NEW_QUERIES = [
     "cur_length_quality_grid",
     "ev_w1_value_predictability",
     "dq_id_time_monotonicity",
+    "dq_suspect_duplicate_orders",
+    "ev_action_diversity",
 ]
 
 
@@ -503,6 +505,37 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_suspect_duplicates_catch_planted_double_submit(spark, tmp_path, sf_dir):
+    """Replaying orders with FRESH keys (the surrogate-minting
+    double-submit) is invisible to full-row dedup but must surface
+    here, one group per replayed business key."""
+    from lime_etl_spark.sources.readers import load_table
+
+    base = load_table(spark, sf_dir, "orders")
+    replay = base.where(F.col("o_orderkey") % 50 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 900_000_000
+    )
+    d = str(tmp_path / "sf")
+    base.unionByName(replay).write.parquet(f"{d}/orders.parquet")
+    rows = all_queries()["dq_suspect_duplicate_orders"].builder(spark, d).collect()
+    planted = replay.count()
+    # every planted replay creates (at least) its own duplicate group
+    assert len(rows) >= planted
+    assert all(r.n_orders >= 2 for r in rows)
+
+
+def test_action_diversity_masses(spark, sf_dir):
+    """Users across breadth buckets sum to the full user base;
+    monotone ≤ users per bucket."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["ev_action_diversity"].builder(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == total
+    for r in rows:
+        assert 0 <= r.n_monotone_users <= r.n_users
 
 
 def test_length_quality_grid_mass_and_balance(spark, sf_dir):
