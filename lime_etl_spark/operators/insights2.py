@@ -984,6 +984,60 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- weekend lift ---------------------------------------------------------------
+
+
+@register(
+    "ev_weekend_lift",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               strftime(ts, '%a') IN ('Sat', 'Sun') AS is_weekend,
+               SUM(CAST(value AS DECIMAL(12,2))) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY d, is_weekend
+    )
+    SELECT is_weekend,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS revenue_per_day
+    FROM daily
+    GROUP BY is_weekend
+    ORDER BY is_weekend
+    """,
+    description="weekend vs weekday revenue-per-day split (staffing/budget pacing input; day counts denominate, not raw sums)",
+)
+def ev_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend effect measured correctly: revenue PER DAY for weekend
+    vs weekday days — raw weekend totals always lose (2 days vs 5),
+    so the per-day rate is the comparable number that paces weekend
+    staffing and ad budgets. Weekday classification by NAME (the
+    cross-engine-safe convention from ev_weekday_hour_profile).
+
+    Scale: daily decimal rollup first, 2-row output, one division
+    per row over exact aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"),
+        F.date_format("ts", "E").isin("Sat", "Sun").alias("is_weekend"),
+    ).agg(F.sum(dec("value", 2, 12)).alias("rev"))
+    return (
+        daily.groupBy("is_weekend")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            to_double(F.sum("rev")).alias("revenue"),
+        )
+        .select(
+            "is_weekend",
+            "n_days",
+            "revenue",
+            (F.col("revenue") / F.col("n_days")).alias("revenue_per_day"),
+        )
+        .orderBy("is_weekend")
+    )
+
+
 # --- suspect duplicate orders ---------------------------------------------------
 
 

@@ -74,6 +74,7 @@ NEW_QUERIES = [
     "dq_id_time_monotonicity",
     "dq_suspect_duplicate_orders",
     "ev_action_diversity",
+    "ev_weekend_lift",
 ]
 
 
@@ -505,6 +506,25 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_weekend_lift_day_masses(spark, sf_dir):
+    """Weekend + weekday day counts cover all purchase days; revenue
+    mass conserves against the raw total."""
+    import pytest as _pytest
+
+    from lime_etl_spark.functions.numeric import dec, to_double
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = {
+        r.is_weekend: r
+        for r in all_queries()["ev_weekend_lift"].builder(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    n_days = ev.select(F.to_date("ts")).distinct().count()
+    assert rows[True].n_days + rows[False].n_days == n_days
+    total = ev.agg(to_double(F.sum(dec("value", 2, 12))).alias("t")).collect()[0].t
+    assert rows[True].revenue + rows[False].revenue == _pytest.approx(total)
 
 
 def test_suspect_duplicates_catch_planted_double_submit(spark, tmp_path, sf_dir):
