@@ -984,6 +984,103 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- rank stability (Spearman) --------------------------------------------------
+
+
+@register(
+    "q_rank_stability_nations",
+    oracle="""
+    WITH ny AS (
+        SELECT n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+               SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY nation, yr
+    ), ranked AS (
+        SELECT nation, yr,
+               CAST(ROW_NUMBER() OVER (PARTITION BY yr
+                    ORDER BY rev DESC, nation) AS BIGINT) AS rnk
+        FROM ny
+    ), pairs AS (
+        SELECT a.yr AS yr_from, a.rnk AS x, b.rnk AS y
+        FROM ranked a
+        JOIN ranked b ON b.nation = a.nation AND b.yr = a.yr + 1
+    ), sums AS (
+        SELECT yr_from, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((x - y) * (x - y)) AS BIGINT) AS d2
+        FROM pairs GROUP BY yr_from
+    )
+    SELECT CAST(yr_from AS BIGINT) AS yr_from, n AS n_nations,
+           1.0 - (6.0 * d2) / (CAST(n AS DOUBLE) * (n * n - 1)) AS spearman_rho
+    FROM sums
+    WHERE n >= 2
+    ORDER BY yr_from
+    """,
+    description="league-table stability: Spearman rho of nation revenue ranks between consecutive years — EXACT via the Σd² identity over integer ranks",
+)
+def q_rank_stability_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How stable the nation revenue league table is year over year:
+    Spearman's rho between consecutive years' rankings by the exact
+    identity ρ = 1 − 6Σd²/(n(n²−1)) — ranks are exact integers with
+    name tie-breaks, so Σd² is exact int64 and the score is one
+    fixed double chain (the third reuse of the exact-rank-statistics
+    discipline after Gini and the integer Pearsons). ρ≈1 = stable
+    market; a drop flags a structural shift worth a drill-down.
+
+    Scale: facts reduce to the |nations|×|years| rollup (dims
+    broadcast); per-year ranks window over that tiny frame; the
+    year+1 self-join and sums are rollup-grain.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ny = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum(dec("o_totalprice", 2, 12)).alias("rev"))
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("rev"), "nation")
+    ranked = ny.select(
+        "nation", "yr", F.row_number().over(w).cast("bigint").alias("rnk")
+    ).persist()
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.nation") == F.col("a.nation"))
+        & (F.col("b.yr") == F.col("a.yr") + 1),
+    ).select(
+        F.col("a.yr").alias("yr_from"),
+        F.col("a.rnk").alias("x"),
+        F.col("b.rnk").alias("y"),
+    )
+    d = F.col("x") - F.col("y")
+    s = pairs.groupBy("yr_from").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d * d).cast("bigint").alias("d2"),
+    )
+    return (
+        s.where(F.col("n") >= 2)
+        .select(
+            F.col("yr_from").cast("bigint").alias("yr_from"),
+            F.col("n").alias("n_nations"),
+            (
+                1.0
+                - (6.0 * F.col("d2"))
+                / (F.col("n").cast("double") * (F.col("n") * F.col("n") - 1))
+            ).alias("spearman_rho"),
+        )
+        .orderBy("yr_from")
+    )
+
+
 # --- weekend lift ---------------------------------------------------------------
 
 

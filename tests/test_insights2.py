@@ -75,6 +75,7 @@ NEW_QUERIES = [
     "dq_suspect_duplicate_orders",
     "ev_action_diversity",
     "ev_weekend_lift",
+    "q_rank_stability_nations",
 ]
 
 
@@ -506,6 +507,16 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_rank_stability_is_a_valid_rho(spark, sf_dir):
+    """-1 ≤ ρ ≤ 1 for every year pair; rank pairs cover the common
+    nation set (25 TPC-H nations)."""
+    rows = all_queries()["q_rank_stability_nations"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.spearman_rho <= 1.0
+        assert r.n_nations >= 2
 
 
 def test_weekend_lift_day_masses(spark, sf_dir):
