@@ -984,6 +984,57 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- hash-bucket uniformity ------------------------------------------------------
+
+UNIF_BUCKETS = 64
+
+
+@register(
+    "samp_bucket_uniformity",
+    oracle=f"""
+    WITH b AS (
+        SELECT {_bucket_sql("doc_id", UNIF_BUCKETS)} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY bucket
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+           CAST(MIN(n) AS BIGINT) AS min_bucket,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n) AS max_over_mean
+    FROM b
+    """,
+    description=f"md5-bucket uniformity audit ({UNIF_BUCKETS} buckets): the measured assumption underneath EVERY deterministic sampler/splitter in this engine",
+)
+def samp_bucket_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit that underwrites the whole sampler family: every
+    split, stratified draw, fold, epoch shuffle and A/B arm here
+    assumes the md5 bucket of an id is uniform. This measures it —
+    bucket-size min/max and the max/mean ratio (≈1 means the 80/10/10
+    split really is 80/10/10; a skewed allocator-correlated hash
+    would silently bias every downstream rate). The pytest bound is
+    the ±5σ balls-in-bins envelope.
+
+    Scale: one counter rollup to {UNIF_BUCKETS} rows and a 1-row
+    reduce; the audit costs one scan however big the corpus.
+    """
+    from lime_etl_spark.operators.training import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.groupBy(
+        hash_bucket(F.col("doc_id"), UNIF_BUCKETS).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_hit"),
+        F.min("n").cast("bigint").alias("min_bucket"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+        (
+            F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n")
+        ).alias("max_over_mean"),
+    )
+
+
 # --- rank stability (Spearman) --------------------------------------------------
 
 

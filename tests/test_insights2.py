@@ -76,6 +76,7 @@ NEW_QUERIES = [
     "ev_action_diversity",
     "ev_weekend_lift",
     "q_rank_stability_nations",
+    "samp_bucket_uniformity",
 ]
 
 
@@ -507,6 +508,22 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_bucket_uniformity_within_balls_in_bins_envelope(spark, sf_dir):
+    """All buckets hit, mass conserved, and the largest bucket stays
+    within mean + 5σ of the balls-in-bins expectation — the bound a
+    biased hash would break."""
+    import math
+
+    from lime_etl_spark.operators.insights2 import UNIF_BUCKETS
+
+    r = all_queries()["samp_bucket_uniformity"].builder(spark, sf_dir).collect()[0]
+    assert r.n_buckets_hit == UNIF_BUCKETS
+    mean = r.n_docs / UNIF_BUCKETS
+    sigma = math.sqrt(mean)
+    assert r.max_bucket <= mean + 5 * sigma
+    assert r.min_bucket >= max(0, mean - 5 * sigma)
 
 
 def test_rank_stability_is_a_valid_rho(spark, sf_dir):
