@@ -984,6 +984,131 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- moving annual total --------------------------------------------------------
+
+
+@register(
+    "q_moving_annual_total",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders GROUP BY m
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           CAST(rev AS DOUBLE) AS month_revenue,
+           CAST(CAST(SUM(rev) OVER (ORDER BY m
+                RANGE BETWEEN INTERVAL 11 MONTH PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS DOUBLE) AS mat_revenue,
+           CAST(COUNT(*) OVER (ORDER BY m
+                RANGE BETWEEN INTERVAL 11 MONTH PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS months_in_window
+    FROM monthly
+    ORDER BY month
+    """,
+    description="moving annual total (trailing-12-month revenue): deseasonalized trend via a RANGE frame over the monthly rollup, decimal-exact through the window",
+)
+def q_moving_annual_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAT — trailing-12-month revenue per month: the standard
+    deseasonalized trend line (every month's MAT contains exactly one
+    of each season, so seasonality cancels and the slope is the
+    business). months_in_window flags the warm-up rows where the
+    window is still partial.
+
+    Scale: monthly decimal rollup FIRST; the trailing window is a
+    calendar RANGE frame over that |months|-row frame (never fact
+    grain), exact decimal through the window sum (re-narrowed
+    post-window, the ev_cohort_ltv discipline).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(dec("o_totalprice", 2, 12)).alias("rev"))
+    # RANGE over an exact integer month index (yr·12+mo): '11 months
+    # preceding' is unambiguous where a day-based offset is not
+    midx = (F.year("m") * 12 + F.month("m")).cast("bigint")
+    w = Window.orderBy(midx).rangeBetween(-11, 0)
+    return (
+        monthly.select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            to_double(F.col("rev")).alias("month_revenue"),
+            to_double(F.sum("rev").over(w).cast("decimal(38,2)")).alias(
+                "mat_revenue"
+            ),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("months_in_window"),
+        )
+        .orderBy("month")
+    )
+
+
+# --- engagement decay curve -----------------------------------------------------
+
+
+@register(
+    "ev_engagement_decay",
+    oracle="""
+    WITH firstw AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS w0 FROM events GROUP BY user_id
+    ), offs AS (
+        SELECT CAST(date_diff('day', f.w0, date_trunc('week', e.ts)) / 7 AS BIGINT)
+                   AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events e JOIN firstw f USING (user_id)
+        GROUP BY week_offset
+    ), base AS (
+        SELECT n_events AS base_events FROM offs WHERE week_offset = 0
+    )
+    SELECT o.week_offset, o.n_events,
+           CAST(o.n_events AS DOUBLE) / b.base_events AS relative_activity
+    FROM offs o CROSS JOIN base b
+    ORDER BY o.week_offset
+    """,
+    description="engagement decay curve: activity by weeks-since-first-touch normalized to week 0 (the half-life read-off; cohort-summed so the curve is one line)",
+)
+def ev_engagement_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decay curve product teams read half-life off: total
+    activity at each week offset since a user's first touch, as a
+    share of week-0 activity. Where the retention matrix keeps
+    cohorts separate, this sums them into the single headline curve
+    — the first offset whose share drops under 0.5 IS the
+    engagement half-life.
+
+    Scale: first-week per user is one reduce; the offset rollup is
+    calendar-bounded; week 0 is a 1-row broadcast and each share one
+    division. Week arithmetic is integer days/7 (DATE math, no
+    epoch floats).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("w0")
+    )
+    offs = (
+        ev.join(firstw, "user_id")
+        .groupBy(
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("w0")) / 7
+            )
+            .cast("bigint")
+            .alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    base = offs.where(F.col("week_offset") == 0).select(
+        F.col("n_events").alias("base_events")
+    )
+    return (
+        offs.crossJoin(F.broadcast(base))
+        .select(
+            "week_offset",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("base_events")).alias(
+                "relative_activity"
+            ),
+        )
+        .orderBy("week_offset")
+    )
+
+
 # --- hash-bucket uniformity ------------------------------------------------------
 
 UNIF_BUCKETS = 64

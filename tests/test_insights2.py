@@ -77,6 +77,8 @@ NEW_QUERIES = [
     "ev_weekend_lift",
     "q_rank_stability_nations",
     "samp_bucket_uniformity",
+    "q_moving_annual_total",
+    "ev_engagement_decay",
 ]
 
 
@@ -508,6 +510,29 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_mat_window_warmup_and_steady_state(spark, sf_dir):
+    """months_in_window ramps 1..12 then stays 12; once steady, MAT ≥
+    any single month's revenue inside it."""
+    rows = sorted(
+        all_queries()["q_moving_annual_total"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.month,
+    )
+    for i, r in enumerate(rows):
+        assert r.months_in_window == min(i + 1, 12)
+        assert r.mat_revenue >= r.month_revenue
+
+
+def test_engagement_decay_starts_at_one(spark, sf_dir):
+    """Offset 0 is exactly 1.0 by construction; offsets are
+    non-negative and shares positive."""
+    rows = {
+        r.week_offset: r
+        for r in all_queries()["ev_engagement_decay"].builder(spark, sf_dir).collect()
+    }
+    assert rows[0].relative_activity == 1.0
+    assert all(k >= 0 and r.relative_activity > 0 for k, r in rows.items())
 
 
 def test_bucket_uniformity_within_balls_in_bins_envelope(spark, sf_dir):
