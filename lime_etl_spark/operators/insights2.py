@@ -984,6 +984,145 @@ def bridge_edges(pairs: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+# --- net corpus yield ------------------------------------------------------------
+
+
+def _net_yield_oracle() -> str:
+    from lime_etl_spark.operators.curation import (
+        _gram_sql,
+        MAX_WORDS,
+        MIN_WORDS,
+        REP_N,
+        REP_TAU,
+    )
+
+    return f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(vid, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.vid
+    ),
+    comp AS (
+        SELECT vid AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+        FROM reach GROUP BY vid
+    ),
+    gated AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN nw < {MIN_WORDS} THEN 0
+                    WHEN nw > {MAX_WORDS} THEN 0
+                    WHEN CAST(nd AS DOUBLE) / ng < {REP_TAU} THEN 0
+                    ELSE 1 END AS keeps
+        FROM (
+            SELECT doc_id, n_chars, len(t) AS nw,
+                   len({_gram_sql(REP_N)}) AS ng,
+                   len(list_distinct({_gram_sql(REP_N)})) AS nd
+            FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t
+                  FROM documents)
+        )
+    ),
+    final AS (
+        SELECT g.doc_id, g.n_chars, g.keeps,
+               (g.doc_id = c.component_id) AS is_rep
+        FROM gated g JOIN comp c ON c.doc_id = g.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_raw,
+           CAST(SUM(CASE WHEN keeps = 1 AND is_rep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_net,
+           CAST(SUM(CASE WHEN keeps = 1 AND is_rep THEN n_chars ELSE 0 END)
+                AS BIGINT) AS n_chars_net,
+           CAST(SUM(CASE WHEN keeps = 1 AND is_rep THEN n_chars ELSE 0 END)
+                AS DOUBLE) / SUM(n_chars) AS net_char_yield
+    FROM final
+    """
+
+
+@register(
+    "cur_net_yield",
+    oracle=_net_yield_oracle(),
+    description="net corpus yield: docs/chars surviving BOTH the quality gate AND near-dup collapse — THE number a data budget is planned against",
+)
+def cur_net_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone curation number: what fraction of the raw corpus
+    actually reaches training after the quality gate (cur_quality_gate
+    verdicts) AND near-dup collapse (one representative per CC
+    cluster) both apply. Funnel shows each stage alone; this is the
+    intersection a data budget is really planned against — and
+    because both legs reuse the exact gate/cluster expressions, this
+    number cannot drift from the per-stage reports.
+
+    Scale: the gate is row-local; cluster representative flags ride
+    the shared CC pipeline; one joined pass reduces to a single
+    counter row. Both intersections evaluated per doc — no
+    doc-list materialization.
+    """
+    from lime_etl_spark.functions.text import tokens, word_shingles
+    from lime_etl_spark.operators.curation import (
+        MAX_WORDS,
+        MIN_WORDS,
+        REP_N,
+        REP_TAU,
+    )
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from lime_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
+        F.col("jaccard") >= JACCARD_TAU
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(docs.select(F.col("doc_id").alias("vid")), edges)
+    sh.unpersist()
+
+    toks = tokens()
+    grams = word_shingles(toks, REP_N)
+    nw = F.size(toks)
+    ratio = F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+    keeps = (
+        F.when(nw < MIN_WORDS, 0)
+        .when(nw > MAX_WORDS, 0)
+        .when(ratio < REP_TAU, 0)
+        .otherwise(1)
+    )
+    gated = docs.select("doc_id", "n_chars", keeps.alias("keeps"))
+    final = gated.join(
+        cc.select(
+            F.col("vid").alias("doc_id"),
+            (F.col("vid") == F.col("label")).alias("is_rep"),
+        ),
+        "doc_id",
+    )
+    net = (F.col("keeps") == 1) & F.col("is_rep")
+    return final.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_raw"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_raw"),
+        F.sum(F.when(net, 1).otherwise(0)).cast("bigint").alias("n_docs_net"),
+        F.sum(F.when(net, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("n_chars_net"),
+        (
+            F.sum(F.when(net, F.col("n_chars")).otherwise(0)).cast("double")
+            / F.sum("n_chars")
+        ).alias("net_char_yield"),
+    )
+
+
 # --- moving annual total --------------------------------------------------------
 
 

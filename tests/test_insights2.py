@@ -79,6 +79,7 @@ NEW_QUERIES = [
     "samp_bucket_uniformity",
     "q_moving_annual_total",
     "ev_engagement_decay",
+    "cur_net_yield",
 ]
 
 
@@ -510,6 +511,23 @@ def test_tvd_is_a_metric_on_planted_distributions(spark, tmp_path):
     assert got[("a", "c")] == 0.0
     assert got[("a", "b")] == _pytest.approx(1 / 3)
     assert got[("b", "c")] == _pytest.approx(1 / 3)
+
+
+def test_net_yield_is_the_intersection_lower_bound(spark, sf_dir):
+    """Net docs can't exceed either single-stage survivor count:
+    ≤ the quality gate's keeps AND ≤ the funnel's near-dup stage."""
+    r = all_queries()["cur_net_yield"].builder(spark, sf_dir).collect()[0]
+    gate_keep = {
+        row.verdict: row.n_docs
+        for row in all_queries()["cur_quality_gate"].builder(spark, sf_dir).collect()
+    }["keep"]
+    funnel = {
+        row.stage: row.n_docs
+        for row in all_queries()["cur_dedup_funnel"].builder(spark, sf_dir).collect()
+    }
+    assert r.n_docs_net <= gate_keep
+    assert r.n_docs_net <= funnel["near_dup_collapse"]
+    assert 0.0 < r.net_char_yield <= 1.0
 
 
 def test_mat_window_warmup_and_steady_state(spark, sf_dir):
