@@ -38,6 +38,7 @@ _OPERATOR_MODULES = (
     "lime_etl_spark.operators.sql_surface",
     "lime_etl_spark.operators.insights",
     "lime_etl_spark.operators.insights2",
+    "lime_etl_spark.operators.insights3",
     "lime_etl_spark.operators.pq",
     "lime_etl_spark.operators.sketches",
 )

@@ -1,0 +1,183 @@
+"""Round-4 batch 1 insights: exact-integer trend/co-movement, vocab
+growth, reweight plan, centroid separation, tenure mix — oracle
+cross-checks plus the semantic invariants the hash compare can't
+express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lime_etl_spark.operators import insights3 as i3
+from tests.oracle import assert_query_matches_oracle
+
+NEW_QUERIES = [
+    "q_nation_revenue_trend",
+    "q_nation_comovement",
+    "txt_vocab_growth",
+    "samp_reweight_plan",
+    "emb_centroid_separation",
+    "ev_tenure_mix",
+]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_trend_slope_equals_division_of_exact_terms(spark, sf_dir):
+    rows = i3.q_nation_revenue_trend(spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        if r.slope_den > 0:
+            assert r.slope_cents_per_month == r.slope_num / r.slope_den
+        else:
+            assert r.slope_cents_per_month == 0.0
+
+
+def test_comovement_r_bounded_and_pairs_canonical(spark, sf_dir):
+    rows = i3.q_nation_comovement(spark, sf_dir).collect()
+    assert rows, "expected at least one nation pair"
+    for r in rows:
+        assert -1.0 - 1e-12 <= r.pearson_r <= 1.0 + 1e-12
+        assert r.nation_a < r.nation_b  # canonical orientation, no dupes
+    # descending by r (the ORDER BY contract the LIMIT depends on)
+    rs = [r.pearson_r for r in rows]
+    assert rs == sorted(rs, reverse=True)
+
+
+def test_vocab_growth_conservation_and_monotone_cumsum(spark, sf_dir):
+    rows = i3.txt_vocab_growth(spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == list(range(1, len(rows) + 1))
+    # new_types can never exceed the types seen in the bucket
+    assert all(r.new_types <= r.types_in_bucket for r in rows)
+    # cum_types is the running sum and ends at the global vocab size
+    running = 0
+    for r in rows:
+        running += r.new_types
+        assert r.cum_types == running
+    from lime_etl_spark.sources.readers import load_table
+
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    assert rows[-1].cum_types == vocab
+    # bucket 1 invents its entire vocabulary
+    assert rows[0].new_types == rows[0].types_in_bucket
+
+
+def test_reweight_mass_conservation(spark, sf_dir):
+    rows = i3.samp_reweight_plan(spark, sf_dir).collect()
+    n_total = sum(r.n_docs for r in rows)
+    assert sum(r.target_permille for r in rows) == 1000
+    # sum n_s * w_s == N (structural mass conservation)
+    mass = sum(r.n_docs * r.weight for r in rows)
+    assert mass == pytest.approx(n_total, rel=1e-12)
+    assert sum(r.expected_docs for r in rows) == pytest.approx(n_total, rel=1e-12)
+    boosted = {r.source: r for r in rows if r.source in i3.REWEIGHT_BOOSTED}
+    assert all(r.target_permille == i3.REWEIGHT_BOOST_PM for r in boosted.values())
+
+
+def test_centroid_separation_full_matrix_and_self_norms(spark, sf_dir):
+    rows = i3.emb_centroid_separation(spark, sf_dir).collect()
+    labels = sorted({r.label_a for r in rows} | {r.label_b for r in rows})
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2  # every unordered pair exactly once
+    for r in rows:
+        assert -1.0 - 1e-12 <= r.cosine <= 1.0 + 1e-12
+
+
+def test_tenure_mix_partitions_weekly_actives(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.ev_tenure_mix(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    weekly = {
+        r.week_start: r.n
+        for r in ev.groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("week_start")
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    by_week: dict = {}
+    for r in rows:
+        by_week.setdefault(r.week_start, []).append(r)
+    for wk, rs in by_week.items():
+        # buckets partition the weekly actives: counts sum to the
+        # week's distinct users and shares sum to 1
+        assert sum(r.users for r in rs) == weekly[wk]
+        assert sum(r.share for r in rs) == pytest.approx(1.0, rel=1e-12)
+        assert len({r.tenure_bucket for r in rs}) == len(rs)
+
+
+BATCH_B = [
+    "q_backlog_aging",
+    "q_discount_bands",
+    "ev_active_days_hist",
+    "emb_class_scatter",
+    "pack_attention_waste",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_B)
+def test_batch_b_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_backlog_covers_exactly_open_orders(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.q_backlog_aging(spark, sf_dir).collect()
+    n_open = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus").isin("O", "P"))
+        .count()
+    )
+    assert sum(r.n_orders for r in rows) == n_open
+    assert all(r.open_value > 0 for r in rows)
+
+
+def test_discount_bands_conserve_lines(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.q_discount_bands(spark, sf_dir).collect()
+    assert sum(r.n_lines for r in rows) == load_table(
+        spark, sf_dir, "lineitem"
+    ).count()
+    for r in rows:
+        assert 0 <= r.discount_pct <= 100
+        assert r.avg_qty_per_line == r.total_qty / r.n_lines
+
+
+def test_active_days_hist_shares_sum_to_one(spark, sf_dir):
+    rows = i3.ev_active_days_hist(spark, sf_dir).collect()
+    assert sum(r.user_share for r in rows) == pytest.approx(1.0, rel=1e-12)
+    assert all(r.active_days >= 1 for r in rows)
+
+
+def test_class_scatter_nonnegative_and_bounded(spark, sf_dir):
+    rows = i3.emb_class_scatter(spark, sf_dir).collect()
+    for r in rows:
+        # Σ||x-μ||² ≥ 0, and ≤ Σ||x||² (mean removal can't add energy)
+        assert -1e-9 <= r.scatter <= r.total_norm_sq
+        assert r.centroid_num_sq <= r.n_vecs * r.total_norm_sq  # Cauchy-Schwarz
+
+
+def test_attention_waste_consistent_with_pack_sequences(spark, sf_dir):
+    from lime_etl_spark.operators.training import pack_sequences
+
+    waste = {r.lang: r for r in i3.pack_attention_waste(spark, sf_dir).collect()}
+    packs = pack_sequences(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for p in packs:
+        by_lang[p.lang] = by_lang.get(p.lang, 0) + 1
+    # same placement ⇒ same pack counts per lang
+    assert {k: v.n_packs for k, v in waste.items()} == by_lang
+    for r in waste.values():
+        assert 0.0 <= r.cross_doc_frac < 1.0
+        assert r.cross_doc_pairs <= r.total_attn_pairs
