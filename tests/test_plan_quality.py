@@ -539,3 +539,114 @@ def test_ab_assignment_is_join_free(spark, sf_dir):
     assert "Join" not in plan, plan
     keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
     assert keys <= {"arm", "user_id"}, keys
+
+
+def test_nation_trend_broadcasts_dims_one_fact_scan(spark, sf_dir):
+    """Customer/nation dims broadcast; the persisted monthly rollup
+    serves both consumers so orders is scanned once per branch; no
+    SMJ anywhere; exchanges only at rollup grain."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, sf_dir, "q_nation_revenue_trend")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"n_name"}, keys
+    spark.catalog.clearCache()
+
+
+def test_comovement_pair_join_is_broadcast(spark, sf_dir):
+    """The nation-pair Pearson join runs on the tiny persisted
+    monthly rollup via broadcast — never SMJ at fact grain."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, sf_dir, "q_nation_comovement")
+    assert "SortMergeJoin" not in plan, plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"n_name", "nation_a"}, keys
+    spark.catalog.clearCache()
+
+
+def test_vocab_growth_reduces_at_vocab_grain(spark, sf_dir):
+    """Token birth is a (token → min bucket) map-side-combining
+    reduce; exchanges only on token/bucket, and the cumulative window
+    sorts the bucket rollup, not the corpus."""
+    plan = plan_of(spark, sf_dir, "txt_vocab_growth")
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"token", "bucket"}, keys
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_backlog_aging_pushes_status_filter(spark, sf_dir):
+    """The O/P status filter must reach the parquet scan, and the
+    only exchange is the priority×bucket rollup."""
+    plan = plan_of(spark, sf_dir, "q_backlog_aging")
+    assert re.search(r"PushedFilters: \[.*In\(o_orderstatus", plan), plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"o_orderpriority"}, keys
+
+
+def test_discount_bands_single_pass_two_columns_plus_band(spark, sf_dir):
+    """One scan, no join, rollup keyed by the band only; the scan
+    reads exactly the three columns the banding needs."""
+    plan = plan_of(spark, sf_dir, "q_discount_bands")
+    assert "Join" not in plan, plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"discount_pct"}, keys
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_active_days_hist_two_reduces_one_broadcast(spark, sf_dir):
+    """Per-user reduce then histogram reduce; the user total joins
+    back via broadcast, never a shuffle join."""
+    plan = plan_of(spark, sf_dir, "ev_active_days_hist")
+    assert "SortMergeJoin" not in plan, plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"user_id", "active_days"}, keys
+
+
+def test_class_scatter_reduces_componentwise_then_label(spark, sf_dir):
+    """The quantized component reduce carries (label,pos) counters —
+    exchanges stay at label grain, no join beyond the 1-row scale
+    broadcast."""
+    plan = plan_of(spark, sf_dir, "emb_class_scatter")
+    assert "SortMergeJoin" not in plan, plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"label", "pos"}, keys
+
+
+def test_centroid_separation_pair_join_broadcast(spark, sf_dir):
+    """Label-pair dot products join the persisted |labels|x dim
+    centroid table to itself via broadcast."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, sf_dir, "emb_centroid_separation")
+    assert "SortMergeJoin" not in plan, plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"label", "pos", "label_a"}, keys
+    spark.catalog.clearCache()
+
+
+def test_attention_waste_windows_by_shard_no_global_sort(spark, sf_dir):
+    """The running-sum window partitions by (lang, shard) exactly
+    like pack_sequences — no single-partition window, no join."""
+    plan = plan_of(spark, sf_dir, "pack_attention_waste")
+    assert "Join" not in plan, plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"lang", "shard"}, keys
+
+
+def test_reweight_plan_broadcasts_total(spark, sf_dir):
+    """Source counts reduce map-side; the 1-row total broadcasts."""
+    plan = plan_of(spark, sf_dir, "samp_reweight_plan")
+    assert "SortMergeJoin" not in plan, plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"source"}, keys
+
+
+def test_tenure_mix_shuffles_on_user_and_week_only(spark, sf_dir):
+    """Dedup and first-day reduce share the user_id key; the share
+    window partitions the small weekly rollup."""
+    plan = plan_of(spark, sf_dir, "ev_tenure_mix")
+    assert "SortMergeJoin" not in plan, plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"user_id", "week_start", "tenure_bucket"}, keys
