@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lime_etl_spark.functions.numeric import dec
+from lime_etl_spark.operators.events import SESSION_GAP_US
 from lime_etl_spark.operators.text import BPE_RE
 from lime_etl_spark.operators.training import PACK_BUDGET, PACK_SHARDS
 from lime_etl_spark.plans.registry import register
@@ -975,4 +976,437 @@ def pack_attention_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cross_doc_frac"),
         )
         .orderBy("lang")
+    )
+
+
+# --- session event-type affinity -------------------------------------------
+
+AFFINITY_MIN_BOTH = 2
+AFFINITY_TOP_K = 50
+
+
+@register(
+    "ev_type_affinity",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {{gap}}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+        SELECT user_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    ), st AS (
+        SELECT DISTINCT user_id, session_seq, event_type FROM sess
+    ), total AS (
+        SELECT COUNT(DISTINCT user_id || '#' || session_seq) AS n_sessions FROM st
+    ), tc AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY event_type
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM st a
+        JOIN st b ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+                 AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ca.n AS n_sessions_a, cb.n AS n_sessions_b,
+           CAST(t.n_sessions * p.n_both AS DOUBLE) / (ca.n * cb.n) AS lift
+    FROM pairs p
+    JOIN tc ca ON ca.event_type = p.type_a
+    JOIN tc cb ON cb.event_type = p.type_b
+    CROSS JOIN total t
+    WHERE p.n_both >= {AFFINITY_MIN_BOTH}
+    ORDER BY n_both DESC, type_a, type_b
+    LIMIT {AFFINITY_TOP_K}
+    """.replace("{gap}", str(SESSION_GAP_US)),
+    description="event-type co-occurrence within a session with lift (which behaviors travel together — the feature-bundling signal)",
+)
+def ev_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event types co-occur in one session more than chance?
+    The session-grain analog of market-basket lift: sessions come
+    from the SHARED sessionize expression (same gap, same tiebreak as
+    ev_sessionize, so 'session' means one thing engine-wide), each
+    session reduces to its distinct type set, and lift is
+    N·n_ab/(n_a·n_b) — exact integer cross-products, one IEEE
+    division, deterministic top-k order.
+
+    Scale: the type-set dedup bounds the self-join fan-out by types²
+    per session (types is a small closed set), never events²; the
+    per-type counts and 1-row total broadcast onto the pair rollup.
+    The sessionize window rides one user_id shuffle.
+    """
+    from lime_etl_spark.operators.events import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    st = (
+        sessionize(ev)
+        .select("user_id", "session_seq", "event_type")
+        .distinct()
+        .persist()
+    )
+    total = st.select("user_id", "session_seq").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    tc = st.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = st.alias("a")
+    b = st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_seq") == F.col("b.session_seq"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .where(F.col("n_both") >= AFFINITY_MIN_BOTH)
+    )
+    ca = tc.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_sessions_a"))
+    cb = tc.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_sessions_b"))
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_sessions_a",
+            "n_sessions_b",
+            (
+                (F.col("n_sessions") * F.col("n_both")).cast("double")
+                / (F.col("n_sessions_a") * F.col("n_sessions_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), "type_a", "type_b")
+        .limit(AFFINITY_TOP_K)
+    )
+
+
+# --- embedding covariance / redundancy -------------------------------------
+
+COV_TOP_K = 50
+
+
+@register(
+    "emb_covariance_topk",
+    oracle=f"""
+    WITH m AS (
+        SELECT MAX(list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))) / 127 AS s
+        FROM embeddings
+    ),
+    q AS (
+        SELECT list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   v -> CAST(GREATEST(LEAST(floor(v / s + 0.5), 127), -127) AS BIGINT)
+               ) AS qv
+        FROM embeddings, m
+    ),
+    comp AS (
+        SELECT i - 1 AS pos,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qv[i]) AS BIGINT) AS s1,
+               CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS s2
+        FROM q, UNNEST(generate_series(1, len(qv))) AS t1(i)
+        GROUP BY i
+    ),
+    pairs AS (
+        SELECT i - 1 AS dim_i, j - 1 AS dim_j,
+               CAST(SUM(qv[i] * qv[j]) AS BIGINT) AS sij
+        FROM q,
+             UNNEST(generate_series(1, len(qv))) AS t1(i),
+             UNNEST(generate_series(i + 1, len(qv))) AS t2(j)
+        GROUP BY i, j
+    )
+    SELECT p.dim_i, p.dim_j,
+           ci.n * p.sij - ci.s1 * cj.s1 AS cov_num,
+           CASE WHEN (ci.n * ci.s2 - ci.s1 * ci.s1) > 0
+                 AND (cj.n * cj.s2 - cj.s1 * cj.s1) > 0
+                THEN CAST(ci.n * p.sij - ci.s1 * cj.s1 AS DOUBLE)
+                     / sqrt(CAST(ci.n * ci.s2 - ci.s1 * ci.s1 AS DOUBLE)
+                            * CAST(cj.n * cj.s2 - cj.s1 * cj.s1 AS DOUBLE))
+                ELSE 0.0 END AS corr
+    FROM pairs p
+    JOIN comp ci ON ci.pos = p.dim_i
+    JOIN comp cj ON cj.pos = p.dim_j
+    ORDER BY abs(corr) DESC, p.dim_i, p.dim_j
+    LIMIT {COV_TOP_K}
+    """,
+    description="most-correlated embedding dimension pairs from exact int8-space sums (redundant-dimension audit — the PCA/compression motivation table)",
+)
+def emb_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which embedding dimensions are redundant? The top-|corr|
+    off-diagonal entries of the dimension-correlation matrix, in
+    int8-quantized space so every Σ term (Σqᵢ, Σqᵢ², Σqᵢqⱼ) is an
+    exact int64 and corr is num/sqrt(a·b) over exact casts. High
+    |corr| pairs are the evidence for PCA/PQ compression (and the
+    pca_top_component operator consumes exactly this matrix).
+
+    Scale: the pair explode is dim·(dim−1)/2 rows PER VECTOR — a
+    constant ~2k fan-out that the (i,j) groupBy collapses map-side to
+    one dim×dim state per task regardless of vector count; per-dim
+    moments broadcast onto the pair rollup. Int64: n·sij ≤ 127²·N² —
+    exact through N ~ 10^6 vectors; switch the Σ casts to
+    decimal(38,0) past that.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    scale = emb.agg(
+        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
+    )
+    qv = F.transform(
+        x,
+        lambda v: (
+            F.greatest(
+                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
+            )
+        ).cast("bigint"),
+    )
+    q = emb.join(F.broadcast(scale)).select(qv.alias("qv")).persist()
+    comp = (
+        q.select(F.posexplode("qv").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s2"),
+        )
+    )
+    dim = F.size("qv")
+    ex1 = q.select("qv", F.posexplode("qv").alias("i0", "vi"))
+    ex2 = ex1.select(
+        F.col("i0").alias("dim_i"),
+        "vi",
+        F.posexplode(F.slice("qv", F.col("i0") + 2, dim)).alias("jrel", "vj"),
+    ).select(
+        "dim_i",
+        (F.col("dim_i") + 1 + F.col("jrel")).alias("dim_j"),
+        (F.col("vi") * F.col("vj")).alias("prod"),
+    )
+    pairs = ex2.groupBy("dim_i", "dim_j").agg(
+        F.sum("prod").cast("bigint").alias("sij")
+    )
+    ci = comp.select(
+        F.col("pos").alias("dim_i"),
+        F.col("n").alias("n_i"),
+        F.col("s1").alias("s1_i"),
+        F.col("s2").alias("s2_i"),
+    )
+    cj = comp.select(
+        F.col("pos").alias("dim_j"),
+        F.col("s1").alias("s1_j"),
+        F.col("s2").alias("s2_j"),
+    )
+    j = pairs.join(F.broadcast(ci), "dim_i").join(F.broadcast(cj), "dim_j")
+    # n is identical for every dimension (no nulls in the vectors)
+    cov_num = F.col("n_i") * F.col("sij") - F.col("s1_i") * F.col("s1_j")
+    var_i = F.col("n_i") * F.col("s2_i") - F.col("s1_i") * F.col("s1_i")
+    var_j = F.col("n_i") * F.col("s2_j") - F.col("s1_j") * F.col("s1_j")
+    return (
+        j.select(
+            "dim_i",
+            "dim_j",
+            cov_num.alias("cov_num"),
+            F.when(
+                (var_i > 0) & (var_j > 0),
+                cov_num.cast("double")
+                / F.sqrt(var_i.cast("double") * var_j.cast("double")),
+            )
+            .otherwise(0.0)
+            .alias("corr"),
+        )
+        .orderBy(F.abs(F.col("corr")).desc(), "dim_i", "dim_j")
+        .limit(COV_TOP_K)
+    )
+
+
+# --- PCA top component via power iteration ----------------------------------
+
+PCA_ITERATIONS = 500  # driver-side 64×64 matvecs — convergence is cheap
+
+
+@register(
+    "emb_pca_top_component",
+    oracle=None,  # iterative eigensolve — no SQL twin; pytest checks vs numpy
+    description="top principal component of the embedding covariance (power iteration over the exact int8-space scatter matrix)",
+)
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first PCA direction of the corpus embeddings — the
+    compression axis, drift monitor, and IVF seed. The distributed
+    work is the EXACT scatter-matrix reduce (same int8-space integer
+    sums as emb_covariance_topk: dim×dim exact int64 entries
+    n·Σqᵢqⱼ − Σqᵢ·Σqⱼ); power iteration then runs on that dim×dim
+    CONSTANT on the driver — like the trained-IVF Lloyd step, the
+    model state is tiny and shipping it back as literals is the
+    Spark-idiomatic shape (operators/pq.py records why re-planning
+    giant literal trees is the wrong alternative; here the state never
+    re-enters a plan).
+
+    Deterministic by construction: exact integer matrix, fixed
+    all-ones start, fixed {PCA_ITERATIONS} iterations, no data-order
+    dependence anywhere.
+    """
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    scale = emb.agg(
+        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
+    )
+    qv = F.transform(
+        x,
+        lambda v: (
+            F.greatest(
+                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
+            )
+        ).cast("bigint"),
+    )
+    q = emb.join(F.broadcast(scale)).select(qv.alias("qv")).persist()
+    comp_rows = (
+        q.select(F.posexplode("qv").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s1"),
+        )
+        .collect()
+    )
+    dim_n = len(comp_rows)
+    n = comp_rows[0]["n"]
+    s1 = [0] * dim_n
+    for r in comp_rows:
+        s1[r["pos"]] = r["s1"]
+    dim = F.size("qv")
+    ex1 = q.select("qv", F.posexplode("qv").alias("i0", "vi"))
+    pair_rows = (
+        ex1.select(
+            F.col("i0").alias("i"),
+            "vi",
+            F.posexplode(F.slice("qv", F.col("i0") + 2, dim)).alias("jrel", "vj"),
+        )
+        .select(
+            "i",
+            (F.col("i") + 1 + F.col("jrel")).alias("j"),
+            (F.col("vi") * F.col("vj")).alias("prod"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("prod").cast("bigint").alias("sij"))
+        .collect()
+    )
+    diag_rows = (
+        q.select(F.posexplode("qv").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sii"))
+        .collect()
+    )
+    q.unpersist()
+    # exact integer scatter matrix: S[i][j] = n·Σqiqj − Σqi·Σqj
+    S = [[0.0] * dim_n for _ in range(dim_n)]
+    for r in diag_rows:
+        i = r["pos"]
+        S[i][i] = float(n * r["sii"] - s1[i] * s1[i])
+    for r in pair_rows:
+        v = float(n * r["sij"] - s1[r["i"]] * s1[r["j"]])
+        S[r["i"]][r["j"]] = v
+        S[r["j"]][r["i"]] = v
+    vec = [1.0] * dim_n
+    eig = 0.0
+    for _ in range(PCA_ITERATIONS):
+        nxt = [sum(S[i][k] * vec[k] for k in range(dim_n)) for i in range(dim_n)]
+        norm = math.sqrt(sum(v * v for v in nxt))
+        if norm == 0.0:
+            break
+        nxt = [v / norm for v in nxt]
+        # deterministic early-stop: exact threshold on the step delta
+        delta = max(abs(a - b) for a, b in zip(nxt, vec))
+        vec = nxt
+        eig = norm
+        if delta < 1e-13:
+            break
+    # canonical sign: make the largest-|loading| component positive
+    pivot = max(range(dim_n), key=lambda i: abs(vec[i]))
+    if vec[pivot] < 0:
+        vec = [-v for v in vec]
+    spark_local = emb.sparkSession
+    rows = [(i, vec[i], eig / float(n * n)) for i in range(dim_n)]
+    return spark_local.createDataFrame(
+        rows, "pos int, loading double, eigenvalue_cov double"
+    ).orderBy("pos")
+
+
+# --- duplicate-cluster size histogram ---------------------------------------
+
+from lime_etl_spark.operators.dedup import _minhash_sql  # noqa: E402
+
+
+@register(
+    "graph_component_size_hist",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(vid, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.vid
+    ),
+    cc AS (
+        SELECT vid AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+        FROM reach GROUP BY vid
+    ),
+    sizes AS (
+        SELECT component_id, CAST(COUNT(*) AS BIGINT) AS size
+        FROM cc GROUP BY component_id
+    )
+    SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes
+    GROUP BY size
+    ORDER BY size
+    """,
+    description="near-dup cluster size histogram (how big do duplicate families get — the dedup-collapse forecast)",
+)
+def graph_component_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The size distribution of near-dup clusters: most corpora are
+    singleton-heavy with a templated tail, and this table is where
+    that tail becomes visible BEFORE dedup collapses it. n_docs per
+    size bucket is what dedup will delete (size−1 of each cluster),
+    so the histogram is the collapse forecast the budget planner
+    consumes.
+
+    Scale: inherits dedup_components' posture (LSH candidates only,
+    lineage-truncated min-label propagation on the active subgraph);
+    the two rollups after it reduce |docs| → |clusters| → |sizes|
+    with map-side combine at each step.
+    """
+    from lime_etl_spark.operators.graph import dedup_components
+
+    cc = dedup_components(spark, sf_dir)
+    sizes = cc.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
+        .select(
+            "size",
+            "n_components",
+            (F.col("size") * F.col("n_components")).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("size")
     )

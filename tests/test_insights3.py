@@ -181,3 +181,79 @@ def test_attention_waste_consistent_with_pack_sequences(spark, sf_dir):
     for r in waste.values():
         assert 0.0 <= r.cross_doc_frac < 1.0
         assert r.cross_doc_pairs <= r.total_attn_pairs
+
+
+BATCH_C = [
+    "ev_type_affinity",
+    "emb_covariance_topk",
+    "graph_component_size_hist",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_C)
+def test_batch_c_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_type_affinity_lift_identity(spark, sf_dir):
+    rows = i3.ev_type_affinity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.n_both <= min(r.n_sessions_a, r.n_sessions_b)
+        assert r.lift > 0
+    spark.catalog.clearCache()
+
+
+def test_covariance_topk_corr_bounded_upper_triangle(spark, sf_dir):
+    rows = i3.emb_covariance_topk(spark, sf_dir).collect()
+    assert len(rows) == i3.COV_TOP_K
+    for r in rows:
+        assert r.dim_i < r.dim_j
+        assert -1.0 - 1e-12 <= r.corr <= 1.0 + 1e-12
+    # ordered by |corr| descending
+    mags = [abs(r.corr) for r in rows]
+    assert mags == sorted(mags, reverse=True)
+    spark.catalog.clearCache()
+
+
+def test_pca_matches_numpy_eigensolve(spark, sf_dir):
+    """Power iteration on the exact scatter matrix must land on the
+    numpy principal eigenvector of the SAME quantized data (up to
+    sign, which the operator canonicalizes)."""
+    np = pytest.importorskip("numpy")
+    from lime_etl_spark.sources.readers import load_table
+
+    pdf = i3.emb_pca_top_component(spark, sf_dir).toPandas()
+    assert list(pdf.pos) == list(range(len(pdf)))
+    v = pdf.loading.to_numpy()
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-9
+
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    s = np.abs(X).max() / 127
+    Q = np.clip(np.floor(X / s + 0.5), -127, 127)
+    n = Q.shape[0]
+    S = n * (Q.T @ Q) - np.outer(Q.sum(axis=0), Q.sum(axis=0))
+    w, V = np.linalg.eigh(S)
+    top = V[:, -1]
+    if top[np.argmax(np.abs(top))] < 0:
+        top = -top
+    cos = float(abs(np.dot(v, top)))
+    assert cos > 0.999, cos
+    assert float(pdf.eigenvalue_cov[0]) == pytest.approx(
+        float(w[-1]) / (n * n), rel=1e-6
+    )
+    spark.catalog.clearCache()
+
+
+def test_component_size_hist_conserves_docs(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.graph_component_size_hist(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_docs == r.size * r.n_components
+    spark.catalog.clearCache()

@@ -650,3 +650,26 @@ def test_tenure_mix_shuffles_on_user_and_week_only(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
     assert keys <= {"user_id", "week_start", "tenure_bucket"}, keys
+
+
+def test_type_affinity_dedups_before_pair_join(spark, sf_dir):
+    """The session type-set dedup bounds the self-join; type counts
+    and the 1-row session total broadcast — no SMJ at pair grain."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, sf_dir, "ev_type_affinity")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_covariance_reduces_pairs_map_side(spark, sf_dir):
+    """The dim-pair explode collapses to dim×dim state via map-side
+    combine (partial_sum before the exchange); per-dim moments join
+    by broadcast only."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, sf_dir, "emb_covariance_topk")
+    assert "SortMergeJoin" not in plan, plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= {"dim_i", "dim_j", "pos"}, keys
+    assert "partial_sum" in plan, "pair products must combine map-side"
+    spark.catalog.clearCache()
