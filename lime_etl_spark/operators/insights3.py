@@ -1410,3 +1410,355 @@ def graph_component_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size")
     )
+
+
+# --- time to nth purchase ---------------------------------------------------
+
+NTH_MAX = 5
+
+
+@register(
+    "ev_time_to_nth_purchase",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ), firstd AS (
+        SELECT user_id, d AS d0 FROM p WHERE rn = 1
+    ), gaps AS (
+        SELECT p.rn AS nth,
+               date_diff('day', f.d0, p.d) AS days_from_first
+        FROM p JOIN firstd f USING (user_id)
+        WHERE p.rn BETWEEN 2 AND {NTH_MAX}
+    )
+    SELECT nth,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(FLOOR(quantile_cont(days_from_first, 0.5)) AS BIGINT) AS p50_days,
+           CAST(FLOOR(quantile_cont(days_from_first, 0.9)) AS BIGINT) AS p90_days,
+           CAST(MAX(days_from_first) AS BIGINT) AS max_days
+    FROM gaps
+    GROUP BY nth
+    ORDER BY nth
+    """,
+    description="days from first to nth purchase (repeat-purchase velocity percentiles — the payback-curve input)",
+)
+def ev_time_to_nth_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long until the 2nd, 3rd, ... purchase? The latency
+    percentiles that price retention campaigns (act before the p90
+    window closes, not after). Purchase ranks come from one
+    (user, ts, event_id) window — the same total order every engine
+    agrees on — and day gaps are exact integers, so interpolated
+    percentiles floor to the same bigint cross-engine
+    (ev_inter_arrival's convention).
+
+    Scale: the purchase filter pushes to the scan; rank + first-date
+    ride ONE user_id shuffle (the rn=1 row is a filter on the same
+    windowed frame, not a second scan-join at fact grain); the
+    percentile reduce collapses to {NTH_MAX}-1 rows.
+    approx_percentile is the documented 100 TB swap-in.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .select("user_id", "d", "rn")
+    ).persist()
+    firstd = p.where(F.col("rn") == 1).select("user_id", F.col("d").alias("d0"))
+    gaps = (
+        p.where((F.col("rn") >= 2) & (F.col("rn") <= NTH_MAX))
+        .join(firstd, "user_id")
+        .select(F.col("rn").alias("nth"), F.datediff("d", "d0").alias("days_from_first"))
+    )
+    return (
+        gaps.groupBy("nth")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.floor(F.percentile("days_from_first", F.lit(0.5)))
+            .cast("bigint")
+            .alias("p50_days"),
+            F.floor(F.percentile("days_from_first", F.lit(0.9)))
+            .cast("bigint")
+            .alias("p90_days"),
+            F.max("days_from_first").cast("bigint").alias("max_days"),
+        )
+        .orderBy("nth")
+    )
+
+
+# --- quota waterfall --------------------------------------------------------
+
+
+@register(
+    "samp_quota_waterfall",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ), total AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts
+    ), planned AS (
+        SELECT c.source, c.n_docs,
+               CAST(FLOOR(CAST(CASE WHEN c.source IN ('src0', 'src1')
+                                    THEN {REWEIGHT_BOOST_PM} ELSE {REWEIGHT_BASE_PM} END
+                               * t.n_total AS DOUBLE) / 1000) AS BIGINT) AS target_docs
+        FROM counts c CROSS JOIN total t
+    ), based AS (
+        SELECT source, n_docs, target_docs,
+               LEAST(n_docs, target_docs) AS base_quota,
+               GREATEST(target_docs - n_docs, 0) AS shortfall,
+               CASE WHEN n_docs > target_docs THEN n_docs - target_docs ELSE 0 END AS capacity
+        FROM planned
+    ), agg AS (
+        SELECT CAST(SUM(shortfall) AS BIGINT) AS total_shortfall,
+               CAST(SUM(capacity) AS BIGINT) AS total_capacity
+        FROM based
+    )
+    SELECT b.source, b.n_docs, b.target_docs, b.base_quota,
+           CAST(CASE WHEN a.total_capacity > 0
+                THEN FLOOR(CAST(a.total_shortfall * b.capacity AS DOUBLE)
+                           / a.total_capacity)
+                ELSE 0 END AS BIGINT) AS spill_in,
+           b.base_quota
+             + CAST(CASE WHEN a.total_capacity > 0
+                    THEN FLOOR(CAST(a.total_shortfall * b.capacity AS DOUBLE)
+                               / a.total_capacity)
+                    ELSE 0 END AS BIGINT) AS final_quota
+    FROM based b CROSS JOIN agg a
+    ORDER BY b.source
+    """,
+    description="one-round quota waterfall: under-filled source targets spill proportionally into sources with spare capacity (all-integer, cap-respecting)",
+)
+def samp_quota_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after samp_reweight_plan when a source CANNOT fill its
+    target: base quota = min(target, available), and the aggregate
+    shortfall spills back into sources with spare capacity,
+    proportionally to that capacity. Everything is integer arithmetic
+    (floor over one exact-int division), so quotas are exact,
+    cap-respecting (spill_in ≤ capacity because shortfall ≤ total
+    capacity), and reproducible — the property a budget audit needs.
+
+    Scale: one per-source reduce; the shortfall/capacity aggregate is
+    a 1-row broadcast. The final_quota column is precisely what
+    samp_fixed_k consumes as its per-stratum k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    total = counts.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    target = (
+        F.when(F.col("source").isin(*REWEIGHT_BOOSTED), F.lit(REWEIGHT_BOOST_PM))
+        .otherwise(F.lit(REWEIGHT_BASE_PM))
+        .cast("bigint")
+    )
+    planned = counts.join(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        F.floor((target * F.col("n_total")).cast("double") / 1000)
+        .cast("bigint")
+        .alias("target_docs"),
+    )
+    based = planned.select(
+        "source",
+        "n_docs",
+        "target_docs",
+        F.least("n_docs", "target_docs").alias("base_quota"),
+        F.greatest(F.col("target_docs") - F.col("n_docs"), F.lit(0)).alias(
+            "shortfall"
+        ),
+        F.when(
+            F.col("n_docs") > F.col("target_docs"),
+            F.col("n_docs") - F.col("target_docs"),
+        )
+        .otherwise(0)
+        .alias("capacity"),
+    ).persist()
+    agg = based.agg(
+        F.sum("shortfall").cast("bigint").alias("total_shortfall"),
+        F.sum("capacity").cast("bigint").alias("total_capacity"),
+    )
+    spill = (
+        F.when(
+            F.col("total_capacity") > 0,
+            F.floor(
+                (F.col("total_shortfall") * F.col("capacity")).cast("double")
+                / F.col("total_capacity")
+            ),
+        )
+        .otherwise(0)
+        .cast("bigint")
+    )
+    return (
+        based.join(F.broadcast(agg))
+        .select(
+            "source",
+            "n_docs",
+            "target_docs",
+            "base_quota",
+            spill.alias("spill_in"),
+            (F.col("base_quota") + spill).alias("final_quota"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- vocabulary loss under near-dup collapse --------------------------------
+
+
+@register(
+    "cur_dedup_vocab_loss",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(vid, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.vid
+    ),
+    cc AS (
+        SELECT vid AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+        FROM reach GROUP BY vid
+    ),
+    full_v AS (
+        SELECT d.lang, COUNT(DISTINCT t.token) AS vocab_full
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+        GROUP BY d.lang
+    ),
+    kept_v AS (
+        SELECT d.lang, COUNT(DISTINCT t.token) AS vocab_kept
+        FROM documents d
+        JOIN cc ON cc.doc_id = d.doc_id AND cc.component_id = d.doc_id
+        , UNNEST(string_split(d.text, ' ')) AS t(token)
+        GROUP BY d.lang
+    )
+    SELECT f.lang,
+           CAST(f.vocab_full AS BIGINT) AS vocab_full,
+           CAST(k.vocab_kept AS BIGINT) AS vocab_kept,
+           CAST(f.vocab_full - k.vocab_kept AS BIGINT) AS vocab_lost,
+           CAST(f.vocab_full - k.vocab_kept AS DOUBLE) / f.vocab_full AS loss_rate
+    FROM full_v f JOIN kept_v k ON k.lang = f.lang
+    ORDER BY f.lang
+    """,
+    description="vocabulary lost when near-dup clusters collapse to one representative (the diversity cost of dedup, per language)",
+)
+def cur_dedup_vocab_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup deletes documents; does it delete WORDS? Per language:
+    the distinct-token vocabulary before collapse vs after keeping
+    one representative per near-dup cluster (the component label IS
+    the min doc_id, so the representative is doc_id == component_id —
+    no extra window). A high loss rate means the 'duplicates' carried
+    unique content and the similarity threshold is too loose — the
+    qualitative check on cur_net_yield's quantitative account.
+
+    Scale: inherits the LSH component pipeline; both vocabulary
+    reduces are (lang, token) map-side-combining distinct counts; the
+    kept-side join is a doc_id equi-join at doc grain, never token
+    grain.
+    """
+    from lime_etl_spark.operators.graph import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    cc = dedup_components(spark, sf_dir)
+    kept_ids = cc.where(F.col("component_id") == F.col("doc_id")).select("doc_id")
+    tok_full = docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    full_v = tok_full.groupBy("lang").agg(
+        F.count_distinct("token").cast("bigint").alias("vocab_full")
+    )
+    tok_kept = (
+        docs.join(kept_ids, "doc_id")
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+    )
+    kept_v = tok_kept.groupBy("lang").agg(
+        F.count_distinct("token").cast("bigint").alias("vocab_kept")
+    )
+    return (
+        full_v.join(kept_v, "lang")
+        .select(
+            "lang",
+            "vocab_full",
+            "vocab_kept",
+            (F.col("vocab_full") - F.col("vocab_kept")).cast("bigint").alias(
+                "vocab_lost"
+            ),
+            (
+                (F.col("vocab_full") - F.col("vocab_kept")).cast("double")
+                / F.col("vocab_full")
+            ).alias("loss_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- candidate-pair similarity histogram ------------------------------------
+
+
+@register(
+    "dedup_similarity_hist",
+    # the pair CTE minus its trailing tau filter: the histogram needs the
+    # FULL candidate range so the threshold choice has evidence both sides
+    oracle=f"""
+    WITH j AS (
+        {_minhash_sql().rpartition("WHERE")[0]}
+    )
+    SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS BIGINT) AS sim_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(jaccard) AS DOUBLE) AS min_jaccard,
+           CAST(MAX(jaccard) AS DOUBLE) AS max_jaccard
+    FROM j
+    GROUP BY 1
+    ORDER BY sim_bucket
+    """,
+    description="exact-Jaccard histogram of ALL LSH candidate pairs (where does the corpus mass sit relative to the dedup threshold)",
+)
+def dedup_similarity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evidence behind the Jaccard threshold: the full similarity
+    distribution of LSH candidate pairs, bucketed by 0.1. A bimodal
+    histogram (noise hump near the banding floor, dup spike near 1.0)
+    validates the threshold; mass piled AT the threshold means the
+    cut is arbitrary and the band config needs retuning
+    (dedup_lsh_tuning is the config-sweep companion). Buckets floor
+    identical doubles identically cross-engine because jaccard itself
+    is one division of exact integer counts.
+
+    Scale: same candidate-scoped verify as dedup_minhash_lsh — the
+    histogram adds one map-side-combining rollup over the pair set.
+    """
+    from lime_etl_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh)))
+    return (
+        pairs.groupBy(
+            F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+            .cast("bigint")
+            .alias("sim_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("jaccard").cast("double").alias("min_jaccard"),
+            F.max("jaccard").cast("double").alias("max_jaccard"),
+        )
+        .orderBy("sim_bucket")
+    )
