@@ -1762,3 +1762,325 @@ def dedup_similarity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sim_bucket")
     )
+
+
+# --- lineitem linenumber gap audit ------------------------------------------
+
+
+@register(
+    "dq_linenumber_gaps",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(MAX(l_linenumber) AS BIGINT) AS max_ln,
+               CAST(MIN(l_linenumber) AS BIGINT) AS min_ln,
+               CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_distinct
+    FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN min_ln <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad_start,
+           CAST(SUM(CASE WHEN n_distinct <> n_lines THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_linenumbers,
+           CAST(SUM(CASE WHEN max_ln <> n_lines AND n_distinct = n_lines
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gapped,
+           CAST(SUM(CASE WHEN min_ln = 1 AND max_ln = n_lines
+                          AND n_distinct = n_lines
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contiguous
+    FROM per_order
+    """,
+    description="line-number sequence audit per order: 1..n contiguous vs gapped / duplicated / bad-start (the detail-grain protocol check)",
+)
+def dq_linenumber_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order lines should number 1..n with no gaps — deletions that
+    skipped renumbering, partial loads, and merge bugs all break that
+    invariant before they break anything visible. One per-order
+    reduce classifies every order: bad start (min≠1), duplicated
+    line numbers, gapped (max≠count with distinct numbers), or
+    contiguous. The four counters partition the order space with
+    exact arithmetic — no floats anywhere.
+
+    Scale: one scan, two pushed columns, per-order map-side combine,
+    then a scalar rollup. The distinct-linenumber count is bounded by
+    lines-per-order (single digits), so the per-key state is tiny.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.max("l_linenumber").cast("bigint").alias("max_ln"),
+        F.min("l_linenumber").cast("bigint").alias("min_ln"),
+        F.count_distinct("l_linenumber").cast("bigint").alias("n_distinct"),
+    )
+    bad_start = F.col("min_ln") != 1
+    dup = F.col("n_distinct") != F.col("n_lines")
+    gapped = (F.col("max_ln") != F.col("n_lines")) & ~dup
+    contiguous = (
+        (F.col("min_ln") == 1)
+        & (F.col("max_ln") == F.col("n_lines"))
+        & ~dup
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    return per_order.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(bad_start, one).otherwise(zero)).cast("bigint").alias(
+            "n_bad_start"
+        ),
+        F.sum(F.when(dup, one).otherwise(zero)).cast("bigint").alias(
+            "n_dup_linenumbers"
+        ),
+        F.sum(F.when(gapped, one).otherwise(zero)).cast("bigint").alias("n_gapped"),
+        F.sum(F.when(contiguous, one).otherwise(zero)).cast("bigint").alias(
+            "n_contiguous"
+        ),
+    )
+
+
+# --- per-user burstiness profile --------------------------------------------
+
+
+@register(
+    "ev_burstiness_profile",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, event_type,
+               CAST(FLOOR(CAST(epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id, event_type
+                         ORDER BY epoch_us(ts), event_id) AS DOUBLE) / 1000000)
+                    AS BIGINT) AS g
+        FROM events
+    ), per_user AS (
+        SELECT user_id, event_type,
+               CAST(COUNT(g) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS sg,
+               CAST(SUM(g * g) AS BIGINT) AS sgg
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY user_id, event_type
+        HAVING COUNT(g) >= 3 AND SUM(g) > 0
+    ), b AS (
+        SELECT event_type,
+               (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) - CAST(sg AS DOUBLE))
+               / (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) + CAST(sg AS DOUBLE))
+                 AS burstiness
+        FROM per_user
+    )
+    SELECT event_type,
+           CAST(LEAST(GREATEST(FLOOR((burstiness + 1) * 5), 0), 9) AS BIGINT)
+             AS b_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM b
+    GROUP BY 1, 2
+    ORDER BY event_type, b_bucket
+    """,
+    description="per-user inter-arrival burstiness B=(σ−μ)/(σ+μ) histogram by event type (Poisson-like vs bursty behavior — the bot/batch-traffic lens)",
+)
+def ev_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is activity Poisson-like (B≈0), regular like a cron (B→−1), or
+    bursty like a human session (B→1)? Goh-Barabási burstiness per
+    (user, type) from inter-arrival gaps, then histogrammed per type.
+    The identity B=(σ−μ)/(σ+μ) reduces to
+    (√(nΣg²−(Σg)²) − Σg)/(√(nΣg²−(Σg)²) + Σg): every Σ term is an
+    exact integer (floor-second gaps — µs gaps square past int64 over
+    a month-long window), the √/± are correctly-rounded IEEE ops on
+    exact inputs, and the bucket floor sees bit-identical doubles on
+    both engines. All-zero-gap users (sub-second bots) are excluded
+    by the Σg>0 guard rather than fed a 0/0.
+
+    Scale: gaps ride the same (user, type) window shuffle as
+    ev_inter_arrival; the per-user reduce combines map-side and the
+    histogram is |types|×10 rows. Int64: n·Σg² ≤ n²·(span_s)² — a
+    month-long window is safe to ~10^4 gaps per (user,type).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.unix_micros("ts")
+    w = Window.partitionBy("user_id", "event_type").orderBy(ts, "event_id")
+    # gaps in FLOOR-seconds, not µs: Σg² over a month of µs gaps blows
+    # int64 (month ≈ 2.6e12 µs → g² ≈ 7e24); seconds keep it ≤ ~1e16
+    gaps = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(((ts - F.lag(ts).over(w)).cast("double")) / 1000000)
+        .cast("bigint")
+        .alias("g"),
+    ).where(F.col("g").isNotNull())
+    per_user = (
+        gaps.groupBy("user_id", "event_type")
+        .agg(
+            F.count("g").cast("bigint").alias("n"),
+            F.sum("g").cast("bigint").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).cast("bigint").alias("sgg"),
+        )
+        .where((F.col("n") >= 3) & (F.col("sg") > 0))
+    )
+    root = F.sqrt((F.col("n") * F.col("sgg") - F.col("sg") * F.col("sg")).cast("double"))
+    b = per_user.select(
+        "event_type",
+        ((root - F.col("sg").cast("double")) / (root + F.col("sg").cast("double"))).alias(
+            "burstiness"
+        ),
+    )
+    return (
+        b.groupBy(
+            "event_type",
+            F.least(
+                F.greatest(F.floor((F.col("burstiness") + 1) * 5), F.lit(0)),
+                F.lit(9),
+            )
+            .cast("bigint")
+            .alias("b_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("event_type", "b_bucket")
+    )
+
+
+# --- label outliers in embedding space --------------------------------------
+
+OUTLIER_TOP_K = 30
+
+
+@register(
+    "emb_label_outliers",
+    oracle=f"""
+    WITH m AS (
+        SELECT MAX(list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))) / 127 AS s
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   v -> CAST(GREATEST(LEAST(floor(v / s + 0.5), 127), -127) AS BIGINT)
+               ) AS qv
+        FROM embeddings, m
+    ),
+    ex AS (SELECT vec_id, label, qv, unnest(generate_series(1, len(qv))) AS i FROM q),
+    cent AS (
+        SELECT label, i AS pos,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qv[i]) AS BIGINT) AS sq
+        FROM ex GROUP BY label, i
+    ),
+    dist AS (
+        SELECT e.vec_id, e.label,
+               CAST(SUM(c.n * c.n * e.qv[e.i] * e.qv[e.i]
+                        - 2 * c.n * e.qv[e.i] * c.sq
+                        + c.sq * c.sq) AS BIGINT) AS dist_num,
+               MIN(c.n) AS n_vecs
+        FROM ex e JOIN cent c ON c.label = e.label AND c.pos = e.i
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label, dist_num,
+           CAST(dist_num AS DOUBLE) / (n_vecs * n_vecs) AS dist_sq
+    FROM dist
+    ORDER BY dist_num DESC, vec_id
+    LIMIT {OUTLIER_TOP_K}
+    """,
+    description="vectors farthest from their own label centroid in int8 space (n²·||q−μ||² exact — the mislabeled-example shortlist)",
+)
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mislabeled-example shortlist: vectors farthest from their
+    OWN label's centroid. Distance is computed as the exact integer
+    n²·||q − S/n||² = Σᵢ (n·qᵢ − Sᵢ)² expanded to avoid any division
+    before the ranking — so the top-k order is exact, and only the
+    reported dist_sq pays one IEEE division. Feed the shortlist to
+    relabeling / human review; emb_knn_label_consistency is the
+    aggregate twin.
+
+    Scale: centroids are the |labels|×dim broadcast; the per-vector
+    distance is a row-local fold after that broadcast join at
+    component grain, reduced map-side per vec_id. Int64: terms ≤
+    (127·2N)² per component — exact to ~10^7 vectors/label.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    scale = emb.agg(
+        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
+    )
+    qv = F.transform(
+        x,
+        lambda v: (
+            F.greatest(
+                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
+            )
+        ).cast("bigint"),
+    )
+    q = emb.join(F.broadcast(scale)).select("vec_id", "label", qv.alias("qv")).persist()
+    ex = q.select("vec_id", "label", F.posexplode("qv").alias("pos", "v"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sq"),
+        )
+    )
+    term = (
+        F.col("n") * F.col("n") * F.col("v") * F.col("v")
+        - 2 * F.col("n") * F.col("v") * F.col("sq")
+        + F.col("sq") * F.col("sq")
+    )
+    dist = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(term).cast("bigint").alias("dist_num"),
+            F.min("n").alias("n_vecs"),
+        )
+    )
+    return (
+        dist.select(
+            "vec_id",
+            "label",
+            "dist_num",
+            (F.col("dist_num").cast("double") / (F.col("n_vecs") * F.col("n_vecs"))).alias(
+                "dist_sq"
+            ),
+        )
+        .orderBy(F.desc("dist_num"), "vec_id")
+        .limit(OUTLIER_TOP_K)
+    )
+
+
+# --- returns rate by discount band ------------------------------------------
+
+
+@register(
+    "q_returns_by_discount",
+    oracle="""
+    SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returned,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS return_rate
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY discount_pct
+    """,
+    description="return rate per discount percent (do discounted lines come back more — the markdown-quality interaction)",
+)
+def q_returns_by_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do deeper discounts ship worse outcomes? Return rate per
+    integer discount percent — the interaction q_returns_rate_by_brand
+    (who) and q_discount_bands (how much) both miss. Same
+    round-half-up banding, exact counters, one division per band.
+
+    Scale: single scan, two pushed columns, ≤11-row rollup with
+    map-side combine — free at any fact size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return (
+        li.groupBy(
+            F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias(
+                "discount_pct"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(returned).cast("bigint").alias("n_returned"),
+            (F.sum(returned).cast("double") / F.count(F.lit(1))).alias("return_rate"),
+        )
+        .orderBy("discount_pct")
+    )

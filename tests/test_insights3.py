@@ -333,3 +333,55 @@ def test_similarity_hist_covers_all_candidates(spark, sf_dir):
         hi = 1.0 if r.sim_bucket == 9 else (r.sim_bucket + 1) / 10
         assert r.max_jaccard <= hi + 1e-12
     spark.catalog.clearCache()
+
+
+BATCH_E = [
+    "dq_linenumber_gaps",
+    "ev_burstiness_profile",
+    "emb_label_outliers",
+    "q_returns_by_discount",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_E)
+def test_batch_e_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_linenumber_classes_partition_orders(spark, sf_dir):
+    r = i3.dq_linenumber_gaps(spark, sf_dir).collect()[0]
+    # dup-numbered orders are counted once; gapped/contiguous split the rest
+    assert r.n_dup_linenumbers + r.n_gapped + r.n_contiguous >= r.n_orders
+    assert r.n_contiguous <= r.n_orders
+
+
+def test_burstiness_buckets_bounded(spark, sf_dir):
+    rows = i3.ev_burstiness_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.b_bucket <= 9
+        assert r.n_users > 0
+
+
+def test_label_outliers_rank_is_exact_integer_order(spark, sf_dir):
+    rows = i3.emb_label_outliers(spark, sf_dir).collect()
+    assert len(rows) == i3.OUTLIER_TOP_K
+    nums = [r.dist_num for r in rows]
+    assert nums == sorted(nums, reverse=True)
+    for r in rows:
+        assert r.dist_num >= 0
+        assert r.dist_sq >= 0
+    spark.catalog.clearCache()
+
+
+def test_returns_by_discount_conserves_lines(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.q_returns_by_discount(spark, sf_dir).collect()
+    assert sum(r.n_lines for r in rows) == load_table(
+        spark, sf_dir, "lineitem"
+    ).count()
+    for r in rows:
+        assert 0 <= r.n_returned <= r.n_lines
+        assert r.return_rate == r.n_returned / r.n_lines
