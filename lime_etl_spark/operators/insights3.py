@@ -2084,3 +2084,208 @@ def q_returns_by_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("discount_pct")
     )
+
+
+# --- event-transition latency matrix ----------------------------------------
+
+
+@register(
+    "ev_transition_latency",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER w AS from_type,
+               CAST(FLOOR(CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                               AS DOUBLE) / 1000000) AS BIGINT) AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(FLOOR(quantile_cont(gap_s, 0.5)) AS BIGINT) AS p50_s,
+           CAST(FLOOR(quantile_cont(gap_s, 0.9)) AS BIGINT) AS p90_s
+    FROM seq
+    WHERE from_type IS NOT NULL
+    GROUP BY from_type, event_type
+    ORDER BY from_type, to_type
+    """,
+    description="seconds between consecutive event types per user (the latency companion to ev_markov_transitions — where journeys stall)",
+)
+def ev_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_markov_transitions says WHERE users go next; this says HOW
+    LONG they take — p50/p90 seconds for every from→to pair, the
+    table that finds the stalled step in a journey. One user-ordered
+    window produces both the previous type and the gap
+    (floor-seconds: exact ints, same reasoning as
+    ev_burstiness_profile), and interpolated percentiles over
+    integers floor to the same bigint on both engines.
+
+    Scale: one user_id window shuffle, then a map-side-combining
+    rollup to |types|² rows. approx_percentile is the 100 TB swap-in.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(ts, "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+        F.floor(((ts - F.lag(ts).over(w)).cast("double")) / 1000000)
+        .cast("bigint")
+        .alias("gap_s"),
+    ).where(F.col("from_type").isNotNull())
+    return (
+        seq.groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.floor(F.percentile("gap_s", F.lit(0.5))).cast("bigint").alias("p50_s"),
+            F.floor(F.percentile("gap_s", F.lit(0.9))).cast("bigint").alias("p90_s"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# --- cross-source duplication matrix ----------------------------------------
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH j AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    )
+    SELECT LEAST(da.source, db.source) AS source_x,
+           GREATEST(da.source, db.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN da.source = db.source THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within
+    FROM j
+    JOIN documents da ON da.doc_id = j.doc_a
+    JOIN documents db ON db.doc_id = j.doc_b
+    GROUP BY 1, 2
+    ORDER BY n_pairs DESC, source_x, source_y
+    """,
+    description="near-dup pairs by source pair (who copies whom — the mirror/syndication detection matrix)",
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which source pairs share content? Verified near-dup pairs
+    rolled up by unordered source pair: heavy off-diagonal cells are
+    mirrors/syndication (dedup ONE of them and keep provenance),
+    heavy diagonal cells are self-repetitive sources
+    (cur_near_dup_rate_by_source's within-source view). LEAST/GREATEST
+    canonicalizes the pair so A→B and B→A land in one cell.
+
+    Scale: the pair table is already LSH-bounded; the two doc_id
+    lookups are equi-joins that broadcast at dim-scale source maps
+    (the doc→source projection is 2 pushed columns). Output is
+    ≤|sources|² rows with a deterministic total order.
+    """
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
+        F.col("jaccard") >= JACCARD_TAU
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("src_a") == F.col("src_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_within"),
+        )
+        .orderBy(F.desc("n_pairs"), "source_x", "source_y")
+    )
+
+
+# --- ship-delay trend -------------------------------------------------------
+
+
+@register(
+    "q_ship_delay_trend",
+    oracle="""
+    WITH lines AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) * 12
+                 + EXTRACT(month FROM o.o_orderdate) AS idx,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS delay
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), base AS (
+        SELECT MIN(idx) AS idx0 FROM lines
+    ), xy AS (
+        SELECT idx - idx0 AS x, delay AS y FROM lines CROSS JOIN base
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM xy
+    )
+    SELECT n AS n_lines,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+                ELSE 0.0 END AS slope_days_per_month
+    FROM s
+    """,
+    description="is fulfilment getting slower? exact-integer OLS slope of per-line ship delay over the order-month index",
+)
+def q_ship_delay_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operations-drift scalar: the OLS slope of ship delay (days
+    from order to line shipment) against the order month, fitted at
+    LINE grain so no intermediate mean pollutes the exactness — every
+    Σ term is an exact int64 over (shifted month, delay-days) pairs
+    and the slope is one IEEE division. Positive slope = fulfilment
+    is slowing; q12's bucket view shows where, this shows the trend.
+
+    Scale: the order-date lookup joins at fact grain on orderkey —
+    the one unavoidable shuffle — then everything reduces to a 1-row
+    sum state via map-side combine. Int64/2^53: n·Σxy ≈ n²·x̄·ȳ stays
+    under 2^53 to ~10^7 lines; past that, pre-reduce to (x, y, count)
+    cells first (same sums, |months|×|delays| cells).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lines = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("idx"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("delay"),
+    ).persist()
+    base = lines.agg(F.min("idx").alias("idx0"))
+    xy = lines.join(F.broadcast(base)).select(
+        (F.col("idx") - F.col("idx0")).alias("x"), F.col("delay").alias("y")
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").alias("n_lines"),
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den > 0, num.cast("double") / den).otherwise(0.0).alias(
+            "slope_days_per_month"
+        ),
+    )

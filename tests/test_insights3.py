@@ -385,3 +385,53 @@ def test_returns_by_discount_conserves_lines(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_returned <= r.n_lines
         assert r.return_rate == r.n_returned / r.n_lines
+
+
+BATCH_F = [
+    "ev_transition_latency",
+    "dedup_cross_source_matrix",
+    "q_ship_delay_trend",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_F)
+def test_batch_f_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_transition_latency_agrees_with_markov_counts(spark, sf_dir):
+    """Same window, same transitions: the latency matrix's counts must
+    sum to exactly (total events - users with events)."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.ev_transition_latency(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
+    for r in rows:
+        assert 0 <= r.p50_s <= r.p90_s
+
+
+def test_cross_source_matrix_canonical_and_consistent(spark, sf_dir):
+    from lime_etl_spark.operators.dedup import dedup_minhash_lsh
+
+    rows = i3.dedup_cross_source_matrix(spark, sf_dir).collect()
+    total = dedup_minhash_lsh(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in rows) == total
+    for r in rows:
+        assert r.source_x <= r.source_y
+        if r.source_x == r.source_y:
+            assert r.n_within == r.n_pairs  # diagonal cells are all within
+        else:
+            assert r.n_within == 0
+    spark.catalog.clearCache()
+
+
+def test_ship_delay_trend_division_identity(spark, sf_dir):
+    r = i3.q_ship_delay_trend(spark, sf_dir).collect()[0]
+    assert r.n_lines > 0
+    if r.slope_den > 0:
+        assert r.slope_days_per_month == r.slope_num / r.slope_den
+    spark.catalog.clearCache()
