@@ -2289,3 +2289,194 @@ def q_ship_delay_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_days_per_month"
         ),
     )
+
+
+# --- quality-gate rule matrix -----------------------------------------------
+
+
+@register(
+    "cur_gate_rule_matrix",
+    oracle=None,  # set just below (needs curation helpers at import time)
+    description="per-rule fire counts, pairwise overlap, and unique-kill marginal contribution of the quality gate's rules",
+)
+def cur_gate_rule_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does each gate rule actually buy? Per rule: how often it
+    fires, how often it fires ALONE (unique_kills — the docs only
+    this rule removes; a rule with zero unique kills is dead weight),
+    and the pairwise overlap with every other rule. Uses the same
+    thresholds as cur_quality_gate, but evaluates ALL rules per doc
+    instead of short-circuiting, which is exactly what the verdict
+    view cannot show.
+
+    Scale: rule booleans are row-local expressions; one scalar
+    rollup carries the 3 fire counters, 3 unique counters, and 3
+    pairwise overlap counters — no shuffle beyond the final reduce.
+    """
+    from lime_etl_spark.functions.text import tokens, word_shingles
+    from lime_etl_spark.operators.curation import (
+        MAX_WORDS,
+        MIN_WORDS,
+        REP_N,
+        REP_TAU,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    grams = word_shingles(toks, REP_N)
+    nw = F.size(toks)
+    ratio = F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+    flags = docs.select(
+        (nw < MIN_WORDS).cast("int").alias("f_short"),
+        (nw > MAX_WORDS).cast("int").alias("f_long"),
+        (ratio < REP_TAU).cast("int").alias("f_rep"),
+    )
+    fs, fl, fr = F.col("f_short"), F.col("f_long"), F.col("f_rep")
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(fs).cast("bigint").alias("fires_short"),
+        F.sum(fl).cast("bigint").alias("fires_long"),
+        F.sum(fr).cast("bigint").alias("fires_rep"),
+        F.sum(fs * (1 - fl) * (1 - fr)).cast("bigint").alias("unique_short"),
+        F.sum(fl * (1 - fs) * (1 - fr)).cast("bigint").alias("unique_long"),
+        F.sum(fr * (1 - fs) * (1 - fl)).cast("bigint").alias("unique_rep"),
+        F.sum(fs * fl).cast("bigint").alias("both_short_long"),
+        F.sum(fs * fr).cast("bigint").alias("both_short_rep"),
+        F.sum(fl * fr).cast("bigint").alias("both_long_rep"),
+        F.sum(F.greatest(fs, fl, fr)).cast("bigint").alias("killed_any"),
+    )
+
+
+def _gate_rule_matrix_oracle() -> str:
+    from lime_etl_spark.operators.curation import (
+        MAX_WORDS,
+        MIN_WORDS,
+        REP_N,
+        REP_TAU,
+        _gram_sql,
+    )
+
+    return f"""
+    WITH flags AS (
+        SELECT CASE WHEN nw < {MIN_WORDS} THEN 1 ELSE 0 END AS f_short,
+               CASE WHEN nw > {MAX_WORDS} THEN 1 ELSE 0 END AS f_long,
+               CASE WHEN CAST(nd AS DOUBLE) / ng < {REP_TAU} THEN 1 ELSE 0 END AS f_rep
+        FROM (
+            SELECT len(t) AS nw,
+                   len({_gram_sql(REP_N)}) AS ng,
+                   len(list_distinct({_gram_sql(REP_N)})) AS nd
+            FROM (SELECT string_split(text, ' ') AS t FROM documents)
+        )
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_short) AS BIGINT) AS fires_short,
+           CAST(SUM(f_long) AS BIGINT) AS fires_long,
+           CAST(SUM(f_rep) AS BIGINT) AS fires_rep,
+           CAST(SUM(f_short * (1 - f_long) * (1 - f_rep)) AS BIGINT) AS unique_short,
+           CAST(SUM(f_long * (1 - f_short) * (1 - f_rep)) AS BIGINT) AS unique_long,
+           CAST(SUM(f_rep * (1 - f_short) * (1 - f_long)) AS BIGINT) AS unique_rep,
+           CAST(SUM(f_short * f_long) AS BIGINT) AS both_short_long,
+           CAST(SUM(f_short * f_rep) AS BIGINT) AS both_short_rep,
+           CAST(SUM(f_long * f_rep) AS BIGINT) AS both_long_rep,
+           CAST(SUM(GREATEST(f_short, f_long, f_rep)) AS BIGINT) AS killed_any
+    FROM flags
+    """
+
+
+# attach the oracle after definition (helpers import cleanly here)
+from lime_etl_spark.plans import registry as _registry  # noqa: E402
+
+_spec = _registry._REGISTRY["cur_gate_rule_matrix"]
+_registry._REGISTRY["cur_gate_rule_matrix"] = _registry.QuerySpec(
+    _spec.name, _spec.builder, _gate_rule_matrix_oracle(), _spec.description
+)
+del _spec
+
+
+# --- exact-integer hour anomaly ---------------------------------------------
+
+ANOM_K = 3  # flag when (c-mu)^2 > K^2 * sigma^2, i.e. |z| > K
+
+
+@register(
+    "ev_hour_anomaly_exact",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), keyed AS (
+        SELECT d, h, c, CAST(EXTRACT(isodow FROM d) AS BIGINT) AS wd
+        FROM hourly
+    ), baseline AS (
+        SELECT wd, h,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS sq
+        FROM keyed GROUP BY wd, h
+    )
+    SELECT d, h, c, n_weeks, baseline_mean, direction
+    FROM (
+        SELECT k.d, k.h, k.c, b.n AS n_weeks,
+               b.n - 1 AS np, b.s - k.c AS sp, b.sq - k.c * k.c AS sqp,
+               CAST(b.s - k.c AS DOUBLE) / (b.n - 1) AS baseline_mean,
+               CASE WHEN k.c * (b.n - 1) > b.s - k.c
+                    THEN 'high' ELSE 'low' END AS direction
+        FROM keyed k JOIN baseline b ON b.wd = k.wd AND b.h = k.h
+    )
+    WHERE np >= 3
+      AND (c * np - sp) * (c * np - sp)
+            > {ANOM_K * ANOM_K} * (np * sqp - sp * sp)
+    ORDER BY d, h
+    """,
+    description="hour-grain load anomalies vs the weekday-hour baseline, decided ENTIRELY in integer arithmetic ((nc−S)² > K²(nΣc²−S²) — no float boundary)",
+)
+def ev_hour_anomaly_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which hours broke their own weekday pattern? Hourly counts are
+    compared against the same-weekday-same-hour baseline with the
+    point itself LEFT OUT (a spike inflates its own σ enough to mask
+    itself otherwise), and the |z| > {ANOM_K} decision is multiplied
+    out to (n'·c − S')² > {ANOM_K}²·(n'·Σc²' − S'²) — pure integer
+    arithmetic, so the flag boundary CANNOT drift between engines
+    (the usual μ/σ float dance has no say). Only the reported
+    baseline_mean pays a division, after the decision is made.
+
+    Scale: the hourly rollup combines map-side to |days|×24 rows; the
+    baseline reduce is 7×24 rows broadcast back. Int64: (n·c)² needs
+    c·n < 3e9 — at 10^6 events/hour and 3 years of weeks, switch the
+    comparison operands to decimal(38,0); the structure is unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("d"), F.hour("ts").cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    keyed = hourly.withColumn("wd", F.dayofweek("d").cast("bigint")).withColumn(
+        # dayofweek is 1=Sunday; isodow is 1=Monday — normalize to isodow
+        "wd",
+        F.when(F.col("wd") == 1, F.lit(7)).otherwise(F.col("wd") - 1),
+    )
+    baseline = keyed.groupBy("wd", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq"),
+    )
+    jt = keyed.join(F.broadcast(baseline), ["wd", "h"])
+    # leave-one-out baseline: a big spike otherwise inflates its own
+    # σ and masks itself (a 6× spike over 5 weeks scores only z≈2)
+    np_ = F.col("n") - 1
+    sp = F.col("s") - F.col("c")
+    sqp = F.col("sq") - F.col("c") * F.col("c")
+    dev = F.col("c") * np_ - sp
+    var_num = np_ * sqp - sp * sp
+    return (
+        jt.where((np_ >= 3) & (dev * dev > ANOM_K * ANOM_K * var_num))
+        .select(
+            "d",
+            "h",
+            "c",
+            F.col("n").alias("n_weeks"),
+            (sp.cast("double") / np_).alias("baseline_mean"),
+            F.when(dev > 0, "high").otherwise("low").alias("direction"),
+        )
+        .orderBy("d", "h")
+    )

@@ -435,3 +435,62 @@ def test_ship_delay_trend_division_identity(spark, sf_dir):
     if r.slope_den > 0:
         assert r.slope_days_per_month == r.slope_num / r.slope_den
     spark.catalog.clearCache()
+
+
+BATCH_G = [
+    "cur_gate_rule_matrix",
+    "ev_hour_anomaly_exact",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_G)
+def test_batch_g_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_gate_matrix_consistent_with_gate_verdicts(spark, sf_dir):
+    """killed_any must equal the gate's non-keep doc count, and each
+    rule's fires decompose into unique + overlaps."""
+    from lime_etl_spark.plans.registry import all_queries
+
+    m = i3.cur_gate_rule_matrix(spark, sf_dir).collect()[0]
+    gate = {
+        r.verdict: r.n_docs
+        for r in all_queries()["cur_quality_gate"].builder(spark, sf_dir).collect()
+    }
+    dropped = sum(n for v, n in gate.items() if v != "keep")
+    assert m.killed_any == dropped
+    # short and long are mutually exclusive by construction
+    assert m.both_short_long == 0
+    assert m.unique_short == m.fires_short - m.both_short_rep
+    assert m.unique_long == m.fires_long - m.both_long_rep
+
+
+def test_hour_anomaly_fires_on_planted_spike(spark, tmp_path):
+    """5 Mondays with a flat 10 events at hour 9; the 5th Monday gets
+    60 instead — the leave-one-out integer decision must flag exactly
+    that hour, direction high (its LOO baseline is flat 10s)."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    mondays = [dt.datetime(2024, 1, d, 9, 0, 0) for d in (1, 8, 15, 22, 29)]
+    for wk, base in enumerate(mondays):
+        n = 60 if wk == 4 else 10
+        for i in range(n):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(seconds=i), 1, "view", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = i3.ev_hour_anomaly_exact(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.d, r.h, r.c, r.direction) == (dt.date(2024, 1, 29), 9, 60, "high")
+    assert r.n_weeks == 5
+    assert r.baseline_mean == pytest.approx(10.0)  # LOO mean excludes the spike
