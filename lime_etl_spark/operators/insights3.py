@@ -2480,3 +2480,231 @@ def ev_hour_anomaly_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d", "h")
     )
+
+
+# --- language-ID ambiguity shortlist ----------------------------------------
+
+LANGID_MARGIN_MAX = 1
+LANGID_SHORTLIST_K = 100
+
+
+def _langid_margin_oracle() -> str:
+    from lime_etl_spark.operators.text import (
+        LANG_PROFILES,
+        _hits_sql,
+        _langid_case_sql,
+    )
+
+    hit_list = ", ".join(_hits_sql(w) for _, w in sorted(LANG_PROFILES.items()))
+    k = len(LANG_PROFILES)
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {_langid_case_sql()} AS pred_lang,
+               list_sort([{hit_list}]) AS hs
+        FROM documents
+    )
+    SELECT doc_id, lang, pred_lang,
+           CAST(hs[{k}] AS BIGINT) AS top_hits,
+           CAST(hs[{k}] - hs[{k - 1}] AS BIGINT) AS margin
+    FROM scored
+    WHERE hs[{k}] - hs[{k - 1}] <= {LANGID_MARGIN_MAX}
+    ORDER BY margin, doc_id
+    LIMIT {LANGID_SHORTLIST_K}
+    """
+
+
+@register(
+    "txt_langid_margin",
+    oracle=None,  # attached below (imports text helpers at def time)
+    description="docs where the language classifier nearly tied (top1−top2 stopword hits ≤ margin) — the ambiguity review queue behind the confusion matrix",
+)
+def txt_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The review queue the confusion matrix points at: documents
+    where the stopword classifier's top two languages are within
+    {LANGID_MARGIN_MAX} hit(s) of each other. Margins are differences
+    of exact integer hit counts (sorted with array_sort, so top-2
+    extraction needs no argmax tie dance), making the shortlist
+    boundary exact cross-engine.
+
+    Scale: scoring is row-local in the scan projection (the same
+    expressions txt_langid compiles); only the bounded ORDER
+    BY margin LIMIT {LANGID_SHORTLIST_K} shortlist sorts, and it sorts
+    the filtered ambiguous subset, not the corpus.
+    """
+    from lime_etl_spark.operators.text import LANG_PROFILES, _hits
+    from lime_etl_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    hits = {lang: _hits(toks, words) for lang, words in LANG_PROFILES.items()}
+    m = F.greatest(*hits.values())
+    expr = None
+    for lang in sorted(LANG_PROFILES):
+        cond = hits[lang] == m
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    hs = F.array_sort(F.array(*[hits[lang] for lang, _ in sorted(LANG_PROFILES.items())]))
+    k = len(LANG_PROFILES)
+    top = F.element_at(hs, k).cast("bigint")
+    margin = (F.element_at(hs, k) - F.element_at(hs, k - 1)).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            expr.alias("pred_lang"),
+            top.alias("top_hits"),
+            margin.alias("margin"),
+        )
+        .where(F.col("margin") <= LANGID_MARGIN_MAX)
+        .orderBy("margin", "doc_id")
+        .limit(LANGID_SHORTLIST_K)
+    )
+
+
+_spec = _registry._REGISTRY["txt_langid_margin"]
+_registry._REGISTRY["txt_langid_margin"] = _registry.QuerySpec(
+    _spec.name, _spec.builder, _langid_margin_oracle(), _spec.description
+)
+del _spec
+
+
+# --- priority × region independence residuals -------------------------------
+
+
+@register(
+    "q_priority_region_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT r.r_name, o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    ), marg AS (
+        SELECT r_name, CAST(SUM(n_obs) AS BIGINT) AS n_r FROM cells GROUP BY r_name
+    ), marg_p AS (
+        SELECT o_orderpriority, CAST(SUM(n_obs) AS BIGINT) AS n_p
+        FROM cells GROUP BY o_orderpriority
+    ), total AS (
+        SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cells
+    )
+    SELECT c.r_name, c.o_orderpriority, c.n_obs,
+           CAST(mr.n_r * mp.n_p AS DOUBLE) / t.n AS expected,
+           t.n * c.n_obs - mr.n_r * mp.n_p AS resid_num,
+           CAST(t.n * c.n_obs - mr.n_r * mp.n_p AS DOUBLE)
+             / sqrt(CAST(t.n * mr.n_r * mp.n_p AS DOUBLE)) AS pearson_resid
+    FROM cells c
+    JOIN marg mr ON mr.r_name = c.r_name
+    JOIN marg_p mp ON mp.o_orderpriority = c.o_orderpriority
+    CROSS JOIN total t
+    ORDER BY c.r_name, c.o_orderpriority
+    """,
+    description="priority × region contingency residuals ((N·O − n_r·n_p)/√(N·n_r·n_p) over exact integers — where the mix deviates from independence)",
+)
+def q_priority_region_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does order priority depend on region? The full contingency
+    table with Pearson residuals, the per-cell version of a
+    chi-square test: resid = (O−E)/√E re-arranged so the numerator
+    N·O − n_r·n_p is an EXACT integer and the denominator is one
+    √ of an exact product — no float drift in the ranking, and the
+    cells that drive dependence are immediately visible.
+
+    Scale: dims broadcast down the orders join; the cell rollup is
+    |regions|×|priorities| rows, marginals derive from the cells (no
+    re-scan), and every join after the rollup is a broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cells = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+        .persist()
+    )
+    marg_r = cells.groupBy("r_name").agg(F.sum("n_obs").cast("bigint").alias("n_r"))
+    marg_p = cells.groupBy("o_orderpriority").agg(
+        F.sum("n_obs").cast("bigint").alias("n_p")
+    )
+    total = cells.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    jt = (
+        cells.join(F.broadcast(marg_r), "r_name")
+        .join(F.broadcast(marg_p), "o_orderpriority")
+        .join(F.broadcast(total))
+    )
+    resid_num = F.col("n") * F.col("n_obs") - F.col("n_r") * F.col("n_p")
+    return jt.select(
+        "r_name",
+        "o_orderpriority",
+        "n_obs",
+        ((F.col("n_r") * F.col("n_p")).cast("double") / F.col("n")).alias("expected"),
+        resid_num.alias("resid_num"),
+        (
+            resid_num.cast("double")
+            / F.sqrt((F.col("n") * F.col("n_r") * F.col("n_p")).cast("double"))
+        ).alias("pearson_resid"),
+    ).orderBy("r_name", "o_orderpriority")
+
+
+# --- resurrection gap histogram ---------------------------------------------
+
+
+@register(
+    "ev_resurrection_gaps",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events
+    ), lagged AS (
+        SELECT user_id, d,
+               LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+        FROM ud
+    )
+    SELECT CAST(date_diff('day', prev_d, d) AS BIGINT) AS gap_days,
+           CAST(COUNT(*) AS BIGINT) AS n_returns,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM lagged
+    WHERE prev_d IS NOT NULL AND date_diff('day', prev_d, d) >= 2
+    GROUP BY 1
+    ORDER BY gap_days
+    """,
+    description="how long do users stay away before coming back? absence-gap histogram of day-grain returns (the win-back window evidence)",
+)
+def ev_resurrection_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_user_lifecycle counts comebacks; this measures HOW LONG the
+    absent stayed absent — the day-gap histogram of every return
+    after ≥2 days away, which separates 'skipped a day' from
+    'genuinely lapsed and won back' and prices the win-back window.
+    Gap keys are exact integer day-diffs between distinct active
+    days, so the histogram is float-free.
+
+    Scale: the (user, day) dedup combines map-side; the lag rides one
+    user_id window shuffle; the rollup is ≤|days| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    lagged = ud.withColumn("prev_d", F.lag("d").over(w))
+    gap_days = F.datediff("d", "prev_d")
+    return (
+        lagged.where(F.col("prev_d").isNotNull() & (gap_days >= 2))
+        .groupBy(gap_days.cast("bigint").alias("gap_days"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_returns"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("gap_days")
+    )

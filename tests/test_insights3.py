@@ -494,3 +494,55 @@ def test_hour_anomaly_fires_on_planted_spike(spark, tmp_path):
     assert (r.d, r.h, r.c, r.direction) == (dt.date(2024, 1, 29), 9, 60, "high")
     assert r.n_weeks == 5
     assert r.baseline_mean == pytest.approx(10.0)  # LOO mean excludes the spike
+
+
+BATCH_H = [
+    "txt_langid_margin",
+    "q_priority_region_independence",
+    "ev_resurrection_gaps",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_H)
+def test_batch_h_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_langid_margin_shortlist_is_ambiguous_subset(spark, sf_dir):
+    rows = i3.txt_langid_margin(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.margin <= i3.LANGID_MARGIN_MAX
+        assert r.top_hits >= 0
+    margins = [r.margin for r in rows]
+    assert margins == sorted(margins)
+
+
+def test_independence_residuals_identities(spark, sf_dir):
+    rows = i3.q_priority_region_independence(spark, sf_dir).collect()
+    assert len(rows) == 25  # 5 regions x 5 priorities
+    # residual numerators sum to zero over the full table (marginal identity)
+    assert sum(r.resid_num for r in rows) == 0
+    n_total = sum(r.n_obs for r in rows)
+    for r in rows:
+        assert r.expected > 0
+        # sign of the float residual agrees with the exact numerator
+        if r.resid_num != 0:
+            assert (r.pearson_resid > 0) == (r.resid_num > 0)
+    assert sum(r.n_obs for r in rows) == n_total
+    spark.catalog.clearCache()
+
+
+def test_resurrection_gaps_bounded_by_window(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.ev_resurrection_gaps(spark, sf_dir).collect()
+    assert rows, "expected some multi-day absences"
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+    ).collect()[0][0]
+    for r in rows:
+        assert 2 <= r.gap_days <= span
+        assert r.n_users <= r.n_returns
