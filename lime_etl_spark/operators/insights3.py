@@ -2708,3 +2708,270 @@ def ev_resurrection_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_days")
     )
+
+
+# --- realized discount by year ----------------------------------------------
+
+
+@register(
+    "q_realized_discount_by_year",
+    oracle="""
+    SELECT EXTRACT(year FROM l.l_shipdate) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS discount_amt,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS realized_rate
+    FROM lineitem l
+    GROUP BY 1
+    ORDER BY ship_year
+    """,
+    description="revenue-weighted realized discount rate per ship year (is discounting drifting — the margin-erosion trend)",
+)
+def q_realized_discount_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The margin-erosion trend: Σ(price·discount)/Σprice per year —
+    the REVENUE-weighted discount actually granted, which an
+    unweighted mean of l_discount misstates whenever big lines get
+    different discounts than small ones. Both Σ terms are exact
+    decimal sums; the rate is one division of their double casts
+    (numerator and denominator each exactly representable at test
+    magnitudes, division correctly rounded).
+
+    Scale: one scan, three pushed columns, per-year map-side combine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    gross = F.sum(dec("l_extendedprice"))
+    disc = F.sum(dec("l_extendedprice") * dec("l_discount", 2, 4))
+    return (
+        li.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            gross.cast("double").alias("gross"),
+            disc.cast("double").alias("discount_amt"),
+            (disc.cast("double") / gross.cast("double")).alias("realized_rate"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+# --- head-coverage curve ----------------------------------------------------
+
+HEAD_KS = (10, 100, 1000)
+
+
+@register(
+    "txt_head_coverage",
+    oracle=f"""
+    WITH counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ), ranked AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn
+        FROM counts
+    ), total AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM counts
+    )
+    SELECT k, n_types, n_tokens, head_tokens,
+           CAST(head_tokens AS DOUBLE) / n_tokens AS coverage
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT CAST({k} AS BIGINT) AS k, t.n_types, t.n_tokens, "
+            f"(SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) FROM ranked WHERE rn <= {k}) AS head_tokens "
+            "FROM total t"
+            for k in HEAD_KS
+        )}
+    )
+    ORDER BY k
+    """,
+    description="share of token mass covered by the top-k most frequent types (the tokenizer/compression head-coverage curve)",
+)
+def txt_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the corpus is just its most common words? Coverage
+    of the top-{{10,100,1000}} types — the curve that sizes tokenizer
+    vocabularies and predicts compression (txt_zipf_audit shows the
+    decay law; this integrates it). Ranking ties break on the token
+    string so the top-k boundary is a total order; counts are exact
+    and coverage is one division per row.
+
+    Scale: one (token → count) reduce; each top-k is a
+    TakeOrdered(k) over the rollup — no global sort materializes the
+    vocabulary; the count rollup is persisted across the three k's.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
+    )
+    total = counts.agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    parts = []
+    for k in HEAD_KS:
+        head = (
+            counts.orderBy(F.desc("cnt"), "token")
+            .limit(k)
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("head_tokens"))
+        )
+        parts.append(
+            head.crossJoin(F.broadcast(total)).select(
+                F.lit(k).cast("bigint").alias("k"),
+                "n_types",
+                "n_tokens",
+                "head_tokens",
+                (F.col("head_tokens").cast("double") / F.col("n_tokens")).alias(
+                    "coverage"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("k")
+
+
+# --- monthly whale share ----------------------------------------------------
+
+
+@register(
+    "q_monthly_whale_share",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month_key,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_order,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS whale_share
+    FROM orders
+    GROUP BY 1
+    ORDER BY month_key
+    """,
+    description="largest single order's share of each month's revenue (whale dependence over time — the revenue-at-risk pulse)",
+)
+def q_monthly_whale_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each month hangs on ONE order? max/Σ per month —
+    the fastest-moving concentration signal (q_customer_concentration
+    _hhi is the structural view; this is the monthly pulse that pages
+    someone). Decimal-exact MAX and SUM, one division.
+
+    Scale: single scan, two pushed columns, month-keyed map-side
+    combine to |months| rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    tot = F.sum(dec("o_totalprice"))
+    mx = F.max(dec("o_totalprice"))
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month_key"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            tot.cast("double").alias("total_value"),
+            mx.cast("double").alias("max_order"),
+            (mx.cast("double") / tot.cast("double")).alias("whale_share"),
+        )
+        .orderBy("month_key")
+    )
+
+
+# --- representative length bias ---------------------------------------------
+
+
+@register(
+    "cur_rep_length_bias",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(vid, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.vid
+    ),
+    cc AS (
+        SELECT vid AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+        FROM reach GROUP BY vid
+    ),
+    clusters AS (
+        SELECT cc.component_id,
+               CAST(COUNT(*) AS BIGINT) AS size,
+               CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+               CAST(MAX(d.n_chars) AS BIGINT) AS max_chars,
+               CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(CASE WHEN d.doc_id = cc.component_id
+                             THEN d.n_chars END) AS BIGINT) AS rep_chars
+        FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+        GROUP BY cc.component_id
+        HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_multi_clusters,
+           CAST(SUM(CASE WHEN rep_chars = max_chars THEN 1 ELSE 0 END) AS BIGINT)
+             AS rep_is_longest,
+           CAST(SUM(CASE WHEN rep_chars = min_chars THEN 1 ELSE 0 END) AS BIGINT)
+             AS rep_is_shortest,
+           CAST(SUM(rep_chars) AS BIGINT) AS total_rep_chars,
+           CAST(SUM(max_chars) AS BIGINT) AS total_best_chars,
+           CAST(SUM(rep_chars) AS DOUBLE) / SUM(max_chars) AS rep_vs_best_ratio
+    FROM clusters
+    """,
+    description="is the min-id cluster representative systematically shorter than the best member? (the survivorship-bias audit on dedup's keep rule)",
+)
+def cur_rep_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keeps the MIN-doc_id member of each cluster — an
+    arbitrary rule that silently biases the kept corpus if id order
+    correlates with anything (crawl order usually does). This audits
+    the rule against the length-maximal alternative: how often the
+    kept rep is already the longest member, and how many characters
+    cur_best_rep_dedup's pick-the-longest rule would add. All counts
+    and char sums are exact ints; the ratio is one division.
+
+    Scale: inherits the component pipeline; the per-cluster reduce
+    carries 5 integer aggregates and the final rollup is 1 row.
+    """
+    from lime_etl_spark.operators.graph import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = dedup_components(spark, sf_dir)
+    jt = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    clusters = (
+        jt.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("size"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max(
+                F.when(F.col("doc_id") == F.col("component_id"), F.col("n_chars"))
+            )
+            .cast("bigint")
+            .alias("rep_chars"),
+        )
+        .where(F.col("size") >= 2)
+    )
+    return clusters.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_multi_clusters"),
+        F.sum(F.when(F.col("rep_chars") == F.col("max_chars"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("rep_is_longest"),
+        F.sum(F.when(F.col("rep_chars") == F.col("min_chars"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("rep_is_shortest"),
+        F.sum("rep_chars").cast("bigint").alias("total_rep_chars"),
+        F.sum("max_chars").cast("bigint").alias("total_best_chars"),
+        (F.sum("rep_chars").cast("double") / F.sum("max_chars")).alias(
+            "rep_vs_best_ratio"
+        ),
+    )

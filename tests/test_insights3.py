@@ -546,3 +546,55 @@ def test_resurrection_gaps_bounded_by_window(spark, sf_dir):
     for r in rows:
         assert 2 <= r.gap_days <= span
         assert r.n_users <= r.n_returns
+
+
+BATCH_I = [
+    "q_realized_discount_by_year",
+    "txt_head_coverage",
+    "q_monthly_whale_share",
+    "cur_rep_length_bias",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_I)
+def test_batch_i_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_realized_rate_within_discount_domain(spark, sf_dir):
+    rows = i3.q_realized_discount_by_year(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.realized_rate <= 0.10 + 1e-12  # discounts are 0..10%
+        assert r.discount_amt <= r.gross
+
+
+def test_head_coverage_monotone_in_k(spark, sf_dir):
+    rows = i3.txt_head_coverage(spark, sf_dir).collect()
+    assert [r.k for r in rows] == sorted(i3.HEAD_KS)
+    covs = [r.coverage for r in rows]
+    assert covs == sorted(covs)  # more head types can only cover more
+    for r in rows:
+        assert 0.0 < r.coverage <= 1.0
+        # k >= n_types means full coverage
+        if r.k >= r.n_types:
+            assert r.head_tokens == r.n_tokens
+    spark.catalog.clearCache()
+
+
+def test_whale_share_bounds(spark, sf_dir):
+    rows = i3.q_monthly_whale_share(spark, sf_dir).collect()
+    for r in rows:
+        # one order's share is at least 1/n and at most 1
+        assert 1.0 / r.n_orders - 1e-12 <= r.whale_share <= 1.0 + 1e-12
+        assert r.max_order <= r.total_value
+
+
+def test_rep_length_bias_consistency(spark, sf_dir):
+    r = i3.cur_rep_length_bias(spark, sf_dir).collect()[0]
+    if r.n_multi_clusters:
+        assert r.rep_is_longest + r.rep_is_shortest <= 2 * r.n_multi_clusters
+        assert r.total_rep_chars <= r.total_best_chars
+        assert 0.0 < r.rep_vs_best_ratio <= 1.0
+    spark.catalog.clearCache()
