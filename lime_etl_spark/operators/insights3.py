@@ -2975,3 +2975,179 @@ def cur_rep_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_vs_best_ratio"
         ),
     )
+
+
+# --- ANN bucket balance and probe cost --------------------------------------
+
+
+@register(
+    "ann_bucket_balance",
+    oracle=None,  # set below: shares similarity._BUCKET_SQL
+    description="IVF bucket occupancy (sign-quantizer load balance — the skew audit behind probe-cost planning)",
+)
+def ann_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How even is the sign-bit coarse quantizer's load? Per-bucket
+    vector counts with each bucket's share — the skew audit that
+    decides whether self-probe search has a hot-bucket problem
+    (a bucket holding 10% of vectors makes 10% of queries pay a 25×
+    candidate bill at 256 buckets). Counts exact; share is one
+    division by the broadcast total.
+
+    Scale: one scan, row-local bucket expression, ≤256-row rollup.
+    """
+    from lime_etl_spark.operators.similarity import ivf_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.select(ivf_bucket(F.col("embedding")).alias("bucket")).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    total = counts.agg(F.sum("n_vecs").cast("bigint").alias("n_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_vecs",
+            (F.col("n_vecs").cast("double") / F.col("n_total")).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _bucket_balance_oracle() -> str:
+    from lime_etl_spark.operators.similarity import _BUCKET_SQL
+
+    return f"""
+    WITH counts AS (
+        SELECT ({_BUCKET_SQL}) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM embeddings GROUP BY 1
+    ), total AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM counts)
+    SELECT bucket, n_vecs,
+           CAST(n_vecs AS DOUBLE) / n_total AS share
+    FROM counts CROSS JOIN total
+    ORDER BY bucket
+    """
+
+
+_spec = _registry._REGISTRY["ann_bucket_balance"]
+_registry._REGISTRY["ann_bucket_balance"] = _registry.QuerySpec(
+    _spec.name, _spec.builder, _bucket_balance_oracle(), _spec.description
+)
+del _spec
+
+
+@register(
+    "ann_probe_cost",
+    oracle=None,  # set below
+    description="closed-form candidate counts per probe strategy (self / +hamming-1 / brute force) from bucket occupancies — the cost half of ann_tuning_curve",
+)
+def ann_probe_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_tuning_curve MEASURES recall per strategy; this computes
+    the matching cost in closed form from bucket occupancies alone:
+    self-probe scores Σ n_b·(n_b−1) ordered pairs, Hamming-1
+    multiprobe adds Σ_b n_b·Σᵢ n_{b⊕2ᶦ}, brute force pays N·(N−1).
+    Exact integer pair counts; scan_fraction is one division — so the
+    cost side of the probe decision needs no experiment at all.
+
+    Scale: works entirely on the ≤256-row bucket rollup; the
+    Hamming-1 expansion is 256×8 rows joined back to the rollup —
+    constant work regardless of vector count.
+    """
+    from lime_etl_spark.operators.similarity import ivf_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = (
+        emb.select(ivf_bucket(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .persist()
+    )
+    total = counts.agg(F.sum("n_vecs").cast("bigint").alias("n"))
+    self_pairs = counts.agg(
+        F.sum(F.col("n_vecs") * (F.col("n_vecs") - 1)).cast("bigint").alias("p")
+    )
+    bits = spark.createDataFrame([(1 << i,) for i in range(8)], "bit int")
+    neigh = (
+        counts.crossJoin(F.broadcast(bits))
+        .select(
+            F.expr("bucket ^ bit").alias("nbucket"),
+            F.col("n_vecs").alias("n_src"),
+        )
+        .join(
+            F.broadcast(
+                counts.select(
+                    F.col("bucket").alias("nbucket"), F.col("n_vecs").alias("n_dst")
+                )
+            ),
+            "nbucket",
+        )
+        .agg(F.sum(F.col("n_src") * F.col("n_dst")).cast("bigint").alias("h1"))
+    )
+    jt = (
+        self_pairs.crossJoin(F.broadcast(neigh))
+        .crossJoin(F.broadcast(total))
+        .persist()
+    )
+    brute = F.col("n") * (F.col("n") - 1)
+    rows = [
+        jt.select(
+            F.lit("self").alias("strategy"),
+            F.col("p").alias("candidate_pairs"),
+            (F.col("p").cast("double") / brute.cast("double")).alias("scan_fraction"),
+        ),
+        jt.select(
+            F.lit("self_hamming1").alias("strategy"),
+            (F.col("p") + F.col("h1")).alias("candidate_pairs"),
+            (
+                (F.col("p") + F.col("h1")).cast("double") / brute.cast("double")
+            ).alias("scan_fraction"),
+        ),
+        jt.select(
+            F.lit("brute").alias("strategy"),
+            brute.alias("candidate_pairs"),
+            F.lit(1.0).alias("scan_fraction"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("strategy")
+
+
+def _probe_cost_oracle() -> str:
+    from lime_etl_spark.operators.similarity import _BUCKET_SQL
+
+    return f"""
+    WITH counts AS (
+        SELECT ({_BUCKET_SQL}) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM embeddings GROUP BY 1
+    ), total AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n FROM counts),
+    sp AS (
+        SELECT CAST(SUM(n_vecs * (n_vecs - 1)) AS BIGINT) AS p FROM counts
+    ),
+    h1 AS (
+        SELECT CAST(SUM(c.n_vecs * d.n_vecs) AS BIGINT) AS h1
+        FROM counts c
+        CROSS JOIN (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS bit)
+        JOIN counts d ON d.bucket = xor(c.bucket, bit)
+    )
+    SELECT 'brute' AS strategy,
+           CAST(t.n * (t.n - 1) AS BIGINT) AS candidate_pairs,
+           1.0 AS scan_fraction
+    FROM total t
+    UNION ALL
+    SELECT 'self', s.p,
+           CAST(s.p AS DOUBLE) / (t.n * (t.n - 1))
+    FROM sp s CROSS JOIN total t
+    UNION ALL
+    SELECT 'self_hamming1', s.p + h.h1,
+           CAST(s.p + h.h1 AS DOUBLE) / (t.n * (t.n - 1))
+    FROM sp s CROSS JOIN h1 h CROSS JOIN total t
+    ORDER BY strategy
+    """
+
+
+_spec = _registry._REGISTRY["ann_probe_cost"]
+_registry._REGISTRY["ann_probe_cost"] = _registry.QuerySpec(
+    _spec.name, _spec.builder, _probe_cost_oracle(), _spec.description
+)
+del _spec

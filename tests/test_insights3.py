@@ -598,3 +598,52 @@ def test_rep_length_bias_consistency(spark, sf_dir):
         assert r.total_rep_chars <= r.total_best_chars
         assert 0.0 < r.rep_vs_best_ratio <= 1.0
     spark.catalog.clearCache()
+
+
+BATCH_J = [
+    "ann_bucket_balance",
+    "ann_probe_cost",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_J)
+def test_batch_j_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_bucket_balance_conserves_vectors(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.ann_bucket_balance(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n
+    assert sum(r.share for r in rows) == pytest.approx(1.0, rel=1e-9)
+    assert all(0 <= r.bucket <= 255 for r in rows)
+
+
+def test_probe_cost_ordering_and_consistency(spark, sf_dir):
+    """Cost model must agree with the actual candidate counts the IVF
+    operators generate: self-probe pairs == the ivf self-join size."""
+    from lime_etl_spark.sources.readers import load_table
+    from lime_etl_spark.operators.similarity import ivf_bucket
+
+    rows = {r.strategy: r for r in i3.ann_probe_cost(spark, sf_dir).collect()}
+    assert set(rows) == {"self", "self_hamming1", "brute"}
+    assert (
+        rows["self"].candidate_pairs
+        <= rows["self_hamming1"].candidate_pairs
+        <= rows["brute"].candidate_pairs
+    )
+    assert rows["brute"].scan_fraction == 1.0
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", ivf_bucket(F.col("embedding")).alias("bucket")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    actual_self = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).count()
+    assert rows["self"].candidate_pairs == actual_self
+    spark.catalog.clearCache()
