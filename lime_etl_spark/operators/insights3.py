@@ -3151,3 +3151,219 @@ _registry._REGISTRY["ann_probe_cost"] = _registry.QuerySpec(
     _spec.name, _spec.builder, _probe_cost_oracle(), _spec.description
 )
 del _spec
+
+
+# --- supplier delay scorecard -----------------------------------------------
+
+DELAY_MIN_LINES = 20
+DELAY_TOP_K = 20
+
+
+@register(
+    "q_supplier_delay_scorecard",
+    oracle=f"""
+    WITH d AS (
+        SELECT l.l_suppkey,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS delay
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), per_supp AS (
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(FLOOR(quantile_cont(delay, 0.5)) AS BIGINT) AS p50_delay,
+               CAST(FLOOR(quantile_cont(delay, 0.9)) AS BIGINT) AS p90_delay,
+               CAST(MAX(delay) AS BIGINT) AS max_delay
+        FROM d GROUP BY l_suppkey
+        HAVING COUNT(*) >= {DELAY_MIN_LINES}
+    )
+    SELECT s.s_name, p.n_lines, p.p50_delay, p.p90_delay, p.max_delay
+    FROM per_supp p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    ORDER BY p.p90_delay DESC, p.p50_delay DESC, s.s_name
+    LIMIT {DELAY_TOP_K}
+    """,
+    description="slowest suppliers by tail ship delay (p50/p90/max days, volume-gated) — the vendor scorecard q21 blames and this quantifies",
+)
+def q_supplier_delay_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who actually ships late? Per-supplier delay percentiles with a
+    volume gate (a supplier with 3 lines has no tail), ranked by p90
+    so chronic tail-latency outranks one bad month. Day delays are
+    exact ints; floor-interpolated percentiles match cross-engine;
+    the (p90 desc, p50 desc, name) order is total so the LIMIT edge
+    is deterministic.
+
+    Scale: one orderkey-join shuffle at fact grain, then a
+    map-side-combining supplier reduce; the supplier dim broadcasts
+    onto the ≤|suppliers| rollup. approx_percentile is the 100 TB
+    swap-in.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    d = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("delay"),
+    )
+    per_supp = (
+        d.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.floor(F.percentile("delay", F.lit(0.5))).cast("bigint").alias("p50_delay"),
+            F.floor(F.percentile("delay", F.lit(0.9))).cast("bigint").alias("p90_delay"),
+            F.max("delay").cast("bigint").alias("max_delay"),
+        )
+        .where(F.col("n_lines") >= DELAY_MIN_LINES)
+    )
+    return (
+        per_supp.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            per_supp.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("s_name", "n_lines", "p50_delay", "p90_delay", "max_delay")
+        .orderBy(F.desc("p90_delay"), F.desc("p50_delay"), "s_name")
+        .limit(DELAY_TOP_K)
+    )
+
+
+# --- average order value trend ----------------------------------------------
+
+
+@register(
+    "q_aov_trend",
+    oracle="""
+    WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month_key,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                 AS aov
+        FROM orders GROUP BY 1
+    )
+    SELECT month_key, n_orders, revenue, aov,
+           aov - LAG(aov) OVER (ORDER BY month_key) AS aov_mom_delta
+    FROM m
+    ORDER BY month_key
+    """,
+    description="average order value per month with month-over-month delta (selling more-but-cheaper decouples volume from revenue — this catches it)",
+)
+def q_aov_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume up but revenue flat means the basket is shrinking —
+    AOV per month with its MoM delta makes the decoupling visible in
+    one table. AOV is one division of a decimal-exact sum by an exact
+    count; the delta subtracts two bit-identical doubles, so even the
+    derived column hash-matches.
+
+    Scale: month-keyed map-side rollup; the lag window sorts
+    |months| rows on one partition — bounded by the calendar, not
+    the data.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aov = F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month_key")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        aov.alias("aov"),
+    )
+    w = Window.orderBy("month_key")
+    return m.select(
+        "month_key",
+        "n_orders",
+        "revenue",
+        "aov",
+        (F.col("aov") - F.lag("aov").over(w)).alias("aov_mom_delta"),
+    ).orderBy("month_key")
+
+
+# --- split balance audit ----------------------------------------------------
+
+
+@register(
+    "samp_split_balance",
+    oracle=None,  # set below: shares training's bucket SQL
+    description="label balance across the train/val/test hash split (contingency residuals with exact integer numerators — the eval-validity audit)",
+)
+def samp_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the 80/10/10 split language-balanced, or did the hash
+    accidentally concentrate a language in test? The (split × lang)
+    contingency table with Pearson residuals — exact integer
+    numerators N·n_obs − n_s·n_l rank the imbalanced cells without
+    float drift (q_priority_region_independence's machinery pointed
+    at eval validity). Large residuals here invalidate cross-split
+    comparisons BEFORE any model sees the data.
+
+    Scale: the split expression is row-local (same bucket hash as
+    samp_hash_split, so this audits the REAL split); one
+    |splits|×|langs| rollup, marginals derived from it, broadcasts
+    after.
+    """
+    from lime_etl_spark.operators.training import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), 100)
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    cells = (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+        .persist()
+    )
+    marg_s = cells.groupBy("split").agg(F.sum("n_obs").cast("bigint").alias("n_s"))
+    marg_l = cells.groupBy("lang").agg(F.sum("n_obs").cast("bigint").alias("n_l"))
+    total = cells.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    jt = (
+        cells.join(F.broadcast(marg_s), "split")
+        .join(F.broadcast(marg_l), "lang")
+        .join(F.broadcast(total))
+    )
+    resid_num = F.col("n") * F.col("n_obs") - F.col("n_s") * F.col("n_l")
+    return jt.select(
+        "split",
+        "lang",
+        "n_obs",
+        ((F.col("n_s") * F.col("n_l")).cast("double") / F.col("n")).alias("expected"),
+        resid_num.alias("resid_num"),
+        (
+            resid_num.cast("double")
+            / F.sqrt((F.col("n") * F.col("n_s") * F.col("n_l")).cast("double"))
+        ).alias("pearson_resid"),
+    ).orderBy("split", "lang")
+
+
+def _split_balance_oracle() -> str:
+    from lime_etl_spark.operators.training import _bucket_sql
+
+    b = _bucket_sql("doc_id", 100)
+    return f"""
+    WITH cells AS (
+        SELECT CASE WHEN {b} < 80 THEN 'train'
+                    WHEN {b} < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM documents GROUP BY 1, 2
+    ), ms AS (
+        SELECT split, CAST(SUM(n_obs) AS BIGINT) AS n_s FROM cells GROUP BY split
+    ), ml AS (
+        SELECT lang, CAST(SUM(n_obs) AS BIGINT) AS n_l FROM cells GROUP BY lang
+    ), total AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cells)
+    SELECT c.split, c.lang, c.n_obs,
+           CAST(ms.n_s * ml.n_l AS DOUBLE) / t.n AS expected,
+           t.n * c.n_obs - ms.n_s * ml.n_l AS resid_num,
+           CAST(t.n * c.n_obs - ms.n_s * ml.n_l AS DOUBLE)
+             / sqrt(CAST(t.n * ms.n_s * ml.n_l AS DOUBLE)) AS pearson_resid
+    FROM cells c
+    JOIN ms ON ms.split = c.split
+    JOIN ml ON ml.lang = c.lang
+    CROSS JOIN total t
+    ORDER BY c.split, c.lang
+    """
+
+
+_spec = _registry._REGISTRY["samp_split_balance"]
+_registry._REGISTRY["samp_split_balance"] = _registry.QuerySpec(
+    _spec.name, _spec.builder, _split_balance_oracle(), _spec.description
+)
+del _spec

@@ -647,3 +647,49 @@ def test_probe_cost_ordering_and_consistency(spark, sf_dir):
     ).count()
     assert rows["self"].candidate_pairs == actual_self
     spark.catalog.clearCache()
+
+
+BATCH_K = [
+    "q_supplier_delay_scorecard",
+    "q_aov_trend",
+    "samp_split_balance",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_K)
+def test_batch_k_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_delay_scorecard_ordered_and_gated(spark, sf_dir):
+    rows = i3.q_supplier_delay_scorecard(spark, sf_dir).collect()
+    assert rows
+    p90s = [r.p90_delay for r in rows]
+    assert p90s == sorted(p90s, reverse=True)
+    for r in rows:
+        assert r.n_lines >= i3.DELAY_MIN_LINES
+        assert r.p50_delay <= r.p90_delay <= r.max_delay
+
+
+def test_aov_trend_delta_is_difference_of_reported_aovs(spark, sf_dir):
+    rows = i3.q_aov_trend(spark, sf_dir).collect()
+    assert rows[0].aov_mom_delta is None  # first month has no predecessor
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.aov_mom_delta == cur.aov - prev.aov
+        assert cur.aov == cur.revenue / cur.n_orders
+
+
+def test_split_balance_matches_hash_split_and_sums_zero(spark, sf_dir):
+    from lime_etl_spark.plans.registry import all_queries
+
+    rows = i3.samp_split_balance(spark, sf_dir).collect()
+    # cells must be exactly the samp_hash_split table (same expression)
+    split_rows = {
+        (r.lang, r.split): r.n_docs
+        for r in all_queries()["samp_hash_split"].builder(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert split_rows[(r.lang, r.split)] == r.n_obs
+    assert sum(r.resid_num for r in rows) == 0
+    spark.catalog.clearCache()
