@@ -673,3 +673,53 @@ def test_covariance_reduces_pairs_map_side(spark, sf_dir):
     assert keys <= {"dim_i", "dim_j", "pos"}, keys
     assert "partial_sum" in plan, "pair products must combine map-side"
     spark.catalog.clearCache()
+
+
+# --- grouped gates for the later insights3 batches -------------------------
+
+# single-scan rollups: no join anywhere, shuffle keys at rollup grain only
+SINGLE_SCAN = {
+    "q_discount_bands": {"discount_pct"},
+    "q_returns_by_discount": {"discount_pct"},
+    "q_realized_discount_by_year": {"ship_year"},
+    "q_monthly_whale_share": {"month_key"},
+    "q_aov_trend": {"month_key"},
+    "dq_linenumber_gaps": {"l_orderkey"},
+    "ev_burstiness_profile": {"user_id", "event_type", "b_bucket"},
+    "ev_transition_latency": {"user_id", "from_type", "to_type"},
+    "ev_resurrection_gaps": {"user_id", "gap_days"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(SINGLE_SCAN))
+def test_single_scan_rollups_join_free(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "Join" not in plan, f"{name} has a join it shouldn't need"
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    # computed groupBy keys surface as the internal _groupingexpression alias
+    assert keys <= SINGLE_SCAN[name] | {"_groupingexpression"}, (name, keys)
+
+
+# broadcast-only joins: an SMJ here means a dim or rollup failed to broadcast
+BROADCAST_ONLY = [
+    "ev_time_to_nth_purchase",
+    "samp_quota_waterfall",
+    "emb_label_outliers",
+    "txt_langid_margin",
+    "q_priority_region_independence",
+    "samp_split_balance",
+    "txt_head_coverage",
+    "ann_bucket_balance",
+    "ann_probe_cost",
+    "q_supplier_delay_scorecard",
+    "q_ship_delay_trend",
+    "cur_gate_rule_matrix",
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_ONLY)
+def test_later_batches_never_sort_merge(spark, sf_dir, name):
+    spark.catalog.clearCache()
+    plan = plan_of(spark, sf_dir, name)
+    assert "SortMergeJoin" not in plan, f"{name} fell back to SMJ"
+    spark.catalog.clearCache()
