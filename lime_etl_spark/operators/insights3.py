@@ -3367,3 +3367,227 @@ _registry._REGISTRY["samp_split_balance"] = _registry.QuerySpec(
     _spec.name, _spec.builder, _split_balance_oracle(), _spec.description
 )
 del _spec
+
+
+# --- rare-token-rich documents ----------------------------------------------
+
+RARE_TOP_K = 30
+
+
+@register(
+    "txt_rare_token_docs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), freq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ), ranked AS (
+        SELECT token, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt, token) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_types
+        FROM freq
+    ), rare AS (
+        SELECT token FROM ranked
+        WHERE rn <= GREATEST(1, CAST(FLOOR(n_types / 10.0) AS BIGINT))
+    ), per_doc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN r.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rare
+        FROM tok t LEFT JOIN rare r ON r.token = t.token
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, n_rare,
+           CAST(n_rare AS DOUBLE) / n_tokens AS rare_ratio
+    FROM per_doc
+    WHERE n_rare > 0
+    ORDER BY n_rare DESC, doc_id
+    LIMIT {RARE_TOP_K}
+    """,
+    description="documents richest in the corpus's bottom-decile-frequency tokens (the irreplaceable-content shortlist — what dedup and caps must NOT delete)",
+)
+def txt_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The opposite of a duplicate: the documents carrying the
+    corpus's RAREST vocabulary (the lowest-frequency decile of types,
+    with a (cnt, token) total order so the rare set is deterministic
+    on any corpus — absolute hapax would be empty on template-heavy
+    vocabularies). Delete one of these (dedup over-merge, per-user
+    caps, a tight gate) and cur_dedup_vocab_loss ticks up. Top-k by
+    exact rare-token count; ratio is one division.
+
+    Scale: the frequency reduce is |vocab| state; the rare-set rank
+    sorts |vocab| rows (vocabulary ≪ corpus by Heaps' law — this is
+    a rollup sort, not a data sort) and broadcasts as a semi-join
+    probe; the per-doc rollup combines map-side and the shortlist is
+    TakeOrdered(k).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wn = Window.orderBy("cnt", "token")
+    ranked = freq.select(
+        "token",
+        F.row_number().over(wn).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n_types"),
+    )
+    rare = ranked.where(
+        F.col("rn")
+        <= F.greatest(F.lit(1), F.floor(F.col("n_types") / 10.0).cast("bigint"))
+    ).select("token", F.lit(1).alias("is_rare"))
+    per_doc = (
+        tok.join(F.broadcast(rare), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce("is_rare", F.lit(0))).cast("bigint").alias("n_rare"),
+        )
+        .where(F.col("n_rare") > 0)
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_tokens")).alias("rare_ratio"),
+        )
+        .orderBy(F.desc("n_rare"), "doc_id")
+        .limit(RARE_TOP_K)
+    )
+
+
+# --- conversion by session depth --------------------------------------------
+
+
+@register(
+    "ev_conversion_by_depth",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+        SELECT user_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_seq,
+               CAST(COUNT(*) AS BIGINT) AS depth,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS converted
+        FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT CAST(LEAST(depth, 10) AS BIGINT) AS depth_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conversion_rate
+    FROM per_session
+    GROUP BY 1
+    ORDER BY depth_bucket
+    """,
+    description="conversion rate as a function of session depth (≤10+ bucket) — does engagement depth buy conversion, and where does it saturate",
+)
+def ev_conversion_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a longer session actually convert better? Conversion rate
+    per session-depth bucket (capped at 10+ so the tail doesn't
+    shred into singleton buckets) over the SHARED sessionization —
+    the saturation point of this curve is where nudging users deeper
+    stops paying. Counters exact; rate is one division per bucket.
+
+    Scale: sessionize rides one user_id shuffle; the per-session
+    reduce and the depth-bucket rollup both combine map-side;
+    output is ≤10 rows.
+    """
+    from lime_etl_spark.operators.events import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    per_session = (
+        sessionize(ev)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("depth"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("converted"),
+        )
+    )
+    return (
+        per_session.groupBy(
+            F.least(F.col("depth"), F.lit(10)).cast("bigint").alias("depth_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            (F.sum("converted").cast("double") / F.count(F.lit(1))).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("depth_bucket")
+    )
+
+
+# --- weekday peakiness ------------------------------------------------------
+
+
+@register(
+    "ev_peakiness_by_weekday",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS wd,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3
+    ), cell AS (
+        SELECT wd, h,
+               CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avg_load
+        FROM hourly GROUP BY wd, h
+    )
+    SELECT wd,
+           CAST(MAX(avg_load) AS DOUBLE) AS peak_avg,
+           CAST(MIN(avg_load) AS DOUBLE) AS trough_avg,
+           CAST(MAX(avg_load) AS DOUBLE) / MIN(avg_load) AS peak_trough_ratio
+    FROM cell
+    GROUP BY wd
+    ORDER BY wd
+    """,
+    description="peak-to-trough hourly load ratio per weekday (capacity headroom: a ratio of 4 means 75% idle at trough if sized for peak)",
+)
+def ev_peakiness_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How spiky is each weekday? Peak vs trough average hourly load
+    — the number that converts a load profile into a capacity plan
+    (sized for peak, a ratio of 4 means 75% idle at trough; flat
+    ratios justify fixed clusters, spiky ones justify autoscaling).
+    Each cell average is one division of exact ints; MAX/MIN over
+    bit-identical doubles agree cross-engine, and the final ratio is
+    one more correctly-rounded op.
+
+    Scale: day-hour rollup combines map-side; everything after runs
+    on ≤7×24 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("d"),
+        F.when(F.dayofweek(F.to_date("ts")) == 1, F.lit(7))
+        .otherwise(F.dayofweek(F.to_date("ts")) - 1)
+        .cast("bigint")
+        .alias("wd"),
+        F.hour("ts").cast("bigint").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cell = hourly.groupBy("wd", "h").agg(
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("avg_load")
+    )
+    return (
+        cell.groupBy("wd")
+        .agg(
+            F.max("avg_load").alias("peak_avg"),
+            F.min("avg_load").alias("trough_avg"),
+            (F.max("avg_load") / F.min("avg_load")).alias("peak_trough_ratio"),
+        )
+        .orderBy("wd")
+    )

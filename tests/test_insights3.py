@@ -693,3 +693,52 @@ def test_split_balance_matches_hash_split_and_sums_zero(spark, sf_dir):
         assert split_rows[(r.lang, r.split)] == r.n_obs
     assert sum(r.resid_num for r in rows) == 0
     spark.catalog.clearCache()
+
+
+BATCH_L = [
+    "txt_rare_token_docs",
+    "ev_conversion_by_depth",
+    "ev_peakiness_by_weekday",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_L)
+def test_batch_l_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_rare_token_docs_shortlist_sane(spark, sf_dir):
+    rows = i3.txt_rare_token_docs(spark, sf_dir).collect()
+    assert rows, "relative rarity must produce a shortlist on any corpus"
+    counts = [r.n_rare for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 0 < r.n_rare <= r.n_tokens
+        assert r.rare_ratio == r.n_rare / r.n_tokens
+    spark.catalog.clearCache()
+
+
+def test_conversion_by_depth_consistent_with_sessions(spark, sf_dir):
+    from lime_etl_spark.operators.events import sessionize
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.ev_conversion_by_depth(spark, sf_dir).collect()
+    n_sessions = (
+        sessionize(load_table(spark, sf_dir, "events"))
+        .select("user_id", "session_seq")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_sessions for r in rows) == n_sessions
+    for r in rows:
+        assert 0 <= r.n_converted <= r.n_sessions
+        assert 1 <= r.depth_bucket <= 10
+
+
+def test_peakiness_ratio_at_least_one(spark, sf_dir):
+    rows = i3.ev_peakiness_by_weekday(spark, sf_dir).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r.trough_avg <= r.peak_avg
+        assert r.peak_trough_ratio >= 1.0
