@@ -3591,3 +3591,145 @@ def ev_peakiness_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wd")
     )
+
+
+# --- reorder cadence by segment ---------------------------------------------
+
+
+@register(
+    "q_reorder_cadence_by_segment",
+    oracle="""
+    WITH gaps AS (
+        SELECT c.c_mktsegment,
+               date_diff('day',
+                         LAG(CAST(o.o_orderdate AS DATE))
+                             OVER (PARTITION BY o.o_custkey
+                                   ORDER BY CAST(o.o_orderdate AS DATE), o.o_orderkey),
+                         CAST(o.o_orderdate AS DATE)) AS gap_days
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           CAST(FLOOR(quantile_cont(gap_days, 0.5)) AS BIGINT) AS p50_days,
+           CAST(FLOOR(quantile_cont(gap_days, 0.9)) AS BIGINT) AS p90_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    description="days between consecutive orders per market segment (the reorder clock that calibrates dormancy thresholds like q22's)",
+)
+def q_reorder_cadence_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How often does each segment come back? Per-customer order gaps
+    rolled to segment percentiles — the reorder clock that makes
+    dormancy cutoffs (q22 picks one by fiat) data-driven: a customer
+    is 'dormant' when their silence exceeds their segment's p90, not
+    a hardcoded interval. Exact integer day gaps, floor-interpolated
+    percentiles, one (custkey, date, orderkey) total order.
+
+    Scale: the lag rides one custkey window shuffle (segment
+    broadcast-joined before it, so the window carries the label); the
+    percentile reduce collapses to |segments| rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    jt = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), "o_orderkey"
+    )
+    gaps = jt.select(
+        "c_mktsegment",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("c_mktsegment")
+        .agg(
+            F.count("gap_days").cast("bigint").alias("n_gaps"),
+            F.floor(F.percentile("gap_days", F.lit(0.5))).cast("bigint").alias(
+                "p50_days"
+            ),
+            F.floor(F.percentile("gap_days", F.lit(0.9))).cast("bigint").alias(
+                "p90_days"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- customer acquisition curve ---------------------------------------------
+
+
+@register(
+    "q_customer_acquisition_curve",
+    oracle="""
+    WITH firsto AS (
+        SELECT o_custkey, MIN(strftime(o_orderdate, '%Y-%m')) AS first_month
+        FROM orders GROUP BY o_custkey
+    ), joined AS (
+        SELECT n.n_regionkey, r.r_name, f.first_month
+        FROM firsto f
+        JOIN customer c ON c.c_custkey = f.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+    ), monthly AS (
+        SELECT r_name, first_month,
+               CAST(COUNT(*) AS BIGINT) AS new_customers
+        FROM joined GROUP BY r_name, first_month
+    )
+    SELECT r_name, first_month AS month_key, new_customers,
+           CAST(SUM(new_customers) OVER (PARTITION BY r_name
+                                         ORDER BY first_month) AS BIGINT)
+             AS cum_customers
+    FROM monthly
+    ORDER BY r_name, month_key
+    """,
+    description="new + cumulative first-time customers per region per month (the relational acquisition curve; ev_cumulative_adoption's dimension twin)",
+)
+def q_customer_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """When did each region's customer base actually arrive? First
+    order month per customer, rolled into new + cumulative counts per
+    region — the acquisition curve that separates 'big because old'
+    from 'big because growing' (the dimension-side twin of
+    ev_cumulative_adoption). Exact counts; the cumulative window
+    partitions by region over |months| rows.
+
+    Scale: the first-month reduce combines map-side per custkey; dims
+    broadcast onto the |customers| rollup, then everything is
+    |regions|×|months| rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    firsto = orders.groupBy("o_custkey").agg(
+        F.min(F.date_format("o_orderdate", "yyyy-MM")).alias("first_month")
+    )
+    joined = (
+        firsto.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            firsto.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    monthly = joined.groupBy("r_name", "first_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_customers")
+    )
+    w = Window.partitionBy("r_name").orderBy("first_month")
+    return monthly.select(
+        "r_name",
+        F.col("first_month").alias("month_key"),
+        "new_customers",
+        F.sum("new_customers").over(w).cast("bigint").alias("cum_customers"),
+    ).orderBy("r_name", "month_key")

@@ -742,3 +742,49 @@ def test_peakiness_ratio_at_least_one(spark, sf_dir):
     for r in rows:
         assert r.trough_avg <= r.peak_avg
         assert r.peak_trough_ratio >= 1.0
+
+
+BATCH_M = [
+    "q_reorder_cadence_by_segment",
+    "q_customer_acquisition_curve",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_M)
+def test_batch_m_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_reorder_cadence_gap_count_identity(spark, sf_dir):
+    """Sum of gaps = orders - customers-with-orders (one gap per
+    consecutive pair), and percentiles are ordered."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.q_reorder_cadence_by_segment(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n_orders = orders.count()
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_gaps for r in rows) == n_orders - n_cust
+    for r in rows:
+        assert 0 <= r.p50_days <= r.p90_days
+
+
+def test_acquisition_curve_cumulative_ends_at_customer_count(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.q_customer_acquisition_curve(spark, sf_dir).collect()
+    n_active_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    by_region: dict = {}
+    for r in rows:
+        by_region.setdefault(r.r_name, []).append(r)
+    final_total = 0
+    for rs in by_region.values():
+        running = 0
+        for r in rs:  # already ordered by month within region
+            running += r.new_customers
+            assert r.cum_customers == running
+        final_total += rs[-1].cum_customers
+    assert final_total == n_active_cust
