@@ -3733,3 +3733,61 @@ def q_customer_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_customers",
         F.sum("new_customers").over(w).cast("bigint").alias("cum_customers"),
     ).orderBy("r_name", "month_key")
+
+
+# --- Spark 4 SQL surface: LATERAL correlated subquery -----------------------
+
+LATERAL_CUST_MOD = 50  # deterministic customer subset keeps output bounded
+
+
+@register(
+    "q_lateral_top_orders",
+    oracle=f"""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                 AS o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 3
+    ) t
+    WHERE c.c_custkey % {LATERAL_CUST_MOD} = 0
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """,
+    description="top-3 orders per customer via a LATERAL correlated subquery (Spark 4 SQL surface; pytest-proven row-identical to the window form)",
+)
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LATERAL leg of the SQL-surface family (§2L): a correlated
+    per-customer top-3, written the way an analyst migrating from
+    Postgres/DuckDB writes it. Catalyst decorrelates the subquery
+    into a join + per-key ordering rather than re-executing it per
+    row — the plan-shape a naive engine gets wrong — and the module
+    test proves the result row-identical to the idiomatic window
+    form. The (price desc, orderkey) LIMIT order is total, so the
+    per-group cut is deterministic on both engines.
+
+    Scale: the modulus filter prunes the customer side before the
+    correlation; the decorrelated join shuffles on custkey once.
+    """
+    from lime_etl_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                     AS o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) t
+        WHERE c.c_custkey % {LATERAL_CUST_MOD} = 0
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )

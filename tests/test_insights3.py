@@ -788,3 +788,40 @@ def test_acquisition_curve_cumulative_ends_at_customer_count(spark, sf_dir):
             assert r.cum_customers == running
         final_total += rs[-1].cum_customers
     assert final_total == n_active_cust
+
+
+def test_lateral_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "q_lateral_top_orders")
+    spark.catalog.clearCache()
+
+
+def test_lateral_row_identical_to_window_form(spark, sf_dir):
+    """Catalyst decorrelates the LATERAL; the result must equal the
+    idiomatic window top-3 exactly."""
+    from pyspark.sql.window import Window
+    from lime_etl_spark.sources.readers import load_table
+
+    lat = i3.q_lateral_top_orders(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_totalprice_d"), "o_orderkey"
+    )
+    win = (
+        orders.where(F.col("o_custkey") % i3.LATERAL_CUST_MOD == 0)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias(
+                "o_totalprice_d"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "c_custkey", "o_orderkey", F.col("o_totalprice_d").alias("o_totalprice")
+        )
+    )
+    a = {tuple(r) for r in lat.collect()}
+    b = {tuple(r) for r in win.collect()}
+    assert a == b
+    spark.catalog.clearCache()
