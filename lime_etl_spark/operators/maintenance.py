@@ -77,3 +77,47 @@ def explain_report(df: DataFrame) -> dict:
         "python_row_udfs": "BatchEvalPython" in plan,
         "plan": plan,
     }
+
+
+def observe_dq(
+    df: DataFrame,
+    name: str = "dq",
+    money_col: Optional[str] = None,
+    key_col: Optional[str] = None,
+):
+    """Attach zero-extra-pass data-quality counters to a DataFrame.
+
+    ``df.observe`` evaluates aggregate expressions INSIDE the job that
+    materializes the frame — row count, null keys, negative money —
+    so a pipeline gets its DQ telemetry without a second scan (the
+    way ``DataTestJob`` re-reads the output to assert on it). Returns
+    ``(observed_df, observation)``; read ``observation.get`` AFTER an
+    action on ``observed_df``.
+
+    Scale: observation aggregates are map-side accumulators merged on
+    the driver — constant overhead per task, no shuffle, no extra
+    scan, which is exactly why in-flight counters beat a follow-up
+    audit query at 100 TB.
+
+    lime-etl analog: the post-run ``test()`` hook
+    (/root/reference/lime_etl/domain/job_spec.py:40) — but evaluated
+    in-flight instead of as a second read.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    exprs = [F.count(F.lit(1)).alias("n_rows")]
+    if key_col is not None:
+        exprs.append(
+            F.sum(F.when(F.col(key_col).isNull(), 1).otherwise(0)).alias(
+                "n_null_keys"
+            )
+        )
+    if money_col is not None:
+        exprs.append(
+            F.sum(F.when(F.col(money_col) < 0, 1).otherwise(0)).alias(
+                "n_negative_money"
+            )
+        )
+    obs = Observation(name)
+    return df.observe(obs, *exprs), obs

@@ -825,3 +825,26 @@ def test_lateral_row_identical_to_window_form(spark, sf_dir):
     b = {tuple(r) for r in win.collect()}
     assert a == b
     spark.catalog.clearCache()
+
+
+def test_observe_dq_counts_without_second_scan(spark, sf_dir):
+    """In-flight DQ counters: one action yields both the data and the
+    metrics, and the metrics match a direct audit."""
+    from lime_etl_spark.operators.maintenance import observe_dq
+    from lime_etl_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    observed, obs = observe_dq(
+        orders, name="orders_dq", money_col="o_totalprice", key_col="o_custkey"
+    )
+    n = observed.count()  # the ONE action
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["n_null_keys"] == 0
+    assert got["n_negative_money"] == 0
+    # metrics agree with an explicit audit pass
+    audit = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nk"),
+    ).collect()[0]
+    assert (audit.n, audit.nk) == (got["n_rows"], got["n_null_keys"])
