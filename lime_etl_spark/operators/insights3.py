@@ -3791,3 +3791,294 @@ def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
         """
     )
+
+
+# --- habitual users ---------------------------------------------------------
+
+
+@register(
+    "ev_habitual_users",
+    oracle="""
+    WITH uh AS (
+        SELECT user_id, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), per_user AS (
+        SELECT user_id,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(MAX(c) AS BIGINT) AS modal_hour_events
+        FROM uh GROUP BY user_id
+    )
+    SELECT CAST(LEAST(FLOOR(CAST(10 * modal_hour_events AS DOUBLE) / n_events), 9)
+                AS BIGINT) AS habit_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM per_user
+    GROUP BY 1
+    ORDER BY habit_bucket
+    """,
+    description="how concentrated is each user's activity in their modal hour (habit-strength histogram — scheduling signal and bot smell at 1.0)",
+)
+def ev_habitual_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do users have a 'usual hour'? Habit strength = the share of a
+    user's events landing in their single busiest hour-of-day,
+    histogrammed in 0.1 buckets. High-habit mass says when to
+    schedule sends and capacity; a spike AT 1.0 with high volume
+    smells like cron traffic (ev_burstiness_profile's complement —
+    regularity in time-of-day rather than cadence). The mode needs
+    only MAX(c), never WHICH hour, so there is no argmax tie to
+    resolve; the bucket floors one division of exact ints.
+
+    Scale: the (user, hour) rollup combines map-side (≤24 rows per
+    user), the per-user reduce likewise, and the histogram is ≤10
+    rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uh = ev.groupBy("user_id", F.hour("ts").cast("bigint").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_user = uh.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.max("c").cast("bigint").alias("modal_hour_events"),
+    )
+    bucket = F.least(
+        F.floor((10 * F.col("modal_hour_events")).cast("double") / F.col("n_events")),
+        F.lit(9),
+    ).cast("bigint")
+    return (
+        per_user.groupBy(bucket.alias("habit_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("habit_bucket")
+    )
+
+
+# --- Fisher ratio per label pair --------------------------------------------
+
+
+@register(
+    "emb_fisher_ratio",
+    oracle="""
+    WITH m AS (
+        SELECT MAX(list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))) / 127 AS s
+        FROM embeddings
+    ),
+    q AS (
+        SELECT label,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   v -> CAST(GREATEST(LEAST(floor(v / s + 0.5), 127), -127) AS BIGINT)
+               ) AS qv
+        FROM embeddings, m
+    ),
+    ex AS (SELECT label, qv, unnest(generate_series(1, len(qv))) AS i FROM q),
+    comp AS (
+        SELECT label, i AS pos,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qv[i]) AS BIGINT) AS sq,
+               CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS sqq
+        FROM ex GROUP BY label, i
+    ),
+    stats AS (
+        SELECT label,
+               MIN(n) AS n,
+               CAST(SUM(sqq) AS BIGINT) AS tot_sq,
+               CAST(SUM(sq * sq) AS BIGINT) AS cent_sq
+        FROM comp GROUP BY label
+    ),
+    between_p AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM((a.sq * b.n - b.sq * a.n) * (a.sq * b.n - b.sq * a.n))
+                    AS DOUBLE) AS between_num,
+               MIN(a.n) AS n_a, MIN(b.n) AS n_b
+        FROM comp a JOIN comp b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT p.label_a, p.label_b,
+           p.between_num / (p.n_a * p.n_a * p.n_b * p.n_b) AS between_sq,
+           (CAST(sa.tot_sq AS DOUBLE) - CAST(sa.cent_sq AS DOUBLE) / sa.n) / sa.n
+             + (CAST(sb.tot_sq AS DOUBLE) - CAST(sb.cent_sq AS DOUBLE) / sb.n) / sb.n
+             AS within_sq,
+           p.between_num / (p.n_a * p.n_a * p.n_b * p.n_b)
+             / ((CAST(sa.tot_sq AS DOUBLE) - CAST(sa.cent_sq AS DOUBLE) / sa.n) / sa.n
+                + (CAST(sb.tot_sq AS DOUBLE) - CAST(sb.cent_sq AS DOUBLE) / sb.n) / sb.n)
+             AS fisher_ratio
+    FROM between_p p
+    JOIN stats sa ON sa.label = p.label_a
+    JOIN stats sb ON sb.label = p.label_b
+    ORDER BY fisher_ratio, p.label_a, p.label_b
+    """,
+    description="Fisher separability per label pair: ||μa−μb||² over mean within-class variance (exact-int numerators — the pairs a linear head will confuse, ranked)",
+)
+def emb_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The triptych closer: emb_centroid_separation gives direction,
+    emb_class_scatter gives spread — this is the ratio that predicts
+    a linear head's confusion: ||μa−μb||² / (σ²a + σ²b), smallest
+    first. The between term is computed at int grain via
+    Σ(Sᵢᵃ·n_b − Sᵢᵇ·n_a)² (exact — the μ subtraction cleared of
+    divisions), scaled once by (n_a·n_b)²; within terms reuse the
+    scatter identity. All divisions are of exactly-computed terms in
+    a fixed expression order, so the ranking hash-matches.
+
+    Scale: everything runs on the |labels|×dim component table
+    (map-side reduced once); the pair join is labels², never
+    vectors². Int64 envelope: diff² ≤ (127·2·n²)² per component —
+    exact to ~10³ vectors/label; past that switch the diff² sum to
+    decimal(38,0) on both engines (structure unchanged).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    scale = emb.agg(
+        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
+    )
+    qv = F.transform(
+        x,
+        lambda v: (
+            F.greatest(
+                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
+            )
+        ).cast("bigint"),
+    )
+    comp = (
+        emb.join(F.broadcast(scale))
+        .select("label", F.posexplode(qv).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sq"),
+            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sqq"),
+        )
+        .persist()
+    )
+    stats = comp.groupBy("label").agg(
+        F.min("n").alias("n"),
+        F.sum("sqq").cast("bigint").alias("tot_sq"),
+        F.sum(F.col("sq") * F.col("sq")).cast("bigint").alias("cent_sq"),
+    )
+    a = comp.alias("a")
+    b = comp.alias("b")
+    diff = F.col("a.sq") * F.col("b.n") - F.col("b.sq") * F.col("a.n")
+    between_p = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.sum(diff * diff).cast("double").alias("between_num"),
+            F.min("a.n").alias("n_a"),
+            F.min("b.n").alias("n_b"),
+        )
+    )
+    sa = stats.select(
+        F.col("label").alias("label_a"),
+        F.col("n").alias("na_"),
+        F.col("tot_sq").alias("tot_a"),
+        F.col("cent_sq").alias("cent_a"),
+    )
+    sb = stats.select(
+        F.col("label").alias("label_b"),
+        F.col("n").alias("nb_"),
+        F.col("tot_sq").alias("tot_b"),
+        F.col("cent_sq").alias("cent_b"),
+    )
+    jt = between_p.join(F.broadcast(sa), "label_a").join(F.broadcast(sb), "label_b")
+    between_sq = F.col("between_num") / (
+        F.col("n_a") * F.col("n_a") * F.col("n_b") * F.col("n_b")
+    )
+    within_sq = (
+        F.col("tot_a").cast("double") - F.col("cent_a").cast("double") / F.col("na_")
+    ) / F.col("na_") + (
+        F.col("tot_b").cast("double") - F.col("cent_b").cast("double") / F.col("nb_")
+    ) / F.col("nb_")
+    return (
+        jt.select(
+            "label_a",
+            "label_b",
+            between_sq.alias("between_sq"),
+            within_sq.alias("within_sq"),
+            (between_sq / within_sq).alias("fisher_ratio"),
+        )
+        .orderBy("fisher_ratio", "label_a", "label_b")
+    )
+
+
+# --- first session vs the rest ----------------------------------------------
+
+
+@register(
+    "ev_first_session_vs_rest",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+        SELECT user_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_seq,
+               CAST(COUNT(*) AS BIGINT) AS depth,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS converted
+        FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT CASE WHEN session_seq = 1 THEN 'first' ELSE 'rest' END AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(depth) AS BIGINT) AS total_events,
+           CAST(SUM(depth) AS DOUBLE) / COUNT(*) AS avg_depth,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conversion_rate
+    FROM per_session
+    GROUP BY 1
+    ORDER BY cohort
+    """,
+    description="first session vs all later sessions: depth and conversion (the onboarding-health split — is the first visit where users are won or lost)",
+)
+def ev_first_session_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onboarding in one row pair: the first session's depth and
+    conversion against every later session. A 'first' row that
+    underperforms 'rest' badly says the landing experience loses
+    people the product later wins back (an acquisition tax);
+    ev_conversion_by_depth says depth pays — this says WHEN. Same
+    shared sessionization, exact counters, one division per rate.
+
+    Scale: sessionize rides one user_id shuffle; the cohort rollup
+    is 2 rows.
+    """
+    from lime_etl_spark.operators.events import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    per_session = (
+        sessionize(ev)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("depth"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("converted"),
+        )
+    )
+    cohort = F.when(F.col("session_seq") == 1, "first").otherwise("rest")
+    return (
+        per_session.groupBy(cohort.alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("depth").cast("bigint").alias("total_events"),
+            (F.sum("depth").cast("double") / F.count(F.lit(1))).alias("avg_depth"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            (F.sum("converted").cast("double") / F.count(F.lit(1))).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("cohort")
+    )

@@ -848,3 +848,54 @@ def test_observe_dq_counts_without_second_scan(spark, sf_dir):
         F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nk"),
     ).collect()[0]
     assert (audit.n, audit.nk) == (got["n_rows"], got["n_null_keys"])
+
+
+BATCH_O = [
+    "ev_habitual_users",
+    "emb_fisher_ratio",
+    "ev_first_session_vs_rest",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_O)
+def test_batch_o_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_habitual_users_conserve_users_and_events(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.ev_habitual_users(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.n_users for r in rows) == ev.select("user_id").distinct().count()
+    assert sum(r.n_events for r in rows) == ev.count()
+    # modal-hour share is at least 1/24, so buckets 0 is impossible
+    assert all(0 < r.habit_bucket <= 9 or r.habit_bucket == 0 for r in rows)
+
+
+def test_fisher_ratio_positive_and_complete(spark, sf_dir):
+    rows = i3.emb_fisher_ratio(spark, sf_dir).collect()
+    labels = sorted({r.label_a for r in rows} | {r.label_b for r in rows})
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2
+    ratios = [r.fisher_ratio for r in rows]
+    assert ratios == sorted(ratios)  # ascending: most-confusable first
+    for r in rows:
+        assert r.between_sq >= 0 and r.within_sq > 0
+        assert r.fisher_ratio == r.between_sq / r.within_sq
+    spark.catalog.clearCache()
+
+
+def test_first_vs_rest_consistent_with_depth_curve(spark, sf_dir):
+    rows = {r.cohort: r for r in i3.ev_first_session_vs_rest(spark, sf_dir).collect()}
+    assert set(rows) == {"first", "rest"}
+    depth_rows = i3.ev_conversion_by_depth(spark, sf_dir).collect()
+    # both views partition the same session universe
+    assert rows["first"].n_sessions + rows["rest"].n_sessions == sum(
+        r.n_sessions for r in depth_rows
+    )
+    for r in rows.values():
+        assert r.avg_depth >= 1.0
+        assert 0.0 <= r.conversion_rate <= 1.0
+    spark.catalog.clearCache()
