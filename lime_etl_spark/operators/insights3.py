@@ -4082,3 +4082,203 @@ def ev_first_session_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# --- source language purity -------------------------------------------------
+
+
+@register(
+    "txt_source_lang_purity",
+    oracle="""
+    WITH sl AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(MAX(c) AS BIGINT) AS dominant_docs,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS purity
+    FROM sl
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="language purity per source (dominant-language share — monolingual sources can skip langid routing entirely)",
+)
+def txt_source_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources are monolingual? Dominant-language share per
+    source — purity ≈ 1 lets the pipeline route the whole source
+    without per-doc language ID (skipping the classifier on the easy
+    90% is how langid cost scales), while low purity flags sources
+    whose language metadata can't be trusted. Needs only MAX over
+    the (source, lang) counts — no argmax tie dance — and one
+    division.
+
+    Scale: one (source, lang) map-side rollup, then a |sources|
+    reduce.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        sl.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.max("c").cast("bigint").alias("dominant_docs"),
+            (F.max("c").cast("double") / F.sum("c")).alias("purity"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- oversize documents vs the packing budget -------------------------------
+
+
+@register(
+    "pack_oversize_docs",
+    oracle=f"""
+    WITH sized AS (
+        SELECT lang,
+               CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_tokens > {PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oversize,
+           CAST(SUM(CASE WHEN n_tokens > {PACK_BUDGET}
+                         THEN n_tokens - {PACK_BUDGET} ELSE 0 END) AS BIGINT)
+             AS overflow_tokens,
+           CAST(SUM(CASE WHEN n_tokens > {PACK_BUDGET} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oversize_share
+    FROM sized
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description="documents exceeding the packing budget per language (the chunker's workload forecast — what pack_sequences must split, and by how much)",
+)
+def pack_oversize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What must the chunker split before packing can work? Documents
+    whose BPE-ish token count exceeds PACK_BUDGET, and the total
+    overflow mass — the workload forecast for txt_chunk_windows and
+    the denominator behind txt_context_fit's truncation-loss view.
+    Exact integer token counts (the same expression pack_sequences
+    sizes with, so 'oversize' means the same thing there), one
+    division.
+
+    Scale: row-local token count in the scan projection, |langs|
+    map-side rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.regexp_count("text", F.lit(BPE_RE)).cast("bigint")
+    over = F.when(n_tok > PACK_BUDGET, 1).otherwise(0)
+    overflow = F.when(n_tok > PACK_BUDGET, n_tok - PACK_BUDGET).otherwise(0)
+    return (
+        docs.select("lang", n_tok.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_tokens") > PACK_BUDGET, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oversize"),
+            F.sum(
+                F.when(
+                    F.col("n_tokens") > PACK_BUDGET,
+                    F.col("n_tokens") - PACK_BUDGET,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("overflow_tokens"),
+            (
+                F.sum(F.when(F.col("n_tokens") > PACK_BUDGET, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("oversize_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- exact duplicate embeddings ---------------------------------------------
+
+
+@register(
+    "emb_exact_duplicates",
+    oracle="""
+    WITH m AS (
+        SELECT MAX(list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))) / 127 AS s
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   v -> CAST(GREATEST(LEAST(floor(v / s + 0.5), 127), -127) AS BIGINT)
+               ) AS qv
+        FROM embeddings, m
+    ),
+    groups AS (
+        SELECT qv, CAST(COUNT(*) AS BIGINT) AS group_size,
+               CAST(MIN(vec_id) AS BIGINT) AS rep_vec_id
+        FROM q GROUP BY qv
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(SUM(CASE WHEN group_size > 1 THEN group_size ELSE 0 END) AS BIGINT)
+             AS n_dup_vectors,
+           CAST(MAX(group_size) AS BIGINT) AS max_group,
+           CAST(SUM(group_size - 1) AS DOUBLE) / SUM(group_size) AS collapse_rate
+    FROM groups
+    """,
+    description="exact-duplicate embeddings at int8 resolution (hash-groupBy on the quantized vector — the degenerate fast path before any LSH)",
+)
+def emb_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheapest dedup that exists: group by the int8-quantized
+    vector itself. Exact duplicates at serving resolution need no
+    LSH, no banding, no verification — run this FIRST and hand only
+    the survivors to dedup_embedding_cosine (the same raw→exact→near
+    ladder cur_dedup_funnel measures for text). collapse_rate is what
+    this free step alone removes.
+
+    Scale: one hash-groupBy whose key is the quantized array (Spark
+    hashes arrays natively); map-side combine collapses duplicates
+    before the shuffle, so the exchange carries distinct vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    scale = emb.agg(
+        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
+    )
+    qv = F.transform(
+        x,
+        lambda v: (
+            F.greatest(
+                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
+            )
+        ).cast("bigint"),
+    )
+    groups = (
+        emb.join(F.broadcast(scale))
+        .select("vec_id", qv.alias("qv"))
+        .groupBy("qv")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.min("vec_id").cast("bigint").alias("rep_vec_id"),
+        )
+    )
+    dup = F.col("group_size") > 1
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("n_dup_groups"),
+        F.sum(F.when(dup, F.col("group_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_vectors"),
+        F.max("group_size").cast("bigint").alias("max_group"),
+        (
+            F.sum(F.col("group_size") - 1).cast("double") / F.sum("group_size")
+        ).alias("collapse_rate"),
+    )

@@ -899,3 +899,53 @@ def test_first_vs_rest_consistent_with_depth_curve(spark, sf_dir):
         assert r.avg_depth >= 1.0
         assert 0.0 <= r.conversion_rate <= 1.0
     spark.catalog.clearCache()
+
+
+BATCH_P = [
+    "txt_source_lang_purity",
+    "pack_oversize_docs",
+    "emb_exact_duplicates",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_P)
+def test_batch_p_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_lang_purity_bounds(spark, sf_dir):
+    rows = i3.txt_source_lang_purity(spark, sf_dir).collect()
+    for r in rows:
+        assert 1.0 / r.n_langs - 1e-12 <= r.purity <= 1.0
+        assert r.dominant_docs <= r.n_docs
+
+
+def test_oversize_consistent_with_context_fit_inputs(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+    from lime_etl_spark.operators.text import BPE_RE
+    from lime_etl_spark.operators.training import PACK_BUDGET
+
+    rows = i3.pack_oversize_docs(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    direct = (
+        docs.where(F.regexp_count("text", F.lit(BPE_RE)) > PACK_BUDGET).count()
+    )
+    assert sum(r.n_oversize for r in rows) == direct
+    for r in rows:
+        assert 0.0 <= r.oversize_share <= 1.0
+        if r.n_oversize == 0:
+            assert r.overflow_tokens == 0
+
+
+def test_exact_duplicates_accounting(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    r = i3.emb_exact_duplicates(spark, sf_dir).collect()[0]
+    n = load_table(spark, sf_dir, "embeddings").count()
+    # groups partition the vectors: sum(group_size) == N, so
+    # collapse_rate == (N - n_groups) / N
+    assert r.collapse_rate == pytest.approx((n - r.n_groups) / n, rel=1e-12)
+    assert r.n_dup_vectors >= 2 * r.n_dup_groups or r.n_dup_groups == 0
+    assert r.max_group >= 1
+    spark.catalog.clearCache()
