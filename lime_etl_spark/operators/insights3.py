@@ -4282,3 +4282,168 @@ def emb_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("group_size") - 1).cast("double") / F.sum("group_size")
         ).alias("collapse_rate"),
     )
+
+
+# --- YoY revenue bridge -----------------------------------------------------
+
+BRIDGE_Y0, BRIDGE_Y1 = 1999, 2000  # last two complete ship years
+
+
+@register(
+    "q_revenue_bridge_yoy",
+    oracle=f"""
+    WITH by_brand AS (
+        SELECT p.p_brand,
+               EXTRACT(year FROM l.l_shipdate) AS y,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS rev_cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE EXTRACT(year FROM l.l_shipdate) IN ({BRIDGE_Y0}, {BRIDGE_Y1})
+        GROUP BY 1, 2
+    ), wide AS (
+        SELECT p_brand,
+               CAST(SUM(CASE WHEN y = {BRIDGE_Y0} THEN qty END) AS BIGINT) AS q0,
+               CAST(SUM(CASE WHEN y = {BRIDGE_Y0} THEN rev_cents END) AS BIGINT) AS r0,
+               CAST(SUM(CASE WHEN y = {BRIDGE_Y1} THEN qty END) AS BIGINT) AS q1,
+               CAST(SUM(CASE WHEN y = {BRIDGE_Y1} THEN rev_cents END) AS BIGINT) AS r1
+        FROM by_brand GROUP BY p_brand
+    )
+    SELECT p_brand, q0, q1, r0, r1,
+           r1 - r0 AS delta_cents,
+           CAST((q1 - q0) * r0 AS DOUBLE) / q0 AS volume_effect_cents,
+           CAST(r1 * q0 - q1 * r0 AS DOUBLE) / q0 AS price_effect_cents
+    FROM wide
+    WHERE q0 > 0 AND q1 > 0
+    ORDER BY p_brand
+    """,
+    description="YoY revenue change decomposed into volume and price effects per brand (the bridge identity volume+price = delta holds exactly in the rationals)",
+)
+def q_revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY did revenue move — more units, or pricier units? The
+    classic bridge per brand between the last two complete years:
+    volume effect (Δq at old unit value) and price effect (the
+    rest), derived so both are ONE division of exact integer
+    products over q0 — and the identity volume+price ≡ r1−r0 holds
+    exactly in the rationals (the test checks it to float precision).
+    A revenue dashboard says WHAT moved; this says WHO to call.
+
+    Scale: year filter pushes to the scan; part dim broadcasts; the
+    brand-year rollup combines map-side and the pivot is a 2-case
+    conditional aggregate, not a join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    by_brand = (
+        li.where(F.year("l_shipdate").isin(BRIDGE_Y0, BRIDGE_Y1))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", F.year("l_shipdate").alias("y"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+            (F.sum(dec("l_extendedprice")) * 100).cast("bigint").alias("rev_cents"),
+        )
+    )
+    wide = by_brand.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("y") == BRIDGE_Y0, F.col("qty"))).cast("bigint").alias("q0"),
+        F.sum(F.when(F.col("y") == BRIDGE_Y0, F.col("rev_cents")))
+        .cast("bigint")
+        .alias("r0"),
+        F.sum(F.when(F.col("y") == BRIDGE_Y1, F.col("qty"))).cast("bigint").alias("q1"),
+        F.sum(F.when(F.col("y") == BRIDGE_Y1, F.col("rev_cents")))
+        .cast("bigint")
+        .alias("r1"),
+    )
+    return (
+        wide.where((F.col("q0") > 0) & (F.col("q1") > 0))
+        .select(
+            "p_brand",
+            "q0",
+            "q1",
+            "r0",
+            "r1",
+            (F.col("r1") - F.col("r0")).alias("delta_cents"),
+            (
+                ((F.col("q1") - F.col("q0")) * F.col("r0")).cast("double")
+                / F.col("q0")
+            ).alias("volume_effect_cents"),
+            (
+                (F.col("r1") * F.col("q0") - F.col("q1") * F.col("r0")).cast("double")
+                / F.col("q0")
+            ).alias("price_effect_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --- effective training epochs ----------------------------------------------
+
+EPOCH_BUDGET_TOKENS = 50_000  # training-run token budget (demo constant)
+EPOCH_MEMORIZATION_CAP = 4  # >4 effective epochs is the memorization red line
+
+
+@register(
+    "samp_effective_epochs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source,
+               CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT)
+                 AS source_tokens
+        FROM documents GROUP BY source
+    ), total AS (
+        SELECT CAST(SUM(source_tokens) AS BIGINT) AS corpus_tokens FROM toks
+    )
+    SELECT t.source, t.source_tokens,
+           CAST(CASE WHEN t.source IN ('src0', 'src1')
+                     THEN {REWEIGHT_BOOST_PM} ELSE {REWEIGHT_BASE_PM} END
+                AS BIGINT) AS target_permille,
+           CAST(CASE WHEN t.source IN ('src0', 'src1')
+                     THEN {REWEIGHT_BOOST_PM} ELSE {REWEIGHT_BASE_PM} END
+                * {EPOCH_BUDGET_TOKENS} AS DOUBLE) / (1000 * t.source_tokens)
+             AS effective_epochs,
+           CAST(CASE WHEN t.source IN ('src0', 'src1')
+                     THEN {REWEIGHT_BOOST_PM} ELSE {REWEIGHT_BASE_PM} END
+                * {EPOCH_BUDGET_TOKENS} AS DOUBLE) / (1000 * t.source_tokens)
+             > {EPOCH_MEMORIZATION_CAP} AS over_cap
+    FROM toks t CROSS JOIN total
+    ORDER BY t.source
+    """,
+    description="implied repetition count per source under the mixture budget (effective epochs; >4 flags the memorization red line)",
+)
+def samp_effective_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many times will each source repeat in training? The
+    mixture target allocates target_permille·budget tokens to a
+    source; divided by what the source actually has, that's its
+    effective epoch count — the over-sampling number the memorization
+    literature caps around 4. Sources flagged over_cap need either a
+    bigger corpus or a smaller boost; samp_reweight_plan says WHAT to
+    weight, this says whether the weight is SAFE. One division of
+    exact integers per row; the flag compares that double to an
+    integer literal both engines hold exactly.
+
+    Scale: a per-source token reduce (row-local count in the scan
+    projection), |sources| rows after.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.groupBy("source").agg(
+        F.sum(F.regexp_count("text", F.lit(BPE_RE)).cast("bigint"))
+        .cast("bigint")
+        .alias("source_tokens")
+    )
+    target = (
+        F.when(F.col("source").isin(*REWEIGHT_BOOSTED), F.lit(REWEIGHT_BOOST_PM))
+        .otherwise(F.lit(REWEIGHT_BASE_PM))
+        .cast("bigint")
+    )
+    epochs = (target * EPOCH_BUDGET_TOKENS).cast("double") / (
+        1000 * F.col("source_tokens")
+    )
+    return toks.select(
+        "source",
+        "source_tokens",
+        target.alias("target_permille"),
+        epochs.alias("effective_epochs"),
+        (epochs > EPOCH_MEMORIZATION_CAP).alias("over_cap"),
+    ).orderBy("source")

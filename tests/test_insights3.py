@@ -949,3 +949,35 @@ def test_exact_duplicates_accounting(spark, sf_dir):
     assert r.n_dup_vectors >= 2 * r.n_dup_groups or r.n_dup_groups == 0
     assert r.max_group >= 1
     spark.catalog.clearCache()
+
+
+BATCH_Q = [
+    "q_revenue_bridge_yoy",
+    "samp_effective_epochs",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_Q)
+def test_batch_q_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_revenue_bridge_identity(spark, sf_dir):
+    """volume + price effects must reconstruct the exact delta (the
+    bridge identity, exact in the rationals, float-tight here)."""
+    rows = i3.q_revenue_bridge_yoy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.delta_cents == r.r1 - r.r0
+        assert r.volume_effect_cents + r.price_effect_cents == pytest.approx(
+            float(r.delta_cents), rel=1e-9, abs=1e-6
+        )
+
+
+def test_effective_epochs_flag_consistent(spark, sf_dir):
+    rows = i3.samp_effective_epochs(spark, sf_dir).collect()
+    assert sum(r.target_permille for r in rows) == 1000
+    for r in rows:
+        assert r.effective_epochs > 0
+        assert r.over_cap == (r.effective_epochs > i3.EPOCH_MEMORIZATION_CAP)
