@@ -4447,3 +4447,65 @@ def samp_effective_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs.alias("effective_epochs"),
         (epochs > EPOCH_MEMORIZATION_CAP).alias("over_cap"),
     ).orderBy("source")
+
+
+# --- steps to convert -------------------------------------------------------
+
+
+@register(
+    "ev_steps_to_convert",
+    oracle="""
+    WITH firstp AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS p_us
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ), pre AS (
+        SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS steps_before
+        FROM events e JOIN firstp f USING (user_id)
+        WHERE epoch_us(e.ts) < f.p_us
+        GROUP BY e.user_id
+    )
+    SELECT CAST(LEAST(FLOOR(steps_before / 10.0), 9) AS BIGINT) AS steps_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(steps_before) AS BIGINT) AS min_steps,
+           CAST(MAX(steps_before) AS BIGINT) AS max_steps
+    FROM pre
+    GROUP BY 1
+    ORDER BY steps_bucket
+    """,
+    description="events before the first purchase, histogrammed in 10-step buckets (the effort-to-convert distribution — purchase_latency's step-count twin)",
+)
+def ev_steps_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does a user DO before they first buy?
+    ev_purchase_latency measures the clock; this counts the steps —
+    the two disagree exactly when users stall (long time, few
+    events), which is the distinction a nudge campaign needs.
+    Events strictly before the user's first purchase, bucketed by
+    tens. Exact counts; the bucket floors one division.
+
+    Scale: the first-purchase reduce and the pre-purchase count both
+    ride user_id keys (one shuffle, AQE reuses the exchange); the
+    histogram is ≤10 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firstp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("p_us"))
+    )
+    pre = (
+        ev.join(firstp, "user_id")
+        .where(F.unix_micros("ts") < F.col("p_us"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("steps_before"))
+    )
+    bucket = F.least(F.floor(F.col("steps_before") / 10.0), F.lit(9)).cast("bigint")
+    return (
+        pre.groupBy(bucket.alias("steps_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("steps_before").cast("bigint").alias("min_steps"),
+            F.max("steps_before").cast("bigint").alias("max_steps"),
+        )
+        .orderBy("steps_bucket")
+    )

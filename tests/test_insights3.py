@@ -981,3 +981,18 @@ def test_effective_epochs_flag_consistent(spark, sf_dir):
     for r in rows:
         assert r.effective_epochs > 0
         assert r.over_cap == (r.effective_epochs > i3.EPOCH_MEMORIZATION_CAP)
+
+
+def test_steps_to_convert_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "ev_steps_to_convert")
+    spark.catalog.clearCache()
+
+
+def test_steps_to_convert_covers_early_converters(spark, sf_dir):
+    """Users whose first event IS the purchase have zero prior steps
+    and are absent; everyone counted has >= 1 step and appears once."""
+    rows = i3.ev_steps_to_convert(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.steps_bucket <= 9
+        assert 1 <= r.min_steps <= r.max_steps

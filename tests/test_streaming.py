@@ -445,3 +445,42 @@ def test_stream_near_dup_matches_batch_lsh(spark, sf_dir, tmp_path):
     assert got == want
     # the planted copies are cross-batch: they MUST appear
     assert any(b - a == 1000000 for a, b, _ in got)
+
+
+def test_streaming_observed_metrics_surface_in_progress(spark, event_dir):
+    """df.observe on a STREAM: per-micro-batch DQ counters ride the
+    StreamingQueryProgress (observedMetrics), so in-flight telemetry
+    needs no second pass in streaming either — the stream twin of
+    maintenance.observe_dq. The observed totals across batches must
+    equal the batch-mode audit."""
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    observed = stream.observe(
+        "dq",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("n_negative"),
+    )
+    seen: list = []
+
+    def sink(batch_df, batch_id):
+        batch_df.count()
+
+    q = (
+        observed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", event_dir + "_obs_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    for p in q.recentProgress:
+        om = p["observedMetrics"] if isinstance(p, dict) else p.observedMetrics
+        if om and "dq" in om:
+            row = om["dq"]
+            seen.append((row["n_rows"], row["n_negative"]))
+    total_rows = sum(r for r, _ in seen)
+    total_neg = sum(n for _, n in seen)
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    # event_dir is the sf fixture's events re-landed; compare to its count
+    expected = spark.read.parquet(event_dir).count()
+    assert total_rows == expected
+    assert total_neg == 0
+    assert len(seen) >= 2  # rate limit forced multiple micro-batches
