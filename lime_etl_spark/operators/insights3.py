@@ -1,6 +1,16 @@
-"""Round-4 batch 1 insights: exact-integer trend/co-movement analytics,
-corpus vocabulary-growth (Heaps) audit, sampling reweight plan,
-label-centroid separation in int8 space, and weekly tenure-mix.
+"""Round-4 insights (batches A-R): exact-integer regression /
+correlation / contingency analytics (OLS slopes, Pearson co-movement,
+chi-square residuals, Fisher separability, revenue bridge), corpus
+audits (Heaps vocabulary growth, head coverage, rare-token shortlist,
+language purity, gate-rule matrix), training-data planning (reweight
+plan, quota waterfall, effective epochs, split balance, attention
+waste, oversize forecast), dedup economics (similarity histogram,
+cross-source matrix, cluster-size histogram, vocab loss, rep bias,
+exact-duplicate embeddings), ANN planning (bucket balance, closed-form
+probe cost, covariance/PCA, label outliers), and engagement depth
+(tenure mix, burstiness, habit strength, transition latency,
+resurrection gaps, conversion by depth, first-session split,
+steps-to-convert, LOO hour anomalies).
 
 lime-etl analog: the scheduled report jobs a BatchSpec runs nightly
 (`/root/reference/lime_etl/domain/job_spec.py:40` — `run()` builds a
@@ -10,9 +20,11 @@ operator with a DuckDB oracle here.
 Shared determinism rules (operators/insights.py, insights2.py): money
 decimal-cast before SUM, every Σ term an exact integer, ONE IEEE
 division (sqrt/multiply are correctly-rounded so a guarded
-num/sqrt(a·b) form is bit-stable cross-engine), bounded outputs with a
-total-order ORDER BY. Integer magnitudes are budgeted per query so the
-int64 envelope holds at 100× the test scale (noted inline).
+num/sqrt(a·b) form is bit-stable cross-engine), decisions (anomaly
+flags, outlier ranks) multiplied out to pure integer comparisons,
+bounded outputs with a total-order ORDER BY. Integer magnitudes are
+budgeted per query so the int64 envelope holds at 100× the test scale
+(noted inline).
 """
 
 from __future__ import annotations
@@ -4299,7 +4311,8 @@ BRIDGE_Y0, BRIDGE_Y1 = 1999, 2000  # last two complete ship years
                CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
                  AS rev_cents
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-        WHERE EXTRACT(year FROM l.l_shipdate) IN ({BRIDGE_Y0}, {BRIDGE_Y1})
+        WHERE l.l_shipdate >= '{BRIDGE_Y0}-01-01'
+          AND l.l_shipdate < '{BRIDGE_Y1 + 1}-01-01'
         GROUP BY 1, 2
     ), wide AS (
         SELECT p_brand,
@@ -4335,7 +4348,12 @@ def q_revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     by_brand = (
-        li.where(F.year("l_shipdate").isin(BRIDGE_Y0, BRIDGE_Y1))
+        # range predicate, not year(col) IN (...): a function over the
+        # column defeats parquet pushdown; the range reaches the scan
+        li.where(
+            (F.col("l_shipdate") >= f"{BRIDGE_Y0}-01-01")
+            & (F.col("l_shipdate") < f"{BRIDGE_Y1 + 1}-01-01")
+        )
         .join(
             F.broadcast(part.select("p_partkey", "p_brand")),
             li.l_partkey == F.col("p_partkey"),

@@ -723,3 +723,50 @@ def test_later_batches_never_sort_merge(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "SortMergeJoin" not in plan, f"{name} fell back to SMJ"
     spark.catalog.clearCache()
+
+
+# later additions (batches L-R): same grouped contracts
+SINGLE_SCAN_2 = {
+    "ev_habitual_users": {"user_id", "habit_bucket"},
+    "txt_source_lang_purity": {"source"},
+    "pack_oversize_docs": {"lang"},
+    "ev_peakiness_by_weekday": {"wd", "h", "d"},
+    "q_monthly_whale_share": {"month_key"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(SINGLE_SCAN_2))
+def test_single_scan_rollups_join_free_2(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "Join" not in plan, f"{name} has a join it shouldn't need"
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= SINGLE_SCAN_2[name] | {"_groupingexpression"}, (name, keys)
+
+
+BROADCAST_ONLY_2 = [
+    "q_reorder_cadence_by_segment",
+    "q_customer_acquisition_curve",
+    "emb_fisher_ratio",
+    "ev_first_session_vs_rest",
+    "ev_conversion_by_depth",
+    "txt_rare_token_docs",
+    "emb_exact_duplicates",
+    "q_revenue_bridge_yoy",
+    "samp_effective_epochs",
+    "ev_steps_to_convert",
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_ONLY_2)
+def test_later_batches_never_sort_merge_2(spark, sf_dir, name):
+    spark.catalog.clearCache()
+    plan = plan_of(spark, sf_dir, name)
+    assert "SortMergeJoin" not in plan, f"{name} fell back to SMJ"
+    spark.catalog.clearCache()
+
+
+def test_bridge_pushes_year_filter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_revenue_bridge_yoy")
+    assert re.search(r"PushedFilters: \[.*l_shipdate", plan) or "PartitionFilters" in plan, (
+        "year filter must reach the lineitem scan"
+    )
