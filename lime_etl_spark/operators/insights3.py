@@ -4527,3 +4527,147 @@ def ev_steps_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("steps_bucket")
     )
+
+
+# --- session pace -----------------------------------------------------------
+
+
+@register(
+    "ev_session_pace",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+        SELECT user_id, ts_us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_seq,
+               CAST(COUNT(*) AS BIGINT) AS depth,
+               CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS dur_us
+        FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT CASE WHEN depth = 1 THEN 'a_single_event'
+                WHEN 2 * depth * 60000000 < dur_us THEN 'b_under_half_per_min'
+                WHEN depth * 60000000 < 2 * dur_us THEN 'c_half_to_2_per_min'
+                WHEN depth * 60000000 < 10 * dur_us THEN 'd_2_to_10_per_min'
+                ELSE 'e_over_10_per_min' END AS pace_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(depth) AS BIGINT) AS n_events
+    FROM per_session
+    GROUP BY 1
+    ORDER BY pace_bucket
+    """,
+    description="session pace bands (events/min) decided by integer cross-products — readers vs scanners vs the >10/min bot band",
+)
+def ev_session_pace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How fast do sessions move? Pace bands from slow reading to the
+    >10-events/min band no human sustains — the behavioral bot smell
+    that complements ev_burstiness_profile's cadence view. Band
+    membership (depth/minutes vs k) is decided by the cross-product
+    form depth·60e6 ≷ k·dur_us — pure int64 comparisons, no float
+    boundary; zero-duration multi-event sessions land in the fastest
+    band by the same inequality (0 < anything).
+
+    Scale: sessionize rides one user_id shuffle; the per-session
+    reduce carries two counters; the band rollup is 5 rows.
+    """
+    from lime_etl_spark.operators.events import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    per_session = (
+        sessionize(ev)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("depth"),
+            (F.max("__ts_us") - F.min("__ts_us")).cast("bigint").alias("dur_us"),
+        )
+    )
+    d, dur = F.col("depth"), F.col("dur_us")
+    bucket = (
+        F.when(d == 1, "a_single_event")
+        .when(2 * d * 60000000 < dur, "b_under_half_per_min")
+        .when(d * 60000000 < 2 * dur, "c_half_to_2_per_min")
+        .when(d * 60000000 < 10 * dur, "d_2_to_10_per_min")
+        .otherwise("e_over_10_per_min")
+    )
+    return (
+        per_session.groupBy(bucket.alias("pace_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("depth").cast("bigint").alias("n_events"),
+        )
+        .orderBy("pace_bucket")
+    )
+
+
+# --- near-dup pair id distance ----------------------------------------------
+
+
+@register(
+    "dedup_pair_id_distance",
+    oracle=f"""
+    WITH j AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    )
+    SELECT CASE WHEN doc_b - doc_a = 1 THEN 'a_adjacent'
+                WHEN doc_b - doc_a <= 10 THEN 'b_within_10'
+                WHEN doc_b - doc_a <= 100 THEN 'c_within_100'
+                ELSE 'd_far' END AS distance_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(doc_b - doc_a) AS BIGINT) AS min_gap,
+           CAST(MAX(doc_b - doc_a) AS BIGINT) AS max_gap
+    FROM j
+    GROUP BY 1
+    ORDER BY distance_bucket
+    """,
+    description="id-distance of verified near-dup pairs (crawl locality: if dups are id-adjacent, a cheap sliding-window dedup catches most of them)",
+)
+def dedup_pair_id_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are duplicates NEIGHBORS? Near-dup pairs bucketed by doc-id
+    distance: crawl and ingest pipelines tend to emit dups close
+    together, and if the mass sits in the adjacent/within-10 buckets,
+    a sorted sliding-window pass (O(n·w), no shuffle-join) catches
+    most of it and full LSH only has to mop up the far tail — the
+    cheapest dedup-architecture decision this table makes with
+    evidence. Exact integer gaps; doc_a < doc_b is canonical so gaps
+    are positive.
+
+    Scale: same LSH-bounded pair set as dedup_minhash_lsh; one
+    map-side rollup to 4 rows on top.
+    """
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
+        F.col("jaccard") >= JACCARD_TAU
+    )
+    gap = F.col("doc_b") - F.col("doc_a")
+    bucket = (
+        F.when(gap == 1, "a_adjacent")
+        .when(gap <= 10, "b_within_10")
+        .when(gap <= 100, "c_within_100")
+        .otherwise("d_far")
+    )
+    return (
+        pairs.groupBy(bucket.alias("distance_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min(gap).cast("bigint").alias("min_gap"),
+            F.max(gap).cast("bigint").alias("max_gap"),
+        )
+        .orderBy("distance_bucket")
+    )

@@ -996,3 +996,39 @@ def test_steps_to_convert_covers_early_converters(spark, sf_dir):
     for r in rows:
         assert 0 <= r.steps_bucket <= 9
         assert 1 <= r.min_steps <= r.max_steps
+
+
+BATCH_S = [
+    "ev_session_pace",
+    "dedup_pair_id_distance",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_S)
+def test_batch_s_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_session_pace_conserves_sessions(spark, sf_dir):
+    from lime_etl_spark.operators.events import sessionize
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.ev_session_pace(spark, sf_dir).collect()
+    n_sessions = (
+        sessionize(load_table(spark, sf_dir, "events"))
+        .select("user_id", "session_seq")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_sessions for r in rows) == n_sessions
+
+
+def test_pair_id_distance_conserves_pairs(spark, sf_dir):
+    from lime_etl_spark.operators.dedup import dedup_minhash_lsh
+
+    rows = i3.dedup_pair_id_distance(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in rows) == dedup_minhash_lsh(spark, sf_dir).count()
+    for r in rows:
+        assert 1 <= r.min_gap <= r.max_gap
+    spark.catalog.clearCache()
