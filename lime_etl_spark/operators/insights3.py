@@ -4671,3 +4671,88 @@ def dedup_pair_id_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("distance_bucket")
     )
+
+
+# --- sliding-window dedup pass ----------------------------------------------
+
+WINDOW_DEDUP_W = 16  # id-distance window (crawl-locality radius)
+
+
+def _window_dedup_oracle() -> str:
+    from lime_etl_spark.operators.dedup import (
+        _JACCARD_SQL_TAIL,
+        _SHINGLES_SQL,
+        JACCARD_TAU,
+    )
+
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.x = b.x AND a.doc_id < b.doc_id
+         AND b.doc_id - a.doc_id <= {WINDOW_DEDUP_W}
+        GROUP BY a.doc_id, b.doc_id
+    )
+    {_JACCARD_SQL_TAIL}
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {JACCARD_TAU}
+    """
+
+
+@register(
+    "dedup_window_pass",
+    oracle=None,  # attached below
+    description=f"sliding-window near-dup pass (exact Jaccard, id distance ≤ {WINDOW_DEDUP_W}) — the cheap exhaustive-within-locality rung below LSH",
+)
+def dedup_window_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheap dedup rung dedup_pair_id_distance justifies: compare
+    each document ONLY to its id-neighbors within W={WINDOW_DEDUP_W}
+    (crawl locality means most dups live there), with exact Jaccard —
+    EXHAUSTIVE inside the window where LSH is probabilistic, and
+    shuffle-light where LSH pays banding. The module test proves it
+    exactly equals the exhaustive all-pairs detector restricted to
+    the window.
+
+    Scale: candidates come from a block-bucketed self-join
+    (block = id div W, join same+next block, filter distance) — each
+    row meets ≤2 blocks, so the join is O(n·W/block) with NO LSH
+    machinery; verification is the same candidate-scoped Jaccard as
+    the LSH path. On a sorted-by-id corpus this is the cheapest
+    near-dup detector that exists; LSH mops up the far tail.
+    """
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    ids = sh.select("doc_id").distinct()
+    blocked = ids.select(
+        "doc_id", F.floor(F.col("doc_id") / WINDOW_DEDUP_W).alias("block")
+    )
+    a = blocked.alias("a")
+    # each left row probes its own block and the next (covers any pair
+    # within distance W across a block boundary)
+    b = blocked.select(
+        "doc_id",
+        F.explode(F.array(F.col("block"), F.col("block") - 1)).alias("block"),
+    ).alias("b")
+    cand = (
+        a.join(b, F.col("a.block") == F.col("b.block"))
+        .where(
+            (F.col("b.doc_id") > F.col("a.doc_id"))
+            & (F.col("b.doc_id") - F.col("a.doc_id") <= WINDOW_DEDUP_W)
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return jaccard_pairs(sh, candidates=cand).where(F.col("jaccard") >= JACCARD_TAU)
+
+
+_spec = _registry._REGISTRY["dedup_window_pass"]
+_registry._REGISTRY["dedup_window_pass"] = _registry.QuerySpec(
+    _spec.name, _spec.builder, _window_dedup_oracle(), _spec.description
+)
+del _spec

@@ -1032,3 +1032,32 @@ def test_pair_id_distance_conserves_pairs(spark, sf_dir):
     for r in rows:
         assert 1 <= r.min_gap <= r.max_gap
     spark.catalog.clearCache()
+
+
+def test_window_pass_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "dedup_window_pass")
+    spark.catalog.clearCache()
+
+
+def test_window_pass_equals_exhaustive_within_window(spark, sf_dir):
+    """The window pass must EXACTLY equal the exhaustive all-pairs
+    detector restricted to id distance <= W — exhaustive inside the
+    window, nothing invented outside it."""
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+    )
+    from lime_etl_spark.sources.readers import load_table
+
+    sh = doc_shingles(load_table(spark, sf_dir, "documents"))
+    exhaustive = (
+        jaccard_pairs(sh)  # no candidates: all shared-shingle pairs
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .where(F.col("doc_b") - F.col("doc_a") <= i3.WINDOW_DEDUP_W)
+    )
+    win = i3.dedup_window_pass(spark, sf_dir)
+    a = {(r.doc_a, r.doc_b, r.jaccard) for r in win.collect()}
+    b = {(r.doc_a, r.doc_b, r.jaccard) for r in exhaustive.collect()}
+    assert a == b
+    spark.catalog.clearCache()
