@@ -4756,3 +4756,156 @@ _registry._REGISTRY["dedup_window_pass"] = _registry.QuerySpec(
     _spec.name, _spec.builder, _window_dedup_oracle(), _spec.description
 )
 del _spec
+
+
+# --- embedding ingest drift -------------------------------------------------
+
+DRIFT_BUCKETS = 10
+
+
+@register(
+    "emb_ingest_drift",
+    oracle=f"""
+    WITH m AS (
+        SELECT MAX(list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))) / 127 AS s
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id,
+               ntile({DRIFT_BUCKETS}) OVER (ORDER BY vec_id) AS bucket,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   v -> CAST(GREATEST(LEAST(floor(v / s + 0.5), 127), -127) AS BIGINT)
+               ) AS qv
+        FROM embeddings, m
+    ),
+    per_vec AS (
+        SELECT bucket,
+               CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS norm_sq,
+               CAST(list_sum(qv) AS BIGINT) AS comp_sum
+        FROM q
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(norm_sq) AS BIGINT) AS sum_norm_sq,
+           CAST(SUM(comp_sum) AS BIGINT) AS sum_components,
+           CAST(SUM(norm_sq) AS DOUBLE) / COUNT(*) AS mean_norm_sq
+    FROM per_vec
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    description="embedding norm/mean drift across ingest-order buckets (did the embedding model change mid-corpus — the serving-resolution drift monitor)",
+)
+def emb_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the embedder change mid-ingest? Vectors are ntile'd into
+    ingest-order buckets (vec_id is the ingest order) and each
+    bucket's quantized norm mass and component sum are compared — a
+    model swap, a normalization change, or a precision regression
+    shows up as a step in this table long before retrieval quality
+    pages anyone. Σ terms exact int64 at serving resolution; one
+    division per bucket.
+
+    Scale: the ntile window sorts ids only (cheap; zorder/sorted
+    ingest makes it near-free); per-vector norms are row-local array
+    folds; the rollup is {DRIFT_BUCKETS} rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    scale = emb.agg(
+        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
+    )
+    qv = F.transform(
+        x,
+        lambda v: (
+            F.greatest(
+                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
+            )
+        ).cast("bigint"),
+    )
+    per_vec = (
+        emb.join(F.broadcast(scale))
+        .select(
+            F.ntile(DRIFT_BUCKETS).over(Window.orderBy("vec_id")).alias("bucket"),
+            F.aggregate(
+                F.transform(qv, lambda v: v * v), F.lit(0).cast("bigint"), lambda a, v: a + v
+            ).alias("norm_sq"),
+            F.aggregate(qv, F.lit(0).cast("bigint"), lambda a, v: a + v).alias(
+                "comp_sum"
+            ),
+        )
+    )
+    return (
+        per_vec.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("norm_sq").cast("bigint").alias("sum_norm_sq"),
+            F.sum("comp_sum").cast("bigint").alias("sum_components"),
+            (F.sum("norm_sq").cast("double") / F.count(F.lit(1))).alias(
+                "mean_norm_sq"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- dedup yield curve ------------------------------------------------------
+
+
+@register(
+    "dedup_doc_yield_curve",
+    oracle=f"""
+    WITH j AS (
+        {_minhash_sql().rpartition("WHERE")[0]}
+    ), best AS (
+        SELECT doc_b AS doc_id, MAX(jaccard) AS best_j
+        FROM j GROUP BY doc_b
+    )
+    SELECT CAST(LEAST(FLOOR(best_j * 10), 9) AS BIGINT) AS sim_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_at_stake
+    FROM best b JOIN documents d ON d.doc_id = b.doc_id
+    GROUP BY 1
+    ORDER BY sim_bucket
+    """,
+    description="docs (and their char mass) by their best candidate similarity — the threshold yield curve in DOCUMENT units, not pair units",
+)
+def dedup_doc_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does each threshold choice actually delete?
+    dedup_similarity_hist counts PAIRS, which overweights docs with
+    many candidates; this reduces to each doc's single BEST candidate
+    similarity (doc_b — the higher id, the presumptive delete under
+    the min-id keep rule) and buckets docs and their character mass.
+    Reading the curve top-down gives the cumulative corpus shrinkage
+    per tau — the units a data budget is written in. Max over
+    identical doubles and exact char sums keep it bit-stable.
+
+    Scale: the per-doc max is a map-side-combining reduce over the
+    LSH-bounded pair set; the char join touches only docs that have
+    candidates at all.
+    """
+    from lime_etl_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh)))
+    best = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.max("jaccard").alias("best_j")
+    )
+    return (
+        best.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy(
+            F.least(F.floor(F.col("best_j") * 10), F.lit(9))
+            .cast("bigint")
+            .alias("sim_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_at_stake"),
+        )
+        .orderBy("sim_bucket")
+    )

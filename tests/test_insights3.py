@@ -1061,3 +1061,51 @@ def test_window_pass_equals_exhaustive_within_window(spark, sf_dir):
     b = {(r.doc_a, r.doc_b, r.jaccard) for r in exhaustive.collect()}
     assert a == b
     spark.catalog.clearCache()
+
+
+BATCH_U = [
+    "emb_ingest_drift",
+    "dedup_doc_yield_curve",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_U)
+def test_batch_u_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_ingest_drift_conserves_vectors_and_mass(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.emb_ingest_drift(spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == list(range(1, len(rows) + 1))
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n
+    for r in rows:
+        assert r.sum_norm_sq >= 0
+        assert r.mean_norm_sq == r.sum_norm_sq / r.n_vecs
+    spark.catalog.clearCache()
+
+
+def test_yield_curve_counts_docs_once(spark, sf_dir):
+    """Each doc appears in exactly one bucket (its best similarity),
+    so doc totals can never exceed candidates' doc_b count."""
+    from lime_etl_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.dedup_doc_yield_curve(spark, sf_dir).collect()
+    sh = doc_shingles(load_table(spark, sf_dir, "documents"))
+    n_docs_with_cand = (
+        jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh)))
+        .select("doc_b")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_docs_with_cand
+    spark.catalog.clearCache()
