@@ -4909,3 +4909,85 @@ def dedup_doc_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sim_bucket")
     )
+
+
+# --- value by session depth -------------------------------------------------
+
+
+@register(
+    "ev_value_by_depth",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+        SELECT user_id, event_type, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_seq,
+               CAST(COUNT(*) AS BIGINT) AS depth,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(12,2)) END) * 100
+                    AS BIGINT) AS rev_cents
+        FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT CAST(LEAST(depth, 10) AS BIGINT) AS depth_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(COALESCE(rev_cents, 0)) AS BIGINT) AS rev_cents,
+           CAST(SUM(COALESCE(rev_cents, 0)) AS DOUBLE) / COUNT(*)
+             AS rev_cents_per_session
+    FROM per_session
+    GROUP BY 1
+    ORDER BY depth_bucket
+    """,
+    description="purchase revenue per session by depth bucket (does depth pay in dollars — the money completion of the conversion-by-depth curve)",
+)
+def ev_value_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_conversion_by_depth says deeper sessions convert more
+    often; this says whether they spend more — the two diverge when
+    deep sessions convert on small baskets (engagement without
+    basket growth), which flips the 'nudge deeper' recommendation.
+    Purchase value is decimal-exact cents per session; revenue per
+    session is one division.
+
+    Scale: same single user_id shuffle as the whole sessionize
+    family; the depth rollup is ≤10 rows.
+    """
+    from lime_etl_spark.operators.events import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    per_session = (
+        sessionize(ev)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("depth"),
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", dec("value", 2, 12))
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("rev_cents"),
+        )
+    )
+    return (
+        per_session.groupBy(
+            F.least(F.col("depth"), F.lit(10)).cast("bigint").alias("depth_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.coalesce("rev_cents", F.lit(0))).cast("bigint").alias("rev_cents"),
+            (
+                F.sum(F.coalesce("rev_cents", F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("rev_cents_per_session"),
+        )
+        .orderBy("depth_bucket")
+    )

@@ -1109,3 +1109,22 @@ def test_yield_curve_counts_docs_once(spark, sf_dir):
     )
     assert sum(r.n_docs for r in rows) == n_docs_with_cand
     spark.catalog.clearCache()
+
+
+def test_value_by_depth_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "ev_value_by_depth")
+    spark.catalog.clearCache()
+
+
+def test_value_by_depth_agrees_with_conversion_curve(spark, sf_dir):
+    """Same session universe, same buckets: a bucket with zero
+    conversions must have zero revenue and vice versa is not required
+    (conversions can be zero-value), but session counts must match."""
+    v = {r.depth_bucket: r for r in i3.ev_value_by_depth(spark, sf_dir).collect()}
+    c = {r.depth_bucket: r for r in i3.ev_conversion_by_depth(spark, sf_dir).collect()}
+    assert set(v) == set(c)
+    for b in v:
+        assert v[b].n_sessions == c[b].n_sessions
+        if c[b].n_converted == 0:
+            assert v[b].rev_cents == 0
+    spark.catalog.clearCache()
