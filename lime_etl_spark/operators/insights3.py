@@ -4991,3 +4991,116 @@ def ev_value_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth_bucket")
     )
+
+
+# --- empty-days coverage audit ----------------------------------------------
+
+
+@register(
+    "dq_empty_days",
+    oracle="""
+    WITH span AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+    ), spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM span
+    ), daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    )
+    SELECT s.d AS missing_day
+    FROM spine s LEFT JOIN daily dl ON dl.d = s.d
+    WHERE dl.d IS NULL
+    ORDER BY missing_day
+    """,
+    description="calendar days inside the data span with ZERO events (the silent-outage detector volume monitors miss when they only look at existing rows)",
+)
+def dq_empty_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit aggregations structurally cannot do: a day with NO
+    rows never appears in any GROUP BY, so volume monitors that
+    aggregate existing data are blind to total outages. A calendar
+    spine spanning the observed min..max anti-joins the daily counts;
+    surviving days are silent gaps (etl_month_spine_rcte is the
+    month-grain fill; this is the day-grain alarm).
+
+    Scale: the spine is sequence() over a 2-value broadcast span —
+    |days| rows regardless of data size; the daily rollup combines
+    map-side; the anti probe is a broadcast join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("d")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        spine.join(daily, "d", "left_anti")
+        .select(F.col("d").alias("missing_day"))
+        .orderBy("missing_day")
+    )
+
+
+# --- pack shard balance -----------------------------------------------------
+
+
+@register(
+    "pack_shard_balance",
+    oracle=f"""
+    WITH sized AS (
+        SELECT lang, doc_id % {PACK_SHARDS} AS shard,
+               CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), per_shard AS (
+        SELECT lang, shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens
+        FROM sized GROUP BY lang, shard
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(tokens) AS BIGINT) AS min_shard_tokens,
+           CAST(MAX(tokens) AS BIGINT) AS max_shard_tokens,
+           CAST(MAX(tokens) AS DOUBLE) / MIN(tokens) AS skew_ratio
+    FROM per_shard
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description="token balance across the packing shards (skew here = straggler tasks in the packing stage — the doc_id%N sharding audit)",
+)
+def pack_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is doc_id % {PACK_SHARDS} actually balanced? The packing
+    window partitions by (lang, shard), so a hot shard IS a straggler
+    task at scale — this audits the sharding choice in the same token
+    units the window accumulates. A skew ratio near 1 certifies the
+    modulus; sequential-id clumping (bulk imports) is exactly what
+    would break it. Exact sums, one division.
+
+    Scale: row-local token count + shard key in the scan projection,
+    a (lang, shard) map-side rollup, then |langs| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.regexp_count("text", F.lit(BPE_RE)).cast("bigint").alias("n_tokens"),
+    )
+    per_shard = sized.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+    )
+    return (
+        per_shard.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum("tokens").cast("bigint").alias("total_tokens"),
+            F.min("tokens").cast("bigint").alias("min_shard_tokens"),
+            F.max("tokens").cast("bigint").alias("max_shard_tokens"),
+            (F.max("tokens").cast("double") / F.min("tokens")).alias("skew_ratio"),
+        )
+        .orderBy("lang")
+    )

@@ -1128,3 +1128,52 @@ def test_value_by_depth_agrees_with_conversion_curve(spark, sf_dir):
         if c[b].n_converted == 0:
             assert v[b].rev_cents == 0
     spark.catalog.clearCache()
+
+
+BATCH_W = [
+    "dq_empty_days",
+    "pack_shard_balance",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_W)
+def test_batch_w_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_empty_days_finds_planted_gap(spark, tmp_path):
+    """Three active days with the middle one missing: the spine
+    anti-join must surface exactly that day."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 3, d, 12, 0, 0), 1, "view", 1.0, "{}")
+        for i, d in enumerate([1, 1, 3, 3], start=1)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = i3.dq_empty_days(spark, d).collect()
+    assert [r.missing_day for r in out] == [dt.date(2024, 3, 2)]
+
+
+def test_shard_balance_conserves_tokens(spark, sf_dir):
+    from lime_etl_spark.operators.text import BPE_RE
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.pack_shard_balance(spark, sf_dir).collect()
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.regexp_count("text", F.lit(BPE_RE)).alias("t"))
+        .agg(F.sum("t"))
+        .collect()[0][0]
+    )
+    assert sum(r.total_tokens for r in rows) == total
+    for r in rows:
+        assert r.min_shard_tokens <= r.max_shard_tokens
+        assert r.skew_ratio >= 1.0
