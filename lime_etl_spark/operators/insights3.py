@@ -5104,3 +5104,161 @@ def pack_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- supplier credit exposure -----------------------------------------------
+
+
+@register(
+    "q_supplier_credit_exposure",
+    oracle="""
+    WITH risky AS (
+        SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+        FROM supplier WHERE s_acctbal < 0
+    )
+    SELECT r.s_name,
+           CAST(r.bal AS DOUBLE) AS acctbal,
+           CAST(COALESCE(SUM(CASE WHEN o.o_orderstatus IN ('O', 'P')
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS open_lines,
+           CAST(COALESCE(SUM(CASE WHEN o.o_orderstatus IN ('O', 'P')
+                        THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END), 0)
+                AS DOUBLE) AS open_exposure
+    FROM risky r
+    LEFT JOIN lineitem l ON l.l_suppkey = r.s_suppkey
+    LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY r.s_name, r.bal
+    ORDER BY open_exposure DESC, r.s_name
+    """,
+    description="negative-balance suppliers and the open order value still routed through them (the supply-risk exposure table)",
+)
+def q_supplier_credit_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which financially-stressed suppliers still hold our open
+    orders? Suppliers in the red (negative account balance) joined to
+    the value of lines on still-open orders flowing through them —
+    the exposure number a supply-risk review starts from. LEFT joins
+    keep zero-exposure risky suppliers visible (they're the cheap
+    re-route candidates). Decimal-exact sums; deterministic
+    (exposure desc, name) order.
+
+    Scale: the risky-supplier filter prunes the dim to a sliver that
+    broadcasts; lineitem joins on its own suppkey; the order-status
+    lookup rides the orderkey join. Aggregation at supplier grain
+    combines map-side.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    risky = supplier.where(F.col("s_acctbal") < 0).select(
+        "s_suppkey", "s_name", dec("s_acctbal").alias("bal")
+    )
+    jt = (
+        li.join(F.broadcast(risky), li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderstatus"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+    )
+    agg = jt.groupBy("s_name", "bal").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderstatus").isin("O", "P"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("open_lines"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus").isin("O", "P"), dec("l_extendedprice")
+                )
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("open_exposure"),
+    )
+    # LEFT semantics: risky suppliers with no lines at all still appear
+    no_lines = risky.join(
+        li.select(F.col("l_suppkey").alias("s_suppkey")).distinct(),
+        "s_suppkey",
+        "left_anti",
+    ).select(
+        "s_name",
+        "bal",
+        F.lit(0).cast("bigint").alias("open_lines"),
+        F.lit(0.0).alias("open_exposure"),
+    )
+    return (
+        agg.unionByName(no_lines)
+        .select(
+            "s_name",
+            F.col("bal").cast("double").alias("acctbal"),
+            "open_lines",
+            "open_exposure",
+        )
+        .orderBy(F.desc("open_exposure"), "s_name")
+    )
+
+
+# --- split-shipment profile -------------------------------------------------
+
+
+@register(
+    "q_split_shipment_profile",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               date_diff('day', MIN(CAST(l_shipdate AS DATE)),
+                         MAX(CAST(l_shipdate AS DATE))) AS span_days
+        FROM lineitem GROUP BY l_orderkey
+        HAVING COUNT(*) >= 2
+    )
+    SELECT CASE WHEN span_days = 0 THEN 'a_same_day'
+                WHEN span_days <= 7 THEN 'b_within_week'
+                WHEN span_days <= 30 THEN 'c_within_month'
+                ELSE 'd_over_month' END AS span_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(MAX(span_days) AS BIGINT) AS max_span_days
+    FROM per_order
+    GROUP BY 1
+    ORDER BY span_bucket
+    """,
+    description="multi-line orders by ship-date span (same-day vs dribbled-out fulfilment — the split-shipment cost profile)",
+)
+def q_split_shipment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a multi-line order ship as one box or dribble out for a
+    month? Ship-date span per multi-line order, bucketed — each extra
+    shipment is marginal freight and a support contact, so the
+    over-month bucket is a direct cost line. Exact integer day spans
+    from one per-order reduce (MIN/MAX in the same pass).
+
+    Scale: single scan, two pushed columns, per-order map-side
+    combine, 4-row rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.datediff(
+                F.max(F.to_date("l_shipdate")), F.min(F.to_date("l_shipdate"))
+            ).alias("span_days"),
+        )
+        .where(F.col("n_lines") >= 2)
+    )
+    bucket = (
+        F.when(F.col("span_days") == 0, "a_same_day")
+        .when(F.col("span_days") <= 7, "b_within_week")
+        .when(F.col("span_days") <= 30, "c_within_month")
+        .otherwise("d_over_month")
+    )
+    return (
+        per_order.groupBy(bucket.alias("span_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.max("span_days").cast("bigint").alias("max_span_days"),
+        )
+        .orderBy("span_bucket")
+    )

@@ -1177,3 +1177,42 @@ def test_shard_balance_conserves_tokens(spark, sf_dir):
     for r in rows:
         assert r.min_shard_tokens <= r.max_shard_tokens
         assert r.skew_ratio >= 1.0
+
+
+BATCH_X = [
+    "q_supplier_credit_exposure",
+    "q_split_shipment_profile",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_X)
+def test_batch_x_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_credit_exposure_covers_all_risky_suppliers(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.q_supplier_credit_exposure(spark, sf_dir).collect()
+    n_risky = (
+        load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).count()
+    )
+    assert len(rows) == n_risky  # LEFT semantics: zero-exposure rows stay
+    for r in rows:
+        assert r.acctbal < 0
+        assert r.open_exposure >= 0
+
+
+def test_split_shipment_counts_multiline_orders(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.q_split_shipment_profile(spark, sf_dir).collect()
+    multi = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .count()
+        .where(F.col("count") >= 2)
+        .count()
+    )
+    assert sum(r.n_orders for r in rows) == multi
