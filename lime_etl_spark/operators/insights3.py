@@ -5262,3 +5262,123 @@ def q_split_shipment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("span_bucket")
     )
+
+
+# --- priority SLA audit -----------------------------------------------------
+
+
+@register(
+    "q_priority_sla_audit",
+    oracle="""
+    WITH d AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS delay
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(FLOOR(quantile_cont(delay, 0.5)) AS BIGINT) AS p50_delay,
+           CAST(FLOOR(quantile_cont(delay, 0.9)) AS BIGINT) AS p90_delay,
+           CAST(SUM(CASE WHEN delay > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN delay > 30 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS late_rate
+    FROM d
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="does URGENT actually ship faster? ship-delay percentiles and >30d late rate per order priority — the SLA audit on the priority field",
+)
+def q_priority_sla_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The priority field makes a promise; this checks it. Delay
+    percentiles and the >30-day late rate per priority class —
+    identical distributions across classes mean the field is
+    decorative and every SLA conversation built on it is fiction
+    (q12's bucket view refined to the per-class percentile grain).
+    Exact integer day delays, floor-interpolated percentiles, one
+    division per class.
+
+    Scale: one orderkey join at fact grain, then a
+    map-side-combining 5-class rollup. approx_percentile is the
+    100 TB swap-in.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("delay"),
+    )
+    late = F.when(F.col("delay") > 30, 1).otherwise(0)
+    return (
+        d.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.floor(F.percentile("delay", F.lit(0.5))).cast("bigint").alias("p50_delay"),
+            F.floor(F.percentile("delay", F.lit(0.9))).cast("bigint").alias("p90_delay"),
+            F.sum(late).cast("bigint").alias("n_late"),
+            (F.sum(late).cast("double") / F.count(F.lit(1))).alias("late_rate"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- gate threshold sensitivity ---------------------------------------------
+
+GATE_SWEEP = tuple(range(14, 27, 2))  # candidate MIN_WORDS thresholds
+
+
+@register(
+    "cur_gate_sensitivity",
+    oracle=f"""
+    WITH sized AS (
+        SELECT len(string_split(text, ' ')) AS nw FROM documents
+    ), total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sized)
+    SELECT t.threshold,
+           CAST((SELECT COUNT(*) FROM sized WHERE nw < t.threshold) AS BIGINT)
+             AS n_killed,
+           CAST((SELECT COUNT(*) FROM sized WHERE nw < t.threshold) AS DOUBLE)
+             / tt.n_docs AS kill_rate
+    FROM (SELECT unnest([{", ".join(str(t) for t in GATE_SWEEP)}]) AS threshold) t
+    CROSS JOIN total tt
+    ORDER BY t.threshold
+    """,
+    description="kill count per candidate MIN_WORDS threshold (is the gate cutoff on a cliff or a plateau — the sensitivity sweep behind the chosen constant)",
+)
+def cur_gate_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the length gate's threshold sitting on dense mass? Kill
+    counts for a sweep of candidate MIN_WORDS values around the
+    production constant — a steep step between neighbors means tiny
+    threshold changes swing the corpus (pick again); a plateau means
+    the cutoff is robust. One scan computes the word-length column;
+    the sweep is a broadcast join against the threshold list with a
+    conditional count per threshold — never one scan per candidate.
+
+    Scale: row-local length, ≤|thresholds| × 1 rollup; the cross
+    join is |docs| × |thresholds| conditional counters collapsed
+    map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(F.size(F.split("text", " ")).alias("nw")).persist()
+    total = sized.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    thresholds = spark.createDataFrame(
+        [(t,) for t in GATE_SWEEP], "threshold int"
+    )
+    return (
+        sized.crossJoin(F.broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("nw") < F.col("threshold"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_killed")
+        )
+        .join(F.broadcast(total))
+        .select(
+            "threshold",
+            "n_killed",
+            (F.col("n_killed").cast("double") / F.col("n_docs")).alias("kill_rate"),
+        )
+        .orderBy("threshold")
+    )

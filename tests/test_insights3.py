@@ -1216,3 +1216,49 @@ def test_split_shipment_counts_multiline_orders(spark, sf_dir):
         .count()
     )
     assert sum(r.n_orders for r in rows) == multi
+
+
+BATCH_Y = [
+    "q_priority_sla_audit",
+    "cur_gate_sensitivity",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_Y)
+def test_batch_y_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_priority_sla_covers_all_lines(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.q_priority_sla_audit(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert sum(r.n_lines for r in rows) == load_table(
+        spark, sf_dir, "lineitem"
+    ).count()
+    for r in rows:
+        assert r.p50_delay <= r.p90_delay
+        assert r.late_rate == r.n_late / r.n_lines
+
+
+def test_gate_sensitivity_monotone_and_anchored(spark, sf_dir):
+    """Kill counts are monotone in the threshold, and the production
+    MIN_WORDS row must agree with the gate's own verdict counts."""
+    from lime_etl_spark.operators.curation import MIN_WORDS
+    from lime_etl_spark.plans.registry import all_queries
+
+    rows = i3.cur_gate_sensitivity(spark, sf_dir).collect()
+    kills = [r.n_killed for r in rows]
+    assert kills == sorted(kills)
+    if MIN_WORDS in {r.threshold for r in rows}:
+        at_prod = next(r for r in rows if r.threshold == MIN_WORDS)
+        gate = {
+            r.verdict: r.n_docs
+            for r in all_queries()["cur_quality_gate"]
+            .builder(spark, sf_dir)
+            .collect()
+        }
+        assert at_prod.n_killed == gate.get("too_short", 0)
+    spark.catalog.clearCache()
