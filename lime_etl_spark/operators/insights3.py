@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 
 from lime_etl_spark.functions.numeric import dec
 from lime_etl_spark.operators.events import SESSION_GAP_US
+from lime_etl_spark.operators.similarity import with_int8_vectors
 from lime_etl_spark.operators.text import BPE_RE
 from lime_etl_spark.operators.training import PACK_BUDGET, PACK_SHARDS
 from lime_etl_spark.plans.registry import register
@@ -493,21 +494,9 @@ def emb_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     label per component; switch sum_q to decimal(38,0) beyond that.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    x = F.col("embedding").cast("array<double>")
-    scale = emb.agg(
-        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
-    )
-    qv = F.transform(
-        x,
-        lambda v: (
-            F.greatest(
-                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
-            )
-        ).cast("bigint"),
-    )
     cent = (
-        emb.join(F.broadcast(scale))
-        .select("label", F.posexplode(qv).alias("pos", "v"))
+        with_int8_vectors(emb, "label")
+        .select("label", F.posexplode("qv").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(F.sum("v").cast("bigint").alias("sum_q"))
         .persist()  # |labels|×dim rows, consumed by both join sides
@@ -860,21 +849,9 @@ def emb_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Int64: Σq² ≤ 127²·N per component → safe to ~10^12 vectors/label.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    x = F.col("embedding").cast("array<double>")
-    scale = emb.agg(
-        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
-    )
-    qv = F.transform(
-        x,
-        lambda v: (
-            F.greatest(
-                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
-            )
-        ).cast("bigint"),
-    )
     comp = (
-        emb.join(F.broadcast(scale))
-        .select("label", F.posexplode(qv).alias("pos", "v"))
+        with_int8_vectors(emb, "label")
+        .select("label", F.posexplode("qv").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
@@ -1171,19 +1148,7 @@ def emb_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(38,0) past that.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    x = F.col("embedding").cast("array<double>")
-    scale = emb.agg(
-        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
-    )
-    qv = F.transform(
-        x,
-        lambda v: (
-            F.greatest(
-                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
-            )
-        ).cast("bigint"),
-    )
-    q = emb.join(F.broadcast(scale)).select(qv.alias("qv")).persist()
+    q = with_int8_vectors(emb).persist()
     comp = (
         q.select(F.posexplode("qv").alias("pos", "v"))
         .groupBy("pos")
@@ -1270,19 +1235,7 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
-    x = F.col("embedding").cast("array<double>")
-    scale = emb.agg(
-        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
-    )
-    qv = F.transform(
-        x,
-        lambda v: (
-            F.greatest(
-                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
-            )
-        ).cast("bigint"),
-    )
-    q = emb.join(F.broadcast(scale)).select(qv.alias("qv")).persist()
+    q = with_int8_vectors(emb).persist()
     comp_rows = (
         q.select(F.posexplode("qv").alias("pos", "v"))
         .groupBy("pos")
@@ -2006,19 +1959,7 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (127·2N)² per component — exact to ~10^7 vectors/label.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    x = F.col("embedding").cast("array<double>")
-    scale = emb.agg(
-        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
-    )
-    qv = F.transform(
-        x,
-        lambda v: (
-            F.greatest(
-                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
-            )
-        ).cast("bigint"),
-    )
-    q = emb.join(F.broadcast(scale)).select("vec_id", "label", qv.alias("qv")).persist()
+    q = with_int8_vectors(emb, "vec_id", "label").persist()
     ex = q.select("vec_id", "label", F.posexplode("qv").alias("pos", "v"))
     cent = (
         ex.groupBy("label", "pos")
@@ -3941,21 +3882,9 @@ def emb_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(38,0) on both engines (structure unchanged).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    x = F.col("embedding").cast("array<double>")
-    scale = emb.agg(
-        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
-    )
-    qv = F.transform(
-        x,
-        lambda v: (
-            F.greatest(
-                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
-            )
-        ).cast("bigint"),
-    )
     comp = (
-        emb.join(F.broadcast(scale))
-        .select("label", F.posexplode(qv).alias("pos", "v"))
+        with_int8_vectors(emb, "label")
+        .select("label", F.posexplode("qv").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -4261,21 +4190,8 @@ def emb_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the shuffle, so the exchange carries distinct vectors.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    x = F.col("embedding").cast("array<double>")
-    scale = emb.agg(
-        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
-    )
-    qv = F.transform(
-        x,
-        lambda v: (
-            F.greatest(
-                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
-            )
-        ).cast("bigint"),
-    )
     groups = (
-        emb.join(F.broadcast(scale))
-        .select("vec_id", qv.alias("qv"))
+        with_int8_vectors(emb, "vec_id")
         .groupBy("qv")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("group_size"),
@@ -4810,26 +4726,14 @@ def emb_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds; the rollup is {DRIFT_BUCKETS} rows.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    x = F.col("embedding").cast("array<double>")
-    scale = emb.agg(
-        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
-    )
-    qv = F.transform(
-        x,
-        lambda v: (
-            F.greatest(
-                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
-            )
-        ).cast("bigint"),
-    )
     per_vec = (
-        emb.join(F.broadcast(scale))
+        with_int8_vectors(emb, "vec_id")
         .select(
             F.ntile(DRIFT_BUCKETS).over(Window.orderBy("vec_id")).alias("bucket"),
             F.aggregate(
-                F.transform(qv, lambda v: v * v), F.lit(0).cast("bigint"), lambda a, v: a + v
+                F.transform("qv", lambda v: v * v), F.lit(0).cast("bigint"), lambda a, v: a + v
             ).alias("norm_sq"),
-            F.aggregate(qv, F.lit(0).cast("bigint"), lambda a, v: a + v).alias(
+            F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, v: a + v).alias(
                 "comp_sum"
             ),
         )

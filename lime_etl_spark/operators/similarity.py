@@ -107,6 +107,46 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries, emb).select("q_vec_id", "n_vec_id", "cosine", "rank")
 
 
+INT8_Q_SQL_CTES = """
+    m AS (
+        SELECT MAX(list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))) / 127 AS s
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   v -> CAST(GREATEST(LEAST(floor(v / s + 0.5), 127), -127) AS BIGINT)
+               ) AS qv
+        FROM embeddings, m
+    )
+"""
+
+
+def with_int8_vectors(emb: DataFrame, *cols: str) -> DataFrame:
+    """``(cols..., qv)`` under the corpus-global int8 quantization.
+
+    One scale scalar (max|x|/127, broadcast), explicit half-up floor
+    (round() is not cross-engine stable), clamp to [-127, 127] — the
+    SAME expression emb_quantize_error audits and the DuckDB twin
+    ``INT8_Q_SQL_CTES`` replays, so every int8-space operator means
+    one thing engine-wide.
+    """
+    x = F.col("embedding").cast("array<double>")
+    scale = emb.agg(
+        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
+    )
+    qv = F.transform(
+        x,
+        lambda v: (
+            F.greatest(
+                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
+            )
+        ).cast("bigint"),
+    )
+    return emb.join(F.broadcast(scale)).select(*cols, qv.alias("qv"))
+
+
 def ivf_bucket(emb: Column) -> Column:
     """Deterministic coarse quantizer: sign bits of the first 8 dims."""
     e = emb.cast("array<double>")
