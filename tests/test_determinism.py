@@ -22,6 +22,16 @@ INVARIANCE_QUERIES = [
     "q_price_quantiles",
     "ev_cohort_ltv",
     "q_weighted_median_price",
+    # round-4 float-bearing additions: exact-integer Pearson/OLS,
+    # sqrt-ratio forms, LOO integer decisions, and bridge divisions
+    "q_nation_comovement",
+    "q_nation_revenue_trend",
+    "emb_fisher_ratio",
+    "ev_burstiness_profile",
+    "ev_hour_anomaly_exact",
+    "q_revenue_bridge_yoy",
+    "dedup_doc_yield_curve",
+    "q_priority_region_independence",
 ]
 
 
