@@ -5286,3 +5286,147 @@ def cur_gate_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# --- type mix by tenure -----------------------------------------------------
+
+
+@register(
+    "ev_type_mix_by_tenure",
+    oracle="""
+    WITH firstd AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ), labeled AS (
+        SELECT e.event_type,
+               CASE WHEN date_diff('day', f.d0, CAST(e.ts AS DATE)) < 7 THEN 'new'
+                    WHEN date_diff('day', f.d0, CAST(e.ts AS DATE)) < 14 THEN 'recent'
+                    ELSE 'established' END AS tenure_bucket
+        FROM events e JOIN firstd f USING (user_id)
+    ), cells AS (
+        SELECT tenure_bucket, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM labeled GROUP BY 1, 2
+    )
+    SELECT tenure_bucket, event_type, n_events,
+           CAST(n_events AS DOUBLE)
+             / SUM(n_events) OVER (PARTITION BY tenure_bucket) AS share
+    FROM cells
+    ORDER BY tenure_bucket, event_type
+    """,
+    description="event-type composition by account tenure at event time (do veterans behave differently — the behavioral-maturation matrix)",
+)
+def ev_type_mix_by_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does behavior mature? Each event is labeled with its user's
+    tenure AT THAT MOMENT (days since first event), and the type
+    composition is compared across tenure buckets — new users
+    browsing while veterans buy is the pattern that justifies
+    tenure-aware ranking; identical mixes mean tenure features are
+    noise. Exact counts, one division per cell over the small
+    bucket×type rollup.
+
+    Scale: the first-day reduce and the event join ride one user_id
+    key; the composition rollup is ≤3×|types| rows and the share
+    window partitions those.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firstd = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    tenure = F.datediff(F.to_date("ts"), F.col("d0"))
+    labeled = ev.join(firstd, "user_id").select(
+        "event_type",
+        F.when(tenure < 7, "new")
+        .when(tenure < 14, "recent")
+        .otherwise("established")
+        .alias("tenure_bucket"),
+    )
+    cells = labeled.groupBy("tenure_bucket", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    w = Window.partitionBy("tenure_bucket")
+    return cells.select(
+        "tenure_bucket",
+        "event_type",
+        "n_events",
+        (F.col("n_events").cast("double") / F.sum("n_events").over(w)).alias("share"),
+    ).orderBy("tenure_bucket", "event_type")
+
+
+# --- win-back customers -----------------------------------------------------
+
+WINBACK_GAP_DAYS = 365
+
+
+@register(
+    "q_winback_customers",
+    oracle=f"""
+    WITH seq AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               LAG(CAST(o_orderdate AS DATE))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_d
+        FROM orders
+    ), winback AS (
+        SELECT o_custkey, MIN(d) AS return_d
+        FROM seq
+        WHERE prev_d IS NOT NULL
+          AND date_diff('day', prev_d, d) >= {WINBACK_GAP_DAYS}
+        GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_winback_customers,
+           CAST(SUM(post.n_orders) AS BIGINT) AS post_return_orders,
+           CAST(SUM(post.rev) AS DOUBLE) AS post_return_revenue
+    FROM winback w
+    JOIN (
+        SELECT s.o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(s.price) AS rev
+        FROM seq s JOIN winback wb ON wb.o_custkey = s.o_custkey
+        WHERE s.d >= wb.return_d
+        GROUP BY s.o_custkey
+    ) post ON post.o_custkey = w.o_custkey
+    """,
+    description=f"customers won back after a ≥{WINBACK_GAP_DAYS}-day silence, and the order value they generated after returning (is win-back worth paying for)",
+)
+def q_winback_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What is a won-back customer worth? Customers with a
+    ≥{WINBACK_GAP_DAYS}-day order gap who came back, and everything
+    they spent from the return onward — the revenue that justifies
+    (or kills) a win-back budget, in the same ledger the campaign
+    would draw on. One custkey window produces the gaps; the
+    post-return rollup reuses the same frame.
+
+    Scale: gaps ride one custkey window shuffle; the win-back set is
+    a small reduce that joins back by key; everything aggregates to
+    one row.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        dec("o_totalprice").alias("price"),
+        F.lag(F.to_date("o_orderdate")).over(w).alias("prev_d"),
+    ).persist()
+    winback = (
+        seq.where(
+            F.col("prev_d").isNotNull()
+            & (F.datediff("d", "prev_d") >= WINBACK_GAP_DAYS)
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("d").alias("return_d"))
+    )
+    post = (
+        seq.join(winback, "o_custkey")
+        .where(F.col("d") >= F.col("return_d"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price").alias("rev"),
+        )
+    )
+    return post.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_winback_customers"),
+        F.sum("n_orders").cast("bigint").alias("post_return_orders"),
+        F.sum("rev").cast("double").alias("post_return_revenue"),
+    )

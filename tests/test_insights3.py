@@ -1262,3 +1262,44 @@ def test_gate_sensitivity_monotone_and_anchored(spark, sf_dir):
         }
         assert at_prod.n_killed == gate.get("too_short", 0)
     spark.catalog.clearCache()
+
+
+BATCH_Z = [
+    "ev_type_mix_by_tenure",
+    "q_winback_customers",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_Z)
+def test_batch_z_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_type_mix_by_tenure_conserves_events(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.ev_type_mix_by_tenure(spark, sf_dir).collect()
+    assert sum(r.n_events for r in rows) == load_table(
+        spark, sf_dir, "events"
+    ).count()
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r.tenure_bucket, 0.0)
+        by_bucket[r.tenure_bucket] += r.share
+    for s in by_bucket.values():
+        assert s == pytest.approx(1.0, rel=1e-12)
+
+
+def test_winback_nonnegative_and_bounded(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    r = i3.q_winback_customers(spark, sf_dir).collect()[0]
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert 0 <= r.n_winback_customers <= n_cust
+    if r.n_winback_customers:
+        assert r.post_return_orders >= r.n_winback_customers
+        assert r.post_return_revenue > 0
+    spark.catalog.clearCache()
