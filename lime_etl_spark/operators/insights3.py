@@ -5430,3 +5430,74 @@ def q_winback_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").cast("bigint").alias("post_return_orders"),
         F.sum("rev").cast("double").alias("post_return_revenue"),
     )
+
+
+# --- incremental top-k maintenance ------------------------------------------
+
+DELTA_MOD, DELTA_RESIDUE = 7, 3  # deterministic base/delta corpus split
+
+
+def _incremental_topk_oracle() -> str:
+    from lime_etl_spark.operators.similarity import _COS_SQL, QUERY_MOD, TOP_K
+
+    return f"""
+    SELECT q_vec_id, n_vec_id, cosine, rank FROM (
+        SELECT q.vec_id AS q_vec_id, v.vec_id AS n_vec_id,
+               {_COS_SQL} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS_SQL} DESC, v.vec_id) AS rank
+        FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "ann_incremental_topk",
+    oracle=None,  # attached below
+    description="delta-maintained exact top-k: merge(stored base top-k, top-k vs the delta) re-ranked — proven identical to a full recompute",
+)
+def ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVM story for similarity search: when a delta batch of
+    vectors lands, the new global top-k is merge(old top-k, top-k
+    against the delta alone) re-ranked — correct because any global
+    top-k member is in its own partition's top-k. In production the
+    base list is a STORED table and only the |Q|×|delta| scoring
+    runs; this registry demo recomputes both sides so the oracle can
+    check the merge against a from-scratch top-k over the whole
+    corpus (bit-identical: both sides evaluate the same per-pair
+    expression). stream_near_dup_sink is the streaming sibling for
+    the LSH index; this is the exact-ANN one.
+
+    Scale: incremental cost is |Q|×|delta| per batch instead of
+    |Q|×|corpus|; the merge re-rank windows 2k rows per query.
+    """
+    from lime_etl_spark.operators.similarity import (
+        QUERY_MOD,
+        TOP_K,
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    base = emb.where(F.col("vec_id") % DELTA_MOD != DELTA_RESIDUE)
+    delta = emb.where(F.col("vec_id") % DELTA_MOD == DELTA_RESIDUE)
+    cols = ["q_vec_id", "n_vec_id", "cosine"]
+    merged = (
+        brute_force_topk(queries, base)
+        .select(*cols)
+        .unionByName(brute_force_topk(queries, delta).select(*cols))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cosine"), "n_vec_id")
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("q_vec_id", "n_vec_id", "cosine", "rank")
+    )
+
+
+_spec = _registry._REGISTRY["ann_incremental_topk"]
+_registry._REGISTRY["ann_incremental_topk"] = _registry.QuerySpec(
+    _spec.name, _spec.builder, _incremental_topk_oracle(), _spec.description
+)
+del _spec

@@ -1303,3 +1303,19 @@ def test_winback_nonnegative_and_bounded(spark, sf_dir):
         assert r.post_return_orders >= r.n_winback_customers
         assert r.post_return_revenue > 0
     spark.catalog.clearCache()
+
+
+def test_incremental_topk_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "ann_incremental_topk")
+    spark.catalog.clearCache()
+
+
+def test_incremental_topk_equals_bruteforce(spark, sf_dir):
+    """The merge re-rank must be ROW-IDENTICAL to the from-scratch
+    brute-force top-k (the IVM correctness claim)."""
+    from lime_etl_spark.operators.similarity import ann_bruteforce_topk
+
+    inc = {tuple(r) for r in i3.ann_incremental_topk(spark, sf_dir).collect()}
+    full = {tuple(r) for r in ann_bruteforce_topk(spark, sf_dir).collect()}
+    assert inc == full
+    spark.catalog.clearCache()

@@ -28,7 +28,12 @@ def final_plan_of(spark, sf_dir, name: str) -> str:
 
 
 # crossJoin is the *definition* of brute-force ANN / all-pairs scoring.
-CARTESIAN_OK = {"ann_bruteforce_topk", "knn_label_vote", "ann_hard_negatives"}
+CARTESIAN_OK = {
+    "ann_bruteforce_topk",
+    "knn_label_vote",
+    "ann_hard_negatives",
+    "ann_incremental_topk",  # scores queries × base/delta exhaustively
+}
 
 
 def test_no_row_python_udfs_anywhere(spark, sf_dir):
