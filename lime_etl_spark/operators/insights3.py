@@ -5501,3 +5501,70 @@ _registry._REGISTRY["ann_incremental_topk"] = _registry.QuerySpec(
     _spec.name, _spec.builder, _incremental_topk_oracle(), _spec.description
 )
 del _spec
+
+
+# --- return-day conversion --------------------------------------------------
+
+
+@register(
+    "ev_return_day_conversion",
+    oracle="""
+    WITH ud AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS bought
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), lagged AS (
+        SELECT user_id, d, bought,
+               LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+        FROM ud
+    )
+    SELECT CASE WHEN prev_d IS NULL THEN 'a_first_day'
+                WHEN date_diff('day', prev_d, d) = 1 THEN 'b_consecutive'
+                ELSE 'c_return_after_gap' END AS day_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days,
+           CAST(SUM(bought) AS BIGINT) AS n_purchase_days,
+           CAST(SUM(bought) AS DOUBLE) / COUNT(*) AS purchase_day_rate
+    FROM lagged
+    GROUP BY 1
+    ORDER BY day_kind
+    """,
+    description="purchase rate on first days vs consecutive days vs returns-after-a-gap (does coming back convert — the win-back quality signal)",
+)
+def ev_return_day_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is a comeback day a buying day? Every active user-day is
+    classed as first-ever, consecutive, or a return after ≥2 days
+    away, and each class gets its purchase-day rate — returns
+    converting ABOVE consecutive days is the evidence that win-back
+    traffic is high-intent (and the quality check on what
+    ev_resurrection_gaps counts and q_winback_customers values).
+    Exact counters, one division per class.
+
+    Scale: the (user, day) reduce combines map-side and carries the
+    bought flag; the lag rides one user_id window; the rollup is 3
+    rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("bought")
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    lagged = ud.withColumn("prev_d", F.lag("d").over(w))
+    kind = (
+        F.when(F.col("prev_d").isNull(), "a_first_day")
+        .when(F.datediff("d", "prev_d") == 1, "b_consecutive")
+        .otherwise("c_return_after_gap")
+    )
+    return (
+        lagged.groupBy(kind.alias("day_kind"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_user_days"),
+            F.sum("bought").cast("bigint").alias("n_purchase_days"),
+            (F.sum("bought").cast("double") / F.count(F.lit(1))).alias(
+                "purchase_day_rate"
+            ),
+        )
+        .orderBy("day_kind")
+    )

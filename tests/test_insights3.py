@@ -1319,3 +1319,24 @@ def test_incremental_topk_equals_bruteforce(spark, sf_dir):
     full = {tuple(r) for r in ann_bruteforce_topk(spark, sf_dir).collect()}
     assert inc == full
     spark.catalog.clearCache()
+
+
+def test_return_day_conversion_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "ev_return_day_conversion")
+    spark.catalog.clearCache()
+
+
+def test_return_day_classes_partition_user_days(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.ev_return_day_conversion(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_user_days = ev.select("user_id", F.to_date("ts")).distinct().count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_user_days for r in rows) == n_user_days
+    first = next(r for r in rows if r.day_kind == "a_first_day")
+    assert first.n_user_days == n_users  # exactly one first day per user
+    # gap-return days must agree with the resurrection-gap histogram
+    gaps = sum(r.n_returns for r in i3.ev_resurrection_gaps(spark, sf_dir).collect())
+    ret = next(r for r in rows if r.day_kind == "c_return_after_gap")
+    assert ret.n_user_days == gaps
