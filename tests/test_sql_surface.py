@@ -112,3 +112,26 @@ def test_approx_topk_exact_at_small_k(spark, sf_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_group_by_all_equals_explicit(spark, sf_dir):
+    """Spark 4 GROUP BY ALL / ORDER BY ALL sugar must produce exactly
+    the explicit form's rows (and therefore the same plan shape) —
+    the surface an analyst migrating from DuckDB reaches for first."""
+    from lime_etl_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    sugar = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem GROUP BY ALL ORDER BY ALL
+        """
+    ).collect()
+    explicit = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus, n
+        """
+    ).collect()
+    assert [tuple(r) for r in sugar] == [tuple(r) for r in explicit]
