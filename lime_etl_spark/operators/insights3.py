@@ -5568,3 +5568,67 @@ def ev_return_day_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_kind")
     )
+
+
+# --- IVF bucket label purity --------------------------------------------------
+
+
+@register(
+    "ann_bucket_label_purity",
+    oracle=None,  # attached below (shares similarity._BUCKET_SQL)
+    description="dominant-label share per IVF bucket (does the coarse quantizer respect class structure — the retrieval-quality proxy next to bucket balance)",
+)
+def ann_bucket_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do IVF buckets align with labels? Dominant-label share per
+    sign-quantizer bucket: high purity means same-class vectors land
+    together (self-probe search retrieves same-class neighbors —
+    good for classification-style retrieval), while purity at chance
+    says the first 8 dimensions don't encode the label at all. Needs
+    only MAX over (bucket, label) counts — no argmax tie dance; one
+    division per bucket.
+
+    Scale: one (bucket, label) map-side rollup at row-local bucket
+    grain, reduced to ≤256 rows.
+    """
+    from lime_etl_spark.operators.similarity import ivf_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bl = emb.select(
+        ivf_bucket(F.col("embedding")).alias("bucket"), "label"
+    ).groupBy("bucket", "label").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return (
+        bl.groupBy("bucket")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_vecs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+            F.max("c").cast("bigint").alias("dominant_vecs"),
+            (F.max("c").cast("double") / F.sum("c")).alias("purity"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _bucket_label_purity_oracle() -> str:
+    from lime_etl_spark.operators.similarity import _BUCKET_SQL
+
+    return f"""
+    WITH bl AS (
+        SELECT ({_BUCKET_SQL}) AS bucket, label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM embeddings GROUP BY 1, 2
+    )
+    SELECT bucket,
+           CAST(SUM(c) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) AS BIGINT) AS n_labels,
+           CAST(MAX(c) AS BIGINT) AS dominant_vecs,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS purity
+    FROM bl
+    GROUP BY bucket
+    ORDER BY bucket
+    """
+
+
+_spec = _registry._REGISTRY["ann_bucket_label_purity"]
+_registry._REGISTRY["ann_bucket_label_purity"] = _registry.QuerySpec(
+    _spec.name, _spec.builder, _bucket_label_purity_oracle(), _spec.description
+)
+del _spec

@@ -1340,3 +1340,19 @@ def test_return_day_classes_partition_user_days(spark, sf_dir):
     gaps = sum(r.n_returns for r in i3.ev_resurrection_gaps(spark, sf_dir).collect())
     ret = next(r for r in rows if r.day_kind == "c_return_after_gap")
     assert ret.n_user_days == gaps
+
+
+def test_bucket_label_purity_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "ann_bucket_label_purity")
+    spark.catalog.clearCache()
+
+
+def test_bucket_label_purity_consistent_with_balance(spark, sf_dir):
+    """Same buckets, same vector totals as ann_bucket_balance."""
+    purity = {r.bucket: r for r in i3.ann_bucket_label_purity(spark, sf_dir).collect()}
+    balance = {r.bucket: r for r in i3.ann_bucket_balance(spark, sf_dir).collect()}
+    assert set(purity) == set(balance)
+    for b in purity:
+        assert purity[b].n_vecs == balance[b].n_vecs
+        assert 1.0 / purity[b].n_labels - 1e-12 <= purity[b].purity <= 1.0
+    spark.catalog.clearCache()
