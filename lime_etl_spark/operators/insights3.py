@@ -5632,3 +5632,70 @@ _registry._REGISTRY["ann_bucket_label_purity"] = _registry.QuerySpec(
     _spec.name, _spec.builder, _bucket_label_purity_oracle(), _spec.description
 )
 del _spec
+
+
+# --- corpus summary card ----------------------------------------------------
+
+
+@register(
+    "txt_corpus_card",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents) AS n_langs,
+           (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents) AS n_sources,
+           (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS total_chars,
+           CAST(COUNT(*) AS BIGINT) AS total_ws_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab_size,
+           (SELECT CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT)
+            FROM documents) AS total_bpe_tokens,
+           CAST((SELECT SUM(n_chars) FROM documents) AS DOUBLE)
+             / (SELECT SUM(len(regexp_extract_all(text, '{BPE_RE}'))) FROM documents)
+             AS chars_per_bpe_token
+    FROM tok
+    """,
+    description="one-row corpus datasheet: docs, langs, sources, chars, tokens (ws + BPE-ish), vocabulary, chars/token — the numbers every pipeline run should log first",
+)
+def txt_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datasheet line a corpus run logs before anything else:
+    document/language/source counts, character and token mass under
+    both tokenizations, vocabulary size, and the chars-per-token
+    compression scalar (the capacity planner's unit converter, same
+    ratio cur_tokenizer_fertility breaks down per slice). All exact
+    counts; one division.
+
+    Scale: two scans (doc-grain counters + the token explode for the
+    distinct-vocab count), each reducing map-side to one row — the
+    card costs less than any question it answers.
+    """
+    docs = load_table(spark, sf_dir, "documents").persist()
+    doc_stats = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.regexp_count("text", F.lit(BPE_RE)).cast("bigint"))
+        .cast("bigint")
+        .alias("total_bpe_tokens"),
+    )
+    tok_stats = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_ws_tokens"),
+            F.count_distinct("token").cast("bigint").alias("vocab_size"),
+        )
+    )
+    return doc_stats.crossJoin(F.broadcast(tok_stats)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_chars",
+        "total_ws_tokens",
+        "vocab_size",
+        "total_bpe_tokens",
+        (F.col("total_chars").cast("double") / F.col("total_bpe_tokens")).alias(
+            "chars_per_bpe_token"
+        ),
+    )

@@ -1356,3 +1356,21 @@ def test_bucket_label_purity_consistent_with_balance(spark, sf_dir):
         assert purity[b].n_vecs == balance[b].n_vecs
         assert 1.0 / purity[b].n_labels - 1e-12 <= purity[b].purity <= 1.0
     spark.catalog.clearCache()
+
+
+def test_corpus_card_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "txt_corpus_card")
+    spark.catalog.clearCache()
+
+
+def test_corpus_card_agrees_with_component_queries(spark, sf_dir):
+    """The card must agree with the operators that compute each number
+    at finer grain."""
+    card = i3.txt_corpus_card(spark, sf_dir).collect()[0]
+    growth = i3.txt_vocab_growth(spark, sf_dir).collect()
+    assert card.vocab_size == growth[-1].cum_types
+    assert card.total_ws_tokens == sum(r.n_tokens for r in growth)
+    purity = i3.txt_source_lang_purity(spark, sf_dir).collect()
+    assert card.n_docs == sum(r.n_docs for r in purity)
+    assert card.n_sources == len(purity)
+    spark.catalog.clearCache()
