@@ -775,3 +775,47 @@ def test_bridge_pushes_year_filter(spark, sf_dir):
     assert re.search(r"PushedFilters: \[.*l_shipdate", plan) or "PartitionFilters" in plan, (
         "year filter must reach the lineitem scan"
     )
+
+
+SINGLE_SCAN_3 = {
+    "ev_value_by_depth": {"user_id", "depth_bucket"},
+    "ev_session_pace": {"user_id", "pace_bucket"},
+    "ev_return_day_conversion": {"user_id", "day_kind"},
+    "q_split_shipment_profile": {"l_orderkey", "span_bucket"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(SINGLE_SCAN_3))
+def test_single_scan_rollups_join_free_3(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "Join" not in plan, f"{name} has a join it shouldn't need"
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys <= SINGLE_SCAN_3[name] | {"_groupingexpression"}, (name, keys)
+
+
+BROADCAST_ONLY_3 = [
+    "q_priority_sla_audit",
+    "cur_gate_sensitivity",
+    "ann_bucket_label_purity",
+    "txt_corpus_card",
+    "dq_empty_days",
+    "q_supplier_credit_exposure",
+    "ev_type_mix_by_tenure",
+    "q_winback_customers",
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_ONLY_3)
+def test_later_batches_never_cartesian_3(spark, sf_dir, name):
+    """These query shapes tolerate shuffle joins where both sides are
+    fact-derived, but must never degenerate to a nested-loop/cartesian
+    plan."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} went cartesian"
+    assert "BroadcastNestedLoopJoin" not in plan or name in (
+        "cur_gate_sensitivity",  # |docs|×|thresholds| broadcast sweep is the design
+        "txt_corpus_card",  # 1-row × 1-row stat join
+        "q_winback_customers",  # 1-row final rollup cross
+    ), f"{name} has an unexpected nested-loop join"
+    spark.catalog.clearCache()
