@@ -5699,3 +5699,123 @@ def txt_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_bpe_token"
         ),
     )
+
+
+# --- kNN confusion matrix ---------------------------------------------------
+
+
+def _knn_confusion_oracle() -> str:
+    from lime_etl_spark.operators.insights2 import CONSIST_K, MUTUAL_MOD
+
+    return f"""
+    WITH s AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id % {MUTUAL_MOD} = 0
+    ), scored AS (
+        SELECT a.vec_id AS va, a.label AS own_label, b.label AS nbr_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_dot_product(a.e, b.e)
+                              / (sqrt(list_dot_product(a.e, a.e))
+                                 * sqrt(list_dot_product(b.e, b.e))) DESC,
+                            b.vec_id
+               ) AS rnk
+        FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ), votes AS (
+        SELECT va, own_label, nbr_label, COUNT(*) AS n
+        FROM scored WHERE rnk <= {CONSIST_K}
+        GROUP BY va, own_label, nbr_label
+    ), majority AS (
+        SELECT va, own_label, nbr_label AS voted_label
+        FROM (
+            SELECT va, own_label, nbr_label,
+                   ROW_NUMBER() OVER (PARTITION BY va
+                                      ORDER BY n DESC, nbr_label) AS r
+            FROM votes
+        ) WHERE r = 1
+    ), cells AS (
+        SELECT own_label AS label, voted_label,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM majority GROUP BY 1, 2
+    )
+    SELECT label, voted_label, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY label) AS share
+    FROM cells
+    ORDER BY label, voted_label
+    """
+
+
+@register(
+    "emb_knn_confusion",
+    oracle=None,  # attached below
+    description="leave-one-out kNN vote confusion MATRIX (which label pairs the embedding space actually confuses — the matrix behind the consistency scalar)",
+)
+def emb_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """emb_knn_label_consistency says HOW OFTEN each label's vote is
+    wrong; this says WHERE the wrong votes go — the confusion matrix
+    of leave-one-out kNN majority votes, the empirical companion to
+    emb_fisher_ratio's geometric prediction (high-confusion cells
+    here should be the low-Fisher pairs there; the test ties the two).
+    Same shard, same k, same (count desc, label asc) majority
+    tie-break as the consistency scalar, so the matrix decomposes it
+    exactly.
+
+    Scale: identical posture to the consistency query — the
+    broadcast shard self-join and one va-keyed vote shuffle; the
+    matrix rollup is ≤|labels|² rows.
+    """
+    from lime_etl_spark.operators.insights2 import CONSIST_K, MUTUAL_MOD
+    from lime_etl_spark.operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = (
+        emb.where(F.col("vec_id") % MUTUAL_MOD == 0)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        )
+        .persist()
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    scored = a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("va"),
+        F.col("a.label").alias("own_label"),
+        F.col("b.label").alias("nbr_label"),
+        cos.alias("cosine"),
+        F.col("b.vec_id").alias("vb"),
+    )
+    wk = Window.partitionBy("va").orderBy(F.desc("cosine"), "vb")
+    votes = (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= CONSIST_K)
+        .groupBy("va", "own_label", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = Window.partitionBy("va").orderBy(F.desc("n"), "nbr_label")
+    majority = (
+        votes.withColumn("r", F.row_number().over(wm))
+        .where(F.col("r") == 1)
+        .select("va", "own_label", F.col("nbr_label").alias("voted_label"))
+    )
+    cells = majority.groupBy(
+        F.col("own_label").alias("label"), "voted_label"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wl = Window.partitionBy("label")
+    return cells.select(
+        "label",
+        "voted_label",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wl)).alias("share"),
+    ).orderBy("label", "voted_label")
+
+
+_spec = _registry._REGISTRY["emb_knn_confusion"]
+_registry._REGISTRY["emb_knn_confusion"] = _registry.QuerySpec(
+    _spec.name, _spec.builder, _knn_confusion_oracle(), _spec.description
+)
+del _spec

@@ -1374,3 +1374,30 @@ def test_corpus_card_agrees_with_component_queries(spark, sf_dir):
     assert card.n_docs == sum(r.n_docs for r in purity)
     assert card.n_sources == len(purity)
     spark.catalog.clearCache()
+
+
+def test_knn_confusion_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "emb_knn_confusion")
+    spark.catalog.clearCache()
+
+
+def test_knn_confusion_decomposes_consistency(spark, sf_dir):
+    """The matrix diagonal must reproduce the consistency scalar's
+    per-label hit counts exactly (same shard, same votes)."""
+    from lime_etl_spark.plans.registry import all_queries
+
+    matrix = i3.emb_knn_confusion(spark, sf_dir).collect()
+    cons = {
+        r.label: r
+        for r in all_queries()["emb_knn_label_consistency"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    diag = {r.label: r.n for r in matrix if r.label == r.voted_label}
+    totals: dict = {}
+    for r in matrix:
+        totals[r.label] = totals.get(r.label, 0) + r.n
+    for label, c in cons.items():
+        assert totals[label] == c.n_vectors
+        assert diag.get(label, 0) == c.n_consistent
+    spark.catalog.clearCache()
