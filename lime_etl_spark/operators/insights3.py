@@ -5819,3 +5819,195 @@ _registry._REGISTRY["emb_knn_confusion"] = _registry.QuerySpec(
     _spec.name, _spec.builder, _knn_confusion_oracle(), _spec.description
 )
 del _spec
+
+
+# --- borderline near-dup pairs ----------------------------------------------
+
+BORDERLINE_EPS = 0.05
+BORDERLINE_K = 50
+
+
+def _borderline_oracle() -> str:
+    from lime_etl_spark.operators.dedup import JACCARD_TAU
+
+    return f"""
+    WITH j AS (
+        {_minhash_sql().rpartition("WHERE")[0]}
+    )
+    SELECT doc_a, doc_b, jaccard,
+           jaccard >= {JACCARD_TAU} AS currently_kept
+    FROM j
+    WHERE abs(jaccard - {JACCARD_TAU}) <= {BORDERLINE_EPS}
+    ORDER BY abs(jaccard - {JACCARD_TAU}), doc_a, doc_b
+    LIMIT {BORDERLINE_K}
+    """
+
+
+@register(
+    "dedup_borderline_pairs",
+    oracle=None,  # attached below
+    description="candidate pairs within ±0.05 of the Jaccard threshold, nearest first — the human-review queue that calibrates the dedup cut",
+)
+def dedup_borderline_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pairs the threshold barely decides: candidates within
+    ±{BORDERLINE_EPS} of tau, ordered nearest-first with their current
+    verdict. Ten minutes of human review on this queue tells you more
+    about the threshold than any aggregate — if the kept/dropped
+    verdicts read identically to a person, the cut is arbitrary and
+    dedup_similarity_hist's mass at the boundary is real risk
+    (txt_langid_margin is the same review-queue pattern for the
+    classifier). Jaccard is the usual exact-integer division; the
+    distance ordering floors identical doubles.
+
+    Scale: LSH-bounded pairs; the filter + bounded sort is the only
+    addition.
+    """
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh)))
+    dist = F.abs(F.col("jaccard") - JACCARD_TAU)
+    return (
+        pairs.where(dist <= BORDERLINE_EPS)
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            (F.col("jaccard") >= JACCARD_TAU).alias("currently_kept"),
+        )
+        .orderBy(dist, "doc_a", "doc_b")
+        .limit(BORDERLINE_K)
+    )
+
+
+_spec = _registry._REGISTRY["dedup_borderline_pairs"]
+_registry._REGISTRY["dedup_borderline_pairs"] = _registry.QuerySpec(
+    _spec.name, _spec.builder, _borderline_oracle(), _spec.description
+)
+del _spec
+
+
+# --- nation lead-lag --------------------------------------------------------
+
+LEADLAG_TOP_K = 20
+
+
+@register(
+    "q_nation_lead_lag",
+    oracle=f"""
+    WITH {_MONTHLY_NATION_SQL}
+    , kd AS (
+        SELECT n_name, x AS m,
+               CAST(floor(y / 100000) AS BIGINT) AS v
+        FROM xy
+    ), pairs AS (
+        SELECT a.n_name AS leader, b.n_name AS follower,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(SUM(a.v) AS BIGINT) AS sx,
+               CAST(SUM(b.v) AS BIGINT) AS sy,
+               CAST(SUM(a.v * b.v) AS BIGINT) AS sxy,
+               CAST(SUM(a.v * a.v) AS BIGINT) AS sxx,
+               CAST(SUM(b.v * b.v) AS BIGINT) AS syy
+        FROM kd a JOIN kd b
+          ON b.m = a.m + 1 AND a.n_name <> b.n_name
+        GROUP BY 1, 2
+    )
+    SELECT leader, follower, n_common,
+           CASE WHEN (n_common * sxx - sx * sx) > 0
+                 AND (n_common * syy - sy * sy) > 0
+                THEN CAST(n_common * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n_common * sxx - sx * sx AS DOUBLE)
+                            * CAST(n_common * syy - sy * sy AS DOUBLE))
+                ELSE 0.0 END AS lag1_r
+    FROM pairs
+    WHERE n_common >= 12
+    ORDER BY abs(CASE WHEN (n_common * sxx - sx * sx) > 0
+                       AND (n_common * syy - sy * sy) > 0
+                      THEN CAST(n_common * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n_common * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n_common * syy - sy * sy AS DOUBLE))
+                      ELSE 0.0 END) DESC, leader, follower
+    LIMIT {LEADLAG_TOP_K}
+    """,
+    description="lag-1 cross-correlation between nations' monthly revenue (who LEADS whom — precedence, where co-movement only shows simultaneity)",
+)
+def q_nation_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does one market's month predict another's NEXT month?
+    Directed lag-1 Pearson between nations — q_nation_comovement
+    shows simultaneity; an asymmetric lead-lag cell (A leads B but
+    not the reverse) is the precedence signal that makes one market a
+    leading indicator for another. Same kilo-dollar exact-integer
+    machinery, shifted join key (follower month = leader month + 1),
+    both directions kept because asymmetry IS the finding.
+
+    Scale: the directed join still runs at |nations|×|months| rollup
+    grain; LIMIT-bounded total-order output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("idx"),
+        )
+        .agg((F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("y"))
+        .persist()
+    )
+    base = monthly.agg(F.min("idx").alias("idx0"))
+    kd = monthly.join(F.broadcast(base)).select(
+        "n_name",
+        (F.col("idx") - F.col("idx0")).alias("m"),
+        F.floor(F.col("y") / F.lit(100000)).cast("bigint").alias("v"),
+    )
+    a = kd.alias("a")
+    b = kd.alias("b")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.m") == F.col("a.m") + 1)
+            & (F.col("a.n_name") != F.col("b.n_name")),
+        )
+        .groupBy(
+            F.col("a.n_name").alias("leader"), F.col("b.n_name").alias("follower")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("a.v").cast("bigint").alias("sx"),
+            F.sum("b.v").cast("bigint").alias("sy"),
+            F.sum(F.col("a.v") * F.col("b.v")).cast("bigint").alias("sxy"),
+            F.sum(F.col("a.v") * F.col("a.v")).cast("bigint").alias("sxx"),
+            F.sum(F.col("b.v") * F.col("b.v")).cast("bigint").alias("syy"),
+        )
+        .where(F.col("n_common") >= 12)
+    )
+    vx = F.col("n_common") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_common") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n_common") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = (
+        F.when(
+            (vx > 0) & (vy > 0),
+            cov.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")),
+        )
+        .otherwise(0.0)
+    )
+    return (
+        pairs.select("leader", "follower", "n_common", r.alias("lag1_r"))
+        .orderBy(F.abs(F.col("lag1_r")).desc(), "leader", "follower")
+        .limit(LEADLAG_TOP_K)
+    )

@@ -1401,3 +1401,53 @@ def test_knn_confusion_decomposes_consistency(spark, sf_dir):
         assert totals[label] == c.n_vectors
         assert diag.get(label, 0) == c.n_consistent
     spark.catalog.clearCache()
+
+
+BATCH_AE = [
+    "dedup_borderline_pairs",
+    "q_nation_lead_lag",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_AE)
+def test_batch_ae_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_borderline_queue_surfaces_planted_pairs(spark, tmp_path):
+    """10 planted pairs at jaccard 7/13 ≈ 0.54 (within ±0.05 of tau):
+    the md5 minhash is deterministic, so the banding-surfaced subset
+    is stable — at least one pair must appear, every reported pair
+    must be inside the band, and the jaccard must be exactly 7/13."""
+    rows = []
+    did = 0
+    for p in range(10):
+        base = [f"tok{p}_{i}" for i in range(12)]
+        alt = base[:9] + [f"alt{p}_{i}" for i in range(3)]
+        for toks in (base, alt):
+            did += 1
+            rows.append((did, " ".join(toks), "en", "srcX", len(" ".join(toks))))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = i3.dedup_borderline_pairs(spark, d).collect()
+    assert out, "deterministic banding must surface at least one planted pair"
+    for r in out:
+        assert abs(r.jaccard - 0.5) <= i3.BORDERLINE_EPS
+        assert r.jaccard == pytest.approx(7 / 13)
+        assert r.currently_kept  # 7/13 > tau=0.5
+    spark.catalog.clearCache()
+
+
+def test_lead_lag_bounded_and_directed(spark, sf_dir):
+    rows = i3.q_nation_lead_lag(spark, sf_dir).collect()
+    assert len(rows) == i3.LEADLAG_TOP_K
+    mags = [abs(r.lag1_r) for r in rows]
+    assert mags == sorted(mags, reverse=True)
+    for r in rows:
+        assert r.leader != r.follower
+        assert -1.0 - 1e-12 <= r.lag1_r <= 1.0 + 1e-12
+    spark.catalog.clearCache()
