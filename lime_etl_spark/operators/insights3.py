@@ -6011,3 +6011,121 @@ def q_nation_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("lag1_r")).desc(), "leader", "follower")
         .limit(LEADLAG_TOP_K)
     )
+
+
+# --- concentration trend ----------------------------------------------------
+
+
+@register(
+    "q_concentration_trend",
+    oracle="""
+    WITH cust_year AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS y, o_custkey,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+                    AS DECIMAL(19,0)) AS cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT y AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(cents * cents) AS DOUBLE)
+             / (CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)) AS hhi,
+           CAST(COUNT(*) AS DOUBLE) * (CAST(SUM(cents * cents) AS DOUBLE)
+             / (CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)))
+             AS hhi_vs_uniform
+    FROM cust_year
+    GROUP BY y
+    ORDER BY order_year
+    """,
+    description="customer-revenue HHI per year (is the business concentrating or democratizing — market structure as a time series, n·HHI normalizes across changing customer counts)",
+)
+def q_concentration_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is revenue concentrating? The Herfindahl index per order year
+    — q_customer_concentration_hhi ranks markets at a point in time;
+    this makes structure a TIME SERIES, and hhi_vs_uniform (n·HHI,
+    =1 for perfectly equal customers) removes the mechanical drift a
+    changing customer count adds, so rising values mean genuine
+    concentration. Same decimal(19) lift so cents² sums losslessly;
+    the two reported ratios are fixed-order IEEE expressions.
+
+    Scale: per-(year, customer) reduce with map-side combine, then a
+    |years| rollup. Nothing joins.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust_year = orders.groupBy(
+        F.year("o_orderdate").alias("order_year"), "o_custkey"
+    ).agg(
+        (F.sum(dec("o_totalprice", 2, 12)) * 100)
+        .cast("bigint")
+        .cast("decimal(19,0)")
+        .alias("cents")
+    )
+    s = F.sum("cents")
+    sq = F.sum(F.col("cents") * F.col("cents"))
+    hhi = sq.cast("double") / (s.cast("double") * s.cast("double"))
+    return (
+        cust_year.groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            s.cast("bigint").alias("total_cents"),
+            hhi.alias("hhi"),
+            (F.count(F.lit(1)).cast("double") * hhi).alias("hhi_vs_uniform"),
+        )
+        .orderBy("order_year")
+    )
+
+
+# --- tokenizer stress shortlist ---------------------------------------------
+
+STRESS_TOP_K = 30
+
+
+@register(
+    "txt_tokenizer_stress",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, n_bpe,
+           CAST(n_bpe AS DOUBLE) / n_chars AS tokens_per_char
+    FROM sized
+    WHERE n_chars > 0
+    ORDER BY tokens_per_char DESC, doc_id
+    LIMIT {STRESS_TOP_K}
+    """,
+    description="docs with the worst token-inflation (tokens per char) — the tokenizer-hostile shortlist behind the fertility aggregate",
+)
+def txt_tokenizer_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cur_tokenizer_fertility reports chars/token per slice; this
+    names the WORST documents — the token-inflated content (digit
+    runs, symbol soup, no-space scripts) that burns context budget
+    fastest. The shortlist is what you inspect before changing
+    tokenizers, and the cap list a context-budget enforcer consults.
+    tokens_per_char is one division of exact ints; deterministic
+    (ratio desc, doc_id) order.
+
+    Scale: row-local counts in the scan projection; TakeOrdered(k).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.regexp_count("text", F.lit(BPE_RE)).cast("bigint").alias("n_bpe"),
+    ).where(F.col("n_chars") > 0)
+    return (
+        sized.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "n_bpe",
+            (F.col("n_bpe").cast("double") / F.col("n_chars")).alias(
+                "tokens_per_char"
+            ),
+        )
+        .orderBy(F.desc("tokens_per_char"), "doc_id")
+        .limit(STRESS_TOP_K)
+    )

@@ -1451,3 +1451,35 @@ def test_lead_lag_bounded_and_directed(spark, sf_dir):
         assert r.leader != r.follower
         assert -1.0 - 1e-12 <= r.lag1_r <= 1.0 + 1e-12
     spark.catalog.clearCache()
+
+
+BATCH_AF = [
+    "q_concentration_trend",
+    "txt_tokenizer_stress",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_AF)
+def test_batch_af_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_concentration_trend_bounds(spark, sf_dir):
+    rows = i3.q_concentration_trend(spark, sf_dir).collect()
+    for r in rows:
+        # HHI bounded by [1/n, 1]; n·HHI ≥ 1 with equality iff uniform
+        assert 1.0 / r.n_customers - 1e-12 <= r.hhi <= 1.0 + 1e-12
+        assert r.hhi_vs_uniform >= 1.0 - 1e-9
+
+
+def test_tokenizer_stress_ordered_and_consistent_with_card(spark, sf_dir):
+    rows = i3.txt_tokenizer_stress(spark, sf_dir).collect()
+    assert len(rows) == i3.STRESS_TOP_K
+    ratios = [r.tokens_per_char for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+    card = i3.txt_corpus_card(spark, sf_dir).collect()[0]
+    # the worst doc's inflation must exceed the corpus mean rate
+    corpus_rate = card.total_bpe_tokens / card.total_chars
+    assert rows[0].tokens_per_char >= corpus_rate
+    spark.catalog.clearCache()
