@@ -6129,3 +6129,83 @@ def txt_tokenizer_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tokens_per_char"), "doc_id")
         .limit(STRESS_TOP_K)
     )
+
+
+# --- hash-vs-time split leak matrix -----------------------------------------
+
+
+def _split_leak_matrix_oracle() -> str:
+    from lime_etl_spark.operators.insights2 import TIME_SPLIT_CUTOFF
+    from lime_etl_spark.operators.training import _bucket_sql
+
+    b = _bucket_sql("user_id", 100)
+    return f"""
+    WITH tagged AS (
+        SELECT CASE WHEN {b} < 80 THEN 'train'
+                    WHEN {b} < 90 THEN 'val'
+                    ELSE 'test' END AS hash_split,
+               CASE WHEN ts < TIMESTAMP '{TIME_SPLIT_CUTOFF}' THEN 'past'
+                    ELSE 'future' END AS time_split
+        FROM events
+    ), total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tagged)
+    SELECT hash_split, time_split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS DOUBLE) / t.n AS share
+    FROM tagged CROSS JOIN total t
+    GROUP BY hash_split, time_split, t.n
+    ORDER BY hash_split, time_split
+    """
+
+
+@register(
+    "samp_split_leak_matrix",
+    oracle=None,  # attached below
+    description="hash-split × temporal-split event matrix: how much FUTURE lands in hash-train (the leakage a forecasting eval inherits by using the wrong split)",
+)
+def samp_split_leak_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split-strategy decision in one table: cross-tabulating the
+    user-hash 80/10/10 against the temporal past/future cut shows
+    exactly how much future mass a hash split trains on —
+    hash-train × future is the leakage cell a forecasting objective
+    cannot tolerate (samp_time_split is the fix; this quantifies why
+    in event units). Both assignments are the REAL expressions the
+    samplers use, so the matrix audits the actual pipeline, not a
+    model of it.
+
+    Scale: both split tags are row-local; the 3×2 rollup combines
+    map-side; the total is a broadcast scalar.
+    """
+    from lime_etl_spark.operators.insights2 import TIME_SPLIT_CUTOFF
+    from lime_etl_spark.operators.training import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    b = hash_bucket(F.col("user_id"), 100)
+    hash_split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    time_split = F.when(
+        F.col("ts") < F.lit(TIME_SPLIT_CUTOFF).cast("timestamp"), "past"
+    ).otherwise("future")
+    tagged = ev.select(
+        hash_split.alias("hash_split"), time_split.alias("time_split")
+    )
+    total = tagged.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        tagged.groupBy("hash_split", "time_split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .join(F.broadcast(total))
+        .select(
+            "hash_split",
+            "time_split",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("n")).alias("share"),
+        )
+        .orderBy("hash_split", "time_split")
+    )
+
+
+_spec = _registry._REGISTRY["samp_split_leak_matrix"]
+_registry._REGISTRY["samp_split_leak_matrix"] = _registry.QuerySpec(
+    _spec.name, _spec.builder, _split_leak_matrix_oracle(), _spec.description
+)
+del _spec

@@ -1483,3 +1483,20 @@ def test_tokenizer_stress_ordered_and_consistent_with_card(spark, sf_dir):
     corpus_rate = card.total_bpe_tokens / card.total_chars
     assert rows[0].tokens_per_char >= corpus_rate
     spark.catalog.clearCache()
+
+
+def test_split_leak_matrix_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "samp_split_leak_matrix")
+    spark.catalog.clearCache()
+
+
+def test_split_leak_matrix_conserves_and_leaks(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.samp_split_leak_matrix(spark, sf_dir).collect()
+    ev_n = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == ev_n
+    assert sum(r.share for r in rows) == pytest.approx(1.0, rel=1e-12)
+    # a user-hash split necessarily trains on future events
+    leak = [r for r in rows if r.hash_split == "train" and r.time_split == "future"]
+    assert leak and leak[0].n_events > 0
