@@ -6209,3 +6209,234 @@ _registry._REGISTRY["samp_split_leak_matrix"] = _registry.QuerySpec(
     _spec.name, _spec.builder, _split_leak_matrix_oracle(), _spec.description
 )
 del _spec
+
+
+# --- cohort quality trend ---------------------------------------------------
+
+
+@register(
+    "ev_cohort_quality_trend",
+    oracle="""
+    WITH firstd AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ), cohorts AS (
+        SELECT user_id, CAST(date_trunc('week', d0) AS DATE) AS cohort_week, d0
+        FROM firstd
+    ), w1 AS (
+        SELECT c.cohort_week, c.user_id,
+               CAST(COUNT(*) AS BIGINT) AS w1_events,
+               CAST(MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS w1_purchased
+        FROM cohorts c
+        JOIN events e ON e.user_id = c.user_id
+         AND CAST(e.ts AS DATE) < c.d0 + INTERVAL 7 DAY
+        GROUP BY c.cohort_week, c.user_id
+    )
+    SELECT cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_new_users,
+           CAST(SUM(w1_events) AS BIGINT) AS w1_events,
+           CAST(SUM(w1_events) AS DOUBLE) / COUNT(*) AS w1_events_per_user,
+           CAST(SUM(w1_purchased) AS BIGINT) AS w1_purchasers,
+           CAST(SUM(w1_purchased) AS DOUBLE) / COUNT(*) AS w1_purchase_rate
+    FROM w1
+    GROUP BY cohort_week
+    ORDER BY cohort_week
+    """,
+    description="week-1 engagement and purchase rate per signup cohort (is NEW USER QUALITY declining — the growth-mix early-warning)",
+)
+def ev_cohort_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth can rise while quality falls — this catches it: each
+    signup-week cohort's first-seven-days events per user and
+    purchase rate, comparable across cohorts because the window is
+    anchored to each user's own first day (no right-censoring inside
+    the window). A declining line under rising n_new_users means the
+    new acquisition channel ships worse users — the earliest
+    warning retention curves confirm weeks later. Exact counters,
+    one division per rate.
+
+    Scale: first-day reduce and the week-1 event join ride user_id;
+    the cohort rollup combines map-side to |weeks| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firstd = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    cohorts = firstd.select(
+        "user_id", F.date_trunc("week", "d0").cast("date").alias("cohort_week"), "d0"
+    )
+    w1 = (
+        ev.join(cohorts, "user_id")
+        .where(F.to_date("ts") < F.date_add("d0", 7))
+        .groupBy("cohort_week", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("w1_events"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("w1_purchased"),
+        )
+    )
+    return (
+        w1.groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_new_users"),
+            F.sum("w1_events").cast("bigint").alias("w1_events"),
+            (F.sum("w1_events").cast("double") / F.count(F.lit(1))).alias(
+                "w1_events_per_user"
+            ),
+            F.sum("w1_purchased").cast("bigint").alias("w1_purchasers"),
+            (F.sum("w1_purchased").cast("double") / F.count(F.lit(1))).alias(
+                "w1_purchase_rate"
+            ),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+# --- outlier mass share -----------------------------------------------------
+
+
+@register(
+    "dq_outlier_mass",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        FROM orders
+    ), fences AS (
+        SELECT quantile_cont(c, 0.25) AS q1, quantile_cont(c, 0.75) AS q3
+        FROM cents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(c) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN c > f.q3 + 1.5 * (f.q3 - f.q1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN c > f.q3 + 1.5 * (f.q3 - f.q1) THEN c ELSE 0 END)
+                AS BIGINT) AS outlier_cents,
+           CAST(SUM(CASE WHEN c > f.q3 + 1.5 * (f.q3 - f.q1) THEN c ELSE 0 END)
+                AS DOUBLE) / SUM(c) AS outlier_mass_share
+    FROM cents CROSS JOIN fences f
+    """,
+    description="revenue mass above the Tukey upper fence (does the TOTAL depend on outliers — the number that says whether trimming changes the answer)",
+)
+def dq_outlier_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq_outlier_iqr counts outliers; this weighs them — the share
+    of total revenue sitting above the Tukey fence. Near zero, any
+    trimming/winsorizing decision is cosmetic; large, every
+    mean-based metric is an outlier artifact and medians/caps are
+    mandatory (samp_winsorize_audit executes that decision — this
+    prices it). Fences interpolate over exact integer cents
+    (identical doubles both engines); the flagged sums are exact
+    integers and the share is one division.
+
+    Scale: one scan to cents; the fences are a 1-row broadcast; the
+    conditional rollup combines map-side to a single row.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        (dec("o_totalprice", 2, 12) * 100).cast("bigint").alias("c")
+    )
+    fences = cents.agg(
+        F.percentile("c", F.lit(0.25)).alias("q1"),
+        F.percentile("c", F.lit(0.75)).alias("q3"),
+    )
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    out = F.when(F.col("c") > hi, F.col("c")).otherwise(0)
+    flag = F.when(F.col("c") > hi, 1).otherwise(0)
+    return cents.join(F.broadcast(fences)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("c").cast("bigint").alias("total_cents"),
+        F.sum(flag).cast("bigint").alias("n_outliers"),
+        F.sum(out).cast("bigint").alias("outlier_cents"),
+        (F.sum(out).cast("double") / F.sum("c")).alias("outlier_mass_share"),
+    )
+
+
+# --- integer-decided outlier profile ----------------------------------------
+
+
+@register(
+    "emb_outlier_profile",
+    oracle="""
+    WITH m AS (
+        SELECT MAX(list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))) / 127 AS s
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   v -> CAST(GREATEST(LEAST(floor(v / s + 0.5), 127), -127) AS BIGINT)
+               ) AS qv
+        FROM embeddings, m
+    ),
+    ex AS (SELECT vec_id, label, qv, unnest(generate_series(1, len(qv))) AS i FROM q),
+    cent AS (
+        SELECT label, i AS pos,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qv[i]) AS BIGINT) AS sq
+        FROM ex GROUP BY label, i
+    ),
+    dist AS (
+        SELECT e.vec_id, e.label,
+               CAST(SUM((e.qv[e.i] * c.n - c.sq) * (e.qv[e.i] * c.n - c.sq))
+                    AS BIGINT) AS dist_num
+        FROM ex e JOIN cent c ON c.label = e.label AND c.pos = e.i
+        GROUP BY e.vec_id, e.label
+    ), lbl AS (
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(dist_num) AS BIGINT) AS sum_dist
+        FROM dist GROUP BY label
+    )
+    SELECT d.label, l.n_vecs,
+           CAST(SUM(CASE WHEN d.dist_num * l.n_vecs > 2 * l.sum_dist
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_over_2x_mean,
+           CAST(SUM(CASE WHEN d.dist_num * l.n_vecs > 4 * l.sum_dist
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_over_4x_mean
+    FROM dist d JOIN lbl l ON l.label = d.label
+    GROUP BY d.label, l.n_vecs
+    ORDER BY d.label
+    """,
+    description="per-label counts of vectors 2x/4x beyond the label's MEAN centroid distance, decided in pure integers (the outlier-depth profile behind the top-k shortlist)",
+)
+def emb_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """emb_label_outliers names the worst vectors; this profiles the
+    DEPTH per label: how many sit 2× and 4× beyond their label's own
+    mean squared distance — a label with a fat 4× tail has a
+    contamination problem, not a few typos. The k×mean comparison is
+    multiplied out (dist·n > k·Σdist) so the thresholds are pure
+    int64 decisions, immune to float drift.
+
+    Scale: the same broadcast centroid join as the shortlist; two
+    map-side reduces; the comparison runs at |vectors| grain with
+    |labels|-row state. Int64: dist_num ≤ dim·(127·2n)² — switch to
+    decimal(38,0) past ~10³ vectors/label (same envelope note as
+    emb_fisher_ratio).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = with_int8_vectors(emb, "vec_id", "label").persist()
+    ex = q.select("vec_id", "label", F.posexplode("qv").alias("pos", "v"))
+    cent = ex.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sq"),
+    )
+    term = (F.col("v") * F.col("n") - F.col("sq")) * (
+        F.col("v") * F.col("n") - F.col("sq")
+    )
+    dist = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(term).cast("bigint").alias("dist_num"))
+    )
+    lbl = dist.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("dist_num").cast("bigint").alias("sum_dist"),
+    )
+    jt = dist.join(F.broadcast(lbl), "label")
+    over2 = F.when(F.col("dist_num") * F.col("n_vecs") > 2 * F.col("sum_dist"), 1).otherwise(0)
+    over4 = F.when(F.col("dist_num") * F.col("n_vecs") > 4 * F.col("sum_dist"), 1).otherwise(0)
+    return (
+        jt.groupBy("label", "n_vecs")
+        .agg(
+            F.sum(over2).cast("bigint").alias("n_over_2x_mean"),
+            F.sum(over4).cast("bigint").alias("n_over_4x_mean"),
+        )
+        .orderBy("label")
+    )

@@ -1500,3 +1500,45 @@ def test_split_leak_matrix_conserves_and_leaks(spark, sf_dir):
     # a user-hash split necessarily trains on future events
     leak = [r for r in rows if r.hash_split == "train" and r.time_split == "future"]
     assert leak and leak[0].n_events > 0
+
+
+BATCH_AH = [
+    "ev_cohort_quality_trend",
+    "dq_outlier_mass",
+    "emb_outlier_profile",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_AH)
+def test_batch_ah_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_cohort_quality_covers_every_user(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.ev_cohort_quality_trend(spark, sf_dir).collect()
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    # every user has a first day, hence at least one week-1 event
+    assert sum(r.n_new_users for r in rows) == n_users
+    for r in rows:
+        assert r.w1_events_per_user >= 1.0
+        assert 0.0 <= r.w1_purchase_rate <= 1.0
+
+
+def test_outlier_mass_bounds(spark, sf_dir):
+    r = i3.dq_outlier_mass(spark, sf_dir).collect()[0]
+    assert 0 <= r.n_outliers <= r.n_orders
+    assert 0 <= r.outlier_cents <= r.total_cents
+    assert r.outlier_mass_share == r.outlier_cents / r.total_cents
+
+
+def test_outlier_profile_nested_tails(spark, sf_dir):
+    rows = i3.emb_outlier_profile(spark, sf_dir).collect()
+    for r in rows:
+        # the 4x tail is inside the 2x tail, both inside the label
+        assert 0 <= r.n_over_4x_mean <= r.n_over_2x_mean <= r.n_vecs
+    spark.catalog.clearCache()
