@@ -6440,3 +6440,217 @@ def emb_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- shingle hot-key audit --------------------------------------------------
+
+SHINGLE_SKEW_TOP_K = 20
+
+
+def _shingle_skew_oracle() -> str:
+    from lime_etl_spark.operators.dedup import _SHINGLES_SQL
+
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    freq AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sh GROUP BY x
+    ), total AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_shingle_rows,
+               CAST(SUM(n_docs * n_docs) AS BIGINT) AS pair_cost
+        FROM freq
+    )
+    SELECT f.x AS shingle_hash, f.n_docs,
+           CAST(f.n_docs * f.n_docs AS BIGINT) AS pair_contribution,
+           CAST(f.n_docs * f.n_docs AS DOUBLE) / t.pair_cost AS pair_cost_share
+    FROM freq f CROSS JOIN total t
+    ORDER BY f.n_docs DESC, f.x
+    LIMIT {SHINGLE_SKEW_TOP_K}
+    """
+
+
+@register(
+    "dedup_shingle_skew",
+    oracle=None,  # attached below
+    description="hottest shingles by document frequency and their share of the exhaustive join's pair cost (the hot-key audit for the shared-shingle path)",
+)
+def dedup_shingle_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup planner's hot-key table: the exhaustive
+    shared-shingle join squares on hot shingles (a shingle in n docs
+    contributes n² pairs), and this ranks the hottest with each one's
+    share of that quadratic bill — the direct evidence for why the
+    LSH path exists (and the input to a stopword-shingle filter if a
+    handful of template shingles carry most of the cost).
+    dq_join_skew audits fact-join keys; this is the same discipline
+    aimed at the dedup join. Exact counts and integer squares; one
+    division per row.
+
+    Scale: one (shingle → doc count) reduce over the distinct
+    shingle table; the cost total is a 1-row broadcast;
+    TakeOrdered(k).
+    """
+    from lime_etl_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        doc_shingles(docs)
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .persist()
+    )
+    total = freq.agg(
+        F.sum(F.col("n_docs") * F.col("n_docs")).cast("bigint").alias("pair_cost")
+    )
+    return (
+        freq.join(F.broadcast(total))
+        .select(
+            F.col("x").alias("shingle_hash"),
+            "n_docs",
+            (F.col("n_docs") * F.col("n_docs")).cast("bigint").alias(
+                "pair_contribution"
+            ),
+            (
+                (F.col("n_docs") * F.col("n_docs")).cast("double")
+                / F.col("pair_cost")
+            ).alias("pair_cost_share"),
+        )
+        .orderBy(F.desc("n_docs"), "shingle_hash")
+        .limit(SHINGLE_SKEW_TOP_K)
+    )
+
+
+_spec = _registry._REGISTRY["dedup_shingle_skew"]
+_registry._REGISTRY["dedup_shingle_skew"] = _registry.QuerySpec(
+    _spec.name, _spec.builder, _shingle_skew_oracle(), _spec.description
+)
+del _spec
+
+
+# --- returns by year --------------------------------------------------------
+
+
+@register(
+    "q_returns_by_year",
+    oracle="""
+    SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returned,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS returned_value,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS return_rate
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY ship_year
+    """,
+    description="return rate and returned value per ship year (the WHEN of the returns family next to by-brand and by-discount)",
+)
+def q_returns_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The time axis of the returns family: rate and money returned
+    per ship year. Brand says who, discount says under what terms —
+    a rising year line says the problem is getting worse regardless
+    of both, which reprioritizes the whole investigation. Exact
+    counters and decimal value sums; one division per year.
+
+    Scale: single scan, three pushed columns, |years| map-side
+    rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    ret_val = F.when(F.col("l_returnflag") == "R", dec("l_extendedprice"))
+    return (
+        li.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(ret).cast("bigint").alias("n_returned"),
+            F.sum(ret_val).cast("double").alias("returned_value"),
+            (F.sum(ret).cast("double") / F.count(F.lit(1))).alias("return_rate"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+# --- int4 vs int8 quantization tradeoff -------------------------------------
+
+
+@register(
+    "emb_int4_vs_int8_error",
+    oracle="""
+    WITH m AS (
+        SELECT MAX(list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))) AS mx
+        FROM embeddings
+    ), err AS (
+        SELECT list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   v -> abs(v - GREATEST(LEAST(floor(v / (mx / 127) + 0.5), 127), -127)
+                                * (mx / 127))
+               ) AS e8,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   v -> abs(v - GREATEST(LEAST(floor(v / (mx / 7) + 0.5), 7), -7)
+                                * (mx / 7))
+               ) AS e4
+        FROM embeddings, m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(list_sum(e8)) AS DOUBLE) / SUM(len(e8)) AS int8_mean_abs_err,
+           CAST(MAX(list_max(e8)) AS DOUBLE) AS int8_max_abs_err,
+           CAST(SUM(list_sum(e4)) AS DOUBLE) / SUM(len(e4)) AS int4_mean_abs_err,
+           CAST(MAX(list_max(e4)) AS DOUBLE) AS int4_max_abs_err
+    FROM err
+    """,
+    description="reconstruction error at int8 vs int4 under the same symmetric scale (the compression-depth decision table: is another 2x storage cut worth the error)",
+)
+def emb_int4_vs_int8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is int4 good enough? Mean/max reconstruction error at 8 and 4
+    bits under the same corpus-global symmetric scale, side by side —
+    the storage ladder (float32 → int8 → int4 halves again) priced in
+    the same units emb_quantize_error audits for the production
+    int8 path. Error sums are fixed-order double folds over
+    identical per-element expressions, so both engines agree.
+
+    Scale: one scan, row-local transforms, a 1-row reduce; the
+    decision table costs one pass regardless of corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    mx = emb.agg(
+        F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))).alias("mx")
+    )
+
+    def err(levels: int):
+        s = F.col("mx") / levels
+        return F.transform(
+            x,
+            lambda v: F.abs(
+                v
+                - F.greatest(
+                    F.least(F.floor(v / s + 0.5), F.lit(float(levels))),
+                    F.lit(float(-levels)),
+                )
+                * s
+            ),
+        )
+
+    e8 = err(127)
+    e4 = err(7)
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+    return (
+        emb.join(F.broadcast(mx))
+        .select(
+            fold(e8).alias("s8"),
+            F.array_max(e8).alias("m8"),
+            F.size(e8).alias("k8"),
+            fold(e4).alias("s4"),
+            F.array_max(e4).alias("m4"),
+            F.size(e4).alias("k4"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (F.sum("s8") / F.sum("k8")).alias("int8_mean_abs_err"),
+            F.max("m8").cast("double").alias("int8_max_abs_err"),
+            (F.sum("s4") / F.sum("k4")).alias("int4_mean_abs_err"),
+            F.max("m4").cast("double").alias("int4_max_abs_err"),
+        )
+    )

@@ -1542,3 +1542,44 @@ def test_outlier_profile_nested_tails(spark, sf_dir):
         # the 4x tail is inside the 2x tail, both inside the label
         assert 0 <= r.n_over_4x_mean <= r.n_over_2x_mean <= r.n_vecs
     spark.catalog.clearCache()
+
+
+BATCH_AI = [
+    "dedup_shingle_skew",
+    "q_returns_by_year",
+    "emb_int4_vs_int8_error",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_AI)
+def test_batch_ai_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_shingle_skew_ordered_and_bounded(spark, sf_dir):
+    rows = i3.dedup_shingle_skew(spark, sf_dir).collect()
+    counts = [r.n_docs for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert sum(r.pair_cost_share for r in rows) <= 1.0 + 1e-9
+    for r in rows:
+        assert r.pair_contribution == r.n_docs * r.n_docs
+    spark.catalog.clearCache()
+
+
+def test_returns_by_year_conserves_lines(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.q_returns_by_year(spark, sf_dir).collect()
+    assert sum(r.n_lines for r in rows) == load_table(
+        spark, sf_dir, "lineitem"
+    ).count()
+
+
+def test_int4_strictly_worse_than_int8(spark, sf_dir):
+    """Fewer levels can only lose precision: int4 error must dominate
+    int8 error in both mean and max."""
+    r = i3.emb_int4_vs_int8_error(spark, sf_dir).collect()[0]
+    assert r.int8_mean_abs_err <= r.int4_mean_abs_err
+    assert r.int8_max_abs_err <= r.int4_max_abs_err + 1e-12
+    assert r.int8_mean_abs_err >= 0
