@@ -6654,3 +6654,137 @@ def emb_int4_vs_int8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("m4").cast("double").alias("int4_max_abs_err"),
         )
     )
+
+
+# --- text ingest drift ------------------------------------------------------
+
+
+@register(
+    "txt_ingest_drift",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT ntile({DRIFT_BUCKETS}) OVER (ORDER BY doc_id) AS bucket,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe
+        FROM documents
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe) AS chars_per_token
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    description="document length and chars/token across ingest-order buckets (did the crawler or cleaning pipeline change mid-corpus — emb_ingest_drift's text twin)",
+)
+def txt_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the TEXT pipeline change mid-ingest? Length and
+    token-density across ingest-order buckets — a cleaning change, a
+    new source mix, or a truncation bug shows as a step in mean
+    length or chars/token (the same monitor emb_ingest_drift runs on
+    vectors, aimed at the text column). Exact sums, one division
+    per ratio.
+
+    Scale: the ntile window sorts ids (near-free on sorted ingest);
+    everything else is a {DRIFT_BUCKETS}-row rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucketed = docs.select(
+        F.ntile(DRIFT_BUCKETS).over(Window.orderBy("doc_id")).alias("bucket"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.regexp_count("text", F.lit(BPE_RE)).cast("bigint").alias("n_bpe"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+            (F.sum("n_chars").cast("double") / F.sum("n_bpe")).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- cluster source spread --------------------------------------------------
+
+
+@register(
+    "dedup_cluster_source_spread",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(vid, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.vid
+    ),
+    cc AS (
+        SELECT vid AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+        FROM reach GROUP BY vid
+    ),
+    clusters AS (
+        SELECT cc.component_id,
+               CAST(COUNT(*) AS BIGINT) AS size,
+               CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources
+        FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+        GROUP BY cc.component_id
+        HAVING COUNT(*) >= 2
+    )
+    SELECT n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(size) AS BIGINT) AS n_docs,
+           CAST(MAX(size) AS BIGINT) AS max_cluster_size
+    FROM clusters
+    GROUP BY n_sources
+    ORDER BY n_sources
+    """,
+    description="near-dup clusters by how many sources they span (transitive syndication: cluster-grain spread that pair-grain cross-source cells miss)",
+)
+def dedup_cluster_source_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far does one piece of content travel?
+    dedup_cross_source_matrix counts PAIR crossings; a cluster that
+    chains A→B→C shows up here as a 3-source cluster even when no
+    single A-C pair was verified — the transitive spread that decides
+    whether provenance metadata survives dedup at all (keep one doc,
+    record all sources). Multi-doc clusters histogrammed by distinct
+    source count; exact counters throughout.
+
+    Scale: inherits the component pipeline; the per-cluster reduce
+    carries one distinct-source counter (bounded by |sources|).
+    """
+    from lime_etl_spark.operators.graph import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = dedup_components(spark, sf_dir)
+    clusters = (
+        cc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("size"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+        )
+        .where(F.col("size") >= 2)
+    )
+    return (
+        clusters.groupBy("n_sources")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("size").cast("bigint").alias("n_docs"),
+            F.max("size").cast("bigint").alias("max_cluster_size"),
+        )
+        .orderBy("n_sources")
+    )

@@ -1583,3 +1583,39 @@ def test_int4_strictly_worse_than_int8(spark, sf_dir):
     assert r.int8_mean_abs_err <= r.int4_mean_abs_err
     assert r.int8_max_abs_err <= r.int4_max_abs_err + 1e-12
     assert r.int8_mean_abs_err >= 0
+
+
+BATCH_AJ = [
+    "txt_ingest_drift",
+    "dedup_cluster_source_spread",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_AJ)
+def test_batch_aj_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_txt_ingest_drift_conserves_mass(spark, sf_dir):
+    rows = i3.txt_ingest_drift(spark, sf_dir).collect()
+    card = i3.txt_corpus_card(spark, sf_dir).collect()[0]
+    assert sum(r.n_docs for r in rows) == card.n_docs
+    assert sum(r.total_chars for r in rows) == card.total_chars
+    assert sum(r.total_bpe for r in rows) == card.total_bpe_tokens
+    spark.catalog.clearCache()
+
+
+def test_cluster_source_spread_consistent_with_size_hist(spark, sf_dir):
+    """Multi-doc cluster totals must agree with the size histogram's
+    multi-doc rows (same components, different rollup axis)."""
+    spread = i3.dedup_cluster_source_spread(spark, sf_dir).collect()
+    hist = i3.graph_component_size_hist(spark, sf_dir).collect()
+    multi_clusters = sum(r.n_components for r in hist if r.size >= 2)
+    multi_docs = sum(r.n_docs for r in hist if r.size >= 2)
+    assert sum(r.n_clusters for r in spread) == multi_clusters
+    assert sum(r.n_docs for r in spread) == multi_docs
+    for r in spread:
+        assert 1 <= r.n_sources
+        assert r.max_cluster_size >= 2
+    spark.catalog.clearCache()
