@@ -6788,3 +6788,109 @@ def dedup_cluster_source_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_sources")
     )
+
+
+# --- decontamination k-sensitivity ------------------------------------------
+
+DECON_SWEEP = (8, 13, 21)
+
+
+def _decon_sensitivity_oracle() -> str:
+    from lime_etl_spark.operators.curation import _gram_sql
+    from lime_etl_spark.operators.training import _bucket_sql
+
+    b = _bucket_sql("doc_id", 100)
+    legs = []
+    for k in DECON_SWEEP:
+        legs.append(f"""
+        SELECT CAST({k} AS BIGINT) AS gram_n,
+               CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS n_contaminated
+        FROM (
+            SELECT DISTINCT doc_id, b, gram FROM (
+                SELECT doc_id, {b} AS b,
+                       unnest({_gram_sql(k)}) AS gram
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            )
+        ) g
+        JOIN (
+            SELECT DISTINCT gram FROM (
+                SELECT {b} AS b, unnest({_gram_sql(k)}) AS gram
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            ) WHERE b >= 90
+        ) tg USING (gram)
+        WHERE g.b < 80
+        """)
+    union = " UNION ALL ".join(legs)
+    return f"""
+    WITH train AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM (
+            SELECT doc_id FROM documents WHERE {b} < 80
+        )
+    )
+    SELECT u.gram_n, u.n_contaminated, t.n_train,
+           CAST(u.n_contaminated AS DOUBLE) / t.n_train AS contamination_rate
+    FROM ({union}) u CROSS JOIN train t
+    ORDER BY u.gram_n
+    """
+
+
+@register(
+    "cur_decontam_sensitivity",
+    oracle=None,  # attached below
+    description="contaminated-doc counts for an n-gram-size sweep (8/13/21) — how much the decontamination verdict depends on the contested k choice",
+)
+def cur_decontam_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram size in decontamination is a contested constant —
+    smaller n flags more (and over-flags common phrases), larger n
+    misses paraphrases. This sweeps {{{", ".join(str(k) for k in DECON_SWEEP)}}}
+    with the SAME split and probe shape as cur_decontaminate: a flat
+    line means the verdict is robust to k, a cliff means the chosen
+    constant is doing silent work. Monotone by construction (every
+    (k+j)-gram match contains a k-gram match) — the test asserts it.
+
+    Scale: one gram explode per k (the k's can't share shingles),
+    each with the broadcast test-gram probe; counts reduce to 3 rows.
+    """
+    from lime_etl_spark.functions.text import tokens, word_shingles
+    from lime_etl_spark.operators.training import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    b = hash_bucket(F.col("doc_id"), 100)
+    n_train = docs.where(b < 80).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train")
+    )
+    parts = []
+    for k in DECON_SWEEP:
+        grams = docs.select(
+            "doc_id", b.alias("b"), F.explode(word_shingles(tokens(), k)).alias("gram")
+        ).distinct()
+        test_grams = grams.where(F.col("b") >= 90).select("gram").distinct()
+        cont = (
+            grams.where(F.col("b") < 80)
+            .join(F.broadcast(test_grams), "gram")
+            .agg(F.count_distinct("doc_id").cast("bigint").alias("n_contaminated"))
+            .select(F.lit(k).cast("bigint").alias("gram_n"), "n_contaminated")
+        )
+        parts.append(cont)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.crossJoin(F.broadcast(n_train))
+        .select(
+            "gram_n",
+            "n_contaminated",
+            "n_train",
+            (F.col("n_contaminated").cast("double") / F.col("n_train")).alias(
+                "contamination_rate"
+            ),
+        )
+        .orderBy("gram_n")
+    )
+
+
+_spec = _registry._REGISTRY["cur_decontam_sensitivity"]
+_registry._REGISTRY["cur_decontam_sensitivity"] = _registry.QuerySpec(
+    _spec.name, _spec.builder, _decon_sensitivity_oracle(), _spec.description
+)
+del _spec

@@ -1619,3 +1619,25 @@ def test_cluster_source_spread_consistent_with_size_hist(spark, sf_dir):
         assert 1 <= r.n_sources
         assert r.max_cluster_size >= 2
     spark.catalog.clearCache()
+
+
+def test_decontam_sensitivity_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "cur_decontam_sensitivity")
+    spark.catalog.clearCache()
+
+
+def test_decontam_sensitivity_monotone_and_anchored(spark, sf_dir):
+    """Bigger n can only flag fewer docs (every (k+j)-gram match
+    contains a k-gram match), and the k=13 row must equal the
+    production detector's contaminated-doc count."""
+    from lime_etl_spark.plans.registry import all_queries
+
+    rows = i3.cur_decontam_sensitivity(spark, sf_dir).collect()
+    counts = [r.n_contaminated for r in rows]  # ordered by gram_n asc
+    assert counts == sorted(counts, reverse=True)
+    prod = (
+        all_queries()["cur_decontaminate"].builder(spark, sf_dir).count()
+    )
+    at13 = next(r for r in rows if r.gram_n == 13)
+    assert at13.n_contaminated == prod
+    spark.catalog.clearCache()
