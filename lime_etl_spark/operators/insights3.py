@@ -6894,3 +6894,89 @@ _registry._REGISTRY["cur_decontam_sensitivity"] = _registry.QuerySpec(
     _spec.name, _spec.builder, _decon_sensitivity_oracle(), _spec.description
 )
 del _spec
+
+
+# --- at-risk users ----------------------------------------------------------
+
+AT_RISK_MIN_DAYS = 3  # need a cadence to deviate from
+AT_RISK_TOP_K = 50
+
+
+@register(
+    "ev_at_risk_users",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), span AS (
+        SELECT MAX(d) AS as_of FROM ud
+    ), gaps AS (
+        SELECT user_id,
+               date_diff('day', LAG(d) OVER (PARTITION BY user_id ORDER BY d), d)
+                 AS g
+        FROM ud
+    ), cadence AS (
+        SELECT user_id,
+               CAST(COUNT(g) AS BIGINT) AS n_gaps,
+               CAST(FLOOR(quantile_cont(g, 0.5)) AS BIGINT) AS median_gap
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(g) >= {AT_RISK_MIN_DAYS - 1}
+    ), last_seen AS (
+        SELECT user_id, MAX(d) AS last_d FROM ud GROUP BY user_id
+    )
+    SELECT c.user_id, c.median_gap,
+           CAST(date_diff('day', l.last_d, s.as_of) AS BIGINT) AS days_silent
+    FROM cadence c
+    JOIN last_seen l ON l.user_id = c.user_id
+    CROSS JOIN span s
+    WHERE date_diff('day', l.last_d, s.as_of) > 3 * GREATEST(c.median_gap, 1)
+    ORDER BY days_silent DESC, c.user_id
+    LIMIT {AT_RISK_TOP_K}
+    """,
+    description="users silent 3x beyond their OWN median cadence (the churn-risk outreach list — personal baselines, not a global cutoff)",
+)
+def ev_at_risk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The outreach list: users whose current silence exceeds 3×
+    their OWN median active-day gap — a daily user going quiet for a
+    week is at risk while a weekly user isn't, which is exactly what
+    a global dormancy cutoff (q22's approach) gets wrong. The
+    comparison days_silent > 3·max(median,1) is pure integers (the
+    median floors to int), the snapshot is the ledger's max day, and
+    the list is TakeOrdered-bounded.
+
+    Scale: distinct user-days reduce map-side; gaps and the
+    last-seen reduce ride the same user_id key; the 1-row as-of
+    broadcast closes it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct().persist()
+    span = ud.agg(F.max("d").alias("as_of"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    gaps = ud.select(
+        "user_id", F.datediff("d", F.lag("d").over(w)).alias("g")
+    ).where(F.col("g").isNotNull())
+    cadence = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("g").cast("bigint").alias("n_gaps"),
+            F.floor(F.percentile("g", F.lit(0.5))).cast("bigint").alias("median_gap"),
+        )
+        .where(F.col("n_gaps") >= AT_RISK_MIN_DAYS - 1)
+    )
+    last_seen = ud.groupBy("user_id").agg(F.max("d").alias("last_d"))
+    jt = (
+        cadence.join(last_seen, "user_id")
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            "median_gap",
+            F.datediff("as_of", "last_d").cast("bigint").alias("days_silent"),
+        )
+    )
+    return (
+        jt.where(
+            F.col("days_silent") > 3 * F.greatest(F.col("median_gap"), F.lit(1))
+        )
+        .orderBy(F.desc("days_silent"), "user_id")
+        .limit(AT_RISK_TOP_K)
+    )

@@ -1641,3 +1641,35 @@ def test_decontam_sensitivity_monotone_and_anchored(spark, sf_dir):
     at13 = next(r for r in rows if r.gram_n == 13)
     assert at13.n_contaminated == prod
     spark.catalog.clearCache()
+
+
+def test_at_risk_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "ev_at_risk_users")
+    spark.catalog.clearCache()
+
+
+def test_at_risk_flags_planted_lapse(spark, tmp_path):
+    """User 1 has a daily cadence then goes silent for the rest of the
+    month (27 days > 3x median gap 1); user 2 stays active daily —
+    only user 1 must surface."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for d in (1, 2, 3):  # user 1: daily, then silence
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 5, d, 10, 0, 0), 1, "view", 1.0, "{}"))
+    for d in range(1, 31):  # user 2: active every day incl. the as-of day
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 5, d, 11, 0, 0), 2, "view", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = i3.ev_at_risk_users(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.median_gap, r.days_silent) == (1, 1, 27)
