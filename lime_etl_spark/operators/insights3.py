@@ -6980,3 +6980,148 @@ def ev_at_risk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("days_silent"), "user_id")
         .limit(AT_RISK_TOP_K)
     )
+
+
+# --- cross-sell whitespace --------------------------------------------------
+
+XSELL_TOP_PAIRS = 10
+
+
+@register(
+    "q_cross_sell_gaps",
+    oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, o.o_custkey, p.p_brand
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+    ), pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both_orders
+        FROM (SELECT DISTINCT l_orderkey, p_brand FROM ob) a
+        JOIN (SELECT DISTINCT l_orderkey, p_brand FROM ob) b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+        ORDER BY n_both_orders DESC, brand_a, brand_b
+        LIMIT {XSELL_TOP_PAIRS}
+    ), cb AS (
+        SELECT DISTINCT o_custkey, p_brand FROM ob
+    )
+    SELECT p.brand_a, p.brand_b, p.n_both_orders,
+           CAST((SELECT COUNT(*) FROM cb WHERE p_brand = p.brand_a) AS BIGINT)
+             AS n_cust_a,
+           CAST((SELECT COUNT(*) FROM cb WHERE p_brand = p.brand_b) AS BIGINT)
+             AS n_cust_b,
+           CAST((SELECT COUNT(*) FROM cb x
+                 WHERE x.p_brand = p.brand_a
+                   AND NOT EXISTS (SELECT 1 FROM cb y
+                                   WHERE y.o_custkey = x.o_custkey
+                                     AND y.p_brand = p.brand_b)) AS BIGINT)
+             AS a_not_b,
+           CAST((SELECT COUNT(*) FROM cb x
+                 WHERE x.p_brand = p.brand_b
+                   AND NOT EXISTS (SELECT 1 FROM cb y
+                                   WHERE y.o_custkey = x.o_custkey
+                                     AND y.p_brand = p.brand_a)) AS BIGINT)
+             AS b_not_a
+    FROM pairs p
+    ORDER BY p.n_both_orders DESC, p.brand_a, p.brand_b
+    """,
+    description="for the most-associated brand pairs: customers who buy one but never the other (the cross-sell whitespace a campaign actually targets)",
+)
+def q_cross_sell_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association says the brands GO together; whitespace says who
+    hasn't gotten the memo: for the top co-occurring brand pairs,
+    the customers holding one side but not the other — the literal
+    target list size for a cross-sell campaign, in both directions
+    because the two audiences differ. Pair discovery is
+    order-bounded (q_basket_pairs' discipline at brand grain); the
+    whitespace counts are anti-join counts at (customer, brand)
+    grain.
+
+    Scale: the (order, brand) and (customer, brand) dedups combine
+    map-side; the pair self-join is bounded by brands-per-order; the
+    top pairs broadcast onto the customer-brand rollup for the gap
+    counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "o_custkey", "p_brand")
+        .distinct()
+        .persist()
+    )
+    order_brand = ob.select("l_orderkey", "p_brand").distinct()
+    a = order_brand.alias("a")
+    b = order_brand.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both_orders"))
+        .orderBy(F.desc("n_both_orders"), "brand_a", "brand_b")
+        .limit(XSELL_TOP_PAIRS)
+    )
+    cb = ob.select("o_custkey", "p_brand").distinct().persist()
+    ca = cb.select(F.col("p_brand").alias("brand_a"), F.col("o_custkey").alias("cust_a"))
+    # one-sided gaps: expand each top pair to its owning customers,
+    # then anti-probe ownership of the other side
+    own_a = pairs.join(ca, "brand_a").select(
+        "brand_a", "brand_b", "n_both_orders", F.col("cust_a").alias("cust")
+    )
+    own_b_keys = cb.select(
+        F.col("p_brand").alias("brand_b"), F.col("o_custkey").alias("cust")
+    )
+    a_not_b = (
+        own_a.join(own_b_keys, ["brand_b", "cust"], "left_anti")
+        .groupBy("brand_a", "brand_b", "n_both_orders")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a_not_b"))
+    )
+    own_b = pairs.join(
+        cb.select(F.col("p_brand").alias("brand_b"), F.col("o_custkey").alias("cust")),
+        "brand_b",
+    ).select("brand_a", "brand_b", F.col("cust"))
+    own_a_keys = cb.select(
+        F.col("p_brand").alias("brand_a"), F.col("o_custkey").alias("cust")
+    )
+    b_not_a = (
+        own_b.join(own_a_keys, ["brand_a", "cust"], "left_anti")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("b_not_a"))
+    )
+    sizes = cb.groupBy("p_brand").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        a_not_b.join(b_not_a, ["brand_a", "brand_b"])
+        .join(
+            F.broadcast(sizes.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("n_cust_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("n_cust_b"))),
+            "brand_b",
+        )
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both_orders",
+            "n_cust_a",
+            "n_cust_b",
+            "a_not_b",
+            "b_not_a",
+        )
+        .orderBy(F.desc("n_both_orders"), "brand_a", "brand_b")
+    )

@@ -1673,3 +1673,21 @@ def test_at_risk_flags_planted_lapse(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r.user_id, r.median_gap, r.days_silent) == (1, 1, 27)
+
+
+def test_cross_sell_gaps_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "q_cross_sell_gaps")
+    spark.catalog.clearCache()
+
+
+def test_cross_sell_gaps_bounds(spark, sf_dir):
+    rows = i3.q_cross_sell_gaps(spark, sf_dir).collect()
+    assert len(rows) == i3.XSELL_TOP_PAIRS
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        # whitespace is bounded by the owning audience
+        assert 0 <= r.a_not_b <= r.n_cust_a
+        assert 0 <= r.b_not_a <= r.n_cust_b
+        # overlap identity: owners of both = n_a - a_not_b = n_b - b_not_a
+        assert r.n_cust_a - r.a_not_b == r.n_cust_b - r.b_not_a
+    spark.catalog.clearCache()
