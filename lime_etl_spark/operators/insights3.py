@@ -7125,3 +7125,66 @@ def q_cross_sell_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_both_orders"), "brand_a", "brand_b")
     )
+
+
+# --- basket breadth ---------------------------------------------------------
+
+
+@register(
+    "q_basket_breadth",
+    oracle="""
+    WITH per_order AS (
+        SELECT l.l_orderkey,
+               CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                 AS order_value
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY l.l_orderkey
+    )
+    SELECT n_brands,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(order_value) AS DOUBLE) AS total_value,
+           CAST(SUM(order_value) AS DOUBLE) / COUNT(*) AS avg_order_value
+    FROM per_order
+    GROUP BY n_brands
+    ORDER BY n_brands
+    """,
+    description="orders by distinct-brand breadth with average value per breadth (do diverse baskets spend more — the assortment-width evidence)",
+)
+def q_basket_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does assortment width pay? Orders bucketed by how many
+    DISTINCT brands they touch, with average order value per bucket —
+    rising value with breadth is the evidence behind mixed-bundle
+    merchandising; flat value means breadth is noise and
+    q_basket_pairs' affinity cells matter more. Brand lookup
+    broadcasts; per-order distinct-brand state is bounded by lines
+    per order; value sums are decimal-exact with one division per
+    bucket.
+
+    Scale: one partkey broadcast join at fact grain, a per-order
+    map-side reduce, then a ≤|brands|-row rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_order = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("p_brand").cast("bigint").alias("n_brands"),
+            F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("order_value"),
+        )
+    )
+    return (
+        per_order.groupBy("n_brands")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("order_value").cast("double").alias("total_value"),
+            (F.sum("order_value").cast("double") / F.count(F.lit(1))).alias(
+                "avg_order_value"
+            ),
+        )
+        .orderBy("n_brands")
+    )

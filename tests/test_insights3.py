@@ -1691,3 +1691,21 @@ def test_cross_sell_gaps_bounds(spark, sf_dir):
         # overlap identity: owners of both = n_a - a_not_b = n_b - b_not_a
         assert r.n_cust_a - r.a_not_b == r.n_cust_b - r.b_not_a
     spark.catalog.clearCache()
+
+
+def test_basket_breadth_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "q_basket_breadth")
+    spark.catalog.clearCache()
+
+
+def test_basket_breadth_conserves_orders(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.q_basket_breadth(spark, sf_dir).collect()
+    n_orders = (
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
+    )
+    assert sum(r.n_orders for r in rows) == n_orders
+    for r in rows:
+        assert r.n_brands >= 1
+        assert r.avg_order_value == pytest.approx(r.total_value / r.n_orders)
