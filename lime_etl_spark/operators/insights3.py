@@ -7188,3 +7188,98 @@ def q_basket_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_brands")
     )
+
+
+# --- LSH recall vs window ground truth --------------------------------------
+
+
+def _lsh_window_recall_oracle() -> str:
+    from lime_etl_spark.operators.dedup import (
+        _JACCARD_SQL_TAIL,
+        _SHINGLES_SQL,
+        JACCARD_TAU,
+    )
+
+    truth = f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.x = b.x AND a.doc_id < b.doc_id
+             AND b.doc_id - a.doc_id <= {WINDOW_DEDUP_W}
+            GROUP BY a.doc_id, b.doc_id
+        )
+        {_JACCARD_SQL_TAIL}
+        WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {JACCARD_TAU}
+    """
+    lsh = _minhash_sql()
+    return f"""
+    WITH truth AS ({truth}),
+    lsh AS (SELECT doc_a, doc_b FROM ({lsh})),
+    hits AS (
+        SELECT t.doc_a FROM truth t
+        JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth_pairs,
+           CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_lsh_found,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                THEN CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM truth)
+                ELSE 1.0 END AS lsh_recall_in_window
+    """
+
+
+@register(
+    "dedup_lsh_window_recall",
+    oracle=None,  # attached below
+    description="LSH recall measured against the window pass's EXHAUSTIVE in-window truth (free ground truth: no all-pairs join, real recall number)",
+)
+def dedup_lsh_window_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured-approximation discipline without the exhaustive
+    bill: dedup_window_pass is EXHAUSTIVE for pairs within W ids, so
+    restricting LSH to the same window yields a true recall number
+    from a cheap ground truth (the full all-pairs truth costs the
+    quadratic join this engine exists to avoid). If in-window recall
+    is low, the banding config is dropping real dups everywhere —
+    dedup_lsh_tuning says which config fixes it.
+
+    Scale: both sides are LSH/window-bounded; the hit join runs at
+    pair grain over two small pair sets.
+    """
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    truth = dedup_window_pass(spark, sf_dir).select("doc_a", "doc_b").persist()
+    lsh = (
+        jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh)))
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b")
+    )
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"))
+    h = truth.join(lsh, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lsh_found")
+    )
+    return t.crossJoin(F.broadcast(h)).select(
+        "n_truth_pairs",
+        "n_lsh_found",
+        F.when(
+            F.col("n_truth_pairs") > 0,
+            F.col("n_lsh_found").cast("double") / F.col("n_truth_pairs"),
+        )
+        .otherwise(1.0)
+        .alias("lsh_recall_in_window"),
+    )
+
+
+_spec = _registry._REGISTRY["dedup_lsh_window_recall"]
+_registry._REGISTRY["dedup_lsh_window_recall"] = _registry.QuerySpec(
+    _spec.name, _spec.builder, _lsh_window_recall_oracle(), _spec.description
+)
+del _spec

@@ -1709,3 +1709,32 @@ def test_basket_breadth_conserves_orders(spark, sf_dir):
     for r in rows:
         assert r.n_brands >= 1
         assert r.avg_order_value == pytest.approx(r.total_value / r.n_orders)
+
+
+def test_lsh_window_recall_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "dedup_lsh_window_recall")
+    spark.catalog.clearCache()
+
+
+def test_lsh_window_recall_detects_planted_miss(spark, tmp_path):
+    """The planted borderline corpus (j ≈ 0.54) has in-window pairs
+    the banding mostly misses — measured recall must be < 1 there,
+    proving the audit can catch a lossy config, and found ⊆ truth."""
+    rows = []
+    did = 0
+    for p in range(10):
+        base = [f"tok{p}_{i}" for i in range(12)]
+        alt = base[:9] + [f"alt{p}_{i}" for i in range(3)]
+        for toks in (base, alt):
+            did += 1
+            rows.append((did, " ".join(toks), "en", "srcX", len(" ".join(toks))))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    r = i3.dedup_lsh_window_recall(spark, d).collect()[0]
+    assert r.n_truth_pairs == 10  # every planted pair is in-window truth
+    assert r.n_lsh_found <= r.n_truth_pairs
+    assert r.lsh_recall_in_window < 1.0  # banding provably lossy at j≈0.54
+    spark.catalog.clearCache()
