@@ -7075,12 +7075,13 @@ def q_cross_sell_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_both_orders"))
         .orderBy(F.desc("n_both_orders"), "brand_a", "brand_b")
         .limit(XSELL_TOP_PAIRS)
+        .persist()  # 10 rows, consumed by both expansion legs
     )
     cb = ob.select("o_custkey", "p_brand").distinct().persist()
     ca = cb.select(F.col("p_brand").alias("brand_a"), F.col("o_custkey").alias("cust_a"))
     # one-sided gaps: expand each top pair to its owning customers,
     # then anti-probe ownership of the other side
-    own_a = pairs.join(ca, "brand_a").select(
+    own_a = ca.join(F.broadcast(pairs), "brand_a").select(
         "brand_a", "brand_b", "n_both_orders", F.col("cust_a").alias("cust")
     )
     own_b_keys = cb.select(
@@ -7091,10 +7092,11 @@ def q_cross_sell_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("brand_a", "brand_b", "n_both_orders")
         .agg(F.count(F.lit(1)).cast("bigint").alias("a_not_b"))
     )
-    own_b = pairs.join(
-        cb.select(F.col("p_brand").alias("brand_b"), F.col("o_custkey").alias("cust")),
-        "brand_b",
-    ).select("brand_a", "brand_b", F.col("cust"))
+    own_b = (
+        cb.select(F.col("p_brand").alias("brand_b"), F.col("o_custkey").alias("cust"))
+        .join(F.broadcast(pairs), "brand_b")
+        .select("brand_a", "brand_b", F.col("cust"))
+    )
     own_a_keys = cb.select(
         F.col("p_brand").alias("brand_a"), F.col("o_custkey").alias("cust")
     )
