@@ -7285,3 +7285,120 @@ _registry._REGISTRY["dedup_lsh_window_recall"] = _registry.QuerySpec(
     _spec.name, _spec.builder, _lsh_window_recall_oracle(), _spec.description
 )
 del _spec
+
+
+# --- per-label norm health --------------------------------------------------
+
+
+@register(
+    "emb_label_norms",
+    oracle="""
+    WITH m AS (
+        SELECT MAX(list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))) / 127 AS s
+        FROM embeddings
+    ),
+    q AS (
+        SELECT label,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   v -> CAST(GREATEST(LEAST(floor(v / s + 0.5), 127), -127) AS BIGINT)
+               ) AS qv
+        FROM embeddings, m
+    ),
+    per_vec AS (
+        SELECT label,
+               CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS norm_sq
+        FROM q
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(norm_sq) AS BIGINT) AS sum_norm_sq,
+           CAST(MIN(norm_sq) AS BIGINT) AS min_norm_sq,
+           CAST(MAX(norm_sq) AS BIGINT) AS max_norm_sq,
+           CAST(SUM(norm_sq) AS DOUBLE) / COUNT(*) AS mean_norm_sq
+    FROM per_vec
+    GROUP BY label
+    ORDER BY label
+    """,
+    description="quantized norm statistics per label (does MAGNITUDE encode the class — the shortcut-feature audit next to the direction-based separation views)",
+)
+def emb_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do labels differ in LENGTH, not just direction? Centroid
+    separation and Fisher ratio are direction views; if mean norms
+    differ strongly by label, magnitude alone is a shortcut feature —
+    great for a linear probe, brittle under renormalization, and a
+    red flag if the embedder was supposed to be normalized. Exact
+    integer norm sums per vector, one division per label.
+
+    Scale: row-local array folds, |labels| map-side rollup.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_vec = with_int8_vectors(emb, "label").select(
+        "label",
+        F.aggregate(
+            F.transform("qv", lambda v: v * v),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).alias("norm_sq"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("norm_sq").cast("bigint").alias("sum_norm_sq"),
+            F.min("norm_sq").cast("bigint").alias("min_norm_sq"),
+            F.max("norm_sq").cast("bigint").alias("max_norm_sq"),
+            (F.sum("norm_sq").cast("double") / F.count(F.lit(1))).alias(
+                "mean_norm_sq"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# --- id allocation rate -----------------------------------------------------
+
+
+@register(
+    "dq_id_allocation_rate",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(MAX(event_id) AS BIGINT) AS max_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT d, n_events, max_id,
+           CAST(max_id - LAG(max_id) OVER (ORDER BY d) AS BIGINT) AS id_advance,
+           CAST(max_id - LAG(max_id) OVER (ORDER BY d) AS BIGINT) - n_events
+             AS id_gap
+    FROM daily
+    ORDER BY d
+    """,
+    description="daily id-space advance vs rows landed (id_advance − rows = silently lost or externally allocated ranges — the allocator throughput audit)",
+)
+def dq_id_allocation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the id allocator advancing faster than rows land? Per day:
+    the max-id advance against the rows actually present — a positive
+    id_gap means ranges were burned without landing (failed batches,
+    another writer, or silent loss), the allocator-side signal
+    dq_id_space_audit's static density view can't date.
+    dq_id_time_monotonicity checks ORDER; this checks THROUGHPUT.
+    Exact integers end to end.
+
+    Scale: daily map-side rollup; the lag window sorts |days| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.max("event_id").cast("bigint").alias("max_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    w = Window.orderBy("d")
+    adv = (F.col("max_id") - F.lag("max_id").over(w)).cast("bigint")
+    return daily.select(
+        "d",
+        "n_events",
+        "max_id",
+        adv.alias("id_advance"),
+        (adv - F.col("n_events")).alias("id_gap"),
+    ).orderBy("d")

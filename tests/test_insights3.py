@@ -1738,3 +1738,37 @@ def test_lsh_window_recall_detects_planted_miss(spark, tmp_path):
     assert r.n_lsh_found <= r.n_truth_pairs
     assert r.lsh_recall_in_window < 1.0  # banding provably lossy at j≈0.54
     spark.catalog.clearCache()
+
+
+BATCH_AP = [
+    "emb_label_norms",
+    "dq_id_allocation_rate",
+]
+
+
+@pytest.mark.parametrize("name", BATCH_AP)
+def test_batch_ap_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+    spark.catalog.clearCache()
+
+
+def test_label_norms_decompose_class_scatter_energy(spark, sf_dir):
+    """Per-label Σ||q||² must equal emb_class_scatter's total_norm_sq
+    (same quantization, same partition of vectors)."""
+    norms = {r.label: r for r in i3.emb_label_norms(spark, sf_dir).collect()}
+    scatter = {r.label: r for r in i3.emb_class_scatter(spark, sf_dir).collect()}
+    assert set(norms) == set(scatter)
+    for lbl in norms:
+        assert norms[lbl].sum_norm_sq == scatter[lbl].total_norm_sq
+        assert norms[lbl].min_norm_sq <= norms[lbl].max_norm_sq
+    spark.catalog.clearCache()
+
+
+def test_id_allocation_identity_on_dense_ids(spark, sf_dir):
+    """The synthetic events allocate ids densely per day, so the
+    id_advance must equal the day's row count (gap 0) after day 1."""
+    rows = i3.dq_id_allocation_rate(spark, sf_dir).collect()
+    assert rows[0].id_advance is None  # first day has no predecessor
+    for r in rows[1:]:
+        assert r.id_advance == r.n_events
+        assert r.id_gap == 0
