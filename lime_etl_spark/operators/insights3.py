@@ -7402,3 +7402,69 @@ def dq_id_allocation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         adv.alias("id_advance"),
         (adv - F.col("n_events")).alias("id_gap"),
     ).orderBy("d")
+
+
+# --- quarter-end loading ----------------------------------------------------
+
+
+@register(
+    "q_quarter_end_loading",
+    oracle="""
+    WITH tagged AS (
+        SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m') AS quarter_key,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               CASE WHEN CAST(o_orderdate AS DATE)
+                         >= CAST(date_trunc('quarter', o_orderdate) AS DATE)
+                            + INTERVAL 3 MONTH - INTERVAL 7 DAY
+                    THEN 1 ELSE 0 END AS in_final_week
+        FROM orders
+    )
+    SELECT quarter_key,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS total_value,
+           CAST(SUM(CASE WHEN in_final_week = 1 THEN price END) AS DOUBLE)
+             AS final_week_value,
+           CAST(COALESCE(SUM(CASE WHEN in_final_week = 1 THEN price END), 0)
+                AS DOUBLE) / CAST(SUM(price) AS DOUBLE) AS final_week_share
+    FROM tagged
+    GROUP BY quarter_key
+    ORDER BY quarter_key
+    """,
+    description="share of each quarter's order value landing in its final 7 days (quota-driven pull-forward: ~7.7% is calendar-neutral, spikes are sales-comp artifacts)",
+)
+def q_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the quarter end move the revenue? The final-seven-days
+    share of each quarter's order value — a calendar-neutral business
+    books ~7.7% (7/91); persistent spikes are quota-driven
+    pull-forward, which inflates the quarter, starves the next one,
+    and correlates with returns (q_returns_by_year is the companion
+    check). The final-week predicate is pure date arithmetic both
+    engines evaluate identically; sums are decimal-exact with one
+    division per quarter.
+
+    Scale: single scan, two pushed columns, |quarters| map-side
+    rollup.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    qstart = F.date_trunc("quarter", "o_orderdate").cast("date")
+    final_week_start = F.date_sub(F.add_months(qstart, 3), 7)
+    in_final = F.when(F.to_date("o_orderdate") >= final_week_start, 1).otherwise(0)
+    tagged = orders.select(
+        F.date_format(qstart, "yyyy-MM").alias("quarter_key"),
+        dec("o_totalprice").alias("price"),
+        in_final.alias("in_final_week"),
+    )
+    fw = F.sum(F.when(F.col("in_final_week") == 1, F.col("price")))
+    return (
+        tagged.groupBy("quarter_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price").cast("double").alias("total_value"),
+            fw.cast("double").alias("final_week_value"),
+            (
+                F.coalesce(fw, F.lit(0).cast("decimal(18,2)")).cast("double")
+                / F.sum("price").cast("double")
+            ).alias("final_week_share"),
+        )
+        .orderBy("quarter_key")
+    )

@@ -1772,3 +1772,21 @@ def test_id_allocation_identity_on_dense_ids(spark, sf_dir):
     for r in rows[1:]:
         assert r.id_advance == r.n_events
         assert r.id_gap == 0
+
+
+def test_quarter_end_loading_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "q_quarter_end_loading")
+    spark.catalog.clearCache()
+
+
+def test_quarter_end_loading_bounds(spark, sf_dir):
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i3.q_quarter_end_loading(spark, sf_dir).collect()
+    assert sum(r.n_orders for r in rows) == load_table(
+        spark, sf_dir, "orders"
+    ).count()
+    for r in rows:
+        assert 0.0 <= r.final_week_share <= 1.0
+        if r.final_week_value is not None:
+            assert r.final_week_value <= r.total_value
