@@ -749,17 +749,28 @@ _CHECKSUM_SPECS: tuple[tuple[str, tuple[str, ...]], ...] = (
 )
 
 
+# Mersenne prime 2^61-1: the checksum field modulus. Keeps the final
+# checksum int64-representable on every engine (Spark emits BIGINT,
+# DuckDB's HUGEINT sum reduces to BIGINT after the mod) while the sum
+# itself stays exact in decimal(38,0) / int128 internally.
+_CHECKSUM_MOD = 2305843009213693951
+
+
 def table_checksum(df: DataFrame, cols: tuple[str, ...], table_name: str) -> DataFrame:
     """One-row (table_name, n_rows, row_checksum) content fingerprint:
     md5 each row's '|'-joined identity columns, take the 60-bit
-    integer prefix, SUM as decimal(38,0). Order-insensitive (sum
-    commutes), incremental-friendly (a partition's subtotal is its
-    own checksum), and engine-portable (md5 + integer sum only)."""
+    integer prefix, SUM exactly (decimal(38,0) internally), reduce
+    mod 2^61-1, emit BIGINT. Order-insensitive (sum commutes),
+    incremental-friendly (a partition's subtotal mod-sums into the
+    total), and engine-portable: the OUTPUT type is int64 everywhere,
+    so no decimal-vs-float rendering divergence across engines."""
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
     return df.agg(
         F.lit(table_name).alias("table_name"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(shingle_int(F.md5(key)).cast("decimal(38,0)")).alias("row_checksum"),
+        (F.sum(shingle_int(F.md5(key)).cast("decimal(38,0)")) % F.lit(_CHECKSUM_MOD))
+        .cast("bigint")
+        .alias("row_checksum"),
     )
 
 
@@ -768,7 +779,7 @@ def _checksum_sql(table: str, cols: tuple[str, ...]) -> str:
     return f"""
     SELECT '{table}' AS table_name,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM({shingle_int_sql(f"md5({key})")}) AS DECIMAL(38,0)) AS row_checksum
+           CAST(SUM({shingle_int_sql(f"md5({key})")}) % {_CHECKSUM_MOD} AS BIGINT) AS row_checksum
     FROM {table}
     """
 

@@ -187,8 +187,8 @@ def ev_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN l.lines_gross IS NOT NULL
                               AND CAST(o.o_totalprice AS DECIMAL(12,2)) > l.lines_gross
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_header_exceeds_gross,
-           SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS header_total,
-           SUM(COALESCE(l.lines_gross, CAST(0 AS DECIMAL(12,2)))) AS lines_total
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS header_total,
+           CAST(SUM(COALESCE(l.lines_gross, CAST(0 AS DECIMAL(12,2)))) AS DOUBLE) AS lines_total
     FROM orders o LEFT JOIN lines l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderstatus
     ORDER BY o.o_orderstatus
@@ -207,7 +207,9 @@ def dq_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: lineitem pre-aggregates to one row per order BEFORE the
     join (map-side partial sums), so the join is order-grain × order-
     grain on the natural key both sides already hash by; output is
-    |statuses| rows. Money stays decimal(12,2) end-to-end.
+    |statuses| rows. Money stays decimal(12,2)-exact through every
+    aggregation; only the final surfaced totals cast to double (the
+    engine-portable output convention — see dq_checksum_parity).
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -232,12 +234,14 @@ def dq_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("n_header_exceeds_gross"),
-            F.sum(dec("o_totalprice", 2, 12)).alias("header_total"),
+            F.sum(dec("o_totalprice", 2, 12)).cast("double").alias("header_total"),
             F.sum(
                 F.coalesce(
                     F.col("lines_gross"), F.lit(0).cast("decimal(12,2)")
                 )
-            ).alias("lines_total"),
+            )
+            .cast("double")
+            .alias("lines_total"),
         )
         .orderBy("o_orderstatus")
     )

@@ -36,7 +36,20 @@ def _canon(v: object) -> str:
             return "@nan"
         return repr(v)
     if isinstance(v, Decimal):
-        return repr(float(v))
+        # Dtype-strict, like the driver's hash: a Decimal only
+        # canonicalizes to a float rendering when the value is
+        # float64-EXACT (round-trips through binary float). A wide
+        # integral decimal (e.g. DECIMAL(38,0) sums > 2^53) keeps its
+        # exact form and will NOT match a float64 on the other side —
+        # this is the divergence the round-1 driver hash punished and
+        # the old float() collapse masked.
+        try:
+            f = float(v)
+        except (OverflowError, ValueError):
+            return "@dec:" + format(v, "f")
+        if not math.isinf(f) and Decimal(f) == v:
+            return repr(f)
+        return "@dec:" + format(v, "f")
     if isinstance(v, (datetime.datetime, datetime.date)):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, pd.Timestamp):
