@@ -1,0 +1,159 @@
+"""Scale-safe global ranking: exact ROW_NUMBER / NTILE without a
+single-partition sort.
+
+`Window.orderBy(...)` with no `partitionBy` moves the ENTIRE input
+through one task — fine over a rollup of bounded size, a scale-killer
+over entity-grain data (customers, docs, facts) that grows with the
+corpus. The decomposition here keeps the semantics EXACT while every
+sort stays partition-local:
+
+1. bucket rows by a numeric value that is ascending-consistent with
+   the window order (boundaries from `approxQuantile`, so buckets are
+   balanced; assignment is strictly value-monotone, so bucket order
+   refines the global order);
+2. `row_number` WITHIN each bucket — parallel across buckets;
+3. per-bucket counts → cumulative offsets over the ≤n_buckets-row
+   bucket roster (bounded window) → broadcast back;
+4. global rank = offset + local rank; ANSI NTILE is then pure
+   arithmetic on (rank, total).
+
+Equality with the global window is structural: bucketing is a
+monotone coarsening of the order (equal values never split across
+buckets), so concatenating per-bucket orders IS the global order.
+The same trick appears shard-major in `samp_domain_budget`
+(operators/training.py) where the shard is part of the semantic
+order; here the bucket is invisible to the result.
+
+Determinism caveat: `approxQuantile` boundaries may vary across runs
+with partition order — harmless, ANY monotone boundaries give the
+same ranks; only bucket balance varies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_RANK_BUCKETS = 64
+
+
+def bucket_by_bounds(value: Column, bounds: list[float]) -> Column:
+    """Monotone bucket id: #boundaries strictly below the value.
+    Equal values always share a bucket, so order across buckets is
+    preserved for ANY tie-break the within-bucket sort adds."""
+    b = F.lit(0)
+    for x in bounds:
+        b = b + (value > F.lit(float(x))).cast("int")
+    return b
+
+
+def with_global_row_number(
+    df: DataFrame,
+    value: Column,
+    order_cols: list[Column],
+    out: str = "rn",
+    total_out: str = "n_total",
+    n_buckets: int = DEFAULT_RANK_BUCKETS,
+) -> DataFrame:
+    """Add exact `ROW_NUMBER() OVER (ORDER BY order_cols)` as `out`
+    and the total row count as `total_out`, with no global sort.
+
+    `value` must be a non-null numeric column ascending-consistent
+    with `order_cols[0]` (negate it for a DESC leading key). Exact up
+    to 2^53 rows (offset arithmetic is int64; quantile probing casts
+    through double).
+    """
+    # Persisted: the quantile probe is an immediate job and the main
+    # plan reads the same frame again — one upstream compute, not two.
+    tagged = df.withColumn("__rk_v", value.cast("double")).persist()
+    # Deduped boundaries: ties collapse buckets (harmless — fewer,
+    # bigger buckets; ranks are boundary-independent).
+    probes = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(tagged.approxQuantile("__rk_v", probes, 0.01)))
+    bucketed = tagged.withColumn("__rk_b", bucket_by_bounds(F.col("__rk_v"), bounds))
+
+    w_local = Window.partitionBy("__rk_b").orderBy(*order_cols)
+    w_off = Window.orderBy("__rk_b").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = (
+        bucketed.groupBy("__rk_b")
+        .agg(F.count(F.lit(1)).alias("__rk_cnt"))
+        .withColumn("__rk_off", F.sum("__rk_cnt").over(w_off) - F.col("__rk_cnt"))
+        .withColumn(total_out, F.sum("__rk_cnt").over(Window.partitionBy()))
+        .select(F.col("__rk_b").alias("__rk_ob"), "__rk_off", total_out)
+    )
+    return (
+        bucketed.withColumn("__rk_lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), F.col("__rk_b") == F.col("__rk_ob"))
+        .withColumn(out, (F.col("__rk_off") + F.col("__rk_lrn")).cast("bigint"))
+        .drop("__rk_v", "__rk_b", "__rk_ob", "__rk_off", "__rk_lrn")
+    )
+
+
+def ntile_from_rn(rn: Column, n_total: Column, k: int) -> Column:
+    """ANSI NTILE(k) from an exact global rank and the total count:
+    q = n div k tiles of size q+1 for the first n mod k tiles, size q
+    after. tile = ceil(r/(q+1)) in the big-tile prefix, else
+    ceil((r-rem)/q) (rows before tile t>rem are (t-1)q + rem).
+    Double-backed floor-division — exact to 2^53 rows, far past any
+    per-entity rollup."""
+    n = n_total.cast("double")
+    r = rn.cast("double")
+    q = F.floor(n / k)
+    rem = n - q * k
+    big = q + 1
+    in_big = r <= rem * big
+    tile_big = F.floor((r - 1) / big) + 1
+    tile_small = F.floor((r - rem - 1) / F.greatest(q, F.lit(1.0))) + 1
+    return F.when(in_big, tile_big).otherwise(tile_small).cast("int")
+
+
+def with_ingest_bucket(
+    df: DataFrame, id_col: str, n: int, out: str = "bucket"
+) -> DataFrame:
+    """Equal-WIDTH ingest-order buckets from the broadcast id range:
+    bucket = (id - min) * n div (max - min + 1), 1-based. The
+    shuffle-free replacement for ntile-as-bucketer: ntile needs a
+    global sort just to slice the corpus into n chunks; arithmetic
+    range bucketing needs one 1-row min/max broadcast and a row-local
+    expression. For dense allocator ids (the ingest-order case) the
+    buckets are near-equal-count too. `ingest_bucket_sql` is the
+    DuckDB twin — integer floor division on both engines, so the
+    assignment is bit-identical."""
+    lo, span = f"__ib_lo_{out}", f"__ib_span_{out}"
+    bounds = df.agg(
+        F.min(id_col).cast("bigint").alias(lo),
+        (F.max(id_col) - F.min(id_col) + 1).cast("bigint").alias(span),
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn(
+            out,
+            (F.expr(f"(({id_col} - {lo}) * {n}) div {span}") + 1).cast("int"),
+        )
+        .drop(lo, span)
+    )
+
+
+def ingest_bucket_sql(id_expr: str, n: int, lo: str = "lo", span: str = "span") -> str:
+    """DuckDB twin of `with_ingest_bucket` — pair with a CTE like
+    `bnds AS (SELECT MIN(id) AS lo, MAX(id) - MIN(id) + 1 AS span
+    FROM t)` cross-joined in."""
+    return f"CAST((({id_expr} - {lo}) * {n}) // {span} + 1 AS INT)"
+
+
+def with_global_ntile(
+    df: DataFrame,
+    value: Column,
+    order_cols: list[Column],
+    k: int,
+    out: str,
+    n_buckets: int = DEFAULT_RANK_BUCKETS,
+) -> DataFrame:
+    """`NTILE(k) OVER (ORDER BY order_cols)` as `out`, scale-safe."""
+    rn_col, tot_col = f"__nt_rn_{out}", f"__nt_n_{out}"
+    ranked = with_global_row_number(
+        df, value, order_cols, out=rn_col, total_out=tot_col, n_buckets=n_buckets
+    )
+    return ranked.withColumn(
+        out, ntile_from_rn(F.col(rn_col), F.col(tot_col), k)
+    ).drop(rn_col, tot_col)

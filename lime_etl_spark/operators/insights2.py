@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lime_etl_spark.functions.numeric import dec, to_double
+from lime_etl_spark.functions.ranks import with_global_ntile, with_global_row_number
 from lime_etl_spark.functions.text import shingle_int_sql
 from lime_etl_spark.operators.dedup import _minhash_sql
 from lime_etl_spark.operators.training import _bucket_sql
@@ -1602,22 +1603,56 @@ def dq_id_time_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     loads keyed on id); a large max inversion bounds the overlap
     re-read window an id-keyed incremental load must add.
 
-    Scale: ONE lag window along the id order (the documented global
-    sort — at 100 TB this runs per id-shard with shard-boundary
-    stitching, the same decomposition samp_domain_budget documents);
-    counters-only output.
+    Scale: the lag along the id order decomposes into id-RANGE shards
+    (arithmetic from the broadcast min/max id — shard order refines id
+    order) — the lag window runs WITHIN each shard in parallel, and
+    the only cross-shard pairs are the ≤N_SHARDS boundary adjacencies,
+    stitched from each shard's (first, last) rows over the tiny shard
+    roster. Exactly the adjacent-pair set of the global sort, with no
+    task ever holding more than one shard; counters-only output.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
     us = F.unix_micros("ts")
-    ordered = ev.select(
-        "event_id", us.alias("ts_us"), F.lag(us).over(w).alias("prev_us")
+    rows = ev.select(F.col("event_id").cast("bigint").alias("eid"), us.alias("ts_us"))
+    n_shards = 256
+    bounds = rows.agg(
+        F.min("eid").alias("lo"), (F.max("eid") - F.min("eid") + 1).alias("span")
+    )
+    sharded = rows.join(F.broadcast(bounds)).withColumn(
+        "shard", ((F.col("eid") - F.col("lo")) * n_shards / F.col("span")).cast("bigint")
+    )
+    w_in = Window.partitionBy("shard").orderBy("eid")
+    within = sharded.select(
+        "shard",
+        "eid",
+        "ts_us",
+        F.lag("ts_us").over(w_in).alias("prev_us"),
     )
     inv = F.col("prev_us").isNotNull() & (F.col("ts_us") < F.col("prev_us"))
-    return ordered.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.when(inv, 1).otherwise(0)).cast("bigint").alias("n_inversions"),
-        F.max(F.when(inv, F.col("prev_us") - F.col("ts_us")).otherwise(0))
+    per_shard = within.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(inv, 1).otherwise(0)).alias("inv_n"),
+        F.max(F.when(inv, F.col("prev_us") - F.col("ts_us")).otherwise(0)).alias(
+            "inv_max"
+        ),
+        F.min_by("ts_us", "eid").alias("first_us"),
+        F.max_by("ts_us", "eid").alias("last_us"),
+    )
+    # boundary stitch: the lag of each shard's first row is the
+    # previous NON-EMPTY shard's last row — a window over the
+    # ≤n_shards-row roster (bounded by construction).
+    w_b = Window.orderBy("shard")
+    stitched = per_shard.withColumn("prev_last", F.lag("last_us").over(w_b))
+    b_inv = F.col("prev_last").isNotNull() & (F.col("first_us") < F.col("prev_last"))
+    return stitched.agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        (F.sum("inv_n") + F.sum(F.when(b_inv, 1).otherwise(0)))
+        .cast("bigint")
+        .alias("n_inversions"),
+        F.greatest(
+            F.max("inv_max"),
+            F.max(F.when(b_inv, F.col("prev_last") - F.col("first_us")).otherwise(0)),
+        )
         .cast("bigint")
         .alias("max_inversion_us"),
     )
@@ -1655,9 +1690,9 @@ def cur_length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     would DROP — the grid says where thresholds should bend.
 
     Scale: row-local features (same expressions as
-    txt_quality_score, so 'quality' agrees), two global ntiles over
-    the doc-grain rollup with doc_id tie-breaks (documented
-    one-task sorts), ≤100-cell output.
+    txt_quality_score, so 'quality' agrees), two exact ntiles over
+    the doc-grain rollup via the sharded-rank decomposition
+    (functions/ranks.py — no single-task sorts), ≤100-cell output.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -1668,12 +1703,20 @@ def cur_length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
         ).alias("distinct_ratio"),
     )
-    w_len = Window.orderBy("n_chars_calc", "doc_id")
-    w_q = Window.orderBy("distinct_ratio", "doc_id")
-    deciled = feats.select(
-        F.ntile(10).over(w_len).alias("len_decile"),
-        F.ntile(10).over(w_q).alias("qual_decile"),
+    deciled = with_global_ntile(
+        feats,
+        F.col("n_chars_calc"),
+        [F.col("n_chars_calc"), F.col("doc_id")],
+        k=10,
+        out="len_decile",
     )
+    deciled = with_global_ntile(
+        deciled,
+        F.col("distinct_ratio"),
+        [F.col("distinct_ratio"), F.col("doc_id")],
+        k=10,
+        out="qual_decile",
+    ).select("len_decile", "qual_decile")
     return (
         deciled.groupBy("len_decile", "qual_decile")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
@@ -1810,18 +1853,18 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ints with a custkey tie-break, so Σi·xᵢ and Σx are exact int64
     (i·x ≈ 1e5·1e9 = 1e14 per term; the sum's envelope is the
     documented decimal38 upgrade at extreme scale); the final Gini
-    is one fixed double chain. Scale: per-customer reduce first, one
-    global rank over the rollup (documented one-task sort), 1-row
-    output.
+    is one fixed double chain. Scale: per-customer reduce first, then
+    the exact global rank comes from the sharded-rank decomposition
+    (functions/ranks.py — quantile buckets, partition-local
+    row_number, broadcast offsets; no single-task sort), 1-row output.
     """
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         (F.sum(dec("o_totalprice", 2, 12)) * 100).cast("bigint").alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = cust.select(
-        "cents", F.row_number().over(w).cast("bigint").alias("i")
-    )
+    ranked = with_global_row_number(
+        cust, F.col("cents"), [F.col("cents"), F.col("o_custkey")], out="i"
+    ).select("cents", "i")
     s = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("sx"),
@@ -2519,11 +2562,16 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     small orders; volume-weighted is what pricing actually reads.
 
     Scale: the fact reduces to (brand, price) weight cells FIRST
-    (everything after is cell-grain); the cumulative-weight window
-    runs per brand over those cells; the median pick is the MIN price
-    with 2·cum ≥ total — an integer cross-multiply, no division, so
-    the boundary cell is engine-exact. The unit price itself is a
-    pure INTEGER floor-division of cents (decimal division rounds at
+    (everything after is cell-grain); the per-brand cumulative-weight
+    window decomposes by PRICE-RANGE shard (shard = price div 2^14 —
+    shard order refines price order): running sums WITHIN each
+    (brand, shard) in parallel, plus broadcast per-(brand, shard)
+    offsets from the bounded shard roster — the samp_domain_budget
+    stitch, so no task ever sequences a whole brand's cells. The
+    median pick is the MIN price with 2·cum ≥ total — an integer
+    cross-multiply, no division, so the boundary cell is
+    engine-exact. The unit price itself is a pure INTEGER
+    floor-division of cents (decimal division rounds at
     engine-specific result scales — found by the oracle: Spark and
     DuckDB disagreed by one cent).
     """
@@ -2538,18 +2586,40 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                 li.l_partkey == F.col("p_partkey"))
         .groupBy("p_brand", price_cents.alias("price_cents"))
         .agg((F.sum(dec("l_quantity", 2, 12)) * 100).cast("bigint").alias("qty_cents"))
+        .withColumn("shard", F.expr("price_cents div 16384"))
     )
-    tot = pp.groupBy("p_brand").agg(
-        F.sum("qty_cents").cast("bigint").alias("total_qty")
+    w_in = (
+        Window.partitionBy("p_brand", "shard")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w = Window.partitionBy("p_brand").orderBy("price_cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w_off = (
+        Window.partitionBy("p_brand")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = pp.join(tot, "p_brand").select(
-        "p_brand",
-        "price_cents",
-        F.sum("qty_cents").over(w).cast("bigint").alias("cum_qty"),
-        "total_qty",
+    offsets = (
+        pp.groupBy("p_brand", "shard")
+        .agg(F.sum("qty_cents").alias("st"))
+        .withColumn("offset", F.sum("st").over(w_off) - F.col("st"))
+        .withColumn("total_qty", F.sum("st").over(Window.partitionBy("p_brand")))
+        .select(
+            F.col("p_brand").alias("ob"), F.col("shard").alias("os"),
+            "offset", "total_qty",
+        )
+    )
+    cum = (
+        pp.withColumn("rsum", F.sum("qty_cents").over(w_in))
+        .join(
+            F.broadcast(offsets),
+            (F.col("p_brand") == F.col("ob")) & (F.col("shard") == F.col("os")),
+        )
+        .select(
+            "p_brand",
+            "price_cents",
+            (F.col("offset") + F.col("rsum")).cast("bigint").alias("cum_qty"),
+            F.col("total_qty").cast("bigint").alias("total_qty"),
+        )
     )
     return (
         cum.where(2 * F.col("cum_qty") >= F.col("total_qty"))

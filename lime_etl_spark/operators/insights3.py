@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lime_etl_spark.functions.numeric import dec
+from lime_etl_spark.functions.ranks import ingest_bucket_sql, with_ingest_bucket
 from lime_etl_spark.operators.events import SESSION_GAP_US
 from lime_etl_spark.operators.similarity import with_int8_vectors
 from lime_etl_spark.operators.text import BPE_RE
@@ -282,10 +283,13 @@ VOCAB_BUCKETS = 20
 @register(
     "txt_vocab_growth",
     oracle=f"""
-    WITH bucketed AS (
-        SELECT doc_id, text,
-               ntile({VOCAB_BUCKETS}) OVER (ORDER BY doc_id) AS bucket
+    WITH bnds AS (
+        SELECT MIN(doc_id) AS lo, MAX(doc_id) - MIN(doc_id) + 1 AS span
         FROM documents
+    ), bucketed AS (
+        SELECT doc_id, text,
+               {ingest_bucket_sql("doc_id", VOCAB_BUCKETS)} AS bucket
+        FROM documents, bnds
     ), tok AS (
         SELECT bucket, unnest(string_split(text, ' ')) AS token
         FROM bucketed
@@ -311,26 +315,24 @@ VOCAB_BUCKETS = 20
     description="vocabulary growth curve over the corpus (Heaps-law audit: new types per ingest bucket — the dedup/scaling forecast input)",
 )
 def txt_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """How fast does the corpus stop teaching new words? Docs are
-    ntile'd into ingest-order buckets (doc_id is the ingest order; the
-    total order makes ntile deterministic cross-engine), each token's
-    birth bucket is its MIN bucket, and the per-bucket new-type count
-    traces the Heaps curve — the input to 'how much new data do we
-    need for X new vocabulary' forecasts. Counts are exact ints;
-    novelty_rate is the one IEEE division.
+    """How fast does the corpus stop teaching new words? Docs fall
+    into arithmetic ingest-order buckets (doc_id is the ingest order;
+    equal id-range slices from a broadcast min/max — bit-identical
+    cross-engine), each token's birth bucket is its MIN bucket, and
+    the per-bucket new-type count traces the Heaps curve — the input
+    to 'how much new data do we need for X new vocabulary' forecasts.
+    Counts are exact ints; novelty_rate is the one IEEE division.
 
-    Scale: tokens explode the corpus once; the birth reduce is a
-    (token → min bucket) map-side-combining groupBy whose state is
-    |vocab|, not |tokens|; per-bucket rollups are |buckets| rows and
-    the cumulative window sorts {VOCAB_BUCKETS} rows on a single
-    partition — bounded by construction. ntile's window sorts by
-    doc_id, which a sort-ordered ingest (or a zorder write) makes a
-    near-no-op under AQE.
+    Scale: bucketing is row-local (functions/ranks.with_ingest_bucket
+    — no sort, no shuffle); tokens explode the corpus once; the birth
+    reduce is a (token → min bucket) map-side-combining groupBy whose
+    state is |vocab|, not |tokens|; per-bucket rollups are |buckets|
+    rows and the cumulative window sorts {VOCAB_BUCKETS} rows on a
+    single partition — bounded by construction.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucketed = docs.select(
-        F.ntile(VOCAB_BUCKETS).over(Window.orderBy("doc_id")).alias("bucket"),
-        "text",
+    bucketed = with_ingest_bucket(docs, "doc_id", VOCAB_BUCKETS).select(
+        "bucket", "text"
     )
     tok = bucketed.select("bucket", F.explode(F.split("text", " ")).alias("token"))
     per_bucket = tok.groupBy("bucket").agg(
@@ -4686,14 +4688,18 @@ DRIFT_BUCKETS = 10
         SELECT MAX(list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))) / 127 AS s
         FROM embeddings
     ),
+    bnds AS (
+        SELECT MIN(vec_id) AS lo, MAX(vec_id) - MIN(vec_id) + 1 AS span
+        FROM embeddings
+    ),
     q AS (
         SELECT vec_id,
-               ntile({DRIFT_BUCKETS}) OVER (ORDER BY vec_id) AS bucket,
+               {ingest_bucket_sql("vec_id", DRIFT_BUCKETS)} AS bucket,
                list_transform(
                    CAST(embedding AS DOUBLE[]),
                    v -> CAST(GREATEST(LEAST(floor(v / s + 0.5), 127), -127) AS BIGINT)
                ) AS qv
-        FROM embeddings, m
+        FROM embeddings, m, bnds
     ),
     per_vec AS (
         SELECT bucket,
@@ -4721,15 +4727,16 @@ def emb_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages anyone. Σ terms exact int64 at serving resolution; one
     division per bucket.
 
-    Scale: the ntile window sorts ids only (cheap; zorder/sorted
-    ingest makes it near-free); per-vector norms are row-local array
-    folds; the rollup is {DRIFT_BUCKETS} rows.
+    Scale: buckets are arithmetic id-range slices from a broadcast
+    1-row min/max (functions/ranks.with_ingest_bucket) — row-local,
+    no sort; per-vector norms are row-local array folds; the rollup
+    is {DRIFT_BUCKETS} rows.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     per_vec = (
-        with_int8_vectors(emb, "vec_id")
+        with_ingest_bucket(with_int8_vectors(emb, "vec_id"), "vec_id", DRIFT_BUCKETS)
         .select(
-            F.ntile(DRIFT_BUCKETS).over(Window.orderBy("vec_id")).alias("bucket"),
+            "bucket",
             F.aggregate(
                 F.transform("qv", lambda v: v * v), F.lit(0).cast("bigint"), lambda a, v: a + v
             ).alias("norm_sq"),
@@ -6662,11 +6669,15 @@ def emb_int4_vs_int8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "txt_ingest_drift",
     oracle=f"""
-    WITH bucketed AS (
-        SELECT ntile({DRIFT_BUCKETS}) OVER (ORDER BY doc_id) AS bucket,
+    WITH bnds AS (
+        SELECT MIN(doc_id) AS lo, MAX(doc_id) - MIN(doc_id) + 1 AS span
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT {ingest_bucket_sql("doc_id", DRIFT_BUCKETS)} AS bucket,
                CAST(n_chars AS BIGINT) AS n_chars,
                CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe
-        FROM documents
+        FROM documents, bnds
     )
     SELECT bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -6688,12 +6699,14 @@ def txt_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors, aimed at the text column). Exact sums, one division
     per ratio.
 
-    Scale: the ntile window sorts ids (near-free on sorted ingest);
-    everything else is a {DRIFT_BUCKETS}-row rollup.
+    Scale: buckets are ARITHMETIC id-range slices from a broadcast
+    1-row min/max (functions/ranks.with_ingest_bucket) — row-local,
+    no sort, no shuffle; everything else is a {DRIFT_BUCKETS}-row
+    rollup.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucketed = docs.select(
-        F.ntile(DRIFT_BUCKETS).over(Window.orderBy("doc_id")).alias("bucket"),
+    bucketed = with_ingest_bucket(docs, "doc_id", DRIFT_BUCKETS).select(
+        "bucket",
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.regexp_count("text", F.lit(BPE_RE)).cast("bigint").alias("n_bpe"),
     )
@@ -7089,7 +7102,7 @@ def q_cross_sell_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a_not_b = (
         own_a.join(own_b_keys, ["brand_b", "cust"], "left_anti")
-        .groupBy("brand_a", "brand_b", "n_both_orders")
+        .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("a_not_b"))
     )
     own_b = (
@@ -7106,8 +7119,14 @@ def q_cross_sell_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("b_not_a"))
     )
     sizes = cb.groupBy("p_brand").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # Drive the output from the persisted 10-row pairs frame and LEFT-
+    # join the gap counts: a fully-penetrated pair (zero whitespace in
+    # one direction) produces no group row on that side, and an inner
+    # join would silently drop exactly the pairs a campaign table must
+    # surface as "no gap left".
     return (
-        a_not_b.join(b_not_a, ["brand_a", "brand_b"])
+        pairs.join(a_not_b, ["brand_a", "brand_b"], "left")
+        .join(b_not_a, ["brand_a", "brand_b"], "left")
         .join(
             F.broadcast(sizes.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("n_cust_a"))),
             "brand_a",
@@ -7122,8 +7141,8 @@ def q_cross_sell_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_both_orders",
             "n_cust_a",
             "n_cust_b",
-            "a_not_b",
-            "b_not_a",
+            F.coalesce("a_not_b", F.lit(0)).cast("bigint").alias("a_not_b"),
+            F.coalesce("b_not_a", F.lit(0)).cast("bigint").alias("b_not_a"),
         )
         .orderBy(F.desc("n_both_orders"), "brand_a", "brand_b")
     )

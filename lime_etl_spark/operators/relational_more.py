@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lime_etl_spark.functions.numeric import dec, to_double
+from lime_etl_spark.functions.ranks import with_global_ntile
 from lime_etl_spark.plans.registry import register
 from lime_etl_spark.sources.readers import load_table
 
@@ -647,13 +648,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-scoring rollup a marketing pipeline feeds from the lake.
 
     Orders reduce to one row per customer first (one shuffle, partial
-    aggs); the three global NTILEs then sort only the |customers|-row
-    rollup. A global ntile is a single-partition sort — fine because
-    its input is the reduced rollup, not the fact; at extreme customer
-    counts the documented path is percent_rank-from-approx-percentile
-    bucketing, which needs no global sort. The reference-date scalar
-    (MAX orderdate) is a 1-row broadcast, never a collect. All three
-    scores tie-break on custkey so ntile boundaries are deterministic.
+    aggs); the three NTILEs then run over the customer rollup via the
+    scale-safe sharded-rank decomposition (functions/ranks.py):
+    quantile-bucketed local sorts + broadcast bucket offsets — exact
+    ANSI ntile, no single-partition sort even at billions of
+    customers. The reference-date scalar (MAX orderdate) is a 1-row
+    broadcast, never a collect. All three scores tie-break on custkey
+    so ntile boundaries are deterministic.
     """
     orders = load_table(spark, sf_dir, "orders")
     ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
@@ -666,12 +667,33 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             to_double(F.sum(dec("o_totalprice", 2, 12))).alias("monetary"),
         )
     )
-    r = F.ntile(4).over(Window.orderBy("recency_days", "o_custkey"))
-    f_ = F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey"))
-    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+    scored = with_global_ntile(
+        per_cust,
+        F.col("recency_days"),
+        [F.col("recency_days"), F.col("o_custkey")],
+        k=4,
+        out="r_score",
+    )
+    scored = with_global_ntile(
+        scored,
+        -F.col("frequency"),
+        [F.desc("frequency"), F.col("o_custkey")],
+        k=4,
+        out="f_score",
+    )
+    scored = with_global_ntile(
+        scored,
+        -F.col("monetary"),
+        [F.desc("monetary"), F.col("o_custkey")],
+        k=4,
+        out="m_score",
+    )
     return (
-        per_cust.select(
-            "monetary", (r * 100 + f_ * 10 + m).alias("segment")
+        scored.select(
+            "monetary",
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).alias("segment"),
         )
         .groupBy("segment")
         .agg(
@@ -810,19 +832,25 @@ def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deciles, each decile's revenue and the cumulative share curve —
     the one-glance "top 10% drives X%" table.
 
-    Orders reduce per-customer first; the single global ntile sorts
-    only the customer rollup (same documented approx-percentile escape
-    as q_rfm_segments at extreme cardinality); the cumulative sum then
-    runs over exactly 10 rows. All money stays decimal-exact until the
-    final cast.
+    Orders reduce per-customer first; the decile assignment runs via
+    the sharded-rank decomposition (functions/ranks.py) — quantile
+    buckets + broadcast offsets, exact ANSI ntile with every sort
+    partition-local; the cumulative sum then runs over exactly 10
+    rows. All money stays decimal-exact until the final cast.
     """
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         to_double(F.sum(dec("o_totalprice", 2, 12))).alias("spend")
     )
-    decile = F.ntile(10).over(Window.orderBy(F.desc("spend"), "o_custkey"))
+    deciled = with_global_ntile(
+        per_cust,
+        -F.col("spend"),
+        [F.desc("spend"), F.col("o_custkey")],
+        k=10,
+        out="decile",
+    )
     per_dec = (
-        per_cust.select("spend", decile.alias("decile"))
+        deciled.select("spend", "decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),

@@ -1698,6 +1698,31 @@ def test_basket_breadth_matches_oracle(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_cross_sell_gaps_fully_penetrated_pair_survives(spark, tmp_path):
+    """Regression (round-1 advice): a top pair whose whitespace is
+    ZERO in both directions must still appear, with 0 gap counts —
+    the old inner-join build silently dropped it. Fixture: two
+    customers, both holding brands A and B."""
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(10, 1), (11, 2)], "o_orderkey bigint, o_custkey bigint"
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(100, "BrandA"), (101, "BrandB")], "p_partkey bigint, p_brand string"
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    li = [(10, 100), (10, 101), (11, 100), (11, 101)]
+    spark.createDataFrame(
+        li, "l_orderkey bigint, l_partkey bigint"
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    rows = i3.q_cross_sell_gaps(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.brand_a, r.brand_b, r.n_both_orders) == ("BrandA", "BrandB", 2)
+    assert (r.n_cust_a, r.n_cust_b) == (2, 2)
+    assert (r.a_not_b, r.b_not_a) == (0, 0)
+    spark.catalog.clearCache()
+
+
 def test_basket_breadth_conserves_orders(spark, sf_dir):
     from lime_etl_spark.sources.readers import load_table
 

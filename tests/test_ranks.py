@@ -1,0 +1,112 @@
+"""`functions/ranks.py` must reproduce the global-window semantics
+EXACTLY — these tests pin it against Spark's own single-partition
+`row_number`/`ntile` on adversarial shapes (ties, skew, n<k, n=1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lime_etl_spark.functions.ranks import (
+    ntile_from_rn,
+    with_global_ntile,
+    with_global_row_number,
+)
+
+
+def _frame(spark, values):
+    rows = [(i, v) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, "id bigint, v bigint")
+
+
+SHAPES = {
+    "distinct": list(range(100)),
+    "all_ties": [7] * 40,
+    "skewed": [1] * 50 + [2] * 3 + list(range(100, 147)),
+    "tiny_n_lt_k": [5, 3, 9],
+    "singleton": [42],
+    "negative": [-5, -5, 0, 3, -17, 3, 3],
+}
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+def test_row_number_matches_global_window(spark, shape):
+    df = _frame(spark, SHAPES[shape])
+    got = with_global_row_number(
+        df, F.col("v"), [F.col("v"), F.col("id")], n_buckets=4
+    )
+    want = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "id")).cast("bigint")
+    )
+    g = {r["id"]: r["rn"] for r in got.collect()}
+    w = {r["id"]: r["rn"] for r in want.collect()}
+    assert g == w
+    n = len(SHAPES[shape])
+    assert all(r["n_total"] == n for r in got.collect())
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+@pytest.mark.parametrize("k", [1, 3, 4, 10])
+def test_ntile_matches_global_window(spark, shape, k):
+    df = _frame(spark, SHAPES[shape])
+    got = with_global_ntile(
+        df, F.col("v"), [F.col("v"), F.col("id")], k=k, out="t", n_buckets=4
+    )
+    want = df.withColumn("t", F.ntile(k).over(Window.orderBy("v", "id")))
+    g = {r["id"]: r["t"] for r in got.collect()}
+    w = {r["id"]: r["t"] for r in want.collect()}
+    assert g == w
+
+
+def test_desc_ordering_via_negated_value(spark):
+    df = _frame(spark, SHAPES["skewed"])
+    got = with_global_row_number(
+        df, -F.col("v"), [F.desc("v"), F.col("id")], n_buckets=4
+    )
+    want = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("v"), "id")).cast("bigint")
+    )
+    assert {r["id"]: r["rn"] for r in got.collect()} == {
+        r["id"]: r["rn"] for r in want.collect()
+    }
+
+
+def test_ntile_formula_exhaustive(spark):
+    """ntile_from_rn == ANSI ntile for every (n, k) in a dense grid."""
+    for n in (1, 2, 5, 7, 12, 40):
+        df = _frame(spark, list(range(n)))
+        for k in (1, 2, 3, 4, 5, 8, 11, 40, 50):
+            want = df.select(
+                "id", F.ntile(k).over(Window.orderBy("v", "id")).alias("t")
+            )
+            got = df.select(
+                "id",
+                ntile_from_rn(
+                    F.row_number().over(Window.orderBy("v", "id")),
+                    F.lit(n),
+                    k,
+                ).alias("t"),
+            )
+            assert {r["id"]: r["t"] for r in got.collect()} == {
+                r["id"]: r["t"] for r in want.collect()
+            }, f"n={n} k={k}"
+
+
+def test_entity_grain_window_is_partitioned(spark):
+    """The whole point: the rank window over the ENTITY-grain input
+    must be partitioned by the bucket column (hash exchange), and the
+    only SinglePartition exchange in the plan feeds the ≤n_buckets
+    offsets roster (input: HashAggregate keyed on __rk_b)."""
+    import re
+
+    df = _frame(spark, list(range(1000)))
+    got = with_global_row_number(df, F.col("v"), [F.col("v"), F.col("id")])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # local rank window is partitioned by __rk_b
+    assert re.search(r"Window \[row_number\(\)[^\n]*\], \[__rk_b", plan), plan
+    # every SinglePartition exchange sits directly on the bucket-keyed
+    # aggregate (bounded roster), never on raw rows
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n\s*[+:\-| ]*\*?\(?\d*\)?\s*(\w+)\(?(keys=\[[^\]]*\])?", plan):
+        node, keys = m.group(1), m.group(2) or ""
+        assert node == "HashAggregate" and "__rk_b" in keys, m.group(0)

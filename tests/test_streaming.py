@@ -478,7 +478,6 @@ def test_streaming_observed_metrics_surface_in_progress(spark, event_dir):
             seen.append((row["n_rows"], row["n_negative"]))
     total_rows = sum(r for r, _ in seen)
     total_neg = sum(n for _, n in seen)
-    batch = load_table(spark, "/root/testdata/sf0.001", "events")
     # event_dir is the sf fixture's events re-landed; compare to its count
     expected = spark.read.parquet(event_dir).count()
     assert total_rows == expected
