@@ -107,6 +107,44 @@ def ntile_from_rn(rn: Column, n_total: Column, k: int) -> Column:
     return F.when(in_big, tile_big).otherwise(tile_small).cast("int")
 
 
+def with_global_cumsum(
+    df: DataFrame,
+    value: Column,
+    order_cols: list[Column],
+    sum_col: str,
+    out: str = "cum",
+    n_buckets: int = DEFAULT_RANK_BUCKETS,
+) -> DataFrame:
+    """Exact `SUM(sum_col) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING..CURRENT ROW)` as `out`, with no single-partition sort:
+    same bucket/offset decomposition as `with_global_row_number`, the
+    running aggregate being a sum instead of a count. Preserves the
+    summed column's type (decimal stays decimal-exact)."""
+    tagged = df.withColumn("__cs_v", value.cast("double")).persist()
+    probes = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(tagged.approxQuantile("__cs_v", probes, 0.01)))
+    bucketed = tagged.withColumn("__cs_b", bucket_by_bounds(F.col("__cs_v"), bounds))
+
+    w_local = (
+        Window.partitionBy("__cs_b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_off = Window.orderBy("__cs_b").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = (
+        bucketed.groupBy("__cs_b")
+        .agg(F.sum(sum_col).alias("__cs_t"))
+        .withColumn("__cs_off", F.sum("__cs_t").over(w_off) - F.col("__cs_t"))
+        .select(F.col("__cs_b").alias("__cs_ob"), "__cs_off")
+    )
+    return (
+        bucketed.withColumn("__cs_rs", F.sum(sum_col).over(w_local))
+        .join(F.broadcast(offsets), F.col("__cs_b") == F.col("__cs_ob"))
+        .withColumn(out, F.col("__cs_off") + F.col("__cs_rs"))
+        .drop("__cs_v", "__cs_b", "__cs_ob", "__cs_off", "__cs_rs")
+    )
+
+
 def with_ingest_bucket(
     df: DataFrame, id_col: str, n: int, out: str = "bucket"
 ) -> DataFrame:

@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lime_etl_spark.functions.numeric import dec, to_double
-from lime_etl_spark.functions.ranks import with_global_ntile, with_global_row_number
+from lime_etl_spark.functions.ranks import (
+    with_global_cumsum,
+    with_global_ntile,
+    with_global_row_number,
+)
 from lime_etl_spark.functions.text import shingle_int_sql
 from lime_etl_spark.operators.dedup import _minhash_sql
 from lime_etl_spark.operators.training import _bucket_sql
@@ -2863,21 +2867,27 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve, this emits the three operational buckets stockage policy
     keys on.
 
-    Scale: per-part decimal reduce FIRST; ONE global running-sum
-    window over the |parts| rollup (documented one-task sort, dim-
-    bounded); class thresholds are decimal×integer cross-multiplies —
-    no share division ever happens, so the boundary part lands
-    identically on both engines. 3-row output.
+    Scale: per-part decimal reduce FIRST; the running sum over the
+    |parts| rollup runs via the sharded-cumsum decomposition
+    (functions/ranks.with_global_cumsum — quantile buckets,
+    partition-local running sums, broadcast offsets; decimal-exact
+    throughout, no single-task sort); class thresholds are
+    decimal×integer cross-multiplies — no share division ever
+    happens, so the boundary part lands identically on both engines.
+    3-row output.
     """
     li = load_table(spark, sf_dir, "lineitem")
     pr = li.groupBy("l_partkey").agg(
         F.sum(dec("l_extendedprice", 2, 12)).alias("rev")
     )
     tot = pr.agg(F.sum("rev").cast("decimal(38,2)").alias("total"))
-    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = pr.withColumn("cum", F.sum("rev").over(w).cast("decimal(38,2)"))
+    ranked = with_global_cumsum(
+        pr,
+        -F.col("rev"),
+        [F.desc("rev"), F.col("l_partkey")],
+        "rev",
+        out="cum",
+    ).withColumn("cum", F.col("cum").cast("decimal(38,2)"))
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "rev",
         F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
@@ -4117,8 +4127,11 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the strictly-cheaper RANGE frame ('1 PRECEDING' on cents) is
     well-defined; the equal-price group keeps only its minimal sizes
     (ties on both dims are mutually non-dominating and all survive).
-    Runs on the dim-sized part table (the global sort is a documented
-    one-task step, same as cur_rarity_score's vocab sort); the fact
+    The chain decomposes by PRICE-RANGE shard (shard = cents div
+    2^14, equal prices never split): the strictly-cheaper running min
+    runs WITHIN each shard, and the min over ALL earlier shards comes
+    from a broadcast prefix-min over the bounded shard roster — no
+    single-task sort even if the part dim grows fact-like. The fact
     tables never enter.
     """
     part = load_table(spark, sf_dir, "part")
@@ -4127,19 +4140,33 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         (dec("p_retailprice", 2, 12) * 100).cast("bigint").alias("price_cents"),
         "p_size",
-    )
-    w_cheaper = (
-        Window.orderBy("price_cents")
+    ).withColumn("shard", F.expr("price_cents div 16384"))
+    w_cheaper_in = (
+        Window.partitionBy("shard")
+        .orderBy("price_cents")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     w_same = Window.partitionBy("price_cents")
-    scanned = p.select(
-        "p_partkey",
-        "p_brand",
-        "price_cents",
-        "p_size",
-        F.min("p_size").over(w_cheaper).alias("min_cheaper_size"),
-        F.min("p_size").over(w_same).alias("min_same_price_size"),
+    w_prefix = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        p.groupBy("shard")
+        .agg(F.min("p_size").alias("shard_min"))
+        .withColumn("prefix_min", F.min("shard_min").over(w_prefix))
+        .select(F.col("shard").alias("ps"), "prefix_min")
+    )
+    scanned = (
+        p.join(F.broadcast(prefix), F.col("shard") == F.col("ps"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "price_cents",
+            "p_size",
+            # least() skips nulls: null ⟺ no strictly-cheaper row at all
+            F.least(
+                F.min("p_size").over(w_cheaper_in), F.col("prefix_min")
+            ).alias("min_cheaper_size"),
+            F.min("p_size").over(w_same).alias("min_same_price_size"),
+        )
     )
     return (
         scanned.where(

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lime_etl_spark.functions.numeric import to_double
+from lime_etl_spark.functions.ranks import with_global_row_number
 from lime_etl_spark.functions.text import shingle_int, shingle_int_sql
 from lime_etl_spark.operators.text import BPE_RE
 from lime_etl_spark.plans.registry import register
@@ -612,19 +613,21 @@ def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per shard; a loader balances workers by these stats without
     opening shards).
 
-    The global row_number is a single total-order window — at corpus
-    scale the documented swap is rangepartition-by-hash + per-partition
-    row_number + broadcast partition-offset cumsum (the same sharded
-    decomposition samp_domain_budget already implements for its
-    cumulative sums); the manifest rollup is counters-only either way.
-    ``write_training_shards`` materializes the same assignment
-    partitioned by shard_id.
+    The global row_number runs via the sharded-rank decomposition
+    (functions/ranks.with_global_row_number): quantile buckets over
+    the hash order, partition-local row_number, broadcast offsets —
+    no single-task sort at corpus scale; the manifest rollup is
+    counters-only. ``write_training_shards`` materializes the same
+    assignment partitioned by shard_id.
     """
     docs = load_table(spark, sf_dir, "documents")
-    rk = F.row_number().over(
-        Window.orderBy(hash_bucket(F.col("doc_id"), 1_000_000), "doc_id")
-    )
-    ranked = docs.select("doc_id", "n_chars", rk.alias("rk"))
+    hb = hash_bucket(F.col("doc_id"), 1_000_000)
+    ranked = with_global_row_number(
+        docs.select("doc_id", "n_chars"),
+        hb,
+        [hb, F.col("doc_id")],
+        out="rk",
+    ).select("doc_id", "n_chars", "rk")
     shard = ((F.col("rk") - 1) / SHARD_DOCS).cast("bigint")
     return (
         ranked.select("doc_id", "n_chars", shard.alias("shard_id"))
@@ -650,12 +653,12 @@ def write_training_shards(
     file per shard: the writer repartitions BY the shard column so
     each task owns whole shards — a data loader streams shard files
     sequentially with no cross-file doc splits."""
-    rk = F.row_number().over(
-        Window.orderBy(hash_bucket(F.col(id_col), 1_000_000), id_col)
+    hb = hash_bucket(F.col(id_col), 1_000_000)
+    sharded = (
+        with_global_row_number(docs, hb, [hb, F.col(id_col)], out="__rk")
+        .withColumn("shard_id", ((F.col("__rk") - 1) / shard_docs).cast("bigint"))
+        .drop("__rk", "n_total")
     )
-    sharded = docs.withColumn("__rk", rk).withColumn(
-        "shard_id", ((F.col("__rk") - 1) / shard_docs).cast("bigint")
-    ).drop("__rk")
     sharded.repartition("shard_id").write.mode("overwrite").partitionBy(
         "shard_id"
     ).parquet(path)
@@ -700,20 +703,26 @@ def samp_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniformity proof.
 
     One window per source partition (hash order, no global sort); the
-    source index and count come from a tiny dense_rank / 1-row
-    broadcast. The interleaved position is pure arithmetic — a writer
-    materializes training order by range-partitioning on it.
+    source index comes from a dense_rank over the DISTINCT-source
+    roster (|sources| rows — never the doc-grain frame) broadcast
+    back, the count from a 1-row broadcast. The interleaved position
+    is pure arithmetic — a writer materializes training order by
+    range-partitioning on it.
     """
     docs = load_table(spark, sf_dir, "documents")
     n_src = docs.agg(F.countDistinct("source").alias("n_src"))
-    src_ix = F.dense_rank().over(Window.orderBy("source"))
+    src_roster = (
+        docs.select("source")
+        .distinct()
+        .withColumn("src_ix", F.dense_rank().over(Window.orderBy("source")))
+    )
     rk = F.row_number().over(
         Window.partitionBy("source").orderBy(hash_bucket(F.col("doc_id"), 1_000_000), "doc_id")
     )
     ranked = (
         docs.select("doc_id", "source")
         .withColumn("rk", rk)
-        .withColumn("src_ix", src_ix)
+        .join(F.broadcast(src_roster), "source")
         .join(F.broadcast(n_src))
     )
     pos = (F.col("rk") - 1) * F.col("n_src") + F.col("src_ix") - 1

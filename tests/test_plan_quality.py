@@ -819,3 +819,79 @@ def test_later_batches_never_cartesian_3(spark, sf_dir, name):
         "q_winback_customers",  # 1-row final rollup cross
     ), f"{name} has an unexpected nested-loop join"
     spark.catalog.clearCache()
+
+
+# --- entity-grain global-window gate (round 2) -------------------------------
+
+# Ops whose logical plan legitimately contains an UNPARTITIONED Window
+# node: each one's window input is audited BOUNDED — a bucket/shard
+# roster from the sharded-rank decomposition (functions/ranks.py), a
+# calendar rollup (|days|/|months|), or a vocab/source/digit roster —
+# never entity-grain data that grows with the corpus. Anything NOT in
+# this dict must have ZERO unpartitioned windows; adding a new global
+# window means auditing its grain and registering it here.
+GLOBAL_WINDOW_BOUNDED_OK = {
+    # sharded-rank/cumsum helpers: ≤n_buckets offsets roster windows
+    "cur_length_quality_grid": 2,
+    "q_gini_revenue": 1,
+    "q_revenue_deciles": 3,  # 2 helper rosters + the 10-row decile cum
+    "q_rfm_segments": 2,  # helper rosters (optimizer-merged)
+    "q_abc_classification": 1,
+    "q_skyline_parts": 1,  # shard prefix-min roster
+    "pack_shard_manifest": 1,
+    "dq_id_time_monotonicity": 1,  # 256-row shard boundary stitch
+    # calendar-bounded rollups (|days| / |months| grain)
+    "dq_id_allocation_rate": 1,
+    "ev_anomaly_zscore": 1,
+    "ev_cumulative_adoption": 1,
+    "ev_rolling_kpis": 1,
+    "q_aov_trend": 1,
+    "q_moving_annual_total": 1,
+    "q_open_orders_sweep": 1,
+    "dq_distribution_drift": 1,  # histogram-bucket roster
+    "dq_benford": 1,  # 9-digit roster
+    # vocab/source-bounded rosters
+    "cur_rarity_score": 1,
+    "txt_rare_token_docs": 2,
+    "txt_vocab_coverage": 1,
+    "txt_vocab_growth": 1,  # VOCAB_BUCKETS-row cumulative types
+    "txt_zipf_audit": 1,
+    "samp_mixture_stats": 1,  # |sources| share window
+    "samp_source_interleave": 1,  # distinct-source dense_rank roster
+}
+
+
+def _unpartitioned_window_count(df) -> int:
+    """Walk the optimized logical plan (py4j) counting Window nodes
+    with an empty partitionSpec — the 'move everything to one task'
+    shape WindowExec warns about."""
+    count = 0
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            count += 1
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return count
+
+
+def test_no_entity_grain_global_windows(spark, sf_dir):
+    """Round-1 verdict item #3: a `Window.orderBy` with no partitionBy
+    over entity-grain input (customers, docs, facts) single-tasks the
+    sort at 100 TB. Every op must either partition its windows (the
+    sharded-rank decomposition) or appear in the audited bounded-OK
+    dict — with the exact count, so a NEW global window in a listed op
+    also fails."""
+    bad = {}
+    for name, spec in all_queries().items():
+        try:
+            n = _unpartitioned_window_count(spec.builder(spark, sf_dir))
+        except Exception:  # noqa: BLE001 - builder needs runtime state
+            continue
+        expected = GLOBAL_WINDOW_BOUNDED_OK.get(name, 0)
+        if n != expected:
+            bad[name] = (n, expected)
+    spark.catalog.clearCache()
+    assert not bad, f"unaudited unpartitioned windows (got, allowed): {bad}"
