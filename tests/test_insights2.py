@@ -1210,7 +1210,7 @@ def test_gfs_plan_covers_every_partition_once(spark, sf_dir):
 
 def test_audio_energy_windows_match_duration(spark):
     """Window count per clip == ceil(duration/window_ms); energies in
-    [0,1]; rerun is byte-identical (deterministic fake)."""
+    [0,1]; rerun is byte-identical (deterministic fixture + real RMS)."""
     import math
 
     from lime_etl_spark.operators.multimodal import (
@@ -1221,7 +1221,7 @@ def test_audio_energy_windows_match_duration(spark):
     media = build_media_fixture(spark, n=60).where(F.col("media_type") == "audio")
     meta = {r.media_id: r.meta["duration_ms"] for r in media.collect()}
     win = 500
-    en = audio_energy_windows(media, window_ms=win, fake=True)
+    en = audio_energy_windows(media, window_ms=win)
     rows = en.collect()
     by_media = {}
     for r in rows:

@@ -1,17 +1,16 @@
-"""Multimodal plumbing tests: schemas, determinism, 1→N explosion,
-real-mode gating. The decode core is a documented fake (LMM1 synthetic
-container) — what's under test is the Spark side."""
+"""Multimodal tests: REAL container decode (PPM/WAV/Y4M on numpy +
+stdlib `wave`), schemas, determinism, 1→N explosion, and the codec
+gate for compressed formats this environment cannot decode."""
 
 from __future__ import annotations
 
+import io
+import wave
+
+import numpy as np
 import pytest
 
 from lime_etl_spark.operators import multimodal as mm
-
-
-@pytest.fixture(autouse=True)
-def fake_decode(monkeypatch):
-    monkeypatch.setenv("LIME_SPARK_FAKE_DECODE", "1")
 
 
 @pytest.fixture(scope="module")
@@ -31,34 +30,80 @@ def test_fixture_schema_and_determinism(spark, media):
     assert types == {"image", "audio", "video"}
 
 
-def test_decode_media(media):
+def test_fixture_payloads_are_real_formats(media):
+    """Every payload must carry a genuine container magic — PPM (P6),
+    RIFF/WAVE, or YUV4MPEG2 — and stdlib/3rd-party parsers must accept
+    the audio leg without touching our decoder."""
+    rows = media.collect()
+    for r in rows:
+        raw = bytes(r["content"])
+        if r["media_type"] == "image":
+            assert raw[:2] == b"P6"
+        elif r["media_type"] == "audio":
+            assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+            with wave.open(io.BytesIO(raw), "rb") as w:  # stdlib accepts it
+                assert w.getframerate() == mm.AUDIO_RATE
+                assert w.getnchannels() == 1 and w.getsampwidth() == 2
+        else:
+            assert raw[:9] == b"YUV4MPEG2"
+
+
+def test_decode_media_derives_dims_from_bytes(media):
     decoded = mm.decode_media(media)
     assert decoded.schema == mm.DECODED_SCHEMA
     rows = {r["media_id"]: r for r in decoded.collect()}
     assert len(rows) == 60
     src = {r["media_id"]: r for r in media.collect()}
     for mid, r in rows.items():
+        meta = src[mid]["meta"]
         assert r["media_type"] == src[mid]["media_type"]
-        assert r["width"] == src[mid]["meta"]["width"]
         assert r["n_bytes"] == len(bytes(src[mid]["content"]))
+        if r["media_type"] == "image":
+            assert (r["width"], r["height"]) == (meta["width"], meta["height"])
+            assert r["sample_rate"] is None
+        elif r["media_type"] == "audio":
+            assert r["sample_rate"] == meta["sample_rate"]
+            assert r["duration_ms"] == meta["duration_ms"]
+            assert r["width"] is None
+        else:
+            assert (r["width"], r["height"]) == (meta["width"], meta["height"])
+            assert r["duration_ms"] == meta["duration_ms"]
+            assert r["n_frames"] == mm.VIDEO_FPS * meta["duration_ms"] // 1000
 
 
-def test_extract_features_deterministic(media):
+def test_extract_features_deterministic_and_content_derived(spark, media):
     f1 = {r["media_id"]: r["features"] for r in mm.extract_features(media, dim=8).collect()}
     f2 = {r["media_id"]: r["features"] for r in mm.extract_features(media, dim=8).collect()}
     assert f1 == f2
     assert all(len(v) == 8 for v in f1.values())
     assert all(0.0 <= x < 1.0 for v in f1.values() for x in v)
+    # content-derived: a one-pixel change must move at least one segment mean
+    one = media.where("media_type = 'image'").limit(1).collect()[0]
+    raw = bytearray(bytes(one["content"]))
+    raw[mm._data_offset(bytes(raw))] ^= 0xFF
+    tweaked = spark.createDataFrame(
+        [(one["media_id"], bytes(raw))], "media_id long, content binary"
+    )
+    ft = mm.extract_features(tweaked, dim=8).collect()[0]["features"]
+    assert ft != f1[one["media_id"]]
 
 
-def test_resize_images(media):
+def test_resize_images_resamples_pixels(spark, media):
     resized = mm.resize_images(media, 32, 32)
     rows = resized.collect()
     n_images = media.where("media_type = 'image'").count()
     assert len(rows) == n_images > 0
+    src = {r["media_id"]: bytes(r["content"]) for r in media.where("media_type='image'").collect()}
     for r in rows:
         assert r["meta"]["width"] == 32 and r["meta"]["height"] == 32
-    # header rewrite round-trips through the decoder
+        w, h, ch, px = mm._parse_netpbm(bytes(r["content"]))
+        assert (w, h, ch) == (32, 32, 3)
+        # nearest-neighbor: every output pixel exists in the source image
+        w0, h0, _c0, px0 = mm._parse_netpbm(src[r["media_id"]])
+        rows_ix = (np.arange(32) * h0) // 32
+        cols_ix = (np.arange(32) * w0) // 32
+        assert (px == px0[rows_ix][:, cols_ix]).all()
+    # pixel rewrite round-trips through the real decoder
     redecoded = mm.decode_media(resized).collect()
     assert all(r["width"] == 32 and r["height"] == 32 for r in redecoded)
 
@@ -69,18 +114,47 @@ def test_frame_sample_explodes_by_duration(media):
         r["media_id"]: r["n"]
         for r in frames.groupBy("media_id").count().withColumnRenamed("count", "n").collect()
     }
-    videos = {r["media_id"]: r["meta"]["duration_ms"] for r in media.where("media_type = 'video'").collect()}
+    videos = {r["media_id"]: r["meta"] for r in media.where("media_type = 'video'").collect()}
     assert set(per_media) == set(videos)
-    for mid, dur in videos.items():
-        assert per_media[mid] == max(1, dur // 1000)
+    for mid, meta in videos.items():
+        assert per_media[mid] == max(1, meta["duration_ms"] // 1000)
+    # each sampled frame is a decodable P5 luma image matching the video dims
     one = frames.where("media_id = 2 and frame_ix = 0").collect()[0]
-    assert len(bytes(one["frame"])) == 32
+    w, h, ch, px = mm._parse_netpbm(bytes(one["frame"]))
+    assert (w, h, ch) == (videos[2]["width"], videos[2]["height"], 1)
+    # ...and its pixels are exactly the Y plane of the source frame 0
+    src_raw = [bytes(r["content"]) for r in media.where("media_id = 2").collect()][0]
+    _w, _h, planes = mm._y4m_frame(src_raw, 0)
+    assert px[:, :, 0].tobytes() == planes[0].tobytes()
 
 
-def test_real_mode_raises(spark, media, monkeypatch):
-    monkeypatch.delenv("LIME_SPARK_FAKE_DECODE")
-    with pytest.raises(NotImplementedError):
-        mm.decode_media(media)
+def test_compressed_formats_hit_codec_gate(spark):
+    """JPEG/PNG/MP4 payloads must fail loudly with the documented
+    NotImplementedError — never fake output."""
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+    df = spark.createDataFrame([(1, bytearray(jpeg))], "media_id long, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|no codec available"):
+        mm.decode_media(df).collect()
+    with pytest.raises(NotImplementedError, match="no codec"):
+        mm._sniff(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+def test_audio_energy_windows_true_rms(spark, media):
+    """Energy must equal numpy RMS of the wave-decoded samples, and the
+    fixture's amplitude envelope must produce genuinely silent windows."""
+    audio = media.where("media_type = 'audio'")
+    en = {(r["media_id"], r["window_ix"]): r["energy"] for r in mm.audio_energy_windows(audio, window_ms=500).collect()}
+    raws = {r["media_id"]: bytes(r["content"]) for r in audio.collect()}
+    n_silent = 0
+    for mid, raw in raws.items():
+        rate, _dur, samples = mm._parse_wav(raw)
+        spw = rate * 500 // 1000
+        for ix in range(-(-len(samples) // spw)):
+            sl = samples[ix * spw : (ix + 1) * spw].astype(np.float64)
+            want = float(np.sqrt((sl * sl).mean())) / 32768.0
+            assert en[(mid, ix)] == pytest.approx(want, abs=1e-6)
+            n_silent += want < 0.05
+    assert n_silent > 0, "fixture envelope must zero some windows"
 
 
 def test_payload_integrity_audit(spark, sf_dir):
@@ -113,13 +187,7 @@ def test_preprocess_audit_invariants(spark, sf_dir):
 def test_arrow_decode_equals_pandas_decode(spark):
     """mapInArrow decode must emit exactly the rows the mapInPandas
     decode does — the surfaces differ only in interop overhead."""
-    from lime_etl_spark.operators.multimodal import (
-        build_media_fixture,
-        decode_media,
-        decode_media_arrow,
-    )
-
-    media = build_media_fixture(spark, n=120)
-    a = {r.media_id: r.asDict() for r in decode_media(media, fake=True).collect()}
-    b = {r.media_id: r.asDict() for r in decode_media_arrow(media, fake=True).collect()}
+    media = mm.build_media_fixture(spark, n=120)
+    a = {r.media_id: r.asDict() for r in mm.decode_media(media).collect()}
+    b = {r.media_id: r.asDict() for r in mm.decode_media_arrow(media).collect()}
     assert a == b

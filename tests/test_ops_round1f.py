@@ -68,11 +68,10 @@ def test_read_text_corpus_roundtrip(spark, sf_dir, tmp_path):
     )
 
 
-def test_read_media_dir_feeds_decode(spark, tmp_path, monkeypatch):
+def test_read_media_dir_feeds_decode(spark, tmp_path):
     """Write fixture payloads as files, ingest via binaryFile, and the
     existing decode stage must produce the same per-media dims as
     decoding the in-memory fixture."""
-    monkeypatch.setenv("LIME_SPARK_FAKE_DECODE", "1")
     from lime_etl_spark.operators.multimodal import build_media_fixture, decode_media
 
     fixture = build_media_fixture(spark, n=24)

@@ -29,8 +29,7 @@ def test_sketch_never_underestimates_and_bounded(spark, sf_dir):
         assert r["overestimate"] <= bound
 
 
-def test_image_near_dup_finds_planted_only(spark, sf_dir, monkeypatch):
-    monkeypatch.setenv("LIME_SPARK_FAKE_DECODE", "1")
+def test_image_near_dup_finds_planted_only(spark, sf_dir):
     rows = get("mm_image_near_dup").builder(spark, sf_dir).collect()
     planted = {(r["media_a"], r["media_b"]) for r in rows if r["media_b"] == r["media_a"] + 1_000_000}
     assert len(planted) == 20, "every perturbed copy must pair with its source"
@@ -42,11 +41,10 @@ def test_image_near_dup_finds_planted_only(spark, sf_dir, monkeypatch):
     assert all((a, b) in planted for a, b in ((r["media_a"], r["media_b"]) for r in rows))
 
 
-def test_ahash_banding_is_pigeonhole_exact(spark, monkeypatch):
+def test_ahash_banding_is_pigeonhole_exact(spark):
     """Any two signatures within tau=6 bits MUST share a 16-bit band
     (pigeonhole over 4 bands) — verify the candidate generator loses
     nothing vs brute force on a random signature set."""
-    monkeypatch.setenv("LIME_SPARK_FAKE_DECODE", "1")
     import random
 
     from lime_etl_spark.operators.multimodal import ahash_near_dup_pairs
