@@ -294,16 +294,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, candidates=cand).where(F.col("jaccard") >= JACCARD_TAU)
 
 
-# --- SimHash (rows-only: xxhash64 has no cross-engine twin) ---------------
+# --- SimHash (md5-bridge hashes => exact DuckDB twin) ---------------------
 
 HAMMING_MAX = 3
+SIMHASH_BITS = 60  # md5-bridge token hash width (15 hex chars)
+_SIMHASH_CHUNK_BITS = SIMHASH_BITS // 4  # 4 LSH bands of 15 bits
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit simhash per doc from xxhash64 token hashes.
+    """60-bit simhash per doc from md5-bridge token hashes
+    (`shingle_int` — identical integers in DuckDB, so the whole
+    signature, banding and hamming pipeline has an exact SQL oracle;
+    a production build swaps in xxhash64 for cheaper hashing, same
+    shape).
 
-    The 64 per-bit counters are packed 4-per-long (16-bit fields), so
-    the groupBy carries 16 SUM aggregates instead of 64 — a 4× cut in
+    The 60 per-bit counters are packed 4-per-long (16-bit fields), so
+    the groupBy carries 15 SUM aggregates instead of 60 — a 4× cut in
     aggregation state and shuffle width. A field counts distinct
     tokens per doc, so it cannot overflow below 65k distinct tokens
     (token-level simhash on bigger docs should chunk first). Bit i is
@@ -311,10 +317,10 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     sign rule."""
     tok = spread(docs, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select("doc_id", shingle_int(F.col("tok")).alias("h"))
 
     fields_per_long, field_bits = 4, 16
-    n_groups = 64 // fields_per_long
+    n_groups = SIMHASH_BITS // fields_per_long
     packed = []
     for j in range(n_groups):
         expr = None
@@ -337,10 +343,43 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return counts.select("doc_id", sim.alias("simhash"))
 
 
+def _simhash_sig_sql() -> str:
+    """DuckDB twin of `simhash_signatures`: md5-bridge token hashes,
+    60 per-bit majority votes recombined into one BIGINT. Emitted as
+    60 explicit SUM aggregates (no per-bit row explosion)."""
+    sums = ", ".join(
+        f"SUM((h >> {i}) & 1) AS c{i}" for i in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN 2 * c{i} > n_tok THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    tok AS (
+        SELECT DISTINCT doc_id, t.tok
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+    ),
+    h AS (SELECT doc_id, {shingle_int_sql('tok')} AS h FROM tok),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_tok, {sums} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, {bits} AS simhash FROM cnt),
+    bands AS (
+        SELECT doc_id, simhash, c AS chunk,
+               (simhash >> ({_SIMHASH_CHUNK_BITS} * c)) & {(1 << _SIMHASH_CHUNK_BITS) - 1} AS ck
+        FROM sig, range(4) AS r(c)
+    )"""
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64 is Spark-specific; invariants pytest-checked
-    description="SimHash near-dup pairs (16-bit chunk LSH, Hamming<=3)",
+    oracle=f"""
+    WITH {_simhash_sig_sql()}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+    description="SimHash near-dup pairs (15-bit chunk LSH, Hamming<=3)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the self-join consumes the signature pipeline twice;
@@ -363,8 +402,8 @@ def simhash_band_pairs(sigs: DataFrame) -> DataFrame:
             *[
                 F.struct(
                     F.lit(c).alias("chunk"),
-                    F.shiftright(F.col("simhash"), c * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("simhash"), c * _SIMHASH_CHUNK_BITS)
+                    .bitwiseAND(F.lit((1 << _SIMHASH_CHUNK_BITS) - 1))
                     .alias("ck"),
                 )
                 for c in range(4)
@@ -429,6 +468,29 @@ def simhash_edges_scaled(sigs: DataFrame) -> DataFrame:
 
 @register(
     "dedup_simhash_scaled",
+    oracle=f"""
+    WITH {_simhash_sig_sql()},
+    reps AS (SELECT simhash, MIN(doc_id) AS doc_id FROM sig GROUP BY simhash),
+    same_sig AS (
+        SELECT r.doc_id AS doc_a, s.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
+        FROM sig s JOIN reps r USING (simhash)
+        WHERE s.doc_id <> r.doc_id
+    ),
+    rep_bands AS (
+        SELECT doc_id, simhash, c AS chunk,
+               (simhash >> ({_SIMHASH_CHUNK_BITS} * c)) & {(1 << _SIMHASH_CHUNK_BITS) - 1} AS ck
+        FROM reps, range(4) AS r(c)
+    ),
+    rep_pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM rep_bands a JOIN rep_bands b
+          ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    )
+    SELECT * FROM same_sig UNION ALL SELECT * FROM rep_pairs
+    ORDER BY doc_a, doc_b
+    """,
     description="templated-corpus simhash dedup: star edges for identical signatures + banding over distinct signatures",
 )
 def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:

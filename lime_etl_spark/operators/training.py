@@ -824,7 +824,60 @@ def samp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack_best_fit",
-    oracle=None,  # iterative bin packing has no SQL twin; pytest proves invariants
+    # BFD is iterative, but it IS deterministically replayable: a
+    # DuckDB recursive CTE walks the same longest-first doc order per
+    # (lang, shard), carrying the open-bin load table as a LIST column
+    # and applying the identical first-fullest-fitting-bin rule — so
+    # the "no SQL twin" op got an exact SQL twin after all.
+    oracle=f"""
+    WITH RECURSIVE sized AS (
+        SELECT doc_id, lang, doc_id % {PACK_SHARDS} AS shard,
+               CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), ordered AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, shard
+                                     ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM sized
+    ), steps AS (
+        SELECT lang, shard, 0 AS rn,
+               CAST([] AS BIGINT[]) AS loads, CAST([] AS BIGINT[]) AS ndocs
+        FROM (SELECT DISTINCT lang, shard FROM sized)
+        UNION ALL
+        SELECT s.lang, s.shard, o.rn,
+               CASE WHEN o.n_tokens > {PACK_BUDGET} OR best_i IS NULL
+                    THEN list_append(s.loads, o.n_tokens)
+                    ELSE list_transform(s.loads, (x, j) ->
+                           CASE WHEN j = best_i THEN x + o.n_tokens ELSE x END)
+               END AS loads,
+               CASE WHEN o.n_tokens > {PACK_BUDGET} OR best_i IS NULL
+                    THEN list_append(s.ndocs, CAST(1 AS BIGINT))
+                    ELSE list_transform(s.ndocs, (x, j) ->
+                           CASE WHEN j = best_i THEN x + 1 ELSE x END)
+               END AS ndocs
+        FROM steps s
+        JOIN ordered o ON o.lang = s.lang AND o.shard = s.shard AND o.rn = s.rn + 1
+        CROSS JOIN LATERAL (
+            -- best fit = fullest bin the doc still fits; list_position
+            -- finds the FIRST index holding that maximal load, which is
+            -- exactly the tie-break the imperative loop applies
+            SELECT list_position(s.loads,
+                     list_max(list_filter(s.loads,
+                                          x -> x + o.n_tokens <= {PACK_BUDGET}))) AS best_i
+        ) b
+    ), final AS (
+        SELECT lang, shard, loads, ndocs
+        FROM steps
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY rn DESC) = 1
+    )
+    SELECT lang, CAST(shard AS BIGINT) AS shard,
+           CAST(u.i - 1 AS BIGINT) AS bin_id,
+           u.used AS used_tokens, u.nd AS n_docs,
+           u.used > {PACK_BUDGET} AS oversize
+    FROM final,
+         UNNEST(list_transform(loads, (x, i) -> {{'used': x, 'i': i,
+                'nd': ndocs[i]}})) AS t(u)
+    ORDER BY lang, shard, bin_id
+    """,
     description="best-fit-decreasing sequence packing (per-shard applyInPandas)",
 )
 def pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,9 +886,11 @@ def pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the window-function greedy fill (pack_sequences): docs sorted
     longest-first, each placed into the fullest bin it still fits,
     new bin otherwise. BFD is iterative state (the open-bin table),
-    which SQL windows can't express — this is the sanctioned
-    applyInPandas shape: shard by (lang, doc_id-hash), pack WHOLE
-    shards in Arrow batches, emit per-bin rows.
+    which SQL windows can't express declaratively — this is the
+    sanctioned applyInPandas shape: shard by (lang, doc_id-hash), pack
+    WHOLE shards in Arrow batches, emit per-bin rows. The DuckDB
+    oracle replays the exact placement with a recursive CTE over the
+    same doc order (state = open-bin load list).
 
     Oversized docs (> budget) get a bin of their own, flagged — the
     caller truncates/splits them downstream; silently dropping them
