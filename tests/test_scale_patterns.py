@@ -166,3 +166,148 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_beats_naive_under_planted_hot_key(spark):
+    """Round-1 verdict item #8: plant a ~1000x hot key in an
+    sf0.1-scale fact and PROVE the salted path fixes the task-level
+    imbalance the naive shuffle join suffers — structurally (max rows
+    any single join task processes drops by ~the salt factor) and with
+    measured wall-clock printed for the survey note. AQE and
+    broadcast are disabled so the static shuffle-join shape is what's
+    measured; the companion test below shows AQE's skew-split also
+    engages on the same planted shape."""
+    import time
+
+    from lime_etl_spark.sources.readers import load_table
+
+    sf_dir = "/root/testdata/sf0.1"
+    # ~600k lineitem rows; remap orderkeys so key 7 owns ~half the
+    # fact (≈1000x the median cold key's share)
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(7))
+        .otherwise(F.col("l_orderkey") % 997)
+        .alias("k"),
+        # high-cardinality payload: the salt is a full-row hash, so a
+        # low-cardinality row (k, qty) would quantize onto few salts
+        F.col("l_extendedprice").alias("payload"),
+    )
+    dim = spark.range(1_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("attr"))
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # enough reduce partitions that the 16 salt shards of the hot
+        # key land in mostly-distinct tasks (the property under test)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+        naive = fact.join(dim, "k")
+        salted = salted_join(fact, dim, ["k"], salts=16)
+
+        # structural proof: per-task row counts after the join shuffle
+        def max_task_rows(df):
+            counts = (
+                df.withColumn("__p", F.spark_partition_id())
+                .groupBy("__p")
+                .count()
+                .collect()
+            )
+            return max(r["count"] for r in counts)
+
+        naive_max, salted_max = max_task_rows(naive), max_task_rows(salted)
+        total = fact.count()
+        assert naive_max >= total * 0.45, (naive_max, total)  # hot key in ONE task
+        assert salted_max * 4 < naive_max, (salted_max, naive_max)  # spread >=4x
+
+        # measured wall-clock (printed, not asserted — host is shared)
+        def timed(df):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            return round(time.perf_counter() - t0, 3)
+
+        t_naive, t_salted = timed(naive), timed(salted)
+        print(f"planted-hot-key sf0.1: naive={t_naive}s max_task={naive_max} "
+              f"salted={t_salted}s max_task={salted_max}")
+
+        # equivalence on the same planted data
+        pay = F.sum(F.col("payload").cast("decimal(18,2)")).alias("s")  # order-independent exact sum
+        a = naive.groupBy("k").agg(F.count(F.lit(1)).alias("n"), pay)
+        b = salted.groupBy("k").agg(F.count(F.lit(1)).alias("n"), pay)
+        assert _canon(a) == _canon(b)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_aqe_skew_split_engages_on_planted_hot_key_sf01(spark):
+    """Same planted sf0.1 hot-key shape, AQE path: with skew-join
+    thresholds at their test-scale values the finalized adaptive plan
+    must carry skew=true — the runtime mitigation the session enables
+    by default at cluster scale.
+
+    Found while writing this test: AQE can only split a skewed reduce
+    partition at MAPPER-block boundaries, and the local sf0.1 parquet
+    scan is a 3-map-task read — too coarse for the splitter, so the
+    hot partition silently stays whole (skew=false) however low the
+    thresholds go. A 100 TB fact has thousands of mappers, so the
+    production path is fine; the test repartitions to 64 to emulate
+    that map parallelism. The inverse lesson for real clusters: a
+    LOW-mapper-count upstream (few giant unsplittable files) also
+    defeats AQE skew splitting — which is exactly when the explicit
+    salted_join above is the right tool."""
+    from lime_etl_spark.sources.readers import load_table
+
+    sf_dir = "/root/testdata/sf0.1"
+    fact = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.when(F.col("l_orderkey") % 2 == 0, F.lit(7))
+            .otherwise(F.col("l_orderkey") % 997)
+            .alias("k"),
+            F.col("l_extendedprice").alias("payload"),
+        )
+        .repartition(64)
+    )
+    dim = spark.range(1_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("attr"))
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        joined = fact.join(dim, "k")
+        # execute THIS DataFrame so its own adaptive plan finalizes
+        # (collecting a derived frame would finalize a different plan)
+        rows_n = len(joined.collect())
+        assert rows_n == fact.count()
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -66,17 +66,25 @@ def main() -> int:
     rows_only = [n for n, r in results.items() if r.startswith("rows-only")]
     for n, r in sorted(bad.items()):
         print(f"FAIL {n}: {r[:400]}")
-    print(
-        json.dumps(
-            {
-                "total": len(results),
-                "ok": sum(1 for r in results.values() if r == "OK"),
-                "rows_only": len(rows_only),
-                "bad": len(bad),
-                "elapsed_s": round(time.time() - t0, 1),
-            }
-        )
-    )
+    summary = {
+        "total": len(results),
+        "ok": sum(1 for r in results.values() if r == "OK"),
+        "rows_only": len(rows_only),
+        "bad": len(bad),
+        "elapsed_s": round(time.time() - t0, 1),
+    }
+    # Auditable full-registry artifact (committed per round as
+    # CORRECTNESS_full_r{N}.json): per-query match status so the
+    # green claim can be checked without re-running the sweep.
+    out_path = os.environ.get("DRIVER_SIM_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(
+                {"summary": summary, "sf_dir": sf_dir, "queries": dict(sorted(results.items()))},
+                fh,
+                indent=1,
+            )
+    print(json.dumps(summary))
     spark.stop()
     return 1 if bad else 0
 
