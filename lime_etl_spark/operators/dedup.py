@@ -71,7 +71,11 @@ _SHINGLES_SQL = f"""
 """
 
 
-def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+def jaccard_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    with_counts: bool = False,
+) -> DataFrame:
     """Exact Jaccard for candidate pairs (or all shared-shingle pairs).
 
     With ``candidates`` given, intersections are computed ONLY for the
@@ -79,6 +83,11 @@ def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None) -> D
     cost O(|candidates| × shingles/doc). The no-candidates path joins
     on the shingle value itself, which squares on hot shingles — it is
     the definition of the exhaustive variant, not the scale path.
+
+    ``with_counts`` keeps the integer n_inter/n_a/n_b columns beside
+    the jaccard double — consumers that aggregate jaccard across pairs
+    (the tuning tables) derive an EXACT quantized form from the
+    integers instead of summing floats in engine-dependent order.
     """
     if candidates is not None:
         inter = (
@@ -104,6 +113,7 @@ def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None) -> D
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
     sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    extra = ["n_inter", "n_a", "n_b"] if with_counts else []
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -114,6 +124,7 @@ def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None) -> D
                 F.col("n_inter").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
             ).alias("jaccard"),
+            *extra,
         )
     )
 

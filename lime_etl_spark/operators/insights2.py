@@ -3473,10 +3473,91 @@ def etl_try_cast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_KS = (3, 5, 8)
 
 
+def _shingles_sql_k(k: int) -> str:
+    """Parameterized DuckDB twin of ``doc_shingles(docs, n=k)``."""
+    from lime_etl_spark.functions.text import MERSENNE_P, shingle_int_sql
+
+    concat = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return f"""
+        SELECT DISTINCT doc_id, {shingle_int_sql("sh")} % {MERSENNE_P} AS x
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t) - {k - 1}),
+                                         i -> {concat})) AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+    """
+
+
+def _minhash_cand_sql(sh_cte: str) -> str:
+    """Candidate/verified CTE block over a named shingle CTE: 16-perm
+    minhash signatures, 4×4 banding, candidate distinct pairs, and
+    count-bearing verified pairs (J ≥ τ)."""
+    from lime_etl_spark.functions.text import MERSENNE_P, MINHASH_PERMS
+    from lime_etl_spark.operators.dedup import JACCARD_TAU, N_BANDS, BAND_ROWS
+
+    mins = ", ".join(
+        f"MIN((x * {a} + {b}) % {MERSENNE_P}) AS mh_{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    band_sigs = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, "
+        + " || ',' || ".join(
+            f"CAST(mh_{band * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        + f" AS sig FROM sigs_{sh_cte}"
+        for band in range(N_BANDS)
+    )
+    return f"""
+    sigs_{sh_cte} AS MATERIALIZED (SELECT doc_id, {mins} FROM {sh_cte} GROUP BY doc_id),
+    buckets_{sh_cte} AS ({band_sigs}),
+    cand_{sh_cte} AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets_{sh_cte} a JOIN buckets_{sh_cte} b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes_{sh_cte} AS (SELECT doc_id, COUNT(*) AS n_sh FROM {sh_cte} GROUP BY doc_id),
+    ver_{sh_cte} AS MATERIALIZED (
+        SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+        FROM (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+            FROM cand_{sh_cte} c
+            JOIN {sh_cte} a ON a.doc_id = c.doc_a
+            JOIN {sh_cte} b ON b.doc_id = c.doc_b AND b.x = a.x
+            GROUP BY c.doc_a, c.doc_b
+        ) i
+        JOIN sizes_{sh_cte} sa ON sa.doc_id = i.doc_a
+        JOIN sizes_{sh_cte} sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE)
+                / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {JACCARD_TAU}
+    )"""
+
+
+def _shingle_sensitivity_oracle() -> str:
+    blocks, selects = [], []
+    for k in SHINGLE_KS:
+        name = f"sh{k}"
+        blocks.append(f"{name} AS MATERIALIZED ({_shingles_sql_k(k)})")
+        blocks.append(_minhash_cand_sql(name).strip().lstrip(","))
+        selects.append(f"""
+        SELECT CAST({k} AS INTEGER) AS shingle_k,
+               CAST((SELECT COUNT(*) FROM cand_{name}) AS BIGINT) AS n_candidates,
+               CAST((SELECT COUNT(*) FROM ver_{name}) AS BIGINT) AS n_verified,
+               CASE WHEN (SELECT COUNT(*) FROM ver_{name}) = 0 THEN NULL
+                    ELSE CAST((SELECT SUM((n_inter * 1000000) // (n_a + n_b - n_inter))
+                               FROM ver_{name}) AS DOUBLE)
+                         / ((SELECT COUNT(*) FROM ver_{name}) * 1000000.0)
+               END AS mean_jaccard""")
+    return (
+        "WITH " + ",\n".join(blocks) + "\n"
+        + " UNION ALL ".join(selects)
+        + " ORDER BY shingle_k"
+    )
+
+
 @register(
     "dedup_shingle_sensitivity",
-    oracle=None,  # multi-config loop over shingle sizes — pytest
-    # gates the monotonicity (larger shingles ⇒ stricter matching)
+    oracle=_shingle_sensitivity_oracle(),
     description="shingle-size tuning table: verified near-dup pairs + mean Jaccard per k∈{3,5,8} (granularity knob measured, third tuning table)",
 )
 def dedup_shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3490,8 +3571,14 @@ def dedup_shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each k re-shingles the corpus (the shingle set is a
     different projection per k — unlike LSH banding there is nothing
     to share), but everything downstream stays candidate-scoped;
-    |configs| scalar rows reach the driver. Mean Jaccard is a
-    diagnostic float (rows-only op; never hash-compared).
+    |configs| scalar rows reach the driver.
+
+    Exactness: the mean is over per-pair Jaccards QUANTIZED to 1e-6
+    by integer division ((n_inter·10⁶) div union) — an integer sum
+    plus ONE final double division, so the value is bit-identical in
+    any engine and any partitioning (a float AVG would depend on
+    summation order). The quantization bias is < 1e-6, far below the
+    tuning decisions this table drives.
     """
     from lime_etl_spark.operators.dedup import (
         JACCARD_TAU,
@@ -3507,11 +3594,13 @@ def dedup_shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh = doc_shingles(docs, n=k).persist()
         cand = lsh_candidates(minhash_signatures(sh)).persist()
         verified = (
-            jaccard_pairs(sh, candidates=cand)
+            jaccard_pairs(sh, candidates=cand, with_counts=True)
             .where(F.col("jaccard") >= JACCARD_TAU)
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.avg("jaccard").alias("mean_j"),
+                F.sum(
+                    F.expr("(n_inter * 1000000) div (n_a + n_b - n_inter)")
+                ).alias("sum_e6"),
             )
             .collect()[0]
         )
@@ -3520,7 +3609,9 @@ def dedup_shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k,
                 cand.count(),
                 verified.n,
-                float(verified.mean_j) if verified.mean_j is not None else None,
+                (float(verified.sum_e6) / (verified.n * 1000000.0))
+                if verified.n
+                else None,
             )
         )
         sh.unpersist()
@@ -4041,10 +4132,51 @@ def k_core(vertices: DataFrame, edges: DataFrame, k: int = KCORE_K,
     return alive
 
 
+def _kcore_oracle(k: int, rounds: int = 24) -> str:
+    """DuckDB twin of the peeling loop: the k-core fixpoint is unique
+    and peeling is integer-only, so ``rounds`` UNROLLED peel rounds
+    (idempotent once converged; sf0.01 converges in <10) replay it
+    exactly. MATERIALIZED CTEs — each round references the previous
+    one three times, and inlining would exponentially re-expand the
+    whole minhash pipeline."""
+    parts = [
+        """
+    alive0 AS MATERIALIZED (
+        SELECT DISTINCT vid FROM (
+            SELECT doc_a AS vid FROM pairs UNION ALL SELECT doc_b AS vid FROM pairs
+        )
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    alive{r} AS MATERIALIZED (
+        SELECT s.src AS vid
+        FROM sym s
+        WHERE s.src IN (SELECT vid FROM alive{r - 1})
+          AND s.dst IN (SELECT vid FROM alive{r - 1})
+        GROUP BY s.src
+        HAVING COUNT(*) >= {k}
+    )""")
+    return f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    sym AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),{",".join(parts)}
+    SELECT CAST({k} AS INTEGER) AS k,
+           CAST((SELECT COUNT(*) FROM alive0) AS BIGINT) AS n_active_vertices,
+           CAST((SELECT COUNT(*) FROM alive{rounds}) AS BIGINT) AS n_kcore_vertices,
+           CAST((SELECT COUNT(*) FROM alive{rounds}) AS DOUBLE)
+             / (SELECT COUNT(*) FROM alive0) AS core_share
+    """
+
+
 @register(
     "graph_kcore_summary",
-    oracle=None,  # iterative peeling — pytest proves the analytic
-    # cases (cliques survive, chains dissolve, pendants strip)
+    oracle=_kcore_oracle(KCORE_K),
     description=f"{KCORE_K}-core of the near-dup graph: clustered mass after stripping pendant/chain links",
 )
 def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4858,11 +4990,86 @@ def txt_source_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_TUNING_CONFIGS = ((2, 8), (4, 4), (8, 2))  # (bands, rows) over 16 perms
 
 
+def _lsh_tuning_oracle() -> str:
+    """DuckDB twin of the banding tuning loop: shingles + 16-perm
+    signatures once, one candidate/verify block per (bands, rows)
+    config, pooled distinct union for recall. Every output value is
+    an integer count or ONE double division of integers — exact."""
+    from lime_etl_spark.functions.text import MERSENNE_P, MINHASH_PERMS
+    from lime_etl_spark.operators.dedup import _SHINGLES_SQL, JACCARD_TAU
+
+    mins = ", ".join(
+        f"MIN((x * {a} + {b}) % {MERSENNE_P}) AS mh_{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    blocks = [
+        f"sh AS MATERIALIZED ({_SHINGLES_SQL})",
+        f"sigs AS MATERIALIZED (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)",
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)",
+    ]
+    names = []
+    for n_bands, band_rows in LSH_TUNING_CONFIGS:
+        name = f"c{n_bands}x{band_rows}"
+        names.append((name, n_bands, band_rows))
+        band_sigs = " UNION ALL ".join(
+            f"SELECT doc_id, {band} AS band, "
+            + " || ',' || ".join(
+                f"CAST(mh_{band * band_rows + r} AS VARCHAR)"
+                for r in range(band_rows)
+            )
+            + " AS sig FROM sigs"
+            for band in range(n_bands)
+        )
+        blocks.append(f"buckets_{name} AS ({band_sigs})")
+        blocks.append(f"""cand_{name} AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets_{name} a JOIN buckets_{name} b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        )""")
+        blocks.append(f"""ver_{name} AS MATERIALIZED (
+            SELECT i.doc_a, i.doc_b
+            FROM (
+                SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+                FROM cand_{name} c
+                JOIN sh a ON a.doc_id = c.doc_a
+                JOIN sh b ON b.doc_id = c.doc_b AND b.x = a.x
+                GROUP BY c.doc_a, c.doc_b
+            ) i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE CAST(i.n_inter AS DOUBLE)
+                    / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {JACCARD_TAU}
+        )""")
+    pooled_union = " UNION ALL ".join(
+        f"SELECT doc_a, doc_b FROM ver_{name}" for name, _, _ in names
+    )
+    blocks.append(
+        f"pooled AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM ({pooled_union}))"
+    )
+    selects = [
+        f"""
+        SELECT CAST({n_bands} AS INTEGER) AS n_bands,
+               CAST({band_rows} AS INTEGER) AS rows_per_band,
+               CAST((SELECT COUNT(*) FROM cand_{name}) AS BIGINT) AS n_candidates,
+               CAST((SELECT COUNT(*) FROM ver_{name}) AS BIGINT) AS n_verified,
+               CASE WHEN (SELECT COUNT(*) FROM cand_{name}) = 0 THEN 1.0
+                    ELSE CAST((SELECT COUNT(*) FROM ver_{name}) AS DOUBLE)
+                         / (SELECT COUNT(*) FROM cand_{name}) END AS precision,
+               CASE WHEN (SELECT COUNT(*) FROM pooled) = 0 THEN 1.0
+                    ELSE CAST((SELECT COUNT(*) FROM ver_{name}) AS DOUBLE)
+                         / (SELECT COUNT(*) FROM pooled) END AS pooled_recall"""
+        for name, n_bands, band_rows in names
+    ]
+    return (
+        "WITH " + ",\n".join(blocks) + "\n"
+        + " UNION ALL ".join(selects)
+        + " ORDER BY n_bands"
+    )
+
+
 @register(
     "dedup_lsh_tuning",
-    oracle=None,  # multi-config loop over the same signatures —
-    # pytest gates monotonicity (more bands ⊇ candidates) and the
-    # precision/recall algebra
+    oracle=_lsh_tuning_oracle(),
     description="LSH banding tuning table: candidates/verified/precision/pooled-recall per (bands, rows) config",
 )
 def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
