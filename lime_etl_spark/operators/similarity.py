@@ -654,3 +654,170 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= HARD_NEG_K)
         .select("q_vec_id", "q_label", "n_vec_id", "n_label", "cosine", "rank")
     )
+
+
+# --- simplified-silhouette cluster quality -----------------------------------
+
+
+@register(
+    "emb_silhouette_audit",
+    oracle="""
+    WITH m AS (
+        SELECT MAX(list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))) / 127 AS s
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   v -> CAST(GREATEST(LEAST(floor(v / s + 0.5), 127), -127) AS BIGINT)
+               ) AS qv
+        FROM embeddings, m
+    ),
+    ex AS (SELECT vec_id, label, qv[i] AS v, i
+           FROM q, UNNEST(generate_series(1, len(qv))) AS t(i)),
+    cent AS (
+        SELECT label AS clabel, i, CAST(SUM(v) AS BIGINT) AS sum_q,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex GROUP BY label, i
+    ),
+    dist AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               sqrt(CAST(SUM((e.v * c.n - c.sum_q) * (e.v * c.n - c.sum_q)) AS DOUBLE))
+                 / ANY_VALUE(c.n) AS d
+        FROM ex e JOIN cent c ON c.i = e.i
+        GROUP BY e.vec_id, e.label, c.clabel
+    ),
+    per_vec AS (
+        SELECT vec_id, label,
+               MAX(CASE WHEN clabel = label THEN d END) AS a,
+               MIN(CASE WHEN clabel <> label THEN d END) AS b,
+               MIN(d) AS dmin
+        FROM dist GROUP BY vec_id, label
+    ),
+    nearest AS (
+        SELECT p.vec_id, MIN(x.clabel) AS nearest
+        FROM per_vec p JOIN dist x
+          ON x.vec_id = p.vec_id AND x.d = p.dmin
+        GROUP BY p.vec_id
+    ),
+    pv AS (
+        SELECT p.vec_id, p.label, p.a, p.b, n.nearest
+        FROM per_vec p JOIN nearest n ON n.vec_id = p.vec_id
+    ),
+    scored AS (
+        SELECT label,
+               CASE WHEN GREATEST(a, b) = 0 THEN 0
+                    ELSE CAST(FLOOR(((b - a) * 1000000) / GREATEST(a, b)) AS BIGINT)
+               END AS s_e6,
+               CASE WHEN nearest <> label THEN 1 ELSE 0 END AS misassigned
+        FROM pv
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s_e6) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean_silhouette,
+           CAST(SUM(misassigned) AS BIGINT) AS n_nearest_other,
+           CAST(SUM(misassigned) AS DOUBLE) / COUNT(*) AS misassign_share
+    FROM scored GROUP BY label ORDER BY label
+    """,
+    description="simplified-silhouette cluster quality per label: centroid-based a/b, mean silhouette, nearest-centroid misassignment share",
+)
+def emb_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label/cluster quality in one table: the SIMPLIFIED silhouette
+    (centroid-based a/b — Hruschka et al.'s medoid-free variant of
+    Rousseeuw's silhouette) per label, plus the share of vectors whose
+    nearest centroid is a DIFFERENT label (the k-NN-misassignment
+    proxy). Read it before trusting label-blocked dedup or
+    cluster-aware splits: a label with low mean silhouette and high
+    misassign share is not a real cluster.
+
+    Exactness discipline (the emb_label_centroids pattern, extended):
+    components are int8-quantized under the corpus-global scale, so
+    centroid sums are exact integers; the vector-to-centroid distance
+    is computed as sqrt(Σ(v·n − Σq)²)/n — an INTEGER sum (exact, any
+    partitioning) followed by one sqrt and one division (IEEE-
+    deterministic); per-vector silhouettes are quantized to 1e-6 by
+    floor before the cross-vector SUM, so the mean is an integer sum
+    plus one division — bit-identical on any engine. Int64 headroom:
+    (v·n − Σq)² ≤ (254·n)², ×64 dims → safe below ~1.2e6 vectors per
+    label (normalize per-label beyond that).
+
+    Scale: the centroid table is |labels|×dims counters (broadcast);
+    the distance stage is a per-vector scan × |labels| — linear in
+    corpus size with map-side integer combines; output is |labels|
+    rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    scale = emb.agg(
+        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
+    )
+    qv = F.transform(
+        x,
+        lambda v: (
+            F.greatest(
+                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
+            )
+        ).cast("bigint"),
+    )
+    ex = (
+        emb.join(F.broadcast(scale))
+        .select("vec_id", "label", F.posexplode(qv).alias("i", "v"))
+    )
+    cent = ex.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.sum("v").cast("bigint").alias("sum_q"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dist = (
+        ex.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            (
+                F.sqrt(
+                    F.sum(
+                        (F.col("v") * F.col("n") - F.col("sum_q"))
+                        * (F.col("v") * F.col("n") - F.col("sum_q"))
+                    ).cast("double")
+                )
+                / F.first("n")
+            ).alias("d")
+        )
+    )
+    agg = dist.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d"))).alias("b"),
+        F.min("d").alias("dmin"),
+    )
+    # deterministic argmin (min label at the min distance) — the same
+    # two-step both engines run, so exact-double ties break identically
+    nearest = (
+        agg.select("vec_id", "dmin")
+        .join(dist.select("vec_id", "clabel", "d"), "vec_id")
+        .where(F.col("d") == F.col("dmin"))
+        .groupBy("vec_id")
+        .agg(F.min("clabel").alias("nearest"))
+    )
+    per_vec = agg.join(nearest, "vec_id")
+    scored = per_vec.select(
+        "label",
+        F.when(F.greatest("a", "b") == 0, F.lit(0))
+        .otherwise(
+            F.floor(((F.col("b") - F.col("a")) * 1000000) / F.greatest("a", "b"))
+        )
+        .cast("bigint")
+        .alias("s_e6"),
+        F.when(F.col("nearest") != F.col("label"), 1).otherwise(0).alias("misassigned"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (
+                F.sum("s_e6").cast("double") / (F.count(F.lit(1)) * 1000000.0)
+            ).alias("mean_silhouette"),
+            F.sum("misassigned").cast("bigint").alias("n_nearest_other"),
+            (
+                F.sum("misassigned").cast("double") / F.count(F.lit(1))
+            ).alias("misassign_share"),
+        )
+        .orderBy("label")
+    )

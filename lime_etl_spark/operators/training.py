@@ -1079,3 +1079,140 @@ def samp_negatives_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "p_partkey", F.col("neg_rank").cast("int"))
         .orderBy("c_custkey", "neg_rank")
     )
+
+
+# --- DSIR-style importance weighting ----------------------------------------
+
+DSIR_BUCKETS = 4096  # hashed-unigram feature space
+DSIR_TARGET_LANG = "en"  # target-domain proxy: the English slice
+
+
+@register(
+    "samp_importance_dsir",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, n_chars,
+               {shingle_int_sql("t.tok")} % {DSIR_BUCKETS} AS b
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+    ),
+    raw AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS ct FROM tok WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM tok) AS t_raw,
+               (SELECT COUNT(*) FROM tok WHERE lang = '{DSIR_TARGET_LANG}') AS t_tgt
+    ),
+    ratio AS (
+        SELECT r.b,
+               CAST(FLOOR((COALESCE(t.ct, 0) + 1.0) * (tot.t_raw + {DSIR_BUCKETS})
+                          / ((r.cr + 1.0) * (tot.t_tgt + {DSIR_BUCKETS}))
+                          * 1000000) AS BIGINT) AS ratio_e6
+        FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT doc_id, ANY_VALUE(lang) AS lang, ANY_VALUE(n_chars) AS n_chars,
+               SUM(ratio_e6) // COUNT(*) AS score_e6
+        FROM tok JOIN ratio USING (b)
+        GROUP BY doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score_e6) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean_importance,
+           CAST(SUM(CASE WHEN score_e6 >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected,
+           CAST(SUM(CASE WHEN score_e6 >= 1000000 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS share_selected,
+           CAST(SUM(CASE WHEN score_e6 >= 1000000 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS selected_chars
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    description="DSIR-style hashed-unigram importance weights vs the English target slice: per-lang mean importance + selected mass",
+)
+def samp_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    public literature) on hashed unigram features: estimate
+    p_target/p_raw per hashed-token bucket (add-one smoothing, target
+    = the 'en' slice as the target-domain proxy), score each doc by
+    its mean token-level importance ratio, and report per-language
+    selection mass at the importance≥1 gate. Production swaps the
+    target counts for a real target-domain corpus and adds hashed
+    bigrams — the pipeline shape is identical.
+
+    Exactness discipline: the per-BUCKET ratio is one fixed-shape
+    chain of IEEE double ops floored to 1e-6 (deterministic in any
+    engine — no reductions involved); the per-DOC score is an integer
+    sum of those quantized ratios integer-divided by the token count;
+    per-language rollups are integer sums plus one final division.
+    Nothing anywhere depends on partitioning or summation order.
+
+    Scale: token→bucket is a map-only projection; the bucket tables
+    are {DSIR_BUCKETS} rows (broadcast); the per-doc score is one
+    groupBy(doc_id) with map-side integer combine; output is |langs|
+    rows. The ratio table at 100 TB is STILL {DSIR_BUCKETS} rows —
+    this is the whole point of hashed features.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (shingle_int(F.col("tok")) % DSIR_BUCKETS).alias("b"),
+    )
+    tok = tok.persist()
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tok.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = tok.agg(
+        F.count(F.lit(1)).alias("t_raw"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)).alias("t_tgt"),
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                (F.coalesce("ct", F.lit(0)) + F.lit(1.0))
+                * (F.col("t_raw") + DSIR_BUCKETS)
+                / ((F.col("cr") + F.lit(1.0)) * (F.col("t_tgt") + DSIR_BUCKETS))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("ratio_e6"),
+        )
+    )
+    per_doc = (
+        tok.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.first("n_chars").alias("n_chars"),
+            F.expr("sum(ratio_e6) div count(1)").alias("score_e6"),
+        )
+    )
+    sel = F.col("score_e6") >= 1000000
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.sum("score_e6").cast("double") / (F.count(F.lit(1)) * 1000000.0)
+            ).alias("mean_importance"),
+            F.sum(F.when(sel, 1).otherwise(0)).cast("bigint").alias("n_selected"),
+            (
+                F.sum(F.when(sel, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("share_selected"),
+            F.sum(F.when(sel, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("selected_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -131,3 +131,77 @@ def test_best_fit_is_arrow_batched(spark, sf_dir):
 
 
 _ = pd  # imported for type availability in applyInPandas operators
+
+
+# --- emb_silhouette_audit (driver round 2) ----------------------------------
+
+
+def test_silhouette_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "emb_silhouette_audit")
+
+
+def test_silhouette_bounds_and_determinism(spark, sf_dir):
+    rows = all_queries()["emb_silhouette_audit"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+        assert 0 <= r["n_nearest_other"] <= r["n_vecs"]
+        assert 0.0 <= r["misassign_share"] <= 1.0
+    again = all_queries()["emb_silhouette_audit"].builder(spark, sf_dir).collect()
+    assert rows == again
+
+
+def test_silhouette_separated_clusters_score_high(spark):
+    """Two well-separated synthetic clusters must score near +1 with
+    zero misassignments; swapping half the labels must crater both."""
+    import pyspark.sql.functions as SF
+
+    from lime_etl_spark.operators.similarity import emb_silhouette_audit
+
+    def corpus(flip: bool):
+        rows = []
+        for i in range(40):
+            base = [10.0, 0.0] if i % 2 == 0 else [0.0, 10.0]
+            vec = [base[0] + (i % 5) * 0.1, base[1] + (i % 7) * 0.1] + [0.0] * 6
+            label = i % 2
+            if flip and i < 20:
+                label = 1 - label
+            rows.append((i, label, vec))
+        return spark.createDataFrame(
+            rows, "vec_id bigint, label int, embedding array<float>"
+        )
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        corpus(False).write.parquet(os.path.join(d, "embeddings.parquet"))
+        good = {r["label"]: r for r in emb_silhouette_audit(spark, d).collect()}
+        assert all(r["mean_silhouette"] > 0.8 for r in good.values())
+        assert all(r["n_nearest_other"] == 0 for r in good.values())
+    with tempfile.TemporaryDirectory() as d:
+        corpus(True).write.parquet(os.path.join(d, "embeddings.parquet"))
+        bad = {r["label"]: r for r in emb_silhouette_audit(spark, d).collect()}
+        assert all(r["misassign_share"] >= 0.4 for r in bad.values())
+
+
+# --- samp_importance_dsir (driver round 2) ----------------------------------
+
+
+def test_dsir_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "samp_importance_dsir")
+
+
+def test_dsir_target_language_scores_highest(spark, sf_dir):
+    """The target slice must dominate its own importance distribution:
+    mean importance for 'en' strictly above every other language, and
+    its selected share the largest."""
+    rows = {r["lang"]: r for r in all_queries()["samp_importance_dsir"].builder(spark, sf_dir).collect()}
+    assert "en" in rows and len(rows) > 1
+    en = rows["en"]
+    for lang, r in rows.items():
+        assert r["n_docs"] > 0
+        assert 0.0 <= r["share_selected"] <= 1.0
+        if lang != "en":
+            assert en["mean_importance"] > r["mean_importance"]
+            assert en["share_selected"] >= r["share_selected"]
