@@ -262,9 +262,12 @@ def read_jdbc(
     """JDBC source (lime-etl's SQLAlchemy sources' Spark analog).
 
     Parallel reads require partition_column+bounds; without them the
-    read is single-task — never do that at scale. No JDBC driver ships
-    in this container, so this is exercised only by option-plumbing
-    unit tests.
+    read is single-task — never do that at scale. Exercised end-to-end
+    against a real file-backed DuckDB database when its (public Maven)
+    JDBC driver jar is discoverable in a local cache — 4-way
+    partitioned range reads, filter pushdown to the remote scan, and
+    append write-back (tests/test_sources_round2.py); option-plumbing
+    unit tests cover the rest.
     """
     reader = (
         spark.read.format("jdbc").option("url", url).option("dbtable", table)

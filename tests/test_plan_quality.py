@@ -364,11 +364,17 @@ def test_yoy_window_rides_the_rollup(spark, sf_dir):
 
 
 def test_rfm_ntiles_sort_only_the_customer_rollup(spark, sf_dir):
-    """Three quartile windows, each over the per-customer rollup (the
-    fact is aggregated first — partial_count proves map-side reduce);
-    the MAX-date reference is a 1-row broadcast, not a collect."""
+    """Since the r2 de-globalization the three quartiles run via the
+    sharded-rank decomposition (functions/ranks.py): the fact is
+    aggregated first (partial_count proves map-side reduce), the
+    customer-grain windows are PARTITIONED by the quantile bucket
+    (__rk_b) with only bounded bucket-roster windows left
+    unpartitioned (the exact-count allowlist in
+    test_no_entity_grain_global_windows audits those); the MAX-date
+    reference is a 1-row broadcast, not a collect."""
     plan = plan_of(spark, sf_dir, "q_rfm_segments")
-    assert len(re.findall(r"\(\d+\) Window\s", plan)) == 3, plan
+    assert "__rk_b" in plan, plan  # sharded-rank path, not a global sort
+    assert len(re.findall(r"\(\d+\) Window\s", plan)) >= 3, plan
     assert "partial_count" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
 

@@ -227,3 +227,119 @@ def test_jsonl_sink_streaming_micro_batches(spark, tmp_path, sf_dir):
         manifest = [json.loads(line) for line in f]
     assert len({m["batch_id"] for m in manifest}) == len(manifest) >= 2
     assert sum(m["rows"] for m in manifest) == len(expected)
+
+
+# --- real JDBC round-trip (driver round 2) -----------------------------------
+
+
+def _find_duckdb_jdbc_jar():
+    """The DuckDB JDBC driver is a public Maven Central artifact
+    (org.duckdb:duckdb_jdbc); discover a locally cached copy rather
+    than downloading (no network in this sandbox)."""
+    import glob as _glob
+    import os as _os
+
+    for pattern in (
+        "~/.cache/coursier/**/duckdb_jdbc-*.jar",
+        "~/.m2/repository/org/duckdb/**/duckdb_jdbc-*.jar",
+        "~/.ivy2/**/duckdb_jdbc-*.jar",
+    ):
+        hits = _glob.glob(_os.path.expanduser(pattern), recursive=True)
+        if hits:
+            return sorted(hits)[-1]
+    return None
+
+
+def test_jdbc_partitioned_read_and_writeback_real_driver(tmp_path):
+    """End-to-end JDBC against a REAL database (file-backed DuckDB via
+    its JDBC driver): parallel partitioned read (4 genuine JDBC range
+    queries), filter pushdown to the remote scan, and a write-back
+    verified by re-opening the file natively. Runs in a subprocess
+    because the driver jar must be on the JVM classpath at session
+    construction, and the suite's shared session is already up."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    import duckdb
+    import pytest
+
+    jar = _find_duckdb_jdbc_jar()
+    if jar is None:
+        pytest.skip("no locally cached DuckDB JDBC driver jar")
+
+    db = str(tmp_path / "jdbc_src.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE src AS SELECT r AS id, 'n' || CAST(r % 97 AS VARCHAR) AS name,"
+        " CAST(r AS DOUBLE) / 7 AS val FROM range(10000) t(r)"
+    )
+    # pre-created write target: Spark's table-exists probe (SELECT 1
+    # FROM dst WHERE 1=0) surfaces DuckDB's missing-table error through
+    # the generic JDBC dialect's classifyException instead of treating
+    # it as 'create me' — appending to an existing table is the
+    # portable path
+    con.execute("CREATE TABLE dst (id BIGINT, name VARCHAR, val DOUBLE)")
+    con.close()
+
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+        from lime_etl_spark.sources.readers import read_jdbc
+
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .appName("jdbc-e2e")
+            .config("spark.jars", {jar!r})
+            .config("spark.sql.shuffle.partitions", "4")
+            .getOrCreate()
+        )
+        url = "jdbc:duckdb:" + {db!r}
+        df = read_jdbc(
+            spark, url, "src",
+            partition_column="id", num_partitions=4,
+            lower_bound=0, upper_bound=10000,
+            properties={{"driver": "org.duckdb.DuckDBDriver"}},
+        )
+        assert df.rdd.getNumPartitions() == 4, df.rdd.getNumPartitions()
+        assert df.count() == 10000
+        total = df.agg(F.sum("id")).collect()[0][0]
+        assert total == 10000 * 9999 // 2, total
+
+        # filter pushdown: the JDBC scan itself must carry the predicate
+        filtered = df.where(F.col("id") >= 9000)
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "9000" in plan, plan[:1500]
+        assert filtered.count() == 1000
+
+        # write-back to a new table through the same driver
+        (
+            df.where(F.col("id") < 100)
+            .write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "dst")
+            .option("driver", "org.duckdb.DuckDBDriver")
+            .mode("append")
+            .save()
+        )
+        spark.stop()
+        print("JDBC-E2E-OK")
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "JDBC-E2E-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+    con = duckdb.connect(db)
+    n, smin, smax = con.execute("SELECT COUNT(*), MIN(id), MAX(id) FROM dst").fetchone()
+    con.close()
+    assert (n, smin, smax) == (100, 0, 99)
