@@ -508,3 +508,104 @@ def cur_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") >= BOILER_MIN_DOCS)
         .orderBy(F.desc("n_docs"), "gram")
     )
+
+
+# --- unigram cross-entropy (perplexity-proxy) quality filter ----------------
+
+
+@register(
+    "cur_perplexity_proxy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, t.tok
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+    ),
+    lm AS (SELECT tok, COUNT(*) AS ct FROM tok GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS t FROM tok),
+    bits AS (
+        SELECT tok,
+               CAST(FLOOR(log2(CAST(tot.t AS DOUBLE) / ct) * 1000000) AS BIGINT)
+                   AS bpt_e6
+        FROM lm CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT doc_id, ANY_VALUE(lang) AS lang,
+               SUM(bpt_e6) // COUNT(*) AS score_e6
+        FROM tok JOIN bits USING (tok)
+        GROUP BY doc_id
+    ),
+    thresh AS (SELECT SUM(score_e6) // COUNT(*) AS mean_e6 FROM per_doc)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score_e6) AS DOUBLE) / (COUNT(*) * 1000000.0)
+               AS mean_bits_per_token,
+           CAST(SUM(CASE WHEN score_e6 > thresh.mean_e6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above_corpus_mean,
+           CAST(SUM(CASE WHEN score_e6 > thresh.mean_e6 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS share_above_corpus_mean
+    FROM per_doc CROSS JOIN thresh
+    GROUP BY lang, thresh.mean_e6 ORDER BY lang
+    """,
+    description="unigram cross-entropy quality proxy: per-lang mean bits/token under the corpus LM + above-mean (suspect) share",
+)
+def cur_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical perplexity quality filter (CCNet's KenLM gate,
+    Wenzek et al. 2020) with the model reduced to the corpus UNIGRAM
+    LM: score every doc by mean bits/token −log₂ p(token), roll up per
+    language, and report the share of docs above the corpus-mean score
+    (the suspect tail a production gate would re-score with a real
+    LM). Complements cur_rarity_score — that ranks by document
+    frequency (IDF), this by term frequency: boilerplate scores LOW
+    here, gibberish scores HIGH.
+
+    Exactness: per-VOCAB-ENTRY bits are one fixed-shape chain
+    (division → log2 → ×1e6 → floor) — deterministic per value in any
+    engine; per-doc scores are integer sums integer-divided by token
+    count; the corpus-mean flag threshold is an integer division of
+    integer sums; language rollups are integer sums + one final
+    division each. No order-dependent float reduction anywhere.
+
+    Scale: the LM is |vocab| counter rows (map-side combined — the
+    same shape as txt_doc_frequency); scoring is one broadcast-join of
+    tokens against the vocab bits table and one groupBy(doc_id);
+    output is |langs| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).persist()
+    lm = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    bits = lm.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(F.log2(F.col("t").cast("double") / F.col("ct")) * 1000000)
+        .cast("bigint")
+        .alias("bpt_e6"),
+    )
+    per_doc = (
+        tok.join(bits, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.expr("sum(bpt_e6) div count(1)").alias("score_e6"),
+        )
+    )
+    thresh = per_doc.agg(F.expr("sum(score_e6) div count(1)").alias("mean_e6"))
+    flagged = F.col("score_e6") > F.col("mean_e6")
+    return (
+        per_doc.crossJoin(F.broadcast(thresh))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.sum("score_e6").cast("double") / (F.count(F.lit(1)) * 1000000.0)
+            ).alias("mean_bits_per_token"),
+            F.sum(F.when(flagged, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above_corpus_mean"),
+            (
+                F.sum(F.when(flagged, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("share_above_corpus_mean"),
+        )
+        .orderBy("lang")
+    )

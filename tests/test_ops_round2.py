@@ -205,3 +205,34 @@ def test_dsir_target_language_scores_highest(spark, sf_dir):
         if lang != "en":
             assert en["mean_importance"] > r["mean_importance"]
             assert en["share_selected"] >= r["share_selected"]
+
+
+# --- cur_perplexity_proxy (driver round 2) ----------------------------------
+
+
+def test_perplexity_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "cur_perplexity_proxy")
+
+
+def test_perplexity_gibberish_scores_high_boilerplate_low(spark):
+    """Under the corpus unigram LM, a doc of unique-everywhere tokens
+    must score far above a doc made of the corpus's most common
+    tokens — the separation the quality gate relies on."""
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.curation import cur_perplexity_proxy
+
+    common = " ".join(["the quick brown fox"] * 25)  # high-frequency mass
+    rows = [(i, common, "common", "s", len(common)) for i in range(20)]
+    gib = " ".join(f"zq{i}x{i * 7}" for i in range(100))
+    rows.append((100, gib, "gibberish", "s", len(gib)))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["lang"]: r for r in cur_perplexity_proxy(spark, d).collect()}
+    assert out["gibberish"]["mean_bits_per_token"] > 3 * out["common"]["mean_bits_per_token"]
+    assert out["gibberish"]["share_above_corpus_mean"] == 1.0
+    assert out["common"]["share_above_corpus_mean"] == 0.0

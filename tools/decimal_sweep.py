@@ -11,7 +11,10 @@ Usage: python tools/decimal_sweep.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 from pyspark.sql.types import ArrayType, DecimalType, StructType
