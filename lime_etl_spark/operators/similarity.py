@@ -821,3 +821,118 @@ def emb_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- embedding dimension correlation (redundancy audit) ----------------------
+
+CORR_TOP_K = 20
+
+
+@register(
+    "emb_dim_correlation",
+    oracle=f"""
+    WITH m AS (
+        SELECT MAX(list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))) / 127 AS s
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   v -> CAST(GREATEST(LEAST(floor(v / s + 0.5), 127), -127) AS BIGINT)
+               ) AS qv
+        FROM embeddings, m
+    ),
+    ex AS (SELECT vec_id, qv[i] AS v, i
+           FROM q, UNNEST(generate_series(1, len(qv))) AS t(i)),
+    pairs AS (
+        SELECT a.i AS dim_a, b.i AS dim_b,
+               COUNT(*) AS n,
+               SUM(a.v) AS sx, SUM(b.v) AS sy,
+               SUM(a.v * a.v) AS sxx, SUM(b.v * b.v) AS syy,
+               SUM(a.v * b.v) AS sxy
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i < b.i
+        GROUP BY a.i, b.i
+    ),
+    corr AS (
+        SELECT CAST(dim_a - 1 AS INT) AS dim_a, CAST(dim_b - 1 AS INT) AS dim_b,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+        FROM pairs
+        WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    )
+    SELECT dim_a, dim_b, corr, abs(corr) AS abs_corr
+    FROM corr
+    ORDER BY abs_corr DESC, dim_a, dim_b
+    LIMIT {CORR_TOP_K}
+    """,
+    description="embedding dimension redundancy audit: top-|corr| dim pairs from exact int8-quantized moment sums",
+)
+def emb_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redundancy audit run before choosing PQ subspaces or a
+    whitening transform: Pearson correlation for every dimension pair,
+    top-|corr| reported. Highly correlated dims waste quantization
+    budget (PQ subspaces should cut ACROSS them) and inflate cosine
+    similarity — this table names the offenders.
+
+    Exactness: the five sufficient statistics (Σx, Σy, Σx², Σy², Σxy)
+    accumulate over int8-QUANTIZED components (the
+    emb_label_centroids discipline) — exact integer sums under any
+    partitioning; the correlation is one fixed-shape float chain over
+    those integers, so it is bit-identical cross-engine. Headroom:
+    |Σxy| ≤ 127²·N → int64-safe to ~5.7e14 vectors.
+
+    Scale: the pair table is dims²/2 rows (2016 for d=64) built from
+    one self-join of the exploded (vec, dim, value) frame keyed on
+    vec_id — shuffle ∝ corpus·d, map-side combined into the bounded
+    moment table; the top-k sort runs on 2016 rows. For d in the
+    thousands, bucket the pair space (dim_a div B) first."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    scale = emb.agg(
+        (F.max(F.array_max(F.transform(x, lambda v: F.abs(v)))) / 127).alias("s")
+    )
+    qv = F.transform(
+        x,
+        lambda v: (
+            F.greatest(
+                F.least(F.floor(v / F.col("s") + 0.5), F.lit(127.0)), F.lit(-127.0)
+            )
+        ).cast("bigint"),
+    )
+    ex = (
+        emb.join(F.broadcast(scale))
+        .select("vec_id", F.posexplode(qv).alias("i", "v"))
+        .persist()
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.v").alias("sx"),
+            F.sum("b.v").alias("sy"),
+            F.sum(F.col("a.v") * F.col("a.v")).alias("sxx"),
+            F.sum(F.col("b.v") * F.col("b.v")).alias("syy"),
+            F.sum(F.col("a.v") * F.col("b.v")).alias("sxy"),
+        )
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / F.sqrt(vx.cast("double") * vy.cast("double"))
+    )
+    return (
+        pairs.where((vx > 0) & (vy > 0))
+        .select(
+            F.col("ia").cast("int").alias("dim_a"),
+            F.col("ib").cast("int").alias("dim_b"),
+            corr.alias("corr"),
+            F.abs(corr).alias("abs_corr"),
+        )
+        .orderBy(F.desc("abs_corr"), "dim_a", "dim_b")
+        .limit(CORR_TOP_K)
+    )

@@ -236,3 +236,32 @@ def test_perplexity_gibberish_scores_high_boilerplate_low(spark):
     assert out["gibberish"]["mean_bits_per_token"] > 3 * out["common"]["mean_bits_per_token"]
     assert out["gibberish"]["share_above_corpus_mean"] == 1.0
     assert out["common"]["share_above_corpus_mean"] == 0.0
+
+
+# --- emb_dim_correlation (driver round 2) -----------------------------------
+
+
+def test_dim_correlation_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "emb_dim_correlation")
+
+
+def test_dim_correlation_finds_planted_copy_dim(spark):
+    """A dimension that duplicates another must surface as the top
+    pair with corr ~ 1; an anti-correlated pair as corr ~ -1."""
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.similarity import emb_dim_correlation
+
+    rows = []
+    for i in range(200):
+        base = [((i * 37 + j * 11) % 97) / 97.0 - 0.5 for j in range(6)]
+        vec = base + [base[0], -base[1]]  # dim6=copy(dim0), dim7=-dim1
+        rows.append((i, i % 3, vec))
+    docs = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<float>")
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = emb_dim_correlation(spark, d).collect()
+    top = {(r["dim_a"], r["dim_b"]): r["corr"] for r in out[:2]}
+    assert top[(0, 6)] > 0.999
+    assert top[(1, 7)] < -0.999
