@@ -110,3 +110,40 @@ def test_entity_grain_window_is_partitioned(spark):
     for m in re.finditer(r"Exchange SinglePartition[^\n]*\n\s*[+:\-| ]*\*?\(?\d*\)?\s*(\w+)\(?(keys=\[[^\]]*\])?", plan):
         node, keys = m.group(1), m.group(2) or ""
         assert node == "HashAggregate" and "__rk_b" in keys, m.group(0)
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+def test_cumsum_matches_global_window(spark, shape):
+    """with_global_cumsum must equal Spark's own single-partition
+    running sum on every adversarial shape (ties, skew, n=1,
+    negatives) — same pinning discipline as row_number/ntile."""
+    from lime_etl_spark.functions.ranks import with_global_cumsum
+
+    df = _frame(spark, SHAPES[shape])
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    got = {
+        r["id"]: r["cum"]
+        for r in with_global_cumsum(
+            df, F.col("v"), [F.col("v"), F.col("id")], "v", out="cum", n_buckets=4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cumsum_desc_ordering_via_negated_value(spark):
+    from lime_etl_spark.functions.ranks import with_global_cumsum
+
+    df = _frame(spark, [10, 3, 3, 99, 0, 7])
+    w = Window.orderBy(F.desc("v"), "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r["id"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    got = {
+        r["id"]: r["cum"]
+        for r in with_global_cumsum(
+            df, -F.col("v"), [F.desc("v"), F.col("id")], "v", out="cum", n_buckets=3
+        ).collect()
+    }
+    assert got == want
