@@ -420,3 +420,109 @@ def dq_schema_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name", "ordinal")
     )
+
+
+# --- inclusion-dependency (FK) discovery -------------------------------------
+
+# key-shaped columns profiled for inclusion dependencies: the candidate
+# space every ERD-reconstruction / FK-discovery pass starts from
+INCLUSION_COLS: tuple[tuple[str, str], ...] = (
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("nation", "n_regionkey"),
+    ("customer", "c_custkey"),
+    ("customer", "c_nationkey"),
+    ("supplier", "s_suppkey"),
+    ("supplier", "s_nationkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+)
+INCLUSION_TAU = 0.5  # report pairs where >=50% of child values appear in parent
+
+
+def _inclusion_oracle() -> str:
+    union = " UNION ALL ".join(
+        f"SELECT DISTINCT '{t}.{c}' AS col, CAST({c} AS BIGINT) AS v FROM {t}"
+        for t, c in INCLUSION_COLS
+    )
+    return f"""
+    WITH vals AS MATERIALIZED ({union}),
+    percol AS (SELECT col, COUNT(*) AS n_distinct FROM vals GROUP BY col),
+    shared AS (
+        SELECT a.col AS child_col, b.col AS parent_col, COUNT(*) AS n_shared
+        FROM vals a JOIN vals b ON a.v = b.v AND a.col <> b.col
+        GROUP BY a.col, b.col
+    )
+    SELECT s.child_col, s.parent_col,
+           CAST(p.n_distinct AS BIGINT) AS n_child_distinct,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(s.n_shared AS DOUBLE) / p.n_distinct AS inclusion
+    FROM shared s JOIN percol p ON p.col = s.child_col
+    WHERE CAST(s.n_shared AS DOUBLE) / p.n_distinct >= {INCLUSION_TAU}
+    ORDER BY inclusion DESC, child_col, parent_col
+    """
+
+
+@register(
+    "dq_inclusion_dependencies",
+    oracle=_inclusion_oracle(),
+    description="FK discovery from DATA: inclusion coefficients between key-shaped columns across all tables",
+)
+def dq_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruct the foreign-key graph from the data alone:
+    inclusion coefficient |child ∩ parent| / |child| over DISTINCT
+    values for every ordered pair of key-shaped columns. A child
+    column fully contained in a parent (inclusion 1.0) is an FK
+    candidate — the audit that catches both undocumented joins and
+    BROKEN ones (an FK whose inclusion drifts below 1.0 after a bad
+    load is exactly what dq_referential_integrity alerts on, table by
+    table; this discovers the pairs to watch).
+
+    Scale: each column contributes its DISTINCT values once (map-side
+    combined); the pair counting groups values first
+    (collect_set(col) per value — the set is bounded by |profiled
+    columns|, 13 here) and explodes bounded col-pairs, so the shuffle
+    is ∝ Σ|distinct values| with a ≤13² fan-out — never the
+    value-square of a naive self-join on a hot value. Output is at
+    most |cols|² rows. Integer counts + one division: exact."""
+    frames = [
+        load_table(spark, sf_dir, t)
+        .select(
+            F.lit(f"{t}.{c}").alias("col"),
+            F.col(c).cast("bigint").alias("v"),
+        )
+        .distinct()
+        for t, c in INCLUSION_COLS
+    ]
+    vals = frames[0]
+    for f in frames[1:]:
+        vals = vals.unionByName(f)
+    vals = vals.persist()
+    percol = vals.groupBy("col").agg(F.count(F.lit(1)).alias("n_distinct"))
+    sets = vals.groupBy("v").agg(F.collect_set("col").alias("cols"))
+    shared = (
+        sets.select(F.explode("cols").alias("child_col"), "cols")
+        .select("child_col", F.explode("cols").alias("parent_col"))
+        .where(F.col("child_col") != F.col("parent_col"))
+        .groupBy("child_col", "parent_col")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    inclusion = F.col("n_shared").cast("double") / F.col("n_distinct")
+    return (
+        shared.join(
+            F.broadcast(percol.withColumnRenamed("col", "child_col")), "child_col"
+        )
+        .select(
+            "child_col",
+            "parent_col",
+            F.col("n_distinct").cast("bigint").alias("n_child_distinct"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            inclusion.alias("inclusion"),
+        )
+        .where(inclusion >= INCLUSION_TAU)
+        .orderBy(F.desc("inclusion"), "child_col", "parent_col")
+    )

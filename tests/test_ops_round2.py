@@ -265,3 +265,30 @@ def test_dim_correlation_finds_planted_copy_dim(spark):
     top = {(r["dim_a"], r["dim_b"]): r["corr"] for r in out[:2]}
     assert top[(0, 6)] > 0.999
     assert top[(1, 7)] < -0.999
+
+
+# --- dq_inclusion_dependencies (driver round 2) -----------------------------
+
+
+def test_inclusion_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "dq_inclusion_dependencies")
+
+
+def test_inclusion_discovers_tpch_fk_graph(spark, sf_dir):
+    """Every real TPC-H FK must surface with inclusion exactly 1.0 —
+    the data-driven ERD reconstruction the operator exists for."""
+    rows = {
+        (r["child_col"], r["parent_col"]): r["inclusion"]
+        for r in all_queries()["dq_inclusion_dependencies"].builder(spark, sf_dir).collect()
+    }
+    expected_fks = [
+        ("nation.n_regionkey", "region.r_regionkey"),
+        ("customer.c_nationkey", "nation.n_nationkey"),
+        ("supplier.s_nationkey", "nation.n_nationkey"),
+        ("orders.o_custkey", "customer.c_custkey"),
+        ("lineitem.l_orderkey", "orders.o_orderkey"),
+        ("lineitem.l_partkey", "part.p_partkey"),
+        ("lineitem.l_suppkey", "supplier.s_suppkey"),
+    ]
+    for fk in expected_fks:
+        assert rows.get(fk) == 1.0, (fk, rows.get(fk))
