@@ -515,11 +515,16 @@ def test_cardinality_profile_expands_per_table(spark, sf_dir):
 
 
 def test_abc_windows_run_at_rollup_grain(spark, sf_dir):
-    """The only hash exchange is the per-part reduce — the running-sum
-    window and class thresholds never touch fact grain."""
+    """Hash exchanges are the per-part reduce plus the sharded-cumsum
+    bucket repartition (r2 de-globalization: functions/ranks.
+    with_global_cumsum) — the running-sum window and class thresholds
+    never touch fact grain, and never a single-task global sort."""
     plan = plan_of(spark, sf_dir, "q_abc_classification")
     keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
-    assert keys <= {"l_partkey"}, keys
+    # l_partkey = fact reduce; __cs_b = sharded-cumsum bucket; abc =
+    # the 3-row class rollup (bounded)
+    assert keys <= {"l_partkey", "__cs_b", "abc"}, keys
+    assert "__cs_b" in keys, keys  # the sharded (not global) cumsum path
     assert "CartesianProduct" not in plan
 
 
