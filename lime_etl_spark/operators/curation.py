@@ -609,3 +609,98 @@ def cur_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- token-budget greedy selection ------------------------------------------
+
+BUDGET_PCT = 30  # select up to 30% of the corpus token mass
+
+
+@register(
+    "cur_budget_select",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+                   AS n_tokens,
+               n_chars
+        FROM documents
+    ),
+    scored AS (
+        SELECT *, (n_chars * 1000000) // GREATEST(n_tokens, 1) AS ratio_e6
+        FROM sized
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t FROM sized),
+    ranked AS (
+        SELECT s.*, tot.t,
+               SUM(n_tokens) OVER (ORDER BY ratio_e6 DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM scored s CROSS JOIN tot
+    ),
+    flagged AS (
+        SELECT lang, n_tokens,
+               CASE WHEN cum * 100 <= t * {BUDGET_PCT} THEN 1 ELSE 0 END AS sel
+        FROM ranked
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(sel) AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN sel = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS selected_tokens,
+           CAST(SUM(sel) AS DOUBLE) / COUNT(*) AS share_selected
+    FROM flagged GROUP BY lang ORDER BY lang
+    """,
+    description=f"greedy token-budget selection: top chars-per-token docs until {BUDGET_PCT}% of corpus tokens, via the sharded global cumsum",
+)
+def cur_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted greedy selection — the knapsack every curation run
+    ends with: rank docs by a per-token value score (here the
+    chars-per-token proxy; production plugs in a model quality score)
+    and keep the prefix whose token mass fits the corpus budget
+    (BUDGET_PCT=30% of total tokens). Greedy-by-ratio means selection
+    is a PREFIX of the ranked order, so the whole decision is one
+    running sum over that order.
+
+    Scale: the running sum over doc grain uses the sharded-cumsum
+    decomposition (functions/ranks.with_global_cumsum — quantile
+    buckets, partition-local running sums, broadcast offsets), NOT a
+    single-task global window; the budget test is an integer
+    cross-multiply (cum·100 ≤ total·pct) against a 1-row broadcast —
+    exact on both engines. Rollup is |langs| rows of integer sums.
+    """
+    from lime_etl_spark.functions.ranks import with_global_cumsum
+    from lime_etl_spark.operators.text import BPE_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.regexp_count("text", F.lit(BPE_RE)).cast("bigint").alias("n_tokens"),
+        "n_chars",
+    )
+    scored = sized.withColumn(
+        "ratio_e6", F.expr("(n_chars * 1000000) div greatest(n_tokens, 1)")
+    )
+    tot = scored.agg(F.sum("n_tokens").alias("t"))
+    ranked = with_global_cumsum(
+        scored,
+        -F.col("ratio_e6"),
+        [F.desc("ratio_e6"), F.col("doc_id")],
+        "n_tokens",
+        out="cum",
+    )
+    sel = F.when(F.col("cum") * 100 <= F.col("t") * BUDGET_PCT, 1).otherwise(0)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select("lang", "n_tokens", sel.alias("sel"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("sel").cast("bigint").alias("n_selected"),
+            F.sum(F.when(F.col("sel") == 1, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("selected_tokens"),
+            (F.sum("sel").cast("double") / F.count(F.lit(1))).alias("share_selected"),
+        )
+        .orderBy("lang")
+    )

@@ -292,3 +292,32 @@ def test_inclusion_discovers_tpch_fk_graph(spark, sf_dir):
     ]
     for fk in expected_fks:
         assert rows.get(fk) == 1.0, (fk, rows.get(fk))
+
+
+# --- cur_budget_select (driver round 2) -------------------------------------
+
+
+def test_budget_select_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "cur_budget_select")
+
+
+def test_budget_select_respects_budget_and_prefix(spark, sf_dir):
+    """Selected token mass must stay within the 30% budget, selection
+    must be non-empty, and no language can be selected-out entirely
+    unless its docs all rank below the cut."""
+    from lime_etl_spark.operators.curation import BUDGET_PCT
+    from lime_etl_spark.operators.text import BPE_RE
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = all_queries()["cur_budget_select"].builder(spark, sf_dir).collect()
+    assert rows
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(f"sum(regexp_count(text, '{BPE_RE}')) AS t")
+        .collect()[0]["t"]
+    )
+    picked = sum(r["selected_tokens"] for r in rows)
+    assert 0 < picked * 100 <= total * BUDGET_PCT
+    for r in rows:
+        assert 0.0 <= r["share_selected"] <= 1.0
+        assert r["n_selected"] <= r["n_docs"]

@@ -850,6 +850,7 @@ GLOBAL_WINDOW_BOUNDED_OK = {
     "q_abc_classification": 1,
     "q_skyline_parts": 1,  # shard prefix-min roster
     "pack_shard_manifest": 1,
+    "cur_budget_select": 1,  # sharded-cumsum offsets roster
     "dq_id_time_monotonicity": 1,  # 256-row shard boundary stitch
     # calendar-bounded rollups (|days| / |months| grain)
     "dq_id_allocation_rate": 1,
