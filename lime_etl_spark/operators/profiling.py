@@ -526,3 +526,78 @@ def dq_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(inclusion >= INCLUSION_TAU)
         .orderBy(F.desc("inclusion"), "child_col", "parent_col")
     )
+
+
+# --- functional-dependency discovery -----------------------------------------
+
+# candidate (table, determinant, dependent) triples: known-true FDs
+# (keys determine attributes) interleaved with known-false ones, so
+# the operator's discrimination is visible in its own output
+FD_CANDIDATES: tuple[tuple[str, str, str], ...] = (
+    ("region", "r_regionkey", "r_name"),
+    ("nation", "n_nationkey", "n_name"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("nation", "n_name", "n_nationkey"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("supplier", "s_suppkey", "s_nationkey"),
+    ("part", "p_partkey", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+)
+
+
+def _fd_oracle() -> str:
+    selects = [
+        f"""
+        SELECT '{t}' AS table_name, '{a}' AS determinant, '{b}' AS dependent,
+               CAST(COUNT(DISTINCT {a}) AS BIGINT) AS n_determinant,
+               CAST(COUNT(DISTINCT ROW({a}, {b})) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT ROW({a}, {b})) - COUNT(DISTINCT {a}) AS BIGINT)
+                   AS n_violations,
+               COUNT(DISTINCT ROW({a}, {b})) = COUNT(DISTINCT {a}) AS holds
+        FROM {t}"""
+        for t, a, b in FD_CANDIDATES
+    ]
+    return " UNION ALL ".join(selects) + " ORDER BY table_name, determinant, dependent"
+
+
+@register(
+    "dq_functional_dependencies",
+    oracle=_fd_oracle(),
+    description="FD discovery from DATA: determinant->dependent verdicts over candidate column pairs (companion to dq_inclusion_dependencies)",
+)
+def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discover which functional dependencies actually HOLD in the
+    data: A→B holds iff |distinct A| = |distinct (A,B)| — the
+    within-table companion to dq_inclusion_dependencies' cross-table
+    FK discovery, and the audit that catches a dimension whose
+    supposedly key-determined attribute drifted (one key mapping to
+    two names after a bad merge shows up as n_violations > 0 here
+    before any user hits it).
+
+    Scale: each candidate is two COUNT(DISTINCT) aggregates over one
+    projected scan — map-side partial distinct, counters-only shuffle;
+    the result is |candidates| rows unioned. Exact integers."""
+    out = None
+    for t, a, b in FD_CANDIDATES:
+        tbl = load_table(spark, sf_dir, t)
+        row = tbl.agg(
+            F.countDistinct(F.col(a)).alias("n_determinant"),
+            F.countDistinct(F.col(a), F.col(b)).alias("n_pairs"),
+        ).select(
+            F.lit(t).alias("table_name"),
+            F.lit(a).alias("determinant"),
+            F.lit(b).alias("dependent"),
+            F.col("n_determinant").cast("bigint"),
+            F.col("n_pairs").cast("bigint"),
+            (F.col("n_pairs") - F.col("n_determinant"))
+            .cast("bigint")
+            .alias("n_violations"),
+            (F.col("n_pairs") == F.col("n_determinant")).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name", "determinant", "dependent")

@@ -501,3 +501,73 @@ def txt_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- code-vs-prose detection -------------------------------------------------
+
+CODE_SYMBOL_RE = r"[{}()\[\];=<>|&]"  # punctuation prose rarely uses densely
+CODE_IDENT_RE = r"[a-zA-Z]+_[a-zA-Z]+|[a-z]+[A-Z][a-zA-Z]*"  # snake/camelCase
+CODE_FLAG_E6 = 30_000  # flag docs whose weighted density exceeds 3%
+
+
+@register(
+    "txt_code_score",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               ((len(regexp_extract_all(text, '{CODE_SYMBOL_RE.replace("'", "''")}')) * 3
+                 + len(regexp_extract_all(text, '{CODE_IDENT_RE}'))) * 1000000)
+                 // GREATEST(n_chars, 1) AS score_e6
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score_e6) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean_code_density,
+           CAST(SUM(CASE WHEN score_e6 > {CODE_FLAG_E6} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_code_like,
+           CAST(SUM(CASE WHEN score_e6 > {CODE_FLAG_E6} THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS share_code_like
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    description="code-vs-prose detection: weighted symbol/identifier density per doc, per-source code-like share",
+)
+def txt_code_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The code-filtering stage of a text-corpus pipeline: score each
+    doc by a weighted density of code punctuation (braces, semicolons,
+    assignment/comparison operators, ×3) plus snake_case/camelCase
+    identifiers, normalized by characters; roll up per source with the
+    share of docs over the 3% flag line. A prose corpus sits near
+    zero; source shards that are secretly code dumps light up — the
+    triage that decides whether a source needs a code-aware tokenizer
+    or exclusion.
+
+    Exactness: the per-doc score is pure integer arithmetic
+    ((3·symbols + identifiers)·10⁶ div chars); rollups are integer
+    sums plus one division each. Scale: two regexp_count projections
+    fused into the scan, one counters-only groupBy(source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Spark SQL string literals process backslash escapes (DuckDB's do
+    # not) — double them so the parsed regex keeps its \[ \] classes
+    sym_sql = CODE_SYMBOL_RE.replace("\\", "\\\\")
+    score = F.expr(
+        f"((regexp_count(text, '{sym_sql}') * 3"
+        f" + regexp_count(text, '{CODE_IDENT_RE}')) * 1000000)"
+        " div greatest(n_chars, 1)"
+    )
+    scored = docs.select("source", score.alias("score_e6"))
+    flagged = F.col("score_e6") > CODE_FLAG_E6
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.sum("score_e6").cast("double") / (F.count(F.lit(1)) * 1000000.0)
+            ).alias("mean_code_density"),
+            F.sum(F.when(flagged, 1).otherwise(0)).cast("bigint").alias("n_code_like"),
+            (
+                F.sum(F.when(flagged, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("share_code_like"),
+        )
+        .orderBy("source")
+    )

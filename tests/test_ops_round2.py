@@ -321,3 +321,60 @@ def test_budget_select_respects_budget_and_prefix(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["share_selected"] <= 1.0
         assert r["n_selected"] <= r["n_docs"]
+
+
+# --- dq_functional_dependencies (driver round 2) ----------------------------
+
+
+def test_fd_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "dq_functional_dependencies")
+
+
+def test_fd_verdicts_are_discriminating(spark, sf_dir):
+    """Key→attribute FDs must hold with zero violations; the planted
+    non-FDs (segment by nationkey, flag by orderkey) must not."""
+    rows = {
+        (r["determinant"], r["dependent"]): r
+        for r in all_queries()["dq_functional_dependencies"].builder(spark, sf_dir).collect()
+    }
+    for det, dep in [
+        ("r_regionkey", "r_name"),
+        ("n_nationkey", "n_name"),
+        ("c_custkey", "c_mktsegment"),
+        ("o_orderkey", "o_custkey"),
+        ("p_partkey", "p_brand"),
+    ]:
+        assert rows[(det, dep)]["holds"] and rows[(det, dep)]["n_violations"] == 0
+    for det, dep in [("c_nationkey", "c_mktsegment"), ("l_orderkey", "l_returnflag")]:
+        assert not rows[(det, dep)]["holds"]
+        assert rows[(det, dep)]["n_violations"] > 0
+
+
+# --- txt_code_score (driver round 2) ----------------------------------------
+
+
+def test_code_score_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "txt_code_score")
+
+
+def test_code_score_separates_code_from_prose(spark):
+    """A source of planted code snippets must flag ~100% code-like; a
+    prose source ~0%."""
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.text import txt_code_score
+
+    code = "def foo(bar_baz):\n    if bar_baz >= 0: return {x: y[i] for i in range(10)};"
+    prose = "the quiet afternoon settled over the harbor as fishermen mended their nets"
+    rows = [(i, code, "en", "code_dump", len(code)) for i in range(15)]
+    rows += [(100 + i, prose, "en", "books", len(prose)) for i in range(15)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["source"]: r for r in txt_code_score(spark, d).collect()}
+    assert out["code_dump"]["share_code_like"] == 1.0
+    assert out["books"]["share_code_like"] == 0.0
+    assert out["code_dump"]["mean_code_density"] > 10 * out["books"]["mean_code_density"]
