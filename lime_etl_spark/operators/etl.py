@@ -1104,3 +1104,86 @@ def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sk").alias("min_sk"),
         F.max("sk").alias("max_sk"),
     )
+
+
+# --- late-arriving dimension remediation -------------------------------------
+
+LATE_DIM_MOD = 20  # every 20th customer "arrives late" in the scenario
+
+
+@register(
+    "etl_late_arriving_dim",
+    oracle=f"""
+    WITH early_dim AS (
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % {LATE_DIM_MOD} <> 0
+    ),
+    phase1 AS (
+        SELECT o.o_orderkey, o.o_custkey,
+               CASE WHEN d.c_custkey IS NULL THEN 'pending' ELSE 'matched' END AS status
+        FROM orders o LEFT JOIN early_dim d ON d.c_custkey = o.o_custkey
+    ),
+    phase2 AS (
+        SELECT p.status, p.o_custkey,
+               CASE WHEN p.status = 'pending' AND full_d.c_custkey IS NOT NULL
+                    THEN 'backfilled'
+                    WHEN p.status = 'pending' THEN 'orphaned'
+                    ELSE 'matched' END AS final_status
+        FROM phase1 p LEFT JOIN customer full_d ON full_d.c_custkey = p.o_custkey
+    )
+    SELECT final_status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM phase2 GROUP BY final_status ORDER BY final_status
+    """,
+    description="late-arriving dimension remediation: match/park/backfill ledger over a planted late-dim scenario",
+)
+def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The late-arriving-dimension pattern (Kimball's classic ETL
+    remediation): facts whose dimension key has not landed yet are
+    PARKED instead of dropped or FK-violated, then BACKFILLED when the
+    dimension completes. The scenario plants the lag deterministically
+    (every 20th customer arrives after the first load); the output
+    is the remediation ledger — matched in phase 1, backfilled in
+    phase 2, orphaned forever (a real FK break dq_referential_
+    integrity would page on).
+
+    Scale: two broadcast joins against the dimension (dims broadcast
+    at any corpus size); the pending set is carried as a STATUS
+    column, not a separate shuffle — a production job would write the
+    pending partition and re-drive only it. Counters-only rollup.
+    """
+    dim = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    early = dim.where(F.col("c_custkey") % LATE_DIM_MOD != 0).select(
+        "c_custkey", "c_nationkey"
+    )
+    phase1 = orders.join(
+        F.broadcast(early), orders.o_custkey == early.c_custkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("c_custkey").isNull(), "pending").otherwise("matched").alias(
+            "status"
+        ),
+    )
+    full = dim.select(F.col("c_custkey").alias("full_key"))
+    phase2 = phase1.join(
+        F.broadcast(full), phase1.o_custkey == full.full_key, "left"
+    ).select(
+        "o_custkey",
+        F.when(
+            (F.col("status") == "pending") & F.col("full_key").isNotNull(),
+            "backfilled",
+        )
+        .when(F.col("status") == "pending", "orphaned")
+        .otherwise("matched")
+        .alias("final_status"),
+    )
+    return (
+        phase2.groupBy("final_status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("final_status")
+    )

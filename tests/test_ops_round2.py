@@ -378,3 +378,24 @@ def test_code_score_separates_code_from_prose(spark):
     assert out["code_dump"]["share_code_like"] == 1.0
     assert out["books"]["share_code_like"] == 0.0
     assert out["code_dump"]["mean_code_density"] > 10 * out["books"]["mean_code_density"]
+
+
+# --- etl_late_arriving_dim (driver round 2) ---------------------------------
+
+
+def test_late_dim_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "etl_late_arriving_dim")
+
+
+def test_late_dim_ledger_conserves_and_backfills(spark, sf_dir):
+    """Every order lands in exactly one ledger bucket; the planted lag
+    means backfilled > 0 and (dim being complete in phase 2)
+    orphaned is absent."""
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = {r["final_status"]: r for r in all_queries()["etl_late_arriving_dim"].builder(spark, sf_dir).collect()}
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_orders"] for r in rows.values()) == n_orders
+    assert rows["backfilled"]["n_orders"] > 0
+    assert "orphaned" not in rows  # full dim backfills every parked fact
+    assert rows["matched"]["n_orders"] > rows["backfilled"]["n_orders"]
