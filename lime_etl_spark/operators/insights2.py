@@ -6032,3 +6032,97 @@ def dq_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         (F.col("n_distinct").cast("double") / F.col("n_rows")).alias("uniqueness"),
     ).orderBy("tbl", "col")
+
+
+# --- difference-in-differences -----------------------------------------------
+
+DID_CUTOVER = "2024-01-16"  # deterministic mid-period "intervention" date
+
+
+@register(
+    "ev_diff_in_diff",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CASE WHEN {_bucket_sql("user_id", 2)} = 0 THEN 'control'
+                    ELSE 'treatment' END AS arm,
+               CASE WHEN CAST(ts AS DATE) < DATE '{DID_CUTOVER}' THEN 'pre'
+                    ELSE 'post' END AS period,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END)
+                    AS DECIMAL(38,2)) AS revenue
+        FROM events GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT arm,
+               MAX(CASE WHEN period = 'pre' THEN n_users END) AS pre_users,
+               MAX(CASE WHEN period = 'post' THEN n_users END) AS post_users,
+               MAX(CASE WHEN period = 'pre' THEN revenue END) AS pre_rev,
+               MAX(CASE WHEN period = 'post' THEN revenue END) AS post_rev
+        FROM cells GROUP BY arm
+    )
+    SELECT arm,
+           CAST(pre_users AS BIGINT) AS pre_users,
+           CAST(post_users AS BIGINT) AS post_users,
+           CAST(pre_rev AS DOUBLE) / pre_users AS pre_rev_per_user,
+           CAST(post_rev AS DOUBLE) / post_users AS post_rev_per_user,
+           CAST(post_rev AS DOUBLE) / post_users
+             - CAST(pre_rev AS DOUBLE) / pre_users AS delta
+    FROM wide ORDER BY arm
+    """,
+    description="difference-in-differences table: per-arm pre/post revenue-per-user deltas around a deterministic cutover",
+)
+def ev_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The causal-analytics primitive the experimentation family was
+    missing: difference-in-differences around a cutover date. Users
+    hash-split into arms (the ev_ab_assignment_aa assignment), the
+    period split at the deterministic mid-window cutover; per
+    (arm, period) cell — users and decimal-exact purchase revenue —
+    then per-arm pre/post revenue-per-user deltas. The DiD estimate
+    is delta(treatment) − delta(control), readable off the two output
+    rows; on untreated data the estimate is sampling noise bounded by
+    the revenue-per-user scale (pytest-gated sanity — tight parallel
+    trends is a large-sample property the sf0.01 fixture can't
+    assert), which is the baseline that makes the table readable when
+    a real intervention lands.
+
+    Scale: one fact scan into a 4-cell decimal reduce; everything
+    after is arithmetic on a 2-row frame. Revenue accumulates in
+    decimal (exact, order-free), converted to double only in the
+    final per-user divisions (one division per value — IEEE-exact
+    both engines)."""
+    from lime_etl_spark.operators.training import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(hash_bucket(F.col("user_id"), 2) == 0, "control").otherwise(
+        "treatment"
+    )
+    period = F.when(
+        F.col("ts").cast("date") < F.lit(DID_CUTOVER).cast("date"), "pre"
+    ).otherwise("post")
+    cells = ev.groupBy(arm.alias("arm"), period.alias("period")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", dec("value", 2, 18)
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("decimal(38,2)")
+        .alias("revenue"),
+    )
+    wide = cells.groupBy("arm").agg(
+        F.max(F.when(F.col("period") == "pre", F.col("n_users"))).alias("pre_users"),
+        F.max(F.when(F.col("period") == "post", F.col("n_users"))).alias("post_users"),
+        F.max(F.when(F.col("period") == "pre", F.col("revenue"))).alias("pre_rev"),
+        F.max(F.when(F.col("period") == "post", F.col("revenue"))).alias("post_rev"),
+    )
+    pre_rpu = F.col("pre_rev").cast("double") / F.col("pre_users")
+    post_rpu = F.col("post_rev").cast("double") / F.col("post_users")
+    return wide.select(
+        "arm",
+        F.col("pre_users").cast("bigint").alias("pre_users"),
+        F.col("post_users").cast("bigint").alias("post_users"),
+        pre_rpu.alias("pre_rev_per_user"),
+        post_rpu.alias("post_rev_per_user"),
+        (post_rpu - pre_rpu).alias("delta"),
+    ).orderBy("arm")

@@ -399,3 +399,29 @@ def test_late_dim_ledger_conserves_and_backfills(spark, sf_dir):
     assert rows["backfilled"]["n_orders"] > 0
     assert "orphaned" not in rows  # full dim backfills every parked fact
     assert rows["matched"]["n_orders"] > rows["backfilled"]["n_orders"]
+
+
+# --- ev_diff_in_diff (driver round 2) ---------------------------------------
+
+
+def test_did_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "ev_diff_in_diff")
+
+
+def test_did_parallel_trends_on_untreated_data(spark, sf_dir):
+    """With no real intervention the DiD estimate is pure sampling
+    noise: assert it stays within the revenue-per-user scale (order-
+    of-magnitude sanity — a planted uplift would exceed it), and that
+    the table is structurally sound. The tight-parallel-trends claim
+    is a large-sample property; at sf0.01 the arms hold only a few
+    hundred users each, so a small bound would be asserting noise."""
+    rows = {r["arm"]: r for r in all_queries()["ev_diff_in_diff"].builder(spark, sf_dir).collect()}
+    assert set(rows) == {"control", "treatment"}
+    for r in rows.values():
+        assert r["pre_users"] > 0 and r["post_users"] > 0
+        assert r["delta"] == pytest.approx(
+            r["post_rev_per_user"] - r["pre_rev_per_user"]
+        )
+    did = rows["treatment"]["delta"] - rows["control"]["delta"]
+    scale = abs(rows["control"]["pre_rev_per_user"]) + 1e-9
+    assert abs(did) / scale < 1.0, (did, scale)
