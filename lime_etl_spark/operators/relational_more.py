@@ -1145,3 +1145,77 @@ def q_returns_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --- discount elasticity (OLS slope from exact moments) ----------------------
+
+
+@register(
+    "q_discount_elasticity",
+    oracle="""
+    WITH pts AS (
+        SELECT p.p_brand,
+               CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS x,
+               CAST(l.l_quantity AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    mom AS (
+        SELECT p_brand, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM pts GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS qty_per_discount_pt,
+           CAST(sy AS DOUBLE) / n AS mean_qty
+    FROM mom
+    WHERE (n * sxx - sx * sx) > 0
+    ORDER BY p_brand
+    """,
+    description="per-brand OLS slope of quantity on discount points (exact integer moments, one float division)",
+)
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-response primitive: the least-squares slope of order
+    quantity on discount points per brand — the first-cut elasticity
+    table a pricing team reads before fitting anything fancier. A
+    positive slope says deeper discounts move volume for that brand;
+    near-zero says the discount budget is wasted there.
+
+    Exactness: discount is re-expressed in integer points (×100 of
+    the 2-decimal fraction), so all five OLS moments are exact
+    integer sums under any partitioning; the slope is one float
+    division of exact integers — bit-identical cross-engine (the
+    emb_dim_correlation discipline applied to a regression).
+
+    Scale: fact scan joined to the broadcast part dim, then a
+    counters-only groupBy(brand) — |brands| rows out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        (dec("l_discount", 2, 4) * 100).cast("bigint").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    mom = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / denom.cast("double")
+    )
+    return (
+        mom.where(denom > 0)
+        .select(
+            "p_brand",
+            F.col("n").cast("bigint").alias("n_lines"),
+            slope.alias("qty_per_discount_pt"),
+            (F.col("sy").cast("double") / F.col("n")).alias("mean_qty"),
+        )
+        .orderBy("p_brand")
+    )

@@ -571,3 +571,96 @@ def txt_code_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- ingest-order n-gram novelty ---------------------------------------------
+
+NOVELTY_N = 3  # word-trigram granularity (sub-doc redundancy unit)
+
+
+@register(
+    "txt_novelty_rate",
+    oracle=f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, lang, sh
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(list_transform(generate_series(1, len(t) - {NOVELTY_N - 1}),
+                                         i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+            FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+        )
+    ),
+    first_seen AS (SELECT sh, MIN(doc_id) AS intro_doc FROM grams GROUP BY sh),
+    per_doc AS (
+        SELECT g.doc_id, ANY_VALUE(g.lang) AS lang,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN f.intro_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM grams g JOIN first_seen f ON f.sh = g.sh
+        GROUP BY g.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_novel) AS BIGINT) AS novel_grams,
+           CAST(SUM(n_novel) AS DOUBLE) / SUM(n_grams) AS novelty_rate,
+           CAST(SUM(CASE WHEN n_novel * 2 < n_grams THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mostly_redundant_docs
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    description="ingest-order n-gram novelty: share of each doc's trigrams it introduced to the corpus; per-lang redundancy profile",
+)
+def txt_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document redundancy at the trigram grain: for every doc,
+    the share of its distinct word-trigrams that FIRST appear in it
+    (first-seen = min doc_id over the corpus — the deterministic stand-
+    in for ingest order). Doc-level dedup misses this entirely: a
+    corpus can be 0% duplicate documents and still 80% recycled
+    trigrams (syndication, quotes, templates) — this is the table
+    that says how much NEW text each language slice actually adds,
+    and counts the mostly-redundant docs (<50% novel) a curation
+    pass would weight down (same spirit as dedup_repeated_spans at
+    span grain; this is corpus-cumulative).
+
+    Scale: distinct (doc, gram) explode, one groupBy(gram) for the
+    first-seen reduce (map-side combined), one hash join back on the
+    gram, counters-only doc and lang rollups. The <50% flag is an
+    integer cross-multiply — everything exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(word_shingles(tokens(), NOVELTY_N)).alias("sh"),
+        )
+        .distinct()
+        .persist()
+    )
+    first_seen = grams.groupBy("sh").agg(F.min("doc_id").alias("intro_doc"))
+    per_doc = (
+        grams.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("intro_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("total_grams"),
+            F.sum("n_novel").cast("bigint").alias("novel_grams"),
+            (
+                F.sum("n_novel").cast("double") / F.sum("n_grams")
+            ).alias("novelty_rate"),
+            F.sum(
+                F.when(F.col("n_novel") * 2 < F.col("n_grams"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_mostly_redundant_docs"),
+        )
+        .orderBy("lang")
+    )

@@ -425,3 +425,67 @@ def test_did_parallel_trends_on_untreated_data(spark, sf_dir):
     did = rows["treatment"]["delta"] - rows["control"]["delta"]
     scale = abs(rows["control"]["pre_rev_per_user"]) + 1e-9
     assert abs(did) / scale < 1.0, (did, scale)
+
+
+# --- q_discount_elasticity / txt_novelty_rate (driver round 2) ---------------
+
+
+@pytest.mark.parametrize("name", ["q_discount_elasticity", "txt_novelty_rate"])
+def test_r2_batch2_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_novelty_duplicated_corpus_halves_novelty(spark):
+    """A corpus where every doc has an exact later copy: the copies
+    introduce nothing, so corpus novelty is ~n_unique/n_total and
+    every copy counts as mostly-redundant."""
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.text import txt_novelty_rate
+
+    base = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(30)), "en", "s", 100)
+        for i in range(10)
+    ]
+    copies = [(100 + i, t, lang, s_, n) for i, (j, t, lang, s_, n) in enumerate(base)]
+    docs = spark.createDataFrame(
+        base + copies,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        row = txt_novelty_rate(spark, d).collect()[0]
+    assert row["novelty_rate"] == 0.5
+    assert row["n_mostly_redundant_docs"] == 10
+
+
+def test_elasticity_recovers_planted_slope(spark, sf_dir, tmp_path):
+    """On a synthetic lineitem where qty = 3*discount_pts + 5 exactly,
+    the OLS slope must come back as exactly 3.0."""
+    import os
+
+    from lime_etl_spark.operators.relational_more import q_discount_elasticity
+
+    rows = []
+    for i in range(200):
+        disc = (i % 11) / 100.0  # 0.00..0.10
+        qty = 3 * (i % 11) + 5
+        rows.append((i, i % 7 + 1, 1, 1, float(qty), 100.0, disc, 0.0, "N", "O", "2024-01-01"))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    part = spark.createDataFrame(
+        [(k, f"part{k}", f"Brand#{k % 3}", "t", 1, 10.0) for k in range(1, 8)],
+        "p_partkey bigint, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    d = str(tmp_path)
+    li.write.parquet(os.path.join(d, "lineitem.parquet"))
+    part.write.parquet(os.path.join(d, "part.parquet"))
+    out = q_discount_elasticity(spark, d).collect()
+    assert out
+    for r in out:
+        assert r["qty_per_discount_pt"] == pytest.approx(3.0)
