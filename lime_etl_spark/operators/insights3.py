@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lime_etl_spark.functions.numeric import dec
-from lime_etl_spark.functions.ranks import ingest_bucket_sql, with_ingest_bucket
+from lime_etl_spark.functions.ranks import (
+    ingest_bucket_sql,
+    with_global_ntile,
+    with_ingest_bucket,
+)
+from lime_etl_spark.functions.text import shingle_int, shingle_int_sql
 from lime_etl_spark.operators.events import SESSION_GAP_US
 from lime_etl_spark.operators.similarity import with_int8_vectors
 from lime_etl_spark.operators.text import BPE_RE
@@ -7486,4 +7491,366 @@ def q_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("final_week_share"),
         )
         .orderBy("quarter_key")
+    )
+
+
+# --- brand mix by customer segment (share + lift) ----------------------------
+
+_SEG_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+@register(
+    "q_brand_share_by_segment",
+    oracle=f"""
+    WITH cell AS (
+        SELECT c.c_mktsegment AS segment, p.p_brand,
+               COUNT(*) AS n_lines,
+               SUM({_SEG_REV_SQL}) AS rev
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT segment, p_brand,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY segment) AS DOUBLE) AS seg_share,
+           (CAST(rev AS DOUBLE)
+              / CAST(SUM(rev) OVER (PARTITION BY segment) AS DOUBLE))
+             / (CAST(SUM(rev) OVER (PARTITION BY p_brand) AS DOUBLE)
+                / CAST(SUM(rev) OVER () AS DOUBLE)) AS segment_lift
+    FROM cell
+    ORDER BY segment, p_brand
+    """,
+    description="brand revenue mix within each customer market segment, with lift vs the brand's overall share (assortment/targeting screen)",
+)
+def q_brand_share_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which brands over-index in which customer segments — the
+    assortment/targeting table: ``seg_share`` is the brand's revenue
+    share inside the segment, ``segment_lift`` divides that by the
+    brand's overall share (lift >1 → the segment over-buys the brand;
+    a uniform brand sits at 1.0). lime-etl analog: a nightly report
+    job joining the fact to two dims (reference
+    `lime_etl/domain/job_spec.py:40` run()-style table build).
+
+    Exactness: every cell revenue is a decimal-exact sum of
+    price*(1-discount); all three share denominators are window/global
+    sums of those exact decimals over the |segments|x|brands| (~125
+    row) rollup, and the division sequence (rev/seg) / (brand/grand)
+    is written identically on both engines.
+
+    Scale: one fact scan; lineitem->orders->customer shuffles on the
+    join keys (AQE picks broadcast for the part dim which is
+    explicitly hinted); the groupBy output is vocab-bounded
+    (segments x brands), so the share windows and the 1-row grand
+    total crossJoin all run on a tiny rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = dec("l_extendedprice", 2, 12) * (
+        F.lit(1).cast("decimal(3,2)") - dec("l_discount", 2, 4)
+    )
+    cell = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("c_mktsegment").alias("segment"), "p_brand", rev.alias("r"))
+        .groupBy("segment", "p_brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"), F.sum("r").alias("rev"))
+    )
+    grand = cell.agg(F.sum("rev").alias("grand_rev"))
+    seg_w = Window.partitionBy("segment")
+    brand_w = Window.partitionBy("p_brand")
+    seg_share = F.col("rev").cast("double") / F.sum("rev").over(seg_w).cast("double")
+    overall_share = (
+        F.sum("rev").over(brand_w).cast("double") / F.col("grand_rev").cast("double")
+    )
+    return (
+        cell.crossJoin(F.broadcast(grand))
+        .select(
+            "segment",
+            "p_brand",
+            "n_lines",
+            F.col("rev").cast("double").alias("revenue"),
+            seg_share.alias("seg_share"),
+            (seg_share / overall_share).alias("segment_lift"),
+        )
+        .orderBy("segment", "p_brand")
+    )
+
+
+# --- boilerplate-header prefix clusters --------------------------------------
+
+PREFIX_CHARS = 64  # header window: shared openings beyond this are templates
+
+
+@register(
+    "dedup_prefix_clusters",
+    oracle=f"""
+    WITH pref AS (
+        SELECT source, {shingle_int_sql(f"substr(text, 1, {PREFIX_CHARS})")} AS pk
+        FROM documents
+    ),
+    cl AS (
+        SELECT pk, COUNT(*) AS sz, COUNT(DISTINCT source) AS n_src
+        FROM pref GROUP BY pk
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_src > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_source
+    FROM cl
+    WHERE sz >= 2
+    GROUP BY sz
+    ORDER BY cluster_size
+    """,
+    description="documents sharing their first 64 chars: template/boilerplate-header cluster histogram with cross-source counts",
+)
+def dedup_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-opening detector: documents that share their first
+    ``PREFIX_CHARS`` characters verbatim (license headers, scraped
+    nav/banner text, syndication intros) — redundancy the whole-doc
+    and shingle dedups under-report because the bodies diverge.
+    Output is the cluster-size histogram with how many clusters span
+    multiple sources (cross-source prefix reuse = a template, not a
+    re-crawl). Companion to cur_boilerplate_lines (line grain) and
+    dedup_repeated_spans (span grain); this is the cheapest of the
+    three — one narrow-key groupBy.
+
+    Exactness: the prefix is keyed by the md5-bridge 60-bit integer
+    (functions/text.py shingle_int) both engines compute identically;
+    everything downstream is integer counters.
+
+    Scale: the shuffle key is an 8-byte int, the map side projects two
+    pushed columns, and the histogram is |distinct sizes| rows. A hot
+    prefix (the empty-ish doc) skews one reducer at worst — AQE
+    skew-split handles it; no joins anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    pref = docs.select(
+        "source",
+        shingle_int(F.substring("text", 1, PREFIX_CHARS)).alias("pk"),
+    )
+    cl = pref.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("source").alias("n_src"),
+    )
+    return (
+        cl.where(F.col("sz") >= 2)
+        .groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_src") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cross_source"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# --- within-order price dispersion by order size -----------------------------
+
+
+@register(
+    "q_intra_order_dispersion",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS s1,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,4)) AS s2
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    scored AS (
+        SELECT n, s1,
+               FLOOR(CAST(n AS DECIMAL(2,0)) * s2 - s1 * s1) AS d
+        FROM per_order
+    )
+    SELECT CAST(n AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(s1) AS DOUBLE) / CAST(COUNT(*) * n AS DOUBLE) AS mean_line_price,
+           CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) * n * n AS DOUBLE) AS mean_within_var,
+           sqrt(CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) * n * n AS DOUBLE))
+             / (CAST(SUM(s1) AS DOUBLE) / CAST(COUNT(*) * n AS DOUBLE)) AS within_cv
+    FROM scored
+    GROUP BY n
+    ORDER BY n_lines
+    """,
+    description="within-order price dispersion pooled by order size: is a 7-line basket 7 similar items or a mixed bag (exact n*s2-s1^2 decimals, divisions only at the bucket)",
+)
+def q_intra_order_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How heterogeneous is a basket internally? For each order-size
+    bucket (the line count IS the bucket key), the pooled within-order
+    price variance and its CV — separates "7 lines of similar-priced
+    items" from "7 lines spanning 100x" which drive very different
+    picking/packing and recommendation behavior. Companion to
+    q_basket_breadth (distinct-part grain) and
+    q_order_size_distribution (count grain); this is the only
+    dispersion view.
+
+    Exactness: per order, n*s2 - s1^2 (n = lines, s1/s2 = exact
+    decimal sum / sum of squares) is a nonnegative exact decimal —
+    zero for single-line orders by construction — FLOORed to a whole
+    dollar^2 (deterministic truncation on both engines; sub-dollar^2
+    resolution is noise on ~1e9-scale variances) so the bucket sum
+    stays an integer < 2^53 at 100x the test scale and the
+    decimal->double cast is exact on both engines. Because line count
+    n is constant within a bucket, the pooled variance is ONE float
+    division of that exact sum by an exact integer, and the CV is
+    sqrt-then-divide in the same shape on both engines.
+
+    Scale: one lineitem scan, groupBy(l_orderkey) shuffles narrow
+    decimal partials, then a |distinct order sizes| rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = dec("l_extendedprice", 2, 12)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p).cast("decimal(18,2)").alias("s1"),
+        F.sum(p * p).cast("decimal(20,4)").alias("s2"),
+    )
+    scored = per_order.select(
+        "n",
+        "s1",
+        F.floor(
+            F.col("n").cast("decimal(2,0)") * F.col("s2")
+            - F.col("s1") * F.col("s1")
+        ).alias("d"),
+    )
+    mean_price = F.sum("s1").cast("double") / (
+        F.count(F.lit(1)) * F.col("n")
+    ).cast("double")
+    mean_var = F.sum("d").cast("double") / (
+        F.count(F.lit(1)) * F.col("n") * F.col("n")
+    ).cast("double")
+    return (
+        scored.groupBy(F.col("n"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("s1").alias("__s1"),
+            F.sum("d").alias("__d"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_lines"),
+            "n_orders",
+            (
+                F.col("__s1").cast("double")
+                / (F.col("n_orders") * F.col("n")).cast("double")
+            ).alias("mean_line_price"),
+            (
+                F.col("__d").cast("double")
+                / (F.col("n_orders") * F.col("n") * F.col("n")).cast("double")
+            ).alias("mean_within_var"),
+            (
+                F.sqrt(
+                    F.col("__d").cast("double")
+                    / (F.col("n_orders") * F.col("n") * F.col("n")).cast("double")
+                )
+                / (
+                    F.col("__s1").cast("double")
+                    / (F.col("n_orders") * F.col("n")).cast("double")
+                )
+            ).alias("within_cv"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+# --- stated wealth vs realized spend (balance deciles) -----------------------
+
+
+@register(
+    "q_acctbal_spend_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sp,
+               COUNT(*) AS n_ord
+        FROM orders GROUP BY o_custkey
+    ),
+    cust AS (
+        SELECT c.c_custkey,
+               CAST(c.c_acctbal AS DECIMAL(12,2)) AS bal,
+               COALESCE(s.sp, CAST(0 AS DECIMAL(12,2))) AS sp,
+               CASE WHEN s.o_custkey IS NULL THEN 1 ELSE 0 END AS inactive,
+               NTILE(10) OVER (ORDER BY c.c_acctbal DESC, c.c_custkey)
+                   AS bal_decile
+        FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+    )
+    SELECT bal_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(bal) AS DOUBLE) / COUNT(*) AS avg_acctbal,
+           CAST(SUM(sp) AS DOUBLE) AS total_spend,
+           CAST(SUM(sp) AS DOUBLE) / COUNT(*) AS spend_per_customer,
+           CAST(SUM(inactive) AS BIGINT) AS n_inactive,
+           CAST(SUM(inactive) AS DOUBLE) / COUNT(*) AS inactive_rate
+    FROM cust
+    GROUP BY bal_decile
+    ORDER BY bal_decile
+    """,
+    description="account-balance deciles vs realized order spend: does stated wealth predict purchasing (credit-targeting sanity table)",
+)
+def q_acctbal_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the balance on file predict what customers actually buy?
+    Customers deciled by account balance (richest first), each decile
+    scored with realized order spend and the share who never ordered —
+    the table that decides whether acctbal is worth a credit-model
+    feature or is stale CRM noise. Companion to q_revenue_deciles
+    (which deciles by REALIZED spend); crossing the two is the
+    decile-transition story.
+
+    Exactness: balances are 2-decimal-exact; spend sums are decimal;
+    each output is one float division of exact aggregates. Decile
+    assignment is ANSI NTILE with a full tiebreak (bal DESC, custkey),
+    bit-reproducible on both engines.
+
+    Scale: per-customer spend reduces orders before the dim join; the
+    decile runs through the sharded-rank decomposition
+    (functions/ranks.py) — quantile presplit + per-shard sort +
+    broadcast offset rosters — so no single-task global sort; the
+    final rollup is 10 rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice", 2, 12)).alias("sp")
+    )
+    base = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            dec("c_acctbal", 2, 12).alias("bal"),
+            F.coalesce(F.col("sp"), F.lit(0).cast("decimal(12,2)")).alias("sp"),
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0).alias("inactive"),
+        )
+    )
+    deciled = with_global_ntile(
+        base,
+        -F.col("c_acctbal"),
+        [F.desc("c_acctbal"), F.col("c_custkey")],
+        k=10,
+        out="bal_decile",
+    )
+    return (
+        deciled.groupBy("bal_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (F.sum("bal").cast("double") / F.count(F.lit(1))).alias("avg_acctbal"),
+            F.sum("sp").cast("double").alias("total_spend"),
+            (F.sum("sp").cast("double") / F.count(F.lit(1))).alias(
+                "spend_per_customer"
+            ),
+            F.sum("inactive").cast("bigint").alias("n_inactive"),
+            (F.sum("inactive").cast("double") / F.count(F.lit(1))).alias(
+                "inactive_rate"
+            ),
+        )
+        .orderBy("bal_decile")
     )

@@ -489,3 +489,124 @@ def test_elasticity_recovers_planted_slope(spark, sf_dir, tmp_path):
     assert out
     for r in out:
         assert r["qty_per_discount_pt"] == pytest.approx(3.0)
+
+
+@pytest.mark.parametrize(
+    "name", ["q_brand_share_by_segment", "dedup_prefix_clusters"]
+)
+def test_r2_batch3_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_brand_share_lift_recovers_planted_mix(spark):
+    """S1 buys only B1; S2 splits evenly B1/B2. Overall B1 share is
+    2/3, so lift(S1,B1)=1.5, lift(S2,B1)=0.75, lift(S2,B2)=1.5 — and
+    seg_share sums to 1 within each segment."""
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.insights3 import q_brand_share_by_segment
+
+    li = spark.createDataFrame(
+        [(1, 1, 100.0, 0.0), (2, 1, 100.0, 0.0), (2, 2, 100.0, 0.0)],
+        "l_orderkey bigint, l_partkey bigint, l_extendedprice double, l_discount double",
+    )
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 20)], "o_orderkey bigint, o_custkey bigint"
+    )
+    cust = spark.createDataFrame(
+        [(10, "S1"), (20, "S2")], "c_custkey bigint, c_mktsegment string"
+    )
+    part = spark.createDataFrame(
+        [(1, "B1"), (2, "B2")], "p_partkey bigint, p_brand string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        cust.write.parquet(os.path.join(d, "customer.parquet"))
+        part.write.parquet(os.path.join(d, "part.parquet"))
+        out = {
+            (r["segment"], r["p_brand"]): r
+            for r in q_brand_share_by_segment(spark, d).collect()
+        }
+    assert out[("S1", "B1")]["segment_lift"] == 1.5
+    assert out[("S2", "B1")]["segment_lift"] == 0.75
+    assert out[("S2", "B2")]["segment_lift"] == 1.5
+    assert out[("S1", "B1")]["seg_share"] == 1.0
+    assert out[("S2", "B1")]["seg_share"] + out[("S2", "B2")]["seg_share"] == 1.0
+
+
+def test_prefix_clusters_find_planted_template(spark):
+    """Three docs sharing a 70-char opening across two sources form one
+    cross-source cluster of 3; unique-opening docs stay out."""
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.insights3 import dedup_prefix_clusters
+
+    header = "THE STANDARD LICENSE HEADER " * 4  # 112 chars, same first 64
+    rows = [
+        (1, header + "body one", "web", 100),
+        (2, header + "completely different body", "web", 100),
+        (3, header + "third variant", "wiki", 100),
+        (4, "a unique opening line that matches nothing else at all ok", "web", 58),
+        (5, "another distinct opening line with no shared prefix here!!", "wiki", 59),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, n) for i, t, s, n in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = dedup_prefix_clusters(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["cluster_size"], r["n_clusters"], r["n_docs"], r["n_cross_source"]) == (
+        3, 1, 3, 1,
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["q_intra_order_dispersion", "q_acctbal_spend_deciles"]
+)
+def test_r2_batch4_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_intra_order_dispersion_planted_variance(spark):
+    """Two 2-line orders: one with equal prices (variance 0), one with
+    prices 100/300 (per-order variance 10000 exactly, floored intact).
+    Pooled mean variance for the n=2 bucket = (0+40000)/(2*4) = 5000."""
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.insights3 import q_intra_order_dispersion
+
+    li = spark.createDataFrame(
+        [
+            (1, 200.0), (1, 200.0),       # var 0
+            (2, 100.0), (2, 300.0),       # mean 200, var 10000
+        ],
+        "l_orderkey bigint, l_extendedprice double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = q_intra_order_dispersion(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_lines"], r["n_orders"]) == (2, 2)
+    assert r["mean_line_price"] == 200.0
+    assert r["mean_within_var"] == 5000.0
+
+
+def test_acctbal_deciles_are_balanced_and_ordered(spark, sf_dir):
+    """Deciles partition all customers near-evenly and avg balance is
+    strictly decreasing down the deciles (desc ordering check)."""
+    from lime_etl_spark.operators.insights3 import q_acctbal_spend_deciles
+
+    rows = q_acctbal_spend_deciles(spark, sf_dir).collect()
+    assert [r["bal_decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_customers"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    bals = [r["avg_acctbal"] for r in rows]
+    assert all(a > b for a, b in zip(bals, bals[1:]))

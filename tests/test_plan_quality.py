@@ -847,6 +847,7 @@ GLOBAL_WINDOW_BOUNDED_OK = {
     "q_gini_revenue": 1,
     "q_revenue_deciles": 3,  # 2 helper rosters + the 10-row decile cum
     "q_rfm_segments": 2,  # helper rosters (optimizer-merged)
+    "q_acctbal_spend_deciles": 2,  # sharded-ntile helper rosters
     "q_abc_classification": 1,
     "q_skyline_parts": 1,  # shard prefix-min roster
     "pack_shard_manifest": 1,
