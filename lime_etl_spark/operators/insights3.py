@@ -7854,3 +7854,172 @@ def q_acctbal_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bal_decile")
     )
+
+
+# --- realized price index by selling nation ----------------------------------
+
+
+@register(
+    "q_nation_price_index",
+    oracle="""
+    WITH pm AS (
+        SELECT l_partkey,
+               CAST(FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                          / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                          * 1000000.0) AS BIGINT) AS um_e6
+        FROM lineitem GROUP BY l_partkey
+    ),
+    sel AS (
+        SELECT n.n_name,
+               CAST(l.l_extendedprice AS DECIMAL(12,2)) AS ext,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 1000000 AS BIGINT)
+                   AS ext_e6,
+               CAST(l.l_quantity AS BIGINT) * pm.um_e6 AS exp_e6
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN pm ON pm.l_partkey = l.l_partkey
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(ext) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(ext_e6) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(exp_e6) AS BIGINT) AS DOUBLE) AS price_index,
+           CAST(SUM(CASE WHEN ext_e6 > exp_e6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_premium_lines,
+           CAST(SUM(CASE WHEN ext_e6 > exp_e6 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS premium_share
+    FROM sel
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    description="Paasche-style realized unit-price index per selling nation vs each part's corpus-mean unit price (who sells above book)",
+)
+def q_nation_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do some nations systematically realize higher unit prices for
+    the SAME parts? Each part's corpus-mean unit price anchors an
+    expected value for every line (qty x mean); a nation's price_index
+    is actual/expected revenue — >1 means its suppliers sell above the
+    part-average price (pricing power, or a data problem worth a look
+    when it drifts). premium_share counts lines above expectation —
+    integer-decided per line.
+
+    Exactness: the per-part mean unit price is quantized to an
+    integer at 1e-6 resolution (floor of one double division of exact
+    aggregates — identical expression both engines) BEFORE any
+    cross-row use, so expected revenue is an exact int64 sum and the
+    index is one division of two exact int64 totals. Int budget: line
+    ext*1e6 <= ~1e13, nation sums < 2^63 with 1e5x headroom.
+
+    Scale: per-part anchor table is dim-sized (broadcast at test
+    scale, shuffle join at 100 TB); everything else is one fact scan
+    and a |nations| rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    pm = li.groupBy("l_partkey").agg(
+        F.floor(
+            F.sum(dec("l_extendedprice", 2, 12)).cast("double")
+            / F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+            * F.lit(1000000.0)
+        ).alias("um_e6")
+    )
+    sel = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(pm, "l_partkey")
+        .select(
+            "n_name",
+            dec("l_extendedprice", 2, 12).alias("ext"),
+            (dec("l_extendedprice", 2, 12) * 1000000).cast("bigint").alias("ext_e6"),
+            (F.col("l_quantity").cast("bigint") * F.col("um_e6")).alias("exp_e6"),
+        )
+    )
+    prem = F.when(F.col("ext_e6") > F.col("exp_e6"), 1).otherwise(0)
+    return (
+        sel.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("ext").cast("double").alias("revenue"),
+            (
+                F.sum("ext_e6").cast("double") / F.sum("exp_e6").cast("double")
+            ).alias("price_index"),
+            F.sum(prem).cast("bigint").alias("n_premium_lines"),
+            (F.sum(prem).cast("double") / F.count(F.lit(1))).alias("premium_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- supply-base concentration per part --------------------------------------
+
+
+@register(
+    "q_dual_sourcing_balance",
+    oracle="""
+    WITH cell AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    per_part AS (
+        SELECT l_partkey, COUNT(*) AS ns,
+               CAST(SUM(rev) AS DECIMAL(18,2)) AS tot,
+               CAST(MAX(rev) AS DECIMAL(18,2)) AS mx
+        FROM cell GROUP BY l_partkey
+    )
+    SELECT CAST(ns AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN 2 * mx > tot THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lead_over_half,
+           CAST(SUM(CASE WHEN 4 * mx > tot THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lead_over_quarter,
+           CAST(SUM(mx) AS DOUBLE) / CAST(SUM(tot) AS DOUBLE) AS pooled_lead_share
+    FROM per_part
+    GROUP BY ns
+    ORDER BY n_suppliers
+    """,
+    description="supply-base concentration: per supplier-count bucket, how many parts have a dominant lead supplier (2*max>tot exact decimal test) and the pooled lead share",
+)
+def q_dual_sourcing_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-point-of-failure screen for the supply base: for parts
+    grouped by how many suppliers ship them, how often does the lead
+    supplier carry >50% / >25% of the part's revenue — a part with 20
+    nominal suppliers but one dominant source is still fragile, and
+    that's invisible in coverage counts (q_supplier_part_coverage).
+
+    Exactness: dominance is the integer-style cross-multiply
+    2*max > tot on exact decimal revenue sums — no division decides
+    anything; the pooled lead share is one float division of exact
+    decimal totals per bucket.
+
+    Scale: one fact scan, groupBy(part, supplier) with map-side
+    partials, then a part-grain reduce and a |supplier-count buckets|
+    rollup — no joins, no windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cell = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_extendedprice", 2, 12)).alias("rev")
+    )
+    per_part = cell.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("rev").cast("decimal(18,2)").alias("tot"),
+        F.max("rev").cast("decimal(18,2)").alias("mx"),
+    )
+    half = F.when(F.lit(2) * F.col("mx") > F.col("tot"), 1).otherwise(0)
+    quarter = F.when(F.lit(4) * F.col("mx") > F.col("tot"), 1).otherwise(0)
+    return (
+        per_part.groupBy(F.col("ns").cast("bigint").alias("n_suppliers"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(half).cast("bigint").alias("n_lead_over_half"),
+            F.sum(quarter).cast("bigint").alias("n_lead_over_quarter"),
+            (F.sum("mx").cast("double") / F.sum("tot").cast("double")).alias(
+                "pooled_lead_share"
+            ),
+        )
+        .orderBy("n_suppliers")
+    )

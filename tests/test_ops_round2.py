@@ -610,3 +610,64 @@ def test_acctbal_deciles_are_balanced_and_ordered(spark, sf_dir):
     assert max(sizes) - min(sizes) <= 1
     bals = [r["avg_acctbal"] for r in rows]
     assert all(a > b for a, b in zip(bals, bals[1:]))
+
+
+@pytest.mark.parametrize(
+    "name", ["q_nation_price_index", "q_dual_sourcing_balance"]
+)
+def test_r2_batch5_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_price_index_detects_planted_premium_nation(spark):
+    """Nation B sells the same part at exactly 2x nation A's unit
+    price: with equal volumes the part mean is 1.5x, so index(A)=2/3,
+    index(B)=4/3, and every B line is premium."""
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.insights3 import q_nation_price_index
+
+    li = spark.createDataFrame(
+        [(1, 1, 1.0, 100.0), (1, 2, 1.0, 200.0)] * 5,
+        "l_partkey bigint, l_suppkey bigint, l_quantity double, l_extendedprice double",
+    )
+    supp = spark.createDataFrame(
+        [(1, 10), (2, 20)], "s_suppkey bigint, s_nationkey bigint"
+    )
+    nation = spark.createDataFrame(
+        [(10, "A"), (20, "B")], "n_nationkey bigint, n_name string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        supp.write.parquet(os.path.join(d, "supplier.parquet"))
+        nation.write.parquet(os.path.join(d, "nation.parquet"))
+        out = {r["n_name"]: r for r in q_nation_price_index(spark, d).collect()}
+    assert abs(out["A"]["price_index"] - 2 / 3) < 1e-9
+    assert abs(out["B"]["price_index"] - 4 / 3) < 1e-9
+    assert out["A"]["n_premium_lines"] == 0
+    assert out["B"]["premium_share"] == 1.0
+
+
+def test_dual_sourcing_flags_planted_dominant_lead(spark):
+    """Part 1: lead supplier has 80% (dominant); part 2: two equal
+    suppliers (2*max > tot is FALSE at exactly 50/50)."""
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.insights3 import q_dual_sourcing_balance
+
+    li = spark.createDataFrame(
+        [
+            (1, 1, 800.0), (1, 2, 200.0),
+            (2, 1, 500.0), (2, 2, 500.0),
+        ],
+        "l_partkey bigint, l_suppkey bigint, l_extendedprice double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = q_dual_sourcing_balance(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_suppliers"], r["n_parts"], r["n_lead_over_half"]) == (2, 2, 1)
+    assert r["pooled_lead_share"] == (800.0 + 500.0) / 2000.0
