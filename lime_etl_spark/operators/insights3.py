@@ -8023,3 +8023,187 @@ def q_dual_sourcing_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_suppliers")
     )
+
+
+# --- buying episodes (order-grain sessionization) -----------------------------
+
+EPISODE_GAP_DAYS = 30  # orders closer than this chain into one episode
+
+
+@register(
+    "q_purchase_episodes",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+               CASE WHEN LAG(CAST(o_orderdate AS DATE)) OVER w IS NULL
+                         OR date_diff('day', LAG(CAST(o_orderdate AS DATE)) OVER w,
+                                      CAST(o_orderdate AS DATE)) > {EPISODE_GAP_DAYS}
+                    THEN 1 ELSE 0 END AS new_ep
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    ),
+    eps AS (
+        SELECT o_custkey, d, price,
+               SUM(new_ep) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ep_seq
+        FROM flagged
+    ),
+    per_ep AS (
+        SELECT o_custkey, ep_seq, COUNT(*) AS n_orders,
+               SUM(price) AS val,
+               date_diff('day', MIN(d), MAX(d)) AS span_days
+        FROM eps GROUP BY o_custkey, ep_seq
+    )
+    SELECT CAST(n_orders AS BIGINT) AS orders_in_episode,
+           CAST(COUNT(*) AS BIGINT) AS n_episodes,
+           CAST(SUM(val) AS DOUBLE) AS total_value,
+           CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mean_value,
+           CAST(SUM(span_days) AS DOUBLE) / COUNT(*) AS mean_span_days
+    FROM per_ep
+    GROUP BY n_orders
+    ORDER BY orders_in_episode
+    """,
+    description="30-day-gap buying episodes (order-grain sessionization): episode size histogram with value and span",
+)
+def q_purchase_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders chained into buying EPISODES (gaps <= 30 days), the
+    purchase-side analog of event sessionization: a customer placing 4
+    orders in 3 weeks is one shopping project, not 4 independent
+    purchases. The episode-size histogram with mean value and calendar
+    span is the re-engagement planning table (how long does a project
+    run, what is a second order in the same episode worth).
+
+    Exactness: the lag→flag→cumsum runs entirely inside the customer
+    partition with a full (date, orderkey) tiebreak; money stays
+    decimal; day spans are exact integers; two divisions per bucket.
+
+    Scale: both windows and the episode rollup share ONE o_custkey
+    exchange (same pattern as ev_sessionize); the final histogram is
+    |episode sizes| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy(d, F.col("o_orderkey"))
+    lag_d = F.lag(d).over(w)
+    flagged = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("d"),
+        dec("o_totalprice", 2, 12).alias("price"),
+        F.when(
+            lag_d.isNull() | (F.datediff(d, lag_d) > EPISODE_GAP_DAYS), 1
+        )
+        .otherwise(0)
+        .alias("new_ep"),
+    )
+    cum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    eps = flagged.withColumn("ep_seq", F.sum("new_ep").over(cum))
+    per_ep = eps.groupBy("o_custkey", "ep_seq").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").alias("val"),
+        F.datediff(F.max("d"), F.min("d")).alias("span_days"),
+    )
+    return (
+        per_ep.groupBy(F.col("n_orders").cast("bigint").alias("orders_in_episode"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
+            F.sum("val").cast("double").alias("total_value"),
+            (F.sum("val").cast("double") / F.count(F.lit(1))).alias("mean_value"),
+            (F.sum("span_days").cast("double") / F.count(F.lit(1))).alias(
+                "mean_span_days"
+            ),
+        )
+        .orderBy("orders_in_episode")
+    )
+
+
+# --- 24h follow-up purchase rate by preceding event type ---------------------
+
+FOLLOW_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "ev_followup_purchase_rate",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+    ),
+    pur AS (
+        SELECT user_id, epoch_us(ts) AS pus FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN EXISTS (
+                    SELECT 1 FROM pur p
+                    WHERE p.user_id = e.user_id
+                      AND p.pus > e.us
+                      AND p.pus <= e.us + {FOLLOW_WINDOW_US}
+               ) THEN 1 ELSE 0 END) AS BIGINT) AS n_followed,
+           CAST(SUM(CASE WHEN EXISTS (
+                    SELECT 1 FROM pur p
+                    WHERE p.user_id = e.user_id
+                      AND p.pus > e.us
+                      AND p.pus <= e.us + {FOLLOW_WINDOW_US}
+               ) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS follow_rate
+    FROM ev e
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    description="share of each event type followed by a purchase from the same user within 24h (experience->conversion propensity; errors suppressing the rate is the UX-regression signal)",
+)
+def ev_followup_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion propensity conditioned on the preceding experience:
+    for every event, did the SAME user purchase within the next 24
+    hours? Comparing follow rates across event types answers "does an
+    error event suppress near-term conversion relative to a view or
+    click" — the cheap observational cut a UX team reads before
+    ev_diff_in_diff-style designs. The purchase row's own rate is the
+    24h repeat-purchase propensity.
+
+    Exactness: pure integer microsecond arithmetic (unix_micros /
+    epoch_us convention of the events family) with a strict-then-
+    inclusive (t, t+24h] window; exists-semantics via LEFT SEMI join
+    so multiple qualifying purchases count once; counters only.
+
+    Scale: the probe is an equi-join on user_id with a range
+    predicate — per-user purchase lists are small, no broadcast
+    needed, and Spark compiles the EXISTS shape to a hash semi join;
+    output is |event types| rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+    pur = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("us").alias("pus"))
+    )
+    followed = (
+        ev.join(
+            pur,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pus") > F.col("us"))
+            & (F.col("pus") <= F.col("us") + F.lit(FOLLOW_WINDOW_US)),
+            "left_semi",
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    base = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        base.join(followed, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.coalesce(F.col("n_f"), F.lit(0)).cast("bigint").alias("n_followed"),
+            (
+                F.coalesce(F.col("n_f"), F.lit(0)).cast("double") / F.col("n_events")
+            ).alias("follow_rate"),
+        )
+        .orderBy("event_type")
+    )

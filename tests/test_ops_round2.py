@@ -671,3 +671,64 @@ def test_dual_sourcing_flags_planted_dominant_lead(spark):
     r = out[0]
     assert (r["n_suppliers"], r["n_parts"], r["n_lead_over_half"]) == (2, 2, 1)
     assert r["pooled_lead_share"] == (800.0 + 500.0) / 2000.0
+
+
+@pytest.mark.parametrize(
+    "name", ["q_purchase_episodes", "ev_followup_purchase_rate"]
+)
+def test_r2_batch6_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_purchase_episodes_chain_and_split(spark):
+    """Three orders 10 days apart chain into ONE 3-order episode; a
+    40-day gap then starts a fresh single-order episode."""
+    import datetime
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.insights3 import q_purchase_episodes
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, base, 100.0),
+        (2, 7, base + datetime.timedelta(days=10), 100.0),
+        (3, 7, base + datetime.timedelta(days=20), 100.0),
+        (4, 7, base + datetime.timedelta(days=60), 50.0),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp, o_totalprice double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        out = {r["orders_in_episode"]: r for r in q_purchase_episodes(spark, d).collect()}
+    assert out[3]["n_episodes"] == 1 and out[3]["mean_span_days"] == 20.0
+    assert out[1]["n_episodes"] == 1 and out[1]["mean_value"] == 50.0
+
+
+def test_followup_rate_window_edges(spark):
+    """A purchase exactly 24h after a view counts (inclusive edge); one
+    at 24h+1us does not; simultaneous purchases don't follow themselves."""
+    import datetime
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.insights3 import ev_followup_purchase_rate
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, "view", t0),
+        (2, 10, "purchase", t0 + datetime.timedelta(hours=24)),          # inclusive
+        (3, 20, "view", t0),
+        (4, 20, "purchase", t0 + datetime.timedelta(hours=24, microseconds=1)),
+        (5, 30, "purchase", t0),                                          # lone
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, ty, ts, 0.0, "{}") for i, u, ty, ts in rows],
+        "event_id bigint, user_id bigint, event_type string, ts timestamp, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["event_type"]: r for r in ev_followup_purchase_rate(spark, d).collect()}
+    assert out["view"]["n_events"] == 2 and out["view"]["n_followed"] == 1
+    assert out["purchase"]["n_followed"] == 0
