@@ -459,11 +459,73 @@ def graph_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_sql() -> str:
+    """CTE-list fragment (no WITH keyword) replaying label_propagation
+    round by round in DuckDB. Valid because every LPA round is a pure
+    integer function of the previous labeling (vote counts + the
+    (count desc, label asc) tie-break), and a converged labeling is a
+    FIXPOINT — so unrolling the full LP_MAX_ITERATIONS budget equals
+    the Spark loop's early-exit result whether or not it converged
+    early (extra rounds are no-ops). MATERIALIZED CTEs stop the
+    2^rounds inlining blowup (each round references the previous one
+    inside an aggregate)."""
+    from lime_etl_spark.operators.dedup import _minhash_sql
+
+    rounds = []
+    for k in range(1, LP_MAX_ITERATIONS + 1):
+        rounds.append(f"""
+    lab{k} AS MATERIALIZED (
+        SELECT dst AS vid, community FROM (
+            SELECT dst, community,
+                   ROW_NUMBER() OVER (PARTITION BY dst
+                                      ORDER BY n_votes DESC, community ASC) AS rn
+            FROM (
+                SELECT s.dst, l.community, COUNT(*) AS n_votes
+                FROM lpa_sym s JOIN lab{k - 1} l ON l.vid = s.src
+                GROUP BY s.dst, l.community
+            )
+        ) WHERE rn = 1
+    )""")
+    return f"""
+    lpa_pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_minhash_sql()})),
+    lpa_sym AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM lpa_pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM lpa_pairs
+        UNION
+        SELECT v AS src, v AS dst FROM (
+            SELECT doc_a AS v FROM lpa_pairs UNION SELECT doc_b FROM lpa_pairs
+        )
+    ),
+    lab0 AS MATERIALIZED (
+        SELECT DISTINCT src AS vid, src AS community FROM lpa_sym
+    ),
+    {",".join(rounds)}
+    """
+
+
+_LPA_FINAL = f"lab{LP_MAX_ITERATIONS}"
+
+
 @register(
     "graph_template_communities",
-    oracle=None,  # LP is iterative/majority-vote — not SQL-expressible;
-    # pytest asserts community⊆component containment + corpus coverage
-    description="template families: label-propagation communities over the near-dup graph with size/volume stats",
+    oracle=f"""
+    WITH {_lpa_sql()},
+    stats AS (
+        SELECT l.community AS community_id, COUNT(*) AS n_docs,
+               MIN(l.vid) AS rep_doc_id, SUM(d.n_chars) AS total_chars
+        FROM {_LPA_FINAL} l JOIN documents d ON d.doc_id = l.vid
+        GROUP BY l.community
+    )
+    SELECT CAST(community_id AS BIGINT) AS community_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(rep_doc_id AS BIGINT) AS rep_doc_id,
+           CAST(total_chars AS BIGINT) AS total_chars
+    FROM stats
+    WHERE n_docs >= 2
+    ORDER BY n_docs DESC, community_id
+    """,
+    description="template families: label-propagation communities over the near-dup graph with size/volume stats (unrolled-round DuckDB oracle)",
 )
 def graph_template_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-family mining: label-propagation communities over
@@ -477,8 +539,10 @@ def graph_template_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same candidate-scoped LSH pair input and active-subgraph
     iteration as CC; the stats rollup rides the community label —
-    one counter groupBy. Rows-only: the majority-vote fixpoint has no
-    SQL twin; the invariants are pytest-gated instead."""
+    one counter groupBy. Oracle: the synchronous vote rounds are pure
+    integer functions, so DuckDB replays them unrolled (_lpa_sql);
+    convergence being a fixpoint makes the unroll-at-cap equal to the
+    Spark loop's early exit."""
     docs = load_table(spark, sf_dir, "documents")
     sh = doc_shingles(docs).persist()
     pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
@@ -502,9 +566,39 @@ def graph_template_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_dense_templates",
-    oracle=None,  # rides label_propagation (iterative majority vote) —
-    # no SQL twin; density/share invariants are pytest-gated
-    description="densest-template mining: LP communities ranked by density × char volume",
+    oracle=f"""
+    WITH {_lpa_sql()},
+    stats AS (
+        SELECT l.community AS community_id, COUNT(*) AS n_docs,
+               MIN(l.vid) AS rep_doc_id, SUM(d.n_chars) AS total_chars
+        FROM {_LPA_FINAL} l JOIN documents d ON d.doc_id = l.vid
+        GROUP BY l.community
+        HAVING COUNT(*) >= 2
+    ),
+    e_in AS (
+        SELECT la.community AS community_id, COUNT(*) AS n_edges
+        FROM lpa_pairs p
+        JOIN {_LPA_FINAL} la ON la.vid = p.doc_a
+        JOIN {_LPA_FINAL} lb ON lb.vid = p.doc_b
+        WHERE la.community = lb.community
+        GROUP BY la.community
+    ),
+    tot AS (SELECT SUM(n_chars) AS corpus_chars FROM documents)
+    SELECT CAST(s.community_id AS BIGINT) AS community_id,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.rep_doc_id AS BIGINT) AS rep_doc_id,
+           CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges,
+           CAST(2 * COALESCE(e.n_edges, 0) AS DOUBLE)
+             / CAST(s.n_docs * (s.n_docs - 1) AS DOUBLE) AS density,
+           CAST(s.total_chars AS BIGINT) AS total_chars,
+           CAST(s.total_chars AS DOUBLE) / CAST(t.corpus_chars AS DOUBLE)
+               AS char_share
+    FROM stats s
+    LEFT JOIN e_in e ON e.community_id = s.community_id
+    CROSS JOIN tot t
+    ORDER BY density DESC, total_chars DESC, community_id
+    """,
+    description="densest-template mining: LP communities ranked by density × char volume (unrolled-round DuckDB oracle)",
 )
 def graph_dense_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The triage table for boilerplate collapse, ranked by payoff:
@@ -557,16 +651,22 @@ def graph_dense_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+    # LEFT join + coalesce: a 2+-doc community whose members share a
+    # label without a direct verified edge has zero internal edges —
+    # an inner join would silently drop exactly the density-0 rows a
+    # triage list must surface (same zero-group principle as the
+    # q_cross_sell_gaps fix).
+    n_edges = F.coalesce(F.col("n_edges"), F.lit(0)).cast("bigint")
     out = (
-        stats.join(e_in, "community_id")
+        stats.join(e_in, "community_id", "left")
         .join(F.broadcast(total_chars))
         .select(
             "community_id",
             "n_docs",
             "rep_doc_id",
-            "n_edges",
+            n_edges.alias("n_edges"),
             (
-                (2 * F.col("n_edges")).cast("double")
+                (2 * n_edges).cast("double")
                 / (F.col("n_docs") * (F.col("n_docs") - 1)).cast("double")
             ).alias("density"),
             "total_chars",
@@ -675,26 +775,34 @@ def cur_best_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PR_ITERATIONS = 10
-PR_DAMPING = 0.85
+PR_DAMPING_PCT = 85  # damping as an integer percentage (0.85)
+PR_MASS = 1_000_000  # per-vertex mass units: pagerank in ppm of uniform
 
 
 def pagerank(
     vertices: DataFrame,
     edges: DataFrame,
     iterations: int = PR_ITERATIONS,
-    damping: float = PR_DAMPING,
+    damping_pct: int = PR_DAMPING_PCT,
 ) -> DataFrame:
-    """(vid, pagerank) by fixed-round power iteration over the
-    UNDIRECTED graph: pr'(v) = (1-d)/N + d·Σ_{u~v} pr(u)/deg(u).
+    """(vid, degree, pagerank_ppm) by fixed-round INTEGER-QUANTIZED
+    power iteration over the UNDIRECTED graph. Rank is carried in
+    mass units of PR_MASS per vertex (uniform = 1e6 "ppm"), so the
+    update pr'(v) = (1-d)/N + d·Σ_{u~v} pr(u)/deg(u) becomes pure
+    int64 arithmetic:
 
-    Determinism: a FIXED iteration count (no float convergence test),
-    and the per-vertex message sum adds contributions of the same
-    magnitude order through a hash aggregate — replay-stable to 1e-12
-    on graphs whose per-round message sets are identical, exact when
-    neighbor contributions are equal (cliques/stars). Symmetrized
-    edges mean no dangling-mass correction is needed: every vertex
-    with an edge has out-degree ≥ 1; pass only the ACTIVE vertex set
-    (isolated vertices hold the analytic (1-d)/N and never need
+        pr'(v) = PR_MASS·(100-d)/100  +  (d · Σ pr(u) div deg(u)) div 100
+
+    Determinism: EXACT — every message is an integer floor division,
+    every reduce an int64 sum, so the result is bit-identical under
+    any partitioning/engine (the same md5-bridge discipline as the
+    CMS/Bloom sketches; the per-round floors leak <deg ppm of mass,
+    which is quantization, not noise). This is what lets the
+    registered query carry a full DuckDB oracle (unrolled rounds).
+    Int budget: total mass N·1e6 and the d·inbound product stay under
+    2^63 for N up to ~1e11 vertices. Symmetrized edges mean no
+    dangling-mass correction is needed; pass only the ACTIVE vertex
+    set (isolated vertices hold the analytic base mass and never need
     iterating — same active-subgraph discipline as CC/LP).
 
     Scale: each round is one join (ranks → symmetrized edges) + one
@@ -709,6 +817,7 @@ def pagerank(
     template hubs by centrality, not just size), grouped with the
     reference's report-job pattern (job_spec.py:40).
     """
+    base = PR_MASS * (100 - damping_pct) // 100
     edges_c = edges.select("src", "dst").persist()
     sym = (
         edges_c.unionByName(
@@ -718,15 +827,13 @@ def pagerank(
         .persist()
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n = vertices.count()
-    base = (1.0 - damping) / n
     ranks = vertices.join(deg, vertices.vid == deg.src).select(
-        "vid", "deg", F.lit(1.0 / n).alias("pr")
+        "vid", "deg", F.lit(PR_MASS).cast("bigint").alias("pr")
     ).localCheckpoint()
     for _ in range(iterations):
         contrib = (
             ranks.join(sym, ranks.vid == sym.src)
-            .select(F.col("dst").alias("vid"), (F.col("pr") / F.col("deg")).alias("c"))
+            .select(F.col("dst").alias("vid"), F.expr("pr div deg").alias("c"))
             .groupBy("vid")
             .agg(F.sum("c").alias("inbound"))
         )
@@ -736,25 +843,68 @@ def pagerank(
             .select(
                 "vid",
                 "deg",
-                (F.lit(base) + F.lit(damping) * F.coalesce("inbound", F.lit(0.0))).alias(
-                    "pr"
-                ),
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inbound, 0L)) div 100"
+                    )
+                ).alias("pr"),
             )
             .localCheckpoint()
         )
     edges_c.unpersist()
     sym.unpersist()
-    return ranks.select("vid", F.col("deg").cast("bigint").alias("degree"), F.col("pr").alias("pagerank"))
+    return ranks.select(
+        "vid",
+        F.col("deg").cast("bigint").alias("degree"),
+        F.col("pr").cast("bigint").alias("pagerank_ppm"),
+    )
 
 
 PR_TOP_K = 20
 
 
+def _pagerank_sql() -> str:
+    """Unrolled-round DuckDB replay of the quantized PageRank over the
+    LSH near-dup pair graph (same unroll trick as graph_kcore_summary;
+    exact because every round is int64 floor arithmetic)."""
+    from lime_etl_spark.operators.dedup import _minhash_sql
+
+    base = PR_MASS * (100 - PR_DAMPING_PCT) // 100
+    rounds = []
+    for k in range(1, PR_ITERATIONS + 1):
+        rounds.append(f"""
+    pr{k} AS MATERIALIZED (
+        SELECT d.vid, d.deg,
+               {base} + ({PR_DAMPING_PCT} * COALESCE(inb.s, 0)) // 100 AS pr
+        FROM (SELECT vid, deg FROM pr{k - 1}) d
+        LEFT JOIN (
+            SELECT e.dst AS vid, SUM(p.pr // p.deg) AS s
+            FROM pr{k - 1} p JOIN edges e ON e.src = p.vid
+            GROUP BY e.dst
+        ) inb ON inb.vid = d.vid
+    )""")
+    return f"""
+    WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_minhash_sql()})),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    pr0 AS MATERIALIZED (SELECT src AS vid, deg, CAST({PR_MASS} AS BIGINT) AS pr FROM deg),
+    {",".join(rounds)}
+    SELECT vid, CAST(deg AS BIGINT) AS degree, CAST(pr AS BIGINT) AS pagerank_ppm
+    FROM pr{PR_ITERATIONS}
+    ORDER BY pagerank_ppm DESC, vid
+    LIMIT {PR_TOP_K}
+    """
+
+
 @register(
     "graph_pagerank_top",
-    oracle=None,  # iterative power method — pytest checks analytic
-    # fixpoints (clique uniformity, star center mass, Σpr conservation)
-    description="PageRank centrality over the near-dup graph: top hub documents (iterative; active subgraph only)",
+    oracle=_pagerank_sql(),
+    description="PageRank centrality over the near-dup graph: top hub documents (integer-quantized power iteration, oracle-replayed round by round)",
 )
 def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template HUBS by centrality: the documents that near-duplicate
@@ -763,10 +913,15 @@ def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves are, which ranks the true template root above
     incidental members of the same family.
 
+    The quantized-integer pagerank (mass units, floor divisions) is
+    bit-exact cross-engine, so this carries a FULL DuckDB oracle: the
+    LSH pair CTE shared with dedup_components plus the ten power
+    rounds unrolled (graph_kcore_summary's unroll trick).
+
     Scale: same persisted LSH pair input as the CC/LP family; the
     power iteration runs on the active subgraph only. Top-k order is
-    (pagerank desc, vid) — rank ties (isomorphic positions) break on
-    the id."""
+    (pagerank_ppm desc, vid) — rank ties (isomorphic positions and
+    quantization collisions) break on the id."""
     docs = load_table(spark, sf_dir, "documents")
     sh = doc_shingles(docs).persist()
     pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
@@ -780,4 +935,4 @@ def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(active, edges)
     sh.unpersist()
-    return pr.orderBy(F.desc("pagerank"), "vid").limit(PR_TOP_K)
+    return pr.orderBy(F.desc("pagerank_ppm"), "vid").limit(PR_TOP_K)

@@ -280,28 +280,29 @@ def test_best_rep_is_longest_member_and_consistent_with_weights(spark, sf_dir):
 
 
 def test_pagerank_uniform_on_clique(spark):
-    """A 4-clique is regular: uniform rank 1/4 is the exact fixpoint
-    and must be reproduced bit-exactly (equal contributions sum
-    order-independently)."""
+    """A 4-clique is regular: the uniform quantized fixpoint must be
+    reproduced exactly. With mass units: round 1 gives
+    150000 + (85 * 3*(1e6 div 3)) div 100 = 999999, which is then
+    stable (999999 div 3 = 333333 again)."""
     from lime_etl_spark.operators.graph import pagerank
 
     vids = [1, 2, 3, 4]
     edges_py = [(a, b) for i, a in enumerate(vids) for b in vids[i + 1 :]]
     vs = spark.createDataFrame([(v,) for v in vids], ["vid"])
     es = spark.createDataFrame(edges_py, ["src", "dst"])
-    got = {r.vid: r.pagerank for r in pagerank(vs, es).collect()}
-    assert got == {v: 0.25 for v in vids}
+    got = {r.vid: r.pagerank_ppm for r in pagerank(vs, es).collect()}
+    assert got == {v: 999999 for v in vids}
 
 
-def test_pagerank_star_center_dominates_and_mass_conserves(spark):
-    """Star K1,4: the center must outrank every leaf; total mass stays
-    1; values match a driver-side power iteration with the same
-    round count."""
-    import pytest
-
+def test_pagerank_star_center_dominates_and_matches_int_reference(spark):
+    """Star K1,4: the center must outrank every leaf and every value
+    must EQUAL a driver-side integer power iteration with the same
+    round count (bit-exact, not approx — that's the quantized-mass
+    contract the DuckDB oracle relies on)."""
     from lime_etl_spark.operators.graph import (
-        PR_DAMPING,
+        PR_DAMPING_PCT,
         PR_ITERATIONS,
+        PR_MASS,
         pagerank,
     )
 
@@ -309,34 +310,36 @@ def test_pagerank_star_center_dominates_and_mass_conserves(spark):
     edges_py = [(0, leaf) for leaf in vids[1:]]
     vs = spark.createDataFrame([(v,) for v in vids], ["vid"])
     es = spark.createDataFrame(edges_py, ["src", "dst"])
-    got = {r.vid: r.pagerank for r in pagerank(vs, es).collect()}
+    got = {r.vid: r.pagerank_ppm for r in pagerank(vs, es).collect()}
 
-    # reference power iteration (same fixed rounds, same formula)
-    n, d = len(vids), PR_DAMPING
+    # reference integer power iteration (same fixed rounds, same
+    # floor-division formula)
+    base = PR_MASS * (100 - PR_DAMPING_PCT) // 100
     deg = {0: 4, 1: 1, 2: 1, 3: 1, 4: 1}
-    pr = {v: 1.0 / n for v in vids}
+    pr = {v: PR_MASS for v in vids}
     for _ in range(PR_ITERATIONS):
-        inbound = {v: 0.0 for v in vids}
+        inbound = {v: 0 for v in vids}
         for a, b in edges_py:
-            inbound[b] += pr[a] / deg[a]
-            inbound[a] += pr[b] / deg[b]
-        pr = {v: (1 - d) / n + d * inbound[v] for v in vids}
+            inbound[b] += pr[a] // deg[a]
+            inbound[a] += pr[b] // deg[b]
+        pr = {v: base + (PR_DAMPING_PCT * inbound[v]) // 100 for v in vids}
 
-    assert abs(sum(got.values()) - 1.0) < 1e-9
-    for v in vids:
-        assert got[v] == pytest.approx(pr[v], abs=1e-12)
+    assert got == pr
+    # quantization leaks at most a few ppm per round — mass stays put
+    assert sum(got.values()) <= len(vids) * PR_MASS
+    assert sum(got.values()) >= len(vids) * (PR_MASS - 100)
     assert all(got[0] > got[leaf] for leaf in vids[1:])
 
 
 def test_pagerank_top_is_ordered_and_bounded(spark, sf_dir):
-    """Registered query: ≤ k rows, ordered by (pr desc, vid), every
+    """Registered query: ≤ k rows, ordered by (ppm desc, vid), every
     vertex has degree ≥ 1 (active subgraph only)."""
     from lime_etl_spark.operators.graph import PR_TOP_K
     from lime_etl_spark.plans.registry import all_queries
 
     rows = all_queries()["graph_pagerank_top"].builder(spark, sf_dir).collect()
     assert 0 < len(rows) <= PR_TOP_K
-    keys = [(-r.pagerank, r.vid) for r in rows]
+    keys = [(-r.pagerank_ppm, r.vid) for r in rows]
     assert keys == sorted(keys)
     assert all(r.degree >= 1 for r in rows)
 
