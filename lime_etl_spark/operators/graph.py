@@ -487,7 +487,7 @@ def _lpa_sql() -> str:
         ) WHERE rn = 1
     )""")
     return f"""
-    lpa_pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_minhash_sql()})),
+    lpa_pairs AS MATERIALIZED (SELECT doc_a, doc_b, jaccard FROM ({_minhash_sql()})),
     lpa_sym AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM lpa_pairs
         UNION

@@ -28,6 +28,7 @@ from lime_etl_spark.functions.ranks import (
 )
 from lime_etl_spark.functions.text import shingle_int_sql
 from lime_etl_spark.operators.dedup import _minhash_sql
+from lime_etl_spark.operators.graph import _LPA_FINAL, _lpa_sql
 from lime_etl_spark.operators.training import _bucket_sql
 from lime_etl_spark.plans.registry import register
 from lime_etl_spark.sources.readers import load_table
@@ -929,10 +930,18 @@ def emb_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_bridge_edges",
-    oracle=None,  # LP is iterative/majority-vote — not SQL-expressible;
-    # pytest plants a bridged-cliques fixture and asserts exactly the
-    # bridge edge surfaces
-    description="near-dup edges whose endpoints land in different LP communities — the over-merge culprits to cut",
+    oracle=f"""
+    WITH {_lpa_sql()}
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           CAST(la.community AS BIGINT) AS comm_a,
+           CAST(lb.community AS BIGINT) AS comm_b
+    FROM lpa_pairs p
+    JOIN {_LPA_FINAL} la ON la.vid = p.doc_a
+    JOIN {_LPA_FINAL} lb ON lb.vid = p.doc_b
+    WHERE la.community != lb.community
+    ORDER BY doc_a, doc_b
+    """,
+    description="near-dup edges whose endpoints land in different LP communities — the over-merge culprits to cut (unrolled-LPA DuckDB oracle)",
 )
 def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The edges that GLUE template families: verified near-dup pairs
