@@ -43,7 +43,12 @@ from lime_etl_spark.functions.text import shingle_int, shingle_int_sql
 from lime_etl_spark.operators.events import SESSION_GAP_US
 from lime_etl_spark.operators.similarity import with_int8_vectors
 from lime_etl_spark.operators.text import BPE_RE
-from lime_etl_spark.operators.training import PACK_BUDGET, PACK_SHARDS
+from lime_etl_spark.operators.training import (
+    PACK_BUDGET,
+    PACK_SHARDS,
+    _bucket_sql,
+    hash_bucket,
+)
 from lime_etl_spark.plans.registry import register
 from lime_etl_spark.sources.readers import load_table
 
@@ -8207,3 +8212,199 @@ def ev_followup_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- CUPED variance reduction (experimentation primitive) ---------------------
+
+CUPED_SPLIT_DATE = "2024-01-16"  # pre-period covariate window ends here
+_CUPED_OFF_E8 = 10**14  # +1e4 dollars: keeps adj_e8 positive for the div
+
+
+@register(
+    "ev_cuped_adjustment",
+    oracle=f"""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{CUPED_SPLIT_DATE}'
+                             THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x_cents,
+               CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{CUPED_SPLIT_DATE}'
+                             THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id, x_cents // 100 AS xq, y, y // 100 AS yq,
+               CASE WHEN {_bucket_sql("user_id", 2)} = 0
+                    THEN 'control' ELSE 'treatment' END AS arm
+        FROM pu
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(xq * y) AS BIGINT) AS sxy,
+               CAST(SUM(xq * xq) AS BIGINT) AS sxx
+        FROM scored
+    ),
+    theta AS (
+        SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                    ELSE CAST(FLOOR(1000000.0
+                                    * CAST(n * sxy - sx * sy AS DOUBLE)
+                                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                              AS BIGINT) END AS theta_e6,
+               (100 * sx) // n AS xbar_c2
+        FROM mom
+    ),
+    adj AS (
+        SELECT s.arm, s.y, s.yq, t.theta_e6,
+               s.y * 100000000 - t.theta_e6 * (100 * s.xq - t.xbar_c2) AS adj_e8,
+               (s.y * 100000000 - t.theta_e6 * (100 * s.xq - t.xbar_c2)
+                + {_CUPED_OFF_E8}) // 10000000000 AS adjq
+        FROM scored s CROSS JOIN theta t
+    ),
+    arms AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(MIN(theta_e6) AS BIGINT) AS theta_e6,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(adj_e8) AS BIGINT) AS sadj,
+               CAST(COUNT(*) * SUM(yq * yq) - SUM(yq) * SUM(yq) AS BIGINT) AS vp_num,
+               CAST(COUNT(*) * SUM(adjq * adjq) - SUM(adjq) * SUM(adjq) AS BIGINT)
+                   AS va_num
+        FROM adj GROUP BY arm
+    )
+    SELECT arm, n_users, theta_e6,
+           CAST(sy AS DOUBLE) / CAST(n_users * 100 AS DOUBLE) AS mean_post,
+           CAST(sadj AS DOUBLE) / CAST(n_users * 10000000000 AS DOUBLE)
+               AS mean_adjusted,
+           CAST(vp_num AS DOUBLE) / CAST(n_users * n_users AS DOUBLE) AS var_post,
+           CAST(va_num AS DOUBLE) / CAST(n_users * n_users AS DOUBLE)
+               AS var_adjusted,
+           CASE WHEN vp_num = 0 THEN 0.0
+                ELSE 1.0 - CAST(va_num AS DOUBLE) / CAST(vp_num AS DOUBLE) END
+               AS var_reduction
+    FROM arms
+    ORDER BY arm
+    """,
+    description="CUPED pre-period adjustment on the md5 A/B arms: integer-quantized theta, per-arm adjusted means and the variance reduction the covariate buys",
+)
+def ev_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data): adjust
+    each user's post-period value by theta x (pre-period covariate -
+    mean) and report, per deterministic md5 arm, the adjusted mean and
+    the variance reduction — the sensitivity multiplier every mature
+    experimentation platform applies before reading a treatment
+    effect. On A/A arms (no treatment here) the adjusted means must
+    agree and the reduction must be positive when pre predicts post
+    (pytest-gated).
+
+    Exactness: the only cross-row float is banned — theta is FLOORed
+    to 1e-6 resolution from exact int64 moments (int64->double casts
+    are correctly rounded identically on both engines, unlike wide
+    decimals), the covariate mean is an integer floor division, every
+    per-user adjustment is pure int64 (y*1e8 - theta_e6*delta_c2,
+    offset +1e14 keeps the dollar-grain quantization div positive so
+    Spark's truncating `div` and DuckDB's flooring `//` agree), and
+    each output is one division of exact integers. Int budget at 100x
+    test scale: theta moments ~4.5e18, variance moments ~2.3e18 —
+    inside int64 (documented ceiling: ~sf1).
+
+    Scale: one fact scan to user grain, a 1-row broadcast theta, a
+    2-row arm rollup. The covariate needs no assignment table — the
+    user id IS the arm, as in ev_ab_assignment_aa."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (dec("value", 2, 12) * 100).cast("bigint")
+    pre = F.to_date("ts") < F.lit(CUPED_SPLIT_DATE).cast("date")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, cents).otherwise(F.lit(0))).cast("bigint").alias("x_cents"),
+        F.sum(F.when(~pre, cents).otherwise(F.lit(0))).cast("bigint").alias("y"),
+    )
+    scored = pu.select(
+        "user_id",
+        F.expr("x_cents div 100").alias("xq"),
+        "y",
+        F.expr("y div 100").alias("yq"),
+        F.when(hash_bucket(F.col("user_id"), 2) == 0, "control")
+        .otherwise("treatment")
+        .alias("arm"),
+    )
+    mom = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("xq") * F.col("y")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    theta = mom.select(
+        F.when(den == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / den.cast("double")
+            )
+        )
+        .alias("theta_e6"),
+        F.expr("(100 * sx) div n").alias("xbar_c2"),
+    )
+    adj_e8 = F.col("y") * F.lit(100000000) - F.col("theta_e6") * (
+        F.lit(100) * F.col("xq") - F.col("xbar_c2")
+    )
+    adj = scored.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "y",
+        "yq",
+        "theta_e6",
+        adj_e8.alias("adj_e8"),
+        F.expr(
+            f"(y * 100000000 - theta_e6 * (100 * xq - xbar_c2)"
+            f" + {_CUPED_OFF_E8}) div 10000000000"
+        ).alias("adjq"),
+    )
+    arms = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("theta_e6").cast("bigint").alias("theta_e6"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("adj_e8").cast("bigint").alias("sadj"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("yq") * F.col("yq"))
+            - F.sum("yq") * F.sum("yq")
+        )
+        .cast("bigint")
+        .alias("vp_num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("adjq") * F.col("adjq"))
+            - F.sum("adjq") * F.sum("adjq")
+        )
+        .cast("bigint")
+        .alias("va_num"),
+    )
+    return arms.select(
+        "arm",
+        "n_users",
+        "theta_e6",
+        (F.col("sy").cast("double") / (F.col("n_users") * 100).cast("double")).alias(
+            "mean_post"
+        ),
+        (
+            F.col("sadj").cast("double")
+            / (F.col("n_users") * F.lit(10000000000)).cast("double")
+        ).alias("mean_adjusted"),
+        (
+            F.col("vp_num").cast("double")
+            / (F.col("n_users") * F.col("n_users")).cast("double")
+        ).alias("var_post"),
+        (
+            F.col("va_num").cast("double")
+            / (F.col("n_users") * F.col("n_users")).cast("double")
+        ).alias("var_adjusted"),
+        F.when(F.col("vp_num") == 0, F.lit(0.0))
+        .otherwise(
+            F.lit(1.0) - F.col("va_num").cast("double") / F.col("vp_num").cast("double")
+        )
+        .alias("var_reduction"),
+    ).orderBy("arm")

@@ -732,3 +732,45 @@ def test_followup_rate_window_edges(spark):
         out = {r["event_type"]: r for r in ev_followup_purchase_rate(spark, d).collect()}
     assert out["view"]["n_events"] == 2 and out["view"]["n_followed"] == 1
     assert out["purchase"]["n_followed"] == 0
+
+
+def test_cuped_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "ev_cuped_adjustment")
+
+
+def test_cuped_kills_variance_on_linear_covariate(spark):
+    """post = 2*pre + 100 exactly: theta recovers ~200 cents/dollar and
+    the adjustment removes almost all post-period variance in BOTH
+    arms (residue is the dollar-grain quantization only)."""
+    import datetime
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.insights3 import ev_cuped_adjustment
+
+    pre_t = datetime.datetime(2024, 1, 5)
+    post_t = datetime.datetime(2024, 1, 20)
+    rows = []
+    for u in range(1, 201):
+        x = float(u)  # pre covariate: 1..200 dollars
+        y = 2.0 * u + 100.0
+        rows.append((2 * u, u, "view", pre_t, x, "{}"))
+        rows.append((2 * u + 1, u, "purchase", post_t, y, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string, ts timestamp, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["arm"]: r for r in ev_cuped_adjustment(spark, d).collect()}
+    assert set(out) == {"control", "treatment"}
+    for arm in out.values():
+        assert abs(arm["theta_e6"] - 200_000_000) < 2_000_000  # ~200 c/$
+        assert arm["var_reduction"] > 0.95
+    # the adjusted means converge to the same value even though the raw
+    # arm means differ (different user-id mixes)
+    raw_gap = abs(out["control"]["mean_post"] - out["treatment"]["mean_post"])
+    adj_gap = abs(
+        out["control"]["mean_adjusted"] - out["treatment"]["mean_adjusted"]
+    )
+    assert adj_gap < raw_gap / 10
