@@ -8408,3 +8408,120 @@ def ev_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("var_reduction"),
     ).orderBy("arm")
+
+
+# --- embedding-level train/eval split leakage ---------------------------------
+
+LEAK_TAU = 0.35  # same near-dup threshold as dedup_embedding_cosine
+LEAK_TRAIN_BUCKETS = 8  # md5 bucket < 8 of 10 → train (80/20 split)
+
+
+@register(
+    "cur_embedding_leakage",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS norm,
+               CASE WHEN {_bucket_sql("vec_id", 10)} < {LEAK_TRAIN_BUCKETS}
+                    THEN 1 ELSE 0 END AS is_train
+        FROM embeddings
+    ),
+    cross_pairs AS (
+        SELECT t.label, v.vec_id AS eval_vec
+        FROM e t JOIN e v
+          ON t.label = v.label AND t.is_train = 1 AND v.is_train = 0
+        WHERE list_dot_product(t.emb, v.emb) / (t.norm * v.norm) >= {LEAK_TAU}
+    ),
+    per_label AS (
+        SELECT label,
+               COUNT(*) AS n_cross_pairs,
+               COUNT(DISTINCT eval_vec) AS n_leaky_eval
+        FROM cross_pairs GROUP BY label
+    ),
+    eval_counts AS (
+        SELECT label, COUNT(*) AS n_eval FROM e WHERE is_train = 0 GROUP BY label
+    )
+    SELECT ec.label,
+           CAST(ec.n_eval AS BIGINT) AS n_eval,
+           CAST(COALESCE(p.n_leaky_eval, 0) AS BIGINT) AS n_leaky_eval,
+           CAST(COALESCE(p.n_leaky_eval, 0) AS DOUBLE) / ec.n_eval AS leak_rate,
+           CAST(COALESCE(p.n_cross_pairs, 0) AS BIGINT) AS n_cross_pairs
+    FROM eval_counts ec LEFT JOIN per_label p ON p.label = ec.label
+    ORDER BY ec.label
+    """,
+    description="embedding-level split leakage: eval vectors with a cosine>=tau near-dup in train, per label (the contamination n-gram decontam can't see)",
+)
+def cur_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination channel n-gram decontamination CANNOT see:
+    an eval example whose near-identical twin (cosine >= tau in
+    embedding space) sits in train leaks the answer even when no
+    literal n-gram overlaps (paraphrases, translations, re-encodes).
+    Per label: how many eval vectors have at least one train
+    neighbor above the dedup threshold, and the raw cross-pair count.
+    Labels with zero leaks still report (LEFT join + coalesce — the
+    zero-group principle), because 'leak_rate 0' is the publishable
+    number. Companion to cur_split_leakage (n-gram channel) and
+    cur_decontaminate (benchmark channel).
+
+    Exactness: the split is the md5 bucket (the samplers' shared
+    hash); cosine is the same fixed-shape per-pair float chain
+    dedup_embedding_cosine hash-matches — no cross-row float
+    reductions anywhere; counters only after the threshold.
+
+    Scale: label blocking bounds the pair join exactly like
+    dedup_embedding_cosine; at 100 TB swap the blocking for the IVF
+    bucket join (ann_ivf_topk) — the leak SEMANTICS stay identical.
+    Train-side vectors broadcast per label block when small; the
+    rollup is |labels| rows."""
+    def dot(x: F.Column, y: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                x.cast("array<double>"), y.cast("array<double>"), lambda p, q: p * q
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("norm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
+        .withColumn(
+            "is_train",
+            F.when(hash_bucket(F.col("vec_id"), 10) < LEAK_TRAIN_BUCKETS, 1).otherwise(
+                0
+            ),
+        )
+    )
+    t = emb.where(F.col("is_train") == 1).alias("t")
+    v = emb.where(F.col("is_train") == 0).alias("v")
+    cos = dot(F.col("t.embedding"), F.col("v.embedding")) / (
+        F.col("t.norm") * F.col("v.norm")
+    )
+    cross_pairs = (
+        t.join(v, F.col("t.label") == F.col("v.label"))
+        .where(cos >= LEAK_TAU)
+        .select(F.col("t.label").alias("label"), F.col("v.vec_id").alias("eval_vec"))
+    )
+    per_label = cross_pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_cross_pairs"),
+        F.countDistinct("eval_vec").alias("n_leaky_eval"),
+    )
+    eval_counts = (
+        emb.where(F.col("is_train") == 0)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_eval"))
+    )
+    return (
+        eval_counts.join(per_label, "label", "left")
+        .select(
+            "label",
+            F.col("n_eval").cast("bigint").alias("n_eval"),
+            F.coalesce("n_leaky_eval", F.lit(0)).cast("bigint").alias("n_leaky_eval"),
+            (
+                F.coalesce("n_leaky_eval", F.lit(0)).cast("double") / F.col("n_eval")
+            ).alias("leak_rate"),
+            F.coalesce("n_cross_pairs", F.lit(0)).cast("bigint").alias("n_cross_pairs"),
+        )
+        .orderBy("label")
+    )

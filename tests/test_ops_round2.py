@@ -774,3 +774,47 @@ def test_cuped_kills_variance_on_linear_covariate(spark):
         out["control"]["mean_adjusted"] - out["treatment"]["mean_adjusted"]
     )
     assert adj_gap < raw_gap / 10
+
+
+def test_embedding_leakage_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "cur_embedding_leakage")
+
+
+def test_embedding_leakage_finds_planted_twin(spark):
+    """An eval vector that is an exact copy of a train vector must be
+    flagged (cosine 1); an orthogonal eval vector must not. Bucket
+    membership is pinned by probing the real hash."""
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.insights3 import (
+        LEAK_TRAIN_BUCKETS,
+        cur_embedding_leakage,
+    )
+    from lime_etl_spark.operators.training import hash_bucket
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 60)], "vec_id bigint")
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in ids.select(
+            "vec_id", hash_bucket(F.col("vec_id"), 10).alias("b")
+        ).collect()
+    }
+    train_id = next(i for i, b in buckets.items() if b < LEAK_TRAIN_BUCKETS)
+    evals = [i for i, b in buckets.items() if b >= LEAK_TRAIN_BUCKETS]
+    twin_id, clean_id = evals[0], evals[1]
+    rows = [
+        (train_id, [1.0, 0.0, 0.0, 0.0], 7),
+        (twin_id, [1.0, 0.0, 0.0, 0.0], 7),   # exact copy of train vec
+        (clean_id, [0.0, 1.0, 0.0, 0.0], 7),  # orthogonal: cos 0
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label bigint"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        emb.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = cur_embedding_leakage(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_eval"], r["n_leaky_eval"], r["n_cross_pairs"]) == (2, 1, 1)
+    assert r["leak_rate"] == 0.5
