@@ -8525,3 +8525,226 @@ def cur_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- dedup survivor mix shift -------------------------------------------------
+
+
+def _survivor_oracle() -> str:
+    from lime_etl_spark.operators.dedup import _minhash_sql
+
+    return f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(vid, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.vid
+    ),
+    comp AS (
+        SELECT vid AS doc_id, MIN(lab) AS component_id
+        FROM reach GROUP BY vid
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(SUM(CASE WHEN c.component_id = d.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept
+        FROM documents d JOIN comp c USING (doc_id)
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN c.component_id = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after,
+           CAST(COUNT(*) AS DOUBLE) / t.n_all AS share_before,
+           CAST(SUM(CASE WHEN c.component_id = d.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / t.n_kept AS share_after,
+           CAST(SUM(CASE WHEN c.component_id = d.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / t.n_kept
+             - CAST(COUNT(*) AS DOUBLE) / t.n_all AS share_delta
+    FROM documents d JOIN comp c USING (doc_id) CROSS JOIN tot t
+    GROUP BY d.lang, t.n_all, t.n_kept
+    ORDER BY d.lang
+    """
+
+
+@register(
+    "dedup_survivor_mix_shift",
+    oracle=_survivor_oracle(),
+    description="does near-dup dedup BIAS the corpus: language mix before vs after keeping one doc (min id) per LSH component",
+)
+def dedup_survivor_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-bias audit: near-dup removal is not mix-neutral — if
+    one language syndicates/templates more than another, collapsing
+    clusters to their min-id keeper SHIFTS the language mix, and a
+    model trained on the survivors inherits that shift silently. Per
+    language: share of the corpus before vs after the standard
+    keep-min-per-component dedup (dedup_components semantics), and
+    the delta a curation team must re-weight away (samp_reweight_plan
+    is the actuator; this is its sensor).
+
+    Exactness: keeper choice is the deterministic min-id component
+    label; every share is one float division of exact counters, and
+    the delta subtracts the two identically-shaped divisions.
+
+    Scale: the component labeling is the same LSH + active-subgraph
+    CC machinery as dedup_components (its 100 TB posture applies
+    verbatim); the mix rollup is |langs| rows with a 1-row broadcast
+    of the corpus totals."""
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from lime_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
+        F.col("jaccard") >= JACCARD_TAU
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(docs.select(F.col("doc_id").alias("vid")), edges)
+    sh.unpersist()
+    labeled = docs.select("doc_id", "lang").join(
+        cc.select(F.col("vid").alias("doc_id"), "label"), "doc_id"
+    )
+    kept = F.when(F.col("label") == F.col("doc_id"), 1).otherwise(0)
+    tot = labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+    )
+    return (
+        labeled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_before"),
+            F.sum(kept).cast("bigint").alias("n_after"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_before",
+            "n_after",
+            (F.col("n_before").cast("double") / F.col("n_all")).alias("share_before"),
+            (F.col("n_after").cast("double") / F.col("n_kept")).alias("share_after"),
+            (
+                F.col("n_after").cast("double") / F.col("n_kept")
+                - F.col("n_before").cast("double") / F.col("n_all")
+            ).alias("share_delta"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- nation trade balance -----------------------------------------------------
+
+_TB_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+@register(
+    "q_nation_trade_balance",
+    oracle=f"""
+    WITH flows AS (
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               SUM({_TB_REV_SQL}) AS rev
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        WHERE s.s_nationkey != c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    exp AS (SELECT supp_nation AS n_name, SUM(rev) AS exports FROM flows GROUP BY 1),
+    imp AS (SELECT cust_nation AS n_name, SUM(rev) AS imports FROM flows GROUP BY 1)
+    SELECT n.n_name,
+           CAST(COALESCE(e.exports, 0) AS DOUBLE) AS exports,
+           CAST(COALESCE(i.imports, 0) AS DOUBLE) AS imports,
+           CAST(COALESCE(e.exports, 0) - COALESCE(i.imports, 0) AS DOUBLE)
+               AS balance
+    FROM nation n
+    LEFT JOIN exp e ON e.n_name = n.n_name
+    LEFT JOIN imp i ON i.n_name = n.n_name
+    ORDER BY n.n_name
+    """,
+    description="cross-nation trade balance: each nation's export vs import revenue (supplier-nation != customer-nation flows) and the net",
+)
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every nation's CROSS-BORDER position in one row: revenue its
+    suppliers ship to foreign customers (exports) vs what its
+    customers buy from foreign suppliers (imports), and the net — the
+    one-glance table behind q7_nation_trade's pair matrix. Nations
+    with no cross-border flow still report zeros (LEFT join from the
+    dim — the zero-group principle).
+
+    Exactness: decimals end to end; the balance subtracts two exact
+    decimal sums BEFORE the single double cast.
+
+    Scale: one fact scan through broadcast dims; the flow matrix is
+    |nations|^2-bounded, so both rollups and the dim joins are tiny."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = dec("l_extendedprice", 2, 12) * (
+        F.lit(1).cast("decimal(3,2)") - dec("l_discount", 2, 4)
+    )
+    sn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    cn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    flows = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sk"))
+        .join(cn, F.col("c_nationkey") == F.col("ck"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    exp = flows.groupBy(F.col("supp_nation").alias("n_name")).agg(
+        F.sum("rev").alias("exports")
+    )
+    imp = flows.groupBy(F.col("cust_nation").alias("n_name")).agg(
+        F.sum("rev").alias("imports")
+    )
+    zero = F.lit(0).cast("decimal(38,4)")
+    # no broadcast hint on the dim here: it is the LEFT (row-preserving)
+    # side of the outer joins, which Spark cannot build broadcast-side;
+    # the exp/imp rollups are |nations| rows and broadcast on their own
+    return (
+        nation.select("n_name")
+        .join(exp, "n_name", "left")
+        .join(imp, "n_name", "left")
+        .select(
+            "n_name",
+            F.coalesce("exports", zero).cast("double").alias("exports"),
+            F.coalesce("imports", zero).cast("double").alias("imports"),
+            (F.coalesce("exports", zero) - F.coalesce("imports", zero))
+            .cast("double")
+            .alias("balance"),
+        )
+        .orderBy("n_name")
+    )

@@ -818,3 +818,34 @@ def test_embedding_leakage_finds_planted_twin(spark):
     r = out[0]
     assert (r["n_eval"], r["n_leaky_eval"], r["n_cross_pairs"]) == (2, 1, 1)
     assert r["leak_rate"] == 0.5
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_survivor_mix_shift", "q_nation_trade_balance"]
+)
+def test_r2_batch7_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_survivor_shift_deltas_sum_to_zero_and_counts_conserve(spark, sf_dir):
+    """Share deltas across languages must net to ~0 and survivor
+    counts must never exceed originals."""
+    from lime_etl_spark.operators.insights3 import dedup_survivor_mix_shift
+
+    rows = dedup_survivor_mix_shift(spark, sf_dir).collect()
+    assert abs(sum(r["share_delta"] for r in rows)) < 1e-9
+    assert all(0 < r["n_after"] <= r["n_before"] for r in rows)
+    assert abs(sum(r["share_before"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["share_after"] for r in rows) - 1.0) < 1e-9
+
+
+def test_trade_balance_nets_to_zero(spark, sf_dir):
+    """One nation's export is another's import: balances sum to ~0 and
+    total exports equal total imports."""
+    from lime_etl_spark.operators.insights3 import q_nation_trade_balance
+
+    rows = q_nation_trade_balance(spark, sf_dir).collect()
+    assert abs(sum(r["balance"] for r in rows)) < 1e-6
+    assert abs(sum(r["exports"] for r in rows) - sum(r["imports"] for r in rows)) < 1e-6
+    assert len(rows) == 25  # every nation reports, zeros included
+    assert any(r["exports"] == 0.0 for r in rows)  # supplier-less nations
