@@ -8220,10 +8220,8 @@ CUPED_SPLIT_DATE = "2024-01-16"  # pre-period covariate window ends here
 _CUPED_OFF_E8 = 10**14  # +1e4 dollars: keeps adj_e8 positive for the div
 
 
-@register(
-    "ev_cuped_adjustment",
-    oracle=f"""
-    WITH pu AS (
+_CUPED_CTES = f"""
+    pu AS (
         SELECT user_id,
                CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{CUPED_SPLIT_DATE}'
                              THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
@@ -8262,7 +8260,13 @@ _CUPED_OFF_E8 = 10**14  # +1e4 dollars: keeps adj_e8 positive for the div
                (s.y * 100000000 - t.theta_e6 * (100 * s.xq - t.xbar_c2)
                 + {_CUPED_OFF_E8}) // 10000000000 AS adjq
         FROM scored s CROSS JOIN theta t
-    ),
+    )"""
+
+
+@register(
+    "ev_cuped_adjustment",
+    oracle=f"""
+    WITH {_CUPED_CTES},
     arms AS (
         SELECT arm,
                CAST(COUNT(*) AS BIGINT) AS n_users,
@@ -8313,58 +8317,7 @@ def ev_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one fact scan to user grain, a 1-row broadcast theta, a
     2-row arm rollup. The covariate needs no assignment table — the
     user id IS the arm, as in ev_ab_assignment_aa."""
-    ev = load_table(spark, sf_dir, "events")
-    cents = (dec("value", 2, 12) * 100).cast("bigint")
-    pre = F.to_date("ts") < F.lit(CUPED_SPLIT_DATE).cast("date")
-    pu = ev.groupBy("user_id").agg(
-        F.sum(F.when(pre, cents).otherwise(F.lit(0))).cast("bigint").alias("x_cents"),
-        F.sum(F.when(~pre, cents).otherwise(F.lit(0))).cast("bigint").alias("y"),
-    )
-    scored = pu.select(
-        "user_id",
-        F.expr("x_cents div 100").alias("xq"),
-        "y",
-        F.expr("y div 100").alias("yq"),
-        F.when(hash_bucket(F.col("user_id"), 2) == 0, "control")
-        .otherwise("treatment")
-        .alias("arm"),
-    )
-    mom = scored.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("xq").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("xq") * F.col("y")).alias("sxy"),
-        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
-    )
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    theta = mom.select(
-        F.when(den == 0, F.lit(0).cast("bigint"))
-        .otherwise(
-            F.floor(
-                F.lit(1000000.0)
-                * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-                    "double"
-                )
-                / den.cast("double")
-            )
-        )
-        .alias("theta_e6"),
-        F.expr("(100 * sx) div n").alias("xbar_c2"),
-    )
-    adj_e8 = F.col("y") * F.lit(100000000) - F.col("theta_e6") * (
-        F.lit(100) * F.col("xq") - F.col("xbar_c2")
-    )
-    adj = scored.crossJoin(F.broadcast(theta)).select(
-        "arm",
-        "y",
-        "yq",
-        "theta_e6",
-        adj_e8.alias("adj_e8"),
-        F.expr(
-            f"(y * 100000000 - theta_e6 * (100 * xq - xbar_c2)"
-            f" + {_CUPED_OFF_E8}) div 10000000000"
-        ).alias("adjq"),
-    )
+    adj = _cuped_adj_frame(spark, sf_dir)
     arms = adj.groupBy("arm").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.min("theta_e6").cast("bigint").alias("theta_e6"),
@@ -8408,6 +8361,176 @@ def ev_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("var_reduction"),
     ).orderBy("arm")
+
+
+def _cuped_adj_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(arm, y, yq, theta_e6, adj_e8, adjq) per user — the shared
+    integer-exact CUPED adjustment pipeline (see ev_cuped_adjustment
+    for the quantization contract); twin of the _CUPED_CTES SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (dec("value", 2, 12) * 100).cast("bigint")
+    pre = F.to_date("ts") < F.lit(CUPED_SPLIT_DATE).cast("date")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, cents).otherwise(F.lit(0))).cast("bigint").alias("x_cents"),
+        F.sum(F.when(~pre, cents).otherwise(F.lit(0))).cast("bigint").alias("y"),
+    )
+    scored = pu.select(
+        "user_id",
+        F.expr("x_cents div 100").alias("xq"),
+        "y",
+        F.expr("y div 100").alias("yq"),
+        F.when(hash_bucket(F.col("user_id"), 2) == 0, "control")
+        .otherwise("treatment")
+        .alias("arm"),
+    )
+    mom = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("xq") * F.col("y")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    theta = mom.select(
+        F.when(den == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / den.cast("double")
+            )
+        )
+        .alias("theta_e6"),
+        F.expr("(100 * sx) div n").alias("xbar_c2"),
+    )
+    adj_e8 = F.col("y") * F.lit(100000000) - F.col("theta_e6") * (
+        F.lit(100) * F.col("xq") - F.col("xbar_c2")
+    )
+    return scored.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "y",
+        "yq",
+        "theta_e6",
+        adj_e8.alias("adj_e8"),
+        F.expr(
+            f"(y * 100000000 - theta_e6 * (100 * xq - xbar_c2)"
+            f" + {_CUPED_OFF_E8}) div 10000000000"
+        ).alias("adjq"),
+    )
+
+
+# --- minimal detectable effect from the CUPED moments -------------------------
+
+_Z_POWER_SUM = 2.801585  # z_{0.975} + z_{0.80}: 5% two-sided, 80% power
+
+
+@register(
+    "ev_experiment_power",
+    oracle=f"""
+    WITH {_CUPED_CTES},
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_c,
+               CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_t,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(adj_e8) AS BIGINT) AS sadj,
+               CAST(COUNT(*) * SUM(yq * yq) - SUM(yq) * SUM(yq) AS BIGINT)
+                   AS vp_num,
+               CAST(COUNT(*) * SUM(adjq * adjq) - SUM(adjq) * SUM(adjq) AS BIGINT)
+                   AS va_num
+        FROM adj
+    )
+    SELECT 'cuped_adjusted' AS metric, n_c AS n_control, n_t AS n_treatment,
+           CAST(sadj AS DOUBLE) / CAST(n * 10000000000 AS DOUBLE) AS mean_value,
+           CAST(va_num AS DOUBLE) / CAST(n * n AS DOUBLE) AS variance,
+           {_Z_POWER_SUM} * sqrt(CAST(va_num AS DOUBLE) / CAST(n * n AS DOUBLE)
+                                 * (1.0 / n_c + 1.0 / n_t)) AS mde_abs,
+           {_Z_POWER_SUM} * sqrt(CAST(va_num AS DOUBLE) / CAST(n * n AS DOUBLE)
+                                 * (1.0 / n_c + 1.0 / n_t))
+             / (CAST(sadj AS DOUBLE) / CAST(n * 10000000000 AS DOUBLE)) AS mde_rel
+    FROM agg
+    UNION ALL
+    SELECT 'post' AS metric, n_c, n_t,
+           CAST(sy AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS mean_value,
+           CAST(vp_num AS DOUBLE) / CAST(n * n AS DOUBLE) AS variance,
+           {_Z_POWER_SUM} * sqrt(CAST(vp_num AS DOUBLE) / CAST(n * n AS DOUBLE)
+                                 * (1.0 / n_c + 1.0 / n_t)) AS mde_abs,
+           {_Z_POWER_SUM} * sqrt(CAST(vp_num AS DOUBLE) / CAST(n * n AS DOUBLE)
+                                 * (1.0 / n_c + 1.0 / n_t))
+             / (CAST(sy AS DOUBLE) / CAST(n * 100 AS DOUBLE)) AS mde_rel
+    FROM agg
+    ORDER BY metric
+    """,
+    description="minimal detectable effect (5% two-sided, 80% power) for the raw vs CUPED-adjusted metric — what the variance reduction buys in sensitivity",
+)
+def ev_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The so-what of CUPED in experiment-planning units: the minimal
+    detectable effect at the standard 5%/80% operating point for the
+    raw post-period metric vs the adjusted one, with current arm
+    sizes. The adjusted row's smaller mde_abs IS the sensitivity the
+    covariate buys (equivalently: how much less traffic the same
+    detection needs). Reads next to ev_cuped_adjustment and
+    ev_ab_assignment_aa as the planning third of the experimentation
+    family.
+
+    Exactness: same integer-exact CUPED pipeline (_cuped_adj_frame);
+    pooled variances at dollar grain from int64 moments; the MDE is a
+    fixed-shape sqrt/multiply chain over exact aggregates, written
+    identically on both engines (z-sum folded to one literal so there
+    is no addition-order question).
+
+    Scale: one fact scan to user grain; everything after is a 1-row
+    aggregate fanned to two output rows."""
+    adj = _cuped_adj_frame(spark, sf_dir)
+    agg = adj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_c"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("adj_e8").cast("bigint").alias("sadj"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("yq") * F.col("yq"))
+            - F.sum("yq") * F.sum("yq")
+        )
+        .cast("bigint")
+        .alias("vp_num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("adjq") * F.col("adjq"))
+            - F.sum("adjq") * F.sum("adjq")
+        )
+        .cast("bigint")
+        .alias("va_num"),
+    )
+
+    def row(metric: str, snum: str, sden: int, vnum: str) -> DataFrame:
+        mean = F.col(snum).cast("double") / (F.col("n") * F.lit(sden)).cast("double")
+        var = F.col(vnum).cast("double") / (F.col("n") * F.col("n")).cast("double")
+        mde = F.lit(_Z_POWER_SUM) * F.sqrt(
+            var * (F.lit(1.0) / F.col("n_c") + F.lit(1.0) / F.col("n_t"))
+        )
+        return agg.select(
+            F.lit(metric).alias("metric"),
+            F.col("n_c").alias("n_control"),
+            F.col("n_t").alias("n_treatment"),
+            mean.alias("mean_value"),
+            var.alias("variance"),
+            mde.alias("mde_abs"),
+            (mde / mean).alias("mde_rel"),
+        )
+
+    return (
+        row("cuped_adjusted", "sadj", 10000000000, "va_num")
+        .unionByName(row("post", "sy", 100, "vp_num"))
+        .orderBy("metric")
+    )
 
 
 # --- embedding-level train/eval split leakage ---------------------------------

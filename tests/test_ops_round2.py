@@ -849,3 +849,38 @@ def test_trade_balance_nets_to_zero(spark, sf_dir):
     assert abs(sum(r["exports"] for r in rows) - sum(r["imports"] for r in rows)) < 1e-6
     assert len(rows) == 25  # every nation reports, zeros included
     assert any(r["exports"] == 0.0 for r in rows)  # supplier-less nations
+
+
+def test_experiment_power_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "ev_experiment_power")
+
+
+def test_power_mde_shrinks_with_linear_covariate(spark):
+    """On the perfectly-predictive covariate fixture the adjusted
+    metric's MDE must collapse vs the raw metric's (variance ~0), and
+    both rows must share arm sizes and near-equal means."""
+    import datetime
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.insights3 import ev_experiment_power
+
+    pre_t = datetime.datetime(2024, 1, 5)
+    post_t = datetime.datetime(2024, 1, 20)
+    rows = []
+    for u in range(1, 201):
+        rows.append((2 * u, u, "view", pre_t, float(u), "{}"))
+        rows.append((2 * u + 1, u, "purchase", post_t, 2.0 * u + 100.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string, ts timestamp, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["metric"]: r for r in ev_experiment_power(spark, d).collect()}
+    adj, post = out["cuped_adjusted"], out["post"]
+    assert (adj["n_control"], adj["n_treatment"]) == (
+        post["n_control"], post["n_treatment"],
+    )
+    assert adj["mde_abs"] < post["mde_abs"] / 5
+    assert abs(adj["mean_value"] - post["mean_value"]) < 1.0
