@@ -8871,3 +8871,169 @@ def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --- monthly revenue decomposition (trend + seasonal + residual) --------------
+
+_DECOMP_K = 10**15  # offset multiple-of-n trick: portable floor division
+
+
+@register(
+    "q_revenue_decomposition",
+    oracle=f"""
+    WITH m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month_key,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) * 12
+                 + CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS am,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    base AS (SELECT MIN(am) AS am0 FROM m),
+    mm AS (
+        SELECT month_key, m.am - b.am0 AS x, cents, cents // 100 AS yd,
+               CAST(substr(month_key, 6, 2) AS BIGINT) AS moy
+        FROM m CROSS JOIN base b
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yd) AS BIGINT) AS sy,
+               CAST(SUM(x * yd) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM mm
+    ),
+    fit AS (
+        SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                    ELSE CAST(FLOOR(1000000.0
+                                    * CAST(n * sxy - sx * sy AS DOUBLE)
+                                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                              AS BIGINT) END AS slope_e6,
+               n, sx, sy
+        FROM mom
+    ),
+    fit2 AS (
+        SELECT slope_e6,
+               (1000000 * sy - slope_e6 * sx + n * {_DECOMP_K}) // n
+                 - {_DECOMP_K} AS icpt_e6
+        FROM fit
+    ),
+    res AS (
+        SELECT mm.month_key, mm.x, mm.moy, mm.cents, f.slope_e6, f.icpt_e6,
+               f.icpt_e6 + f.slope_e6 * mm.x AS trend_e6,
+               1000000 * mm.yd - (f.icpt_e6 + f.slope_e6 * mm.x) AS res_e6
+        FROM mm CROSS JOIN fit2 f
+    ),
+    seas AS (
+        SELECT moy,
+               (CAST(SUM(res_e6) AS BIGINT) + COUNT(*) * {_DECOMP_K}) // COUNT(*)
+                 - {_DECOMP_K} AS seas_e6
+        FROM res GROUP BY moy
+    )
+    SELECT r.month_key,
+           CAST(r.cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(r.trend_e6 AS DOUBLE) / 1000000.0 AS trend,
+           CAST(s.seas_e6 AS DOUBLE) / 1000000.0 AS seasonal,
+           CAST(r.res_e6 - s.seas_e6 AS DOUBLE) / 1000000.0 AS residual
+    FROM res r JOIN seas s ON s.moy = r.moy
+    ORDER BY r.month_key
+    """,
+    description="classic monthly revenue decomposition: OLS trend + additive month-of-year seasonal + residual, all integer-quantized (1e-6 dollars)",
+)
+def q_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classical time-series decomposition every revenue review
+    opens with: monthly order revenue split into an OLS trend, an
+    additive month-of-year seasonal factor (mean detrended residual
+    per calendar month), and what's left — the residual column is
+    where anomalies live once growth and seasonality are explained
+    away (ev_anomaly_zscore's z-scores without either correction are
+    noisier; q_seasonal_index is the multiplicative cousin without
+    the trend).
+
+    Exactness: slope is FLOORed to 1e-6 dollars/month from exact
+    int64 moments; intercept and the per-calendar-month seasonal
+    means use the portable floor-division trick (add a multiple of
+    the divisor, integer-div, subtract it back) so Spark's truncating
+    `div` and DuckDB's flooring `//` agree on NEGATIVE residual sums;
+    every output is one division of an exact integer. Int budget at
+    100x test scale: 1e6*sy ~ 6e16, offsets ~1e17 — inside int64.
+
+    Scale: one orders scan to an 80-row month rollup; the fit is a
+    1-row broadcast, the seasonal table 12 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice", 2, 12) * 100).cast("bigint")
+    m = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month_key"
+        ),
+        (
+            F.year("o_orderdate").cast("bigint") * 12
+            + F.month("o_orderdate").cast("bigint")
+        ).alias("am"),
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    base = m.agg(F.min("am").alias("am0"))
+    mm = m.crossJoin(F.broadcast(base)).select(
+        "month_key",
+        (F.col("am") - F.col("am0")).alias("x"),
+        "cents",
+        F.expr("cents div 100").alias("yd"),
+        F.substring("month_key", 6, 2).cast("bigint").alias("moy"),
+    )
+    mom = mm.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yd").alias("sy"),
+        F.sum(F.col("x") * F.col("yd")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fit = mom.select(
+        F.when(den == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / den.cast("double")
+            )
+        )
+        .alias("slope_e6"),
+        "n",
+        "sx",
+        "sy",
+    ).select(
+        "slope_e6",
+        F.expr(
+            f"(1000000 * sy - slope_e6 * sx + n * {_DECOMP_K}) div n"
+            f" - {_DECOMP_K}"
+        ).alias("icpt_e6"),
+    )
+    res = mm.crossJoin(F.broadcast(fit)).select(
+        "month_key",
+        "moy",
+        "cents",
+        (F.col("icpt_e6") + F.col("slope_e6") * F.col("x")).alias("trend_e6"),
+        (
+            F.lit(1000000) * F.col("yd")
+            - (F.col("icpt_e6") + F.col("slope_e6") * F.col("x"))
+        ).alias("res_e6"),
+    )
+    seas = res.groupBy("moy").agg(
+        F.expr(
+            f"(sum(res_e6) + count(1) * {_DECOMP_K}) div count(1) - {_DECOMP_K}"
+        ).alias("seas_e6")
+    )
+    return (
+        res.join(F.broadcast(seas), "moy")
+        .select(
+            "month_key",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+            (F.col("trend_e6").cast("double") / F.lit(1000000.0)).alias("trend"),
+            (F.col("seas_e6").cast("double") / F.lit(1000000.0)).alias("seasonal"),
+            (
+                (F.col("res_e6") - F.col("seas_e6")).cast("double")
+                / F.lit(1000000.0)
+            ).alias("residual"),
+        )
+        .orderBy("month_key")
+    )

@@ -884,3 +884,43 @@ def test_power_mde_shrinks_with_linear_covariate(spark):
     )
     assert adj["mde_abs"] < post["mde_abs"] / 5
     assert abs(adj["mean_value"] - post["mean_value"]) < 1.0
+
+
+def test_decomposition_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "q_revenue_decomposition")
+
+
+def test_decomposition_recovers_planted_trend_and_season(spark):
+    """Planted revenue = 1000 + 50*m + seasonal bump of +1200 every
+    December: slope ~50/month, December's seasonal factor ~ +1100
+    (the bump minus its own contribution to the grand mean), and
+    residuals stay small."""
+    import datetime
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.insights3 import q_revenue_decomposition
+
+    rows = []
+    k = 0
+    for m in range(48):  # 4 years monthly
+        y, mo = 1995 + m // 12, m % 12 + 1
+        rev = 1000.0 + 50.0 * m + (1200.0 if mo == 12 else 0.0)
+        rows.append((k, datetime.datetime(y, mo, 1), rev))
+        k += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderdate timestamp, o_totalprice double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        out = q_revenue_decomposition(spark, d).collect()
+    assert len(out) == 48
+    # identity: revenue(yd grain) = trend + seasonal + residual (within
+    # the <=1 dollar cents->dollars floor)
+    for r in out:
+        assert abs(r["revenue"] - (r["trend"] + r["seasonal"] + r["residual"])) <= 1.0
+    dec_rows = [r for r in out if r["month_key"].endswith("-12")]
+    other = [r for r in out if not r["month_key"].endswith("-12")]
+    assert all(r["seasonal"] > 1000 for r in dec_rows)
+    assert all(abs(r["residual"]) < 150 for r in out)
+    assert sum(abs(r["seasonal"]) for r in other) / len(other) < 150
