@@ -9037,3 +9037,152 @@ def q_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_key")
     )
+
+
+# --- per-partition content checksums ------------------------------------------
+
+_PP_MOD = 2305843009213693951  # Mersenne 2^61-1 (etl.table_checksum field)
+
+
+@register(
+    "dq_partition_parity",
+    oracle=f"""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({shingle_int_sql(
+               "md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus"
+               " || '|' || o_orderpriority)"
+           )}) % {_PP_MOD} AS BIGINT) AS row_checksum
+    FROM orders
+    GROUP BY 1
+    ORDER BY month_key
+    """,
+    description="per-month-partition order checksums (mod 2^61-1): the drilldown that names WHICH partition diverged after a migration or backfill",
+)
+def dq_partition_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq_checksum_parity tells you A table diverged; this says WHERE:
+    the same order-insensitive mod-2^61-1 content checksum, cut by
+    month partition, so a failed backfill or a half-applied CDC batch
+    is localized to the partitions to re-copy instead of a full-table
+    reload. The month-grain subtotals mod-sum into dq_checksum_parity's
+    table total by construction (pytest-pinned), which is exactly the
+    incremental-verification property the checksum was designed for.
+
+    Scale: one scan, map-side (count, sum) partials per month — the
+    shuffle carries |months| tiny rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month_key"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (
+                F.sum(shingle_int(F.md5(key)).cast("decimal(38,0)"))
+                % F.lit(_PP_MOD)
+            )
+            .cast("bigint")
+            .alias("row_checksum"),
+        )
+        .orderBy("month_key")
+    )
+
+
+# --- attribution window sensitivity -------------------------------------------
+
+ATTR_WINDOWS_H = (1, 6, 24, 72)
+
+
+@register(
+    "ev_attribution_window_sweep",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    pur AS (
+        SELECT user_id, epoch_us(ts) AS pus FROM events
+        WHERE event_type = 'purchase'
+    ),
+    g AS (
+        SELECT e.event_id, e.event_type, MIN(p.pus - e.us) AS min_gap
+        FROM ev e
+        LEFT JOIN pur p
+          ON p.user_id = e.user_id AND p.pus > e.us
+             AND p.pus <= e.us + {72 * 3600 * 1_000_000}
+        GROUP BY e.event_id, e.event_type
+    )
+    SELECT g.event_type, w.window_h,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN g.min_gap IS NOT NULL
+                          AND g.min_gap <= w.window_h * 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN g.min_gap IS NOT NULL
+                          AND g.min_gap <= w.window_h * 3600000000
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS conv_rate
+    FROM g CROSS JOIN (VALUES (1), (6), (24), (72)) AS w(window_h)
+    GROUP BY g.event_type, w.window_h
+    ORDER BY g.event_type, w.window_h
+    """,
+    description="conversion rate vs attribution-window choice (1/6/24/72h): the sensitivity table behind every 'within-X-hours' metric definition",
+)
+def ev_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does the attribution-window CHOICE move the metric?
+    The same followed-by-purchase rate (ev_followup_purchase_rate's
+    semantics) swept across 1/6/24/72-hour windows in one table — if
+    the 24h and 72h rates diverge sharply, the metric is measuring
+    window length, not behavior, and every report built on it
+    inherits that sensitivity.
+
+    Exactness: one LEFT join at the WIDEST window captures each
+    event's min purchase gap in integer microseconds; every narrower
+    window is then a pure integer comparison on that gap — the sweep
+    costs zero extra joins and cannot disagree with itself
+    (monotonicity is structural and pytest-pinned).
+
+    Scale: one equi-join on user_id bounded by the 72h range, one
+    event-grain reduce, a 4x fan-out of the |types|-grain rollup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("us").alias("pus")
+    )
+    max_us = 72 * 3600 * 1_000_000
+    g = (
+        ev.join(
+            pur,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pus") > F.col("us"))
+            & (F.col("pus") <= F.col("us") + F.lit(max_us)),
+            "left",
+        )
+        .groupBy("event_id", "event_type")
+        .agg(F.min(F.col("pus") - F.col("us")).alias("min_gap"))
+    )
+    sweep = g.select(
+        "event_type",
+        "min_gap",
+        F.explode(F.array(*[F.lit(h) for h in ATTR_WINDOWS_H])).alias("window_h"),
+    )
+    conv = F.when(
+        F.col("min_gap").isNotNull()
+        & (F.col("min_gap") <= F.col("window_h") * F.lit(3600000000)),
+        1,
+    ).otherwise(0)
+    return (
+        sweep.groupBy("event_type", "window_h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(conv).cast("bigint").alias("n_converted"),
+            (F.sum(conv).cast("double") / F.count(F.lit(1))).alias("conv_rate"),
+        )
+        .orderBy("event_type", "window_h")
+    )

@@ -924,3 +924,51 @@ def test_decomposition_recovers_planted_trend_and_season(spark):
     assert all(r["seasonal"] > 1000 for r in dec_rows)
     assert all(abs(r["residual"]) < 150 for r in out)
     assert sum(abs(r["seasonal"]) for r in other) / len(other) < 150
+
+
+@pytest.mark.parametrize(
+    "name", ["dq_partition_parity", "ev_attribution_window_sweep"]
+)
+def test_r2_batch8_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_partition_checksums_mod_sum_to_table_total(spark, sf_dir):
+    """The incremental-verification property: month subtotals mod-sum
+    to the whole-table checksum computed on the same identity cols."""
+    from lime_etl_spark.operators.etl import table_checksum
+    from lime_etl_spark.operators.insights3 import _PP_MOD, dq_partition_parity
+    from lime_etl_spark.sources.readers import load_table
+
+    parts = dq_partition_parity(spark, sf_dir).collect()
+    total = table_checksum(
+        load_table(spark, sf_dir, "orders"),
+        ("o_orderkey", "o_orderstatus", "o_orderpriority"),
+        "orders",
+    ).collect()[0]
+    assert sum(r["n_rows"] for r in parts) == total["n_rows"]
+    assert sum(r["row_checksum"] for r in parts) % _PP_MOD == total["row_checksum"]
+
+
+def test_attribution_sweep_monotone_and_consistent_with_followup(spark, sf_dir):
+    """Wider window can only convert more; the 24h column must equal
+    ev_followup_purchase_rate's n_followed (same semantics)."""
+    from lime_etl_spark.operators.insights3 import ev_attribution_window_sweep
+    from lime_etl_spark.plans.registry import get
+
+    rows = ev_attribution_window_sweep(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for grp in by_type.values():
+        grp.sort(key=lambda r: r["window_h"])
+        convs = [r["n_converted"] for r in grp]
+        assert convs == sorted(convs)
+        assert len({r["n_events"] for r in grp}) == 1
+    fu = {
+        r["event_type"]: r["n_followed"]
+        for r in get("ev_followup_purchase_rate").builder(spark, sf_dir).collect()
+    }
+    for t, grp in by_type.items():
+        at24 = next(r for r in grp if r["window_h"] == 24)
+        assert at24["n_converted"] == fu[t]
