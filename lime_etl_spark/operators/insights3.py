@@ -9186,3 +9186,233 @@ def ev_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_h")
     )
+
+
+# --- weekday-deseasonalized DAU -----------------------------------------------
+
+
+@register(
+    "ev_dau_deseasonalized",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    daily AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau,
+               CAST(EXTRACT(isodow FROM d) AS BIGINT) AS weekday
+        FROM ud GROUP BY d
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(dau) AS BIGINT) AS total_dau
+        FROM daily
+    ),
+    wf AS (
+        SELECT weekday,
+               CAST(FLOOR(1000000.0
+                          * CAST(SUM(dau) * (SELECT n_days FROM tot) AS DOUBLE)
+                          / CAST(COUNT(*) * (SELECT total_dau FROM tot) AS DOUBLE))
+                    AS BIGINT) AS f_e6
+        FROM daily GROUP BY weekday
+    )
+    SELECT daily.d AS day, daily.dau, daily.weekday,
+           CAST(wf.f_e6 AS DOUBLE) / 1000000.0 AS weekday_factor,
+           CAST(daily.dau * 1000000 AS DOUBLE) / wf.f_e6 AS adjusted_dau
+    FROM daily JOIN wf USING (weekday)
+    ORDER BY day
+    """,
+    description="DAU with the weekday seasonal factor divided out (1e-6-quantized): the series an ops dashboard should alert on instead of raw DAU",
+)
+def ev_dau_deseasonalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw DAU alerts fire every Saturday; this is the series that
+    doesn't: each day's active-user count divided by its weekday's
+    mean-relative factor (factor = weekday mean DAU / overall mean
+    DAU). A Monday at factor 1.1 and DAU 110 is exactly on-trend;
+    adjusted_dau flattens the weekly sawtooth so level changes and
+    incidents stand out (ev_anomaly_zscore is the alert; this is the
+    de-noised input it should run on).
+
+    Exactness: the factor is FLOORed at 1e-6 from a single division
+    of exact integer products (weekday dau-sum x day-count cross-
+    multiplied against the totals — no mean-of-means float); the
+    adjusted series is then one division per day by that integer.
+
+    Scale: distinct (user, day) reduce, |days| rollup, 7-row factor
+    table broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    daily = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau")).select(
+        "d", "dau", F.dayofweek("d").cast("bigint").alias("dow_sun1")
+    )
+    # ISO weekday (Mon=1..Sun=7) to mirror DuckDB's isodow
+    daily = daily.select(
+        "d",
+        "dau",
+        F.when(F.col("dow_sun1") == 1, 7).otherwise(F.col("dow_sun1") - 1).alias(
+            "weekday"
+        ),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("total_dau"),
+    )
+    wf = (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy("weekday")
+        .agg(
+            F.floor(
+                F.lit(1000000.0)
+                * (F.sum("dau") * F.first("n_days")).cast("double")
+                / (F.count(F.lit(1)) * F.first("total_dau")).cast("double")
+            ).alias("f_e6")
+        )
+    )
+    return (
+        daily.join(F.broadcast(wf), "weekday")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "weekday",
+            (F.col("f_e6").cast("double") / F.lit(1000000.0)).alias("weekday_factor"),
+            ((F.col("dau") * F.lit(1000000)).cast("double") / F.col("f_e6")).alias(
+                "adjusted_dau"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# --- keeper-policy delta (min-id vs longest-member) ----------------------------
+
+
+def _keeper_delta_oracle() -> str:
+    from lime_etl_spark.operators.dedup import _minhash_sql
+
+    return f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(vid, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.vid
+    ),
+    comp AS (
+        SELECT vid AS doc_id, MIN(lab) AS component_id
+        FROM reach GROUP BY vid
+    ),
+    ranked AS (
+        SELECT c.component_id, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rep_rn,
+               ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                  ORDER BY d.doc_id) AS min_rn,
+               COUNT(*) OVER (PARTITION BY c.component_id) AS sz
+        FROM comp c JOIN documents d USING (doc_id)
+    ),
+    per_cluster AS (
+        SELECT component_id, sz,
+               MAX(CASE WHEN min_rn = 1 THEN doc_id END) AS min_keeper,
+               MAX(CASE WHEN min_rn = 1 THEN n_chars END) AS min_chars,
+               MAX(CASE WHEN rep_rn = 1 THEN doc_id END) AS rep_keeper,
+               MAX(CASE WHEN rep_rn = 1 THEN n_chars END) AS rep_chars
+        FROM ranked
+        WHERE sz >= 2
+        GROUP BY component_id, sz
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN min_keeper != rep_keeper THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keeper_differs,
+           CAST(SUM(rep_chars - min_chars) AS BIGINT) AS chars_gained,
+           CAST(SUM(rep_chars - min_chars) AS DOUBLE) / COUNT(*)
+               AS mean_chars_gained
+    FROM per_cluster
+    GROUP BY sz
+    ORDER BY cluster_size
+    """
+
+
+@register(
+    "cur_keeper_policy_delta",
+    oracle=_keeper_delta_oracle(),
+    description="keeper-policy governance: min-id vs longest-member cluster collapse compared — how often they disagree and the content the quality policy keeps",
+)
+def cur_keeper_policy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The governance table for a dedup policy decision: within each
+    near-dup cluster, how often does the cheap min-id keeper
+    (dedup_components convention) pick a DIFFERENT survivor than the
+    quality keeper (cur_best_rep_dedup's longest-member), and how many
+    characters of content the quality policy retains that min-id would
+    discard. If n_keeper_differs is near zero the cheap policy is
+    fine; a large chars_gained says clusters mix full articles with
+    excerpts and the quality keeper materially changes the corpus.
+
+    Exactness: both keepers are deterministic (full tiebreaks); the
+    delta is integer character arithmetic with one division per
+    cluster-size bucket.
+
+    Scale: one LSH+CC labeling feeds both keeper windows, which share
+    one component_id exchange; the rollup is |cluster sizes| rows."""
+    from lime_etl_spark.operators.dedup import (
+        JACCARD_TAU,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from lime_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh))).where(
+        F.col("jaccard") >= JACCARD_TAU
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(docs.select(F.col("doc_id").alias("vid")), edges)
+    sh.unpersist()
+    labeled = docs.select("doc_id", "n_chars").join(
+        cc.select(F.col("vid").alias("doc_id"), F.col("label").alias("component_id")),
+        "doc_id",
+    )
+    w_rep = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    w_min = Window.partitionBy("component_id").orderBy("doc_id")
+    w_sz = Window.partitionBy("component_id")
+    ranked = labeled.select(
+        "component_id",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w_rep).alias("rep_rn"),
+        F.row_number().over(w_min).alias("min_rn"),
+        F.count(F.lit(1)).over(w_sz).alias("sz"),
+    ).where(F.col("sz") >= 2)
+    per_cluster = ranked.groupBy("component_id", "sz").agg(
+        F.max(F.when(F.col("min_rn") == 1, F.col("doc_id"))).alias("min_keeper"),
+        F.max(F.when(F.col("min_rn") == 1, F.col("n_chars"))).alias("min_chars"),
+        F.max(F.when(F.col("rep_rn") == 1, F.col("doc_id"))).alias("rep_keeper"),
+        F.max(F.when(F.col("rep_rn") == 1, F.col("n_chars"))).alias("rep_chars"),
+    )
+    differs = F.when(F.col("min_keeper") != F.col("rep_keeper"), 1).otherwise(0)
+    return (
+        per_cluster.groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum(differs).cast("bigint").alias("n_keeper_differs"),
+            F.sum(F.col("rep_chars") - F.col("min_chars"))
+            .cast("bigint")
+            .alias("chars_gained"),
+            (
+                F.sum(F.col("rep_chars") - F.col("min_chars")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_chars_gained"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -972,3 +972,75 @@ def test_attribution_sweep_monotone_and_consistent_with_followup(spark, sf_dir):
     for t, grp in by_type.items():
         at24 = next(r for r in grp if r["window_h"] == 24)
         assert at24["n_converted"] == fu[t]
+
+
+@pytest.mark.parametrize(
+    "name", ["ev_dau_deseasonalized", "cur_keeper_policy_delta"]
+)
+def test_r2_batch9_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_deseasonalized_flattens_planted_weekend_sawtooth(spark):
+    """DAU 100 on weekdays / 200 on weekends for 4 exact weeks: the
+    adjusted series must be flat (all days equal within quantization)
+    while raw DAU swings 2x."""
+    import datetime
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.insights3 import ev_dau_deseasonalized
+
+    rows = []
+    eid = 0
+    d0 = datetime.date(2024, 1, 1)  # a Monday
+    for day in range(28):
+        d = d0 + datetime.timedelta(days=day)
+        dau = 200 if d.isoweekday() >= 6 else 100
+        for u in range(dau):
+            rows.append(
+                (eid, u, "view", datetime.datetime.combine(d, datetime.time(12)), 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string, ts timestamp, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = ev_dau_deseasonalized(spark, d).collect()
+    assert len(out) == 28
+    adj = [r["adjusted_dau"] for r in out]
+    assert max(adj) - min(adj) < 0.01
+    sat = next(r for r in out if r["weekday"] == 6)
+    mon = next(r for r in out if r["weekday"] == 1)
+    assert abs(sat["weekday_factor"] / mon["weekday_factor"] - 2.0) < 1e-3
+
+
+def test_keeper_delta_flags_planted_excerpt_cluster(spark):
+    """A near-dup pair where the LONGER member has the HIGHER id: the
+    min-id and longest-member keepers must disagree and chars_gained
+    must equal the length difference."""
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.insights3 import cur_keeper_policy_delta
+
+    base = " ".join(f"w{i}" for i in range(40))
+    longer = base + " extra tokens"
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, longer, "en", "s", len(longer)),
+            (3, other, "en", "s", len(other)),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = cur_keeper_policy_delta(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["cluster_size"], r["n_clusters"], r["n_keeper_differs"]) == (2, 1, 1)
+    assert r["chars_gained"] == len(longer) - len(base)
