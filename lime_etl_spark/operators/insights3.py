@@ -9416,3 +9416,143 @@ def cur_keeper_policy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# --- centroid shift under exact-int8 dedup --------------------------------------
+
+
+@register(
+    "emb_dedup_centroid_shift",
+    oracle="""
+    WITH """ + __import__("textwrap").dedent("""
+    corpus AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, label, embedding
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    m AS (
+        SELECT MAX(list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)))) / 127 AS s
+        FROM corpus
+    ),
+    q AS (
+        SELECT vec_id, label,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   v -> CAST(GREATEST(LEAST(floor(v / s + 0.5), 127), -127) AS BIGINT)
+               ) AS qv
+        FROM corpus, m
+    ),
+    before_d AS (
+        SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS sb
+        FROM (SELECT label, qv, unnest(generate_series(1, len(qv))) AS i FROM q)
+        GROUP BY label, i
+    ),
+    uq AS (SELECT DISTINCT label, qv FROM q),
+    after_d AS (
+        SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS sa
+        FROM (SELECT label, qv, unnest(generate_series(1, len(qv))) AS i FROM uq)
+        GROUP BY label, i
+    ),
+    counts AS (
+        SELECT q.label, CAST(COUNT(*) AS BIGINT) AS n_b,
+               (SELECT COUNT(*) FROM uq WHERE uq.label = q.label) AS n_a
+        FROM q GROUP BY q.label
+    ),
+    terms AS (
+        SELECT b.label,
+               CAST(FLOOR(1000000.0
+                          * (CAST(b.sb AS DOUBLE) / c.n_b
+                             - CAST(a.sa AS DOUBLE) / c.n_a)
+                          * (CAST(b.sb AS DOUBLE) / c.n_b
+                             - CAST(a.sa AS DOUBLE) / c.n_a)) AS BIGINT) AS t
+        FROM before_d b
+        JOIN after_d a ON a.label = b.label AND a.i = b.i
+        JOIN counts c ON c.label = b.label
+    )
+    SELECT c.label,
+           c.n_b AS n_vecs,
+           CAST(c.n_a AS BIGINT) AS n_unique,
+           CAST(c.n_b - c.n_a AS BIGINT) AS n_dropped,
+           sqrt(CAST(t.st AS DOUBLE) / 1000000.0) AS centroid_shift_q
+    FROM counts c
+    JOIN (SELECT label, CAST(SUM(t) AS BIGINT) AS st FROM terms GROUP BY label) t
+      ON t.label = c.label
+    ORDER BY c.label
+    """),
+    description="how far each label's centroid MOVES when exact-int8 duplicate vectors collapse to one — the embedding-space twin of dedup_survivor_mix_shift",
+)
+def emb_dedup_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate vectors drag class centroids toward whatever got
+    re-ingested most; this measures the drag: per label, the L2
+    distance (in int8 quantized units) between the centroid computed
+    over ALL vectors and over the DISTINCT int8 vectors — exactly
+    what flips when emb_exact_duplicates' groups collapse. A label
+    with many drops and a large shift was having its prototype set by
+    ingestion luck, and every centroid consumer (IVF seeds, kNN
+    prototypes, drift monitors) inherits the fix.
+
+    Exactness: both centroids come from exact integer per-dim sums
+    (the emb_label_centroids discipline); each dimension's squared
+    difference is FLOORed at 1e-6 before the cross-dimension sum, so
+    the reduce is integer and order-free at any scale (no n^2 integer
+    products — means stay bounded by +-127, so the quantized terms
+    are <=6.5e10 regardless of corpus size); one sqrt-of-division per
+    label at the end.
+
+    Scale: two posexplode passes (all vs distinct-qv) with map-side
+    (label, dim) combines — shuffle carries |labels| x dim counters;
+    the distinct runs on the quantized ARRAY key exactly like
+    emb_exact_duplicates. Input is the deterministic dup-injected
+    corpus (every vec_id % 10 == 0 re-ingested as +1e6 — the dedup
+    family's _DUPCORPUS convention), so the operator exercises real
+    collapses on the driver fixture too."""
+    base = load_table(spark, sf_dir, "embeddings")
+    corpus = base.unionByName(
+        base.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+        ).select(*base.columns)
+    )
+    emb = with_int8_vectors(corpus, "label")
+
+    def dim_sums(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select("label", F.posexplode("qv").alias("i", "v"))
+            .groupBy("label", "i")
+            .agg(F.sum("v").cast("bigint").alias(out))
+        )
+
+    before_d = dim_sums(emb, "sb")
+    uq = emb.select("label", "qv").distinct()
+    after_d = dim_sums(uq, "sa")
+    counts = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+        .join(
+            uq.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_a")),
+            "label",
+        )
+    )
+    diff = (
+        F.col("sb").cast("double") / F.col("n_b")
+        - F.col("sa").cast("double") / F.col("n_a")
+    )
+    terms = (
+        before_d.join(after_d, ["label", "i"])
+        .join(F.broadcast(counts), "label")
+        .select("label", F.floor(F.lit(1000000.0) * diff * diff).alias("t"))
+    )
+    st = terms.groupBy("label").agg(F.sum("t").cast("bigint").alias("st"))
+    return (
+        counts.join(st, "label")
+        .select(
+            "label",
+            F.col("n_b").alias("n_vecs"),
+            F.col("n_a").alias("n_unique"),
+            (F.col("n_b") - F.col("n_a")).cast("bigint").alias("n_dropped"),
+            F.sqrt(F.col("st").cast("double") / F.lit(1000000.0)).alias(
+                "centroid_shift_q"
+            ),
+        )
+        .orderBy("label")
+    )

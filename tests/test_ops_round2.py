@@ -1044,3 +1044,23 @@ def test_keeper_delta_flags_planted_excerpt_cluster(spark):
     r = out[0]
     assert (r["cluster_size"], r["n_clusters"], r["n_keeper_differs"]) == (2, 1, 1)
     assert r["chars_gained"] == len(longer) - len(base)
+
+
+def test_centroid_shift_matches_oracle(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "emb_dedup_centroid_shift")
+
+
+def test_centroid_shift_zero_without_dups_and_positive_with(spark, sf_dir):
+    """Dup-injected corpus: every label drops its vec_id%10==0 copies
+    and a label whose dups sit off-center must shift; dedup never
+    increases the vector count."""
+    from lime_etl_spark.operators.insights3 import emb_dedup_centroid_shift
+
+    rows = emb_dedup_centroid_shift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_vecs"] == r["n_unique"] + r["n_dropped"]
+        assert r["n_dropped"] >= 0
+        assert r["centroid_shift_q"] >= 0.0
+    assert any(r["n_dropped"] > 0 for r in rows)
+    assert any(r["centroid_shift_q"] > 0 for r in rows)
