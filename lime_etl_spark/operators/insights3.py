@@ -9556,3 +9556,156 @@ def emb_dedup_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- revenue waterfall by year --------------------------------------------------
+
+
+@register(
+    "q_revenue_waterfall",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS gross_revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS discount_given,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS net_revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS tax_collected,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                AS DOUBLE) AS charged_amount,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS discount_rate
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY ship_year
+    """,
+    description="finance waterfall per ship year: gross -> discount -> net -> tax -> charged, decimal-exact (the q1 aggregate family re-cut as a bridge)",
+)
+def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The finance bridge every revenue review starts from: gross
+    booked value, discount given away, net revenue, tax collected and
+    the final charged amount, per ship year — each column is the next
+    step of the waterfall, so (gross - discount = net) and
+    (net + tax = charged) hold EXACTLY row by row (pytest-pinned),
+    which is what makes the table auditable rather than approximately
+    plausible.
+
+    Exactness: every term is a decimal product of 2-decimal inputs
+    summed exactly; the one ratio divides two exact decimals.
+
+    Scale: single scan, three pushed columns, |years| map-side
+    rollup — the q1 shape with a different cut."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = dec("l_extendedprice", 2, 12)
+    disc = dec("l_discount", 2, 4)
+    tax = dec("l_tax", 2, 4)
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(price).cast("double").alias("gross_revenue"),
+            F.sum(price * disc).cast("double").alias("discount_given"),
+            F.sum(price * (one - disc)).cast("double").alias("net_revenue"),
+            F.sum(price * (one - disc) * tax).cast("double").alias("tax_collected"),
+            F.sum(price * (one - disc) * (one + tax))
+            .cast("double")
+            .alias("charged_amount"),
+            (
+                F.sum(price * disc).cast("double") / F.sum(price).cast("double")
+            ).alias("discount_rate"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+# --- JSON-prop vs value correlation ---------------------------------------------
+
+
+@register(
+    "ev_props_correlation",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS x,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    mom AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y // 100 * (y // 100)) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n AS n_events,
+           CAST(sx AS DOUBLE) / n AS mean_k,
+           CAST(sy AS DOUBLE) / (n * 100) AS mean_value,
+           CASE WHEN (n * sxx - sx * sx) = 0
+                  OR (n * syy - (sy // 100) * (sy // 100)) = 0 THEN 0.0
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - (sy // 100) * (sy // 100) AS DOUBLE))
+                        * 100.0)
+                END AS pearson_r
+    FROM mom
+    ORDER BY event_type
+    """,
+    description="does the JSON prop k predict event value: per-type Pearson r from exact integer moments (the emb_dim_correlation discipline on semi-structured data)",
+)
+def ev_props_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the instrumented property worth anything? Pearson
+    correlation between the JSON prop ``k`` and the event's monetary
+    value per event type — near-zero r says the prop is noise to the
+    value model; a strong r on one type only says the logging means
+    different things per type (a protocol smell dq_protocol_violations
+    can't see because the payload is VALID).
+
+    Exactness: k is an int, value is exact cents; all five moments
+    are int64 sums (the y-variance runs at dollar grain via floor
+    division to keep n*syy inside int64 at 100x scale — documented
+    like ev_cuped_adjustment). r divides the exact covariance by the
+    sqrt-product, with the cents/dollars scale folded into one
+    literal so the expression shape is identical cross-engine.
+
+    Scale: one scan with the JSON extraction JVM-side
+    (get_json_object), |types| counter rows out."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.get_json_object("props", "$.k").cast("bigint")
+    y = (dec("value", 2, 12) * 100).cast("bigint")
+    pts = ev.where(x.isNotNull()).select(
+        "event_type", x.alias("x"), y.alias("y")
+    )
+    mom = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y div 100 * (y div 100)")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.expr("sy div 100") * F.expr("sy div 100")
+    r = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_k"),
+        (F.col("sy").cast("double") / (F.col("n") * 100)).alias("mean_value"),
+        F.when((dx == 0) | (dy == 0), F.lit(0.0))
+        .otherwise(
+            r.cast("double")
+            / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double")) * F.lit(100.0))
+        )
+        .alias("pearson_r"),
+    ).orderBy("event_type")

@@ -1064,3 +1064,46 @@ def test_centroid_shift_zero_without_dups_and_positive_with(spark, sf_dir):
         assert r["centroid_shift_q"] >= 0.0
     assert any(r["n_dropped"] > 0 for r in rows)
     assert any(r["centroid_shift_q"] > 0 for r in rows)
+
+
+@pytest.mark.parametrize(
+    "name", ["q_revenue_waterfall", "ev_props_correlation"]
+)
+def test_r2_batch10_matches_oracle(spark, sf_dir, name):
+    assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_waterfall_identities_hold_exactly(spark, sf_dir):
+    """gross - discount == net and net + tax == charged, per year, to
+    float round-off of exact decimals."""
+    from lime_etl_spark.operators.insights3 import q_revenue_waterfall
+
+    for r in q_revenue_waterfall(spark, sf_dir).collect():
+        assert abs(r["gross_revenue"] - r["discount_given"] - r["net_revenue"]) < 1e-6
+        assert abs(r["net_revenue"] + r["tax_collected"] - r["charged_amount"]) < 1e-6
+        assert 0.0 <= r["discount_rate"] <= 0.2
+
+
+def test_props_correlation_recovers_planted_linear_k(spark):
+    """value = k dollars exactly -> r ~ 1; value independent of k -> |r| small."""
+    import datetime
+    import os
+    import tempfile
+
+    from lime_etl_spark.operators.insights3 import ev_props_correlation
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        k = i % 50 + 1
+        rows.append((i, i, "click", t0, float(k), '{"k": %d}' % k))        # r=1
+        rows.append((1000 + i, i, "view", t0, float((i * 7) % 40 + 1), '{"k": %d}' % k))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string, ts timestamp, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["event_type"]: r for r in ev_props_correlation(spark, d).collect()}
+    assert out["click"]["pearson_r"] > 0.999
+    assert abs(out["view"]["pearson_r"]) < 0.3
