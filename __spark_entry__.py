@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lime_etl_spark.plans.registry import all_queries
+from lime_etl_spark.plans.registry import all_queries, hygienic
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.builder for name, spec in all_queries().items()}
+    return {name: hygienic(spec.builder) for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

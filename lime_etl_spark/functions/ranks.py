@@ -63,13 +63,19 @@ def with_global_row_number(
     to 2^53 rows (offset arithmetic is int64; quantile probing casts
     through double).
     """
-    # Persisted: the quantile probe is an immediate job and the main
-    # plan reads the same frame again — one upstream compute, not two.
-    tagged = df.withColumn("__rk_v", value.cast("double")).persist()
+    # The quantile probe runs on a column-pruned projection rather
+    # than a persisted copy of the full frame: at 100 TB caching the
+    # whole input for one probe is itself the anti-pattern (memory
+    # pressure + a cache entry nobody releases); a single-column scan
+    # is cheaper than the cache write. ANY monotone boundaries give
+    # identical ranks, so probe/main-plan divergence is harmless.
+    tagged = df.withColumn("__rk_v", value.cast("double"))
     # Deduped boundaries: ties collapse buckets (harmless — fewer,
     # bigger buckets; ranks are boundary-independent).
     probes = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(tagged.approxQuantile("__rk_v", probes, 0.01)))
+    bounds = sorted(
+        set(tagged.select("__rk_v").approxQuantile("__rk_v", probes, 0.01))
+    )
     bucketed = tagged.withColumn("__rk_b", bucket_by_bounds(F.col("__rk_v"), bounds))
 
     w_local = Window.partitionBy("__rk_b").orderBy(*order_cols)
@@ -120,9 +126,12 @@ def with_global_cumsum(
     same bucket/offset decomposition as `with_global_row_number`, the
     running aggregate being a sum instead of a count. Preserves the
     summed column's type (decimal stays decimal-exact)."""
-    tagged = df.withColumn("__cs_v", value.cast("double")).persist()
+    # Column-pruned probe, no persist — see with_global_row_number.
+    tagged = df.withColumn("__cs_v", value.cast("double"))
     probes = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(tagged.approxQuantile("__cs_v", probes, 0.01)))
+    bounds = sorted(
+        set(tagged.select("__cs_v").approxQuantile("__cs_v", probes, 0.01))
+    )
     bucketed = tagged.withColumn("__cs_b", bucket_by_bounds(F.col("__cs_v"), bounds))
 
     w_local = (

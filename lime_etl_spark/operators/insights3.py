@@ -8550,10 +8550,26 @@ LEAK_TRAIN_BUCKETS = 8  # md5 bucket < 8 of 10 → train (80/20 split)
                     THEN 1 ELSE 0 END AS is_train
         FROM embeddings
     ),
+    bands AS (
+        SELECT vec_id, label, band,
+               (SELECT SUM(CASE WHEN CAST(embedding AS DOUBLE[])[d + 1] > 0
+                                THEN CAST(1 << (d % 4) AS INT) ELSE 0 END)
+                FROM generate_series(0, 63) g(d)
+                WHERE d // 4 = band) AS bv
+        FROM embeddings, generate_series(0, 15) s(band)
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS train_vec, y.vec_id AS eval_vec, x.label
+        FROM bands x
+        JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.label = y.label
+        JOIN e et ON et.vec_id = x.vec_id AND et.is_train = 1
+        JOIN e ev ON ev.vec_id = y.vec_id AND ev.is_train = 0
+    ),
     cross_pairs AS (
-        SELECT t.label, v.vec_id AS eval_vec
-        FROM e t JOIN e v
-          ON t.label = v.label AND t.is_train = 1 AND v.is_train = 0
+        SELECT c.label, c.eval_vec
+        FROM cand c
+        JOIN e t ON t.vec_id = c.train_vec
+        JOIN e v ON v.vec_id = c.eval_vec
         WHERE list_dot_product(t.emb, v.emb) / (t.norm * v.norm) >= {LEAK_TAU}
     ),
     per_label AS (
@@ -8573,7 +8589,7 @@ LEAK_TRAIN_BUCKETS = 8  # md5 bucket < 8 of 10 → train (80/20 split)
     FROM eval_counts ec LEFT JOIN per_label p ON p.label = ec.label
     ORDER BY ec.label
     """,
-    description="embedding-level split leakage: eval vectors with a cosine>=tau near-dup in train, per label (the contamination n-gram decontam can't see)",
+    description="embedding-level split leakage: eval vectors with a cosine>=tau near-dup in train, per label; sign-band LSH candidates, cosine verify on candidates only",
 )
 def cur_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The contamination channel n-gram decontamination CANNOT see:
@@ -8592,23 +8608,16 @@ def cur_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_embedding_cosine hash-matches — no cross-row float
     reductions anywhere; counters only after the threshold.
 
-    Scale: label blocking bounds the pair join exactly like
-    dedup_embedding_cosine; at 100 TB swap the blocking for the IVF
-    bucket join (ann_ivf_topk) — the leak SEMANTICS stay identical.
-    Train-side vectors broadcast per label block when small; the
+    Scale: candidate cross-pairs come from the same sign-band LSH
+    bucket equi-join as dedup_embedding_cosine (16 bands × 4 sign
+    bits on (band, bv, label)) — bucket-bounded, never an all-pairs
+    label block; the exact cosine runs on candidates only, and the
     rollup is |labels| rows."""
-    def dot(x: F.Column, y: F.Column) -> F.Column:
-        return F.aggregate(
-            F.zip_with(
-                x.cast("array<double>"), y.cast("array<double>"), lambda p, q: p * q
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    from lime_etl_spark.operators.dedup import _emb_dot, sign_band_values
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .withColumn("norm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
+        .withColumn("norm", F.sqrt(_emb_dot(F.col("embedding"), F.col("embedding"))))
         .withColumn(
             "is_train",
             F.when(hash_bucket(F.col("vec_id"), 10) < LEAK_TRAIN_BUCKETS, 1).otherwise(
@@ -8616,15 +8625,44 @@ def cur_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    t = emb.where(F.col("is_train") == 1).alias("t")
-    v = emb.where(F.col("is_train") == 0).alias("v")
-    cos = dot(F.col("t.embedding"), F.col("v.embedding")) / (
-        F.col("t.norm") * F.col("v.norm")
+    bands = emb.select(
+        "vec_id",
+        "label",
+        "is_train",
+        F.posexplode(sign_band_values(F.col("embedding"))).alias("band", "bv"),
     )
+    x = bands.where(F.col("is_train") == 1).alias("x")
+    y = bands.where(F.col("is_train") == 0).alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.label") == F.col("y.label")),
+        )
+        .select(
+            F.col("x.vec_id").alias("train_vec"),
+            F.col("y.vec_id").alias("eval_vec"),
+            F.col("x.label").alias("label"),
+        )
+        .distinct()
+    )
+    t = emb.select(
+        F.col("vec_id").alias("train_vec"),
+        F.col("embedding").alias("emb_t"),
+        F.col("norm").alias("norm_t"),
+    )
+    v = emb.select(
+        F.col("vec_id").alias("eval_vec"),
+        F.col("embedding").alias("emb_v"),
+        F.col("norm").alias("norm_v"),
+    )
+    cos = _emb_dot(F.col("emb_t"), F.col("emb_v")) / (F.col("norm_t") * F.col("norm_v"))
     cross_pairs = (
-        t.join(v, F.col("t.label") == F.col("v.label"))
+        cand.join(t, "train_vec")
+        .join(v, "eval_vec")
         .where(cos >= LEAK_TAU)
-        .select(F.col("t.label").alias("label"), F.col("v.vec_id").alias("eval_vec"))
+        .select("label", "eval_vec")
     )
     per_label = cross_pairs.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_cross_pairs"),

@@ -64,6 +64,27 @@ def register(
     return deco
 
 
+def hygienic(builder: Builder) -> Builder:
+    """Operator-scope cache hygiene for sweep harnesses.
+
+    Operators persist intermediates (shingle tables, signature
+    frames) that the returned lazy DataFrame still reads, so they
+    cannot unpersist before their consumer's action. In a long-lived
+    session running hundreds of queries back-to-back those caches
+    accumulate (symptom: `CacheManager: Asked to cache already cached
+    data` warnings). Wrapping each registry builder releases the
+    previous query's leftovers at the next query's build start —
+    bounding live cache to one operator's working set. Safe because
+    sweep harnesses build → collect → next query sequentially.
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return builder(spark, sf_dir)
+
+    return run
+
+
 def _load_all() -> None:
     for mod in _OPERATOR_MODULES:
         try:

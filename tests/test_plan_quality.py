@@ -908,3 +908,23 @@ def test_no_entity_grain_global_windows(spark, sf_dir):
             bad[name] = (n, expected)
     spark.catalog.clearCache()
     assert not bad, f"unaudited unpartitioned windows (got, allowed): {bad}"
+
+
+def test_embedding_cosine_candidates_bucket_bounded(spark, sf_dir):
+    """Round-3 gate: the pair-generation join for embedding near-dup
+    must carry the sign-band bucket keys (band, bv) alongside label —
+    a bare label-block self-join is quadratic per label at 100 TB and
+    was the engine's last quadratic default."""
+    plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+    assert re.search(
+        r"Left keys \[\d+\]: \[band#\d+, bv#\d+, label#\d+\]", plan
+    ), plan[:3000]
+
+
+def test_embedding_leakage_candidates_bucket_bounded(spark, sf_dir):
+    """Same gate for the train/eval leakage scan: cross pairs come
+    from the (band, bv, label) bucket join, not an all-pairs block."""
+    plan = plan_of(spark, sf_dir, "cur_embedding_leakage")
+    assert re.search(
+        r"Left keys \[\d+\]: \[band#\d+, bv#\d+, label#\d+\]", plan
+    ), plan[:3000]

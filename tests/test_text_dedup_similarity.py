@@ -50,6 +50,29 @@ def test_minhash_candidates_superset_check(spark, sf_dir):
     assert len(lsh) / len(exact) >= 0.8  # LSH recall on this corpus
 
 
+def test_embedding_cosine_banding_recall(spark, sf_dir):
+    """Sign-band LSH candidates must be a subset of the all-pairs
+    truth, with high recall on the fixture corpus (13/14 at sf0.001).
+    The all-pairs twin is pytest-only ground truth — quadratic per
+    label block, never the shipped default."""
+    from lime_etl_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        embedding_cosine_allpairs,
+    )
+
+    banded = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_cosine_allpairs(spark, sf_dir).collect()
+    }
+    assert banded <= truth
+    assert len(truth) > 0
+    assert len(banded) / len(truth) >= 0.9
+
+
 def test_simhash_invariants(spark, sf_dir):
     from lime_etl_spark.operators.dedup import (
         HAMMING_MAX,
