@@ -154,6 +154,79 @@ def with_global_cumsum(
     )
 
 
+def with_global_ntiles(
+    df: DataFrame,
+    specs: list[tuple[Column, list[Column], int, str]],
+    n_buckets: int = DEFAULT_RANK_BUCKETS,
+) -> DataFrame:
+    """Several exact global NTILEs over ONE pass of a REDUCED rollup.
+
+    `specs` is a list of `(value, order_cols, k, out)` — one entry per
+    ntile column to add. Compared with chaining `with_global_ntile`,
+    which nests each call's bucket/offset join inside the next (the
+    upstream subtree re-expands per call, and each call pays its own
+    quantile-probe job), this:
+
+    * persists the value-tagged input ONCE — callers pass an entity
+      rollup (per-customer / per-doc), never raw facts, so the cache
+      entry is the reduced frame, not the corpus;
+    * probes ALL boundary sets in a single multi-column
+      `approxQuantile` job;
+    * derives each spec's ≤n_buckets bucket-offset roster straight
+      from the cached frame (lean subtree, no prior-spec joins);
+    * computes the shared global total as a 1-row broadcast
+      aggregate instead of an unpartitioned `Window.partitionBy()`.
+
+    Plan shape: one partitioned sort per spec (genuinely needed — the
+    orders differ), one bounded roster window per spec, broadcast
+    joins only. The cache entry is released by the driver surface's
+    `hygienic()` sweep, same as the other persisting operators.
+    """
+    vcols = [f"__mt_v{i}" for i in range(len(specs))]
+    tagged = df
+    for vc, (value, _, _, _) in zip(vcols, specs):
+        tagged = tagged.withColumn(vc, value.cast("double"))
+    tagged = tagged.persist()
+    probes = [i / n_buckets for i in range(1, n_buckets)]
+    all_bounds = tagged.approxQuantile(vcols, probes, 0.01)
+    total = tagged.agg(F.count(F.lit(1)).alias("__mt_n"))
+
+    bucketed = tagged
+    bcols = []
+    for i, vc in enumerate(vcols):
+        b = f"__mt_b{i}"
+        bucketed = bucketed.withColumn(
+            b, bucket_by_bounds(F.col(vc), sorted(set(all_bounds[i])))
+        )
+        bcols.append(b)
+
+    result = bucketed
+    drop_cols = vcols + bcols + ["__mt_n"]
+    for i, (_, order_cols, _, _) in enumerate(specs):
+        b, ob, off, lrn = f"__mt_b{i}", f"__mt_ob{i}", f"__mt_off{i}", f"__mt_lrn{i}"
+        w_local = Window.partitionBy(b).orderBy(*order_cols)
+        w_off = Window.orderBy(b).rowsBetween(Window.unboundedPreceding, 0)
+        roster = (
+            bucketed.groupBy(b)
+            .agg(F.count(F.lit(1)).alias("__mt_cnt"))
+            .withColumn(off, F.sum("__mt_cnt").over(w_off) - F.col("__mt_cnt"))
+            .select(F.col(b).alias(ob), off)
+        )
+        result = result.withColumn(lrn, F.row_number().over(w_local)).join(
+            F.broadcast(roster), F.col(b) == F.col(ob)
+        )
+        drop_cols += [ob, off, lrn]
+    result = result.join(F.broadcast(total))
+    for i, (_, _, k, out) in enumerate(specs):
+        result = result.withColumn(
+            out,
+            ntile_from_rn(
+                F.col(f"__mt_off{i}") + F.col(f"__mt_lrn{i}"), F.col("__mt_n"), k
+            ),
+        )
+    return result.drop(*drop_cols)
+
+
 def with_ingest_bucket(
     df: DataFrame, id_col: str, n: int, out: str = "bucket"
 ) -> DataFrame:

@@ -518,7 +518,9 @@ def dedup_simhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ≈ 1−(1−p⁴)¹⁶ ≈ 0.91, rising steeply toward 1.0 for true near-dups
 # (p≥0.9 → recall ≈ 1−10⁻⁵). Measured on driver fixtures:
 # 13/14 truth pairs at sf0.001, 26/26 at sf0.01, 367/391 at sf0.1
-# (tests/test_dedup.py pins the fixture-scale recall).
+# (tests/test_text_dedup_similarity.py pins the fixture-scale recall;
+# the registered `emb_banding_recall` table publishes it per cosine
+# band at any scale).
 SIGN_BANDS = 16
 SIGN_BAND_BITS = 4
 COSINE_TAU = 0.35
@@ -561,6 +563,29 @@ _SIGN_BANDS_SQL = f"""
 _PAIR_COS_SQL = """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"""
+
+
+def sign_band_candidate_pairs(emb: DataFrame) -> DataFrame:
+    """Distinct (vec_a < vec_b) candidate pairs from the sign-band LSH
+    bucket equi-join on (band, bv, label) — the bounded pair generator
+    shared by dedup_embedding_cosine and emb_banding_recall."""
+    bands = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(sign_band_values(F.col("embedding"))).alias("band", "bv"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.label") == F.col("y.label"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
 
 
 def embedding_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -629,21 +654,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "norm", F.sqrt(_emb_dot(F.col("embedding"), F.col("embedding")))
     )
-    bands = emb.select(
-        "vec_id", "label", F.posexplode(sign_band_values(F.col("embedding"))).alias("band", "bv")
-    )
-    x, y = bands.alias("x"), bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bv") == F.col("y.bv"))
-            & (F.col("x.label") == F.col("y.label"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    cand = sign_band_candidate_pairs(emb)
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -662,6 +673,77 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= COSINE_TAU)
+    )
+
+
+@register(
+    "emb_banding_recall",
+    oracle=f"""
+    WITH bands AS ({_SIGN_BANDS_SQL}),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bv = y.bv
+         AND x.label = y.label AND x.vec_id < y.vec_id
+    ),
+    truth AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_PAIR_COS_SQL} AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_PAIR_COS_SQL} >= {COSINE_TAU}
+    )
+    SELECT CASE WHEN t.cosine >= 0.9 THEN '0.90-1.00'
+                WHEN t.cosine >= 0.7 THEN '0.70-0.90'
+                WHEN t.cosine >= 0.5 THEN '0.50-0.70'
+                ELSE '0.35-0.50' END AS cos_band,
+           CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(CASE WHEN c.vec_a IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_found_pairs,
+           CAST(SUM(CASE WHEN c.vec_a IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+               / COUNT(*) AS recall
+    FROM truth t LEFT JOIN cand c ON t.vec_a = c.vec_a AND t.vec_b = c.vec_b
+    GROUP BY 1 ORDER BY cos_band
+    """,
+    description="measured sign-band LSH recall vs all-pairs cosine truth, per cosine band — the error table for dedup_embedding_cosine / cur_embedding_leakage",
+)
+def emb_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximation contract of the banded embedding ops, as a
+    registered MEASURED table (the `dedup_lsh_tuning` /
+    `ann_tuning_curve` discipline: every approximate operator ships
+    its error as data, not a docstring): per true-cosine band, how
+    many all-pairs truth pairs exist, how many the sign-band LSH
+    candidate generator recovers, and the recall. Expected shape —
+    ≈0.9 at the τ=0.35 boundary band, → 1.0 by the 0.9+ band (per-bit
+    agreement p = 1−θ/π; recall = 1−(1−p⁴)¹⁶).
+
+    Pricing: the truth side IS an all-pairs within-label cosine scan —
+    like `ann_tuning_curve`, the measurement is the operator. At
+    100 TB this runs on an audit sample, never the full corpus; the
+    shipped dedup path (`dedup_embedding_cosine`) stays
+    bucket-bounded.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = embedding_cosine_allpairs(spark, sf_dir)
+    cand = sign_band_candidate_pairs(emb).withColumn("found", F.lit(1))
+    joined = truth.join(cand, ["vec_a", "vec_b"], "left").select(
+        "cosine", F.coalesce("found", F.lit(0)).alias("found")
+    )
+    band = (
+        F.when(F.col("cosine") >= 0.9, "0.90-1.00")
+        .when(F.col("cosine") >= 0.7, "0.70-0.90")
+        .when(F.col("cosine") >= 0.5, "0.50-0.70")
+        .otherwise("0.35-0.50")
+        .alias("cos_band")
+    )
+    return (
+        joined.select(band, "found")
+        .groupBy("cos_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+            F.sum("found").cast("bigint").alias("n_found_pairs"),
+            (F.sum("found").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+        .orderBy("cos_band")
     )
 
 

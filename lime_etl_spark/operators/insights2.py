@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 from lime_etl_spark.functions.numeric import dec, to_double
 from lime_etl_spark.functions.ranks import (
     with_global_cumsum,
-    with_global_ntile,
+    with_global_ntiles,
     with_global_row_number,
 )
 from lime_etl_spark.functions.text import shingle_int_sql
@@ -1716,19 +1716,22 @@ def cur_length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
         ).alias("distinct_ratio"),
     )
-    deciled = with_global_ntile(
+    deciled = with_global_ntiles(
         feats,
-        F.col("n_chars_calc"),
-        [F.col("n_chars_calc"), F.col("doc_id")],
-        k=10,
-        out="len_decile",
-    )
-    deciled = with_global_ntile(
-        deciled,
-        F.col("distinct_ratio"),
-        [F.col("distinct_ratio"), F.col("doc_id")],
-        k=10,
-        out="qual_decile",
+        [
+            (
+                F.col("n_chars_calc"),
+                [F.col("n_chars_calc"), F.col("doc_id")],
+                10,
+                "len_decile",
+            ),
+            (
+                F.col("distinct_ratio"),
+                [F.col("distinct_ratio"), F.col("doc_id")],
+                10,
+                "qual_decile",
+            ),
+        ],
     ).select("len_decile", "qual_decile")
     return (
         deciled.groupBy("len_decile", "qual_decile")

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lime_etl_spark.functions.numeric import dec, to_double
-from lime_etl_spark.functions.ranks import with_global_ntile
+from lime_etl_spark.functions.ranks import with_global_ntile, with_global_ntiles
 from lime_etl_spark.plans.registry import register
 from lime_etl_spark.sources.readers import load_table
 
@@ -667,26 +667,28 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             to_double(F.sum(dec("o_totalprice", 2, 12))).alias("monetary"),
         )
     )
-    scored = with_global_ntile(
+    scored = with_global_ntiles(
         per_cust,
-        F.col("recency_days"),
-        [F.col("recency_days"), F.col("o_custkey")],
-        k=4,
-        out="r_score",
-    )
-    scored = with_global_ntile(
-        scored,
-        -F.col("frequency"),
-        [F.desc("frequency"), F.col("o_custkey")],
-        k=4,
-        out="f_score",
-    )
-    scored = with_global_ntile(
-        scored,
-        -F.col("monetary"),
-        [F.desc("monetary"), F.col("o_custkey")],
-        k=4,
-        out="m_score",
+        [
+            (
+                F.col("recency_days"),
+                [F.col("recency_days"), F.col("o_custkey")],
+                4,
+                "r_score",
+            ),
+            (
+                -F.col("frequency"),
+                [F.desc("frequency"), F.col("o_custkey")],
+                4,
+                "f_score",
+            ),
+            (
+                -F.col("monetary"),
+                [F.desc("monetary"), F.col("o_custkey")],
+                4,
+                "m_score",
+            ),
+        ],
     )
     return (
         scored.select(

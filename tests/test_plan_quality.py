@@ -365,15 +365,16 @@ def test_yoy_window_rides_the_rollup(spark, sf_dir):
 
 def test_rfm_ntiles_sort_only_the_customer_rollup(spark, sf_dir):
     """Since the r2 de-globalization the three quartiles run via the
-    sharded-rank decomposition (functions/ranks.py): the fact is
+    sharded-rank decomposition — as of r4 the one-pass multi-spec
+    form (with_global_ntiles, functions/ranks.py): the fact is
     aggregated first (partial_count proves map-side reduce), the
-    customer-grain windows are PARTITIONED by the quantile bucket
-    (__rk_b) with only bounded bucket-roster windows left
+    customer-grain windows are PARTITIONED by the per-spec quantile
+    bucket (__mt_b*) with only bounded bucket-roster windows left
     unpartitioned (the exact-count allowlist in
     test_no_entity_grain_global_windows audits those); the MAX-date
     reference is a 1-row broadcast, not a collect."""
     plan = plan_of(spark, sf_dir, "q_rfm_segments")
-    assert "__rk_b" in plan, plan  # sharded-rank path, not a global sort
+    assert "__mt_b" in plan, plan  # sharded-rank path, not a global sort
     assert len(re.findall(r"\(\d+\) Window\s", plan)) >= 3, plan
     assert "partial_count" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
@@ -842,11 +843,17 @@ def test_later_batches_never_cartesian_3(spark, sf_dir, name):
 # this dict must have ZERO unpartitioned windows; adding a new global
 # window means auditing its grain and registering it here.
 GLOBAL_WINDOW_BOUNDED_OK = {
-    # sharded-rank/cumsum helpers: ≤n_buckets offsets roster windows
+    # sharded-rank/cumsum helpers: ≤n_buckets offsets roster windows.
+    # Multi-ntile consumers use with_global_ntiles (functions/ranks.py):
+    # exactly ONE bounded roster window per ntile spec (the shared
+    # global total is a 1-row broadcast aggregate, not a window), the
+    # reduced rollup persisted once — so q_rfm_segments carries 3
+    # (r/f/m) and cur_length_quality_grid 2 (len/qual), each over a
+    # ≤64-row bucket roster, never entity-grain input.
     "cur_length_quality_grid": 2,
     "q_gini_revenue": 1,
     "q_revenue_deciles": 3,  # 2 helper rosters + the 10-row decile cum
-    "q_rfm_segments": 2,  # helper rosters (optimizer-merged)
+    "q_rfm_segments": 3,  # one roster window per RFM ntile spec
     "q_acctbal_spend_deciles": 2,  # sharded-ntile helper rosters
     "q_abc_classification": 1,
     "q_skyline_parts": 1,  # shard prefix-min roster
@@ -910,21 +917,29 @@ def test_no_entity_grain_global_windows(spark, sf_dir):
     assert not bad, f"unaudited unpartitioned windows (got, allowed): {bad}"
 
 
+def _some_join_carries_keys(plan: str, want: set[str]) -> bool:
+    """True if any join's 'Left keys [...]' group contains ALL of the
+    wanted key names — order- and formatting-insensitive, so the gate
+    pins semantics (the bucket columns ARE join keys), not the
+    optimizer's key ordering, which Spark does not guarantee."""
+    for m in re.finditer(r"Left keys \[\d+\]: \[([^\]]*)\]", plan):
+        names = set(re.findall(r"(\w+)#\d+", m.group(1)))
+        if want <= names:
+            return True
+    return False
+
+
 def test_embedding_cosine_candidates_bucket_bounded(spark, sf_dir):
     """Round-3 gate: the pair-generation join for embedding near-dup
     must carry the sign-band bucket keys (band, bv) alongside label —
     a bare label-block self-join is quadratic per label at 100 TB and
     was the engine's last quadratic default."""
     plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
-    assert re.search(
-        r"Left keys \[\d+\]: \[band#\d+, bv#\d+, label#\d+\]", plan
-    ), plan[:3000]
+    assert _some_join_carries_keys(plan, {"band", "bv", "label"}), plan[:3000]
 
 
 def test_embedding_leakage_candidates_bucket_bounded(spark, sf_dir):
     """Same gate for the train/eval leakage scan: cross pairs come
     from the (band, bv, label) bucket join, not an all-pairs block."""
     plan = plan_of(spark, sf_dir, "cur_embedding_leakage")
-    assert re.search(
-        r"Left keys \[\d+\]: \[band#\d+, bv#\d+, label#\d+\]", plan
-    ), plan[:3000]
+    assert _some_join_carries_keys(plan, {"band", "bv", "label"}), plan[:3000]

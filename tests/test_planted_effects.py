@@ -1,0 +1,149 @@
+"""Planted-effect tests for the experimentation family (r3 verdict #6):
+like q_discount_elasticity's recovered-slope test, each operator must
+recover a KNOWN injected effect from a synthetic events fixture —
+exactly, because the pipelines are integer/decimal-exact by design."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+EV_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+    " value double, props string"
+)
+
+PRE_TS = dt.datetime(2024, 1, 10, 12, 0, 0)  # before both split dates
+POST_TS = dt.datetime(2024, 1, 20, 12, 0, 0)  # after both split dates
+
+
+def _arms(spark, user_ids):
+    """The operators' own md5 arm assignment, replayed per user."""
+    from lime_etl_spark.operators.training import hash_bucket
+
+    df = spark.createDataFrame([(u,) for u in user_ids], "user_id bigint")
+    rows = df.select(
+        "user_id",
+        F.when(hash_bucket(F.col("user_id"), 2) == 0, "control")
+        .otherwise("treatment")
+        .alias("arm"),
+    ).collect()
+    return {r["user_id"]: r["arm"] for r in rows}
+
+
+def test_diff_in_diff_recovers_planted_lift(spark, tmp_path):
+    """Every user buys $10.00 pre and post; treatment users get an
+    extra $3.00 post. delta(treatment) − delta(control) must equal
+    the planted $3.00 EXACTLY (decimal revenue, one double division
+    per cell of exactly-representable values)."""
+    from lime_etl_spark.operators.insights2 import ev_diff_in_diff
+
+    users = list(range(1, 201))
+    arm = _arms(spark, users)
+    assert {"control", "treatment"} == set(arm.values())
+    rows, eid = [], 0
+    for u in users:
+        eid += 1
+        rows.append((eid, PRE_TS, u, "purchase", 10.0, "{}"))
+        eid += 1
+        post_v = 13.0 if arm[u] == "treatment" else 10.0
+        rows.append((eid, POST_TS, u, "purchase", post_v, "{}"))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, EV_SCHEMA).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+
+    out = {r["arm"]: r for r in ev_diff_in_diff(spark, d).collect()}
+    assert out["control"].pre_rev_per_user == 10.0
+    assert out["control"].post_rev_per_user == 10.0
+    assert out["control"].delta == 0.0
+    assert out["treatment"].pre_rev_per_user == 10.0
+    assert out["treatment"].post_rev_per_user == 13.0
+    did_estimate = out["treatment"].delta - out["control"].delta
+    assert did_estimate == 3.0  # the planted lift, recovered exactly
+
+
+def test_experiment_power_planted_variance_and_perfect_cuped(spark, tmp_path):
+    """Plant (a) a post metric with a KNOWN two-point variance and
+    (b) a pre covariate that predicts post perfectly (y = 100·x_q
+    cents). Then: the raw-metric MDE must equal the closed form
+    z·sqrt(var·(1/n_c+1/n_t)) on the planted variance, and the
+    CUPED-adjusted variance — hence its MDE — must be EXACTLY zero
+    (theta lands on the exact slope, every adjusted value collapses
+    to the same integer)."""
+    from lime_etl_spark.operators.insights3 import (
+        _Z_POWER_SUM,
+        ev_experiment_power,
+    )
+
+    users = list(range(1, 241))
+    # dollar outcomes alternate 20 / 40 by user parity (independent of
+    # the md5 arm split); pre == post so the covariate is perfect
+    dollars = {u: (20 if u % 2 == 0 else 40) for u in users}
+    rows, eid = [], 0
+    for u in users:
+        eid += 1
+        rows.append((eid, PRE_TS, u, "purchase", float(dollars[u]), "{}"))
+        eid += 1
+        rows.append((eid, POST_TS, u, "purchase", float(dollars[u]), "{}"))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, EV_SCHEMA).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+
+    out = {r["metric"]: r for r in ev_experiment_power(spark, d).collect()}
+    post, cuped = out["post"], out["cuped_adjusted"]
+
+    # planted population variance of the dollar-grain metric
+    n = len(users)
+    mean_d = sum(dollars.values()) / n
+    var_planted = sum((v - mean_d) ** 2 for v in dollars.values()) / n
+    assert post.variance == pytest.approx(var_planted, rel=1e-12)
+    assert post.mean_value == pytest.approx(mean_d, rel=1e-12)
+
+    n_c, n_t = post.n_control, post.n_treatment
+    assert n_c + n_t == n and n_c > 0 and n_t > 0
+    mde_expected = _Z_POWER_SUM * math.sqrt(
+        var_planted * (1.0 / n_c + 1.0 / n_t)
+    )
+    assert post.mde_abs == pytest.approx(mde_expected, rel=1e-12)
+
+    # perfect covariate ⇒ integer-exact theta ⇒ zero adjusted variance
+    assert cuped.variance == 0.0
+    assert cuped.mde_abs == 0.0
+    assert cuped.mean_value == pytest.approx(mean_d, rel=1e-12)
+
+
+def test_cuped_adjustment_full_variance_reduction(spark, tmp_path):
+    """Same perfect-covariate fixture through ev_cuped_adjustment:
+    var_reduction must be exactly 1.0 in both arms (all adjusted
+    values identical) and adjusted means must equal the raw mean."""
+    from lime_etl_spark.operators.insights3 import ev_cuped_adjustment
+
+    users = list(range(1, 121))
+    rows, eid = [], 0
+    for u in users:
+        v = float(10 + (u % 7) * 5)  # any deterministic dollar spread
+        eid += 1
+        rows.append((eid, PRE_TS, u, "purchase", v, "{}"))
+        eid += 1
+        rows.append((eid, POST_TS, u, "purchase", v, "{}"))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, EV_SCHEMA).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+
+    out = ev_cuped_adjustment(spark, d).collect()
+    assert len(out) == 2
+    pooled_mean = sum(10 + (u % 7) * 5 for u in users) / len(users)
+    for r in out:
+        assert r.var_adjusted == 0.0
+        assert r.var_reduction == 1.0
+        # a perfect covariate pulls EVERY arm's adjusted mean to the
+        # pooled mean (the A/A-balance property) — up to the documented
+        # cent-grain floor of xbar_c2
+        assert r.mean_adjusted == pytest.approx(pooled_mean, abs=0.0100001)
+    assert out[0].mean_adjusted == out[1].mean_adjusted

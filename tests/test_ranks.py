@@ -59,6 +59,65 @@ def test_ntile_matches_global_window(spark, shape, k):
     assert g == w
 
 
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+def test_multi_ntiles_match_global_windows(spark, shape):
+    """with_global_ntiles (the one-pass multi-spec form the RFM /
+    length×quality consumers use) must equal per-column global ntile —
+    mixed ASC/DESC specs, different k per spec, same frame."""
+    from lime_etl_spark.functions.ranks import with_global_ntiles
+
+    df = _frame(spark, SHAPES[shape])
+    got = with_global_ntiles(
+        df,
+        [
+            (F.col("v"), [F.col("v"), F.col("id")], 4, "a"),
+            (-F.col("v"), [F.desc("v"), F.col("id")], 3, "b"),
+            (F.col("id"), [F.col("id")], 10, "c"),
+        ],
+        n_buckets=4,
+    )
+    want = df.select(
+        "id",
+        F.ntile(4).over(Window.orderBy("v", "id")).alias("a"),
+        F.ntile(3).over(Window.orderBy(F.desc("v"), "id")).alias("b"),
+        F.ntile(10).over(Window.orderBy("id")).alias("c"),
+    )
+    g = {r["id"]: (r["a"], r["b"], r["c"]) for r in got.collect()}
+    w = {r["id"]: (r["a"], r["b"], r["c"]) for r in want.collect()}
+    assert g == w
+    got.unpersist()
+    spark.catalog.clearCache()
+
+
+def test_multi_ntiles_single_cache_entry_and_bounded_rosters(spark):
+    """Plan contract: ONE cache entry (the tagged rollup), one
+    partitioned sort per spec, and every unpartitioned window reads a
+    bucket-keyed aggregate roster, never raw rows."""
+    from lime_etl_spark.functions.ranks import with_global_ntiles
+
+    df = _frame(spark, list(range(500)))
+    got = with_global_ntiles(
+        df,
+        [
+            (F.col("v"), [F.col("v"), F.col("id")], 4, "a"),
+            (-F.col("v"), [F.desc("v"), F.col("id")], 4, "b"),
+        ],
+        n_buckets=4,
+    )
+    plan = got._jdf.queryExecution().optimizedPlan()
+    # count unpartitioned Window nodes == #specs
+    n_unpart, stack = 0, [plan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            n_unpart += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    assert n_unpart == 2, plan.toString()[:2000]
+    spark.catalog.clearCache()
+
+
 def test_desc_ordering_via_negated_value(spark):
     df = _frame(spark, SHAPES["skewed"])
     got = with_global_row_number(
