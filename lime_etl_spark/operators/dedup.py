@@ -651,10 +651,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every candidate comes from an equi-join on
     (band, bv, label) — bucket-bounded, skew-auditable, and the pair
     explosion is DISTINCT-deduped before the verify join."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "norm", F.sqrt(_emb_dot(F.col("embedding"), F.col("embedding")))
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     )
-    cand = sign_band_candidate_pairs(emb)
+
+
+def cosine_verify_pairs(cand: DataFrame, emb: DataFrame) -> DataFrame:
+    """Exact cosine over candidate (vec_a, vec_b) pairs against a
+    (vec_id, embedding, norm) vector table — the fixed-shape
+    dot/(sqrt·sqrt) chain every embedding op hash-matches. Keeps pairs
+    with cosine >= COSINE_TAU."""
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -674,6 +680,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= COSINE_TAU)
     )
+
+
+def embedding_near_dup_pairs(emb: DataFrame) -> DataFrame:
+    """Frame-level form of `dedup_embedding_cosine`: sign-band LSH
+    candidates + cosine verify over any (vec_id, label, embedding)
+    corpus — shared by the batch operator and the streaming sink
+    (streaming/pipeline.py stream_embedding_near_dup_sink)."""
+    with_norm = emb.withColumn(
+        "norm", F.sqrt(_emb_dot(F.col("embedding"), F.col("embedding")))
+    )
+    return cosine_verify_pairs(sign_band_candidate_pairs(with_norm), with_norm)
 
 
 @register(

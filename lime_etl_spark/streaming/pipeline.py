@@ -642,6 +642,111 @@ def stream_near_dup_sink(
     )
 
 
+def stream_embedding_near_dup_sink(
+    vec_stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Incremental EMBEDDING near-duplicate detection — the dense-
+    vector twin of ``stream_near_dup_sink``, completing the
+    batch/streaming symmetry the text family already has: every
+    micro-batch of new vectors is probed against all vectors seen so
+    far via the SAME sign-band LSH bucket join as the batch
+    ``dedup_embedding_cosine`` (16 bands × 4 sign bits on
+    (band, bv, label)), with the exact cosine verified on candidates
+    only. Union-over-batches equals the batch operator on the union
+    corpus (pytest-gated) — including the same documented τ-boundary
+    LSH miss rate, since batch and stream share one candidate
+    generator.
+
+    Index layout (append-only parquet):
+    ``bands`` (vec_id, label, band, bv) — the postings probed per
+    batch — and ``vectors`` (vec_id, embedding, norm) — read back
+    ONLY for vectors that became candidates (left-semi on candidate
+    ids), so verify work scales with the batch's candidate set.
+
+    Scale: per batch — band the increment (row-local), one equi-join
+    probe of the band index on (band, bv, label) (key-partitioned
+    postings at 100 TB), candidate-scoped cosine. Work ∝ increment,
+    appends never rewrite the index. Same at-least-once idempotence
+    trade as stream_near_dup_sink (consumers dropDuplicates)."""
+    from lime_etl_spark.operators.dedup import (
+        _emb_dot,
+        cosine_verify_pairs,
+        sign_band_values,
+    )
+
+    spark = vec_stream.sparkSession
+    bd_dir = os.path.join(index_path, "bands")
+    vc_dir = os.path.join(index_path, "vectors")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("vec_id", "label", "embedding").dropDuplicates(
+            ["vec_id"]
+        )
+        new_vec = batch.withColumn(
+            "norm", F.sqrt(_emb_dot(F.col("embedding"), F.col("embedding")))
+        ).persist()
+        new_bd = new_vec.select(
+            "vec_id",
+            "label",
+            F.posexplode(sign_band_values(F.col("embedding"))).alias("band", "bv"),
+        ).persist()
+        new_bd.count()
+
+        a, b = new_bd.alias("a"), new_bd.alias("b")
+        within = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        if os.path.exists(bd_dir):
+            old_bd = spark.read.parquet(bd_dir).alias("o")
+            cross = old_bd.join(
+                new_bd.alias("n"),
+                (F.col("o.band") == F.col("n.band"))
+                & (F.col("o.bv") == F.col("n.bv"))
+                & (F.col("o.label") == F.col("n.label"))
+                & (F.col("o.vec_id") != F.col("n.vec_id")),
+            ).select(
+                F.least(F.col("o.vec_id"), F.col("n.vec_id")).alias("vec_a"),
+                F.greatest(F.col("o.vec_id"), F.col("n.vec_id")).alias("vec_b"),
+            )
+            cands = within.unionByName(cross).distinct().persist()
+            cand_ids = (
+                cands.select(F.col("vec_a").alias("vec_id"))
+                .unionByName(cands.select(F.col("vec_b").alias("vec_id")))
+                .distinct()
+            )
+            old_vec = spark.read.parquet(vc_dir).join(cand_ids, "vec_id", "left_semi")
+            ver_vec = new_vec.select("vec_id", "embedding", "norm").unionByName(
+                old_vec
+            )
+        else:
+            cands = within.distinct().persist()
+            ver_vec = new_vec.select("vec_id", "embedding", "norm")
+        pairs = cosine_verify_pairs(cands, ver_vec)
+        pairs.write.mode("append").parquet(pairs_path)
+        new_vec.select("vec_id", "embedding", "norm").write.mode("append").parquet(
+            vc_dir
+        )
+        new_bd.write.mode("append").parquet(bd_dir)
+        cands.unpersist()
+        new_bd.unpersist()
+        new_vec.unpersist()
+
+    return (
+        vec_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 class DqGateResult(dict):
     """Per-batch gate ledger: batch_id → {passed, n_rows, null_rate}."""
 

@@ -447,6 +447,59 @@ def test_stream_near_dup_matches_batch_lsh(spark, sf_dir, tmp_path):
     assert any(b - a == 1000000 for a, b, _ in got)
 
 
+def test_stream_embedding_near_dup_matches_batch_banded(spark, sf_dir, tmp_path):
+    """The dense-vector twin of the LSH stream test: incremental
+    sign-band probing across micro-batches must find exactly the
+    pairs the batch banded operator finds on the union corpus —
+    including planted near-identical copies that are CROSS-batch by
+    construction (originals in batch 1, copies in batch 2)."""
+    import time
+
+    from lime_etl_spark.operators.dedup import embedding_near_dup_pairs
+    from lime_etl_spark.streaming import stream_embedding_near_dup_sink
+
+    src = str(tmp_path / "vec_src")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    # exact copies of every 20th vector under new ids → cosine 1.0
+    # pairs that straddle the batch boundary
+    copies = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "label", "embedding"
+    )
+    emb.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes so file order is deterministic
+    copies.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, label int, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_embedding_near_dup_sink(
+        stream,
+        index_path=str(tmp_path / "end_index"),
+        pairs_path=str(tmp_path / "end_pairs"),
+        checkpoint_path=str(tmp_path / "end_ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["vec_a"], r["vec_b"], round(r["cosine"], 9))
+        for r in spark.read.parquet(str(tmp_path / "end_pairs"))
+        .dropDuplicates()
+        .collect()
+    }
+    want = {
+        (r["vec_a"], r["vec_b"], round(r["cosine"], 9))
+        for r in embedding_near_dup_pairs(emb.unionByName(copies)).collect()
+    }
+    assert got == want
+    # the planted copies are cross-batch: they MUST appear, at cos≈1
+    planted = {(a, b) for a, b, c in got if b - a == 1000000 and c > 0.999999}
+    assert planted, "cross-batch exact copies not detected"
+
+
 def test_streaming_observed_metrics_surface_in_progress(spark, event_dir):
     """df.observe on a STREAM: per-micro-batch DQ counters ride the
     StreamingQueryProgress (observedMetrics), so in-flight telemetry
