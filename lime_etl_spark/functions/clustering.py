@@ -20,19 +20,32 @@ Spark-first design, sized for 100 TB:
   input size. Only the k×dim aggregated cells (≈1k rows) reach the
   driver — the classic "collect the model, never the data" loop
   every distributed k-means (including Spark MLlib's) uses.
-- **Determinism.** Float sums reordered across partitions drift;
-  per-cell sums are accumulated in decimal(38,12) then divided, so
-  centroids — and everything downstream — are bit-stable across
-  partitionings. Argmin ties break on centroid id via struct
-  comparison. Init picks the k vectors with the smallest
-  xxhash64(id) — a deterministic pseudo-random sample computed as a
-  distributed top-k (TakeOrderedAndProject), not a driver sort.
+- **Determinism — and SQL replayability (r4).** Float sums reordered
+  across partitions drift; per-cell sums are accumulated as EXACT
+  int64 over 2^20-fixed-point values (floor(v·2^20) — float32 inputs,
+  so the quantization error is ≤1e-6 per coordinate, far below any
+  cluster geometry), and each centroid coordinate is ONE double
+  division s/(n·2^20). That makes centroids bit-stable across
+  partitionings AND bit-identical to a DuckDB replay (int64 sums are
+  order-free; int→double casts and single divisions are correctly
+  rounded on both engines) — which is what lets `ann_ivf_trained`
+  ship a full unrolled-Lloyd SQL oracle instead of a rows-only check.
+  Argmin ties break on centroid id via struct comparison. Init picks
+  the k vectors with the smallest (md5-bridge hash(id), id) — the
+  cross-engine deterministic sample (same shingle_int used by every
+  sampler), computed as a distributed top-k (TakeOrderedAndProject),
+  not a driver sort. Int budget: |Σ floor(v·2^20)| ≤ n·|v|·2^20 —
+  exact through n ~ 2^40 unit-scale vectors.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from lime_etl_spark.functions.text import shingle_int
+
+FIXED_POINT = 1 << 20  # centroid accumulation grain (exact int64 sums)
 
 
 def _lit_vec(values: list[float]) -> Column:
@@ -96,7 +109,9 @@ def kmeans_fit(
     ).persist()
 
     init_rows = (
-        emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col)).limit(k).collect()
+        emb.orderBy(shingle_int(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
     )
     centroids = [list(r["v"]) for r in init_rows]
 
@@ -109,7 +124,9 @@ def kmeans_fit(
         cells = (
             assigned.groupBy("cid", "dim")
             .agg(
-                F.sum(F.col("val").cast("decimal(38,12)")).alias("s"),
+                F.sum(
+                    F.floor(F.col("val") * FIXED_POINT).cast("bigint")
+                ).alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
             .collect()
@@ -118,7 +135,7 @@ def kmeans_fit(
         by_cid: dict[int, list[tuple[int, float]]] = {}
         for row in cells:
             by_cid.setdefault(row["cid"], []).append(
-                (row["dim"], float(row["s"] / row["n"]))
+                (row["dim"], float(row["s"]) / (row["n"] * FIXED_POINT))
             )
         for cid, dims in by_cid.items():
             vec = new_centroids[cid]

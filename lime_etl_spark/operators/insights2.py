@@ -4736,11 +4736,104 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- ANN tuning curve --------------------------------------------------------
 
 
+def _ann_tuning_sql() -> str:
+    """Full SQL twin of ann_tuning_curve (r4, rows-only → oracle):
+    the truth CTE is the brute-force top-k, each strategy's candidate
+    set is replayed (sign-bucket equi-join, Hamming-1 popcount join,
+    trained probe/cell join over the unrolled-Lloyd centroids), and
+    scan_fraction / recall_at_k are single double divisions of exact
+    counts — the same arithmetic the Spark side assembles in Python."""
+    from lime_etl_spark.operators.similarity import (
+        _BUCKET_SQL,
+        _cells_probes_ctes,
+        _kmeans_sql_ctes,
+        N_PROBE_CENTROIDS,
+        KMEANS_K,
+        QUERY_MOD,
+        TOP_K,
+    )
+
+    cos = (
+        "list_dot_product(q.v, w.v)"
+        " / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(w.v, w.v)))"
+    )
+    bucket_on_e = _BUCKET_SQL.replace("CAST(embedding AS DOUBLE[])", "v")
+
+    def strategy(name: str) -> str:
+        """One output row from the candidate CTE named cand_{name}."""
+        return f"""
+    SELECT '{name}' AS strategy,
+           CAST((SELECT COUNT(*) FROM cand_{name}) AS DOUBLE)
+             / ((SELECT n_q FROM nn) * ((SELECT n_v FROM nn) - 1)) AS scan_fraction,
+           CAST((SELECT COUNT(*)
+                 FROM (SELECT q, n FROM cand_{name} WHERE r <= {TOP_K}) x
+                 JOIN t ON t.q_vec_id = x.q AND t.n_vec_id = x.n) AS DOUBLE)
+             / ((SELECT n_q FROM nn) * {TOP_K}) AS recall_at_k"""
+
+    return f"""
+    WITH {_kmeans_sql_ctes()},
+    {_cells_probes_ctes()},
+    nn AS (
+        SELECT COUNT(*) AS n_v,
+               COUNT(*) FILTER (vec_id % {QUERY_MOD} = 0) AS n_q
+        FROM e
+    ),
+    t AS (
+        SELECT q_vec_id, n_vec_id FROM (
+            SELECT q.vec_id AS q_vec_id, w.vec_id AS n_vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id ORDER BY {cos} DESC, w.vec_id
+                   ) AS rank
+            FROM e q JOIN e w ON q.vec_id <> w.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+        ) WHERE rank <= {TOP_K}
+    ),
+    bk AS (SELECT vec_id, v, ({bucket_on_e}) AS bucket FROM e),
+    cand_own_signbucket AS (
+        SELECT q.vec_id AS q, w.vec_id AS n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id ORDER BY {cos} DESC, w.vec_id
+               ) AS r
+        FROM bk q JOIN bk w
+          ON q.bucket = w.bucket AND q.vec_id <> w.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+    ),
+    cand_multiprobe_h1 AS (
+        SELECT q.vec_id AS q, w.vec_id AS n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id ORDER BY {cos} DESC, w.vec_id
+               ) AS r
+        FROM bk q JOIN bk w
+          ON bit_count(xor(q.bucket, w.bucket)) <= 1 AND q.vec_id <> w.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+    ),
+    cand_ivf_trained_{N_PROBE_CENTROIDS}of{KMEANS_K} AS (
+        SELECT p.vec_id AS q, cl.vec_id AS n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id ORDER BY {cos} DESC, cl.vec_id
+               ) AS r
+        FROM probes p
+        JOIN e q ON q.vec_id = p.vec_id
+        JOIN cells cl ON cl.cell = p.probe AND cl.vec_id <> p.vec_id
+        JOIN e w ON w.vec_id = cl.vec_id
+    )
+    SELECT strategy, scan_fraction, recall_at_k FROM (
+        {strategy("own_signbucket")}
+        UNION ALL
+        {strategy("multiprobe_h1")}
+        UNION ALL
+        {strategy(f"ivf_trained_{N_PROBE_CENTROIDS}of{KMEANS_K}")}
+        UNION ALL
+        SELECT 'brute_force' AS strategy, 1.0 AS scan_fraction,
+               1.0 AS recall_at_k
+    ) ORDER BY scan_fraction
+    """
+
+
 @register(
     "ann_tuning_curve",
-    oracle=None,  # multi-strategy loop with driver-assembled scalars —
-    # pytest gates the recall/scan-fraction monotonicity
-    description="ANN strategy tuning table: measured scan fraction vs recall@k for own-bucket / multiprobe / brute force",
+    oracle=_ann_tuning_sql(),
+    description="ANN strategy tuning table: measured scan fraction vs recall@k for own-bucket / multiprobe / trained IVF / brute force — full SQL oracle incl. the unrolled-Lloyd trained strategy (r4)",
 )
 def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The measured compute-vs-recall trade for the similarity

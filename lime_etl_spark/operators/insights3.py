@@ -9747,3 +9747,159 @@ def ev_props_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("pearson_r"),
     ).orderBy("event_type")
+
+
+# --- uplift-by-decile (qini-style) ---------------------------------------------
+
+
+def _uplift_sql() -> str:
+    from lime_etl_spark.operators.insights2 import DID_CUTOVER
+
+    rate_c = "CASE WHEN n_c = 0 THEN 0.0 ELSE CAST(conv_c AS DOUBLE) / n_c END"
+    rate_t = "CASE WHEN n_t = 0 THEN 0.0 ELSE CAST(conv_t AS DOUBLE) / n_t END"
+    return f"""
+    WITH pre AS (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (CAST(ts AS DATE) < DATE '{DID_CUTOVER}')
+                    AS BIGINT) AS pre_events,
+               CAST(COUNT(*) FILTER (event_type = 'purchase'
+                         AND CAST(ts AS DATE) >= DATE '{DID_CUTOVER}')
+                    AS BIGINT) AS post_purchases
+        FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT CASE WHEN post_purchases > 0 THEN 1 ELSE 0 END AS converted,
+               CASE WHEN {_bucket_sql("user_id", 2)} = 0
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               NTILE(10) OVER (ORDER BY pre_events, user_id) AS decile
+        FROM pre
+    ),
+    cells AS (
+        SELECT decile,
+               CAST(COUNT(*) FILTER (arm = 'control') AS BIGINT) AS n_c,
+               CAST(COUNT(*) FILTER (arm = 'treatment') AS BIGINT) AS n_t,
+               CAST(SUM(CASE WHEN arm = 'control' THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_c,
+               CAST(SUM(CASE WHEN arm = 'treatment' THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_t
+        FROM scored GROUP BY decile
+    ),
+    q AS (
+        SELECT decile, n_c, n_t, conv_c, conv_t,
+               CASE WHEN n_c = 0 THEN 0
+                    ELSE (1000000 * (conv_t * n_c - conv_c * n_t)
+                          + 1000000 * n_t * n_c) // n_c - 1000000 * n_t
+               END AS incr_e6
+        FROM cells
+    )
+    SELECT decile, n_c AS n_control, n_t AS n_treatment,
+           conv_c AS conv_control, conv_t AS conv_treatment,
+           {rate_c} AS rate_control,
+           {rate_t} AS rate_treatment,
+           ({rate_t}) - ({rate_c}) AS uplift,
+           CAST(SUM(incr_e6) OVER (
+               ORDER BY decile DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 1000000 AS cum_incremental
+    FROM q ORDER BY decile DESC
+    """
+
+
+@register(
+    "ev_uplift_deciles",
+    oracle=_uplift_sql(),
+    description="uplift-by-decile table (qini-style): per pre-activity decile, treatment-vs-control post conversion rates, uplift, and cumulative incremental conversions from the top decile down",
+)
+def ev_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The targeting read the flat DiD can't give: does the treatment
+    effect concentrate in heavy pre-period users? Users rank into
+    pre-activity deciles; per decile the md5 arms' post-cutover
+    conversion rates, their difference (uplift), and the qini-style
+    cumulative incremental conversions scanning from the most-active
+    decile down — the curve a rollout targets against.
+
+    Exactness: counts are int64; each rate is ONE double division;
+    per-decile incremental conversions quantize at 1e-6 via the
+    offset-floor-division idiom (offset 1e6·n_t·n_c keeps the
+    numerator non-negative since conv_c ≤ n_c, so Spark's truncating
+    `div` and DuckDB's flooring `//` agree — same trick as the CUPED
+    offset), and the 10-row cumulative is an INTEGER running sum
+    (float running sums are banned: DuckDB's segment-tree window
+    aggregation reorders float additions). Int budget: 1e6·n_c·n_t ≤
+    2.5e5·N² — inside int64 to N ≈ 1.9e6 users; shard or rescale past
+    that.
+
+    Scale: one fact scan to user grain; the decile runs through the
+    sharded-rank decomposition (functions/ranks.py), the qini window
+    is over the 10-row decile rollup."""
+    from lime_etl_spark.operators.insights2 import DID_CUTOVER
+
+    ev = load_table(spark, sf_dir, "events")
+    pre_d = F.col("ts").cast("date") < F.lit(DID_CUTOVER).cast("date")
+    pre = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre_d, 1).otherwise(0)).cast("bigint").alias("pre_events"),
+        F.sum(
+            F.when((F.col("event_type") == "purchase") & ~pre_d, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("post_purchases"),
+    )
+    scored = pre.select(
+        "user_id",
+        "pre_events",
+        F.when(F.col("post_purchases") > 0, 1).otherwise(0).alias("converted"),
+        F.when(hash_bucket(F.col("user_id"), 2) == 0, "control")
+        .otherwise("treatment")
+        .alias("arm"),
+    )
+    deciled = with_global_ntile(
+        scored,
+        F.col("pre_events"),
+        [F.col("pre_events"), F.col("user_id")],
+        k=10,
+        out="decile",
+    )
+    is_c = F.col("arm") == "control"
+    cells = deciled.groupBy("decile").agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(~is_c, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(is_c, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_c"),
+        F.sum(F.when(~is_c, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_t"),
+    )
+    incr_e6 = F.when(F.col("n_c") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr(
+            "(1000000 * (conv_t * n_c - conv_c * n_t)"
+            " + 1000000 * n_t * n_c) div n_c - 1000000 * n_t"
+        )
+    )
+    rate_c = F.when(F.col("n_c") == 0, F.lit(0.0)).otherwise(
+        F.col("conv_c").cast("double") / F.col("n_c")
+    )
+    rate_t = F.when(F.col("n_t") == 0, F.lit(0.0)).otherwise(
+        F.col("conv_t").cast("double") / F.col("n_t")
+    )
+    w = (
+        Window.orderBy(F.desc("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("incr_e6", incr_e6)
+        .select(
+            "decile",
+            F.col("n_c").alias("n_control"),
+            F.col("n_t").alias("n_treatment"),
+            F.col("conv_c").alias("conv_control"),
+            F.col("conv_t").alias("conv_treatment"),
+            rate_c.alias("rate_control"),
+            rate_t.alias("rate_treatment"),
+            (rate_t - rate_c).alias("uplift"),
+            (F.sum("incr_e6").over(w).cast("double") / 1000000).alias(
+                "cum_incremental"
+            ),
+        )
+        .orderBy(F.desc("decile"))
+    )

@@ -33,9 +33,12 @@ hit); distance math is one zip_with fold per (row, centroid) pair.
   WindowGroupLimit local-top-k the brute-force path uses; the ≤N
   shortlist joins back to raw vectors for exact re-rank.
 
-Registered rows-only: k-means training is iterative — no SQL twin;
-pytest proves recall@k against exact L2 top-k and the compression
-arithmetic.
+Oracle-checked since r4: training accumulates 2^20-fixed-point int64
+cell sums (order-free, cross-engine exact — functions/clustering.py)
+and inits from the md5-bridge hash, so the ENTIRE pipeline — joint
+Lloyd rounds, encoding, ADC, re-rank — replays as one unrolled DuckDB
+CTE chain (`_pq_topk_sql`); pytest additionally proves recall@k
+against exact L2 top-k and the compression arithmetic.
 """
 
 from __future__ import annotations
@@ -44,6 +47,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lime_etl_spark.functions.clustering import FIXED_POINT
+from lime_etl_spark.functions.text import shingle_int
 from lime_etl_spark.operators.similarity import QUERY_MOD
 from lime_etl_spark.plans.registry import register
 from lime_etl_spark.sources.readers import load_table
@@ -129,7 +134,10 @@ def pq_fit(
     subs = _explode_subs(emb, vec_col, id_col, m, sub_dim).persist()
 
     # deterministic init: k hash-ordered rows per subspace, one action
-    w = Window.partitionBy("s").orderBy(F.xxhash64("id"), "id")
+    # (md5-bridge hash, so the DuckDB oracle replays the same sample)
+    w = Window.partitionBy("s").orderBy(
+        shingle_int(F.col("id").cast("string")), "id"
+    )
     init_rows = (
         subs.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
@@ -145,15 +153,19 @@ def pq_fit(
             .select("s", "cid", F.posexplode("v").alias("dim", "val"))
             .groupBy("s", "cid", "dim")
             .agg(
-                F.sum(F.col("val").cast("decimal(38,12)")).alias("sum"),
+                # exact int64 fixed-point sums (order-free AND
+                # SQL-replayable — see functions/clustering.py)
+                F.sum(F.floor(F.col("val") * FIXED_POINT).cast("bigint")).alias(
+                    "sum"
+                ),
                 F.count(F.lit(1)).alias("n"),
             )
             .collect()
         )
         new_books = [[list(c) for c in book] for book in books]
         for row in cells:  # empty cluster → keeps previous centroid
-            new_books[row["s"]][row["cid"]][row["dim"]] = float(
-                row["sum"] / row["n"]
+            new_books[row["s"]][row["cid"]][row["dim"]] = float(row["sum"]) / (
+                row["n"] * FIXED_POINT
             )
         books = new_books
 
@@ -276,11 +288,133 @@ def pq_search(
     )
 
 
+def _pq_sq_dist_sql(a: str, b: str, dim: int) -> str:
+    """Squared L2 as the Spark-side fold: (a_i−b_i)² summed in dim
+    order (list_dot_product of the diff list with itself)."""
+    df = f"list_transform(generate_series(1, {dim}), i -> {a}[i] - {b}[i])"
+    return f"list_dot_product({df}, {df})"
+
+
+def _pq_topk_sql(
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 3,
+    dim: int = 64,
+    top_k: int = PQ_TOP_K,
+    shortlist: int = PQ_SHORTLIST,
+) -> str:
+    """Unrolled SQL twin of the full PQ pipeline (r4, rows-only →
+    oracle): joint per-subspace Lloyd training (md5 init, 2^20
+    fixed-point exact cell sums — the same cross-engine contract as
+    functions/clustering.py), long-form encoding, per-query LUT join,
+    ADC as a list-ordered fold (Spark adds the m terms left-to-right;
+    list_dot_product(terms, ones) replays that order), ADC-rank
+    shortlist, exact re-rank."""
+    from lime_etl_spark.functions.text import shingle_int_sql
+
+    sub = dim // m
+    md5 = shingle_int_sql("CAST(id AS VARCHAR)")
+    dd = _pq_sq_dist_sql("u.sv", "c.cv", sub)
+    ones = "[" + ", ".join(["1.0"] * m) + "]"
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""subs AS (
+        SELECT vec_id AS id, s, v[s * {sub} + 1 : s * {sub} + {sub}] AS sv
+        FROM e, generate_series(0, {m - 1}) g(s)
+    )""",
+        f"""pcent0 AS (
+        SELECT s, rn - 1 AS cid, sv AS cv FROM (
+            SELECT s, sv,
+                   ROW_NUMBER() OVER (PARTITION BY s ORDER BY {md5}, id) AS rn
+            FROM subs
+        ) WHERE rn <= {k}
+    )""",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""pasn{r} AS (
+        SELECT id, s, sv, cid FROM (
+            SELECT id, s, sv, cid,
+                   ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY dd, cid) AS rn
+            FROM (
+                SELECT u.id, u.s, u.sv, c.cid, {dd} AS dd
+                FROM subs u JOIN pcent{r - 1} c ON c.s = u.s
+            )
+        ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""pupd{r} AS (
+        SELECT s, cid,
+               list(CAST(sm AS DOUBLE) / (n * {FIXED_POINT}) ORDER BY d) AS cv
+        FROM (
+            SELECT s, cid, d,
+                   SUM(CAST(floor(sv[d] * {FIXED_POINT}) AS BIGINT)) AS sm,
+                   COUNT(*) AS n
+            FROM pasn{r}, generate_series(1, {sub}) g(d)
+            GROUP BY s, cid, d
+        ) GROUP BY s, cid
+    )"""
+        )
+        parts.append(
+            f"""pcent{r} AS (
+        SELECT p.s, p.cid, COALESCE(u.cv, p.cv) AS cv
+        FROM pcent{r - 1} p LEFT JOIN pupd{r} u ON u.s = p.s AND u.cid = p.cid
+    )"""
+        )
+    final = f"pcent{iters}"
+    joined_parts = ",\n    ".join(parts)
+    return f"""
+    WITH {joined_parts},
+    codes AS (
+        SELECT id, s, cid FROM (
+            SELECT id, s, cid,
+                   ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY dd, cid) AS rn
+            FROM (
+                SELECT u.id, u.s, c.cid, {dd} AS dd
+                FROM subs u JOIN {final} c ON c.s = u.s
+            )
+        ) WHERE rn = 1
+    ),
+    lutr AS (
+        SELECT u.id AS q, u.s, c.cid, {dd} AS d
+        FROM subs u JOIN {final} c ON c.s = u.s
+        WHERE u.id % {QUERY_MOD} = 0
+    ),
+    adcp AS (
+        SELECT q, n, list_dot_product(list(d ORDER BY s), {ones}) AS adc
+        FROM (
+            SELECT l.q, cd.id AS n, l.s, l.d
+            FROM lutr l
+            JOIN codes cd ON cd.s = l.s AND cd.cid = l.cid AND cd.id <> l.q
+        ) GROUP BY q, n
+    ),
+    short AS (
+        SELECT q, n FROM (
+            SELECT q, n,
+                   ROW_NUMBER() OVER (PARTITION BY q ORDER BY adc, n) AS ar
+            FROM adcp
+        ) WHERE ar <= {shortlist}
+    )
+    SELECT q_vec_id, n_vec_id, sq_dist, rank FROM (
+        SELECT sh.q AS q_vec_id, sh.n AS n_vec_id,
+               {_pq_sq_dist_sql("qe.v", "ne.v", dim)} AS sq_dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY sh.q
+                   ORDER BY {_pq_sq_dist_sql("qe.v", "ne.v", dim)}, sh.n
+               ) AS rank
+        FROM short sh
+        JOIN e qe ON qe.vec_id = sh.q
+        JOIN e ne ON ne.vec_id = sh.n
+    ) WHERE rank <= {top_k}
+    ORDER BY q_vec_id, rank
+    """
+
+
 @register(
     "ann_pq_topk",
-    oracle=None,  # k-means training is iterative — no SQL twin;
-    # pytest proves recall@k vs exact L2 top-k + code compactness
-    description="product-quantization ANN: 8×4-bit codes, ADC shortlist, exact re-rank",
+    oracle=_pq_topk_sql(),
+    description="product-quantization ANN: 8×4-bit codes, ADC shortlist, exact re-rank — full unrolled joint-Lloyd SQL oracle (r4)",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no outer persist: pq_fit caches (and unpersists) its own subvector

@@ -248,13 +248,131 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_K = 16
 KMEANS_ITERS = 3
 N_PROBE_CENTROIDS = 4
+EMB_DIM = 64  # driver fixture contract (sign-band ops assume it too)
+
+
+def _sq_dist_sql(v: str, c: str, dim: int = EMB_DIM) -> str:
+    """||v−c||² as the SAME float chain the Spark side folds:
+    per-dim (a−b)² summed left-to-right (list_dot_product of the diff
+    list with itself — the verified fold-equivalence every cosine op
+    already relies on)."""
+    df = f"list_transform(generate_series(1, {dim}), i -> {v}[i] - {c}[i])"
+    return f"list_dot_product({df}, {df})"
+
+
+def _kmeans_sql_ctes(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = EMB_DIM
+) -> str:
+    """Unrolled-Lloyd CTE chain replaying `kmeans_fit` exactly (the
+    pagerank/_lpa_sql pattern): md5-bridge init, per-round argmin
+    assignment with (dist, cid) tie-break, 2^20-fixed-point integer
+    cell sums, one double division per centroid coordinate, empty
+    cells keeping the previous centroid. Produces `e` (vec_id, v) and
+    `cent{iters}` (cid, c)."""
+    from lime_etl_spark.functions.clustering import FIXED_POINT
+    from lime_etl_spark.functions.text import shingle_int_sql
+
+    md5 = shingle_int_sql("CAST(vec_id AS VARCHAR)")
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""cent0 AS (
+        SELECT rn - 1 AS cid, v AS c FROM (
+            SELECT vec_id, v,
+                   ROW_NUMBER() OVER (ORDER BY {md5}, vec_id) AS rn
+            FROM e
+        ) WHERE rn <= {k}
+    )""",
+    ]
+    for r in range(1, iters + 1):
+        dd = _sq_dist_sql("e.v", "c.c", dim)
+        parts.append(
+            f"""asn{r} AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT vec_id, v, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+            FROM (
+                SELECT e.vec_id, e.v, c.cid, {dd} AS dd
+                FROM e CROSS JOIN cent{r - 1} c
+            )
+        ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""upd{r} AS (
+        SELECT cid, list(CAST(s AS DOUBLE) / (n * {FIXED_POINT}) ORDER BY d) AS c
+        FROM (
+            SELECT cid, d,
+                   SUM(CAST(floor(v[d] * {FIXED_POINT}) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM asn{r}, generate_series(1, {dim}) g(d)
+            GROUP BY cid, d
+        ) GROUP BY cid
+    )"""
+        )
+        parts.append(
+            f"""cent{r} AS (
+        SELECT p.cid, COALESCE(u.c, p.c) AS c
+        FROM cent{r - 1} p LEFT JOIN upd{r} u ON u.cid = p.cid
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _cells_probes_ctes() -> str:
+    """`cells` (vec_id, cell) + `probes` (vec_id, probe) over the
+    trained centroids — shared by the ann_ivf_trained oracle and the
+    ann_tuning_curve oracle's trained strategy."""
+    cent = f"cent{KMEANS_ITERS}"
+    dd = _sq_dist_sql("e.v", "c.c")
+    return f"""cells AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+            FROM (
+                SELECT e.vec_id, c.cid, {dd} AS dd
+                FROM e CROSS JOIN {cent} c
+            )
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id, cid AS probe FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+            FROM (
+                SELECT e.vec_id, c.cid, {dd} AS dd
+                FROM e CROSS JOIN {cent} c
+                WHERE e.vec_id % {QUERY_MOD} = 0
+            )
+        ) WHERE rn <= {N_PROBE_CENTROIDS}
+    )"""
+
+
+def _ivf_trained_sql() -> str:
+    cos = (
+        "list_dot_product(q.v, w.v)"
+        " / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(w.v, w.v)))"
+    )
+    return f"""
+    WITH {_kmeans_sql_ctes()},
+    {_cells_probes_ctes()}
+    SELECT q_vec_id, n_vec_id, cosine, rank FROM (
+        SELECT p.vec_id AS q_vec_id, cl.vec_id AS n_vec_id,
+               {cos} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id ORDER BY {cos} DESC, cl.vec_id
+               ) AS rank
+        FROM probes p
+        JOIN e q ON q.vec_id = p.vec_id
+        JOIN cells cl ON cl.cell = p.probe AND cl.vec_id <> p.vec_id
+        JOIN e w ON w.vec_id = cl.vec_id
+    ) WHERE rank <= {TOP_K}
+    """
 
 
 @register(
     "ann_ivf_trained",
-    oracle=None,  # iterative Lloyd fit is not ANSI-SQL expressible; recall vs
-    # brute force is asserted in tests/test_text_dedup_similarity.py
-    description="trained-centroid IVF: Lloyd k-means quantizer, probe 4 nearest cells",
+    oracle=_ivf_trained_sql(),
+    description="trained-centroid IVF: Lloyd k-means quantizer (md5 init, 2^20 fixed-point exact sums), probe 4 nearest cells — full unrolled-Lloyd SQL oracle",
 )
 def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with *trained* centroids — the real 100 TB ANN path.

@@ -1216,3 +1216,80 @@ def samp_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- PPS systematic sampling ---------------------------------------------------
+
+PPS_K = 100  # target number of stride picks
+
+
+@register(
+    "samp_pps_systematic",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               {shingle_int_sql("CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM w
+    ),
+    tot AS (
+        SELECT GREATEST(SUM(n_tokens) // {PPS_K}, 1) AS stride FROM w
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((cum // stride) - ((cum - n_tokens) // stride) AS INT) AS n_picks
+    FROM c, tot
+    WHERE (cum // stride) - ((cum - n_tokens) // stride) > 0
+    ORDER BY doc_id
+    """,
+    description="PPS systematic sample: probability-proportional-to-token-count picks via an integer stride walk over the md5-shuffled cumulative weight line (docs heavier than one stride get multiplicity)",
+)
+def samp_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sampling — the weighted
+    selection the per-stratum samplers can't express: each doc's pick
+    probability is n_tokens/stride (its share of the token mass), the
+    classic systematic PPS walk over a shuffled cumulative weight
+    line. Docs heavier than one stride are picked with multiplicity
+    (`n_picks` — textbook PPS; downstream repeats or upweights them).
+    Exactly ⌈total/stride⌉-ish picks, zero randomness: the "shuffle"
+    is the md5-bridge hash order every sampler here shares, so the
+    sample is reproducible AND engine-portable.
+
+    Exactness: pure int64 — cumulative token counts, one integer
+    stride division per doc; no float ever appears, so the DuckDB twin
+    is bit-trivial. Scale: the cumulative line comes from
+    `with_global_cumsum` (functions/ranks.py) — quantile-bucketed
+    local running sums + a broadcast ≤64-row offset roster, never a
+    single-task global window; the stride scalar is a 1-row broadcast.
+    """
+    from lime_etl_spark.functions.ranks import with_global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    ).withColumn("h", shingle_int(F.col("doc_id").cast("string")))
+    c = with_global_cumsum(
+        w, F.col("h"), [F.col("h"), F.col("doc_id")], "n_tokens", out="cum"
+    )
+    tot = w.agg(
+        F.greatest(F.expr(f"SUM(n_tokens) div {PPS_K}"), F.lit(1).cast("bigint")).alias(
+            "stride"
+        )
+    )
+    n_picks = F.expr("cum div stride") - F.expr("(cum - n_tokens) div stride")
+    return (
+        c.join(F.broadcast(tot))
+        .withColumn("n_picks", n_picks.cast("int"))
+        .where(F.col("n_picks") > 0)
+        .select("doc_id", "source", "n_tokens", "n_picks")
+        .orderBy("doc_id")
+    )
