@@ -25,13 +25,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Sequential-use contract: each returned builder is wrapped in
-    ``hygienic``, which clears the session cache BEFORE building so a
-    sweep's live cache stays bounded to one operator's working set.
-    Build → collect one query at a time (the driver's loop). A harness
-    that builds several DataFrames before collecting them, or shares
-    the SparkSession across threads, must call the unwrapped builders
-    from ``lime_etl_spark.plans.registry.all_queries()`` instead —
-    clearCache would silently drop the earlier queries' persisted
+    ``hygienic``, which unpersists the PREVIOUS builder's tracked
+    persists before building (scoped — never a session-global
+    clearCache), so a sweep's live cache stays bounded to one
+    operator's working set. Build → collect one query at a time (the
+    driver's loop). A harness that builds several DataFrames before
+    collecting them, or shares the SparkSession across threads, must
+    call the unwrapped builders from
+    ``lime_etl_spark.plans.registry.all_queries()`` instead — the
+    hygiene pass would silently drop the earlier queries' persisted
     intermediates and force a recompute.
     """
     return {name: hygienic(spec.builder) for name, spec in all_queries().items()}

@@ -179,14 +179,19 @@ def with_global_ntiles(
 
     Plan shape: one partitioned sort per spec (genuinely needed — the
     orders differ), one bounded roster window per spec, broadcast
-    joins only. The cache entry is released by the driver surface's
-    `hygienic()` sweep, same as the other persisting operators.
+    joins only. The cache entry is registered with the registry's
+    persist tracker, so the driver surface's `hygienic()` sweep
+    releases it automatically and library callers (tests, notebooks)
+    release it with `registry.release_tracked_persists()` — no
+    session-global clearCache needed either way.
     """
+    from lime_etl_spark.plans.registry import track_persist
+
     vcols = [f"__mt_v{i}" for i in range(len(specs))]
     tagged = df
     for vc, (value, _, _, _) in zip(vcols, specs):
         tagged = tagged.withColumn(vc, value.cast("double"))
-    tagged = tagged.persist()
+    tagged = track_persist(tagged.persist())
     probes = [i / n_buckets for i in range(1, n_buckets)]
     all_bounds = tagged.approxQuantile(vcols, probes, 0.01)
     total = tagged.agg(F.count(F.lit(1)).alias("__mt_n"))

@@ -64,6 +64,36 @@ def register(
     return deco
 
 
+# DataFrames persisted by the previous hygienic build, released at the
+# next build's start (they can't be released earlier: the returned
+# lazy DataFrame still reads them until its consumer's action runs).
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def release_tracked_persists() -> None:
+    """Unpersist every DataFrame the last hygienic build persisted.
+    Harnesses may call this after their final collect; hygienic()
+    calls it automatically before each build."""
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 - session may be gone
+            pass
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """Register an already-persisted DataFrame for the next hygiene
+    sweep. Library helpers that must persist (with_global_ntiles)
+    call this so callers OUTSIDE the hygienic() surface — tests,
+    notebooks — don't leak a cache entry per call; they release it
+    with release_tracked_persists(). Identity-deduped: inside a
+    hygienic build the persist interception has already tracked it."""
+    if not any(t is df for t in _TRACKED_PERSISTS):
+        _TRACKED_PERSISTS.append(df)
+    return df
+
+
 def hygienic(builder: Builder) -> Builder:
     """Operator-scope cache hygiene for sweep harnesses.
 
@@ -73,14 +103,30 @@ def hygienic(builder: Builder) -> Builder:
     session running hundreds of queries back-to-back those caches
     accumulate (symptom: `CacheManager: Asked to cache already cached
     data` warnings). Wrapping each registry builder releases the
-    previous query's leftovers at the next query's build start —
-    bounding live cache to one operator's working set. Safe because
-    sweep harnesses build → collect → next query sequentially.
+    PREVIOUS query's tracked persists at the next query's build start
+    — bounding live cache to one operator's working set. Scoped to
+    the persists this module observed (r4 ADVICE): a session-global
+    `clearCache()` would also evict caches a co-resident harness or
+    notebook owns. Tracking intercepts `DataFrame.persist` only for
+    the synchronous duration of the build (builders construct their
+    plans — and thus call persist — eagerly); a concurrent thread's
+    persist in that window is simply left alone, same as before.
     """
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        spark.catalog.clearCache()
-        return builder(spark, sf_dir)
+        release_tracked_persists()
+        orig = DataFrame.persist
+
+        def tracking(self: DataFrame, *a, **k) -> DataFrame:
+            out = orig(self, *a, **k)
+            _TRACKED_PERSISTS.append(out)
+            return out
+
+        DataFrame.persist = tracking  # type: ignore[method-assign]
+        try:
+            return builder(spark, sf_dir)
+        finally:
+            DataFrame.persist = orig  # type: ignore[method-assign]
 
     return run
 

@@ -38,6 +38,8 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from lime_etl_spark.sources.fs import path_exists, replace_dir
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
     DoubleType,
@@ -168,7 +170,7 @@ def stream_upsert_sink(
         if transform is not None:
             batch_df = transform(batch_df)
         increment = batch_df.dropDuplicates(keys)
-        if os.path.exists(target_path):
+        if path_exists(spark, target_path):
             base = spark.read.parquet(target_path)
             merged = upsert(base, increment, keys)
         else:
@@ -178,7 +180,7 @@ def stream_upsert_sink(
         # the rewrite by partitioning the target on a key prefix.
         tmp = target_path + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        fs_rename(tmp, target_path)
+        replace_dir(spark, tmp, target_path)
 
     return (
         stream.writeStream.outputMode("update")
@@ -189,12 +191,6 @@ def stream_upsert_sink(
     )
 
 
-def fs_rename(src: str, dst: str) -> None:
-    import shutil
-
-    if os.path.exists(dst):
-        shutil.rmtree(dst)
-    os.rename(src, dst)
 
 
 def interval_join_streams(
@@ -361,7 +357,7 @@ def stream_scd2_sink(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         changes = batch_df.dropDuplicates()
-        if os.path.exists(target_path):
+        if path_exists(spark, target_path):
             hist = spark.read.parquet(target_path)
             touched = changes.select(*keys).distinct()
             untouched = hist.join(touched, keys, "left_anti")
@@ -374,7 +370,7 @@ def stream_scd2_sink(
             final = scd2(changes, keys, F.unix_micros("ts"), tb)
         tmp = target_path + ".tmp"
         final.write.mode("overwrite").parquet(tmp)
-        fs_rename(tmp, target_path)
+        replace_dir(spark, tmp, target_path)
 
     return (
         stream.writeStream.outputMode("update")
@@ -480,6 +476,9 @@ class CompactionTrigger:
         self.compactions = 0  # observability: exported to batch metrics
 
     def due(self) -> bool:
+        # os.path is deliberate here: small-file compaction (os.walk
+        # counting + rewrite) is local-maintenance tooling; a lake
+        # table format owns compaction on remote filesystems.
         from lime_etl_spark.operators.maintenance import parquet_file_count
 
         if not os.path.exists(self.path):
@@ -595,7 +594,7 @@ def stream_near_dup_sink(
             )
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         )
-        if os.path.exists(bk_dir):
+        if path_exists(spark, bk_dir):
             old_bk = spark.read.parquet(bk_dir).alias("o")
             # old×new probe: either id order can occur, canonicalize
             cross = (
@@ -703,7 +702,7 @@ def stream_embedding_near_dup_sink(
             & (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        if os.path.exists(bd_dir):
+        if path_exists(spark, bd_dir):
             old_bd = spark.read.parquet(bd_dir).alias("o")
             cross = old_bd.join(
                 new_bd.alias("n"),
@@ -840,7 +839,7 @@ def stream_cms_sink(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         inc = batch_sketch(batch_df)
-        if os.path.exists(sketch_path):
+        if path_exists(spark, sketch_path):
             base = spark.read.parquet(sketch_path)
             merged = (
                 base.unionByName(inc)
@@ -851,7 +850,7 @@ def stream_cms_sink(
             merged = inc.select("j", "bucket", F.col("cnt").cast("bigint").alias("cnt"))
         tmp = sketch_path + ".tmp"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        fs_rename(tmp, sketch_path)
+        replace_dir(spark, tmp, sketch_path)
 
     return (
         stream.writeStream.outputMode("update")

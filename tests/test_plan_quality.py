@@ -854,6 +854,10 @@ GLOBAL_WINDOW_BOUNDED_OK = {
     "q_gini_revenue": 1,
     "q_revenue_deciles": 3,  # 2 helper rosters + the 10-row decile cum
     "q_rfm_segments": 3,  # one roster window per RFM ntile spec
+    # 2 ≤64-row bucket-roster windows from with_global_ntile's sharded
+    # decile + the 10-row qini cumulative over the decile rollup —
+    # all bounded-grain, never user/event rows.
+    "ev_uplift_deciles": 3,
     "q_acctbal_spend_deciles": 2,  # sharded-ntile helper rosters
     "q_abc_classification": 1,
     "q_skyline_parts": 1,  # shard prefix-min roster

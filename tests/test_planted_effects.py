@@ -147,3 +147,46 @@ def test_cuped_adjustment_full_variance_reduction(spark, tmp_path):
         # cent-grain floor of xbar_c2
         assert r.mean_adjusted == pytest.approx(pooled_mean, abs=0.0100001)
     assert out[0].mean_adjusted == out[1].mean_adjusted
+
+
+def test_uplift_deciles_recovers_planted_decile_effect(spark, tmp_path):
+    """r4 verdict #3: plant a decile-CONCENTRATED effect — treatment
+    users convert post-cutover iff they sit in the top 3 pre-activity
+    deciles, control users never convert. The table must recover:
+    uplift == conv rate of the treated == 1.0 exactly in deciles
+    8–10 and 0.0 below; cumulative incremental conversions == the
+    running count of treated users from decile 10 down (control rate
+    is 0, so incremental == conv_t exactly at the 1e-6 grain)."""
+    from lime_etl_spark.operators.insights3 import ev_uplift_deciles
+
+    users = list(range(1, 101))  # pre_events = u → decile = ceil(u/10)
+    arm = _arms(spark, users)
+    rows, eid = [], 0
+    for u in users:
+        for _ in range(u):  # u pre-cutover events → deterministic decile
+            eid += 1
+            rows.append((eid, PRE_TS, u, "view", 0.0, "{}"))
+        if arm[u] == "treatment" and u > 70:  # plant: top-3-decile effect
+            eid += 1
+            rows.append((eid, POST_TS, u, "purchase", 5.0, "{}"))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, EV_SCHEMA).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+
+    out = ev_uplift_deciles(spark, d).collect()
+    assert [r["decile"] for r in out] == list(range(10, 0, -1))
+    expected_cum = 0
+    for r in out:
+        lo = (r["decile"] - 1) * 10
+        members = users[lo : lo + 10]  # NTILE(10) over (pre_events,user)
+        n_t = sum(1 for u in members if arm[u] == "treatment")
+        n_c = 10 - n_t
+        conv_t = n_t if r["decile"] > 7 else 0
+        assert (r["n_control"], r["n_treatment"]) == (n_c, n_t)
+        assert (r["conv_control"], r["conv_treatment"]) == (0, conv_t)
+        assert r["rate_control"] == 0.0
+        assert r["rate_treatment"] == (conv_t / n_t if n_t else 0.0)
+        assert r["uplift"] == (1.0 if r["decile"] > 7 and n_t else 0.0)
+        expected_cum += conv_t  # incr == conv_t exactly when rate_c == 0
+        assert r["cum_incremental"] == float(expected_cum)

@@ -65,6 +65,7 @@ def test_multi_ntiles_match_global_windows(spark, shape):
     length×quality consumers use) must equal per-column global ntile —
     mixed ASC/DESC specs, different k per spec, same frame."""
     from lime_etl_spark.functions.ranks import with_global_ntiles
+    from lime_etl_spark.plans.registry import release_tracked_persists
 
     df = _frame(spark, SHAPES[shape])
     got = with_global_ntiles(
@@ -86,7 +87,7 @@ def test_multi_ntiles_match_global_windows(spark, shape):
     w = {r["id"]: (r["a"], r["b"], r["c"]) for r in want.collect()}
     assert g == w
     got.unpersist()
-    spark.catalog.clearCache()
+    release_tracked_persists()
 
 
 def test_multi_ntiles_single_cache_entry_and_bounded_rosters(spark):
@@ -94,6 +95,7 @@ def test_multi_ntiles_single_cache_entry_and_bounded_rosters(spark):
     partitioned sort per spec, and every unpartitioned window reads a
     bucket-keyed aggregate roster, never raw rows."""
     from lime_etl_spark.functions.ranks import with_global_ntiles
+    from lime_etl_spark.plans.registry import release_tracked_persists
 
     df = _frame(spark, list(range(500)))
     got = with_global_ntiles(
@@ -115,7 +117,7 @@ def test_multi_ntiles_single_cache_entry_and_bounded_rosters(spark):
         for i in range(ch.size()):
             stack.append(ch.apply(i))
     assert n_unpart == 2, plan.toString()[:2000]
-    spark.catalog.clearCache()
+    release_tracked_persists()
 
 
 def test_desc_ordering_via_negated_value(spark):

@@ -163,3 +163,44 @@ def test_negatives_never_positive_and_deterministic(spark, sf_dir):
     for ranks in per_user.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 4
+
+
+def test_pps_systematic_invariants(spark, sf_dir, tmp_path):
+    """r4 verdict #3: PPS invariants. (a) total picks telescope to
+    EXACTLY total_tokens // stride (the cumulative-line identity);
+    (b) every doc's multiplicity is floor or ceil of n_tokens/stride
+    (pick probability proportional to token mass); (c) a doc heavier
+    than one stride is picked with multiplicity ≥ 2; (d) the draw is
+    rerun-identical (no randomness source)."""
+    from lime_etl_spark.operators.training import PPS_K
+    from lime_etl_spark.plans.registry import all_queries
+    from lime_etl_spark.sources.readers import load_table
+
+    build = all_queries()["samp_pps_systematic"].builder
+    out = build(spark, sf_dir).collect()
+    again = build(spark, sf_dir).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.select(
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("t")
+    ).collect()[0]["t"]
+    stride = max(total // PPS_K, 1)
+    # (a) telescoping total: sum(cum_i//s - prev_i//s) == cum_N//s
+    assert sum(r["n_picks"] for r in out) == total // stride
+    # (b) per-doc multiplicity brackets n_tokens/stride
+    for r in out:
+        lo, hi = r["n_tokens"] // stride, -(-r["n_tokens"] // stride)
+        assert lo <= r["n_picks"] <= max(hi, 1), (r, stride)
+    # heavier docs never get fewer picks than a doc > 2 strides lighter
+    # (monotone-in-expectation, exact per the bracket above)
+
+    # (c) planted oversize doc → multiplicity ≥ 2, on a tiny fixture
+    rows = [(i, "s", "w " * 5 + "w") for i in range(1, 401)]
+    rows.append((999, "s", "w " * (6 * 400)))  # ≈ half the total mass
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    picks = {r["doc_id"]: r["n_picks"] for r in build(spark, d).collect()}
+    assert picks.get(999, 0) >= 2, picks.get(999)
