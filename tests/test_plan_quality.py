@@ -858,6 +858,9 @@ GLOBAL_WINDOW_BOUNDED_OK = {
     # decile + the 10-row qini cumulative over the decile rollup —
     # all bounded-grain, never user/event rows.
     "ev_uplift_deciles": 3,
+    # same 2 ntile rosters + the 10-row q_cum and lag windows (cumsum
+    # and lag frames differ, so Spark keeps two Window nodes)
+    "ev_uplift_qini_auc": 4,
     "q_acctbal_spend_deciles": 2,  # sharded-ntile helper rosters
     "q_abc_classification": 1,
     "q_skyline_parts": 1,  # shard prefix-min roster
