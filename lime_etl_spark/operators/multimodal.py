@@ -274,7 +274,6 @@ def _y4m_frame(raw: bytes, ix: int) -> tuple[int, int, np.ndarray]:
 
 _CODEC_HINTS = {
     b"\xff\xd8": "JPEG (needs libjpeg/PIL)",
-    b"\x89P": "PNG (needs zlib-PNG decoder/PIL)",
     b"GI": "GIF (needs PIL)",
     b"BM": "BMP (not wired)",
     b"\x00\x00": "MP4/ISO-BMFF (needs libav)",
@@ -293,6 +292,8 @@ def _sniff(raw: bytes) -> str:
         return "wav"
     if raw[:9] == b"YUV4MPEG2":
         return "y4m"
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"  # pure-Python from-spec decoder (png_codec.py)
     hint = _CODEC_HINTS.get(raw[:2], "unknown container")
     raise NotImplementedError(
         f"no codec available for this payload ({hint}); this environment "
@@ -333,6 +334,11 @@ def _decode_one(media_id: int, content: bytes) -> dict:
     }
     if kind == "netpbm":
         w, h, _ch, _px = _parse_netpbm(raw)
+        out.update(media_type="image", width=w, height=h)
+    elif kind == "png":
+        from lime_etl_spark.operators.png_codec import decode_png
+
+        w, h, _ch, _px = decode_png(raw)
         out.update(media_type="image", width=w, height=h)
     elif kind == "wav":
         rate, dur, _s = _parse_wav(raw)
@@ -409,9 +415,20 @@ def _gray_series(raw: bytes) -> np.ndarray:
     stages share: image → luma scan (float 0..255); video → first
     frame's Y plane; audio → |PCM| rescaled to 0..255."""
     kind = _sniff(raw)
-    if kind == "netpbm":
-        _w, _h, _ch, px = _parse_netpbm(raw)
-        return px.astype(np.float64).mean(axis=2).ravel() if px.ndim == 3 and px.shape[2] == 3 else px.astype(np.float64).ravel()
+    if kind in ("netpbm", "png"):
+        if kind == "png":
+            from lime_etl_spark.operators.png_codec import decode_png
+
+            _w, _h, _ch, px = decode_png(raw)
+            # alpha never enters the luma mean: RGBA -> RGB, GA -> G
+            if px.shape[2] == 4:
+                px = px[:, :, :3]
+            elif px.shape[2] == 2:
+                px = px[:, :, :1]
+        else:
+            _w, _h, _ch, px = _parse_netpbm(raw)
+        px = px if px.ndim == 3 else px[:, :, None]
+        return px.astype(np.float64).mean(axis=2).ravel()
     if kind == "y4m":
         _w, _h, planes = _y4m_frame(raw, 0)
         return planes[0].astype(np.float64).ravel()
@@ -449,22 +466,33 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL nearest-neighbor resize of PPM payloads: decode pixels,
-    index-sample rows/columns with numpy, re-emit a valid P6 byte
-    stream. (Production swaps the kernel for a real resampler; the
-    container round-trip and Arrow batching are identical.)"""
+    """REAL nearest-neighbor resize of image payloads: decode pixels,
+    index-sample rows/columns with numpy, re-emit a valid byte stream
+    IN THE SOURCE CONTAINER (P6 stays P6, PNG stays PNG via the
+    from-spec png_codec). (Production swaps the kernel for a real
+    resampler; the container round-trip and Arrow batching are
+    identical.)"""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lime_etl_spark.operators.png_codec import decode_png, encode_png
+
         for pdf in batches:
             out_content, out_meta = [], []
             for content, meta in zip(pdf["content"], pdf["meta"]):
                 raw = bytes(content)
-                w0, h0, _ch, px = _parse_netpbm(raw)
+                is_png = _sniff(raw) == "png"
+                if is_png:
+                    w0, h0, _ch, px = decode_png(raw)
+                else:
+                    w0, h0, _ch, px = _parse_netpbm(raw)
                 rows = (np.arange(height) * h0) // height
                 cols = (np.arange(width) * w0) // width
                 resized = px[rows][:, cols]
-                header = f"P6\n{width} {height}\n255\n".encode()
-                out_content.append(header + resized.tobytes())
+                if is_png:
+                    out_content.append(encode_png(resized))
+                else:
+                    header = f"P6\n{width} {height}\n255\n".encode()
+                    out_content.append(header + resized.tobytes())
                 m = dict(meta)
                 m["width"], m["height"] = width, height
                 out_meta.append(m)

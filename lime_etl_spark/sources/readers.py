@@ -300,20 +300,39 @@ def read_avro(
     """Avro source (the other columnar-lake interchange format next to
     parquet/orc; common as a Kafka archive dump format).
 
-    Needs the external spark-avro module on the classpath; absent (as
-    in this container) the load raises DATA_SOURCE_NOT_FOUND, so tests
-    exercise the option plumbing and gate on the error — the same
-    pattern as the JDBC and Kafka sources. ``avro_schema`` (an Avro
-    JSON schema string) pins reader-side schema evolution instead of
-    trusting per-file writer schemas — at 100 TB a mixed-schema
-    directory otherwise resolves against whichever file lists first.
+    Prefers the JVM spark-avro module (vectorized, sync-splittable);
+    when it is absent from the classpath (as in this container —
+    DATA_SOURCE_NOT_FOUND), falls back to the pure-Python
+    ``format("avropy")`` DataSource (sources/avro_py.py, from the
+    public Avro spec), so Avro is END-TO-END functional either way
+    instead of gated on a jar (r4 'what's missing' #2). ``avro_schema``
+    (an Avro JSON schema string) pins reader-side schema evolution
+    instead of trusting per-file writer schemas — at 100 TB a
+    mixed-schema directory otherwise resolves against whichever file
+    lists first; the fallback honors it as the reader schema.
     """
-    reader = spark.read.format("avro")
+    try:
+        reader = spark.read.format("avro")
+        if avro_schema is not None:
+            reader = reader.option("avroSchema", avro_schema)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        return reader.load(path)
+    except Exception as e:  # noqa: BLE001 - only the missing-module error falls back
+        if "avro" not in str(e).lower() or "FIND" not in str(e).upper():
+            raise
+    from lime_etl_spark.sources.avro_py import (
+        _register_avropy,
+        avro_schema_to_ddl,
+    )
+
+    _register_avropy(spark)
+    reader = spark.read.format("avropy").option("path", path)
     if avro_schema is not None:
-        reader = reader.option("avroSchema", avro_schema)
-    for k, v in (options or {}).items():
-        reader = reader.option(k, v)
-    return reader.load(path)
+        import json as _json
+
+        reader = reader.schema(avro_schema_to_ddl(_json.loads(avro_schema)))
+    return reader.load()
 
 
 def write_avro(
@@ -323,11 +342,36 @@ def write_avro(
     compression: str = "snappy",
     partition_by: tuple[str, ...] = (),
 ) -> None:
-    """Avro sink, gated like :func:`read_avro`."""
-    writer = df.write.format("avro").mode(mode).option("compression", compression)
+    """Avro sink: JVM spark-avro when present, else the distributed
+    pure-Python container writer (one file per partition, deflate
+    codec — see sources/avro_py.py). ``partition_by`` needs the JVM
+    module (hive-style dir layout); the fallback raises on it rather
+    than silently flattening."""
+    try:
+        writer = (
+            df.write.format("avro").mode(mode).option("compression", compression)
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+        return
+    except Exception as e:  # noqa: BLE001 - only the missing-module error falls back
+        if "avro" not in str(e).lower() or "FIND" not in str(e).upper():
+            raise
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.save(path)
+        raise NotImplementedError(
+            "partitionBy needs the JVM spark-avro module; the pure-Python "
+            "fallback writes one container file per partition"
+        )
+    import shutil
+
+    if mode == "overwrite" and os.path.isdir(path):
+        shutil.rmtree(path)
+    elif mode == "error" and os.path.exists(path):
+        raise FileExistsError(path)
+    from lime_etl_spark.sources.avro_py import write_avro_py
+
+    write_avro_py(df, path, codec=compression)
 
 
 def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:

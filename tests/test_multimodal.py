@@ -129,14 +129,17 @@ def test_frame_sample_explodes_by_duration(media):
 
 
 def test_compressed_formats_hit_codec_gate(spark):
-    """JPEG/PNG/MP4 payloads must fail loudly with the documented
-    NotImplementedError — never fake output."""
+    """JPEG/GIF/MP4 payloads must fail loudly with the documented
+    NotImplementedError — never fake output. (PNG left this gate in
+    r5: the from-spec stdlib-zlib decoder in operators/png_codec.py
+    now decodes it — see tests/test_png_codec.py.)"""
     jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64
     df = spark.createDataFrame([(1, bytearray(jpeg))], "media_id long, content binary")
     with pytest.raises(Exception, match="NotImplementedError|no codec available"):
         mm.decode_media(df).collect()
     with pytest.raises(NotImplementedError, match="no codec"):
-        mm._sniff(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        mm._sniff(b"GIF89a" + b"\x00" * 16)
+    assert mm._sniff(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16) == "png"
 
 
 def test_audio_energy_windows_true_rms(spark, media):
