@@ -1,0 +1,194 @@
+"""Distributed BPE-merge training over the documents corpus.
+
+Byte-pair encoding (Gage 1994; Sennrich et al. 2016 for subword NLP —
+public literature) is THE tokenizer-training algorithm of LLM data
+pipelines, and its training loop is the classic "model state to the
+driver, data stays distributed" shape this repo already uses for
+Lloyd k-means (functions/clustering.py) and PageRank
+(operators/graph.py):
+
+- **Tokenize + count once.** The only data-proportional work is one
+  scan of `documents` → word-frequency table (split, filter,
+  groupBy word). Map-side combine means each task emits at most
+  |vocab| partial rows; the shuffled table is bounded by vocabulary
+  size, not corpus size. A deterministic top-V cap
+  (count DESC, word ASC, V=1000) bounds every later round no matter
+  how big the corpus is — at 100 TB this is the same plan with a
+  bigger first scan.
+- **Iterate on the bounded vocab table.** Each merge round explodes
+  adjacent symbol pairs of ≤V weighted words (a few thousand rows),
+  aggregates exact int64 pair counts, and collects ONE row — the
+  argmax pair — to the driver as model state. The merge is applied
+  as a string `replace` on the symbol column; round r+1 recomputes
+  pairs from the updated symbols.
+- **Exactness / SQL replayability.** Pair counts are int64 sums of
+  int64 word counts (order-free); the argmax tie-breaks on
+  (count DESC, pair ASC) over ASCII strings — identical binary
+  collation in Spark and DuckDB — so the full 10-round training run
+  is replayed bit-identically by an unrolled CTE chain
+  (`bpe_oracle_sql`), the same pattern that converted trained-Lloyd
+  IVF and PageRank to hash-matched oracles.
+
+Symbol strings delimit EVERY symbol on BOTH sides:
+"table" → "(t)(a)(b)(l)(e)", so a pair pattern ``(x)(y)`` can only
+match two exact whole symbols. A prefix-guard-only scheme (marker
+before each symbol) is genuinely wrong — pattern ``_at_a`` matches
+inside ``_at_at`` because the right symbol ``a`` is a prefix of the
+following symbol ``at``; the independent-reference pytest
+(test_boundary_safety_no_cross_symbol_merge) catches exactly that.
+Fully-delimited symbols also make plain left-to-right
+non-overlapping ``replace`` — the same semantics in Spark and
+DuckDB — implement the canonical greedy BPE merge: adjacent merges
+share no delimiter chars, so "(a)(a)(a)(a)" → "(aa)(aa)". Words are
+restricted to ``^[a-z]+$`` so delimiter bytes cannot collide with
+symbol bytes.
+
+Reference parity: lime-etl has no tokenizer training; this extends
+the §2G/§2K text family (txt_token_count, cur_tokenizer_fertility)
+with the trainer that produces the merges those ops consume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_etl_spark.plans.registry import register
+from lime_etl_spark.sources.readers import load_table
+
+BPE_ROUNDS = 10
+BPE_VOCAB_LIMIT = 1000
+
+
+def _word_symbols(docs: DataFrame, vocab_limit: int) -> DataFrame:
+    """documents.text → (sym, cnt): top-V word frequencies with each
+    word exploded into marker-prefixed single-char symbols."""
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(vocab_limit)
+    )
+    return words.select(
+        F.regexp_replace("word", "(.)", "($1)").alias("sym"), "cnt"
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts (delimited form '(a)(b)'),
+    weighted by word frequency; exact int64."""
+    parts = words.select(
+        F.split(F.expr("btrim(sym, '()')"), "\\)\\(").alias("parts"), "cnt"
+    )
+    pairs = parts.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(parts) >= 2 THEN "
+                "transform(sequence(0, size(parts)-2), "
+                "i -> concat('(', parts[i], ')(', parts[i+1], ')')) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return pairs.groupBy("pair").agg(F.sum("cnt").cast("bigint").alias("pc"))
+
+
+def bpe_merge_table(
+    docs: DataFrame, rounds: int = BPE_ROUNDS, vocab_limit: int = BPE_VOCAB_LIMIT
+) -> DataFrame:
+    """Train `rounds` BPE merges; returns one row per round:
+    (round, left_sym, right_sym, merged, pair_count)."""
+    spark = docs.sparkSession
+    base = _word_symbols(docs, vocab_limit).persist()
+    base.count()
+    words = base
+    results = []
+    for r in range(1, rounds + 1):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.col("pc").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary fully merged
+            break
+        pair, pc = best[0]["pair"], int(best[0]["pc"])
+        left, right = pair[1:-1].split(")(")
+        merged = "(" + left + right + ")"
+        results.append((r, left, right, left + right, pc))
+        words = words.select(
+            F.replace(F.col("sym"), F.lit(pair), F.lit(merged)).alias("sym"),
+            "cnt",
+        )
+    # every result row is already collected — the merge table below
+    # does not read the persisted word-freq table
+    base.unpersist()
+    out = spark.createDataFrame(
+        results, "round int, left_sym string, right_sym string, merged string, pair_count bigint"
+    )
+    return out.orderBy("round")
+
+
+def bpe_oracle_sql(rounds: int = BPE_ROUNDS, vocab_limit: int = BPE_VOCAB_LIMIT) -> str:
+    """Unrolled CTE replay of bpe_merge_table for DuckDB — identical
+    word-freq cap, pair counting, argmax tie-break, and left-to-right
+    non-overlapping replace per round."""
+    ctes = [
+        f"""wf AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word ORDER BY cnt DESC, word LIMIT {vocab_limit}
+)""",
+        r"""w0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS sym, cnt FROM wf)""",
+    ]
+    finals = []
+    for r in range(1, rounds + 1):
+        prev = f"w{r - 1}"
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT '(' || parts[i] || ')(' || parts[i+1] || ')' AS pair,
+         CAST(SUM(cnt) AS BIGINT) AS pc
+  FROM (SELECT parts, cnt, unnest(range(1, len(parts))) AS i
+        FROM (SELECT string_split(trim(sym, '()'), ')(') AS parts, cnt FROM {prev}))
+  GROUP BY 1
+)"""
+        )
+        ctes.append(f"b{r} AS MATERIALIZED (SELECT pair, pc FROM p{r} ORDER BY pc DESC, pair LIMIT 1)")
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT replace(sym, (SELECT pair FROM b{r}),
+                 (SELECT '(' || replace(trim(pair, '()'), ')(', '') || ')' FROM b{r})) AS sym,
+         cnt
+  FROM {prev}
+)"""
+        )
+        finals.append(
+            f"""SELECT CAST({r} AS INTEGER) AS round,
+       string_split(trim(pair, '()'), ')(')[1] AS left_sym,
+       string_split(trim(pair, '()'), ')(')[2] AS right_sym,
+       replace(trim(pair, '()'), ')(', '') AS merged,
+       pc AS pair_count
+FROM b{r}"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\n) ORDER BY round"
+    )
+
+
+@register(
+    "txt_bpe_train",
+    oracle=bpe_oracle_sql(),
+    description="BPE tokenizer training: 10 merge rounds over the documents word-freq table, bit-replayed by an unrolled CTE oracle",
+)
+def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-training capstone of the text family: learn the
+    first 10 BPE merges from the corpus. See module docstring for the
+    100 TB argument (one corpus-proportional shuffle, then bounded
+    per-round work with one-row model-state collects)."""
+    return bpe_merge_table(load_table(spark, sf_dir, "documents"))

@@ -12,14 +12,18 @@ parsing of three REAL uncompressed container formats that pure
 numpy + stdlib can decode bit-exactly:
 
 - **images** — binary PPM (``P6``, raw RGB) / PGM (``P5``, raw gray),
-  the Netpbm formats every image toolchain reads;
+  the Netpbm formats every image toolchain reads; plus from-spec
+  pure-Python codecs for PNG (png_codec.py), baseline JPEG
+  (jpeg_codec.py), GIF (gif_codec.py) and BMP (bmp_codec.py) — all
+  cross-verified against the JVM's javax.imageio in tests;
 - **audio** — RIFF/WAVE PCM16 mono, parsed with stdlib ``wave``;
 - **video** — YUV4MPEG2 (``.y4m``, C444 planar), the uncompressed
   interchange format ffmpeg/mpv emit.
 
-Compressed formats (JPEG/PNG/MP4/...) need codec libraries absent
-from this container; the decode dispatch raises a clearly-marked
-``NotImplementedError`` for those magics instead of faking output.
+Entropy-codec A/V formats (MP4/Matroska/Ogg/MP3) need codec
+libraries absent from this container; the decode dispatch raises a
+clearly-marked ``NotImplementedError`` for those magics instead of
+faking output.
 
 Scale notes:
 
@@ -59,6 +63,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from lime_etl_spark.operators.bmp_codec import decode_bmp  # noqa: E402
 
 MEDIA_SCHEMA = StructType(
     [
@@ -273,9 +279,6 @@ def _y4m_frame(raw: bytes, ix: int) -> tuple[int, int, np.ndarray]:
 
 
 _CODEC_HINTS = {
-    b"\xff\xd8": "JPEG (needs libjpeg/PIL)",
-    b"GI": "GIF (needs PIL)",
-    b"BM": "BMP (not wired)",
     b"\x00\x00": "MP4/ISO-BMFF (needs libav)",
     b"\x1aE": "Matroska/WebM (needs libav)",
     b"Og": "Ogg (needs libogg)",
@@ -284,8 +287,8 @@ _CODEC_HINTS = {
 
 
 def _sniff(raw: bytes) -> str:
-    """Magic-byte dispatch. Real formats decode; compressed formats
-    raise the documented codec gate."""
+    """Magic-byte dispatch. Real formats decode; entropy-codec A/V
+    formats raise the documented codec gate."""
     if raw[:2] in (b"P6", b"P5"):
         return "netpbm"
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
@@ -294,12 +297,42 @@ def _sniff(raw: bytes) -> str:
         return "y4m"
     if raw[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"  # pure-Python from-spec decoder (png_codec.py)
+    if raw[:2] == b"\xff\xd8":
+        return "jpeg"  # baseline DCT from-spec decoder (jpeg_codec.py)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"  # LZW from-spec decoder (gif_codec.py)
+    if raw[:2] == b"BM":
+        return "bmp"  # uncompressed BI_RGB decoder (bmp_codec.py)
     hint = _CODEC_HINTS.get(raw[:2], "unknown container")
     raise NotImplementedError(
         f"no codec available for this payload ({hint}); this environment "
-        "ships no image/audio/video codec libraries — only uncompressed "
-        "PPM/PGM, PCM WAV and YUV4MPEG2 decode natively"
+        "ships no A/V codec libraries — images (PPM/PGM, PNG, baseline "
+        "JPEG, GIF, BMP), PCM WAV and YUV4MPEG2 decode natively"
     )
+
+
+def _decode_image(raw: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Unified still-image decode: (w, h, ch, uint8 [h, w, ch]).
+    Animated GIFs come back as their first composited frame."""
+    kind = _sniff(raw)
+    if kind == "netpbm":
+        return _parse_netpbm(raw)
+    if kind == "png":
+        from lime_etl_spark.operators.png_codec import decode_png
+
+        return decode_png(raw)
+    if kind == "jpeg":
+        from lime_etl_spark.operators.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(raw)
+    if kind == "gif":
+        from lime_etl_spark.operators.gif_codec import decode_gif
+
+        w, h, frames = decode_gif(raw)
+        return w, h, 3, frames[0][1]
+    if kind == "bmp":
+        return decode_bmp(raw)
+    raise ValueError(f"not an image payload ({kind})")
 
 
 DECODED_SCHEMA = StructType(
@@ -332,14 +365,19 @@ def _decode_one(media_id: int, content: bytes) -> dict:
         "n_bytes": len(raw),
         "checksum": hashlib.md5(raw).hexdigest(),
     }
-    if kind == "netpbm":
-        w, h, _ch, _px = _parse_netpbm(raw)
+    if kind in ("netpbm", "png", "jpeg", "bmp"):
+        w, h, _ch, _px = _decode_image(raw)
         out.update(media_type="image", width=w, height=h)
-    elif kind == "png":
-        from lime_etl_spark.operators.png_codec import decode_png
+    elif kind == "gif":
+        from lime_etl_spark.operators.gif_codec import decode_gif
 
-        w, h, _ch, _px = decode_png(raw)
+        w, h, frames = decode_gif(raw)
         out.update(media_type="image", width=w, height=h)
+        if len(frames) > 1:  # animated: report real frame count/duration
+            out.update(
+                n_frames=len(frames),
+                duration_ms=sum(d for d, _f in frames),
+            )
     elif kind == "wav":
         rate, dur, _s = _parse_wav(raw)
         out.update(media_type="audio", sample_rate=rate, duration_ms=dur)
@@ -415,19 +453,14 @@ def _gray_series(raw: bytes) -> np.ndarray:
     stages share: image → luma scan (float 0..255); video → first
     frame's Y plane; audio → |PCM| rescaled to 0..255."""
     kind = _sniff(raw)
-    if kind in ("netpbm", "png"):
-        if kind == "png":
-            from lime_etl_spark.operators.png_codec import decode_png
-
-            _w, _h, _ch, px = decode_png(raw)
-            # alpha never enters the luma mean: RGBA -> RGB, GA -> G
-            if px.shape[2] == 4:
-                px = px[:, :, :3]
-            elif px.shape[2] == 2:
-                px = px[:, :, :1]
-        else:
-            _w, _h, _ch, px = _parse_netpbm(raw)
+    if kind in ("netpbm", "png", "jpeg", "gif", "bmp"):
+        _w, _h, _ch, px = _decode_image(raw)
         px = px if px.ndim == 3 else px[:, :, None]
+        # alpha never enters the luma mean: RGBA -> RGB, GA -> G
+        if px.shape[2] == 4:
+            px = px[:, :, :3]
+        elif px.shape[2] == 2:
+            px = px[:, :, :1]
         return px.astype(np.float64).mean(axis=2).ravel()
     if kind == "y4m":
         _w, _h, planes = _y4m_frame(raw, 0)
@@ -468,31 +501,41 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """REAL nearest-neighbor resize of image payloads: decode pixels,
     index-sample rows/columns with numpy, re-emit a valid byte stream
-    IN THE SOURCE CONTAINER (P6 stays P6, PNG stays PNG via the
-    from-spec png_codec). (Production swaps the kernel for a real
-    resampler; the container round-trip and Arrow batching are
-    identical.)"""
+    IN THE SOURCE CONTAINER (P6 stays P6, PNG stays PNG, JPEG stays
+    JPEG, GIF stays GIF, BMP stays BMP — all via the from-spec
+    codecs). (Production swaps the kernel for a real resampler; the
+    container round-trip and Arrow batching are identical.)"""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from lime_etl_spark.operators.png_codec import decode_png, encode_png
+        from lime_etl_spark.operators.bmp_codec import encode_bmp
+        from lime_etl_spark.operators.gif_codec import encode_gif
+        from lime_etl_spark.operators.jpeg_codec import encode_jpeg
+        from lime_etl_spark.operators.png_codec import encode_png
+
+        def _ppm(px: np.ndarray) -> bytes:
+            h, w = px.shape[:2]
+            gray = px.ndim == 2 or px.shape[2] == 1
+            magic = "P5" if gray else "P6"
+            return f"{magic}\n{w} {h}\n255\n".encode() + px.tobytes()
+
+        encoders = {
+            "netpbm": _ppm,
+            "png": encode_png,
+            "jpeg": encode_jpeg,
+            "gif": encode_gif,
+            "bmp": encode_bmp,
+        }
 
         for pdf in batches:
             out_content, out_meta = [], []
             for content, meta in zip(pdf["content"], pdf["meta"]):
                 raw = bytes(content)
-                is_png = _sniff(raw) == "png"
-                if is_png:
-                    w0, h0, _ch, px = decode_png(raw)
-                else:
-                    w0, h0, _ch, px = _parse_netpbm(raw)
+                kind = _sniff(raw)
+                w0, h0, _ch, px = _decode_image(raw)
                 rows = (np.arange(height) * h0) // height
                 cols = (np.arange(width) * w0) // width
                 resized = px[rows][:, cols]
-                if is_png:
-                    out_content.append(encode_png(resized))
-                else:
-                    header = f"P6\n{width} {height}\n255\n".encode()
-                    out_content.append(header + resized.tobytes())
+                out_content.append(encoders[kind](resized))
                 m = dict(meta)
                 m["width"], m["height"] = width, height
                 out_meta.append(m)
@@ -901,4 +944,148 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_silent_windows"),
         )
         .orderBy("media_id")
+    )
+
+
+_MATRIX_CODECS = ("netpbm", "png", "bmp", "jpeg", "gif")
+
+
+def _codec_matrix_corpus(spark: SparkSession, n: int) -> DataFrame:
+    """n deterministic pixel arrays (md5-chain noise quantized to 4
+    levels/channel so GIF's 256-color palette bound holds), each
+    shipped through all five image containers. One row per
+    (image, codec); `row_id = media_id*8 + codec_ix` keys the decode
+    stages, which only carry (media_id, content). Generation is
+    distributed (mapInPandas over spark.range) — the driver never
+    holds payload bytes."""
+    schema = StructType(
+        [
+            StructField("row_id", LongType(), False),
+            StructField("base_id", LongType(), False),
+            StructField("codec", StringType(), False),
+            StructField("content", BinaryType(), False),
+            StructField("src_width", IntegerType(), False),
+            StructField("src_height", IntegerType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lime_etl_spark.operators.bmp_codec import encode_bmp
+        from lime_etl_spark.operators.gif_codec import encode_gif
+        from lime_etl_spark.operators.jpeg_codec import encode_jpeg
+        from lime_etl_spark.operators.png_codec import encode_png
+
+        encoders = {
+            "netpbm": lambda px: (
+                f"P6\n{px.shape[1]} {px.shape[0]}\n255\n".encode() + px.tobytes()
+            ),
+            "png": encode_png,
+            "bmp": encode_bmp,
+            "jpeg": lambda px: encode_jpeg(px, quality=90),
+            "gif": encode_gif,
+        }
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = 16 + (i % 3) * 8
+                h = 16 + (i % 2) * 8
+                px = np.frombuffer(
+                    _payload(500_000 + i, w * h * 3), dtype=np.uint8
+                ).reshape(h, w, 3)
+                px = (px // 64) * 64 + 32  # ≤64 distinct colors
+                for cix, codec in enumerate(_MATRIX_CODECS):
+                    rows.append(
+                        (i * 8 + cix, i, codec, encoders[codec](px), w, h)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "row_id",
+                    "base_id",
+                    "codec",
+                    "content",
+                    "src_width",
+                    "src_height",
+                ],
+            )
+
+    return spark.range(n).repartition(8).mapInPandas(gen, schema)
+
+
+@register(
+    "mm_codec_matrix",
+    oracle=None,  # payloads come from the from-spec encoders; pytest
+    # pins the invariants (lossless exact parity, JPEG within
+    # quantization distance, zero dim mismatches)
+    description="five-container codec matrix: same pixels through PPM/PNG/BMP/JPEG/GIF — size vs fidelity per codec",
+)
+def mm_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec decision table for an image-ingest pipeline: ONE set of
+    source pixels encoded through all five supported containers, then
+    decoded/featurized back, aggregated per codec into bytes-per-pixel
+    (storage cost) and fidelity vs the raw-PPM leg (feature-vector
+    max delta + a-hash agreement). Lossless codecs must read back
+    bit-equal features; JPEG pays quantization error for the smallest
+    payloads — the table shows exactly how much.
+
+    Scale: payload bytes cross Python once per stage (decode,
+    features, a-hash — each Arrow-batched mapInPandas); the parity
+    joins run JVM-side on (base_id, codec) keyed feature arrays, and
+    every aggregate is counters-only. At 100 TB the corpus generation
+    is replaced by the real table scan; the plan shape is unchanged."""
+    corpus = _codec_matrix_corpus(spark, n=96).persist()
+    keyed = corpus.select(
+        F.col("row_id").alias("media_id"), "content"
+    )
+    decoded = decode_media(keyed).withColumnRenamed("media_id", "row_id")
+    feats = extract_features(keyed, dim=16).withColumnRenamed(
+        "media_id", "row_id"
+    )
+    hashes = media_ahash(keyed).withColumnRenamed("media_id", "row_id")
+
+    dim = corpus.join(decoded, "row_id").select(
+        "row_id",
+        "base_id",
+        "codec",
+        F.length("content").alias("n_bytes"),
+        (F.col("src_width") * F.col("src_height")).alias("n_px"),
+        (
+            (F.col("width") != F.col("src_width"))
+            | (F.col("height") != F.col("src_height"))
+        ).cast("int").alias("dim_mismatch"),
+    )
+    enriched = dim.join(feats, "row_id").join(hashes, "row_id")
+    base = enriched.where(F.col("codec") == "netpbm").select(
+        "base_id",
+        F.col("features").alias("base_features"),
+        F.col("ahash").alias("base_ahash"),
+    )
+    joined = enriched.join(F.broadcast(base), "base_id").withColumn(
+        "feat_delta",
+        F.aggregate(
+            F.zip_with(
+                "features", "base_features", lambda a, b: F.abs(a - b)
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: F.greatest(acc, x.cast("double")),
+        ),
+    )
+    return (
+        joined.groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.sum("dim_mismatch").cast("bigint").alias("n_dim_mismatch"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.round(F.sum("n_bytes") / F.sum("n_px"), 4).alias(
+                "bytes_per_pixel"
+            ),
+            F.round(F.max("feat_delta"), 6).alias("max_feat_delta"),
+            F.sum(
+                F.when(F.col("ahash") != F.col("base_ahash"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ahash_mismatch"),
+        )
+        .orderBy("codec")
     )

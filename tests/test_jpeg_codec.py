@@ -1,0 +1,181 @@
+"""From-spec baseline JPEG codec tests.
+
+The independent oracle is the JVM's javax.imageio (reached through the
+session SparkSession's py4j gateway) — a completely separate JPEG
+implementation, so a symmetric encoder+decoder bug cannot hide:
+my encoder's output must decode identically (±IDCT rounding) under
+ImageIO, and ImageIO's encoder output must decode under my decoder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from lime_etl_spark.operators.jpeg_codec import (
+    _M,
+    _ZZ,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _gradient(h: int, w: int, seed: int = 7, noise: float = 3.0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [x * 255 / (w - 1), y * 255 / (h - 1), (x + y) * 255 / (w + h - 2)],
+        axis=2,
+    )
+    return np.clip(px + rng.normal(0, noise, px.shape), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# pure-math invariants
+# ---------------------------------------------------------------------------
+
+
+def test_dct_basis_is_orthonormal():
+    assert np.allclose(_M @ _M.T, np.eye(8), atol=1e-12)
+
+
+def test_zigzag_order_spec_prefix():
+    # first 10 zigzag entries per T.81 figure 5 (raster indices)
+    assert _ZZ[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(_ZZ.tolist()) == list(range(64))
+
+
+# ---------------------------------------------------------------------------
+# self round-trips (lossy: tolerance is quantization noise at q=92)
+# ---------------------------------------------------------------------------
+
+
+def test_rgb_roundtrip_non_multiple_of_8():
+    px = _gradient(29, 37)
+    w, h, ch, out = decode_jpeg(encode_jpeg(px, quality=92))
+    assert (w, h, ch) == (37, 29, 3)
+    diff = np.abs(out.astype(int) - px.astype(int))
+    assert diff.mean() < 4.0 and diff.max() <= 24
+
+
+def test_grayscale_roundtrip():
+    px = _gradient(24, 24)[:, :, :1]
+    w, h, ch, out = decode_jpeg(encode_jpeg(px, quality=92))
+    assert (w, h, ch) == (24, 24, 1)
+    assert np.abs(out.astype(int) - px.astype(int)).mean() < 3.0
+
+
+def test_alpha_channels_dropped_not_encoded():
+    rgba = np.dstack([_gradient(16, 16), np.full((16, 16), 77, np.uint8)])
+    w, h, ch, out = decode_jpeg(encode_jpeg(rgba, quality=92))
+    assert ch == 3
+    assert np.abs(out.astype(int) - rgba[:, :, :3].astype(int)).mean() < 4.0
+
+
+def test_restart_intervals_decode_identically():
+    px = _gradient(40, 48, seed=5)
+    plain = decode_jpeg(encode_jpeg(px, quality=90))[3]
+    with_rst = decode_jpeg(encode_jpeg(px, quality=90, restart_interval=3))[3]
+    assert np.array_equal(plain, with_rst)
+
+
+def test_quality_monotonicity():
+    px = _gradient(32, 32, noise=8.0)
+    errs = []
+    for q in (95, 75, 40):
+        out = decode_jpeg(encode_jpeg(px, quality=q))[3]
+        errs.append(np.abs(out.astype(int) - px.astype(int)).mean())
+    assert errs[0] < errs[1] < errs[2]
+
+
+# ---------------------------------------------------------------------------
+# loud gates
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_gate_is_loud():
+    sof2 = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes(
+        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(sof2)
+
+
+def test_not_a_jpeg_raises():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+
+
+def test_truncated_stream_fails_loudly():
+    raw = encode_jpeg(_gradient(16, 16))
+    with pytest.raises((ValueError, IndexError, struct.error)):
+        decode_jpeg(raw[:40])
+
+
+# ---------------------------------------------------------------------------
+# independent-oracle cross-checks via javax.imageio (py4j)
+# ---------------------------------------------------------------------------
+
+
+def _imageio_read(spark, data: bytes) -> np.ndarray:
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(bytearray(data)))
+    assert img is not None, "javax.imageio could not parse the payload"
+    w, h = img.getWidth(), img.getHeight()
+    a = np.array(img.getRGB(0, 0, w, h, None, 0, w), dtype=np.int64).reshape(h, w)
+    return np.stack([(a >> 16) & 255, (a >> 8) & 255, a & 255], axis=2).astype(np.uint8)
+
+
+def _imageio_reencode(spark, data: bytes, fmt: str) -> bytes:
+    """ImageIO read → ImageIO write: produces a fixture from the JVM's
+    own INDEPENDENT encoder without driver-side pixel shipping."""
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(bytearray(data)))
+    assert img is not None
+    bos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, fmt, bos)
+    return bytes(bos.toByteArray())
+
+
+def test_imageio_decodes_my_jpeg_like_i_do(spark):
+    px = _gradient(24, 33, seed=11, noise=2.0)
+    mine = encode_jpeg(px, quality=92)
+    ref = _imageio_read(spark, mine)
+    own = decode_jpeg(mine)[3]
+    # same bytes, two decoders: only IDCT rounding may differ (spec ±1)
+    assert np.abs(ref.astype(int) - own.astype(int)).max() <= 2
+    # and both sit near the source
+    assert np.abs(ref.astype(int) - px.astype(int)).mean() < 4.0
+
+
+def test_my_decoder_reads_imageio_jpeg(spark):
+    px = _gradient(24, 33, seed=11, noise=2.0)
+    theirs = _imageio_reencode(spark, encode_jpeg(px, quality=95), "jpg")
+    assert theirs[:2] == b"\xff\xd8" and theirs != encode_jpeg(px, quality=95)
+    ref = _imageio_read(spark, theirs)
+    w, h, ch, own = decode_jpeg(theirs)
+    assert (w, h, ch) == (33, 24, 3)
+    diff = np.abs(ref.astype(int) - own.astype(int))
+    # ImageIO may subsample chroma + use fancy upsampling on decode;
+    # block-replication differs on chroma edges only
+    assert diff.mean() < 4.0 and diff.max() <= 48
+
+
+def test_my_decoder_reads_imageio_grayscale_jpeg(spark):
+    g = _gradient(17, 19, seed=3)[:, :, :1]
+    theirs = _imageio_reencode(spark, encode_jpeg(g, quality=95), "jpg")
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(theirs))
+    )
+    w, h = img.getWidth(), img.getHeight()
+    # compare RAW raster samples: getRGB on TYPE_BYTE_GRAY applies a
+    # gray→sRGB gamma conversion that has nothing to do with JPEG
+    arr = spark.sparkContext._gateway.new_array(jvm.int, w * h)
+    img.getRaster().getSamples(0, 0, w, h, 0, arr)
+    ref = np.array(list(arr), dtype=np.int64).reshape(h, w)
+    W, H, ch, own = decode_jpeg(theirs)
+    assert (W, H, ch) == (19, 17, 1)
+    assert np.abs(ref - own[:, :, 0].astype(np.int64)).max() <= 2

@@ -128,18 +128,21 @@ def test_frame_sample_explodes_by_duration(media):
     assert px[:, :, 0].tobytes() == planes[0].tobytes()
 
 
-def test_compressed_formats_hit_codec_gate(spark):
-    """JPEG/GIF/MP4 payloads must fail loudly with the documented
-    NotImplementedError — never fake output. (PNG left this gate in
-    r5: the from-spec stdlib-zlib decoder in operators/png_codec.py
-    now decodes it — see tests/test_png_codec.py.)"""
-    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64
-    df = spark.createDataFrame([(1, bytearray(jpeg))], "media_id long, content binary")
+def test_av_codec_formats_hit_codec_gate(spark):
+    """MP4/Matroska/Ogg/MP3 payloads must fail loudly with the
+    documented NotImplementedError — never fake output. (PNG left
+    this gate in r5a, JPEG/GIF/BMP in r5b: from-spec decoders in
+    operators/{png,jpeg,gif,bmp}_codec.py now decode them.)"""
+    mp4 = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64
+    df = spark.createDataFrame([(1, bytearray(mp4))], "media_id long, content binary")
     with pytest.raises(Exception, match="NotImplementedError|no codec available"):
         mm.decode_media(df).collect()
     with pytest.raises(NotImplementedError, match="no codec"):
-        mm._sniff(b"GIF89a" + b"\x00" * 16)
+        mm._sniff(b"\x1aE\xdf\xa3" + b"\x00" * 16)  # Matroska
     assert mm._sniff(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16) == "png"
+    assert mm._sniff(b"\xff\xd8\xff\xe0" + b"\x00" * 16) == "jpeg"
+    assert mm._sniff(b"GIF89a" + b"\x00" * 16) == "gif"
+    assert mm._sniff(b"BM" + b"\x00" * 16) == "bmp"
 
 
 def test_audio_energy_windows_true_rms(spark, media):
@@ -194,3 +197,131 @@ def test_arrow_decode_equals_pandas_decode(spark):
     a = {r.media_id: r.asDict() for r in mm.decode_media(media).collect()}
     b = {r.media_id: r.asDict() for r in mm.decode_media_arrow(media).collect()}
     assert a == b
+
+
+def _cross_container_df(spark):
+    """One deterministic 24x32 pixel array shipped through FIVE image
+    containers (+ a 64-color quantized copy for GIF's palette bound)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from lime_etl_spark.operators.bmp_codec import encode_bmp
+    from lime_etl_spark.operators.gif_codec import encode_gif
+    from lime_etl_spark.operators.jpeg_codec import encode_jpeg
+    from lime_etl_spark.operators.png_codec import encode_png
+
+    px = np.frombuffer(mm._payload(4242, 24 * 32 * 3), dtype=np.uint8).reshape(
+        24, 32, 3
+    )
+    quant = (px // 128) * 128 + 64  # 2 levels/channel = 8 colors → GIF-safe
+    payloads = {
+        1: (b"P6\n32 24\n255\n" + px.tobytes(), "lossless"),
+        2: (encode_png(px), "lossless"),
+        3: (encode_bmp(px), "lossless"),
+        4: (encode_jpeg(px, quality=92), "lossy"),
+        5: (encode_gif(quant), "quantized"),
+        6: (b"P6\n32 24\n255\n" + quant.tobytes(), "quantized"),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v[0])) for k, (v) in payloads.items()],
+        "media_id long, content binary",
+    )
+    return df, payloads, px, quant
+
+
+def test_decode_media_cross_container_dims(spark):
+    df, payloads, _px, _q = _cross_container_df(spark)
+    rows = {r["media_id"]: r for r in mm.decode_media(df).collect()}
+    assert len(rows) == len(payloads)
+    for mid, r in rows.items():
+        assert r["media_type"] == "image"
+        assert (r["width"], r["height"]) == (32, 24), mid
+
+
+def test_lossless_containers_same_features_and_ahash(spark):
+    """PPM, PNG and BMP of the SAME pixels must produce IDENTICAL
+    features and a-hashes; GIF (quantized copy) must match the PPM of
+    the same quantized pixels; JPEG must land within quantization
+    distance of the lossless feature vector."""
+    df, _payloads, _px, _q = _cross_container_df(spark)
+    feats = {
+        r["media_id"]: r["features"]
+        for r in mm.extract_features(df, dim=8).collect()
+    }
+    assert feats[1] == feats[2] == feats[3]
+    assert feats[5] == feats[6]
+    lossless = np.array(feats[1])
+    jpeg = np.array(feats[4])
+    assert np.abs(lossless - jpeg).max() < 0.02
+    hashes = {r["media_id"]: r["ahash"] for r in mm.media_ahash(df).collect()}
+    assert hashes[1] == hashes[2] == hashes[3]
+    assert hashes[5] == hashes[6]
+
+
+def test_resize_reemits_source_container(spark):
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.operators.bmp_codec import decode_bmp
+    from lime_etl_spark.operators.gif_codec import decode_gif
+    from lime_etl_spark.operators.jpeg_codec import decode_jpeg
+
+    df, payloads, _px, _q = _cross_container_df(spark)
+    wide = df.select(
+        "media_id",
+        F.lit("image").alias("media_type"),
+        "content",
+        F.struct(
+            F.lit(32).alias("width"),
+            F.lit(24).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("mixed").alias("codec"),
+        ).alias("meta"),
+    )
+    out = {r["media_id"]: bytes(r["content"]) for r in mm.resize_images(wide, 8, 8).collect()}
+    assert out[1][:2] == b"P6"
+    assert out[2][:8] == b"\x89PNG\r\n\x1a\n"
+    assert out[3][:2] == b"BM"
+    assert out[4][:2] == b"\xff\xd8"
+    assert out[5][:6] in (b"GIF87a", b"GIF89a")
+    # and each re-emitted payload decodes to 8x8
+    assert decode_bmp(out[3])[:2] == (8, 8)
+    assert decode_jpeg(out[4])[:2] == (8, 8)
+    w, h, frames = decode_gif(out[5])
+    assert (w, h, len(frames)) == (8, 8, 1)
+
+
+def test_animated_gif_reports_frames_and_duration(spark):
+    from lime_etl_spark.operators.gif_codec import encode_gif
+
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    frames = [(50, pal[rng.integers(0, 16, (10, 12))]) for _ in range(4)]
+    df = spark.createDataFrame(
+        [(9, bytearray(encode_gif(frames)))], "media_id long, content binary"
+    )
+    r = mm.decode_media(df).collect()[0]
+    assert r["media_type"] == "image"
+    assert (r["width"], r["height"]) == (12, 10)
+    assert r["n_frames"] == 4
+    assert r["duration_ms"] == 200
+
+
+def test_mm_codec_matrix_invariants(spark, sf_dir):
+    from lime_etl_spark.plans.registry import get
+
+    rows = {r["codec"]: r for r in get("mm_codec_matrix").builder(spark, sf_dir).collect()}
+    assert set(rows) == {"netpbm", "png", "bmp", "jpeg", "gif"}
+    for codec, r in rows.items():
+        assert r["n_images"] == 96
+        assert r["n_dim_mismatch"] == 0, codec
+        assert r["total_bytes"] > 0
+    # lossless containers read back bit-identical features & hashes
+    for codec in ("netpbm", "png", "bmp", "gif"):
+        assert rows[codec]["max_feat_delta"] == 0.0, codec
+        assert rows[codec]["n_ahash_mismatch"] == 0, codec
+    # JPEG pays bounded quantization error, not garbage
+    assert 0.0 < rows["jpeg"]["max_feat_delta"] < 0.05
+    # PNG/GIF beat raw PPM on the quantized fixture (entropy coding works)
+    assert rows["png"]["total_bytes"] < rows["netpbm"]["total_bytes"]
+    assert rows["gif"]["total_bytes"] < rows["netpbm"]["total_bytes"]
