@@ -192,3 +192,113 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB argument (one corpus-proportional shuffle, then bounded
     per-round work with one-row model-state collects)."""
     return bpe_merge_table(load_table(spark, sf_dir, "documents"))
+
+
+def _fertility_row(words: DataFrame) -> tuple[int, int, int]:
+    """(vocab_syms, total_words, total_tokens) of a symbolized
+    word-frequency table — three exact int64 scalars."""
+    parts = words.select(
+        F.split(F.expr("btrim(sym, '()')"), "\\)\\(").alias("parts"), "cnt"
+    )
+    a = parts.agg(
+        F.sum(F.col("cnt") * F.size("parts")).cast("bigint").alias("toks"),
+        F.sum("cnt").cast("bigint").alias("wrds"),
+    ).collect()[0]
+    v = (
+        parts.select(F.explode("parts").alias("s"))
+        .agg(F.countDistinct("s").cast("bigint").alias("v"))
+        .collect()[0]["v"]
+    )
+    return int(v), int(a["wrds"]), int(a["toks"])
+
+
+def bpe_fertility_table(
+    docs: DataFrame, rounds: int = BPE_ROUNDS, vocab_limit: int = BPE_VOCAB_LIMIT
+) -> DataFrame:
+    """Re-run the merge training and measure, after every round, what
+    the tokenizer team actually reads off a BPE run: symbol-vocabulary
+    size, total corpus tokens, and tokens-per-word (fertility). Row 0
+    is the character baseline. If the vocabulary merges to fixpoint
+    before `rounds`, the remaining rows repeat the fixpoint (the curve
+    flattens, it never truncates) — mirrored by the oracle's
+    never-matching sentinel needle."""
+    spark = docs.sparkSession
+    base = _word_symbols(docs, vocab_limit).persist()
+    base.count()
+    words = base
+    rows = []
+    v, wrds, toks = _fertility_row(words)
+    rows.append((0, v, wrds, toks, toks / wrds if wrds else 0.0))
+    for r in range(1, rounds + 1):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.col("pc").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if best:
+            pair = best[0]["pair"]
+            merged = "(" + pair[1:-1].replace(")(", "") + ")"
+            words = words.select(
+                F.replace(F.col("sym"), F.lit(pair), F.lit(merged)).alias("sym"),
+                "cnt",
+            )
+        v, wrds, toks = _fertility_row(words)
+        rows.append((r, v, wrds, toks, toks / wrds if wrds else 0.0))
+    base.unpersist()
+    out = spark.createDataFrame(
+        rows,
+        "round int, vocab_syms bigint, total_words bigint, "
+        "total_tokens bigint, tokens_per_word double",
+    )
+    return out.orderBy("round")
+
+
+def bpe_fertility_oracle_sql(
+    rounds: int = BPE_ROUNDS, vocab_limit: int = BPE_VOCAB_LIMIT
+) -> str:
+    """Unrolled replay of bpe_fertility_table: the same w0..wN chain
+    as bpe_oracle_sql plus one fertility aggregate per round. chr(1)
+    is the never-matching needle when a round has no pairs left."""
+    base = bpe_oracle_sql(rounds, vocab_limit)
+    ctes = base[len("WITH ") : base.index("\nSELECT * FROM (")]
+    # harden the w{r} CTEs against empty b{r} (scalar subquery -> NULL)
+    for r in range(1, rounds + 1):
+        ctes = ctes.replace(
+            f"replace(sym, (SELECT pair FROM b{r}),",
+            f"replace(sym, coalesce((SELECT pair FROM b{r}), chr(1)),",
+        ).replace(
+            f"(SELECT '(' || replace(trim(pair, '()'), ')(', '') || ')' FROM b{r})",
+            f"coalesce((SELECT '(' || replace(trim(pair, '()'), ')(', '') || ')' FROM b{r}), chr(1))",
+        )
+    finals = []
+    for r in range(0, rounds + 1):
+        finals.append(
+            f"""SELECT CAST({r} AS INTEGER) AS round,
+       (SELECT CAST(COUNT(DISTINCT s) AS BIGINT)
+        FROM (SELECT unnest(string_split(trim(sym, '()'), ')(')) AS s FROM w{r})) AS vocab_syms,
+       CAST(SUM(cnt) AS BIGINT) AS total_words,
+       CAST(SUM(cnt * len(string_split(trim(sym, '()'), ')('))) AS BIGINT) AS total_tokens,
+       CAST(SUM(cnt * len(string_split(trim(sym, '()'), ')('))) AS DOUBLE)
+         / CAST(SUM(cnt) AS BIGINT) AS tokens_per_word
+FROM w{r}"""
+        )
+    return (
+        "WITH " + ctes + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\n) ORDER BY round"
+    )
+
+
+@register(
+    "txt_bpe_fertility",
+    oracle=bpe_fertility_oracle_sql(),
+    description="BPE compression curve: vocab size, total tokens and tokens-per-word after each merge round (round 0 = char baseline)",
+)
+def txt_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured payoff of txt_bpe_train: how much each merge
+    round compresses the corpus (fertility curve) and what it costs
+    in vocabulary size — the two axes every tokenizer budget trades.
+    Same bounded per-round jobs as the trainer; the only
+    data-proportional work is the single word-frequency shuffle."""
+    return bpe_fertility_table(load_table(spark, sf_dir, "documents"))

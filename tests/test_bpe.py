@@ -122,3 +122,77 @@ def test_vocab_limit_is_deterministic(spark):
     # surviving vocab {ay, xy}: best pair is (a,y) on tie-break
     assert (got["left_sym"], got["right_sym"]) == ("a", "y")
     assert got["pair_count"] == 2
+
+
+def _reference_fertility(word_counts: dict[str, int], rounds: int):
+    """Fertility rows derived from the independent list-based
+    reference: re-run reference merges, measuring after each round."""
+    vocab = {w: (list(w), c) for w, c in word_counts.items()}
+
+    def measure(r):
+        syms = set()
+        toks = wrds = 0
+        for s, c in vocab.values():
+            syms.update(s)
+            toks += c * len(s)
+            wrds += c
+        return (r, len(syms), wrds, toks, toks / wrds)
+
+    rows = [measure(0)]
+    merges = _reference_bpe(word_counts, rounds)
+    mi = 0
+    for r in range(1, rounds + 1):
+        if mi < len(merges):
+            _r, a, b, _m, _pc = merges[mi]
+            mi += 1
+            for w, (s, c) in vocab.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                vocab[w] = (out, c)
+        rows.append(measure(r))
+    return rows
+
+
+def test_fertility_matches_reference(spark):
+    from lime_etl_spark.operators.bpe import bpe_fertility_table
+
+    wc = {"lower": 5, "flower": 4, "newest": 6, "widest": 3, "low": 7}
+    got = [tuple(r) for r in bpe_fertility_table(_docs_df(spark, wc), rounds=5).collect()]
+    want = _reference_fertility(wc, 5)
+    assert [g[:4] for g in got] == [w[:4] for w in want]
+    for g, w in zip(got, want):
+        assert g[4] == pytest.approx(w[4], abs=1e-12)
+
+
+def test_fertility_invariants(spark):
+    from lime_etl_spark.operators.bpe import bpe_fertility_table
+
+    wc = {"abcd": 4, "bcda": 3, "dcba": 2}
+    rows = bpe_fertility_table(_docs_df(spark, wc), rounds=4).collect()
+    assert rows[0]["total_tokens"] == sum(len(w) * c for w, c in wc.items())
+    assert len({r["total_words"] for r in rows}) == 1
+    toks = [r["total_tokens"] for r in rows]
+    assert all(a >= b for a, b in zip(toks, toks[1:]))  # monotone compression
+    assert all(rows[i + 1]["vocab_syms"] <= rows[i]["vocab_syms"] + 1 for i in range(len(rows) - 1))
+
+
+def test_fertility_flattens_at_fixpoint_like_oracle(spark):
+    import duckdb
+
+    from lime_etl_spark.operators.bpe import bpe_fertility_oracle_sql, bpe_fertility_table
+
+    wc = {"ab": 3}  # fully merged after round 1; rounds 2-3 flatten
+    sdf = bpe_fertility_table(_docs_df(spark, wc), rounds=3).toPandas()
+    assert len(sdf) == 4
+    assert sdf["total_tokens"].tolist() == [6, 3, 3, 3]
+    con = duckdb.connect()
+    text = " ".join(["ab"] * 3)
+    con.execute(f"CREATE VIEW documents AS SELECT 0 AS doc_id, '{text}' AS text")
+    odf = con.execute(bpe_fertility_oracle_sql(rounds=3)).fetchdf()
+    assert sdf.values.tolist() == odf.values.tolist()

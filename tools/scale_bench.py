@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Data-bound scale evidence (r4 verdict #6, beyond the per-query
+data_metrics already in bench.py).
+
+The local sf0.1 bench is overhead-bound: 10x the data moves the
+headline total ~2x, so wall seconds alone say little about 100 TB
+behavior. This tool makes the data term dominant and measures it:
+
+- Build a k-times corpus in /tmp by replicating the FACT tables
+  (lineitem+orders with consistently shifted order keys; events with
+  shifted event ids and users; documents/embeddings with shifted
+  ids) while DIMENSIONS stay fixed — exactly how a real warehouse
+  grows toward 100 TB (facts scale, dims don't). Replication happens
+  IN SPARK (read -> union of key-shifted selects -> write), so the
+  builder itself is the distributed ingest path.
+- Time a data-bound query set at k=1 and k=K (warm once, median of
+  3) and report the wall ratio against the k-fold data ratio. Plans
+  whose ratio tracks k are data-bound (scan/agg/shuffle-dominated) —
+  the property that predicts the 1000-executor behavior; ratios far
+  below k mean fixed overhead still dominates that query at this
+  scale.
+
+Timing-only: correctness at these scales is already covered by the
+sf0.01 oracle sweep; nothing here feeds CORRECTNESS artifacts.
+
+Usage: python tools/scale_bench.py [K] [SRC_SF_DIR]
+Writes SCALE_r{N}.json-style line to stdout; the round snapshot
+commits it as SCALE_r5.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+FACTS = {
+    # table -> key columns shifted by i * (max+1) per replica
+    "lineitem": ("l_orderkey",),
+    "orders": ("o_orderkey",),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+DIMS = ("region", "nation", "customer", "supplier", "part")
+
+# Data-bound slice of the registry: fact-scan/agg/join shapes whose
+# input grows k-fold under fact replication; value = driving fact
+# table (for marginal-cost-per-row reporting).
+QUERIES = {
+    "q1_pricing_summary": "lineitem",
+    "q6_revenue_forecast": "lineitem",
+    "q14_promo_effect": "lineitem",
+    "q18_large_orders": "lineitem",
+    "q3_shipping_priority": "lineitem",
+    "q_ship_lag_percentiles": "lineitem",
+    "ev_daily_kpis": "events",
+    "ev_sessionize": "events",
+    "txt_quality_score": "documents",
+    "dedup_exact": "documents",
+}
+
+
+def build_scaled(spark: SparkSession, src: str, out: str, k: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    for t in DIMS:
+        shutil.copyfile(
+            os.path.join(src, f"{t}.parquet"), os.path.join(out, f"{t}.parquet")
+        )
+    for t, keys in FACTS.items():
+        df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        shifts = {c: df.agg(F.max(c)).collect()[0][0] + 1 for c in keys}
+        copies = [
+            df.select(
+                *[
+                    (F.col(c) + F.lit(i * shifts[c])).alias(c) if c in keys else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            for i in range(k)
+        ]
+        union = copies[0]
+        for c in copies[1:]:
+            union = union.unionByName(c)
+        union.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+
+
+def _median(run, n: int) -> float:
+    run()  # warm: parquet footers, codegen, broadcast caches
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        run()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    from lime_etl_spark.plans.registry import all_queries, hygienic
+
+    base = "/tmp/sparkgraft_scale"
+    dirs = {1: os.path.join(base, "k1"), k: os.path.join(base, f"k{k}")}
+    for kk, d in dirs.items():
+        if not os.path.isdir(os.path.join(d, "lineitem.parquet")):
+            build_scaled(spark, src, d, kk)
+
+    registry = all_queries()
+    fact_rows = {
+        t: spark.read.parquet(os.path.join(dirs[1], f"{t}.parquet")).count()
+        for t in set(QUERIES.values())
+    }
+    out: dict[str, dict] = {}
+    for name, fact in QUERIES.items():
+        if name not in registry:
+            continue
+        builder = hygienic(registry[name].builder)
+        row: dict[str, float] = {}
+        for kk, d in dirs.items():
+            def run(d=d, builder=builder):
+                builder(spark, d).write.mode("overwrite").format("noop").save()
+
+            row[f"k{kk}_sec"] = _median(run, 3)
+        row["ratio"] = round(row[f"k{k}_sec"] / row["k1_sec"], 2)
+        # the number that extrapolates: wall-time increase per extra
+        # input row, with each query's fixed overhead subtracted out
+        extra_rows = fact_rows[fact] * (k - 1)
+        row["fact_rows_k1"] = fact_rows[fact]
+        row["marginal_ns_per_row"] = round(
+            (row[f"k{k}_sec"] - row["k1_sec"]) * 1e9 / extra_rows, 1
+        )
+        out[name] = row
+    total1 = round(sum(r["k1_sec"] for r in out.values()), 4)
+    totalk = round(sum(r[f"k{k}_sec"] for r in out.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_leg_total",
+                "k": k,
+                "src_sf": src.rstrip("/").rsplit("sf", 1)[-1],
+                "total_k1_sec": total1,
+                f"total_k{k}_sec": totalk,
+                "total_ratio": round(totalk / total1, 2),
+                "queries": out,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
