@@ -1187,3 +1187,138 @@ def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("final_status")
     )
+
+
+# ---------------------------------------------------------------------------
+# data-layout planning: Z-order clustering effectiveness
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16  # per-key rank resolution (32-bit Morton code)
+_Z_BUCKETS = 64  # modeled file count
+
+
+def _zorder_exprs() -> dict[str, str]:
+    """Engine-specific but semantically identical integer expressions:
+    Morton-interleave two 16-bit scaled keys into one 32-bit z-code.
+    Spark spells bit shifts shiftleft/shiftright; DuckDB uses <</>>.
+    Both operate on exact int64."""
+    spark_terms, duck_terms = [], []
+    for i in range(_Z_BITS):
+        spark_terms.append(f"shiftleft(shiftright(xk, {i}) & 1, {2 * i})")
+        spark_terms.append(f"shiftleft(shiftright(yk, {i}) & 1, {2 * i + 1})")
+        duck_terms.append(f"(((xk >> {i}) & 1) << {2 * i})")
+        duck_terms.append(f"(((yk >> {i}) & 1) << {2 * i + 1})")
+    return {"spark": " + ".join(spark_terms), "duck": " + ".join(duck_terms)}
+
+
+_ZORDER_LAYOUTS = ("natural", "keysort", "zorder")
+
+
+def _zorder_oracle_sql() -> str:
+    z = _zorder_exprs()["duck"]
+    dom = 1 << _Z_BITS
+    legs = []
+    bucket_by = {
+        "natural": f"(ok * {_Z_BUCKETS}) // (SELECT MAX(l_orderkey) + 1 FROM lineitem)",
+        "keysort": f"(xk * {_Z_BUCKETS}) >> {_Z_BITS}",
+        "zorder": f"(({z}) * {_Z_BUCKETS}) >> {2 * _Z_BITS}",
+    }
+    for layout in _ZORDER_LAYOUTS:
+        for col, key in (("partkey", "xk"), ("suppkey", "yk")):
+            legs.append(
+                f"""SELECT '{layout}' AS layout, '{col}' AS probe_col,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(span) AS BIGINT) AS sum_span,
+       CAST(SUM(span) AS DOUBLE) / ({dom}::BIGINT * COUNT(*)) AS avg_bucket_frac
+FROM (
+  SELECT {bucket_by[layout]} AS bucket, MAX({key}) - MIN({key}) + 1 AS span
+  FROM scaled GROUP BY 1
+)"""
+            )
+    return (
+        f"""WITH scaled AS MATERIALIZED (
+  SELECT l_orderkey AS ok,
+         (l_partkey * {dom}) // (SELECT MAX(l_partkey) + 1 FROM lineitem) AS xk,
+         (l_suppkey * {dom}) // (SELECT MAX(l_suppkey) + 1 FROM lineitem) AS yk
+  FROM lineitem
+)
+SELECT * FROM (
+"""
+        + "\nUNION ALL\n".join(legs)
+        + "\n) ORDER BY layout, probe_col"
+    )
+
+
+@register(
+    "etl_zorder_layout",
+    oracle=_zorder_oracle_sql(),
+    description="Z-order clustering decision table: expected min/max-pruning fraction per probe column under natural / single-key-sort / Morton layouts",
+)
+def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout planning for scan pruning — the decision a
+    lakehouse table-optimizer makes before rewriting a 100 TB fact:
+    cluster by ONE key (perfect pruning on it, none on others) or by
+    a Morton/Z-order interleave (good pruning on BOTH filter columns).
+
+    Models `repartitionByRange` into `_Z_BUCKETS` files purely with
+    value arithmetic (bucket = scaled-key-prefix — no global sort, no
+    window, no shuffle beyond one B-row partial agg per layout): for
+    each layout it aggregates per-bucket min/max spans of both keys
+    and reports the expected fraction of files a uniform point probe
+    on each column must read (sum_span / (domain * n_buckets)) —
+    min/max file skipping is exactly a span test. Everything is exact
+    int64 (keys scaled to 16-bit ranks by integer division; 32-term
+    interleave expression generated once and shared semantically with
+    the DuckDB oracle); the one double division is the final ratio.
+
+    At scale: z-codes are pure codegen over the scan; the layout
+    write itself would be `repartitionByRange(z)` + sortWithinPartitions,
+    with this table telling you whether it pays before you burn the
+    rewrite."""
+    dom = 1 << _Z_BITS
+    li = load_table(spark, sf_dir, "lineitem")
+    maxes = li.agg(
+        F.max("l_orderkey").alias("mo"),
+        F.max("l_partkey").alias("mp"),
+        F.max("l_suppkey").alias("ms"),
+    ).collect()[0]
+    # integer division semantics: (a * dom) DIV (max+1) — Spark's `/`
+    # is double division, so the scaling must use DIV to replay exactly
+    scaled = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.expr(f"CAST(l_partkey * {dom} DIV {int(maxes['mp']) + 1} AS BIGINT)").alias("xk"),
+        F.expr(f"CAST(l_suppkey * {dom} DIV {int(maxes['ms']) + 1} AS BIGINT)").alias("yk"),
+    ).persist()
+    z = _zorder_exprs()["spark"]
+    bucket_by = {
+        "natural": f"CAST(ok * {_Z_BUCKETS} DIV {int(maxes['mo']) + 1} AS BIGINT)",
+        "keysort": f"shiftright(xk * {_Z_BUCKETS}, {_Z_BITS})",
+        "zorder": f"shiftright(({z}) * {_Z_BUCKETS}, {2 * _Z_BITS})",
+    }
+    legs = []
+    for layout in _ZORDER_LAYOUTS:
+        spans = (
+            scaled.select(F.expr(bucket_by[layout]).alias("bucket"), "xk", "yk")
+            .groupBy("bucket")
+            .agg(
+                (F.max("xk") - F.min("xk") + 1).alias("span_x"),
+                (F.max("yk") - F.min("yk") + 1).alias("span_y"),
+            )
+        )
+        for col, span in (("partkey", "span_x"), ("suppkey", "span_y")):
+            legs.append(
+                spans.agg(
+                    F.lit(layout).alias("layout"),
+                    F.lit(col).alias("probe_col"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+                    F.sum(span).cast("bigint").alias("sum_span"),
+                    (
+                        F.sum(span).cast("double")
+                        / (F.lit(dom).cast("bigint") * F.count(F.lit(1)))
+                    ).alias("avg_bucket_frac"),
+                )
+            )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("layout", "probe_col")

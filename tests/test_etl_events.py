@@ -78,3 +78,45 @@ def test_sketch_accuracy_within_documented_bounds(spark, sf_dir):
     assert rows["p95_order_value"]["rel_err"] <= 0.01
     for r in rows.values():
         assert r["exact_value"] > 0 and r["approx_value"] > 0
+
+
+def test_zorder_exprs_interleave_bits(spark):
+    """Morton interleave unit check: x bits land on even positions,
+    y bits on odd — verified through the actual Spark expression."""
+    from lime_etl_spark.operators.etl import _zorder_exprs
+
+    z = _zorder_exprs()["spark"]
+    rows = spark.createDataFrame(
+        [(3, 0), (0, 3), (1, 1), (65535, 0), (0, 65535)], "xk long, yk long"
+    ).selectExpr(f"xk", "yk", f"({z}) AS z").collect()
+    got = {(r["xk"], r["yk"]): r["z"] for r in rows}
+    assert got[(3, 0)] == 0b0101
+    assert got[(0, 3)] == 0b1010
+    assert got[(1, 1)] == 0b11
+    assert got[(65535, 0)] == 0x55555555
+    assert got[(0, 65535)] == 0xAAAAAAAA
+
+
+def test_zorder_layout_decision_table(spark, sf_dir):
+    """The table must reproduce the textbook layout trade-off:
+    single-key sort prunes its own column near-perfectly and the other
+    not at all; Z-order prunes BOTH well; natural order prunes
+    neither."""
+    from lime_etl_spark.plans.registry import get
+
+    rows = {
+        (r["layout"], r["probe_col"]): r
+        for r in get("etl_zorder_layout").builder(spark, sf_dir).collect()
+    }
+    assert len(rows) == 6
+    assert rows[("keysort", "partkey")]["avg_bucket_frac"] < 0.05
+    assert rows[("keysort", "suppkey")]["avg_bucket_frac"] > 0.8
+    assert rows[("natural", "partkey")]["avg_bucket_frac"] > 0.8
+    assert rows[("natural", "suppkey")]["avg_bucket_frac"] > 0.8
+    for col in ("partkey", "suppkey"):
+        z = rows[("zorder", col)]["avg_bucket_frac"]
+        assert z < 0.3, col
+        assert z < rows[("natural", col)]["avg_bucket_frac"] / 3, col
+    # exact-arithmetic invariant: frac == sum_span / (2^16 * n_buckets)
+    for r in rows.values():
+        assert r["avg_bucket_frac"] == r["sum_span"] / (65536 * r["n_buckets"])
