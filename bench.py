@@ -271,7 +271,7 @@ def main() -> None:
         _write_delta(
             repo,
             medians,
-            bests,
+            {**bests, **heavy_best},  # heavy rows get their best column too
             heavy,
             float(sf) if sf.replace(".", "").isdigit() else sf,
         )

@@ -266,3 +266,43 @@ def encode_gif(frames: list[tuple[int, np.ndarray]] | np.ndarray) -> bytes:
         out.append(0)
     out += b"\x3b"
     return bytes(out)
+
+
+def gif_info(raw: bytes) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, total_duration_ms) by WALKING the
+    block structure only — no LZW decode, no compositing; the metadata
+    stage of a media sweep needs the container skeleton, not pixels."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _aspect = struct.unpack_from("<HHBBB", raw, 6)
+    pos = 13
+    if flags & 0x80:
+        pos += (2 << (flags & 7)) * 3
+    n_frames = 0
+    duration_ms = 0
+    while pos < len(raw):
+        block = raw[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = raw[pos + 1]
+            pos += 2
+            if label == 0xF9:
+                _packed, delay_cs, _tix = struct.unpack_from("<BHB", raw, pos + 1)
+                duration_ms += delay_cs * 10
+            while raw[pos]:
+                pos += 1 + raw[pos]
+            pos += 1
+        elif block == 0x2C:
+            _l, _t, _iw, _ih, iflags = struct.unpack_from("<HHHHB", raw, pos + 1)
+            pos += 10
+            if iflags & 0x80:
+                pos += (2 << (iflags & 7)) * 3
+            pos += 1  # LZW min code size
+            while raw[pos]:
+                pos += 1 + raw[pos]  # skip data sub-blocks unread
+            pos += 1
+            n_frames += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    return w, h, n_frames, duration_ms

@@ -291,6 +291,14 @@ def decode_jpeg(raw: bytes) -> tuple[int, int, int, np.ndarray]:
     h, w, comps = frame
     if len(comps) not in (1, 3):
         raise NotImplementedError(f"{len(comps)}-component JPEG not supported")
+    if len(scan) != len(comps):
+        # legal baseline files MAY ship one SOS per component
+        # (non-interleaved); decoding that against interleaved-MCU
+        # geometry would silently produce garbage — gate loudly instead
+        raise NotImplementedError(
+            "non-interleaved multi-scan baseline JPEG not supported "
+            f"(scan covers {len(scan)} of {len(comps)} components)"
+        )
 
     # split entropy-coded data into restart segments, de-stuffing 0xFF00
     segments: list[bytes] = []
@@ -554,3 +562,32 @@ def encode_jpeg(
     out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def jpeg_dims(raw: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from the SOF header ALONE — the
+    metadata stage must not pay a full Python Huffman+IDCT decode per
+    payload (pixel-touching stages still decode and validate)."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {pos}")
+        marker = raw[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", raw, pos + 2)
+        if marker in (0xC0, 0xC1):
+            h, w = struct.unpack_from(">HH", raw, pos + 5)
+            return w, h, raw[pos + 9]
+        if marker in _SOF_GATES:
+            raise NotImplementedError(f"{_SOF_GATES[marker]} not supported")
+        if marker == 0xDA:
+            break  # scan data before any SOF: malformed
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOF header")

@@ -365,19 +365,34 @@ def _decode_one(media_id: int, content: bytes) -> dict:
         "n_bytes": len(raw),
         "checksum": hashlib.md5(raw).hexdigest(),
     }
-    if kind in ("netpbm", "png", "jpeg", "bmp"):
-        w, h, _ch, _px = _decode_image(raw)
+    # metadata stage: dims come from STRUCTURAL headers (SOF/IHDR/
+    # logical screen descriptor — still parsed from the bytes, never
+    # from caller metadata) so decode_media doesn't pay a full
+    # Python pixel decode per payload; the pixel-touching stages
+    # (features/resize/ahash) run the full decoders and their gates.
+    if kind == "netpbm":
+        w, h, _ch, _px = _parse_netpbm(raw)
+        out.update(media_type="image", width=w, height=h)
+    elif kind == "png":
+        from lime_etl_spark.operators.png_codec import png_dims
+
+        w, h = png_dims(raw)
+        out.update(media_type="image", width=w, height=h)
+    elif kind == "jpeg":
+        from lime_etl_spark.operators.jpeg_codec import jpeg_dims
+
+        w, h, _nc = jpeg_dims(raw)
+        out.update(media_type="image", width=w, height=h)
+    elif kind == "bmp":
+        w, h, _ch, _px = decode_bmp(raw)  # numpy slicing: already cheap
         out.update(media_type="image", width=w, height=h)
     elif kind == "gif":
-        from lime_etl_spark.operators.gif_codec import decode_gif
+        from lime_etl_spark.operators.gif_codec import gif_info
 
-        w, h, frames = decode_gif(raw)
+        w, h, n_frames, duration_ms = gif_info(raw)
         out.update(media_type="image", width=w, height=h)
-        if len(frames) > 1:  # animated: report real frame count/duration
-            out.update(
-                n_frames=len(frames),
-                duration_ms=sum(d for d, _f in frames),
-            )
+        if n_frames > 1:  # animated: report real frame count/duration
+            out.update(n_frames=n_frames, duration_ms=duration_ms)
     elif kind == "wav":
         rate, dur, _s = _parse_wav(raw)
         out.update(media_type="audio", sample_rate=rate, duration_ms=dur)

@@ -159,3 +159,21 @@ def encode_png(px: np.ndarray) -> bytes:
         + _chunk(b"IDAT", zlib.compress(bytes(body), 6))
         + _chunk(b"IEND", b"")
     )
+
+
+def png_dims(raw: bytes) -> tuple[int, int]:
+    """(width, height) from the CRC-verified IHDR alone — no IDAT
+    inflate, no filter pass; pixel-touching stages still run the full
+    decoder and its gates."""
+    if raw[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    (length,) = struct.unpack_from(">I", raw, 8)
+    ctype = raw[12:16]
+    if ctype != b"IHDR":
+        raise ValueError("PNG first chunk is not IHDR")
+    data = raw[16 : 16 + length]
+    (crc,) = struct.unpack_from(">I", raw, 16 + length)
+    if crc32(ctype + data) & 0xFFFFFFFF != crc:
+        raise ValueError("PNG IHDR CRC mismatch")
+    width, height = struct.unpack_from(">II", data, 0)
+    return width, height

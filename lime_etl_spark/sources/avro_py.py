@@ -246,11 +246,15 @@ def encode_value(t: AvroType, v: Any, out: io.BytesIO) -> None:
     elif k in ("int", "long"):
         if t.logical == "timestamp-micros":
             if v.tzinfo is None:
-                v = v.replace(tzinfo=timezone.utc)
+                # Spark hands executors naive datetimes in the OS-local
+                # timezone (TimestampType.fromInternal); astimezone
+                # interprets naive as local — replace(tzinfo=utc) would
+                # shift the instant by the host UTC offset
+                v = v.astimezone(timezone.utc)
             v = int((v - _EPOCH_DT) // timedelta(microseconds=1))
         elif t.logical == "timestamp-millis":
             if v.tzinfo is None:
-                v = v.replace(tzinfo=timezone.utc)
+                v = v.astimezone(timezone.utc)
             v = int((v - _EPOCH_DT) // timedelta(milliseconds=1))
         elif t.logical == "date":
             v = (v - _EPOCH_DATE).days
@@ -290,10 +294,10 @@ def encode_value(t: AvroType, v: Any, out: io.BytesIO) -> None:
 # --- object container file ------------------------------------------------------
 
 
-def read_avro_records(path: str) -> tuple[dict, Iterator[tuple]]:
-    """(schema_json, record iterator) for one container file."""
-    with open(path, "rb") as fh:
-        buf = fh.read()
+def _parse_header(buf: bytes, path: str) -> tuple[dict[str, bytes], bytes, int]:
+    """(metadata, sync marker, header length) from container bytes.
+    Raises IndexError when ``buf`` is a too-short prefix — callers
+    reading incrementally catch that and fetch more."""
     if buf[:4] != MAGIC:
         raise ValueError(f"not an avro container file: {path}")
     pos = 4
@@ -310,7 +314,35 @@ def read_avro_records(path: str) -> tuple[dict, Iterator[tuple]]:
             vb, pos = read_bytes(buf, pos)
             meta[kb.decode("utf-8")] = vb
     sync = buf[pos : pos + 16]
-    pos += 16
+    if len(sync) != 16:
+        raise IndexError("header truncated before sync marker")
+    return meta, sync, pos + 16
+
+
+def read_avro_header(path: str) -> dict:
+    """Writer schema_json from the container HEADER only — reads the
+    file incrementally (64 KiB, doubling), never the whole file; the
+    schema-inference path must not slurp a multi-GB part file."""
+    size = 1 << 16
+    with open(path, "rb") as fh:
+        buf = b""
+        while True:
+            chunk = fh.read(size - len(buf))
+            buf += chunk
+            try:
+                meta, _sync, _hlen = _parse_header(buf, path)
+                return json.loads(meta["avro.schema"])
+            except IndexError:
+                if not chunk:  # real EOF: genuinely truncated
+                    raise ValueError(f"truncated avro header in {path}") from None
+                size *= 2
+
+
+def read_avro_records(path: str) -> tuple[dict, Iterator[tuple]]:
+    """(schema_json, record iterator) for one container file."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    meta, sync, pos = _parse_header(buf, path)
     schema_json = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
@@ -475,12 +507,27 @@ def spark_schema_to_avro(schema, name: str = "row") -> dict:
 # --- Spark DataSource ------------------------------------------------------------
 
 
-def _avro_files(path: str) -> list[str]:
+def _avro_files(path: str, options: dict | None = None) -> list[str]:
+    """File listing honoring the JVM reader's listing options:
+    pathGlobFilter (fnmatch on the basename), recursiveFileLookup,
+    ignoreExtension (accept files without .avro)."""
+    # Spark's Python DataSource lowercases option keys — normalize so
+    # callers can use the JVM reader's camelCase spellings
+    options = {str(k).lower(): v for k, v in (options or {}).items()}
     if os.path.isfile(path):
         return [path]
-    files = sorted(glob.glob(os.path.join(path, "*.avro")))
+    recursive = str(options.get("recursivefilelookup", "false")).lower() == "true"
+    no_ext = str(options.get("ignoreextension", "false")).lower() == "true"
+    pattern = options.get("pathglobfilter") or ("*" if no_ext else "*.avro")
+    if recursive:
+        files = sorted(
+            glob.glob(os.path.join(path, "**", pattern), recursive=True)
+        )
+    else:
+        files = sorted(glob.glob(os.path.join(path, pattern)))
+    files = [f for f in files if os.path.isfile(f)]
     if not files:
-        raise FileNotFoundError(f"no .avro files under {path}")
+        raise FileNotFoundError(f"no matching avro files under {path}")
     return files
 
 
@@ -505,8 +552,9 @@ try:  # the DataSource API needs a pyspark runtime; keep the codec importable wi
             return "avropy"
 
         def schema(self) -> str:
-            schema_json, _ = read_avro_records(_avro_files(self.options["path"])[0])
-            return avro_schema_to_ddl(schema_json)
+            # header-only schema inference: never slurps the data blocks
+            first = _avro_files(self.options["path"], self.options)[0]
+            return avro_schema_to_ddl(read_avro_header(first))
 
         def reader(self, schema) -> "AvroFileReader":
             return AvroFileReader(self.options, [f.name for f in schema.fields])
@@ -514,6 +562,7 @@ try:  # the DataSource API needs a pyspark runtime; keep the codec importable wi
     class AvroFileReader(DataSourceReader):
         def __init__(self, options: dict, field_names: list[str]):
             self.path = options["path"]
+            self.options = dict(options)
             self.field_names = field_names
 
         def partitions(self) -> list[_AvroPartition]:
@@ -521,7 +570,7 @@ try:  # the DataSource API needs a pyspark runtime; keep the codec importable wi
             # file per upstream partition, so a round-trip preserves
             # parallelism; sync-marker block splitting is the upgrade
             # path for single giant files.
-            return [_AvroPartition(p) for p in _avro_files(self.path)]
+            return [_AvroPartition(p) for p in _avro_files(self.path, self.options)]
 
         def read(self, partition: _AvroPartition) -> Iterator[tuple]:
             schema_json, records = read_avro_records(partition.path)
@@ -546,11 +595,13 @@ except ImportError:  # pragma: no cover - pyspark always present in this repo
     AvroFileDataSource = None  # type: ignore[assignment]
 
 
-def write_avro_py(df, path: str, codec: str = "deflate") -> None:
+def write_avro_py(df, path: str, codec: str = "deflate", part_offset: int = 0) -> None:
     """Distributed fallback sink: each partition writes its own
     container file (no driver collect). ``snappy`` maps to
     ``deflate`` — the spec's required codec that stdlib zlib provides;
-    python-snappy is not in the container."""
+    python-snappy is not in the container. ``part_offset`` shifts the
+    part numbering so append-mode writes never collide with a prior
+    write's files."""
     if codec in ("snappy", "zstandard", "bzip2", "xz"):
         codec = "deflate"
     schema_json = spark_schema_to_avro(df.schema)
@@ -559,7 +610,7 @@ def write_avro_py(df, path: str, codec: str = "deflate") -> None:
     def write_part(rows: Iterator) -> None:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        pid = TaskContext.get().partitionId() + part_offset
         it = iter(rows)
         try:
             first = next(it)

@@ -291,6 +291,14 @@ def read_jdbc(
     return reader.load()
 
 
+def _is_missing_avro_module(e: Exception) -> bool:
+    """True only for the specific 'spark-avro jar not on the
+    classpath' AnalysisException — a substring sniff would misroute
+    unrelated failures whose message merely mentions avro (e.g. a
+    schema-evolution error naming an .avro path) into the fallback."""
+    return str(e).lstrip().lower().startswith("failed to find data source: avro")
+
+
 def read_avro(
     spark: SparkSession,
     path: str,
@@ -319,8 +327,8 @@ def read_avro(
             reader = reader.option(k, v)
         return reader.load(path)
     except Exception as e:  # noqa: BLE001 - only the missing-module error falls back
-        if "avro" not in str(e).lower() or "FIND" not in str(e).upper():
-            raise
+        if not _is_missing_avro_module(e):
+            raise  # real read errors (corrupt file, schema mismatch) surface
     from lime_etl_spark.sources.avro_py import (
         _register_avropy,
         avro_schema_to_ddl,
@@ -328,6 +336,17 @@ def read_avro(
 
     _register_avropy(spark)
     reader = spark.read.format("avropy").option("path", path)
+    for k, v in (options or {}).items():
+        # the fallback honors the file-listing options it implements
+        # (avro_py._avro_files) and refuses the rest instead of
+        # silently returning different data than the JVM path would
+        if k in ("pathGlobFilter", "recursiveFileLookup", "ignoreExtension"):
+            reader = reader.option(k, v)
+        else:
+            raise NotImplementedError(
+                f"read_avro option {k!r} is not supported by the pure-Python "
+                "avropy fallback (JVM spark-avro module absent)"
+            )
     if avro_schema is not None:
         import json as _json
 
@@ -363,15 +382,37 @@ def write_avro(
             "partitionBy needs the JVM spark-avro module; the pure-Python "
             "fallback writes one container file per partition"
         )
+    import glob as _glob
     import shutil
 
-    if mode == "overwrite" and os.path.isdir(path):
-        shutil.rmtree(path)
-    elif mode == "error" and os.path.exists(path):
-        raise FileExistsError(path)
     from lime_etl_spark.sources.avro_py import write_avro_py
 
-    write_avro_py(df, path, codec=compression)
+    existing = _glob.glob(os.path.join(path, "*.avro")) if os.path.isdir(path) else []
+    part_offset = 0
+    if mode == "overwrite":
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+    elif mode in ("error", "errorifexists"):
+        if os.path.exists(path):
+            raise FileExistsError(path)
+    elif mode == "ignore":
+        if existing:
+            return  # JVM semantics: existing data wins, write skipped
+    elif mode == "append":
+        # new part numbering starts past the HIGHEST existing index
+        # (not the count: empty partitions write no file, so existing
+        # indexes are sparse and a count-offset could still collide)
+        import re as _re
+
+        taken = [
+            int(m.group(1))
+            for f in existing
+            if (m := _re.search(r"part-(\d+)\.avro$", f))
+        ]
+        part_offset = max(taken) + 1 if taken else 0
+    else:
+        raise ValueError(f"unknown write mode: {mode}")
+    write_avro_py(df, path, codec=compression, part_offset=part_offset)
 
 
 def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:

@@ -221,3 +221,102 @@ def test_spark_avro_events_table_roundtrip(spark, sf_dir, tmp_path):
     x = sorted(map(tuple, ev.collect()))
     y = sorted(map(tuple, back.collect()))
     assert x == y
+
+
+def test_read_avro_header_matches_full_parse(tmp_path):
+    from lime_etl_spark.sources.avro_py import (
+        read_avro_header,
+        read_avro_records,
+        write_avro_records,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "long"}, {"name": "b", "type": "string"}],
+    }
+    p = str(tmp_path / "h.avro")
+    write_avro_records(p, schema, [(i, f"s{i}") for i in range(5000)], codec="deflate")
+    full_schema, _rows = read_avro_records(p)
+    assert read_avro_header(p) == full_schema
+
+
+def test_naive_datetimes_encode_as_local_time_not_utc(tmp_path):
+    """Spark executors hand the writer naive OS-local datetimes; the
+    encoder must interpret them as LOCAL (astimezone), not stamp them
+    UTC — on a non-UTC host that would shift every instant."""
+    import time
+
+    from lime_etl_spark.sources.avro_py import read_avro_records, write_avro_records
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}}
+        ],
+    }
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        naive_local = dt.datetime(2026, 1, 1, 0, 0, 0)  # EST = 05:00Z
+        p = str(tmp_path / "tz.avro")
+        write_avro_records(p, schema, [(naive_local,)], codec="null")
+        _s, rows = read_avro_records(p)
+        (got,) = list(rows)[0]
+        assert got == dt.datetime(2026, 1, 1, 5, 0, 0, tzinfo=dt.timezone.utc)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+
+def test_write_avro_append_and_ignore_modes(spark, tmp_path):
+    from lime_etl_spark.sources.readers import read_avro, write_avro
+
+    out = str(tmp_path / "modes")
+    df1 = spark.range(3).selectExpr("id AS a")
+    df2 = spark.range(3, 7).selectExpr("id AS a")
+    write_avro(df1, out)
+    write_avro(df2, out, mode="append")
+    got = sorted(r["a"] for r in read_avro(spark, out).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6]  # append unions, never clobbers
+    write_avro(spark.range(100).selectExpr("id AS a"), out, mode="ignore")
+    got = sorted(r["a"] for r in read_avro(spark, out).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6]  # ignore leaves existing data
+    with pytest.raises(FileExistsError):
+        write_avro(df1, out, mode="error")
+    # the JVM writer validates the mode string before save(); either
+    # layer rejecting loudly is the contract
+    with pytest.raises(Exception, match="bogus|unknown write mode"):
+        write_avro(df1, out, mode="bogus")
+
+
+def test_read_avro_listing_options(spark, tmp_path):
+    from lime_etl_spark.sources.readers import read_avro, write_avro
+
+    out = str(tmp_path / "opts")
+    write_avro(spark.range(4).selectExpr("id AS a"), out)
+    n_parts = len([f for f in os.listdir(out) if f.endswith(".avro")])
+    assert n_parts >= 2
+    one = sorted(f for f in os.listdir(out) if f.endswith(".avro"))[0]
+    subset = read_avro(spark, out, options={"pathGlobFilter": one}).collect()
+    assert 0 < len(subset) < 4  # the filter really restricted the listing
+    with pytest.raises(NotImplementedError, match="not supported"):
+        read_avro(spark, out, options={"mergeSchema": "true"})
+
+
+def test_missing_module_sniff_is_specific():
+    from lime_etl_spark.sources.readers import _is_missing_avro_module
+
+    assert _is_missing_avro_module(
+        Exception("Failed to find data source: avro. Avro is built-in ...")
+    )
+    # unrelated errors that merely mention avro must NOT reroute
+    assert not _is_missing_avro_module(
+        Exception("Unable to find field x in Avro schema of file find_events.avro")
+    )
+    assert not _is_missing_avro_module(Exception("corrupt block in part-0.avro"))

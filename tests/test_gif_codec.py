@@ -180,3 +180,15 @@ def test_my_decoder_reads_imageio_gif_exactly(spark):
     assert theirs.startswith(b"GIF") and theirs != encode_gif(px)
     _w, _h, frames = decode_gif(theirs)
     assert np.array_equal(frames[0][1], px)
+
+
+def test_gif_info_header_walk_matches_decode():
+    from lime_etl_spark.operators.gif_codec import gif_info
+
+    f1, f2 = _palette_image(10, 12, seed=4), _palette_image(10, 12, seed=5)
+    raw = encode_gif([(40, f1), (120, f2)])
+    assert gif_info(raw) == (12, 10, 2, 160)
+    single = encode_gif(f1)
+    assert gif_info(single) == (12, 10, 1, 0)
+    inter = _hand_gif(_palette_image(13, 9, n_colors=16, seed=8), interlace=True)
+    assert gif_info(inter) == (9, 13, 1, 0)

@@ -179,3 +179,32 @@ def test_my_decoder_reads_imageio_grayscale_jpeg(spark):
     W, H, ch, own = decode_jpeg(theirs)
     assert (W, H, ch) == (19, 17, 1)
     assert np.abs(ref - own[:, :, 0].astype(np.int64)).max() <= 2
+
+
+def test_non_interleaved_multi_scan_gate():
+    # frame declares 3 components, SOS covers only 1: legal baseline
+    # shape my interleaved-MCU decoder cannot render — must be loud
+    sof = struct.pack(">H", 17) + bytes(
+        [8, 0, 16, 0, 16, 3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dqt = struct.pack(">H", 67) + bytes([0]) + bytes([16] * 64)
+    sos = struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    raw = (
+        b"\xff\xd8\xff\xdb" + dqt + b"\xff\xc0" + sof + b"\xff\xda" + sos + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(raw)
+
+
+def test_jpeg_dims_header_only_matches_decode():
+    from lime_etl_spark.operators.jpeg_codec import jpeg_dims
+
+    px = _gradient(21, 34)
+    raw = encode_jpeg(px, quality=88)
+    assert jpeg_dims(raw) == (34, 21, 3)
+    g = encode_jpeg(px[:, :, :1], quality=88)
+    assert jpeg_dims(g) == (34, 21, 1)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_dims(b"BM123456")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg_dims(b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes(9))

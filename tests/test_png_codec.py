@@ -195,3 +195,15 @@ def test_resize_keeps_png_container(spark):
         w, h, ch, _px = decode_png(raw)
         assert (w, h, ch) == (8, 8, 3)
         assert r["meta"]["width"] == 8 and r["meta"]["height"] == 8
+
+
+def test_png_dims_header_only_and_crc_gate():
+    from lime_etl_spark.operators.png_codec import png_dims
+
+    px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    raw = encode_png(px)
+    assert png_dims(raw) == (7, 5)
+    corrupted = bytearray(raw)
+    corrupted[18] ^= 0xFF  # inside IHDR data -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        png_dims(bytes(corrupted))
