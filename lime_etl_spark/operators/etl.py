@@ -1304,6 +1304,10 @@ def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.max("xk") - F.min("xk") + 1).alias("span_x"),
                 (F.max("yk") - F.min("yk") + 1).alias("span_y"),
             )
+            # both probe-column legs read this 64-row rollup: persist so
+            # the bucket aggregation over the fact runs once per layout,
+            # not once per leg
+            .persist()
         )
         for col, span in (("partkey", "span_x"), ("suppkey", "span_y")):
             legs.append(

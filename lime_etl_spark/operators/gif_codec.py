@@ -280,6 +280,7 @@ def gif_info(raw: bytes) -> tuple[int, int, int, int]:
         pos += (2 << (flags & 7)) * 3
     n_frames = 0
     duration_ms = 0
+    pending_ms = 0  # decode_gif semantics: last GCE before a frame wins
     while pos < len(raw):
         block = raw[pos]
         if block == 0x3B:
@@ -289,7 +290,7 @@ def gif_info(raw: bytes) -> tuple[int, int, int, int]:
             pos += 2
             if label == 0xF9:
                 _packed, delay_cs, _tix = struct.unpack_from("<BHB", raw, pos + 1)
-                duration_ms += delay_cs * 10
+                pending_ms = delay_cs * 10
             while raw[pos]:
                 pos += 1 + raw[pos]
             pos += 1
@@ -303,6 +304,8 @@ def gif_info(raw: bytes) -> tuple[int, int, int, int]:
                 pos += 1 + raw[pos]  # skip data sub-blocks unread
             pos += 1
             n_frames += 1
+            duration_ms += pending_ms
+            pending_ms = 0
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     return w, h, n_frames, duration_ms

@@ -525,7 +525,13 @@ def _avro_files(path: str, options: dict | None = None) -> list[str]:
         )
     else:
         files = sorted(glob.glob(os.path.join(path, pattern)))
-    files = [f for f in files if os.path.isfile(f)]
+    # the JVM file index always drops marker/hidden files (_SUCCESS,
+    # .crc, ...) regardless of the glob — match that
+    files = [
+        f
+        for f in files
+        if os.path.isfile(f) and not os.path.basename(f)[:1] in ("_", ".")
+    ]
     if not files:
         raise FileNotFoundError(f"no matching avro files under {path}")
     return files

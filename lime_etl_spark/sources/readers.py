@@ -296,7 +296,12 @@ def _is_missing_avro_module(e: Exception) -> bool:
     classpath' AnalysisException — a substring sniff would misroute
     unrelated failures whose message merely mentions avro (e.g. a
     schema-evolution error naming an .avro path) into the fallback."""
-    return str(e).lstrip().lower().startswith("failed to find data source: avro")
+    msg = str(e).lstrip().lower()
+    if msg.startswith("["):  # strip a leading [ERROR_CLASS] tag
+        msg = msg.split("]", 1)[-1].lstrip()
+    return msg.startswith("failed to find data source: avro") or msg.startswith(
+        "failed to find the data source: avro"
+    )
 
 
 def read_avro(
@@ -340,7 +345,7 @@ def read_avro(
         # the fallback honors the file-listing options it implements
         # (avro_py._avro_files) and refuses the rest instead of
         # silently returning different data than the JVM path would
-        if k in ("pathGlobFilter", "recursiveFileLookup", "ignoreExtension"):
+        if k.lower() in ("pathglobfilter", "recursivefilelookup", "ignoreextension"):
             reader = reader.option(k, v)
         else:
             raise NotImplementedError(
@@ -375,8 +380,8 @@ def write_avro(
         writer.save(path)
         return
     except Exception as e:  # noqa: BLE001 - only the missing-module error falls back
-        if "avro" not in str(e).lower() or "FIND" not in str(e).upper():
-            raise
+        if not _is_missing_avro_module(e):
+            raise  # real write errors must surface, never silent fallback
     if partition_by:
         raise NotImplementedError(
             "partitionBy needs the JVM spark-avro module; the pure-Python "
@@ -389,15 +394,16 @@ def write_avro(
 
     existing = _glob.glob(os.path.join(path, "*.avro")) if os.path.isdir(path) else []
     part_offset = 0
+    mode = mode.lower()  # the JVM parses SaveMode case-insensitively
     if mode == "overwrite":
         if os.path.isdir(path):
             shutil.rmtree(path)
-    elif mode in ("error", "errorifexists"):
+    elif mode in ("error", "errorifexists", "default"):
         if os.path.exists(path):
             raise FileExistsError(path)
     elif mode == "ignore":
-        if existing:
-            return  # JVM semantics: existing data wins, write skipped
+        if os.path.exists(path):
+            return  # JVM semantics: existing PATH wins, write skipped
     elif mode == "append":
         # new part numbering starts past the HIGHEST existing index
         # (not the count: empty partitions write no file, so existing

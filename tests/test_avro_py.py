@@ -320,3 +320,37 @@ def test_missing_module_sniff_is_specific():
         Exception("Unable to find field x in Avro schema of file find_events.avro")
     )
     assert not _is_missing_avro_module(Exception("corrupt block in part-0.avro"))
+
+
+def test_listing_skips_marker_files(tmp_path, spark):
+    from lime_etl_spark.sources.avro_py import _avro_files
+    from lime_etl_spark.sources.readers import read_avro, write_avro
+
+    out = str(tmp_path / "markers")
+    write_avro(spark.range(3).selectExpr("id AS a"), out)
+    open(os.path.join(out, "_SUCCESS"), "w").close()
+    open(os.path.join(out, ".part-x.avro.crc"), "w").close()
+    files = _avro_files(out, {"ignoreExtension": "true"})
+    assert all(not os.path.basename(f).startswith(("_", ".")) for f in files)
+    assert sorted(r["a"] for r in read_avro(spark, out).collect()) == [0, 1, 2]
+
+
+def test_missing_module_sniff_accepts_both_phrasings():
+    from lime_etl_spark.sources.readers import _is_missing_avro_module
+
+    assert _is_missing_avro_module(
+        Exception("[DATA_SOURCE_NOT_FOUND] Failed to find the data source: avro.")
+    )
+
+
+def test_ignore_mode_keys_off_path_existence(tmp_path, spark):
+    from lime_etl_spark.sources.readers import write_avro
+
+    out = tmp_path / "exists_no_avro"
+    out.mkdir()
+    (out / "other.dat").write_text("x")
+    write_avro(spark.range(2).selectExpr("id AS a"), str(out), mode="ignore")
+    assert not list(out.glob("*.avro"))  # JVM semantics: path exists -> skip
+    # and mode strings are case-insensitive like SaveMode
+    write_avro(spark.range(2).selectExpr("id AS a"), str(tmp_path / "ci"), mode="Overwrite")
+    assert list((tmp_path / "ci").glob("*.avro"))

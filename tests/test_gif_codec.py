@@ -192,3 +192,16 @@ def test_gif_info_header_walk_matches_decode():
     assert gif_info(single) == (12, 10, 1, 0)
     inter = _hand_gif(_palette_image(13, 9, n_colors=16, seed=8), interlace=True)
     assert gif_info(inter) == (9, 13, 1, 0)
+
+
+def test_gif_info_last_gce_wins_like_decode():
+    from lime_etl_spark.operators.gif_codec import gif_info
+
+    f1 = _palette_image(6, 6, n_colors=4, seed=2)
+    raw = bytearray(encode_gif([(40, f1), (90, f1)]))
+    # plant an EXTRA GCE before frame 1: decode_gif keeps the last one
+    first_gce = raw.index(b"\x21\xf9")
+    extra = bytes(raw[first_gce : first_gce + 8])  # copy of a full GCE block
+    planted = bytes(raw[:first_gce]) + extra + bytes(raw[first_gce:])
+    w, h, frames = decode_gif(planted)
+    assert gif_info(planted)[3] == sum(d for d, _f in frames)
