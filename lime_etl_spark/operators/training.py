@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from lime_etl_spark.functions.numeric import to_double
+from lime_etl_spark.functions.numeric import dec, to_double
 from lime_etl_spark.functions.ranks import with_global_row_number
 from lime_etl_spark.functions.text import shingle_int, shingle_int_sql
 from lime_etl_spark.operators.text import BPE_RE
@@ -1292,4 +1292,126 @@ def samp_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_picks") > 0)
         .select("doc_id", "source", "n_tokens", "n_picks")
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap — uncertainty estimation without resampling shuffles
+# ---------------------------------------------------------------------------
+
+_BOOT_REPS = 32
+_BOOT_SCALE = 1 << 30
+
+
+def _poisson_thresholds() -> list[int]:
+    """floor(P(Poisson(1) <= k) * 2^30) for k = 0..7 — computed ONCE
+    here and embedded as integer literals in both engines' expressions,
+    so the draw is identical regardless of float libm differences."""
+    import math
+
+    cum, term, out = 0.0, math.exp(-1.0), []
+    for k in range(8):
+        cum += term
+        out.append(min(int(cum * _BOOT_SCALE), _BOOT_SCALE))
+        term /= k + 1
+    return out
+
+
+def _boot_u_sql(rep: int) -> str:
+    key = f"CAST(o_orderkey AS VARCHAR) || ':' || '{rep}'"
+    return f"({shingle_int_sql(key)}) % {_BOOT_SCALE}"
+
+
+def _boot_w_from_u(u_expr: str) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN {u_expr} >= {t} THEN 1 ELSE 0 END)"
+        for t in _poisson_thresholds()
+    ) + ")"
+
+
+def _poisson_bootstrap_oracle() -> str:
+    us = ",\n       ".join(
+        f"{_boot_u_sql(r)} AS u{r}" for r in range(_BOOT_REPS)
+    )
+    ws = ",\n       ".join(
+        f"{_boot_w_from_u(f'u{r}')} AS w{r}" for r in range(_BOOT_REPS)
+    )
+    aggs = ",\n       ".join(
+        f"CAST(SUM(w{r}) AS BIGINT) AS n{r}, "
+        f"CAST(SUM(w{r} * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS t{r}"
+        for r in range(_BOOT_REPS)
+    )
+    legs = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS rep, n{r} AS n_eff, t{r} AS total_rev, "
+        f"t{r} / n{r} AS mean_rev FROM agg"
+        for r in range(_BOOT_REPS)
+    )
+    return f"""WITH u AS (SELECT o_totalprice,
+       {us}
+FROM orders),
+w AS (SELECT o_totalprice,
+       {ws}
+FROM u),
+agg AS (SELECT
+       {aggs}
+FROM w)
+SELECT * FROM (
+{legs}
+) ORDER BY rep"""
+
+
+@register(
+    "samp_poisson_bootstrap",
+    oracle=_poisson_bootstrap_oracle(),
+    description="Poisson bootstrap: 32 deterministic md5-seeded Poisson(1) replicate weights in ONE scan -> per-replicate order-revenue means",
+)
+def samp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty estimation the way large-scale pipelines actually
+    bootstrap (the Poisson bootstrap: per-row Poisson(1) weights per
+    replicate instead of resampling): 32 replicate means of
+    o_totalprice from ONE scan — every weight is a deterministic
+    md5-bridge draw (no rand(), rerun- and engine-stable), all 64
+    aggregates ride one map-side-combined global aggregation, and the
+    32-row result is a driver-free stack of that single row. At
+    100 TB this costs one pass and one 1-row reduce — there is no
+    resample shuffle, no 32x data copy, and executors never
+    coordinate. Thresholds are the Poisson(1) inverse CDF on a 2^30
+    integer grid, embedded identically in the DuckDB oracle; sums are
+    decimal-exact with one double division per replicate."""
+    orders = load_table(spark, sf_dir, "orders")
+    u_cols = [
+        (
+            shingle_int(
+                F.concat(F.col("o_orderkey").cast("string"), F.lit(f":{r}"))
+            )
+            % _BOOT_SCALE
+        ).alias(f"u{r}")
+        for r in range(_BOOT_REPS)
+    ]
+    with_u = orders.select("o_totalprice", *u_cols)
+    w_cols = [
+        F.expr(_boot_w_from_u(f"u{r}")).alias(f"w{r}") for r in range(_BOOT_REPS)
+    ]
+    with_w = with_u.select("o_totalprice", *w_cols)
+    aggs = []
+    for r in range(_BOOT_REPS):
+        aggs.append(F.sum(f"w{r}").cast("bigint").alias(f"n{r}"))
+        aggs.append(
+            to_double(F.sum(F.col(f"w{r}") * dec("o_totalprice", 2, 18))).alias(
+                f"t{r}"
+            )
+        )
+    one = with_w.agg(*aggs)
+    stack = ", ".join(f"{r}, n{r}, t{r}" for r in range(_BOOT_REPS))
+    return (
+        one.selectExpr(
+            f"stack({_BOOT_REPS}, {stack}) AS (rep, n_eff, total_rev)"
+        )
+        .select(
+            F.col("rep").cast("int").alias("rep"),
+            "n_eff",
+            "total_rev",
+            (F.col("total_rev") / F.col("n_eff")).alias("mean_rev"),
+        )
+        .orderBy("rep")
     )

@@ -204,3 +204,73 @@ def test_pps_systematic_invariants(spark, sf_dir, tmp_path):
     ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
     picks = {r["doc_id"]: r["n_picks"] for r in build(spark, d).collect()}
     assert picks.get(999, 0) >= 2, picks.get(999)
+
+
+def test_poisson_bootstrap_matches_pure_python_reference(spark, sf_dir):
+    """Every weight recomputed INDEPENDENTLY (hashlib md5 + the
+    Poisson(1) integer-CDF ladder on plain Python ints) must reproduce
+    Spark's per-replicate n_eff and decimal-exact totals."""
+    import hashlib
+    from decimal import Decimal
+
+    import duckdb
+
+    from lime_etl_spark.operators.training import (
+        _BOOT_REPS,
+        _BOOT_SCALE,
+        _poisson_thresholds,
+    )
+    from lime_etl_spark.plans.registry import get
+
+    got = {r["rep"]: r for r in get("samp_poisson_bootstrap").builder(spark, sf_dir).collect()}
+    orders = duckdb.connect().execute(
+        f"SELECT o_orderkey, o_totalprice FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchall()
+    thresholds = _poisson_thresholds()
+    for rep in (0, 7, 31):
+        n_eff = 0
+        total = Decimal(0)
+        for key, price in orders:
+            u = int(hashlib.md5(f"{key}:{rep}".encode()).hexdigest()[:15], 16) % _BOOT_SCALE
+            w = sum(1 for t in thresholds if u >= t)
+            n_eff += w
+            total += w * Decimal(str(price)).quantize(Decimal("0.01"))
+        assert got[rep]["n_eff"] == n_eff, rep
+        assert got[rep]["total_rev"] == float(total), rep
+    assert len(got) == _BOOT_REPS
+
+
+def test_poisson_bootstrap_statistical_invariants(spark, sf_dir):
+    import math
+    import statistics
+
+    from lime_etl_spark.plans.registry import get
+
+    rows = get("samp_poisson_bootstrap").builder(spark, sf_dir).collect()
+    import duckdb
+
+    n_orders = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()[0]
+    # E[n_eff] = N, sd = sqrt(N): every replicate within 5 sigma
+    for r in rows:
+        assert abs(r["n_eff"] - n_orders) < 5 * math.sqrt(n_orders), r
+        assert r["mean_rev"] == r["total_rev"] / r["n_eff"]
+    # replicates genuinely differ (the bootstrap measures spread)
+    means = [r["mean_rev"] for r in rows]
+    assert statistics.pstdev(means) > 0
+    # deterministic: identical on rerun
+    again = get("samp_poisson_bootstrap").builder(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_poisson_thresholds_are_a_valid_cdf_grid():
+    from lime_etl_spark.operators.training import _BOOT_SCALE, _poisson_thresholds
+
+    t = _poisson_thresholds()
+    assert len(t) == 8
+    assert t == sorted(t)
+    assert 0 < t[0] < _BOOT_SCALE  # P(0) = e^-1
+    # int-floor onto the 2^30 grid quantizes by up to 1/2^30 ≈ 9.3e-10
+    assert abs(t[0] / _BOOT_SCALE - 0.36787944117144233) < 2e-9
+    assert t[-1] <= _BOOT_SCALE and t[-1] / _BOOT_SCALE > 0.9999
