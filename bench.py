@@ -23,6 +23,14 @@ API. The local wall clock is overhead-bound at sf0.1, so THESE are the
 load-invariant numbers that predict 100× behavior: scan ∝ data read
 (pushdown/pruning evidence), shuffle ∝ exchanged bytes (the 1000-
 executor bottleneck), spill > 0 = memory pressure at this sizing.
+
+Driver contract (r5 verdict #1): the driver captures only a bounded
+TAIL of stdout and parses the LAST line as the round's bench record —
+r5's single line embedding data_metrics outgrew that window and the
+driver recorded `parsed: null`. So the final stdout line is now the
+COMPACT headline payload only (< 4 KB, unit-tested in
+tests/test_bench_contract.py); data_metrics goes on its own earlier
+stdout line and is also written to BENCH_DATA_METRICS.json.
 """
 
 from __future__ import annotations
@@ -194,6 +202,25 @@ def _write_delta(
         fh.write("\n".join(lines) + "\n")
 
 
+def _final_line(payload: dict) -> str:
+    """Serialize the driver-facing headline record (the LAST stdout
+    line). Must stay compact: the driver tail-captures stdout, so a
+    bloated final line silently loses the whole round's bench record
+    (BENCH_r05.json `parsed: null`). Enforced here and by
+    tests/test_bench_contract.py."""
+    line = json.dumps(payload)
+    if len(line) >= 4096:
+        # Degrade gracefully rather than lose the record: drop the
+        # per-query breakdowns, keep the totals the driver trends on.
+        slim = {
+            k: payload[k]
+            for k in ("metric", "value", "unit", "sf", "value_best", "sf_matrix")
+            if k in payload
+        }
+        line = json.dumps(slim)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from lime_etl_spark.plans.registry import all_queries
@@ -278,8 +305,19 @@ def main() -> None:
     except Exception:  # noqa: BLE001 - the delta table must never fail the bench
         pass
 
+    # Bulky payload on its OWN stdout line (and a committed artifact)
+    # so the driver-facing final line stays inside the tail-capture
+    # window (r5 verdict #1).
+    dm_record = {"metric": "data_metrics", "sf": sf, "data_metrics": data_metrics}
+    print(json.dumps(dm_record))
+    try:
+        with open(os.path.join(repo, "BENCH_DATA_METRICS.json"), "w") as fh:
+            json.dump(dm_record, fh, indent=1)
+    except OSError:
+        pass
+
     print(
-        json.dumps(
+        _final_line(
             {
                 "metric": "headline_queries_total",
                 "value": total,
@@ -291,7 +329,6 @@ def main() -> None:
                 "sf_matrix": sf_matrix,
                 "heavy": heavy,
                 "heavy_best": heavy_best,
-                "data_metrics": data_metrics,
             }
         )
     )

@@ -1284,11 +1284,15 @@ def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     # integer division semantics: (a * dom) DIV (max+1) — Spark's `/`
     # is double division, so the scaling must use DIV to replay exactly
-    scaled = li.select(
-        F.col("l_orderkey").alias("ok"),
-        F.expr(f"CAST(l_partkey * {dom} DIV {int(maxes['mp']) + 1} AS BIGINT)").alias("xk"),
-        F.expr(f"CAST(l_suppkey * {dom} DIV {int(maxes['ms']) + 1} AS BIGINT)").alias("yk"),
-    ).persist()
+    from lime_etl_spark.plans.registry import track_persist
+
+    scaled = track_persist(
+        li.select(
+            F.col("l_orderkey").alias("ok"),
+            F.expr(f"CAST(l_partkey * {dom} DIV {int(maxes['mp']) + 1} AS BIGINT)").alias("xk"),
+            F.expr(f"CAST(l_suppkey * {dom} DIV {int(maxes['ms']) + 1} AS BIGINT)").alias("yk"),
+        ).persist()
+    )
     z = _zorder_exprs()["spark"]
     bucket_by = {
         "natural": f"CAST(ok * {_Z_BUCKETS} DIV {int(maxes['mo']) + 1} AS BIGINT)",
@@ -1306,9 +1310,11 @@ def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # both probe-column legs read this 64-row rollup: persist so
             # the bucket aggregation over the fact runs once per layout,
-            # not once per leg
+            # not once per leg; tracked so non-hygienic callers can
+            # release it too (release_tracked_persists)
             .persist()
         )
+        spans = track_persist(spans)
         for col, span in (("partkey", "span_x"), ("suppkey", "span_y")):
             legs.append(
                 spans.agg(

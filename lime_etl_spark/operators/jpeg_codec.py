@@ -171,7 +171,13 @@ class _BitReader:
 
     def read(self, n: int) -> int:
         while self.nbits < n:
-            byte = self.data[self.pos] if self.pos < len(self.data) else 0
+            if self.pos >= len(self.data):
+                # A valid (de-stuffed) entropy segment contains every
+                # bit its MCUs need; running dry mid-MCU means the scan
+                # data was truncated — fail loudly, never fabricate
+                # pixels from zero padding.
+                raise ValueError("JPEG entropy data truncated")
+            byte = self.data[self.pos]
             self.pos += 1
             self.cur = (self.cur << 8) | byte
             self.nbits += 8
@@ -495,7 +501,7 @@ def encode_jpeg(
     f = px.astype(np.float64)
     if gray:
         planes = [f[:, :, 0]]
-        qts = [_scaled_qt(_QT_LUMA, quality)]
+        qts = [_scaled_qt(_QT_LUMA, quality)[_ZZ]]
     else:
         r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
         planes = [
@@ -503,7 +509,14 @@ def encode_jpeg(
             128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
-        qts = [_scaled_qt(_QT_LUMA, quality), _scaled_qt(_QT_CHROMA, quality)]
+        # DQT entries (and _encode_block's divisor, which sees zigzag-
+        # ordered coefficients) are spec-defined in ZIGZAG order; the
+        # base tables are typed in raster order, so reorder here — this
+        # is what makes the written tables actually Annex K.
+        qts = [
+            _scaled_qt(_QT_LUMA, quality)[_ZZ],
+            _scaled_qt(_QT_CHROMA, quality)[_ZZ],
+        ]
 
     dc_tbl = _flat_table(_DC_SYMBOLS)
     ac_tbl = _flat_table(_AC_SYMBOLS)

@@ -517,9 +517,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """REAL nearest-neighbor resize of image payloads: decode pixels,
     index-sample rows/columns with numpy, re-emit a valid byte stream
     IN THE SOURCE CONTAINER (P6 stays P6, PNG stays PNG, JPEG stays
-    JPEG, GIF stays GIF, BMP stays BMP — all via the from-spec
-    codecs). (Production swaps the kernel for a real resampler; the
-    container round-trip and Arrow batching are identical.)"""
+    JPEG, GIF stays GIF — animated GIFs resize every frame and keep
+    their delays — BMP stays BMP, all via the from-spec codecs).
+    (Production swaps the kernel for a real resampler; the container
+    round-trip and Arrow batching are identical.)"""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from lime_etl_spark.operators.bmp_codec import encode_bmp
@@ -541,11 +542,28 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             "bmp": encode_bmp,
         }
 
+        from lime_etl_spark.operators.gif_codec import decode_gif
+
         for pdf in batches:
             out_content, out_meta = [], []
             for content, meta in zip(pdf["content"], pdf["meta"]):
                 raw = bytes(content)
                 kind = _sniff(raw)
+                if kind == "gif":
+                    # animated GIF: resize EVERY composited frame and
+                    # re-emit the animation with its delays — a
+                    # first-frame-only resize would silently drop the
+                    # rest of the clip (r5 ADVICE finding)
+                    w0, h0, frames = decode_gif(raw)
+                    rows = (np.arange(height) * h0) // height
+                    cols = (np.arange(width) * w0) // width
+                    out_content.append(
+                        encoders[kind]([(d, f[rows][:, cols]) for d, f in frames])
+                    )
+                    m = dict(meta)
+                    m["width"], m["height"] = width, height
+                    out_meta.append(m)
+                    continue
                 w0, h0, _ch, px = _decode_image(raw)
                 rows = (np.arange(height) * h0) // height
                 cols = (np.arange(width) * w0) // width

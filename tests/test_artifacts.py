@@ -57,6 +57,7 @@ def test_full_registry_artifact_green_and_in_sync():
 S2_COMPONENT_KEYS = {
     "approx_top_k",
     "binary",
+    "decode_image_jvm",
     "decode_media",
     "decode_media_arrow",
     "delete_old_logs",

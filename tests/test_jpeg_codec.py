@@ -114,6 +114,31 @@ def test_truncated_stream_fails_loudly():
         decode_jpeg(raw[:40])
 
 
+def test_dqt_is_zigzag_ordered_annex_k():
+    """DQT entries are spec-defined in zigzag order; at quality 50 the
+    scale factor is 1, so the written luma table must be exactly the
+    Annex-K table permuted by the zigzag scan (r5 ADVICE finding)."""
+    from lime_etl_spark.operators.jpeg_codec import _QT_LUMA, _ZZ
+
+    raw = encode_jpeg(_gradient(16, 16), quality=50)
+    dqt = raw.find(b"\xff\xdb")
+    assert dqt > 0
+    written = np.frombuffer(raw, np.uint8, 64, dqt + 5).astype(np.int64)
+    assert np.array_equal(written, np.asarray(_QT_LUMA).reshape(-1)[_ZZ])
+
+
+def test_truncated_entropy_data_fails_loudly():
+    """Cutting the scan MID-ENTROPY (headers intact) must raise, not
+    decode fabricated pixels from zero padding (r5 ADVICE finding)."""
+    raw = encode_jpeg(_gradient(64, 64))
+    sos = raw.find(b"\xff\xda")
+    assert sos > 0
+    scan_start = sos + 2 + struct.unpack(">H", raw[sos + 2 : sos + 4])[0]
+    cut = scan_start + (len(raw) - 2 - scan_start) // 2
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(raw[:cut])
+
+
 # ---------------------------------------------------------------------------
 # independent-oracle cross-checks via javax.imageio (py4j)
 # ---------------------------------------------------------------------------

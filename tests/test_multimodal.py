@@ -291,6 +291,44 @@ def test_resize_reemits_source_container(spark):
     assert (w, h, len(frames)) == (8, 8, 1)
 
 
+def test_resize_animated_gif_keeps_all_frames(spark):
+    """resize_images on an animated GIF must resize EVERY frame and
+    preserve per-frame delays, not silently emit a single-frame GIF
+    (r5 ADVICE finding)."""
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.operators.gif_codec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    src_frames = [(d, pal[rng.integers(0, 8, (16, 20))]) for d in (30, 70, 110)]
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_gif(src_frames)))], "media_id long, content binary"
+    ).select(
+        "media_id",
+        F.lit("image").alias("media_type"),
+        "content",
+        F.struct(
+            F.lit(20).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("gif").alias("codec"),
+        ).alias("meta"),
+    )
+    out = bytes(mm.resize_images(df, 10, 8).collect()[0]["content"])
+    w, h, frames = decode_gif(out)
+    assert (w, h, len(frames)) == (10, 8, 3)
+    assert [d for d, _ in frames] == [30, 70, 110]
+    # nearest-neighbor per frame against the SOURCE's composited frames
+    _, _, src_composited = decode_gif(encode_gif(src_frames))
+    rows_ix = (np.arange(8) * 16) // 8
+    cols_ix = (np.arange(10) * 20) // 10
+    for (_, got), (_, src) in zip(frames, src_composited):
+        assert (got == src[rows_ix][:, cols_ix]).all()
+
+
 def test_animated_gif_reports_frames_and_duration(spark):
     from lime_etl_spark.operators.gif_codec import encode_gif
 
