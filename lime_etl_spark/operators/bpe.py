@@ -58,6 +58,18 @@ from lime_etl_spark.sources.readers import load_table
 
 BPE_ROUNDS = 10
 BPE_VOCAB_LIMIT = 1000
+# Batched trainer: merges per round. 4 rounds x 4 disjoint merges
+# covers 16 merges in 4 driver round-trips (vs 16 for the classic
+# trainer) — the shape that scales to production merge counts.
+BPE_BATCH_ROUNDS = 4
+BPE_BATCH_K = 4
+# Classic trainer extrapolation contract: each merge costs ONE driver
+# round-trip (a 1-row argmax collect) and ONE lineage node. Fine at
+# the registered 10 rounds; a production 30-50k-merge tokenizer should
+# use the batched trainer below (k merges per round-trip) — lineage is
+# additionally truncated every _CHECKPOINT_EVERY rounds so neither
+# trainer's plan depth grows unboundedly with rounds.
+_CHECKPOINT_EVERY = 16
 
 
 def _word_symbols(docs: DataFrame, vocab_limit: int) -> DataFrame:
@@ -123,6 +135,11 @@ def bpe_merge_table(
             F.replace(F.col("sym"), F.lit(pair), F.lit(merged)).alias("sym"),
             "cnt",
         )
+        if r % _CHECKPOINT_EVERY == 0:
+            # bound plan depth: without this, `replace` lineage grows
+            # one node per merge and a 50k-merge run would carry a
+            # 50k-deep plan (r5 verdict #5)
+            words = words.localCheckpoint()
     # every result row is already collected — the merge table below
     # does not read the persisted word-freq table
     base.unpersist()
@@ -194,6 +211,170 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(load_table(spark, sf_dir, "documents"))
 
 
+def _greedy_disjoint(
+    pairs: list[tuple[str, int]], k: int
+) -> list[tuple[str, int]]:
+    """Greedy top-k SYMBOL-DISJOINT selection over (pair, count) rows:
+    walk candidates in (count DESC, pair ASC) order, accept a pair iff
+    neither of its symbols appears in an already-accepted pair of this
+    batch. Disjoint symbols => the k `replace` applications can never
+    overlap positionally, so they commute and equal a simultaneous
+    batch merge. Identical to the oracle's unrolled argmax chain:
+    accept j is the argmax over pairs disjoint from accepts 1..j-1."""
+    accepted: list[tuple[str, int]] = []
+    used: set[str] = set()
+    for pair, pc in sorted(pairs, key=lambda t: (-t[1], t[0])):
+        left, right = pair[1:-1].split(")(")
+        if left in used or right in used:
+            continue
+        accepted.append((pair, pc))
+        used.update((left, right))
+        if len(accepted) == k:
+            break
+    return accepted
+
+
+def bpe_merge_table_batched(
+    docs: DataFrame,
+    rounds: int = BPE_BATCH_ROUNDS,
+    k: int = BPE_BATCH_K,
+    vocab_limit: int = BPE_VOCAB_LIMIT,
+) -> DataFrame:
+    """Batched BPE training: per round, collect the FULL pair-count
+    table (bounded by the capped vocabulary — a few thousand rows of
+    model state, never corpus-proportional), pick the top-k
+    symbol-disjoint pairs driver-side, and apply all k merges in ONE
+    select. k merges per driver round-trip and per lineage node is
+    what makes production merge counts (30-50k) feasible where the
+    classic trainer's one-collect-per-merge loop is not (r5 verdict
+    #5). Returns (round, slot, left_sym, right_sym, merged,
+    pair_count) — slot = acceptance order within the round."""
+    spark = docs.sparkSession
+    base = _word_symbols(docs, vocab_limit).persist()
+    base.count()
+    words = base
+    results = []
+    for r in range(1, rounds + 1):
+        pair_rows = [(row["pair"], int(row["pc"])) for row in _pair_counts(words).collect()]
+        batch = _greedy_disjoint(pair_rows, k)
+        if not batch:
+            break
+        col = F.col("sym")
+        for slot, (pair, pc) in enumerate(batch, start=1):
+            left, right = pair[1:-1].split(")(")
+            results.append((r, slot, left, right, left + right, pc))
+            col = F.replace(col, F.lit(pair), F.lit("(" + left + right + ")"))
+        words = words.select(col.alias("sym"), "cnt")
+        if r % _CHECKPOINT_EVERY == 0:
+            words = words.localCheckpoint()
+    base.unpersist()
+    out = spark.createDataFrame(
+        results,
+        "round int, slot int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+    return out.orderBy("round", "slot")
+
+
+def _sql_pair_syms(alias: str) -> tuple[str, str]:
+    return (
+        f"string_split(trim({alias}pair, '()'), ')(')[1]",
+        f"string_split(trim({alias}pair, '()'), ')(')[2]",
+    )
+
+
+def bpe_batched_oracle_sql(
+    rounds: int = BPE_BATCH_ROUNDS,
+    k: int = BPE_BATCH_K,
+    vocab_limit: int = BPE_VOCAB_LIMIT,
+) -> str:
+    """Unrolled DuckDB replay of bpe_merge_table_batched: per round,
+    k chained argmax CTEs, each restricted to pairs symbol-disjoint
+    from every earlier accept of the round; then one w{r} applying all
+    k replaces (coalesce to a chr(1) needle when a slot is empty)."""
+    ctes = [
+        f"""wf AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word ORDER BY cnt DESC, word LIMIT {vocab_limit}
+)""",
+        r"""w0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS sym, cnt FROM wf)""",
+    ]
+    finals = []
+    # the candidate table MUST be aliased and its pair column qualified:
+    # inside the NOT EXISTS subquery an unqualified `pair` resolves to
+    # the INNER table q and the disjointness test becomes vacuously
+    # self-referential (every candidate excluded)
+    cand_l, cand_r = _sql_pair_syms("c.")
+    for r in range(1, rounds + 1):
+        prev = f"w{r - 1}"
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT '(' || parts[i] || ')(' || parts[i+1] || ')' AS pair,
+         CAST(SUM(cnt) AS BIGINT) AS pc
+  FROM (SELECT parts, cnt, unnest(range(1, len(parts))) AS i
+        FROM (SELECT string_split(trim(sym, '()'), ')(') AS parts, cnt FROM {prev}))
+  GROUP BY 1
+)"""
+        )
+        for j in range(1, k + 1):
+            disjoint = ""
+            if j > 1:
+                prior_l, prior_r = _sql_pair_syms("q.")
+                clauses = [
+                    f"""NOT EXISTS (SELECT 1 FROM a{r}_{i} q
+    WHERE {prior_l} IN ({cand_l}, {cand_r})
+       OR {prior_r} IN ({cand_l}, {cand_r}))"""
+                    for i in range(1, j)
+                ]
+                disjoint = "\n  WHERE " + "\n    AND ".join(clauses)
+            ctes.append(
+                f"""a{r}_{j} AS MATERIALIZED (
+  SELECT c.pair, c.pc FROM p{r} c{disjoint}
+  ORDER BY c.pc DESC, c.pair LIMIT 1
+)"""
+            )
+            finals.append(
+                f"""SELECT CAST({r} AS INTEGER) AS round, CAST({j} AS INTEGER) AS slot,
+       string_split(trim(pair, '()'), ')(')[1] AS left_sym,
+       string_split(trim(pair, '()'), ')(')[2] AS right_sym,
+       replace(trim(pair, '()'), ')(', '') AS merged,
+       pc AS pair_count
+FROM a{r}_{j}"""
+            )
+        expr = "sym"
+        for j in range(1, k + 1):
+            needle = f"coalesce((SELECT pair FROM a{r}_{j}), chr(1))"
+            repl = (
+                f"coalesce((SELECT '(' || replace(trim(pair, '()'), ')(', '') || ')' "
+                f"FROM a{r}_{j}), chr(1))"
+            )
+            expr = f"replace({expr}, {needle}, {repl})"
+        ctes.append(f"w{r} AS MATERIALIZED (SELECT {expr} AS sym, cnt FROM {prev})")
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\n) ORDER BY round, slot"
+    )
+
+
+@register(
+    "txt_bpe_train_batched",
+    oracle=bpe_batched_oracle_sql(),
+    description="Batched BPE training: top-4 symbol-disjoint merges per round x 4 rounds (one bounded model-state collect per round), replayed by an unrolled argmax-chain oracle",
+)
+def txt_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for tokenizer training: k symbol-disjoint merges
+    per driver round-trip, so 50k production merges cost ~50k/k
+    bounded collects and rounds/16 checkpointed lineage nodes instead
+    of 50k of each. Semantics = batched greedy BPE (counts are
+    computed once per round, then k disjoint merges apply
+    simultaneously); the classic one-merge-per-round trainer
+    (txt_bpe_train) remains the canonical-BPE reference."""
+    return bpe_merge_table_batched(load_table(spark, sf_dir, "documents"))
+
+
 def _fertility_row(words: DataFrame) -> tuple[int, int, int]:
     """(vocab_syms, total_words, total_tokens) of a symbolized
     word-frequency table — three exact int64 scalars."""
@@ -243,6 +424,8 @@ def bpe_fertility_table(
                 F.replace(F.col("sym"), F.lit(pair), F.lit(merged)).alias("sym"),
                 "cnt",
             )
+            if r % _CHECKPOINT_EVERY == 0:
+                words = words.localCheckpoint()
         v, wrds, toks = _fertility_row(words)
         rows.append((r, v, wrds, toks, toks / wrds if wrds else 0.0))
     base.unpersist()

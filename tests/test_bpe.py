@@ -10,7 +10,12 @@ from collections import Counter
 
 import pytest
 
-from lime_etl_spark.operators.bpe import bpe_merge_table, bpe_oracle_sql
+from lime_etl_spark.operators.bpe import (
+    bpe_batched_oracle_sql,
+    bpe_merge_table,
+    bpe_merge_table_batched,
+    bpe_oracle_sql,
+)
 
 
 def _reference_bpe(word_counts: dict[str, int], rounds: int):
@@ -112,6 +117,97 @@ def test_oracle_replays_training_on_planted_corpus(spark):
     con.execute(f"CREATE VIEW documents AS SELECT 0 AS doc_id, '{text}' AS text")
     odf = con.execute(bpe_oracle_sql(rounds=6)).fetchdf()
     assert sdf.values.tolist() == odf.values.tolist()
+
+
+def _reference_bpe_batched(word_counts: dict[str, int], rounds: int, k: int):
+    """INDEPENDENT list-based batched-greedy BPE: per round count all
+    adjacent pairs once, walk candidates in (count desc, marker-pair
+    asc) order accepting only symbol-disjoint pairs up to k, then
+    apply all accepted merges simultaneously (disjointness makes the
+    order irrelevant — asserted here by applying in REVERSE acceptance
+    order, the opposite of the Spark/SQL implementations)."""
+    vocab = {w: (list(w), c) for w, c in word_counts.items()}
+    rows = []
+    for r in range(1, rounds + 1):
+        counts: Counter = Counter()
+        for syms, c in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += c
+        accepted, used = [], set()
+        for (a, b), pc in sorted(
+            counts.items(),
+            key=lambda kv: (-kv[1], "(" + kv[0][0] + ")(" + kv[0][1] + ")"),
+        ):
+            if a in used or b in used:
+                continue
+            accepted.append(((a, b), pc))
+            used.update((a, b))
+            if len(accepted) == k:
+                break
+        if not accepted:
+            break
+        for slot, ((a, b), pc) in enumerate(accepted, start=1):
+            rows.append((r, slot, a, b, a + b, pc))
+        for (a, b), _pc in reversed(accepted):
+            for w, (syms, c) in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = (out, c)
+    return rows
+
+
+def test_batched_matches_reference_on_planted_corpus(spark):
+    wc = {"lower": 5, "flower": 4, "newest": 6, "widest": 3, "low": 7, "mist": 2}
+    got = [
+        tuple(r)
+        for r in bpe_merge_table_batched(_docs_df(spark, wc), rounds=3, k=3).collect()
+    ]
+    assert got == _reference_bpe_batched(wc, 3, 3)
+
+
+def test_batched_skips_symbol_sharing_pairs(spark):
+    # counts: (e,s) from newest+widest = 9, (s,t) = 9, (n,e) = 6 ...
+    # (e,s) wins round 1 slot 1 on tie-break; (s,t) shares 's' and must
+    # be SKIPPED; slot 2 falls to the best disjoint pair
+    wc = {"newest": 6, "widest": 3}
+    got = bpe_merge_table_batched(_docs_df(spark, wc), rounds=1, k=2).collect()
+    assert (got[0]["left_sym"], got[0]["right_sym"], got[0]["pair_count"]) == ("e", "s", 9)
+    assert got[1]["left_sym"] not in ("e", "s") and got[1]["right_sym"] not in ("e", "s")
+    assert [tuple(r) for r in got] == _reference_bpe_batched(wc, 1, 2)
+
+
+def test_batched_oracle_replays_training(spark):
+    import duckdb
+
+    wc = {"lower": 5, "flower": 4, "newest": 6, "widest": 3, "low": 7, "mist": 2}
+    sdf = bpe_merge_table_batched(_docs_df(spark, wc), rounds=3, k=3).toPandas()
+    con = duckdb.connect()
+    text = " ".join(w for w, c in sorted(wc.items()) for _ in range(c))
+    con.execute(f"CREATE VIEW documents AS SELECT 0 AS doc_id, '{text}' AS text")
+    odf = con.execute(bpe_batched_oracle_sql(rounds=3, k=3)).fetchdf()
+    assert sdf.values.tolist() == odf.values.tolist()
+
+
+def test_batched_early_stop_when_fully_merged(spark):
+    got = bpe_merge_table_batched(_docs_df(spark, {"ab": 3}), rounds=5, k=4).collect()
+    assert len(got) == 1
+    assert (got[0]["round"], got[0]["slot"]) == (1, 1)
+
+
+def test_batched_covers_more_merges_per_round_trip(spark):
+    """The scale claim: rounds*k batched merges vs rounds classic
+    merges for the same number of driver round-trips; the merged
+    vocabularies agree with each independent reference."""
+    wc = {"lower": 5, "flower": 4, "newest": 6, "widest": 3, "low": 7}
+    batched = bpe_merge_table_batched(_docs_df(spark, wc), rounds=2, k=4).collect()
+    classic = bpe_merge_table(_docs_df(spark, wc), rounds=2).collect()
+    assert len(batched) > len(classic)
 
 
 def test_vocab_limit_is_deterministic(spark):
