@@ -6,10 +6,9 @@ gate in the multimodal decode path.
 
 Decoder scope: global/local color tables, interlaced images,
 multi-frame animations with Graphic Control Extensions (delay,
-transparency, disposal methods 0/1 "leave" and 2 "restore to
-background"), frames composited onto the logical screen so every
-returned frame is a full canvas. Disposal 3 "restore to previous"
-raises loudly (vanishingly rare).
+transparency, and ALL disposal methods — 0/1 "leave", 2 "restore to
+background", 3 "restore to previous" since r6), frames composited
+onto the logical screen so every returned frame is a full canvas.
 
 Encoder scope: single- or multi-frame, one global color table built
 from the image's distinct colors (>256 distinct colors raises — a
@@ -207,6 +206,9 @@ def decode_gif(raw: bytes) -> tuple[int, int, list[tuple[int, np.ndarray]]]:
                 idx = de
             rgb = ct[np.minimum(idx, len(ct) - 1)]
             region = canvas[top : top + ih, left : left + iw]
+            # disposal 3 restores the graphic's rectangle to its
+            # PRE-RENDER state after the frame is shown (GIF89a §23)
+            saved = region.copy() if disposal == 3 else None
             if transparent is not None:
                 mask = (idx != transparent)[:, :, None]
                 region[:] = np.where(mask, rgb, region)
@@ -218,7 +220,7 @@ def decode_gif(raw: bytes) -> tuple[int, int, list[tuple[int, np.ndarray]]]:
                     top : top + ih, left : left + iw
                 ]
             elif disposal == 3:
-                raise NotImplementedError("GIF disposal 'restore to previous'")
+                canvas[top : top + ih, left : left + iw] = saved
             delay_ms = 0
             transparent = None
             disposal = 0

@@ -8,14 +8,19 @@ beyond bit twiddling and an 8x8 inverse DCT, so a from-spec decoder
 closes the gate with no dependencies.
 
 Decoder scope (loud, not silently partial): baseline + extended
-sequential Huffman (SOF0/SOF1), 8-bit samples, 1-component grayscale
-and 3-component YCbCr (or RGB when an Adobe APP14 transform says so),
-restart intervals, any integer subsampling ratio (4:4:4 / 4:2:2 /
-4:2:0 / 4:1:1). Progressive (SOF2), arithmetic coding, 12-bit,
-hierarchical, and 4-component CMYK raise ``NotImplementedError``.
-Chroma upsampling is nearest-neighbor block replication — the spec's
-reference method; "fancy" triangular upsampling differs by a few
-codes on chroma edges, which tests account for with a tolerance.
+sequential Huffman (SOF0/SOF1) — interleaved or one-SOS-per-component
+— and PROGRESSIVE Huffman (SOF2, T.81 Annex G: spectral selection +
+successive approximation, EOB runs, AC refinement correction bits;
+since r6). 8-bit samples, 1-component grayscale and 3-component
+YCbCr (or RGB when an Adobe APP14 transform says so), restart
+intervals, any integer subsampling ratio (4:4:4 / 4:2:2 / 4:2:0 /
+4:1:1). Every scan accumulates into per-component coefficient
+arrays; dequantization + a vectorized IDCT run once at the end.
+Arithmetic coding, 12-bit, lossless, hierarchical, and 4-component
+CMYK raise ``NotImplementedError``. Chroma upsampling is
+nearest-neighbor block replication — the spec's reference method;
+"fancy" triangular upsampling differs by a few codes on chroma
+edges, which tests account for with a tolerance.
 
 Encoder scope: baseline SOF0, grayscale or 4:4:4 YCbCr, Annex-K
 quantization tables scaled by the libjpeg quality formula, and
@@ -208,7 +213,6 @@ def _extend(v: int, s: int) -> int:
 # ---------------------------------------------------------------------------
 
 _SOF_GATES = {
-    0xC2: "progressive JPEG (SOF2)",
     0xC3: "lossless JPEG (SOF3)",
     0xC5: "differential sequential JPEG",
     0xC6: "differential progressive JPEG",
@@ -222,19 +226,244 @@ _SOF_GATES = {
 }
 
 
+def _extract_entropy(raw: bytes, pos: int) -> tuple[list[bytes], int]:
+    """De-stuffed entropy-coded segments starting at `pos`, split at
+    RSTn markers; returns (segments, index of the next real marker)."""
+    segments: list[bytes] = []
+    buf = bytearray()
+    i = pos
+    while i < len(raw):
+        b = raw[i]
+        if b == 0xFF:
+            nxt = raw[i + 1] if i + 1 < len(raw) else 0xD9
+            if nxt == 0x00:
+                buf.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(buf))
+                buf = bytearray()
+                i += 2
+                continue
+            break  # EOI or next real marker
+        buf.append(b)
+        i += 1
+    segments.append(bytes(buf))
+    return segments, i
+
+
+def _decode_block_full(
+    reader: _BitReader, block: np.ndarray, dc_t: _HuffTable, ac_t: _HuffTable, pred: list[int], ci: int
+) -> None:
+    """Baseline full-band data unit: DC diff + AC run-length (F.2.2)."""
+    s = reader.decode_huff(dc_t)
+    pred[ci] += _extend(reader.read(s), s)
+    block[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = reader.decode_huff(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                break
+            k += 16
+            continue
+        k += r
+        block[k] = _extend(reader.read(s), s)
+        k += 1
+
+
+def _decode_ac_first(
+    reader: _BitReader,
+    block: np.ndarray,
+    ac_t: _HuffTable,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: list[int],
+) -> None:
+    """Progressive AC initial scan (G.1.2.2): run-length with EOBn
+    (end-of-band run) symbols; values arrive scaled by 2^Al."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun[0] = (1 << r) - 1 + (reader.read(r) if r else 0)
+            break
+        k += r
+        block[k] = _extend(reader.read(s), s) << al
+        k += 1
+
+
+def _refine_nonzero(reader: _BitReader, block: np.ndarray, k: int, p1: int) -> None:
+    """Correction bit for a coefficient with nonzero history
+    (G.1.2.3): a 1-bit adds 2^Al toward larger magnitude if that bit
+    is not already set."""
+    if reader.read(1):
+        a = abs(int(block[k]))
+        if not (a & p1):
+            block[k] = a + p1 if block[k] > 0 else -(a + p1)
+
+
+def _decode_ac_refine(
+    reader: _BitReader,
+    block: np.ndarray,
+    ac_t: _HuffTable,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: list[int],
+) -> None:
+    """Progressive AC refinement scan (G.1.2.3): newly-nonzero
+    coefficients arrive as ±2^Al; every coefficient with nonzero
+    history consumes a correction bit — including inside ZRL runs and
+    EOB bands."""
+    p1 = 1 << al
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = reader.decode_huff(ac_t)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun[0] = (1 << r) + (reader.read(r) if r else 0)
+                    break
+                # ZRL: r stays 15 -> skip 16 zero-history positions below
+            else:
+                val = p1 if reader.read(1) else -p1
+            while k <= se:
+                if block[k] != 0:
+                    _refine_nonzero(reader, block, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            if block[k] != 0:
+                _refine_nonzero(reader, block, k, p1)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _decode_scan(
+    segments: list[bytes],
+    scan: list[tuple[int, int, int]],
+    comp_ix: dict[int, int],
+    comps: list[tuple[int, int, int, int]],
+    coefs: list[np.ndarray],
+    dc_tables: dict[int, _HuffTable],
+    ac_tables: dict[int, _HuffTable],
+    geom: tuple[int, int, int, int, int, int],
+    band: tuple[int, int, int, int],
+    restart_interval: int,
+    progressive: bool,
+) -> None:
+    """Decode ONE scan's entropy data into the per-component
+    coefficient arrays. Handles every T.81 Huffman scan shape through
+    one dispatch: baseline full-band (interleaved or one-component),
+    progressive DC first/refine (Ss=0), progressive AC first/refine
+    (single-component bands)."""
+    h, w, hmax, vmax, mcux, mcuy = geom
+    ss, se, ah, al = band
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+
+    def unit(reader, ci, block, pred, eobrun, dc_t, ac_t):
+        if not progressive:
+            _decode_block_full(reader, block, dc_t, ac_t, pred, ci)
+        elif ss == 0 and ah == 0:  # DC first
+            s = reader.decode_huff(dc_t)
+            pred[ci] += _extend(reader.read(s), s)
+            block[0] = pred[ci] << al
+        elif ss == 0:  # DC refinement: append one magnitude bit
+            block[0] |= reader.read(1) << al
+        elif ah == 0:
+            _decode_ac_first(reader, block, ac_t, ss, se, al, eobrun)
+        else:
+            _decode_ac_refine(reader, block, ac_t, ss, se, al, eobrun)
+
+    info = []
+    for cs, td, ta in scan:
+        ci = comp_ix[cs]
+        _cid, hi, vi, _tq = comps[ci]
+        dc_t = dc_tables.get(td) if (ss == 0) else None
+        ac_t = ac_tables.get(ta) if (se > 0 or not progressive) else None
+        info.append((ci, hi, vi, dc_t, ac_t))
+
+    seg_ix = 0
+    reader = _BitReader(segments[0])
+    pred = [0] * len(comps)
+    eobrun = [0]
+
+    if len(scan) > 1:  # interleaved: frame MCU geometry
+        n_units = mcux * mcuy
+    else:  # non-interleaved: the component's own true block grid
+        ci, hi, vi, _d, _a = info[0]
+        comp_w = -(-(w * hi) // hmax)  # ceil(w*hi/hmax)
+        comp_h = -(-(h * vi) // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        n_units = bw * bh
+
+    for m in range(n_units):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_ix += 1
+            reader = _BitReader(segments[seg_ix])
+            pred = [0] * len(comps)
+            eobrun = [0]
+        if len(scan) > 1:
+            my, mx = divmod(m, mcux)
+            for ci, hi, vi, dc_t, ac_t in info:
+                for by in range(vi):
+                    for bx in range(hi):
+                        block = coefs[ci][my * vi + by, mx * hi + bx]
+                        unit(reader, ci, block, pred, eobrun, dc_t, ac_t)
+        else:
+            ci, hi, vi, dc_t, ac_t = info[0]
+            row, col = divmod(m, bw)
+            unit(reader, ci, coefs[ci][row, col], pred, eobrun, dc_t, ac_t)
+
+
 def decode_jpeg(raw: bytes) -> tuple[int, int, int, np.ndarray]:
     """(width, height, channels, uint8 pixels [h, w, ch]) — grayscale
-    comes back ch=1, color ch=3 RGB."""
+    comes back ch=1, color ch=3 RGB.
+
+    Multi-scan architecture (T.81 Annexes F and G): every SOS decodes
+    into per-component zigzag coefficient arrays; dequantization, the
+    IDCT (vectorized over all blocks), upsampling and the color
+    transform run once at the end. This one path covers baseline
+    interleaved, baseline non-interleaved (one SOS per component), and
+    progressive (SOF2) spectral-selection + successive-approximation
+    streams — the shape most web crawls actually serve."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qts: dict[int, np.ndarray] = {}
     dc_tables: dict[int, _HuffTable] = {}
     ac_tables: dict[int, _HuffTable] = {}
     frame = None  # (h, w, [(cid, hi, vi, tq)])
+    progressive = False
     restart_interval = 0
     adobe_transform = None
+    coefs: list[np.ndarray] | None = None
+    geom = None
+    comp_ix: dict[int, int] = {}
     pos = 2
-    scan = None
     while pos < len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at offset {pos}")
@@ -270,10 +499,11 @@ def decode_jpeg(raw: bytes) -> tuple[int, int, int, np.ndarray]:
                 table = _HuffTable(counts, seg[i + 17 : i + 17 + total])
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 i += 17 + total
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG not supported")
+            progressive = marker == 0xC2
             h, w = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
             comps = []
@@ -288,97 +518,59 @@ def decode_jpeg(raw: bytes) -> tuple[int, int, int, np.ndarray]:
         elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
             adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            h, w, comps = frame
+            if len(comps) not in (1, 3):
+                raise NotImplementedError(f"{len(comps)}-component JPEG not supported")
             ns = seg[0]
-            scan = [(seg[1 + 2 * j], seg[2 + 2 * j] >> 4, seg[2 + 2 * j] & 15) for j in range(ns)]
-            break
+            scan = [
+                (seg[1 + 2 * j], seg[2 + 2 * j] >> 4, seg[2 + 2 * j] & 15) for j in range(ns)
+            ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            band = (ss, se, ahal >> 4, ahal & 15)
+            if coefs is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                geom = (h, w, hmax, vmax, mcux, mcuy)
+                comp_ix = {cid: ci for ci, (cid, _hi, _vi, _tq) in enumerate(comps)}
+                coefs = [
+                    np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                    for _cid, hi, vi, _tq in comps
+                ]
+            segments, pos = _extract_entropy(raw, pos)
+            _decode_scan(
+                segments,
+                scan,
+                comp_ix,
+                comps,
+                coefs,
+                dc_tables,
+                ac_tables,
+                geom,
+                band,
+                restart_interval,
+                progressive,
+            )
         # APPn / COM / others: skipped
-    if frame is None or scan is None:
+    if frame is None or coefs is None:
         raise ValueError("JPEG missing SOF/SOS")
     h, w, comps = frame
-    if len(comps) not in (1, 3):
-        raise NotImplementedError(f"{len(comps)}-component JPEG not supported")
-    if len(scan) != len(comps):
-        # legal baseline files MAY ship one SOS per component
-        # (non-interleaved); decoding that against interleaved-MCU
-        # geometry would silently produce garbage — gate loudly instead
-        raise NotImplementedError(
-            "non-interleaved multi-scan baseline JPEG not supported "
-            f"(scan covers {len(scan)} of {len(comps)} components)"
-        )
+    hmax, vmax = geom[2], geom[3]
 
-    # split entropy-coded data into restart segments, de-stuffing 0xFF00
-    segments: list[bytes] = []
-    buf = bytearray()
-    i = pos
-    while i < len(raw):
-        b = raw[i]
-        if b == 0xFF:
-            nxt = raw[i + 1] if i + 1 < len(raw) else 0xD9
-            if nxt == 0x00:
-                buf.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytes(buf))
-                buf = bytearray()
-                i += 2
-                continue
-            break  # EOI or next real marker
-        buf.append(b)
-        i += 1
-    segments.append(bytes(buf))
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
-    planes = []
-    scan_info = []
-    for cs, td, ta in scan:
-        hi, vi, tq = by_id[cs]
-        planes.append(np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64))
-        scan_info.append((hi, vi, qts[tq], dc_tables[td], ac_tables[ta]))
-
-    seg_ix = 0
-    reader = _BitReader(segments[0])
-    pred = [0] * len(scan)
-    coef = np.zeros(64, dtype=np.int64)
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_ix += 1
-            reader = _BitReader(segments[seg_ix])
-            pred = [0] * len(scan)
-        my, mx = divmod(m, mcux)
-        for ci, (hi, vi, qt, dc_t, ac_t) in enumerate(scan_info):
-            for by in range(vi):
-                for bx in range(hi):
-                    coef[:] = 0
-                    s = reader.decode_huff(dc_t)
-                    pred[ci] += _extend(reader.read(s), s)
-                    coef[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_huff(ac_t)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r != 15:
-                                break
-                            k += 16
-                            continue
-                        k += r
-                        coef[k] = _extend(reader.read(s), s)
-                        k += 1
-                    block = np.zeros(64, dtype=np.float64)
-                    block[_ZZ] = coef * qt
-                    spatial = _M.T @ block.reshape(8, 8) @ _M
-                    y0 = (my * vi + by) * 8
-                    x0 = (mx * hi + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
-
-    # upsample each component to full resolution and crop
+    # dequantize + vectorized IDCT over every block, then upsample/crop
     full = []
-    for (hi, vi, _qt, _d, _a), plane in zip(scan_info, planes):
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
+        deq = coefs[ci] * qts[tq][None, None, :]
+        rows, cols = deq.shape[:2]
+        raster = np.zeros((rows, cols, 64), dtype=np.float64)
+        raster[:, :, _ZZ] = deq
+        b = raster.reshape(rows, cols, 8, 8)
+        spatial = np.einsum("ux,rcuv,vy->rcxy", _M, b, _M)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
         if hmax % hi or vmax % vi:
             raise NotImplementedError("non-integer chroma subsampling ratio")
         up = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
@@ -482,14 +674,20 @@ def _encode_block(
 
 
 def encode_jpeg(
-    px: np.ndarray, quality: int = 90, restart_interval: int = 0
+    px: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    interleaved: bool = True,
 ) -> bytes:
     """uint8 pixels [h, w] or [h, w, ch] → baseline JPEG bytes.
     ch 1 → grayscale scan; 2 (GA) drops alpha to grayscale; 3 →
     4:4:4 YCbCr; 4 (RGBA) drops alpha. Flat generated Huffman tables
     (valid canonical codes; compression-suboptimal, spec-exact).
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs — the error-resilience feature real camera files use."""
+    MCUs — the error-resilience feature real camera files use.
+    ``interleaved=False`` writes one SOS per component (the legal
+    baseline shape some encoders emit), exercising the decoder's
+    non-interleaved scan geometry."""
     if px.ndim == 2:
         px = px[:, :, None]
     if px.shape[2] == 2:
@@ -538,12 +736,6 @@ def encode_jpeg(
         out += _dht_segment(0, 1, dc_tbl) + _dht_segment(1, 1, ac_tbl)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sos = bytes([ncomp])
-    for c in range(ncomp):
-        t = 0 if c == 0 else 1
-        sos += bytes([c + 1, (t << 4) | t])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
     # pad planes to multiples of 8 by edge replication
     padded = []
@@ -551,28 +743,64 @@ def encode_jpeg(
     for plane in planes:
         padded.append(np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge"))
 
-    writer = _BitWriter()
-    preds = [0] * ncomp
-    mcu = 0
-    rst = 0
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                writer.restart(rst)
-                rst += 1
-                preds = [0] * ncomp
-            mcu += 1
-            for ci in range(ncomp):
-                qt = qts[0] if ci == 0 else qts[1]
-                preds[ci] = _encode_block(
-                    writer,
-                    padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
-                    qt,
-                    preds[ci],
-                    dc_map,
-                    ac_map,
-                )
-    out += writer.flush()
+    if interleaved or gray:
+        sos = bytes([ncomp])
+        for c in range(ncomp):
+            t = 0 if c == 0 else 1
+            sos += bytes([c + 1, (t << 4) | t])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        writer = _BitWriter()
+        preds = [0] * ncomp
+        mcu = 0
+        rst = 0
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    writer.restart(rst)
+                    rst += 1
+                    preds = [0] * ncomp
+                mcu += 1
+                for ci in range(ncomp):
+                    qt = qts[0] if ci == 0 else qts[1]
+                    preds[ci] = _encode_block(
+                        writer,
+                        padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                        qt,
+                        preds[ci],
+                        dc_map,
+                        ac_map,
+                    )
+        out += writer.flush()
+    else:
+        # one SOS per component; in a non-interleaved scan the MCU is a
+        # single data unit, restart counting and DC prediction reset
+        # per scan (4:4:4 here, so each component covers the full grid)
+        for ci in range(ncomp):
+            t = 0 if ci == 0 else 1
+            sos = bytes([1, ci + 1, (t << 4) | t, 0, 63, 0])
+            out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+            writer = _BitWriter()
+            pred = 0
+            unit = 0
+            rst = 0
+            qt = qts[0] if ci == 0 else qts[1]
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        writer.restart(rst)
+                        rst += 1
+                        pred = 0
+                    unit += 1
+                    pred = _encode_block(
+                        writer,
+                        padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                        qt,
+                        pred,
+                        dc_map,
+                        ac_map,
+                    )
+            out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -595,7 +823,7 @@ def jpeg_dims(raw: bytes) -> tuple[int, int, int]:
             pos += 2
             continue
         (seglen,) = struct.unpack_from(">H", raw, pos + 2)
-        if marker in (0xC0, 0xC1):
+        if marker in (0xC0, 0xC1, 0xC2):  # baseline / extended / progressive
             h, w = struct.unpack_from(">HH", raw, pos + 5)
             return w, h, raw[pos + 9]
         if marker in _SOF_GATES:

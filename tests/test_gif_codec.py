@@ -149,6 +149,30 @@ def test_transparency_keeps_prior_canvas():
     assert np.array_equal(out2[~mask], f2[~mask])
 
 
+def test_disposal_restore_to_previous():
+    """GIF89a disposal 3 (gated until r6): after a frame renders, its
+    rectangle reverts to the PRE-render canvas — proven by a fully
+    transparent frame 3 compositing to frame 1, not frame 2."""
+    f1 = _palette_image(8, 8, n_colors=5, seed=1)
+    f2 = _palette_image(8, 8, n_colors=5, seed=2)
+    solid = np.full((8, 8, 3), 7, np.uint8)
+    raw = bytearray(encode_gif([(10, f1), (10, f2), (10, solid)]))
+    pal = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in (f1, f2, solid)]), axis=0
+    )
+    lut = {tuple(c): i for i, c in enumerate(pal.tolist())}
+    g1 = raw.index(b"\x21\xf9")
+    g2 = raw.index(b"\x21\xf9", g1 + 2)
+    g3 = raw.index(b"\x21\xf9", g2 + 2)
+    raw[g2 + 3] |= 3 << 2  # frame 2 disposal: restore to previous
+    raw[g3 + 3] |= 0x01  # frame 3: fully transparent
+    raw[g3 + 6] = lut[(7, 7, 7)]
+    _w, _h, frames = decode_gif(bytes(raw))
+    assert np.array_equal(frames[0][1], f1)
+    assert np.array_equal(frames[1][1], f2)
+    assert np.array_equal(frames[2][1], f1), "canvas must revert to pre-frame-2 state"
+
+
 # ---------------------------------------------------------------------------
 # independent oracle: javax.imageio
 # ---------------------------------------------------------------------------

@@ -95,12 +95,22 @@ def test_quality_monotonicity():
 # ---------------------------------------------------------------------------
 
 
-def test_progressive_gate_is_loud():
+def test_progressive_header_without_scan_fails_loudly():
+    # progressive (SOF2) is DECODED since r6; a frame header with no
+    # scan data must still raise, not return fabricated pixels
     sof2 = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes(
         [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
     )
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="missing SOF/SOS"):
         decode_jpeg(sof2)
+
+
+def test_arithmetic_gate_is_loud():
+    sof9 = b"\xff\xd8\xff\xc9" + struct.pack(">H", 11) + bytes(
+        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(sof9)
 
 
 def test_not_a_jpeg_raises():
@@ -206,9 +216,88 @@ def test_my_decoder_reads_imageio_grayscale_jpeg(spark):
     assert np.abs(ref - own[:, :, 0].astype(np.int64)).max() <= 2
 
 
-def test_non_interleaved_multi_scan_gate():
-    # frame declares 3 components, SOS covers only 1: legal baseline
-    # shape my interleaved-MCU decoder cannot render — must be loud
+def _imageio_progressive_jpeg(spark, data: bytes) -> bytes:
+    """Re-encode via the JVM writer in PROGRESSIVE mode — an
+    independently-produced SOF2 spectral-selection/successive-
+    approximation stream (the shape real crawls serve)."""
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(bytearray(data)))
+    assert img is not None
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
+    writer.dispose()
+    return bytes(bos.toByteArray())
+
+
+def test_progressive_jpeg_decodes_vs_imageio(spark):
+    """The r5 verdict #4 capstone: a REAL progressive (SOF2) stream
+    produced by the independent JVM encoder decodes within IDCT
+    tolerance of the JVM's own decode of the same bytes."""
+    px = _gradient(40, 33, seed=7, noise=3.0)
+    prog = _imageio_progressive_jpeg(spark, encode_jpeg(px, quality=95))
+    assert b"\xff\xc2" in prog[:200], "JVM writer did not emit SOF2"
+    ref = _imageio_read(spark, prog)
+    w, h, ch, own = decode_jpeg(prog)
+    assert (w, h, ch) == (33, 40, 3)
+    diff = np.abs(ref.astype(int) - own.astype(int))
+    # same stream, both 4:4:4 here: only IDCT/rounding differences
+    # (chroma subsampling would widen this; the writer keeps 4:4:4
+    # for small images — asserted by the tight bound holding)
+    assert diff.mean() < 4.0 and diff.max() <= 48, (diff.mean(), diff.max())
+
+
+def test_progressive_grayscale_vs_imageio(spark):
+    g = _gradient(25, 18, seed=9, noise=2.0)[:, :, :1]
+    prog = _imageio_progressive_jpeg(spark, encode_jpeg(g, quality=95))
+    assert b"\xff\xc2" in prog[:200]
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(bytearray(prog)))
+    w, h = img.getWidth(), img.getHeight()
+    arr = spark.sparkContext._gateway.new_array(jvm.int, w * h)
+    img.getRaster().getSamples(0, 0, w, h, 0, arr)
+    ref = np.array(list(arr), dtype=np.int64).reshape(h, w)
+    W, H, ch, own = decode_jpeg(prog)
+    assert (W, H, ch) == (18, 25, 1)
+    assert np.abs(ref - own[:, :, 0].astype(np.int64)).max() <= 2
+
+
+def test_progressive_truncated_entropy_fails_loudly(spark):
+    px = _gradient(40, 33, seed=7, noise=3.0)
+    prog = _imageio_progressive_jpeg(spark, encode_jpeg(px, quality=95))
+    sos = prog.find(b"\xff\xda")
+    cut = sos + 2 + struct.unpack(">H", prog[sos + 2 : sos + 4])[0] + 8
+    with pytest.raises((ValueError, IndexError, struct.error)):
+        decode_jpeg(prog[:cut])
+
+
+def test_non_interleaved_baseline_decodes_like_interleaved():
+    """One SOS per component (legal baseline; gated until r6) must
+    decode to EXACTLY the pixels of the interleaved stream of the same
+    blocks — same coefficients, different scan order."""
+    px = _gradient(24, 17)
+    inter = decode_jpeg(encode_jpeg(px, quality=92, interleaved=True))[3]
+    non = decode_jpeg(encode_jpeg(px, quality=92, interleaved=False))[3]
+    assert (inter == non).all()
+
+
+def test_non_interleaved_with_restarts_roundtrip():
+    px = _gradient(32, 32)
+    raw = encode_jpeg(px, quality=92, restart_interval=3, interleaved=False)
+    w, h, ch, got = decode_jpeg(raw)
+    assert (w, h, ch) == (32, 32, 3)
+    ref = decode_jpeg(encode_jpeg(px, quality=92))[3]
+    assert (got == ref).all()
+
+
+def test_non_interleaved_truncated_scan_fails_loudly():
+    # a 3-component frame whose single scan carries no entropy data
+    # must raise, never render fabricated pixels
     sof = struct.pack(">H", 17) + bytes(
         [8, 0, 16, 0, 16, 3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
@@ -217,7 +306,7 @@ def test_non_interleaved_multi_scan_gate():
     raw = (
         b"\xff\xd8\xff\xdb" + dqt + b"\xff\xc0" + sof + b"\xff\xda" + sos + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="non-interleaved"):
+    with pytest.raises(ValueError):
         decode_jpeg(raw)
 
 
@@ -231,5 +320,8 @@ def test_jpeg_dims_header_only_matches_decode():
     assert jpeg_dims(g) == (34, 21, 1)
     with pytest.raises(ValueError, match="not a JPEG"):
         jpeg_dims(b"BM123456")
-    with pytest.raises(NotImplementedError, match="progressive"):
-        jpeg_dims(b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes(9))
+    # progressive headers parse (decoded since r6); arithmetic still gates
+    sof2 = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes([8, 0, 21, 0, 34, 1, 1, 0x11, 0])
+    assert jpeg_dims(sof2) == (34, 21, 1)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        jpeg_dims(b"\xff\xd8\xff\xc9" + struct.pack(">H", 11) + bytes(9))
