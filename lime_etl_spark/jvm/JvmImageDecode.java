@@ -35,14 +35,33 @@ public class JvmImageDecode implements UDF1<byte[], Row> {
     boolean gray =
         raster.getNumBands() == 1 && !(img.getColorModel() instanceof IndexColorModel);
     if (gray) {
+      // 16-bit samples scale to 8 via the high byte, matching the
+      // Python reference codec; a bare (byte) cast would keep the LOW
+      // byte and silently diverge on every 16-bit gray payload.
+      int bits = img.getColorModel().getComponentSize(0);
+      int shift = bits > 8 ? bits - 8 : 0;
       int[] samples = raster.getSamples(0, 0, w, h, 0, (int[]) null);
       byte[] px = new byte[w * h];
       for (int i = 0; i < samples.length; i++) {
-        px[i] = (byte) samples[i];
+        px[i] = (byte) (samples[i] >> shift);
       }
       return RowFactory.create(w, h, 1, px);
     }
     int[] argb = img.getRGB(0, 0, w, h, null, 0, w);
+    if (img.getColorModel().hasAlpha()) {
+      // keep alpha: the Python reference leg returns 4-channel RGBA
+      // for alpha payloads, and dropping a channel silently would
+      // break the parity contract
+      byte[] px = new byte[w * h * 4];
+      for (int i = 0; i < argb.length; i++) {
+        int v = argb[i];
+        px[4 * i] = (byte) (v >> 16);
+        px[4 * i + 1] = (byte) (v >> 8);
+        px[4 * i + 2] = (byte) v;
+        px[4 * i + 3] = (byte) (v >>> 24);
+      }
+      return RowFactory.create(w, h, 4, px);
+    }
     byte[] px = new byte[w * h * 3];
     for (int i = 0; i < argb.length; i++) {
       int v = argb[i];

@@ -231,30 +231,49 @@ def decode_gif(raw: bytes) -> tuple[int, int, list[tuple[int, np.ndarray]]]:
 
 def encode_gif(frames: list[tuple[int, np.ndarray]] | np.ndarray) -> bytes:
     """[(delay_ms, RGB uint8 [h, w, 3])] (or one bare array) → GIF89a
-    bytes with one global palette over all frames' distinct colors."""
+    bytes. One global palette when all frames' distinct colors fit in
+    256; otherwise each frame gets its own LOCAL color table (legal
+    GIF89a — and exactly how multi-palette animations are authored),
+    raising only when a SINGLE frame exceeds 256 distinct colors (a
+    real encoder would quantize; this one never alters pixels)."""
     if isinstance(frames, np.ndarray):
         frames = [(0, frames)]
     h, w = frames[0][1].shape[:2]
     allpx = np.concatenate([f.reshape(-1, 3) for _, f in frames])
     colors = np.unique(allpx, axis=0)
-    if len(colors) > 256:
-        raise NotImplementedError(
-            f"GIF encoder needs a palette-sized image ({len(colors)} distinct colors)"
-        )
-    lut = {tuple(c): i for i, c in enumerate(colors.tolist())}
-    bits = max(1, (len(colors) - 1).bit_length())
-    table_size = 1 << bits
+    use_global = len(colors) <= 256
+
+    def _table(cols: np.ndarray) -> tuple[dict, int, bytes]:
+        lut = {tuple(c): i for i, c in enumerate(cols.tolist())}
+        bits = max(1, (len(cols) - 1).bit_length())
+        table = cols.astype(np.uint8).tobytes() + bytes(3 * ((1 << bits) - len(cols)))
+        return lut, bits, table
+
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
-    out += colors.astype(np.uint8).tobytes()
-    out += bytes(3 * (table_size - len(colors)))
+    if use_global:
+        g_lut, g_bits, g_table = _table(colors)
+        out += struct.pack("<HHBBB", w, h, 0x80 | ((g_bits - 1) & 7), 0, 0)
+        out += g_table
+    else:
+        out += struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global table
     animated = len(frames) > 1
     for delay_ms, f in frames:
         if f.shape[:2] != (h, w):
             raise ValueError("all GIF frames must share the canvas size")
         if animated:
             out += b"\x21\xf9" + struct.pack("<BBHBB", 4, 0, delay_ms // 10, 0, 0)
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        if use_global:
+            lut, bits = g_lut, g_bits
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        else:
+            fc = np.unique(f.reshape(-1, 3), axis=0)
+            if len(fc) > 256:
+                raise NotImplementedError(
+                    f"GIF encoder needs palette-sized frames ({len(fc)} distinct colors)"
+                )
+            lut, bits, table = _table(fc)
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x80 | ((bits - 1) & 7))
+            out += table
         idx = np.array(
             [lut[tuple(p)] for p in f.reshape(-1, 3).tolist()], dtype=np.uint8
         )

@@ -856,26 +856,73 @@ def _perturbed_media_corpus(spark: SparkSession, n: int = 200) -> DataFrame:
 from lime_etl_spark.plans.registry import register  # noqa: E402
 
 
+def _decode_stats_oracle(n: int = 300) -> str:
+    """Replay mm_decode_stats ARITHMETICALLY: the fixture's geometry
+    (dims, durations, container byte counts) is a pure formula of
+    media_id (_encode_{ppm,wav,y4m}), so DuckDB recomputes the
+    EXPECTED stats from the formula while the Spark side derives them
+    from the actual BYTES — a decoder or container-writer bug on
+    either side breaks the match. Byte formulas: PPM header
+    'P6\\n{w} {h}\\n255\\n' = 9+len(w)+len(h); WAV = 44-byte stdlib
+    header + 2 bytes/sample; Y4M = stream header + per-frame
+    ('FRAME\\n' + w*h*3). n_distinct_payloads = COUNT(*) encodes the
+    fixture's by-construction payload uniqueness (md5-chain streams
+    keyed by media_id), which the Spark side must reproduce from real
+    checksums."""
+    return f"""
+WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range({n})),
+spec AS (
+  SELECT id, id % 3 AS m,
+         16 + (id % 7) * 16 AS pw, 16 + (id % 5) * 16 AS ph,
+         (1 + id % 10) * 500 AS adur,
+         16 + (id % 3) * 16 AS vw, 16 + (id % 2) * 16 AS vh,
+         (1 + id % 10) * 1000 AS vdur
+  FROM ids),
+r AS (
+  SELECT
+    CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+    CASE m
+      WHEN 0 THEN 9 + length(CAST(pw AS VARCHAR)) + length(CAST(ph AS VARCHAR)) + pw * ph * 3
+      WHEN 1 THEN 44 + 2 * ((8000 * adur) // 1000)
+      ELSE length('YUV4MPEG2 W' || CAST(vw AS VARCHAR) || ' H' || CAST(vh AS VARCHAR)
+                  || ' F4:1 Ip A1:1 C444') + 1
+           + ((4 * vdur) // 1000) * (6 + vw * vh * 3)
+    END AS n_bytes,
+    CASE m WHEN 0 THEN pw WHEN 2 THEN vw END AS width,
+    CASE m WHEN 1 THEN adur WHEN 2 THEN vdur END AS duration_ms
+  FROM spec)
+SELECT media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MAX(width) AS BIGINT) AS max_width,
+       CAST(MAX(duration_ms) AS BIGINT) AS max_duration_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_payloads
+FROM r GROUP BY media_type ORDER BY media_type
+"""
+
+
 @register(
     "mm_decode_stats",
-    oracle=None,
-    description="multimodal pipeline: fixture → REAL container decode → per-type stats",
+    oracle=_decode_stats_oracle(),
+    description="multimodal pipeline: fixture → REAL container decode → per-type stats; DuckDB recomputes the expected stats arithmetically from the fixture's media_id formulas",
 )
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal plumbing as a driver-checkable query:
     build the PPM/WAV/Y4M fixture, genuinely parse every payload
     (dims/duration/frame counts come from the bytes), aggregate per
-    media type."""
+    media type. Hash-matched since r6: the oracle recomputes every
+    stat from the fixture's id→geometry formulas (_decode_stats_oracle)
+    — the Spark side must recover the same numbers from the BYTES."""
     media = build_media_fixture(spark, n=300)
     decoded = decode_media(media)
     return (
         decoded.groupBy("media_type")
         .agg(
-            F.count(F.lit(1)).alias("n_media"),
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
             F.sum("n_bytes").cast("bigint").alias("total_bytes"),
-            F.max("width").alias("max_width"),
-            F.max("duration_ms").alias("max_duration_ms"),
-            F.countDistinct("checksum").alias("n_distinct_payloads"),
+            F.max("width").cast("bigint").alias("max_width"),
+            F.max("duration_ms").cast("bigint").alias("max_duration_ms"),
+            F.countDistinct("checksum").cast("bigint").alias("n_distinct_payloads"),
         )
         .orderBy("media_type")
     )
@@ -884,7 +931,13 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _payload_integrity_oracle() -> str:
     # md5 over hex(content): DuckDB's md5 is VARCHAR-only, so both
     # engines fingerprint the (identical, uppercase) hex encoding —
-    # the same md5-bridge pattern the SimHash oracle uses
+    # the same md5-bridge pattern the SimHash oracle uses.
+    # ORDERING CONTRACT: this SQL reads the parquet the Spark builder
+    # writes (persist_media_fixture), so it is valid only after the
+    # builder has run on the same machine/TMPDIR — exactly the order
+    # the driver and driver_sim use (Spark query first, oracle second).
+    # A standalone oracle replay in a fresh environment must run the
+    # builder once first.
     return f"""
 SELECT media_type,
        CAST(COUNT(*) AS BIGINT) AS n_media,

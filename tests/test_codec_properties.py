@@ -104,3 +104,21 @@ def test_jpeg_roundtrip_dims_any_size(seed, dims):
     px = _pixels(seed, h, w, 3)
     W, H, C, _out = decode_jpeg(encode_jpeg(px, quality=85))
     assert (W, H, C) == (w, h, 3)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    dims=st.tuples(st.integers(1, 32), st.integers(1, 32)),
+    rst=st.sampled_from([0, 1, 3]),
+)
+def test_jpeg_non_interleaved_equals_interleaved(seed, dims, rst):
+    # scan order must not change the decoded pixels: one SOS per
+    # component carries the SAME coefficients as the interleaved form
+    h, w = dims
+    px = _pixels(seed, h, w, 3)
+    inter = decode_jpeg(encode_jpeg(px, quality=85, restart_interval=rst))[3]
+    non = decode_jpeg(
+        encode_jpeg(px, quality=85, restart_interval=rst, interleaved=False)
+    )[3]
+    assert np.array_equal(inter, non)

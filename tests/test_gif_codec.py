@@ -77,6 +77,57 @@ def test_too_many_colors_gate():
         encode_gif(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
 
 
+def test_multi_palette_animation_uses_local_tables():
+    """r6 review finding: frames whose COMBINED colors exceed 256 must
+    re-encode via per-frame local color tables (legal GIF89a), not
+    raise — only a single frame over 256 gates."""
+    rng = np.random.default_rng(44)
+    pal_a = rng.integers(0, 128, (200, 3), dtype=np.uint8)
+    pal_b = rng.integers(128, 256, (200, 3), dtype=np.uint8)
+    f1 = pal_a[rng.integers(0, 200, (24, 20))]
+    f2 = pal_b[rng.integers(0, 200, (24, 20))]
+    raw = encode_gif([(30, f1), (60, f2)])
+    assert raw[10] & 0x80 == 0, "multi-palette stream must carry no global table"
+    w, h, frames = decode_gif(raw)
+    assert (w, h, len(frames)) == (20, 24, 2)
+    assert [d for d, _ in frames] == [30, 60]
+    assert np.array_equal(frames[0][1], f1)
+    assert np.array_equal(frames[1][1], f2)
+
+
+def test_multi_palette_resize_end_to_end(spark):
+    """The failure the review reproduced: resize_images on an animated
+    GIF with >256 combined colors must succeed."""
+    from pyspark.sql import functions as F
+
+    from lime_etl_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(45)
+    pal_a = rng.integers(0, 128, (180, 3), dtype=np.uint8)
+    pal_b = rng.integers(128, 256, (180, 3), dtype=np.uint8)
+    f1 = pal_a[rng.integers(0, 180, (24, 24))]
+    f2 = pal_b[rng.integers(0, 180, (24, 24))]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gif([(20, f1), (40, f2)])))],
+        "media_id long, content binary",
+    ).select(
+        "media_id",
+        F.lit("image").alias("media_type"),
+        "content",
+        F.struct(
+            F.lit(24).alias("width"),
+            F.lit(24).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("gif").alias("codec"),
+        ).alias("meta"),
+    )
+    out = bytes(mm.resize_images(df, 8, 8).collect()[0]["content"])
+    _w, _h, frames = decode_gif(out)
+    assert len(frames) == 2 and [d for d, _ in frames] == [20, 40]
+
+
 def test_not_a_gif_raises():
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"BM000000")

@@ -72,6 +72,33 @@ def test_lossless_containers_bit_exact(spark):
     assert got[4]["ch"] == 1 and (got[4]["px"] == gray).all()
 
 
+def test_16bit_gray_uses_high_byte(spark):
+    """r6 review finding: TYPE_USHORT_GRAY samples must scale via the
+    high byte like the Python reference codec, not truncate to the
+    low byte."""
+    from tests.test_png_codec import _raw_png
+
+    rng = np.random.default_rng(31)
+    s = rng.integers(0, 65536, (6, 9, 1), dtype=np.uint16).astype(np.int64)
+    got = _decode_all(spark, {1: _raw_png(s, 16, 0)})[1]
+    assert got["ch"] == 1
+    assert (got["px"] == (s[:, :, 0] >> 8).astype(np.uint8)).all()
+
+
+def test_rgba_keeps_alpha_channel(spark):
+    """r6 review finding: alpha payloads come back 4-channel RGBA like
+    the Python reference leg, never silently flattened to RGB."""
+    from lime_etl_spark.operators.png_codec import decode_png
+
+    rng = np.random.default_rng(32)
+    rgba = rng.integers(0, 256, (7, 11, 4), dtype=np.uint8)
+    raw = encode_png(rgba)
+    got = _decode_all(spark, {1: raw})[1]
+    _w, _h, ch, ref = decode_png(raw)
+    assert ch == 4 and got["ch"] == 4
+    assert (got["px"] == ref).all()
+
+
 def test_jpeg_within_idct_tolerance(spark):
     rgb = _rgb(21, 24, 32)
     raw = encode_jpeg(rgb, quality=92)

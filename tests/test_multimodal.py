@@ -193,6 +193,24 @@ def test_payload_integrity_matches_duckdb_over_persisted_fixture(spark, sf_dir):
     assert not compare_frames(sdf, odf)
 
 
+def test_decode_stats_matches_formula_oracle(spark, sf_dir):
+    """mm_decode_stats is hash-matched since r6: DuckDB recomputes the
+    per-type stats ARITHMETICALLY from the fixture's media_id→geometry
+    formulas; the Spark side must recover identical numbers from the
+    real container BYTES — a decoder or writer bug on either side
+    breaks this."""
+    import duckdb
+
+    from lime_etl_spark.plans.registry import get
+    from tests.oracle import compare_frames
+
+    spec = get("mm_decode_stats")
+    assert spec.oracle is not None
+    sdf = spec.builder(spark, sf_dir).toPandas()
+    odf = duckdb.connect().execute(spec.oracle).fetchdf()
+    assert not compare_frames(sdf, odf)
+
+
 def test_preprocess_audit_invariants(spark, sf_dir):
     """Both preprocessing legs present, non-empty, and invariant-clean
     (uniform resize dims; >=1 frame per video)."""

@@ -23,9 +23,12 @@ behavior. This tool makes the data term dominant and measures it:
 Timing-only: correctness at these scales is already covered by the
 sf0.01 oracle sweep; nothing here feeds CORRECTNESS artifacts.
 
-Usage: python tools/scale_bench.py [K] [SRC_SF_DIR]
-Writes SCALE_r{N}.json-style line to stdout; the round snapshot
-commits it as SCALE_r5.json.
+Usage: python tools/scale_bench.py [K] [SRC_SF_DIR] [QUERY_SET]
+QUERY_SET ∈ {core (default), bucketed} — `bucketed` runs the LSH/
+connected-components/PageRank/sliding-window families (r5 verdict
+#3); see BUCKETED_QUERIES for why document text is rotated
+per-replica. Writes one SCALE_r{N}.json-style line to stdout; the
+round snapshot commits the lines as SCALE_r{N}.json.
 """
 
 from __future__ import annotations
@@ -68,6 +71,25 @@ QUERIES = {
     "dedup_exact": "documents",
 }
 
+# Bucketed/iterative families (r5 verdict #3): the 100 TB claims that
+# need direct evidence are "LSH cost tracks candidates, not corpus^2"
+# and "connected-components cost tracks graph diameter". Replicating
+# documents VERBATIM would make every doc a k-way exact clone — a
+# C(k,2) quadratic PAIR artifact of the replication itself, not of
+# corpus growth — so build_scaled applies a per-replica alphabet
+# ROTATION to document text: a character bijection preserves every
+# intra-replica shingle/Jaccard relation exactly (so each replica
+# carries the same near-dup structure as the source) while making
+# cross-replica shingles disjoint, which is how independent new data
+# actually behaves. Rotations are distinct for k <= 26.
+BUCKETED_QUERIES = {
+    "dedup_minhash_lsh": "documents",
+    "dedup_components": "documents",
+    "graph_pagerank_top": "documents",
+    "ev_rolling_kpis": "events",
+}
+QUERY_SETS = {"core": QUERIES, "bucketed": BUCKETED_QUERIES}
+
 
 def build_scaled(spark: SparkSession, src: str, out: str, k: int) -> None:
     os.makedirs(out, exist_ok=True)
@@ -75,22 +97,38 @@ def build_scaled(spark: SparkSession, src: str, out: str, k: int) -> None:
         shutil.copyfile(
             os.path.join(src, f"{t}.parquet"), os.path.join(out, f"{t}.parquet")
         )
+    alpha = "abcdefghijklmnopqrstuvwxyz"
     for t, keys in FACTS.items():
         df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
         shifts = {c: df.agg(F.max(c)).collect()[0][0] + 1 for c in keys}
-        copies = [
-            df.select(
-                *[
-                    (F.col(c) + F.lit(i * shifts[c])).alias(c) if c in keys else F.col(c)
-                    for c in df.columns
-                ]
-            )
-            for i in range(k)
-        ]
+
+        def replica(i: int, df=df, keys=keys, t=t, shifts=shifts):
+            cols = []
+            for c in df.columns:
+                if c in keys:
+                    cols.append((F.col(c) + F.lit(i * shifts[c])).alias(c))
+                elif t == "documents" and c == "text":
+                    # per-replica alphabet rotation (see BUCKETED_QUERIES
+                    # note): intra-replica similarity structure is
+                    # preserved bijectively; replicas don't alias
+                    rot = alpha[i % 26 :] + alpha[: i % 26]
+                    cols.append(F.translate(F.col(c), alpha, rot).alias(c))
+                else:
+                    cols.append(F.col(c))
+            return df.select(*cols)
+
+        copies = [replica(i) for i in range(k)]
         union = copies[0]
         for c in copies[1:]:
             union = union.unionByName(c)
-        union.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+        # uniform 32-file layout at EVERY k: otherwise k=1 facts land
+        # in one parquet file and the k=1 timings measure parallelism
+        # starvation (1 split on 32 cores), not data cost — at k=16
+        # that artifact made the LSH leg look FASTER than k=1. With
+        # the layout held constant the ratio isolates the data term.
+        union.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
 
 
 def _median(run, n: int) -> float:
@@ -106,6 +144,14 @@ def _median(run, n: int) -> float:
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    query_set = sys.argv[3] if len(sys.argv) > 3 else "core"
+    if query_set not in QUERY_SETS:
+        print(
+            f"unknown query set {query_set!r}; choose from {sorted(QUERY_SETS)}",
+            file=sys.stderr,
+        )
+        return 2
+    queries = QUERY_SETS[query_set]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -117,7 +163,11 @@ def main() -> int:
     )
     from lime_etl_spark.plans.registry import all_queries, hygienic
 
-    base = "/tmp/sparkgraft_scale"
+    # v3: per-replica rotated document text (v1 verbatim clones would
+    # quadratically inflate the dedup legs) + uniform 32-file layout
+    # at every k (v2's single-file k=1 dirs measured parallelism
+    # starvation, not data cost)
+    base = "/tmp/sparkgraft_scale_v3"
     dirs = {1: os.path.join(base, "k1"), k: os.path.join(base, f"k{k}")}
     for kk, d in dirs.items():
         if not os.path.isdir(os.path.join(d, "lineitem.parquet")):
@@ -126,10 +176,10 @@ def main() -> int:
     registry = all_queries()
     fact_rows = {
         t: spark.read.parquet(os.path.join(dirs[1], f"{t}.parquet")).count()
-        for t in set(QUERIES.values())
+        for t in set(queries.values())
     }
     out: dict[str, dict] = {}
-    for name, fact in QUERIES.items():
+    for name, fact in queries.items():
         if name not in registry:
             continue
         builder = hygienic(registry[name].builder)
@@ -154,6 +204,7 @@ def main() -> int:
         json.dumps(
             {
                 "metric": "scale_leg_total",
+                "query_set": query_set,
                 "k": k,
                 "src_sf": src.rstrip("/").rsplit("sf", 1)[-1],
                 "total_k1_sec": total1,
