@@ -664,6 +664,11 @@ ENERGY_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("window_ix", IntegerType(), False),
         StructField("energy", FloatType(), False),
+        # exact int64 sum of squared samples: the hash-matchable twin
+        # of `energy` (energy = sqrt(sum_sq/n)/32768) — rollups that
+        # want a DuckDB oracle aggregate this, not the float
+        StructField("sum_sq", LongType(), False),
+        StructField("n_samples", IntegerType(), False),
     ]
 )
 
@@ -685,13 +690,16 @@ def audio_energy_windows(df: DataFrame, window_ms: int = 500) -> DataFrame:
                 n_windows = max(1, -(-len(samples) // spw))
                 rows = []
                 for ix in range(n_windows):
-                    sl = samples[ix * spw : (ix + 1) * spw].astype(np.float64)
-                    rms = float(np.sqrt((sl * sl).mean())) if len(sl) else 0.0
+                    sl = samples[ix * spw : (ix + 1) * spw].astype(np.int64)
+                    sum_sq = int((sl * sl).sum())
+                    rms = float(np.sqrt(sum_sq / len(sl))) if len(sl) else 0.0
                     rows.append(
                         {
                             "media_id": int(media_id),
                             "window_ix": ix,
                             "energy": min(rms / 32768.0, 1.0),
+                            "sum_sq": sum_sq,
+                            "n_samples": int(len(sl)),
                         }
                     )
                 yield pd.DataFrame(rows)
@@ -1054,30 +1062,101 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_near_dup_pairs(sigs).orderBy("media_a", "media_b")
 
 
+def _audio_energy_oracle(n: int = 300) -> str:
+    """Replay mm_audio_energy BIT-EXACTLY in DuckDB by reconstructing
+    every PCM sample from the fixture's md5-chain formula: noise int16
+    = little-endian bytes of md5(f"{id}:{block}") digests, envelope
+    amp = f(first digest byte of md5(f"amp:{id}:{k}")) ∈
+    {0, 1/3, 2/3, 1}, sample = trunc(noise · amp) (both engines IEEE
+    double multiply + truncate toward zero), energies as exact int64
+    sums of squares. A WAV-writer/parser bug on the Spark side (or a
+    wrong window split) breaks the match. ~2.2M samples / 275k md5
+    calls — seconds in DuckDB."""
+    hx = "0123456789abcdef"
+
+    def byte_at(expr: str, pos: int) -> str:
+        return (
+            f"((strpos('{hx}', substr({expr}, {pos}, 1)) - 1) * 16"
+            f" + (strpos('{hx}', substr({expr}, {pos + 1}, 1)) - 1))"
+        )
+
+    amp_md5 = "md5('amp:' || id || ':' || CAST(t.k AS VARCHAR))"
+    return f"""
+WITH clips AS (
+  SELECT CAST(range AS BIGINT) AS id, CAST(1 + range % 10 AS BIGINT) AS nw
+  FROM range({n}) WHERE range % 3 = 1),
+blocks AS (
+  SELECT id, CAST(t.b AS BIGINT) AS b,
+         md5(id || ':' || CAST(t.b AS VARCHAR)) AS hxs
+  FROM clips, UNNEST(range(nw * 500)) AS t(b)),
+raw16 AS (
+  SELECT id, b * 8 + j.j AS gs,
+    (strpos('{hx}', substr(hxs, CAST(4*j.j + 1 AS INT), 1)) - 1) * 16
+      + (strpos('{hx}', substr(hxs, CAST(4*j.j + 2 AS INT), 1)) - 1) AS lo,
+    (strpos('{hx}', substr(hxs, CAST(4*j.j + 3 AS INT), 1)) - 1) * 16
+      + (strpos('{hx}', substr(hxs, CAST(4*j.j + 4 AS INT), 1)) - 1) AS hi
+  FROM blocks, UNNEST(range(8)) AS j(j)),
+noise AS (
+  SELECT id, gs, gs // 4000 AS k,
+    CAST(lo + 256 * hi AS BIGINT)
+      - CASE WHEN lo + 256 * hi >= 32768 THEN 65536 ELSE 0 END AS v
+  FROM raw16),
+amps AS (
+  SELECT id, CAST(t.k AS BIGINT) AS k,
+    CASE WHEN t.k = 0
+      THEN CAST(({byte_at(amp_md5, 1)} % 3) + 1 AS DOUBLE) / 3.0
+      ELSE CAST({byte_at(amp_md5, 1)} % 4 AS DOUBLE) / 3.0
+    END AS amp
+  FROM clips, UNNEST(range(nw)) AS t(k)),
+sv AS (
+  SELECT n.id, n.k,
+         CAST(trunc(CAST(n.v AS DOUBLE) * a.amp) AS BIGINT) AS s
+  FROM noise n JOIN amps a ON n.id = a.id AND n.k = a.k),
+win AS (
+  SELECT id, k, CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+         CAST(COUNT(*) AS BIGINT) AS n_samples
+  FROM sv GROUP BY id, k)
+SELECT id AS media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(sum_sq) AS BIGINT) AS total_sq,
+       CAST(MAX(sum_sq) AS BIGINT) AS peak_window_sq,
+       CAST(SUM(CASE WHEN sum_sq * 400 < n_samples * 1073741824 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_silent_windows
+FROM win GROUP BY id ORDER BY media_id
+"""
+
+
 @register(
     "mm_audio_energy",
-    oracle=None,
-    description="audio energy-window profile: fixture → per-window true PCM RMS → per-clip silence/peak stats",
+    oracle=_audio_energy_oracle(),
+    description="audio energy-window profile: fixture → per-window true PCM energy (exact int64 sums of squares) → per-clip silence/peak stats; DuckDB reconstructs every PCM sample from the md5-chain formula",
 )
 def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio leg of the multimodal family: window-energy profile per
     clip (TRUE RMS over wave-decoded PCM16 samples) rolled up to
-    (n_windows, mean/peak energy, silent-window count) — the triage
+    (n_windows, total/peak energy, silent-window count) — the triage
     table that decides which clips are worth further compute; the
     fixture's amplitude envelope genuinely zeroes some windows, so
     silent-window counts are exercised. Windows explode inside Arrow
-    batches; the rollup is a counters-only groupBy on media_id."""
+    batches; the rollup is a counters-only groupBy on media_id.
+
+    Energies are EXACT int64 sums of squared PCM samples (the float
+    RMS is sqrt(sum_sq/n)/32768, derivable by any consumer): integer
+    energy is what makes mm_audio_energy_exact hash-matchable, and the
+    silent predicate (rms < 0.05 full scale ⟺ 400·sum_sq < n·32768²)
+    is an exact integer comparison on both engines."""
     media = build_media_fixture(spark, n=300)
     en = audio_energy_windows(media)
+    silent = (F.col("sum_sq") * 400) < (
+        F.col("n_samples").cast("bigint") * F.lit(1073741824)
+    )
     return (
         en.groupBy("media_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-            F.avg("energy").alias("mean_energy"),
-            F.max("energy").alias("peak_energy"),
-            F.sum(F.when(F.col("energy") < 0.05, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_silent_windows"),
+            F.sum("sum_sq").cast("bigint").alias("total_sq"),
+            F.max("sum_sq").cast("bigint").alias("peak_window_sq"),
+            F.sum(F.when(silent, 1).otherwise(0)).cast("bigint").alias("n_silent_windows"),
         )
         .orderBy("media_id")
     )

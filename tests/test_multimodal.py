@@ -193,6 +193,26 @@ def test_payload_integrity_matches_duckdb_over_persisted_fixture(spark, sf_dir):
     assert not compare_frames(sdf, odf)
 
 
+def test_audio_energy_matches_pcm_reconstruction_oracle(spark, sf_dir):
+    """mm_audio_energy is hash-matched since r6: DuckDB reconstructs
+    every PCM sample from the fixture's md5-chain formula and must
+    reach the same exact int64 energies the Spark side computes from
+    the REAL WAV bytes."""
+    import duckdb
+
+    from lime_etl_spark.plans.registry import get
+    from tests.oracle import compare_frames
+
+    spec = get("mm_audio_energy")
+    assert spec.oracle is not None
+    sdf = spec.builder(spark, sf_dir).toPandas()
+    odf = duckdb.connect().execute(spec.oracle).fetchdf()
+    assert not compare_frames(sdf, odf)
+    # silence is genuinely exercised: some but not all windows silent
+    assert sdf["n_silent_windows"].sum() > 0
+    assert sdf["n_silent_windows"].sum() < sdf["n_windows"].sum()
+
+
 def test_decode_stats_matches_formula_oracle(spark, sf_dir):
     """mm_decode_stats is hash-matched since r6: DuckDB recomputes the
     per-type stats ARITHMETICALLY from the fixture's media_id→geometry
