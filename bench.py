@@ -147,15 +147,23 @@ def _time(run) -> tuple[float, float]:
 
 
 def _previous_bench(repo: str) -> tuple[str, dict] | None:
+    """Newest committed BENCH_r*.json that actually carries per-query
+    numbers — a round whose driver failed to parse (BENCH_r05.json:
+    `parsed: null`) must not erase the delta baseline; fall back to
+    the newest artifact with data."""
     paths = glob.glob(os.path.join(repo, "BENCH_r*.json"))
-    if not paths:
-        return None
-    path = max(paths, key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
-    try:
-        with open(path) as fh:
-            return os.path.basename(path), json.load(fh)
-    except (OSError, json.JSONDecodeError):
-        return None
+    for path in sorted(
+        paths, key=lambda p: int(re.search(r"_r(\d+)", p).group(1)), reverse=True
+    ):
+        try:
+            with open(path) as fh:
+                art = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        payload = art.get("parsed") or art
+        if isinstance(payload, dict) and payload.get("queries"):
+            return os.path.basename(path), art
+    return None
 
 
 def _write_delta(
