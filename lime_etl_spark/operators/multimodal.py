@@ -512,6 +512,26 @@ def _gray_series(raw: bytes) -> np.ndarray:
     return np.abs(samples.astype(np.float64)) * (255.0 / 32768.0)
 
 
+def _cell_series(raw: bytes) -> np.ndarray:
+    """Integer twin of _gray_series for the aHash stage: image → per-
+    pixel channel SUM (alpha dropped), video → first frame's Y bytes,
+    audio → |PCM| — int64 exact, so threshold bits replay in SQL."""
+    kind = _sniff(raw)
+    if kind in ("netpbm", "png", "jpeg", "gif", "bmp"):
+        _w, _h, _ch, px = _decode_image(raw)
+        px = px if px.ndim == 3 else px[:, :, None]
+        if px.shape[2] == 4:
+            px = px[:, :, :3]
+        elif px.shape[2] == 2:
+            px = px[:, :, :1]
+        return px.astype(np.int64).sum(axis=2).ravel()
+    if kind == "y4m":
+        _w, _h, planes = _y4m_frame(raw, 0)
+        return planes[0].astype(np.int64).ravel()
+    _rate, _dur, samples = _parse_wav(raw)
+    return np.abs(samples.astype(np.int64))
+
+
 FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -740,19 +760,26 @@ def media_ahash(df: DataFrame) -> DataFrame:
 
     Arrow-batched like every payload stage; output is 8 bytes/item,
     so the downstream dedup join never touches the binary again.
+
+    Cell values are EXACT integers (r6): image luma as the channel SUM
+    r+g+b (any positive per-payload scale leaves the threshold bits
+    unchanged), video Y bytes, audio |PCM|; the bit test is the
+    integer form 64·c > Σc — identical to c > mean but reproducible
+    bit-for-bit by the DuckDB oracle (a float mean is numpy-pairwise
+    summed and cannot be replayed by SQL SUM ordering).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, sigs = [], []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                series = _gray_series(bytes(content))
+                series = _cell_series(bytes(content))
                 ix = (np.arange(AHASH_GRID) * len(series)) // AHASH_GRID
                 cells = series[ix]
-                mean = cells.mean()
+                total = int(cells.sum())
                 sig = 0
                 for i, c in enumerate(cells):
-                    if c > mean:
+                    if AHASH_GRID * int(c) > total:
                         sig |= 1 << i
                 if sig >= 1 << 63:  # store as signed 64-bit
                     sig -= 1 << 64
@@ -1041,12 +1068,121 @@ def mm_preprocess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_leg.unionByName(frame_leg).orderBy("leg")
 
 
+def _md5_byte_sql(src: str, j: str) -> str:
+    """SQL expression for byte `j` of the md5-chain stream
+    _payload(`src`, ...): digest block j//16, hex chars 2(j%16)+1..2."""
+    hx = "0123456789abcdef"
+    md5 = f"md5(CAST({src} AS VARCHAR) || ':' || CAST(({j}) // 16 AS VARCHAR))"
+    return (
+        f"((strpos('{hx}', substr({md5}, CAST(2 * (({j}) % 16) + 1 AS INT), 1)) - 1) * 16"
+        f" + (strpos('{hx}', substr({md5}, CAST(2 * (({j}) % 16) + 2 AS INT), 1)) - 1))"
+    )
+
+
+def _image_near_dup_oracle(n: int = 200) -> str:
+    """Replay mm_image_near_dup END-TO-END in DuckDB: reconstruct the
+    64 sampled aHash cells of every payload (and of the perturbed
+    twins, flipping the three XORed data bytes) straight from the
+    md5-chain formulas — image cells as r+g+b byte sums, video cells
+    as frame-0 Y bytes, audio cells as |trunc(noise·amp)| with the
+    stored lo-byte flip applied for the perturbed samples — then the
+    integer threshold 64·c > Σc, the signed-64 signature, the 4×16-bit
+    band join and the popcount ≤ τ verify. A decoder, signature, or
+    banding bug on either side breaks the match."""
+    hx = "0123456789abcdef"
+
+    def flip(expr: str, j: str) -> str:
+        # the perturbed twins XOR three DATA bytes with 0xFF
+        return f"(CASE WHEN perturbed AND ({j}) IN (30, 60, 90) THEN 255 - {expr} ELSE {expr} END)"
+
+    img_cell = " + ".join(
+        flip(_md5_byte_sql("src", f"3*p + {d}"), f"3*p + {d}") for d in range(3)
+    )
+    vid_cell = flip(_md5_byte_sql("src * 1000", "p"), "p")
+    noise_lo = _md5_byte_sql("src", "2*p")
+    noise_hi = _md5_byte_sql("src", "2*p + 1")
+    amp_md5 = "md5('amp:' || CAST(src AS VARCHAR) || ':' || CAST(p // 4000 AS VARCHAR))"
+    amp_byte = (
+        f"((strpos('{hx}', substr({amp_md5}, 1, 1)) - 1) * 16"
+        f" + (strpos('{hx}', substr({amp_md5}, 2, 1)) - 1))"
+    )
+    amp = (
+        f"(CASE WHEN p // 4000 = 0 THEN CAST(({amp_byte} % 3) + 1 AS DOUBLE) / 3.0"
+        f" ELSE CAST({amp_byte} % 4 AS DOUBLE) / 3.0 END)"
+    )
+    return f"""
+WITH payloads AS (
+  SELECT CAST(range AS BIGINT) AS id, CAST(range AS BIGINT) AS src, FALSE AS perturbed
+  FROM range({n})
+  UNION ALL
+  SELECT CAST(range + 1000000 AS BIGINT), CAST(range AS BIGINT), TRUE
+  FROM range({n}) WHERE range % 10 = 0),
+geo AS (
+  SELECT id, src, perturbed, src % 3 AS m,
+    CASE src % 3
+      WHEN 0 THEN (16 + (src % 7) * 16) * (16 + (src % 5) * 16)
+      WHEN 1 THEN 4000 * (1 + src % 10)
+      ELSE (16 + (src % 3) * 16) * (16 + (src % 2) * 16)
+    END AS L
+  FROM payloads),
+cells AS (
+  SELECT id, src, perturbed, m, CAST(t.i AS BIGINT) AS i,
+         (CAST(t.i AS BIGINT) * L) // 64 AS p
+  FROM geo, UNNEST(range(64)) AS t(i)),
+img AS (SELECT id, i, CAST({img_cell} AS BIGINT) AS c FROM cells WHERE m = 0),
+vid AS (SELECT id, i, CAST({vid_cell} AS BIGINT) AS c FROM cells WHERE m = 2),
+aud0 AS (
+  SELECT id, i, p, perturbed,
+    CAST({noise_lo} + 256 * {noise_hi} AS BIGINT)
+      - CASE WHEN {noise_lo} + 256 * {noise_hi} >= 32768 THEN 65536 ELSE 0 END AS nv,
+    {amp} AS amp
+  FROM cells WHERE m = 1),
+aud1 AS (
+  SELECT id, i, perturbed, p,
+    CAST(trunc(CAST(nv AS DOUBLE) * amp) AS BIGINT) AS v
+  FROM aud0),
+aud2 AS (
+  SELECT id, i,
+    CASE WHEN perturbed AND p IN (15, 30, 45) THEN
+      (((v % 65536) + 65536) % 65536) // 256 * 256
+        + (255 - (((v % 65536) + 65536) % 65536) % 256)
+    ELSE NULL END AS u_flipped,
+    v
+  FROM aud1),
+aud AS (
+  SELECT id, i,
+    CAST(abs(CASE WHEN u_flipped IS NULL THEN v
+             ELSE u_flipped - CASE WHEN u_flipped >= 32768 THEN 65536 ELSE 0 END END)
+         AS BIGINT) AS c
+  FROM aud2),
+allc AS (SELECT * FROM img UNION ALL SELECT * FROM vid UNION ALL SELECT * FROM aud),
+tot AS (SELECT id, SUM(c) AS s FROM allc GROUP BY id),
+bits AS (
+  SELECT a.id,
+    SUM(CASE WHEN 64 * a.c > t.s THEN CAST(1 AS HUGEINT) << CAST(a.i AS INT) ELSE 0 END) AS usig
+  FROM allc a JOIN tot t ON a.id = t.id GROUP BY a.id),
+sig AS (
+  SELECT id, CAST(CASE WHEN usig >= CAST('9223372036854775808' AS HUGEINT)
+                  THEN usig - CAST('18446744073709551616' AS HUGEINT)
+                  ELSE usig END AS BIGINT) AS ahash
+  FROM bits),
+bandsx AS (
+  SELECT id, ahash, CAST(t.b AS INT) AS b,
+         (ahash >> CAST(16 * t.b AS INT)) & 65535 AS bv
+  FROM sig, UNNEST(range(4)) AS t(b)),
+cand AS (
+  SELECT DISTINCT a.id AS media_a, a.ahash AS ha, b.id AS media_b, b.ahash AS hb
+  FROM bandsx a JOIN bandsx b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id)
+SELECT media_a, media_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+ORDER BY media_a, media_b
+"""
+
+
 @register(
     "mm_image_near_dup",
-    oracle=None,  # signature extraction is the Python decode stage;
-    # pytest proves planted perturbed copies are found and distinct
-    # payloads are not
-    description="perceptual near-dup: average-hash over decoded content + hamming-band candidates",
+    oracle=_image_near_dup_oracle(),
+    description="perceptual near-dup: average-hash over decoded content + hamming-band candidates; DuckDB reconstructs every sampled cell, signature, band and popcount from the fixture's md5-chain formulas",
 )
 def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection for binary media — the image twin of

@@ -213,6 +213,24 @@ def test_audio_energy_matches_pcm_reconstruction_oracle(spark, sf_dir):
     assert sdf["n_silent_windows"].sum() < sdf["n_windows"].sum()
 
 
+def test_image_near_dup_matches_reconstruction_oracle(spark, sf_dir):
+    """mm_image_near_dup is hash-matched since r6: DuckDB rebuilds
+    every sampled aHash cell (incl. the perturbed twins' flipped
+    bytes), the integer-threshold signatures, the band join and the
+    popcount from the md5-chain formulas."""
+    import duckdb
+
+    from lime_etl_spark.plans.registry import get
+    from tests.oracle import compare_frames
+
+    spec = get("mm_image_near_dup")
+    assert spec.oracle is not None
+    sdf = spec.builder(spark, sf_dir).toPandas()
+    assert len(sdf) > 0
+    odf = duckdb.connect().execute(spec.oracle).fetchdf()
+    assert not compare_frames(sdf, odf)
+
+
 def test_decode_stats_matches_formula_oracle(spark, sf_dir):
     """mm_decode_stats is hash-matched since r6: DuckDB recomputes the
     per-type stats ARITHMETICALLY from the fixture's media_id→geometry
