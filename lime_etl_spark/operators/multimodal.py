@@ -13,9 +13,12 @@ numpy + stdlib can decode bit-exactly:
 
 - **images** — binary PPM (``P6``, raw RGB) / PGM (``P5``, raw gray),
   the Netpbm formats every image toolchain reads; plus from-spec
-  pure-Python codecs for PNG (png_codec.py), baseline JPEG
-  (jpeg_codec.py), GIF (gif_codec.py) and BMP (bmp_codec.py) — all
-  cross-verified against the JVM's javax.imageio in tests;
+  pure-Python codecs for PNG (png_codec.py — every legal bit depth,
+  Adam7), JPEG (jpeg_codec.py — baseline AND progressive SOF2), GIF
+  (gif_codec.py — all disposal methods) and BMP (bmp_codec.py — incl.
+  RLE) — all cross-verified against the JVM's javax.imageio in
+  tests; plus the PRODUCTION JVM decode leg (functions/jvm_codecs.py)
+  that keeps pixels out of Python entirely;
 - **audio** — RIFF/WAVE PCM16 mono, parsed with stdlib ``wave``;
 - **video** — YUV4MPEG2 (``.y4m``, C444 planar), the uncompressed
   interchange format ffmpeg/mpv emit.
