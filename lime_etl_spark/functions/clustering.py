@@ -61,26 +61,55 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
     )
 
 
+def _lit_matrix(rows: list[list[float]]) -> Column:
+    """k×dim literal double matrix parsed as ONE SQL expression.
+
+    Building this from k·dim `F.lit()` calls costs thousands of py4j
+    round trips (measured 1.7 s for 16×64 — it dominated kmeans_fit
+    wall time because every Lloyd iteration rebuilds the expression);
+    one `F.expr` string parses JVM-side in ~ms. Values stay
+    bit-identical: Python `repr` is the shortest round-trip decimal,
+    and Java parses it back to the same IEEE double.
+    """
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(v)) + "D" for v in r) + ")"
+            for r in rows
+        )
+        + ")"
+    )
+
+
+def _dist_cells(vec: Column, centroids: list[list[float]]) -> Column:
+    """(||v-c_i||^2, i) struct per centroid — same left-to-right fold
+    per distance as `_sq_dist`, so values are bit-identical to the
+    per-centroid-literal form this replaced."""
+    return F.transform(
+        _lit_matrix(centroids),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            i.alias("cid"),
+        ),
+    )
+
+
 def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid — one codegen'd expression.
 
     array_min over (distance, id) structs compares lexicographically:
     smallest distance wins, ties break on lowest id.
     """
-    cells = [
-        F.struct(_sq_dist(vec, c).alias("d"), F.lit(i).alias("cid"))
-        for i, c in enumerate(centroids)
-    ]
-    return F.array_min(F.array(*cells))["cid"]
+    return F.array_min(_dist_cells(vec, centroids))["cid"]
 
 
 def nearest_centroids(vec: Column, centroids: list[list[float]], n: int) -> Column:
     """Ids of the n nearest centroids (multi-probe list for queries)."""
-    cells = [
-        F.struct(_sq_dist(vec, c).alias("d"), F.lit(i).alias("cid"))
-        for i, c in enumerate(centroids)
-    ]
-    ranked = F.slice(F.array_sort(F.array(*cells)), 1, n)
+    ranked = F.slice(F.array_sort(_dist_cells(vec, centroids)), 1, n)
     return F.transform(ranked, lambda s: s["cid"])
 
 

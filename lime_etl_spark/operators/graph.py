@@ -41,7 +41,7 @@ from lime_etl_spark.operators.dedup import (
     lsh_candidates,
     minhash_signatures,
 )
-from lime_etl_spark.plans.registry import register
+from lime_etl_spark.plans.registry import register, track_persist
 from lime_etl_spark.sources.readers import load_table
 
 MAX_CC_ITERATIONS = 25
@@ -57,14 +57,13 @@ def connected_components(
     """
     # cache the edge input FIRST: the symmetrizing union has two
     # branches, and without the cache each branch re-runs the whole
-    # upstream pair-mining pipeline (LSH candidates + verify) once
+    # upstream pair-mining pipeline (LSH candidates + verify) once.
+    # No standalone warm-up counts: the eager init-checkpoint job
+    # below materializes both caches serially in one pass.
     edges_c = edges.select("src", "dst").persist()
-    edges_c.count()
     sym = edges_c.unionByName(
         edges_c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    sym.count()
-    edges_c.unpersist()
     # iterate ONLY the active subgraph: vertices touching an edge.
     # Isolated vertices (the overwhelming majority in a dedup graph —
     # most docs have no near-dup) can never change label, so they
@@ -76,6 +75,12 @@ def connected_components(
         .distinct()
         .select(F.col("vid"), F.col("vid").alias("label"))
     )
+    # the INIT checkpoint stays eager: it is consumed twice per round,
+    # and its job also materializes the sym cache serially (a lazy
+    # init would let two sibling stages race to compute sym). The
+    # IN-LOOP checkpoints are lazy: each is materialized exactly once
+    # by the round's convergence count before the next round builds,
+    # folding checkpoint + count into one scheduler job per round.
     labels = labels.localCheckpoint()
     for _ in range(max_iterations):
         nbr_min = (
@@ -98,18 +103,20 @@ def connected_components(
                 ),
             )
         )
-        new_labels = new_labels.localCheckpoint()
+        new_labels = new_labels.localCheckpoint(eager=False)
         labels = new_labels.select("vid", "label")
         if new_labels.where("moved").count() == 0:
             break
     else:
         # a silent cap would return WRONG labels (a half-flooded chain)
+        edges_c.unpersist()
         sym.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds "
             "(graph diameter exceeds the budget); raise max_iterations or use "
             "connected_components_star, which converges in O(log diameter)."
         )
+    edges_c.unpersist()
     sym.unpersist()
     return vertices.join(labels, "vid", "left").select(
         vertices.vid, F.coalesce(F.col("label"), vertices.vid).alias("label")
@@ -215,7 +222,8 @@ def connected_components_star(
 
     cur = canon
     for _ in range(max_iterations):
-        nxt = small_star(large_star(cur)).localCheckpoint()
+        # lazy: the first exceptAll count materializes the checkpoint
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=False)
         changed = (
             nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
         )
@@ -325,7 +333,6 @@ def label_propagation(
     from pyspark.sql import Window
 
     edges_c = edges.select("src", "dst").where(F.col("src") != F.col("dst")).persist()
-    edges_c.count()
     active = (
         edges_c.select(F.col("src").alias("vid"))
         .unionByName(edges_c.select(F.col("dst").alias("vid")))
@@ -339,8 +346,10 @@ def label_propagation(
         .unionByName(active.select(F.col("vid").alias("src"), F.col("vid").alias("dst")))
         .persist()
     )
-    sym.count()
-    edges_c.unpersist()
+    # eager init checkpoint (it is read twice per round and its job
+    # materializes the sym cache serially); in-loop checkpoints are
+    # lazy — the round's convergence count materializes each exactly
+    # once before the next round builds
     labels = active.select("vid", F.col("vid").alias("community")).localCheckpoint()
     top1 = Window.partitionBy("dst").orderBy(
         F.desc("n_votes"), F.asc("community")
@@ -361,11 +370,12 @@ def label_propagation(
             labels.withColumnRenamed("community", "prev")
             .join(new_labels, "vid")
             .select("vid", "community", (F.col("community") != F.col("prev")).alias("moved"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         labels = flagged.select("vid", "community")
         if flagged.where("moved").count() == 0:
             break
+    edges_c.unpersist()
     sym.unpersist()
     return vertices.join(labels, "vid", "left").select(
         vertices.vid, F.coalesce(F.col("community"), vertices.vid).alias("community")
@@ -827,6 +837,12 @@ def pagerank(
         .persist()
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # eager checkpoints: ranks is consumed TWICE per round (the
+    # contrib join and the carry-forward join); with lazy checkpoints
+    # those two subtrees become sibling stages of one job that race to
+    # populate the cache and recompute the whole uncheckpointed prefix
+    # (measured: 1.5-4x slower and noisy). One small scheduler job per
+    # round is the cheaper side of that trade at every scale.
     ranks = vertices.join(deg, vertices.vid == deg.src).select(
         "vid", "deg", F.lit(PR_MASS).cast("bigint").alias("pr")
     ).localCheckpoint()

@@ -4848,7 +4848,11 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates; only |strategies| scalar rows reach the driver. The
     ground truth reuses brute_force_topk on the same deterministic
     query shard, so recall is against the true top-k, not a pooled
-    proxy.
+    proxy. All three probed strategies are unioned under one window
+    + one broadcast-truth left join + one groupBy(strategy), so the
+    whole measurement is a SINGLE Spark job (plus kmeans training)
+    instead of two count jobs per strategy — on a 1000-executor
+    cluster the union legs run concurrently inside that job.
     """
     from lime_etl_spark.operators.similarity import (
         QUERY_MOD,
@@ -4857,13 +4861,26 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot,
         ivf_bucket,
     )
+    from lime_etl_spark.functions.clustering import (
+        kmeans_fit,
+        nearest_centroid,
+        nearest_centroids,
+    )
+    from lime_etl_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        N_PROBE_CENTROIDS,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", ivf_bucket(F.col("embedding"))
     ).persist()
-    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0).persist()
-    n_q = queries.count()
-    n_v = emb.count()
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    counts = emb.agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.sum(F.when(F.col("vec_id") % QUERY_MOD == 0, 1).otherwise(0)).alias("n_q"),
+    ).collect()[0]
+    n_q, n_v = int(counts["n_q"]), int(counts["n_v"])
 
     truth = (
         brute_force_topk(
@@ -4876,30 +4893,27 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
-    def probe(strategy: str, bucket_cond) -> tuple:
-        q, v = queries.alias("q"), emb.alias("v")
-        cand = q.join(
-            F.broadcast(v) if n_q * n_v < 10**8 else v,
-            bucket_cond & (F.col("q.vec_id") != F.col("v.vec_id")),
-        ).select(
-            F.col("q.vec_id").alias("q"),
-            F.col("v.vec_id").alias("n"),
-            (
-                dot(F.col("q.embedding"), F.col("v.embedding"))
-                / (
-                    F.sqrt(dot(F.col("q.embedding"), F.col("q.embedding")))
-                    * F.sqrt(dot(F.col("v.embedding"), F.col("v.embedding")))
-                )
-            ).alias("cosine"),
+    cos = (
+        dot(F.col("q.embedding"), F.col("v.embedding"))
+        / (
+            F.sqrt(dot(F.col("q.embedding"), F.col("q.embedding")))
+            * F.sqrt(dot(F.col("v.embedding"), F.col("v.embedding")))
         )
-        n_cand = cand.count()
-        w = Window.partitionBy("q").orderBy(F.desc("cosine"), "n")
-        topk = cand.withColumn("r", F.row_number().over(w)).where(F.col("r") <= TOP_K)
-        hits = topk.join(truth, ["q", "n"]).count()
-        return (
+    ).alias("cosine")
+
+    def leg(strategy: str, cand: DataFrame) -> DataFrame:
+        return cand.select(F.lit(strategy).alias("strategy"), "q", "n", "cosine")
+
+    def probe(strategy: str, bucket_cond) -> DataFrame:
+        q, v = queries.alias("q"), emb.alias("v")
+        return leg(
             strategy,
-            n_cand / (n_q * (n_v - 1)),
-            hits / (n_q * TOP_K),
+            q.join(
+                F.broadcast(v) if n_q * n_v < 10**8 else v,
+                bucket_cond & (F.col("q.vec_id") != F.col("v.vec_id")),
+            ).select(
+                F.col("q.vec_id").alias("q"), F.col("v.vec_id").alias("n"), cos
+            ),
         )
 
     def hamming1(a, b):
@@ -4910,18 +4924,7 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return ones <= 1
 
-    def probe_trained() -> tuple:
-        from lime_etl_spark.functions.clustering import (
-            kmeans_fit,
-            nearest_centroid,
-            nearest_centroids,
-        )
-        from lime_etl_spark.operators.similarity import (
-            KMEANS_ITERS,
-            KMEANS_K,
-            N_PROBE_CENTROIDS,
-        )
-
+    def probe_trained() -> DataFrame:
         centroids = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
         v = emb.withColumn(
             "cell",
@@ -4937,7 +4940,8 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ).alias("q")
-        cand = (
+        return leg(
+            f"ivf_trained_{N_PROBE_CENTROIDS}of{KMEANS_K}",
             F.broadcast(q)
             .join(
                 v,
@@ -4945,33 +4949,37 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("q.vec_id") != F.col("v.vec_id")),
             )
             .select(
-                F.col("q.vec_id").alias("q"),
-                F.col("v.vec_id").alias("n"),
-                (
-                    dot(F.col("q.embedding"), F.col("v.embedding"))
-                    / (
-                        F.sqrt(dot(F.col("q.embedding"), F.col("q.embedding")))
-                        * F.sqrt(dot(F.col("v.embedding"), F.col("v.embedding")))
-                    )
-                ).alias("cosine"),
-            )
-        )
-        n_cand = cand.count()
-        w = Window.partitionBy("q").orderBy(F.desc("cosine"), "n")
-        topk = cand.withColumn("r", F.row_number().over(w)).where(F.col("r") <= TOP_K)
-        hits = topk.join(truth, ["q", "n"]).count()
-        return (
-            f"ivf_trained_{N_PROBE_CENTROIDS}of{KMEANS_K}",
-            n_cand / (n_q * (n_v - 1)),
-            hits / (n_q * TOP_K),
+                F.col("q.vec_id").alias("q"), F.col("v.vec_id").alias("n"), cos
+            ),
         )
 
+    all_cand = (
+        probe("own_signbucket", F.col("q.bucket") == F.col("v.bucket"))
+        .unionByName(probe("multiprobe_h1", hamming1(F.col("q.bucket"), F.col("v.bucket"))))
+        .unionByName(probe_trained())
+    )
+    w = Window.partitionBy("strategy", "q").orderBy(F.desc("cosine"), "n")
+    stats = (
+        all_cand.withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(truth.withColumn("hit", F.lit(1))), ["q", "n"], "left")
+        .groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum(
+                F.when((F.col("r") <= TOP_K) & (F.col("hit") == 1), 1).otherwise(0)
+            ).alias("hits"),
+        )
+        .collect()
+    )
     rows = [
-        probe("own_signbucket", F.col("q.bucket") == F.col("v.bucket")),
-        probe("multiprobe_h1", hamming1(F.col("q.bucket"), F.col("v.bucket"))),
-        probe_trained(),
-        ("brute_force", 1.0, 1.0),
-    ]
+        (
+            r["strategy"],
+            int(r["n_cand"]) / (n_q * (n_v - 1)),
+            int(r["hits"]) / (n_q * TOP_K),
+        )
+        for r in stats
+    ] + [("brute_force", 1.0, 1.0)]
+    truth.unpersist()
     emb.unpersist()
     return spark.createDataFrame(
         rows, "strategy string, scan_fraction double, recall_at_k double"
