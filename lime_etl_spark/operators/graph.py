@@ -469,6 +469,96 @@ def graph_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_node_jaccard",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    sym AS (
+        SELECT doc_a AS v, doc_b AS n FROM pairs
+        UNION ALL
+        SELECT doc_b AS v, doc_a AS n FROM pairs
+    ),
+    deg AS (SELECT v, COUNT(*) AS deg FROM sym GROUP BY v),
+    common AS (
+        SELECT a.v AS doc_a, b.v AS doc_b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+        FROM sym a JOIN sym b ON a.n = b.n AND a.v < b.v
+        GROUP BY a.v, b.v
+    )
+    SELECT c.doc_a, c.doc_b, c.common_neighbors,
+           CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+           CAST(c.common_neighbors AS DOUBLE)
+             / (da.deg + db.deg - c.common_neighbors) AS node_jaccard
+    FROM common c
+    JOIN deg da ON da.v = c.doc_a
+    JOIN deg db ON db.v = c.doc_b
+    ORDER BY node_jaccard DESC, c.doc_a, c.doc_b
+    LIMIT 20
+    """,
+    description="structural neighborhood Jaccard on the near-dup graph: top wedge pairs by shared-neighbor overlap (link-prediction / cluster-merge primitive)",
+)
+def graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURAL similarity on the near-dup graph: for every wedge
+    pair (two docs sharing >=1 graph neighbor), the Jaccard of their
+    neighbor SETS — |N(a)∩N(b)| / |N(a)∪N(b)|. High node-Jaccard
+    pairs that are NOT yet edges are the classic link-prediction /
+    cluster-merge candidates: two docs whose duplicates all overlap
+    are the same template family even if their own pairwise text
+    similarity fell just under τ. Distinct from the content Jaccard
+    everywhere else in this family — this one never looks at text.
+
+    Scale: wedge enumeration joins the symmetrized edge list on the
+    shared endpoint, so cost is Σ_x deg(x)² — the standard wedge
+    shape shared with graph_triangles; a hot hub squares, which is
+    exactly the skew `dq_join_skew` profiles and degree-capping
+    mitigates. Output is a windowless top-20 (exact float ties broken
+    on ids; the division is ONE IEEE op of exact integers on both
+    engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = (
+        jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh)))
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    pairs.count()
+    sh.unpersist()
+    sym = pairs.select(
+        F.col("doc_a").alias("v"), F.col("doc_b").alias("n")
+    ).unionByName(pairs.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("n")))
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    a, b = sym.alias("a"), sym.alias("b")
+    common = (
+        a.join(b, (F.col("a.n") == F.col("b.n")) & (F.col("a.v") < F.col("b.v")))
+        .groupBy(F.col("a.v").alias("doc_a"), F.col("b.v").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_neighbors"))
+    )
+    da = deg.select(F.col("v").alias("doc_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("doc_b"), F.col("deg").alias("deg_b"))
+    out = (
+        common.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common_neighbors",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors"))
+            ).alias("node_jaccard"),
+        )
+        .orderBy(F.desc("node_jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+    track_persist(pairs)
+    return out
+
+
 def _lpa_sql() -> str:
     """CTE-list fragment (no WITH keyword) replaying label_propagation
     round by round in DuckDB. Valid because every LPA round is a pure

@@ -363,3 +363,31 @@ def test_kcore_analytic_cases(spark):
 
     pendant = clique + [(4, 9)]
     assert run([1, 2, 3, 4, 9], pendant, 2) == {1, 2, 3, 4}
+
+
+def test_node_jaccard_matches_oracle(spark, sf_dir):
+    from lime_etl_spark.plans.registry import release_tracked_persists
+
+    assert_query_matches_oracle(spark, sf_dir, "graph_node_jaccard")
+    release_tracked_persists()
+
+
+def test_node_jaccard_analytic_star_and_bounds(spark, sf_dir):
+    """On a star a-x-b, the leaves (a, b) share exactly the hub: J =
+    1/(1+1-1) = 1.0 when both have degree 1; general rows stay in
+    (0, 1] with the exact division identity."""
+    from lime_etl_spark.operators.graph import graph_node_jaccard
+    from lime_etl_spark.plans.registry import release_tracked_persists
+
+    rows = graph_node_jaccard(spark, sf_dir).collect()
+    release_tracked_persists()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 1 <= r.common_neighbors <= min(r.deg_a, r.deg_b)
+        expect = r.common_neighbors / (r.deg_a + r.deg_b - r.common_neighbors)
+        assert r.node_jaccard == expect
+        assert 0.0 < r.node_jaccard <= 1.0
+    # descending by score with (doc_a, doc_b) tie-break: the LIMIT's
+    # order contract
+    keys = [(-r.node_jaccard, r.doc_a, r.doc_b) for r in rows]
+    assert keys == sorted(keys)
