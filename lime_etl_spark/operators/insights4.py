@@ -1,7 +1,7 @@
 """Round-6 operators: embedding-compression quality curves, chunk-level
-dedup, and experiment-assignment auditing.
+dedup, and experimentation auditing.
 
-All four are LLM-data-pipeline ops the reference has no analog for
+All six are LLM-data-pipeline ops the reference has no analog for
 (lime-etl is orchestration-only); they extend the §2F/§2E/§2D families
 with the same engine discipline as their siblings: deterministic
 md5-bridge hashing (`shingle_int`), integer-exact aggregates with one
@@ -25,6 +25,14 @@ final double division, and a full DuckDB oracle per query.
   flagged at the 95% critical value. The gate every experimentation
   platform runs before trusting a readout; extends
   `ev_ab_assignment_aa` from one assignment to a grid of experiments.
+- `dedup_minhash_estimate_error` — calibration of the minhash Jaccard
+  estimator on the pairs the shipped LSH actually surfaces: estimated
+  vs exact Jaccard on a shared 1e-6 integer grid, by agreement count.
+- `ev_lift_bootstrap_ci` — A/B revenue-per-user lift with its
+  Poisson-bootstrap replicate distribution (user-level resampling via
+  the deterministic md5-bridge Poisson(1) weights shared with
+  samp_poisson_bootstrap): the uncertainty band in 16 rows from one
+  fact pass.
 
 Scale notes are per-operator in the docstrings; none of them collects
 anything data-proportional.
