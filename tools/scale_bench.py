@@ -88,7 +88,23 @@ BUCKETED_QUERIES = {
     "graph_pagerank_top": "documents",
     "ev_rolling_kpis": "events",
 }
-QUERY_SETS = {"core": QUERIES, "bucketed": BUCKETED_QUERIES}
+
+# Round-6 additions with a data-bound shape: CDC chunking (per-char
+# HOF work, linear), the SRM grid and bootstrap lift (per-user
+# reduces, linear), estimator calibration and node-Jaccard
+# (candidate-/wedge-bound like the LSH family — rotated text keeps
+# cross-replica shingles disjoint). The pair-explosion calibration
+# tables (matryoshka / binary-sign recall) are deliberately absent:
+# their brute-force ground-truth term is quadratic BY DESIGN and at
+# scale runs on a fixed query sample, not the full corpus.
+R6_QUERIES = {
+    "dedup_cdc_chunks": "documents",
+    "dedup_minhash_estimate_error": "documents",
+    "graph_node_jaccard": "documents",
+    "ev_srm_check": "events",
+    "ev_lift_bootstrap_ci": "events",
+}
+QUERY_SETS = {"core": QUERIES, "bucketed": BUCKETED_QUERIES, "r6new": R6_QUERIES}
 
 
 def build_scaled(spark: SparkSession, src: str, out: str, k: int) -> None:
