@@ -40,6 +40,8 @@ Spark-first design, sized for 100 TB:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -71,12 +73,17 @@ def _lit_matrix(rows: list[list[float]]) -> Column:
     bit-identical: Python `repr` is the shortest round-trip decimal,
     and Java parses it back to the same IEEE double.
     """
+    def lit(v: float) -> str:
+        v = float(v)
+        if math.isfinite(v):
+            return repr(v) + "D"
+        # repr gives 'nan'/'inf' which the SQL lexer rejects; Java's
+        # Double.parseDouble (behind the cast) accepts these spellings
+        return f"CAST('{'NaN' if math.isnan(v) else ('Infinity' if v > 0 else '-Infinity')}' AS DOUBLE)"
+
     return F.expr(
         "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(v)) + "D" for v in r) + ")"
-            for r in rows
-        )
+        + ",".join("array(" + ",".join(lit(v) for v in r) + ")" for r in rows)
         + ")"
     )
 

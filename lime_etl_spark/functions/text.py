@@ -52,6 +52,14 @@ def shingle_int_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def shingle_int_spark_sql(expr: str) -> str:
+    """Spark-SQL TEXT form of shingle_int — for use inside HOF lambda
+    strings, where a Column can't be injected. The three spellings
+    (Column, DuckDB SQL, Spark SQL) must stay in lockstep: they are
+    one cross-engine hash contract."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def minhash_expr(x_mod_p: Column, a: int, b: int) -> Column:
     """One affine minhash permutation over a mod-p-reduced shingle int."""
     return (x_mod_p * a + b) % MERSENNE_P

@@ -58,9 +58,14 @@ def connected_components(
     # cache the edge input FIRST: the symmetrizing union has two
     # branches, and without the cache each branch re-runs the whole
     # upstream pair-mining pipeline (LSH candidates + verify) once.
-    # No standalone warm-up counts: the eager init-checkpoint job
-    # below materializes both caches serially in one pass.
+    # The count is a deliberate eager materializer: on a multi-executor
+    # cluster, cache get-or-compute dedup is per-BlockManager, so two
+    # sibling stages reading an UNCACHED edges_c could each run the
+    # expensive pair-mining upstream concurrently. sym itself needs no
+    # warm-up — its legs read the now-cached edges_c, so duplicated
+    # work there is a cheap union, not the upstream pipeline.
     edges_c = edges.select("src", "dst").persist()
+    edges_c.count()
     sym = edges_c.unionByName(
         edges_c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -75,12 +80,12 @@ def connected_components(
         .distinct()
         .select(F.col("vid"), F.col("vid").alias("label"))
     )
-    # the INIT checkpoint stays eager: it is consumed twice per round,
-    # and its job also materializes the sym cache serially (a lazy
-    # init would let two sibling stages race to compute sym). The
-    # IN-LOOP checkpoints are lazy: each is materialized exactly once
-    # by the round's convergence count before the next round builds,
-    # folding checkpoint + count into one scheduler job per round.
+    # the INIT checkpoint stays eager (it is consumed twice per
+    # round); its job also populates the sym cache from the already-
+    # cached edges_c. The IN-LOOP checkpoints are lazy: each is
+    # materialized exactly once by the round's convergence count
+    # before the next round builds, folding checkpoint + count into
+    # one scheduler job per round.
     labels = labels.localCheckpoint()
     for _ in range(max_iterations):
         nbr_min = (
@@ -332,7 +337,11 @@ def label_propagation(
     valid community labeling, so hitting the cap is not an error."""
     from pyspark.sql import Window
 
+    # eager materializer — see connected_components: an uncached
+    # edges_c read by sibling stages would duplicate the expensive
+    # pair-mining upstream on a multi-executor cluster
     edges_c = edges.select("src", "dst").where(F.col("src") != F.col("dst")).persist()
+    edges_c.count()
     active = (
         edges_c.select(F.col("src").alias("vid"))
         .unionByName(edges_c.select(F.col("dst").alias("vid")))
@@ -346,10 +355,11 @@ def label_propagation(
         .unionByName(active.select(F.col("vid").alias("src"), F.col("vid").alias("dst")))
         .persist()
     )
-    # eager init checkpoint (it is read twice per round and its job
-    # materializes the sym cache serially); in-loop checkpoints are
-    # lazy — the round's convergence count materializes each exactly
-    # once before the next round builds
+    # eager init checkpoint (it is read twice per round; note its
+    # lineage is active/edges_c only — sym first materializes inside
+    # round 1, from the already-cached edges_c). In-loop checkpoints
+    # are lazy — the round's convergence count materializes each
+    # exactly once before the next round builds.
     labels = active.select("vid", F.col("vid").alias("community")).localCheckpoint()
     top1 = Window.partitionBy("dst").orderBy(
         F.desc("n_votes"), F.asc("community")

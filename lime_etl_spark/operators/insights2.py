@@ -4855,6 +4855,9 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster the union legs run concurrently inside that job.
     """
     from lime_etl_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        N_PROBE_CENTROIDS,
         QUERY_MOD,
         TOP_K,
         brute_force_topk,
@@ -4865,11 +4868,6 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_fit,
         nearest_centroid,
         nearest_centroids,
-    )
-    from lime_etl_spark.operators.similarity import (
-        KMEANS_ITERS,
-        KMEANS_K,
-        N_PROBE_CENTROIDS,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
@@ -4971,13 +4969,24 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
+    # reindex over the declared strategies: a leg with ZERO candidates
+    # produces no group, but the strategy row must still appear (scan
+    # 0.0, recall 0.0) exactly as the oracle's scalar subqueries emit it
+    by_name = {r["strategy"]: r for r in stats}
+    names = [
+        "own_signbucket",
+        "multiprobe_h1",
+        f"ivf_trained_{N_PROBE_CENTROIDS}of{KMEANS_K}",
+    ]
     rows = [
         (
-            r["strategy"],
-            int(r["n_cand"]) / (n_q * (n_v - 1)),
-            int(r["hits"]) / (n_q * TOP_K),
+            name,
+            int(by_name[name]["n_cand"]) / (n_q * (n_v - 1))
+            if name in by_name
+            else 0.0,
+            int(by_name[name]["hits"]) / (n_q * TOP_K) if name in by_name else 0.0,
         )
-        for r in stats
+        for name in names
     ] + [("brute_force", 1.0, 1.0)]
     truth.unpersist()
     emb.unpersist()

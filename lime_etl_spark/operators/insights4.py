@@ -43,7 +43,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lime_etl_spark.functions.text import shingle_int, shingle_int_sql
+from lime_etl_spark.functions.text import (
+    shingle_int,
+    shingle_int_spark_sql,
+    shingle_int_sql,
+)
 from lime_etl_spark.plans.registry import register, track_persist
 from lime_etl_spark.sources.readers import load_table, spread
 
@@ -435,7 +439,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             filter(
                 sequence(1, length(text)),
                 i -> i >= {CDC_WINDOW} AND i < length(text)
-                     AND {_shingle_int_spark_sql(f"substring(text, i - {CDC_WINDOW - 1}, {CDC_WINDOW})")} % {CDC_MOD} = {CDC_MOD - 1}
+                     AND {shingle_int_spark_sql(f"substring(text, i - {CDC_WINDOW - 1}, {CDC_WINDOW})")} % {CDC_MOD} = {CDC_MOD - 1}
             ),
             array(length(text))
         )"""
@@ -467,12 +471,6 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
-
-
-def _shingle_int_spark_sql(expr: str) -> str:
-    """Spark-SQL text form of shingle_int (for use inside HOF lambdas,
-    where a Column can't be injected)."""
-    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
 
 # ---------------------------------------------------------------------------
@@ -811,7 +809,11 @@ def _srm_sql() -> str:
     )
     return f"""
     WITH u AS (SELECT DISTINCT user_id FROM events),
-    g AS (SELECT UNNEST(generate_series(1, {SRM_EXPERIMENTS})) AS exp_id),
+    -- INTEGER, not generate_series' BIGINT: the Spark side explodes
+    -- F.sequence of int literals (int32) and the driver hash is
+    -- dtype-strict
+    g AS (SELECT CAST(UNNEST(generate_series(1, {SRM_EXPERIMENTS})) AS INTEGER)
+                 AS exp_id),
     assign AS (
         SELECT g.exp_id, u.user_id, ({arm}) % 2 AS arm
         FROM u CROSS JOIN g

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from lime_etl_spark.functions.text import shingle_int_spark_sql
 from lime_etl_spark.operators import insights4 as i4
 from lime_etl_spark.plans.registry import release_tracked_persists
 from lime_etl_spark.sources.readers import load_table
@@ -113,7 +114,7 @@ def test_cdc_boundaries_are_content_defined(spark):
         f"""filter(
             sequence(1, length(text)),
             i -> i >= {i4.CDC_WINDOW} AND i < length(text)
-                 AND {i4._shingle_int_spark_sql(f"substring(text, i - {i4.CDC_WINDOW - 1}, {i4.CDC_WINDOW})")} % {i4.CDC_MOD} = {i4.CDC_MOD - 1}
+                 AND {shingle_int_spark_sql(f"substring(text, i - {i4.CDC_WINDOW - 1}, {i4.CDC_WINDOW})")} % {i4.CDC_MOD} = {i4.CDC_MOD - 1}
         )"""
     )
     rows = {r.doc_id: r.cuts for r in df.select("doc_id", cuts_expr.alias("cuts")).collect()}

@@ -24,11 +24,13 @@ Timing-only: correctness at these scales is already covered by the
 sf0.01 oracle sweep; nothing here feeds CORRECTNESS artifacts.
 
 Usage: python tools/scale_bench.py [K] [SRC_SF_DIR] [QUERY_SET]
-QUERY_SET ∈ {core (default), bucketed} — `bucketed` runs the LSH/
-connected-components/PageRank/sliding-window families (r5 verdict
-#3); see BUCKETED_QUERIES for why document text is rotated
-per-replica. Writes one SCALE_r{N}.json-style line to stdout; the
-round snapshot commits the lines as SCALE_r{N}.json.
+QUERY_SET ∈ {core (default), bucketed, r6new} — `bucketed` runs the
+LSH/connected-components/PageRank/sliding-window families (r5
+verdict #3; see BUCKETED_QUERIES for why document text is rotated
+per-replica), `r6new` the round-6 operator family (see R6_QUERIES
+for why the quadratic-by-design calibration tables are excluded).
+Writes one SCALE_r{N}.json-style line to stdout; the round snapshot
+commits the lines as SCALE_r{N}.json.
 """
 
 from __future__ import annotations
