@@ -794,6 +794,242 @@ def ev_lift_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ev_shapley_attribution
+# ---------------------------------------------------------------------------
+
+SHAPLEY_CHANNELS = ("click", "error", "signup", "view")  # fixed order = bits 0..3
+SHAPLEY_WINDOW_DAYS = 3  # onboarding window: convert = purchase within it
+_SHAP_Q = 1_000_000_000  # conversion rates on a 1e-9 integer grid
+# w(s) = s!(C-1-s)! for C=4, indexed by |S|; common denominator C! = 24
+_SHAP_W = (6, 2, 2, 6)
+_SHAP_DENOM = 24  # C! — the weights' common denominator
+
+
+def _shapley_sql() -> str:
+    n_ch = len(SHAPLEY_CHANNELS)
+    firsts = ",\n               ".join(
+        f"MIN(CASE WHEN event_type = '{ch}' THEN ts END) AS t{i}"
+        for i, ch in enumerate(SHAPLEY_CHANNELS)
+    )
+    presence = ",\n               ".join(
+        f"CASE WHEN t{i} IS NOT NULL AND t{i} < cutoff THEN 1 ELSE 0 END AS c{i}"
+        for i in range(n_ch)
+    )
+    mask = " + ".join(f"{1 << i} * c{i}" for i in range(n_ch))
+    ch_values = ", ".join(
+        f"({i}, '{ch}')" for i, ch in enumerate(SHAPLEY_CHANNELS)
+    )
+    w_case = " ".join(
+        f"WHEN {s} THEN {w}" for s, w in enumerate(_SHAP_W)
+    )
+    return f"""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(ts) AS first_ts,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p_first,
+               {firsts}
+        FROM events GROUP BY user_id
+    ),
+    windowed AS (
+        SELECT *,
+               first_ts + INTERVAL {SHAPLEY_WINDOW_DAYS} DAY AS window_end
+        FROM firsts
+    ),
+    per_user AS (
+        SELECT user_id,
+               CASE WHEN p_first IS NOT NULL AND p_first < window_end
+                    THEN 1 ELSE 0 END AS conv,
+               {presence}
+        FROM (
+            SELECT *,
+                   CASE WHEN p_first IS NOT NULL AND p_first < window_end
+                        THEN p_first ELSE window_end END AS cutoff
+            FROM windowed
+        )
+    ),
+    cells AS (
+        SELECT ({mask}) AS mask,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(conv) AS BIGINT) AS n_conv
+        FROM per_user GROUP BY 1
+    ),
+    spine AS (
+        SELECT UNNEST(generate_series(0, {(1 << n_ch) - 1})) AS mask
+    ),
+    filled AS (
+        SELECT s.mask,
+               COALESCE(c.n_users, 0) AS n_users,
+               COALESCE(c.n_conv, 0) AS n_conv,
+               CASE WHEN COALESCE(c.n_users, 0) > 0
+                    THEN ({_SHAP_Q} * COALESCE(c.n_conv, 0)) // c.n_users
+                    ELSE 0 END AS vq
+        FROM spine s LEFT JOIN cells c ON c.mask = s.mask
+    ),
+    ch(i, channel) AS (VALUES {ch_values}),
+    terms AS (
+        SELECT ch.channel,
+               (CASE bit_count(f1.mask) {w_case} END)
+                 * (f2.vq - f1.vq) AS t
+        FROM ch
+        JOIN filled f1 ON (f1.mask & (1 << ch.i)) = 0
+        JOIN filled f2 ON f2.mask = f1.mask + (1 << ch.i)
+    ),
+    marginals AS (
+        SELECT ch.channel,
+               CAST(SUM(f.n_users) AS BIGINT) AS users_with_channel,
+               CASE WHEN SUM(f.n_users) > 0
+                    THEN CAST(SUM(f.n_conv) AS DOUBLE) / SUM(f.n_users)
+                    ELSE 0.0 END AS conv_rate_with
+        FROM ch JOIN filled f ON (f.mask & (1 << ch.i)) <> 0
+        GROUP BY ch.channel
+    )
+    SELECT t.channel, m.users_with_channel, m.conv_rate_with,
+           CAST(SUM(t.t) AS DOUBLE) / ({_SHAP_DENOM} * {_SHAP_Q}.0) AS shapley_credit
+    FROM terms t JOIN marginals m ON m.channel = t.channel
+    GROUP BY t.channel, m.users_with_channel, m.conv_rate_with
+    ORDER BY t.channel
+    """
+
+
+@register(
+    "ev_shapley_attribution",
+    oracle=_shapley_sql(),
+    description="data-driven Shapley channel attribution over user channel-presence coalitions — exact integer game values on a 1e-9 grid, efficiency identity pytest-pinned",
+)
+def ev_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution done right: each non-purchase channel's
+    SHAPLEY VALUE over the coalition game v(S) = onboarding conversion
+    rate of users whose pre-conversion touch set is exactly S — the
+    coalition is the channels a user touched inside the
+    SHAPLEY_WINDOW_DAYS onboarding window BEFORE their first in-window
+    purchase (conversion = purchased within the window at all). Unlike
+    first/last/linear-touch (ev_attribution_touches), Shapley credit
+    is the unique split satisfying efficiency + symmetry + dummy — the
+    standard data-driven attribution model; v(∅) is the organic
+    (touch-nothing-first) conversion baseline.
+
+    Exactness: v(S) is quantized to a 1e-9 integer grid with ONE
+    integer division per coalition; Shapley weights enter as integer
+    numerators over the common denominator C! (for C=4: 6,2,2,6 / 24),
+    so every per-channel credit numerator is an EXACT int64 sum —
+    partition-order free — and the credit itself is one double
+    division. The efficiency identity Σ_i credit_i = v(full) − v(∅)
+    holds exactly on the grid (pytest-pinned).
+
+    Scale: ONE per-user reduce (map-side combined min-per-channel
+    firsts — 'any event before cutoff' ≡ 'first event before cutoff',
+    so window/cutoff logic is a post-agg projection, not a second
+    pass), a 2^C-row cell table (C=4 → 16 rows), and the Shapley
+    combination is a join over that 16-row broadcast spine — nothing
+    after the reduce is data-proportional. Unobserved coalitions
+    contribute v=0 (the standard convention).
+    """
+    n_ch = len(SHAPLEY_CHANNELS)
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "p_first"
+        ),
+        *[
+            F.min(F.when(F.col("event_type") == ch, F.col("ts"))).alias(f"t{i}")
+            for i, ch in enumerate(SHAPLEY_CHANNELS)
+        ],
+    )
+    windowed = firsts.withColumn(
+        "window_end", F.expr(f"first_ts + INTERVAL {SHAPLEY_WINDOW_DAYS} DAYS")
+    )
+    conv_cond = F.col("p_first").isNotNull() & (F.col("p_first") < F.col("window_end"))
+    cutoff = F.when(conv_cond, F.col("p_first")).otherwise(F.col("window_end"))
+    per_user = windowed.select(
+        F.when(conv_cond, 1).otherwise(0).alias("conv"),
+        *[
+            F.when(
+                F.col(f"t{i}").isNotNull() & (F.col(f"t{i}") < cutoff), 1
+            )
+            .otherwise(0)
+            .alias(f"c{i}")
+            for i in range(n_ch)
+        ],
+    )
+    mask = sum(F.col(f"c{i}") * (1 << i) for i in range(n_ch))
+    cells = (
+        per_user.select(mask.alias("mask"), "conv")
+        .groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("conv").cast("bigint").alias("n_conv"),
+        )
+    )
+    spine = spark.range(1 << n_ch).select(F.col("id").cast("int").alias("mask"))
+    filled = (
+        spine.join(F.broadcast(cells), "mask", "left")
+        .select(
+            "mask",
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+            F.coalesce("n_conv", F.lit(0)).alias("n_conv"),
+        )
+        .withColumn(
+            "vq",
+            F.expr(
+                f"CASE WHEN n_users > 0 THEN ({_SHAP_Q}L * n_conv) div n_users"
+                " ELSE 0L END"
+            ),
+        )
+    )
+    ch = spark.createDataFrame(
+        list(enumerate(SHAPLEY_CHANNELS)), "i int, channel string"
+    )
+    w_case = "CASE bit_count(f1_mask) " + " ".join(
+        f"WHEN {s} THEN {w}L" for s, w in enumerate(_SHAP_W)
+    ) + " END"
+    f1 = filled.select(
+        F.col("mask").alias("f1_mask"), F.col("vq").alias("f1_vq")
+    )
+    f2 = filled.select(
+        F.col("mask").alias("f2_mask"), F.col("vq").alias("f2_vq")
+    )
+    terms = (
+        F.broadcast(ch)
+        .join(f1, F.expr("(f1_mask & shiftleft(1, i)) = 0"))
+        .join(f2, F.expr("f2_mask = f1_mask + shiftleft(1, i)"))
+        .groupBy("channel")
+        .agg(
+            F.sum(F.expr(f"({w_case}) * (f2_vq - f1_vq)"))
+            .cast("bigint")
+            .alias("shap_num")
+        )
+    )
+    marginals = (
+        F.broadcast(ch)
+        .join(filled, F.expr("(mask & shiftleft(1, i)) <> 0"))
+        .groupBy("channel")
+        .agg(
+            F.sum("n_users").cast("bigint").alias("users_with_channel"),
+            F.when(
+                F.sum("n_users") > 0,
+                F.sum("n_conv").cast("double") / F.sum("n_users"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("conv_rate_with"),
+        )
+    )
+    denom = float(_SHAP_DENOM * _SHAP_Q)
+    return (
+        terms.join(marginals, "channel")
+        .select(
+            "channel",
+            "users_with_channel",
+            "conv_rate_with",
+            (F.col("shap_num").cast("double") / F.lit(denom)).alias(
+                "shapley_credit"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ev_srm_check
 # ---------------------------------------------------------------------------
 

@@ -20,6 +20,7 @@ NEW_QUERIES = [
     "ev_srm_check",
     "dedup_minhash_estimate_error",
     "ev_lift_bootstrap_ci",
+    "ev_shapley_attribution",
 ]
 
 
@@ -163,6 +164,58 @@ def test_lift_bootstrap_replicates(spark, sf_dir):
     # (loose sanity bound: band width exceeds |median lift| / 100)
     band = max(lifts) - min(lifts)
     assert band > 0
+
+
+def test_shapley_efficiency_identity(spark, sf_dir):
+    """Σ_i credit_i == v(full) − v(∅) EXACTLY on the 1e-9 grid — the
+    defining Shapley axiom, and a whole-pipeline invariant: any error
+    in the coalition masks, the spine fill, the weight table or the
+    quantization breaks it."""
+    from pyspark.sql import functions as F
+    from lime_etl_spark.sources.readers import load_table
+
+    rows = i4.ev_shapley_attribution(spark, sf_dir).collect()
+    assert sorted(r.channel for r in rows) == sorted(i4.SHAPLEY_CHANNELS)
+
+    # recompute v(full) and v(empty) independently from the fact table
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p_first"),
+        *[
+            F.min(F.when(F.col("event_type") == ch, F.col("ts"))).alias(f"t{i}")
+            for i, ch in enumerate(i4.SHAPLEY_CHANNELS)
+        ],
+    ).withColumn(
+        "window_end", F.expr(f"first_ts + INTERVAL {i4.SHAPLEY_WINDOW_DAYS} DAYS")
+    )
+    conv = F.col("p_first").isNotNull() & (F.col("p_first") < F.col("window_end"))
+    cutoff = F.when(conv, F.col("p_first")).otherwise(F.col("window_end"))
+    n_ch = len(i4.SHAPLEY_CHANNELS)
+    mask = sum(
+        F.when(F.col(f"t{i}").isNotNull() & (F.col(f"t{i}") < cutoff), 1 << i)
+        .otherwise(0)
+        for i in range(n_ch)
+    )
+    cells = {
+        r["mask"]: (r["n"], r["c"])
+        for r in firsts.select(mask.alias("mask"), conv.cast("int").alias("cv"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cv").alias("c"))
+        .collect()
+    }
+
+    def vq(m):
+        n, c = cells.get(m, (0, 0))
+        return (i4._SHAP_Q * c) // n if n else 0
+
+    full_mask = (1 << n_ch) - 1
+    expected = (vq(full_mask) - vq(0)) / i4._SHAP_Q
+    total = sum(r.shapley_credit for r in rows)
+    assert abs(total - expected) < 1e-12
+    for r in rows:
+        assert r.users_with_channel >= 0
+        assert 0.0 <= r.conv_rate_with <= 1.0
 
 
 def test_srm_grid_shape_and_flag_consistency(spark, sf_dir):
