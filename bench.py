@@ -7,14 +7,24 @@ Each query is fully materialized through the `noop` sink (computes
 every column, no driver collect, no disk write) — the honest way to
 time a distributed plan.
 
-Noise discipline (r4, verdict #5): each query is timed 3 times after a
-warm-up run; the HEADLINE number is the per-query MEDIAN (robust to the
-box's 13-21 s host-load band), with the old best-of minimum kept in
-`queries_best` (and `heavy_best`) for cross-round comparability. The
-run also writes BENCH_DELTA.md — a per-query ratio table against the
-most recent committed BENCH_r{N}.json — so a real regression is
-visibly distinguishable from the ±25% host-noise swings the judge
-flagged.
+Noise discipline (r4 verdict #5, tightened r6 verdict #1): sub-second
+headline queries are timed FIVE times after a warm-up run (heavies
+stay at 3 — they dominate wall clock); the HEADLINE number is the
+per-query MEDIAN, with the old best-of minimum kept in `queries_best`
+(and `heavy_best`) for cross-round comparability. Two additions make
+the driver-facing number able to distinguish a real 10-20% regression
+from host load, which same-code runs previously could not (16.78 vs
+18.14 s total, heavies spreading 1.53x):
+  * a per-query SPREAD (IQR of the timed samples) is recorded next to
+    every median — BENCH_DELTA.md carries it as an explicit noise
+    column and its verdict column only flags a ratio that exceeds the
+    measured noise band (max of 10% and the run's own relative IQR);
+  * a fixed-work CALIBRATION probe (a data-independent JVM-side
+    spark.range sum, identical every round) is timed before, between,
+    and after the query sections; `calib_sec` in the final record is
+    the host-speed yardstick, so a round whose medians all moved with
+    the calibration number moved because the BOX was slower, not the
+    code.
 
 Data-volume evidence (r5, verdict #6): `data_metrics` records per
 query the bytes scanned / shuffled (read+write) / spilled, measured as
@@ -78,7 +88,12 @@ HEAVY = [
     "graph_pagerank_top",
 ]
 
-TIMED_RUNS = 3
+# Sub-second headline queries are cheap to repeat: median-of-5 tightens
+# the median's sampling error enough to see a real 10-20% move (r6
+# verdict #1). Heavies (3-5 s each) stay at 3 reps and rely on the
+# spread column instead.
+TIMED_RUNS = 5
+TIMED_RUNS_HEAVY = 3
 
 # Stage-total fields summed from the UI REST API (r4 verdict #6):
 # load-invariant data-volume metrics — unlike wall seconds on a noisy
@@ -136,14 +151,46 @@ def _data_metrics(spark, run) -> dict[str, int] | None:
     return {f: after[f] - before[f] for f in _REST_FIELDS}
 
 
-def _time(run) -> tuple[float, float]:
-    """(median, best) of TIMED_RUNS timed executions (caller warms)."""
+def _time(run, reps: int | None = None) -> tuple[float, float, float]:
+    """(median, best, spread) of `reps` timed executions (caller warms).
+
+    `spread` is the interquartile range of the samples — the run's own
+    measured noise, used by BENCH_DELTA.md to decide whether a ratio
+    vs the prior round is signal or host load.
+    """
     samples = []
-    for _ in range(TIMED_RUNS):
+    for _ in range(reps if reps is not None else TIMED_RUNS):
         t0 = time.perf_counter()
         run()
         samples.append(time.perf_counter() - t0)
-    return round(statistics.median(samples), 4), round(min(samples), 4)
+    if len(samples) >= 4:
+        q = statistics.quantiles(samples, n=4)
+        spread = q[2] - q[0]
+    else:
+        spread = max(samples) - min(samples)
+    return (
+        round(statistics.median(samples), 4),
+        round(min(samples), 4),
+        round(spread, 4),
+    )
+
+
+def _calibrate(spark) -> float:
+    """Fixed-work host-speed probe: a data-independent, JVM-side,
+    32-way-parallel modular sum over spark.range — identical bytes of
+    work every round, so its wall time measures the BOX, not the code.
+    Median of 3. When a round's query medians all shift together with
+    `calib_sec`, the shift is host load; a query that moves while the
+    calibration holds is a real plan change."""
+
+    def probe() -> None:
+        spark.range(0, 768_000_000, 1, 32).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s"
+        ).write.mode("overwrite").format("noop").save()
+
+    probe()  # warm (codegen compile)
+    med, _, _ = _time(probe, 3)
+    return med
 
 
 def _previous_bench(repo: str) -> tuple[str, dict] | None:
@@ -167,17 +214,46 @@ def _previous_bench(repo: str) -> tuple[str, dict] | None:
 
 
 def _write_delta(
-    repo: str, medians: dict, bests: dict, heavy: dict, sf: float | str
+    repo: str,
+    medians: dict,
+    bests: dict,
+    heavy: dict,
+    sf: float | str,
+    spreads: dict | None = None,
+    calib: float | None = None,
 ) -> None:
-    prev = _previous_bench(repo)
+    spreads = spreads or {}
     lines = [
         "# BENCH delta — current run vs last committed round",
         "",
-        "Medians of 3 timed runs (warm); `best` = min of the same 3.",
-        "Prior rounds recorded best-of-2, so ratios vs pre-r4 artifacts",
-        "compare median→best and skew slightly >1 by construction.",
+        f"Headline queries: median of {TIMED_RUNS} timed runs (warm);",
+        f"heavies: median of {TIMED_RUNS_HEAVY}; `best` = min of the same",
+        "samples. `noise` is the run's own IQR across those samples —",
+        "the verdict column flags a ratio only when it exceeds BOTH a",
+        "10% floor and the measured relative noise, so host-load swings",
+        "read as `~` instead of phantom regressions (r6 verdict #1).",
         "",
     ]
+    prev = _previous_bench(repo)
+    if calib is not None:
+        lines.insert(
+            -1,
+            f"Fixed-work calibration probe this run: **{calib:.3f} s** "
+            "(data-independent spark.range sum — compare across rounds to "
+            "separate box speed from code speed).",
+        )
+        prev_calib = None
+        if prev is not None:
+            prev_payload = prev[1].get("parsed") or prev[1]
+            prev_calib = prev_payload.get("calib_sec")
+        if prev_calib:
+            lines.insert(
+                -1,
+                f"Prior round's calibration: {prev_calib:.3f} s → host-speed "
+                f"ratio {calib / prev_calib:.2f}x (ratios above ~1.1x mean "
+                "the box itself is slower this run).",
+            )
+        lines.insert(-1, "")
     if prev is None:
         lines.append("(no committed BENCH_r*.json to diff against)")
     else:
@@ -196,16 +272,34 @@ def _write_delta(
         lines += [
             f"Baseline artifact: `{name}`",
             "",
-            "| query | prev (s) | median (s) | best (s) | median/prev |",
-            "| --- | --- | --- | --- | --- |",
+            "| query | prev (s) | median (s) | best (s) | noise (IQR s) | median/prev | verdict |",
+            "| --- | --- | --- | --- | --- | --- | --- |",
         ]
         for q in list(medians) + list(heavy):
             med = medians.get(q, heavy.get(q))
             bst = bests.get(q, "")
+            spr = spreads.get(q)
             p = prev_q.get(q)
-            ratio = f"{med / p:.2f}" if p else "new"
-            ps = f"{p:.3f}" if p else "—"
-            lines.append(f"| {q} | {ps} | {med:.3f} | {bst if bst == '' else f'{bst:.3f}'} | {ratio} |")
+            if p:
+                ratio = med / p
+                # Noise band: 10% floor OR the run's own relative IQR,
+                # whichever is larger. Only a move outside the band is
+                # called a regression/improvement.
+                band = max(0.10, (spr / med) if (spr is not None and med) else 0.0)
+                if ratio > 1.0 + band:
+                    verdict = "SLOWER"
+                elif ratio < 1.0 - band:
+                    verdict = "faster"
+                else:
+                    verdict = "~"
+                ratio_s, ps = f"{ratio:.2f}", f"{p:.3f}"
+            else:
+                ratio_s, ps, verdict = "new", "—", "new"
+            lines.append(
+                f"| {q} | {ps} | {med:.3f} | "
+                f"{bst if bst == '' else f'{bst:.3f}'} | "
+                f"{'—' if spr is None else f'{spr:.3f}'} | {ratio_s} | {verdict} |"
+            )
     with open(os.path.join(repo, "BENCH_DELTA.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
@@ -222,7 +316,7 @@ def _final_line(payload: dict) -> str:
         # per-query breakdowns, keep the totals the driver trends on.
         slim = {
             k: payload[k]
-            for k in ("metric", "value", "unit", "sf", "value_best", "sf_matrix")
+            for k in ("metric", "value", "unit", "sf", "value_best", "sf_matrix", "calib_sec")
             if k in payload
         }
         line = json.dumps(slim)
@@ -261,11 +355,14 @@ def main() -> None:
     for name in names:
         run(name)
 
+    calib_start = _calibrate(spark)
+
     medians: dict[str, float] = {}
     bests: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     data_metrics: dict[str, dict[str, int]] = {}
     for name in names:
-        medians[name], bests[name] = _time(lambda: run(name))
+        medians[name], bests[name], spreads[name] = _time(lambda: run(name))
         dm = _data_metrics(spark, lambda: run(name))
         if dm is not None:
             data_metrics[name] = dm
@@ -285,7 +382,7 @@ def main() -> None:
         small_total = 0.0
         for name in names:
             run(name, lower)
-            med, _ = _time(lambda: run(name, lower))
+            med, _, _ = _time(lambda: run(name, lower), 3)
             small_total += med
         sf_matrix["0.01"] = round(small_total, 4)
 
@@ -296,10 +393,18 @@ def main() -> None:
     heavy_best: dict[str, float] = {}
     for name in (n for n in HEAVY if n in registry):
         run(name)
-        heavy[name], heavy_best[name] = _time(lambda: run(name))
+        heavy[name], heavy_best[name], spreads[name] = _time(
+            lambda: run(name), TIMED_RUNS_HEAVY
+        )
         dm = _data_metrics(spark, lambda: run(name))
         if dm is not None:
             data_metrics[name] = dm
+
+    # Second calibration after the heavies: if the two probes disagree,
+    # host load CHANGED mid-run and the per-query spread column is the
+    # honest noise record. calib_sec is the median of both.
+    calib_end = _calibrate(spark)
+    calib = round(statistics.median([calib_start, calib_end]), 4)
 
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -309,6 +414,8 @@ def main() -> None:
             {**bests, **heavy_best},  # heavy rows get their best column too
             heavy,
             float(sf) if sf.replace(".", "").isdigit() else sf,
+            spreads=spreads,
+            calib=calib,
         )
     except Exception:  # noqa: BLE001 - the delta table must never fail the bench
         pass
@@ -316,7 +423,16 @@ def main() -> None:
     # Bulky payload on its OWN stdout line (and a committed artifact)
     # so the driver-facing final line stays inside the tail-capture
     # window (r5 verdict #1).
-    dm_record = {"metric": "data_metrics", "sf": sf, "data_metrics": data_metrics}
+    dm_record = {
+        "metric": "data_metrics",
+        "sf": sf,
+        "data_metrics": data_metrics,
+        # Per-query IQR across the timed samples (seconds) plus the two
+        # fixed-work calibration probes — the bulky noise evidence lives
+        # here, off the driver-facing final line.
+        "spread": spreads,
+        "calib_probes": [calib_start, calib_end],
+    }
     print(json.dumps(dm_record))
     try:
         with open(os.path.join(repo, "BENCH_DATA_METRICS.json"), "w") as fh:
@@ -337,6 +453,7 @@ def main() -> None:
                 "sf_matrix": sf_matrix,
                 "heavy": heavy,
                 "heavy_best": heavy_best,
+                "calib_sec": calib,
             }
         )
     )

@@ -42,6 +42,7 @@ def _full_payload(bench) -> dict:
         "sf_matrix": {"0.1": 1234.5678, "0.01": 123.4567},
         "heavy": heavy,
         "heavy_best": heavy,
+        "calib_sec": 12.3456,
     }
 
 
@@ -53,6 +54,9 @@ def test_final_line_parses_and_is_compact():
     assert parsed["metric"] == "headline_queries_total"
     assert parsed["unit"] == "sec"
     assert set(parsed["queries"]) == set(bench.HEADLINE)
+    # The host-speed yardstick must ride the driver-facing line (r6
+    # verdict #1): it is what separates box slowdowns from code ones.
+    assert parsed["calib_sec"] == 12.3456
     # Hard size bound with margin: the driver window truncated ~>8 KB
     # lines in r5; we require the whole record to fit in 4 KB.
     assert len(line) < 4096, f"final bench line too large: {len(line)} bytes"
@@ -107,4 +111,44 @@ def test_bench_stdout_last_line_is_the_headline_record(tmp_path):
     assert len(lines[-1]) < 4096
     prev = json.loads(lines[-2])
     assert prev["metric"] == "data_metrics"
+    # The bulky noise evidence (per-query IQR + calibration probes)
+    # rides the data_metrics line, not the driver-facing one.
+    assert set(prev["spread"]) == {"q1_pricing_summary", "dedup_exact"}
+    assert len(prev["calib_probes"]) == 2
+    assert "calib_sec" in last
     assert (tmp_path / "BENCH_DATA_METRICS.json").exists()
+
+
+def test_delta_verdict_column_is_noise_aware(tmp_path):
+    """The BENCH_DELTA.md verdict column flags a ratio only when it
+    exceeds both the 10% floor and the run's own relative IQR — a 1.3x
+    move inside a huge measured spread must read `~`, and a 1.3x move
+    with tight spread must read SLOWER (r6 verdict #1)."""
+    bench = _bench()
+    prev = {
+        "parsed": {
+            "metric": "headline_queries_total",
+            "sf": 0.1,
+            "calib_sec": 1.0,
+            "queries": {"tight": 1.0, "noisy": 1.0, "steady": 1.0},
+            "heavy": {},
+        }
+    }
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(prev))
+    medians = {"tight": 1.3, "noisy": 1.3, "steady": 1.05}
+    bests = {"tight": 1.2, "noisy": 0.9, "steady": 1.0}
+    spreads = {"tight": 0.02, "noisy": 0.8, "steady": 0.01}
+    bench._write_delta(
+        str(tmp_path), medians, bests, {}, 0.1, spreads=spreads, calib=1.2
+    )
+    text = (tmp_path / "BENCH_DELTA.md").read_text()
+    rows = {
+        ln.split("|")[1].strip(): ln
+        for ln in text.splitlines()
+        if ln.startswith("| ")
+    }
+    assert rows["tight"].rstrip().endswith("SLOWER |")
+    assert rows["noisy"].rstrip().endswith("~ |")
+    assert rows["steady"].rstrip().endswith("~ |")
+    # Host-speed comparison vs the prior round's calibration probe.
+    assert "host-speed ratio 1.20x" in text
