@@ -22,8 +22,29 @@ from typing import List
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 SALT_COL = "__salt"
+
+
+def cap_adjacency(edges: DataFrame, pivot: str, other: str, cap: int) -> DataFrame:
+    """Deterministically bound each pivot vertex's adjacency list to its
+    ``cap`` smallest neighbors (by ``other``'s sort order).
+
+    The wedge/triangle joins pivot on a shared vertex, so their cost
+    carries a Σ deg(pivot)² term — a single hot hub (a boilerplate
+    template with 10⁵ near-dups) puts deg² rows through one task.
+    Capping the pivot's list before the self-join bounds every task to
+    ≤ cap² rows per pivot. The selection is a deterministic function of
+    the data (row_number over neighbor id), so retries/speculative
+    tasks and the DuckDB oracle all pick the same survivors. Recall
+    effect: wedges through a hub's neighbors beyond its first ``cap``
+    are not enumerated — counts through hot hubs become lower bounds;
+    exact whenever max degree ≤ cap.
+    """
+    w = Window.partitionBy(pivot).orderBy(other)
+    rn = "__adj_rn"
+    return edges.withColumn(rn, F.row_number().over(w)).where(F.col(rn) <= cap).drop(rn)
 
 
 def with_salt(df: DataFrame, salts: int) -> DataFrame:

@@ -479,6 +479,88 @@ def graph_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Wedge-enumeration degree cap (r6 verdict #2): bound the Σ deg(pivot)²
+# term in graph_node_jaccard / graph_triangles to ≤ CAP² rows per pivot
+# vertex. 64 is far above the max near-dup degree at the test scales
+# (results identical to the uncapped plan there) while bounding the
+# hot-template hub at 100 TB — a deg=10⁵ boilerplate hub would
+# otherwise put 10¹⁰ wedge rows through one key.
+WEDGE_DEGREE_CAP = 64
+
+
+def node_jaccard_from_edges(
+    pairs: DataFrame, cap: int | None = WEDGE_DEGREE_CAP
+) -> DataFrame:
+    """Structural neighborhood Jaccard from a canonical (doc_a < doc_b)
+    undirected edge list: all wedge pairs with their common-neighbor
+    count, full degrees, and node_jaccard score (unordered, unlimited —
+    callers rank/limit). ``cap`` bounds each pivot vertex's adjacency
+    list during wedge enumeration (see cap_adjacency); degrees in the
+    denominator always come from the UNcapped graph, so the score stays
+    a true Jaccard lower bound rather than drifting with the cap.
+    """
+    from lime_etl_spark.functions.skew import cap_adjacency
+
+    sym = pairs.select(
+        F.col("doc_a").alias("v"), F.col("doc_b").alias("n")
+    ).unionByName(pairs.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("n")))
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    wedge_src = sym if cap is None else cap_adjacency(sym, pivot="n", other="v", cap=cap)
+    a, b = wedge_src.alias("a"), wedge_src.alias("b")
+    common = (
+        a.join(b, (F.col("a.n") == F.col("b.n")) & (F.col("a.v") < F.col("b.v")))
+        .groupBy(F.col("a.v").alias("doc_a"), F.col("b.v").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_neighbors"))
+    )
+    da = deg.select(F.col("v").alias("doc_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("doc_b"), F.col("deg").alias("deg_b"))
+    # No broadcast hints on the degree tables (r6 ADVICE): degree rows
+    # scale with the number of docs that have near-dups, so a
+    # data-proportional broadcast can exceed driver limits at 100 TB —
+    # AQE picks broadcast at runtime whenever the side is actually small.
+    return (
+        common.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common_neighbors",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors"))
+            ).alias("node_jaccard"),
+        )
+    )
+
+
+def triangle_count_from_edges(
+    pairs: DataFrame, cap: int | None = WEDGE_DEGREE_CAP
+) -> DataFrame:
+    """Single-row exact-below-cap triangle count from a canonical
+    (doc_a < doc_b) edge list. The a<b<c expansion join pivots on the
+    middle vertex, so BOTH its adjacency directions are degree-capped
+    (cap_adjacency) before the join — ≤ cap² candidate paths per
+    pivot; the edge-existence probe stays uncapped (it only filters).
+    A lower bound through hubs hotter than the cap, exact otherwise.
+    """
+    from lime_etl_spark.functions.skew import cap_adjacency
+
+    pin = pairs if cap is None else cap_adjacency(pairs, "doc_b", "doc_a", cap)
+    pout = pairs if cap is None else cap_adjacency(pairs, "doc_a", "doc_b", cap)
+    p1, p2, p3 = pin.alias("p1"), pout.alias("p2"), pairs.alias("p3")
+    return (
+        p1.join(p2, F.col("p2.doc_a") == F.col("p1.doc_b"))
+        .join(
+            p3,
+            (F.col("p3.doc_a") == F.col("p1.doc_a"))
+            & (F.col("p3.doc_b") == F.col("p2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
 @register(
     "graph_node_jaccard",
     oracle=f"""
@@ -491,9 +573,15 @@ def graph_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_b AS v, doc_a AS n FROM pairs
     ),
     deg AS (SELECT v, COUNT(*) AS deg FROM sym GROUP BY v),
+    capped AS (
+        SELECT v, n FROM (
+            SELECT v, n, ROW_NUMBER() OVER (PARTITION BY n ORDER BY v) AS rn
+            FROM sym
+        ) WHERE rn <= {WEDGE_DEGREE_CAP}
+    ),
     common AS (
         SELECT a.v AS doc_a, b.v AS doc_b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
-        FROM sym a JOIN sym b ON a.n = b.n AND a.v < b.v
+        FROM capped a JOIN capped b ON a.n = b.n AND a.v < b.v
         GROUP BY a.v, b.v
     )
     SELECT c.doc_a, c.doc_b, c.common_neighbors,
@@ -506,7 +594,7 @@ def graph_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY node_jaccard DESC, c.doc_a, c.doc_b
     LIMIT 20
     """,
-    description="structural neighborhood Jaccard on the near-dup graph: top wedge pairs by shared-neighbor overlap (link-prediction / cluster-merge primitive)",
+    description="structural neighborhood Jaccard on the near-dup graph: top wedge pairs by shared-neighbor overlap (link-prediction / cluster-merge primitive; degree-capped wedge enumeration)",
 )
 def graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURAL similarity on the near-dup graph: for every wedge
@@ -520,11 +608,17 @@ def graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: wedge enumeration joins the symmetrized edge list on the
     shared endpoint, so cost is Σ_x deg(x)² — the standard wedge
-    shape shared with graph_triangles; a hot hub squares, which is
-    exactly the skew `dq_join_skew` profiles and degree-capping
-    mitigates. Output is a windowless top-20 (exact float ties broken
-    on ids; the division is ONE IEEE op of exact integers on both
-    engines).
+    shape shared with graph_triangles. Each pivot's adjacency list is
+    DEGREE-CAPPED at WEDGE_DEGREE_CAP before the self-join
+    (cap_adjacency in functions/skew.py), bounding every task to
+    ≤ cap² wedge rows per pivot — the hot-hub mitigation the r6
+    docstring promised; the DuckDB oracle applies the identical
+    deterministic cap. Degrees in the denominator stay UNcapped.
+    Recall: wedges whose shared neighbor keeps >cap edges are
+    undercounted (lower-bound scores through hubs); exact whenever
+    max degree ≤ cap, which holds at every test scale. Output is a
+    windowless top-20 (exact float ties broken on ids; the division
+    is ONE IEEE op of exact integers on both engines).
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = doc_shingles(docs).persist()
@@ -536,32 +630,8 @@ def graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs.count()
     sh.unpersist()
-    sym = pairs.select(
-        F.col("doc_a").alias("v"), F.col("doc_b").alias("n")
-    ).unionByName(pairs.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("n")))
-    deg = sym.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    a, b = sym.alias("a"), sym.alias("b")
-    common = (
-        a.join(b, (F.col("a.n") == F.col("b.n")) & (F.col("a.v") < F.col("b.v")))
-        .groupBy(F.col("a.v").alias("doc_a"), F.col("b.v").alias("doc_b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("common_neighbors"))
-    )
-    da = deg.select(F.col("v").alias("doc_a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("v").alias("doc_b"), F.col("deg").alias("deg_b"))
     out = (
-        common.join(F.broadcast(da), "doc_a")
-        .join(F.broadcast(db), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "common_neighbors",
-            "deg_a",
-            "deg_b",
-            (
-                F.col("common_neighbors").cast("double")
-                / (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors"))
-            ).alias("node_jaccard"),
-        )
+        node_jaccard_from_edges(pairs)
         .orderBy(F.desc("node_jaccard"), "doc_a", "doc_b")
         .limit(20)
     )

@@ -3077,13 +3077,27 @@ def ev_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _triangle_oracle() -> str:
+    from lime_etl_spark.operators.graph import WEDGE_DEGREE_CAP
+
     return f"""
     WITH pairs AS (
         SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ), pin AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   ROW_NUMBER() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
+            FROM pairs
+        ) WHERE rn <= {WEDGE_DEGREE_CAP}
+    ), pout AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY doc_b) AS rn
+            FROM pairs
+        ) WHERE rn <= {WEDGE_DEGREE_CAP}
     ), tri AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-        FROM pairs p1
-        JOIN pairs p2 ON p2.doc_a = p1.doc_b
+        FROM pin p1
+        JOIN pout p2 ON p2.doc_a = p1.doc_b
         JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
     ), deg AS (
         SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
@@ -3119,10 +3133,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic).
 
     Scale: the canonical edge order (a<b everywhere) means each
-    triangle is counted exactly once by the a<b<c join — the classic
-    distributed triangle enumeration; at scale the join is ordered
-    so the lower-degree endpoint expands (degree-ordered
-    enumeration), and wedges come from the degree sequence, never a
+    triangle is counted exactly once by the a<b<c join. The expansion
+    join pivots on the middle vertex b, whose cost term is
+    indeg(b)·outdeg(b) — so BOTH adjacency directions are
+    degree-capped at WEDGE_DEGREE_CAP before the join (cap_adjacency,
+    functions/skew.py), bounding every pivot to ≤ cap² candidate
+    paths; the edge-existence probe p3 stays uncapped (it only
+    filters). The DuckDB oracle applies the identical deterministic
+    caps. n_triangles is therefore a lower bound through hubs hotter
+    than the cap and exact otherwise (max degree ≤ cap at every test
+    scale); wedges come from the uncapped degree sequence, never a
     path join.
     """
     from lime_etl_spark.operators.dedup import (
@@ -3132,6 +3152,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_candidates,
         minhash_signatures,
     )
+    from lime_etl_spark.operators.graph import triangle_count_from_edges
 
     docs = load_table(spark, sf_dir, "documents")
     sh = doc_shingles(docs).persist()
@@ -3142,16 +3163,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     sh.unpersist()
-    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
-    tri = (
-        p1.join(p2, F.col("p2.doc_a") == F.col("p1.doc_b"))
-        .join(
-            p3,
-            (F.col("p3.doc_a") == F.col("p1.doc_a"))
-            & (F.col("p3.doc_b") == F.col("p2.doc_b")),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    )
+    tri = triangle_count_from_edges(pairs)
     deg = (
         pairs.select(F.col("doc_a").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("v")))

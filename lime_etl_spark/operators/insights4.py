@@ -1,7 +1,7 @@
 """Round-6 operators: embedding-compression quality curves, chunk-level
 dedup, and experimentation auditing.
 
-All six are LLM-data-pipeline ops the reference has no analog for
+All seven are LLM-data-pipeline ops the reference has no analog for
 (lime-etl is orchestration-only); they extend the §2F/§2E/§2D families
 with the same engine discipline as their siblings: deterministic
 md5-bridge hashing (`shingle_int`), integer-exact aggregates with one
@@ -33,6 +33,10 @@ final double division, and a full DuckDB oracle per query.
   the deterministic md5-bridge Poisson(1) weights shared with
   samp_poisson_bootstrap): the uncertainty band in 16 rows from one
   fact pass.
+- `ev_shapley_attribution` — data-driven Shapley channel attribution
+  over user channel-presence coalitions: exact integer game values on
+  a 1e-9 grid, weights as integer numerators over C!, and the
+  efficiency identity Σcredits = v(full) − v(∅) pytest-pinned exactly.
 
 Scale notes are per-operator in the docstrings; none of them collects
 anything data-proportional.
@@ -628,6 +632,13 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 LIFT_BOOT_REPS = 16
 
 
+def _guarded_ratio(num: str, den: str):
+    """One IEEE division guarded against an empty-arm replicate (den =
+    0): Spark would yield NULL, DuckDB inf — both engines pin it to
+    0.0 via an identical CASE (r6 ADVICE)."""
+    return F.when(F.col(den) > 0, F.col(num) / F.col(den)).otherwise(F.lit(0.0))
+
+
 def _lift_boot_sql() -> str:
     from lime_etl_spark.operators.training import (
         _BOOT_SCALE,
@@ -651,12 +662,18 @@ def _lift_boot_sql() -> str:
         f"CAST(SUM(CASE WHEN arm = 1 THEN w{r} * rev ELSE 0 END) AS DOUBLE) AS rt{r}"
         for r in range(LIFT_BOOT_REPS)
     )
+    # Degenerate-replicate guard (r6 ADVICE): a replicate where one
+    # arm's Poisson weights all draw 0 would divide by 0 — Spark yields
+    # NULL, DuckDB DOUBLE/0 yields inf. Identical CASE guards on both
+    # engines pin that case to 0.0 (mirrors the vq guard in
+    # ev_shapley_attribution).
     legs = "\n    UNION ALL\n".join(
         f"""    SELECT CAST({r} AS INTEGER) AS rep,
            nc{r} AS n_users_c, nt{r} AS n_users_t,
-           rc{r} / nc{r} AS rev_per_user_c,
-           rt{r} / nt{r} AS rev_per_user_t,
-           (rt{r} / nt{r}) - (rc{r} / nc{r}) AS lift FROM agg"""
+           CASE WHEN nc{r} > 0 THEN rc{r} / nc{r} ELSE 0.0 END AS rev_per_user_c,
+           CASE WHEN nt{r} > 0 THEN rt{r} / nt{r} ELSE 0.0 END AS rev_per_user_t,
+           (CASE WHEN nt{r} > 0 THEN rt{r} / nt{r} ELSE 0.0 END)
+             - (CASE WHEN nc{r} > 0 THEN rc{r} / nc{r} ELSE 0.0 END) AS lift FROM agg"""
         for r in range(LIFT_BOOT_REPS)
     )
     arm = shingle_int_sql("CAST(user_id AS VARCHAR)")
@@ -782,11 +799,11 @@ def ev_lift_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rep").cast("int").alias("rep"),
             "n_users_c",
             "n_users_t",
-            (F.col("rc") / F.col("n_users_c")).alias("rev_per_user_c"),
-            (F.col("rt") / F.col("n_users_t")).alias("rev_per_user_t"),
+            _guarded_ratio("rc", "n_users_c").alias("rev_per_user_c"),
+            _guarded_ratio("rt", "n_users_t").alias("rev_per_user_t"),
             (
-                (F.col("rt") / F.col("n_users_t"))
-                - (F.col("rc") / F.col("n_users_c"))
+                _guarded_ratio("rt", "n_users_t")
+                - _guarded_ratio("rc", "n_users_c")
             ).alias("lift"),
         )
         .orderBy("rep")

@@ -391,3 +391,74 @@ def test_node_jaccard_analytic_star_and_bounds(spark, sf_dir):
     # order contract
     keys = [(-r.node_jaccard, r.doc_a, r.doc_b) for r in rows]
     assert keys == sorted(keys)
+
+
+# --- wedge-join degree capping (r6 verdict #2) ---------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+
+
+def test_cap_adjacency_keeps_smallest_neighbors_deterministically(spark):
+    from lime_etl_spark.functions.skew import cap_adjacency
+
+    sym = _edges(spark, [(i, 0) for i in range(1, 11)]).selectExpr(
+        "doc_a AS v", "doc_b AS n"
+    )
+    kept = cap_adjacency(sym, pivot="n", other="v", cap=4).collect()
+    assert sorted(r.v for r in kept) == [1, 2, 3, 4]
+    # no-op when the cap exceeds the degree
+    assert cap_adjacency(sym, pivot="n", other="v", cap=100).count() == 10
+
+
+def test_node_jaccard_cap_binds_on_planted_hub(spark):
+    """Star hub 0 with 10 leaves: uncapped wedge enumeration emits
+    C(10,2)=45 leaf pairs through the hub; cap=4 bounds it to
+    C(4,2)=6 pairs over the 4 smallest leaf ids, while degrees in the
+    denominator stay UNcapped (leaves keep deg=1 -> J=1.0)."""
+    from lime_etl_spark.operators.graph import node_jaccard_from_edges
+
+    star = _edges(spark, [(0, i) for i in range(1, 11)])
+    full = node_jaccard_from_edges(star, cap=None).collect()
+    assert len(full) == 45
+    capped = node_jaccard_from_edges(star, cap=4).collect()
+    assert len(capped) == 6
+    assert {(r.doc_a, r.doc_b) for r in capped} == {
+        (a, b) for a in range(1, 5) for b in range(a + 1, 5)
+    }
+    for r in capped:
+        assert (r.deg_a, r.deg_b) == (1, 1)  # full degrees, not capped
+        assert r.common_neighbors == 1
+        assert r.node_jaccard == 1.0
+
+
+def test_node_jaccard_cap_is_no_op_below_cap(spark):
+    """On a graph whose max degree is under the cap, capped == uncapped
+    exactly — the 'exact whenever max degree <= cap' contract."""
+    from lime_etl_spark.operators.graph import (
+        WEDGE_DEGREE_CAP,
+        node_jaccard_from_edges,
+    )
+
+    edges = _edges(
+        spark,
+        [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (1, 4), (0, 5), (5, 6)],
+    )
+    key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
+    capped = sorted(node_jaccard_from_edges(edges).collect(), key=key)
+    full = sorted(node_jaccard_from_edges(edges, cap=None).collect(), key=key)
+    assert [tuple(r) for r in capped] == [tuple(r) for r in full]
+    assert WEDGE_DEGREE_CAP >= 8  # sanity: test graph is far below the cap
+
+
+def test_triangle_cap_exact_below_cap_and_lower_bound_above(spark):
+    """K6 has C(6,3)=20 triangles: exact when cap >= max degree,
+    a strict lower bound (never an overcount) when the cap binds."""
+    from lime_etl_spark.operators.graph import triangle_count_from_edges
+
+    k6 = _edges(spark, [(a, b) for a in range(6) for b in range(a + 1, 6)])
+    assert triangle_count_from_edges(k6, cap=None).collect()[0].n_triangles == 20
+    assert triangle_count_from_edges(k6, cap=5).collect()[0].n_triangles == 20
+    capped = triangle_count_from_edges(k6, cap=2).collect()[0].n_triangles
+    assert 0 < capped < 20

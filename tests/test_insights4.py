@@ -127,7 +127,7 @@ def test_cdc_boundaries_are_content_defined(spark):
     assert resynced <= edited_cuts
 
 
-# --- ev_srm_check ------------------------------------------------------------
+# --- dedup_minhash_estimate_error ----------------------------------------------
 
 
 def test_minhash_estimator_calibration_shape(spark, sf_dir):
@@ -148,6 +148,9 @@ def test_minhash_estimator_calibration_shape(spark, sf_dir):
         assert ordered[-1].mean_exact_jaccard >= ordered[0].mean_exact_jaccard
 
 
+# --- ev_lift_bootstrap_ci ------------------------------------------------------
+
+
 def test_lift_bootstrap_replicates(spark, sf_dir):
     rows = i4.ev_lift_bootstrap_ci(spark, sf_dir).collect()
     assert [r.rep for r in rows] == list(range(i4.LIFT_BOOT_REPS))
@@ -164,6 +167,9 @@ def test_lift_bootstrap_replicates(spark, sf_dir):
     # (loose sanity bound: band width exceeds |median lift| / 100)
     band = max(lifts) - min(lifts)
     assert band > 0
+
+
+# --- ev_shapley_attribution ----------------------------------------------------
 
 
 def test_shapley_efficiency_identity(spark, sf_dir):
@@ -216,6 +222,9 @@ def test_shapley_efficiency_identity(spark, sf_dir):
     for r in rows:
         assert r.users_with_channel >= 0
         assert 0.0 <= r.conv_rate_with <= 1.0
+
+
+# --- ev_srm_check ----------------------------------------------------------------
 
 
 def test_srm_grid_shape_and_flag_consistency(spark, sf_dir):

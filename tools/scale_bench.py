@@ -24,11 +24,13 @@ Timing-only: correctness at these scales is already covered by the
 sf0.01 oracle sweep; nothing here feeds CORRECTNESS artifacts.
 
 Usage: python tools/scale_bench.py [K] [SRC_SF_DIR] [QUERY_SET]
-QUERY_SET ∈ {core (default), bucketed, r6new} — `bucketed` runs the
-LSH/connected-components/PageRank/sliding-window families (r5
+QUERY_SET ∈ {core (default), bucketed, r6new, hub} — `bucketed` runs
+the LSH/connected-components/PageRank/sliding-window families (r5
 verdict #3; see BUCKETED_QUERIES for why document text is rotated
 per-replica), `r6new` the round-6 operator family (see R6_QUERIES
-for why the quadratic-by-design calibration tables are excluded).
+for why the quadratic-by-design calibration tables are excluded),
+`hub` the planted-hub wedge-join leg (r6 verdict #2; K and SRC are
+ignored — see hub_leg).
 Writes one SCALE_r{N}.json-style line to stdout; the round snapshot
 commits the lines as SCALE_r{N}.json.
 """
@@ -109,6 +111,51 @@ R6_QUERIES = {
 QUERY_SETS = {"core": QUERIES, "bucketed": BUCKETED_QUERIES, "r6new": R6_QUERIES}
 
 
+def hub_leg(spark: SparkSession, degrees=(2000, 16000)) -> dict:
+    """Planted-hub wedge-join leg (r6 verdict #2): a pure star graph
+    with hub degree H makes the Σ deg(pivot)² term the WHOLE cost —
+    uncapped wedge enumeration emits C(H,2) pairs through one pivot
+    key (quadratic in H, all in one task), while the degree-capped
+    plan (cap_adjacency at WEDGE_DEGREE_CAP) is bounded at C(cap,2)
+    pairs per pivot regardless of H. Timing both at H and 4H proves
+    the bound: capped wall stays ~flat while uncapped grows ~16x in
+    wedge rows. Synthetic edges (no corpus build) — this isolates the
+    wedge stage from LSH candidate generation."""
+    from lime_etl_spark.operators.graph import (
+        WEDGE_DEGREE_CAP,
+        node_jaccard_from_edges,
+    )
+
+    out: dict = {"cap": WEDGE_DEGREE_CAP, "hub_degrees": list(degrees)}
+    for mode_name, cap in (("capped", WEDGE_DEGREE_CAP), ("uncapped", None)):
+        mode: dict[str, float] = {}
+        for h in degrees:
+            edges = (
+                spark.range(1, h + 1, 1, 32)
+                .select(F.lit(0).cast("bigint").alias("doc_a"), F.col("id").alias("doc_b"))
+                .persist()
+            )
+            edges.count()
+
+            def run(edges=edges, cap=cap):
+                node_jaccard_from_edges(edges, cap=cap).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+
+            mode[f"h{h}_sec"] = _median(run, 3)
+            mode[f"h{h}_wedge_rows"] = (
+                (WEDGE_DEGREE_CAP * (WEDGE_DEGREE_CAP - 1)) // 2
+                if cap is not None
+                else h * (h - 1) // 2
+            )
+            edges.unpersist()
+        mode["ratio"] = round(
+            mode[f"h{degrees[-1]}_sec"] / mode[f"h{degrees[0]}_sec"], 2
+        )
+        out[mode_name] = mode
+    return out
+
+
 def build_scaled(spark: SparkSession, src: str, out: str, k: int) -> None:
     os.makedirs(out, exist_ok=True)
     for t in DIMS:
@@ -163,6 +210,19 @@ def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     query_set = sys.argv[3] if len(sys.argv) > 3 else "core"
+    if query_set == "hub":
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("scale-bench-hub")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "48g")
+            .getOrCreate()
+        )
+        print(json.dumps({"metric": "scale_leg_hub", **hub_leg(spark)}))
+        spark.stop()
+        return 0
     if query_set not in QUERY_SETS:
         print(
             f"unknown query set {query_set!r}; choose from {sorted(QUERY_SETS)}",
