@@ -70,6 +70,15 @@ BPE_BATCH_K = 4
 # additionally truncated every _CHECKPOINT_EVERY rounds so neither
 # trainer's plan depth grows unboundedly with rounds.
 _CHECKPOINT_EVERY = 16
+# Batched trainer cadence, MEASURED at 48 rounds x k=8 on a 50k-word
+# vocab (tools/scale_bench.py bpe leg, r7): each round nests k
+# replace() calls into the plan, so analysis cost grows k x faster
+# than the classic trainer's — every=16 bent the per-round curve 1.40x
+# (122.7 s), every=8 was flat but paid 94.0 s, every=2 won at 69.7 s
+# (ratio 1.11), every=1 over-materialized (78.4 s). Checkpointing the
+# vocab-bounded words table is cheap; k nested replaces per round are
+# not.
+_BATCH_CHECKPOINT_EVERY = 2
 
 
 def _word_symbols(docs: DataFrame, vocab_limit: int) -> DataFrame:
@@ -239,6 +248,7 @@ def bpe_merge_table_batched(
     rounds: int = BPE_BATCH_ROUNDS,
     k: int = BPE_BATCH_K,
     vocab_limit: int = BPE_VOCAB_LIMIT,
+    on_round=None,
 ) -> DataFrame:
     """Batched BPE training: per round, collect the FULL pair-count
     table (bounded by the capped vocabulary — a few thousand rows of
@@ -248,13 +258,23 @@ def bpe_merge_table_batched(
     what makes production merge counts (30-50k) feasible where the
     classic trainer's one-collect-per-merge loop is not (r5 verdict
     #5). Returns (round, slot, left_sym, right_sym, merged,
-    pair_count) — slot = acceptance order within the round."""
+    pair_count) — slot = acceptance order within the round.
+
+    ``on_round(r, seconds)`` (optional) is invoked after each round's
+    collect — the hook tools/scale_bench.py's bpe leg uses to measure
+    that seconds-per-merge-round stays FLAT to 512+ merges under the
+    _BATCH_CHECKPOINT_EVERY lineage-truncation cadence (r6 verdict
+    #4); a round's wall includes the previous round's lazily-applied
+    merges, which is exactly the per-round marginal cost."""
+    import time as _time
+
     spark = docs.sparkSession
     base = _word_symbols(docs, vocab_limit).persist()
     base.count()
     words = base
     results = []
     for r in range(1, rounds + 1):
+        t0 = _time.perf_counter()
         pair_rows = [(row["pair"], int(row["pc"])) for row in _pair_counts(words).collect()]
         batch = _greedy_disjoint(pair_rows, k)
         if not batch:
@@ -265,8 +285,10 @@ def bpe_merge_table_batched(
             results.append((r, slot, left, right, left + right, pc))
             col = F.replace(col, F.lit(pair), F.lit("(" + left + right + ")"))
         words = words.select(col.alias("sym"), "cnt")
-        if r % _CHECKPOINT_EVERY == 0:
+        if r % _BATCH_CHECKPOINT_EVERY == 0:
             words = words.localCheckpoint()
+        if on_round is not None:
+            on_round(r, _time.perf_counter() - t0)
     base.unpersist()
     out = spark.createDataFrame(
         results,

@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -69,6 +70,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from lime_etl_spark.operators import av_containers  # noqa: E402
 from lime_etl_spark.operators.bmp_codec import decode_bmp  # noqa: E402
 
 MEDIA_SCHEMA = StructType(
@@ -212,6 +214,63 @@ def build_media_fixture(spark: SparkSession, n: int = 200, partitions: int = 8) 
     return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def _encode_av(i: int) -> tuple:
+    """Compressed-container leg of the fixture (r6 verdict #3):
+    MP3 / MP4 / Ogg round i%3, every geometry field a pure formula of
+    i (replayed arithmetically by _decode_stats_oracle). media_id is
+    offset by 1000 so AV rows never collide with the base fixture."""
+    media_id = 1000 + i
+    if i % 3 == 0:
+        n_frames = 10 + i % 20
+        content = av_containers.encode_mp3(media_id, n_frames)
+        meta = (None, None, 1, av_containers.MP3_SAMPLE_RATE,
+                n_frames * av_containers.MP3_FRAME_MS, "mp3")
+        return media_id, "audio", content, meta
+    if i % 3 == 1:
+        duration_ms = (1 + i % 10) * 500
+        width = 320 + (i % 4) * 16
+        content = av_containers.encode_mp4(
+            media_id, duration_ms, width, 240, 256 + (i % 7) * 128
+        )
+        return media_id, "video", content, (width, 240, 3, None, duration_ms, "mp4v")
+    duration_ms = (1 + i % 10) * 500
+    content = av_containers.encode_ogg(media_id, duration_ms, 200 + (i % 5) * 100)
+    meta = (None, None, 1, av_containers.OGG_SAMPLE_RATE, duration_ms, "vorbis")
+    return media_id, "audio", content, meta
+
+
+def build_av_fixture(spark: SparkSession, n: int = 120, partitions: int = 8) -> DataFrame:
+    """Deterministic compressed-container media table (MP3/MP4/Ogg) —
+    same schema and distributed generation path as build_media_fixture;
+    payload samples are md5-chain stand-ins inside REAL container
+    structure, so only the header-metadata stage can decode them
+    (sample_decode=False end to end)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_encode_av(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "media_type": [r[1] for r in rows],
+                    "content": [r[2] for r in rows],
+                    "meta": [
+                        {
+                            "width": r[3][0],
+                            "height": r[3][1],
+                            "channels": r[3][2],
+                            "sample_rate": r[3][3],
+                            "duration_ms": r[3][4],
+                            "codec": r[3][5],
+                        }
+                        for r in rows
+                    ],
+                }
+            )
+
+    return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 # bump when _encode/_payload change: the cached fixture parquet path is
 # keyed by (n, version) so a generator change can never serve stale bytes
 _FIXTURE_PARQUET_VERSION = 1
@@ -310,16 +369,19 @@ def _y4m_frame(raw: bytes, ix: int) -> tuple[int, int, np.ndarray]:
 
 
 _CODEC_HINTS = {
-    b"\x00\x00": "MP4/ISO-BMFF (needs libav)",
     b"\x1aE": "Matroska/WebM (needs libav)",
-    b"Og": "Ogg (needs libogg)",
-    b"ID": "MP3 (needs libmpg123)",
 }
+
+# Containers whose HEADERS parse from spec (av_containers.py) but whose
+# entropy-coded samples this environment cannot decode: metadata-first
+# rows with sample_decode=False; the pixel/PCM stages gate loudly.
+_METADATA_ONLY = frozenset(("mp3", "mp4", "ogg"))
 
 
 def _sniff(raw: bytes) -> str:
-    """Magic-byte dispatch. Real formats decode; entropy-codec A/V
-    formats raise the documented codec gate."""
+    """Magic-byte dispatch. Real formats decode fully; MP3/MP4/Ogg
+    parse to header metadata only (av_containers.py, r6 verdict #3);
+    anything else raises the documented codec gate."""
     if raw[:2] in (b"P6", b"P5"):
         return "netpbm"
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
@@ -334,11 +396,18 @@ def _sniff(raw: bytes) -> str:
         return "gif"  # LZW from-spec decoder (gif_codec.py)
     if raw[:2] == b"BM":
         return "bmp"  # uncompressed BI_RGB decoder (bmp_codec.py)
+    if raw[4:8] == b"ftyp":
+        return "mp4"  # ISO BMFF box walk (av_containers.py)
+    if raw[:4] == b"OggS":
+        return "ogg"  # RFC 3533 page walk (av_containers.py)
+    if raw[:3] == b"ID3" or (len(raw) > 1 and raw[0] == 0xFF and raw[1] & 0xE0 == 0xE0):
+        return "mp3"  # ISO/IEC 11172-3 frame walk (av_containers.py)
     hint = _CODEC_HINTS.get(raw[:2], "unknown container")
     raise NotImplementedError(
         f"no codec available for this payload ({hint}); this environment "
         "ships no A/V codec libraries — images (PPM/PGM, PNG, baseline "
-        "JPEG, GIF, BMP), PCM WAV and YUV4MPEG2 decode natively"
+        "JPEG, GIF, BMP), PCM WAV and YUV4MPEG2 decode natively; MP3/"
+        "MP4/Ogg parse to header metadata only"
     )
 
 
@@ -377,6 +446,13 @@ DECODED_SCHEMA = StructType(
         StructField("n_frames", IntegerType(), True),
         StructField("n_bytes", IntegerType(), False),
         StructField("checksum", StringType(), False),
+        # r6 verdict #3: codec id parsed from the bytes + whether a
+        # full SAMPLE decoder exists for that container in this
+        # environment (False = header-metadata-only; the pixel/PCM
+        # stages raise the loud gate). mm_decode_stats aggregates
+        # this into the measured gate-rate column.
+        StructField("codec", StringType(), False),
+        StructField("sample_decode", BooleanType(), False),
     ]
 )
 
@@ -395,6 +471,8 @@ def _decode_one(media_id: int, content: bytes) -> dict:
         "n_frames": None,
         "n_bytes": len(raw),
         "checksum": hashlib.md5(raw).hexdigest(),
+        "codec": kind,
+        "sample_decode": kind not in _METADATA_ONLY,
     }
     # metadata stage: dims come from STRUCTURAL headers (SOF/IHDR/
     # logical screen descriptor — still parsed from the bytes, never
@@ -403,7 +481,7 @@ def _decode_one(media_id: int, content: bytes) -> dict:
     # (features/resize/ahash) run the full decoders and their gates.
     if kind == "netpbm":
         w, h, _ch, _px = _parse_netpbm(raw)
-        out.update(media_type="image", width=w, height=h)
+        out.update(media_type="image", width=w, height=h, codec="ppm" if raw[:2] == b"P6" else "pgm")
     elif kind == "png":
         from lime_etl_spark.operators.png_codec import png_dims
 
@@ -426,7 +504,32 @@ def _decode_one(media_id: int, content: bytes) -> dict:
             out.update(n_frames=n_frames, duration_ms=duration_ms)
     elif kind == "wav":
         rate, dur, _s = _parse_wav(raw)
-        out.update(media_type="audio", sample_rate=rate, duration_ms=dur)
+        out.update(media_type="audio", sample_rate=rate, duration_ms=dur, codec="pcm_s16le")
+    elif kind == "mp3":
+        info = av_containers.mp3_info(raw)
+        out.update(
+            media_type="audio",
+            sample_rate=info["sample_rate"],
+            duration_ms=info["duration_ms"],
+            n_frames=info["n_frames"],
+        )
+    elif kind == "mp4":
+        info = av_containers.mp4_info(raw)
+        out.update(
+            media_type="video",
+            width=info["width"],
+            height=info["height"],
+            duration_ms=info["duration_ms"],
+            codec=info["codec"],
+        )
+    elif kind == "ogg":
+        info = av_containers.ogg_info(raw)
+        out.update(
+            media_type="audio",
+            sample_rate=info["sample_rate"],
+            duration_ms=info["duration_ms"],
+            codec=info["codec"],
+        )
     else:  # y4m
         w, h, fps, n_frames, _off = _parse_y4m_header(raw)
         out.update(
@@ -482,6 +585,8 @@ def decode_media_arrow(df: DataFrame) -> DataFrame:
                         ("n_frames", pa.int32()),
                         ("n_bytes", pa.int32()),
                         ("checksum", pa.string()),
+                        ("codec", pa.string()),
+                        ("sample_decode", pa.bool_()),
                     ]
                 ),
             )
@@ -511,6 +616,12 @@ def _gray_series(raw: bytes) -> np.ndarray:
     if kind == "y4m":
         _w, _h, planes = _y4m_frame(raw, 0)
         return planes[0].astype(np.float64).ravel()
+    if kind != "wav":
+        raise NotImplementedError(
+            f"sample decode for {kind} is gated — only header metadata "
+            "parses (av_containers.py); this environment ships no "
+            "entropy A/V codecs"
+        )
     _rate, _dur, samples = _parse_wav(raw)
     return np.abs(samples.astype(np.float64)) * (255.0 / 32768.0)
 
@@ -531,6 +642,12 @@ def _cell_series(raw: bytes) -> np.ndarray:
     if kind == "y4m":
         _w, _h, planes = _y4m_frame(raw, 0)
         return planes[0].astype(np.int64).ravel()
+    if kind != "wav":
+        raise NotImplementedError(
+            f"sample decode for {kind} is gated — only header metadata "
+            "parses (av_containers.py); this environment ships no "
+            "entropy A/V codecs"
+        )
     _rate, _dur, samples = _parse_wav(raw)
     return np.abs(samples.astype(np.int64))
 
@@ -894,19 +1011,27 @@ def _perturbed_media_corpus(spark: SparkSession, n: int = 200) -> DataFrame:
 from lime_etl_spark.plans.registry import register  # noqa: E402
 
 
-def _decode_stats_oracle(n: int = 300) -> str:
+def _decode_stats_oracle(n: int = 300, n_av: int = 120) -> str:
     """Replay mm_decode_stats ARITHMETICALLY: the fixture's geometry
     (dims, durations, container byte counts) is a pure formula of
-    media_id (_encode_{ppm,wav,y4m}), so DuckDB recomputes the
-    EXPECTED stats from the formula while the Spark side derives them
-    from the actual BYTES — a decoder or container-writer bug on
-    either side breaks the match. Byte formulas: PPM header
-    'P6\\n{w} {h}\\n255\\n' = 9+len(w)+len(h); WAV = 44-byte stdlib
-    header + 2 bytes/sample; Y4M = stream header + per-frame
-    ('FRAME\\n' + w*h*3). n_distinct_payloads = COUNT(*) encodes the
-    fixture's by-construction payload uniqueness (md5-chain streams
-    keyed by media_id), which the Spark side must reproduce from real
-    checksums."""
+    media_id (_encode_{ppm,wav,y4m} and _encode_av), so DuckDB
+    recomputes the EXPECTED stats from the formula while the Spark
+    side derives them from the actual BYTES — a decoder or
+    container-writer bug on either side breaks the match. Byte
+    formulas: PPM header 'P6\\n{{w}} {{h}}\\n255\\n' = 9+len(w)+len(h);
+    WAV = 44-byte stdlib header + 2 bytes/sample; Y4M = stream header
+    + per-frame ('FRAME\\n' + w*h*3); MP3 = 576-byte CBR frames
+    (144*128000/32000), 36 ms each; MP4 = constant box overhead
+    (derived from the encoder, see mp4_overhead) + mdat payload;
+    Ogg = 58-byte BOS page (27-byte header + 1 lace + 30-byte Vorbis
+    ID packet) + EOS page (27 + lacing + payload).
+    n_distinct_payloads = COUNT(*) encodes by-construction payload
+    uniqueness (md5-chain streams keyed by media_id), which the Spark
+    side must reproduce from real checksums. The gated columns encode
+    the environment's codec surface: entropy containers (mp3/mp4v/
+    vorbis) are metadata-only, so the Spark side must measure
+    gate_rate 1.0 for them and 0.0 everywhere else (r6 verdict #3)."""
+    mp4_oh = av_containers.mp4_overhead()
     return f"""
 WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range({n})),
 spec AS (
@@ -916,9 +1041,9 @@ spec AS (
          16 + (id % 3) * 16 AS vw, 16 + (id % 2) * 16 AS vh,
          (1 + id % 10) * 1000 AS vdur
   FROM ids),
-r AS (
+base AS (
   SELECT
-    CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+    CASE m WHEN 0 THEN 'ppm' WHEN 1 THEN 'pcm_s16le' ELSE 'y4m' END AS codec,
     CASE m
       WHEN 0 THEN 9 + length(CAST(pw AS VARCHAR)) + length(CAST(ph AS VARCHAR)) + pw * ph * 3
       WHEN 1 THEN 44 + 2 * ((8000 * adur) // 1000)
@@ -927,42 +1052,82 @@ r AS (
            + ((4 * vdur) // 1000) * (6 + vw * vh * 3)
     END AS n_bytes,
     CASE m WHEN 0 THEN pw WHEN 2 THEN vw END AS width,
-    CASE m WHEN 1 THEN adur WHEN 2 THEN vdur END AS duration_ms
-  FROM spec)
-SELECT media_type,
+    CASE m WHEN 1 THEN adur WHEN 2 THEN vdur END AS duration_ms,
+    0 AS gated
+  FROM spec),
+av_ids AS (SELECT CAST(range AS BIGINT) AS i FROM range({n_av})),
+av_spec AS (
+  SELECT i, i % 3 AS m,
+         10 + i % 20 AS nf,
+         (1 + i % 10) * 500 AS dur,
+         320 + (i % 4) * 16 AS mw,
+         256 + (i % 7) * 128 AS mp4_payload,
+         200 + (i % 5) * 100 AS ogg_payload
+  FROM av_ids),
+av AS (
+  SELECT
+    CASE m WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp4v' ELSE 'vorbis' END AS codec,
+    CASE m
+      WHEN 0 THEN 576 * nf
+      WHEN 1 THEN {mp4_oh} + mp4_payload
+      ELSE 27 + 1 + 30 + 27 + (ogg_payload // 255 + 1) + ogg_payload
+    END AS n_bytes,
+    CASE m WHEN 1 THEN mw END AS width,
+    CASE m WHEN 0 THEN 36 * nf ELSE dur END AS duration_ms,
+    1 AS gated
+  FROM av_spec),
+r AS (SELECT * FROM base UNION ALL SELECT * FROM av)
+SELECT codec,
        CAST(COUNT(*) AS BIGINT) AS n_media,
        CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        CAST(MAX(width) AS BIGINT) AS max_width,
        CAST(MAX(duration_ms) AS BIGINT) AS max_duration_ms,
-       CAST(COUNT(*) AS BIGINT) AS n_distinct_payloads
-FROM r GROUP BY media_type ORDER BY media_type
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_payloads,
+       CAST(SUM(gated) AS BIGINT) AS n_gated,
+       CAST(SUM(gated) AS DOUBLE) / COUNT(*) AS gate_rate
+FROM r GROUP BY codec ORDER BY codec
 """
 
 
 @register(
     "mm_decode_stats",
     oracle=_decode_stats_oracle(),
-    description="multimodal pipeline: fixture → REAL container decode → per-type stats; DuckDB recomputes the expected stats arithmetically from the fixture's media_id formulas",
+    description="multimodal pipeline: fixture → REAL container decode → per-codec stats incl. measured gate-rate (share of payloads only header-parseable); DuckDB recomputes everything arithmetically from the fixture's media_id formulas",
 )
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal plumbing as a driver-checkable query:
-    build the PPM/WAV/Y4M fixture, genuinely parse every payload
-    (dims/duration/frame counts come from the bytes), aggregate per
-    media type. Hash-matched since r6: the oracle recomputes every
-    stat from the fixture's id→geometry formulas (_decode_stats_oracle)
-    — the Spark side must recover the same numbers from the BYTES."""
-    media = build_media_fixture(spark, n=300)
+    build the PPM/WAV/Y4M fixture PLUS the compressed-container leg
+    (MP3/MP4/Ogg, r6 verdict #3), genuinely parse every payload
+    (dims/durations/frame counts from the bytes — sync-word, box and
+    page walks for the entropy containers), aggregate per codec.
+    gate_rate is the MEASURED share of payloads whose samples this
+    environment cannot decode (sample_decode=False from the decoder,
+    not an assumption): 1.0 for mp3/mp4v/vorbis, 0.0 for the natively
+    decodable containers. Hash-matched: the oracle recomputes every
+    stat, including the gate columns, from the fixture's id→geometry
+    formulas (_decode_stats_oracle) — the Spark side must recover the
+    same numbers from the BYTES."""
+    media = build_media_fixture(spark, n=300).unionByName(
+        build_av_fixture(spark, n=120)
+    )
     decoded = decode_media(media)
     return (
-        decoded.groupBy("media_type")
+        decoded.groupBy("codec")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_media"),
             F.sum("n_bytes").cast("bigint").alias("total_bytes"),
             F.max("width").cast("bigint").alias("max_width"),
             F.max("duration_ms").cast("bigint").alias("max_duration_ms"),
             F.countDistinct("checksum").cast("bigint").alias("n_distinct_payloads"),
+            F.sum(F.when(~F.col("sample_decode"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_gated"),
         )
-        .orderBy("media_type")
+        .withColumn(
+            "gate_rate",
+            F.col("n_gated").cast("double") / F.col("n_media"),
+        )
+        .orderBy("codec")
     )
 
 
@@ -1392,7 +1557,13 @@ def mm_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = corpus.select(
         F.col("row_id").alias("media_id"), "content"
     )
-    decoded = decode_media(keyed).withColumnRenamed("media_id", "row_id")
+    # project to the dims this query needs: the decode output's own
+    # codec column would collide with the corpus's codec LABEL column
+    decoded = (
+        decode_media(keyed)
+        .withColumnRenamed("media_id", "row_id")
+        .select("row_id", "width", "height")
+    )
     feats = extract_features(keyed, dim=16).withColumnRenamed(
         "media_id", "row_id"
     )

@@ -128,21 +128,94 @@ def test_frame_sample_explodes_by_duration(media):
     assert px[:, :, 0].tobytes() == planes[0].tobytes()
 
 
-def test_av_codec_formats_hit_codec_gate(spark):
-    """MP4/Matroska/Ogg/MP3 payloads must fail loudly with the
-    documented NotImplementedError — never fake output. (PNG left
-    this gate in r5a, JPEG/GIF/BMP in r5b: from-spec decoders in
-    operators/{png,jpeg,gif,bmp}_codec.py now decode them.)"""
-    mp4 = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64
-    df = spark.createDataFrame([(1, bytearray(mp4))], "media_id long, content binary")
-    with pytest.raises(Exception, match="NotImplementedError|no codec available"):
-        mm.decode_media(df).collect()
+def test_av_codec_formats_metadata_parse_and_sample_gate(spark):
+    """MP3/MP4/Ogg parse to header metadata only (r6 verdict #3):
+    decode_media yields real duration/rate/dims with
+    sample_decode=False, a CORRUPT container still fails loudly, the
+    pixel/PCM stages raise the documented gate, and unknown containers
+    (Matroska) still gate in _sniff. (PNG left the image gate in r5a,
+    JPEG/GIF/BMP in r5b.)"""
+    from lime_etl_spark.operators import av_containers as av
+
+    good = [
+        (1, bytearray(av.encode_mp3(1, 13))),
+        (2, bytearray(av.encode_mp4(2, 1500, 336, 240, 512))),
+        (3, bytearray(av.encode_ogg(3, 2500, 600))),
+    ]
+    df = spark.createDataFrame(good, "media_id long, content binary")
+    rows = {r.media_id: r for r in mm.decode_media(df).collect()}
+    assert rows[1].codec == "mp3" and rows[1].duration_ms == 13 * 36
+    assert rows[1].sample_rate == 32000 and rows[1].n_frames == 13
+    assert rows[2].codec == "mp4v" and rows[2].duration_ms == 1500
+    assert (rows[2].width, rows[2].height) == (336, 240)
+    assert rows[3].codec == "vorbis" and rows[3].duration_ms == 2500
+    assert rows[3].sample_rate == 8000
+    assert all(not r.sample_decode for r in rows.values())
+    # corrupt MP4 (zero-size box after ftyp) fails loudly — garbage
+    # structure must never yield garbage metadata
+    bad = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64
+    dfbad = spark.createDataFrame([(9, bytearray(bad))], "media_id long, content binary")
+    with pytest.raises(Exception, match="corrupt box size"):
+        mm.decode_media(dfbad).collect()
+    # flipping one payload byte breaks the Ogg page CRC — loud
+    flipped = bytearray(av.encode_ogg(3, 2500, 600))
+    flipped[100] ^= 0xFF
+    dfcrc = spark.createDataFrame([(8, flipped)], "media_id long, content binary")
+    with pytest.raises(Exception, match="CRC mismatch"):
+        mm.decode_media(dfcrc).collect()
+    # sample-touching stages keep the loud gate for metadata-only kinds
+    with pytest.raises(Exception, match="sample decode for mp3 is gated"):
+        mm.extract_features(df.where("media_id = 1")).collect()
     with pytest.raises(NotImplementedError, match="no codec"):
         mm._sniff(b"\x1aE\xdf\xa3" + b"\x00" * 16)  # Matroska
     assert mm._sniff(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16) == "png"
     assert mm._sniff(b"\xff\xd8\xff\xe0" + b"\x00" * 16) == "jpeg"
     assert mm._sniff(b"GIF89a" + b"\x00" * 16) == "gif"
     assert mm._sniff(b"BM" + b"\x00" * 16) == "bmp"
+    assert mm._sniff(b"\x00\x00\x00\x18ftypisom") == "mp4"
+    assert mm._sniff(b"OggS" + b"\x00" * 16) == "ogg"
+    assert mm._sniff(b"\xff\xfb\x98\xc4" + b"\x00" * 16) == "mp3"
+
+
+def test_av_container_roundtrips_and_formulas():
+    """Encoder→parser round trips pin the byte-layout formulas the
+    mm_decode_stats oracle replays arithmetically."""
+    from lime_etl_spark.operators import av_containers as av
+
+    raw = av.encode_mp3(7, 13)
+    assert len(raw) == 13 * 576
+    assert av.mp3_info(raw) == {
+        "codec": "mp3", "sample_rate": 32000, "n_frames": 13, "duration_ms": 468,
+    }
+    raw = av.encode_mp4(5, 1500, 336, 240, 512)
+    assert len(raw) == av.mp4_overhead() + 512
+    assert av.mp4_info(raw) == {
+        "codec": "mp4v", "duration_ms": 1500, "width": 336, "height": 240,
+    }
+    raw = av.encode_ogg(9, 2500, 600)
+    assert len(raw) == 27 + 1 + 30 + 27 + (600 // 255 + 1) + 600
+    assert av.ogg_info(raw) == {
+        "codec": "vorbis", "sample_rate": 8000, "channels": 1,
+        "n_pages": 2, "duration_ms": 2500,
+    }
+    # parsers validate structure, not just magic bytes
+    with pytest.raises(ValueError, match="sync lost"):
+        av.mp3_info(raw[:100])
+    with pytest.raises(ValueError, match="truncated MP3"):
+        av.mp3_info(av.encode_mp3(7, 2)[:-10])
+
+
+def test_mm_decode_stats_gate_rate_is_measured(spark, sf_dir):
+    from lime_etl_spark.plans.registry import get
+
+    rows = {r.codec: r for r in get("mm_decode_stats").builder(spark, sf_dir).collect()}
+    assert set(rows) == {"ppm", "pcm_s16le", "y4m", "mp3", "mp4v", "vorbis"}
+    for codec in ("ppm", "pcm_s16le", "y4m"):
+        assert rows[codec].n_gated == 0 and rows[codec].gate_rate == 0.0
+    for codec in ("mp3", "mp4v", "vorbis"):
+        assert rows[codec].n_gated == rows[codec].n_media
+        assert rows[codec].gate_rate == 1.0
+        assert rows[codec].max_duration_ms > 0
 
 
 def test_audio_energy_windows_true_rms(spark, media):

@@ -30,7 +30,8 @@ verdict #3; see BUCKETED_QUERIES for why document text is rotated
 per-replica), `r6new` the round-6 operator family (see R6_QUERIES
 for why the quadratic-by-design calibration tables are excluded),
 `hub` the planted-hub wedge-join leg (r6 verdict #2; K and SRC are
-ignored — see hub_leg).
+ignored — see hub_leg), `bpe` the 512-merge batched-BPE flatness leg
+(r6 verdict #4; K ignored — see bpe_leg).
 Writes one SCALE_r{N}.json-style line to stdout; the round snapshot
 commits the lines as SCALE_r{N}.json.
 """
@@ -196,6 +197,59 @@ def build_scaled(spark: SparkSession, src: str, out: str, k: int) -> None:
         )
 
 
+def bpe_leg(
+    spark: SparkSession, src: str, rounds: int = 96, k: int = 8,
+    vocab_limit: int = 50_000, n_words: int = 50_000,
+) -> dict:
+    """Production-merge-count BPE leg (r6 verdict #4): run the batched
+    trainer to rounds*k >= 512 merges and report seconds per
+    merge-round. The 50k-merge production claim rests on per-round
+    cost being FLAT (model-state-bounded collects + the 16-round
+    localCheckpoint lineage cadence); flatness_ratio compares the mean
+    of the last 8 rounds to the first 8 — ~1.0 means the curve does
+    not bend and 50k merges cost rounds*cost, not rounds^2.
+
+    Word universe: the fixture corpus has only 31 distinct lowercase
+    words, so whole-corpus BPE legitimately EXHAUSTS at ~90 merges
+    regardless of vocab_limit — too few to probe the 512+ regime. The
+    leg therefore feeds the real trainer a synthesized 50k-word vocab
+    (md5 hex re-lettered onto a 16-letter alphabet): the claim under
+    test is the TRAINER'S mechanics (collect cadence, replace-chain
+    lineage, checkpoint reset), which don't care what the words mean,
+    only that pairs remain to merge."""
+    from lime_etl_spark.operators.bpe import bpe_merge_table_batched
+
+    docs = spark.range(0, n_words, 1, 32).select(
+        F.translate(
+            F.md5(F.col("id").cast("string")), "0123456789", "ghijklmnop"
+        ).alias("text")
+    )
+    times: dict[int, float] = {}
+
+    def on_round(r: int, sec: float) -> None:
+        times[r] = round(sec, 4)
+
+    merged = bpe_merge_table_batched(
+        docs, rounds=rounds, k=k, vocab_limit=vocab_limit, on_round=on_round
+    )
+    n_merges = merged.count()
+    order = sorted(times)
+    head = [times[r] for r in order[:8]]
+    tail = [times[r] for r in order[-8:]]
+    total = sum(times.values())
+    return {
+        "rounds": len(times),
+        "k": k,
+        "n_merges": n_merges,
+        "total_sec": round(total, 2),
+        "sec_per_round_first8": round(sum(head) / len(head), 4),
+        "sec_per_round_last8": round(sum(tail) / len(tail), 4),
+        "flatness_ratio": round((sum(tail) / len(tail)) / (sum(head) / len(head)), 2),
+        # every 8th round's wall: the shape of the curve, compactly
+        "round_times_sampled": {r: times[r] for r in order[::8]},
+    }
+
+
 def _median(run, n: int) -> float:
     run()  # warm: parquet footers, codegen, broadcast caches
     samples = []
@@ -210,17 +264,20 @@ def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     query_set = sys.argv[3] if len(sys.argv) > 3 else "core"
-    if query_set == "hub":
+    if query_set in ("hub", "bpe"):
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         spark = (
             SparkSession.builder.master(f"local[{cpus}]")
-            .appName("scale-bench-hub")
+            .appName(f"scale-bench-{query_set}")
             .config("spark.sql.shuffle.partitions", cpus)
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.driver.memory", "48g")
             .getOrCreate()
         )
-        print(json.dumps({"metric": "scale_leg_hub", **hub_leg(spark)}))
+        if query_set == "hub":
+            print(json.dumps({"metric": "scale_leg_hub", **hub_leg(spark)}))
+        else:
+            print(json.dumps({"metric": "scale_leg_bpe", **bpe_leg(spark, src)}))
         spark.stop()
         return 0
     if query_set not in QUERY_SETS:
