@@ -639,6 +639,104 @@ def graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "graph_local_clustering",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_sql()})
+    ),
+    sym AS (
+        SELECT doc_a AS v, doc_b AS n FROM pairs
+        UNION ALL
+        SELECT doc_b AS v, doc_a AS n FROM pairs
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY v),
+    capped AS (
+        SELECT v, n FROM (
+            SELECT v, n, ROW_NUMBER() OVER (PARTITION BY v ORDER BY n) AS rn
+            FROM sym
+        ) WHERE rn <= {WEDGE_DEGREE_CAP}
+    ),
+    tri AS (
+        SELECT a.v, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM capped a
+        JOIN capped b ON b.v = a.v AND a.n < b.n
+        JOIN pairs p ON p.doc_a = a.n AND p.doc_b = b.n
+        GROUP BY a.v
+    )
+    SELECT t.v AS doc_id, t.n_tri, d.deg,
+           CAST(2 * t.n_tri AS DOUBLE) / (d.deg * (d.deg - 1)) AS local_clustering
+    FROM tri t JOIN deg d ON d.v = t.v
+    ORDER BY local_clustering DESC, doc_id
+    LIMIT 20
+    """,
+    description="per-vertex local clustering coefficient of the near-dup graph (degree-capped wedge enumeration): top docs whose neighborhoods are cliques — true duplicate cores vs accidental hubs",
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watts–Strogatz LOCAL clustering coefficient per vertex:
+    2·tri(v)/(deg(v)·(deg(v)−1)) — 1.0 means v's near-dups are all
+    near-dups of each other (a true duplicate clique: collapse
+    safely), low values mean v is a hub stitching unrelated docs
+    (boilerplate contamination: review before collapsing). The
+    per-vertex refinement of graph_triangles' single global
+    transitivity number, and the per-DOC version of
+    graph_cluster_density's per-cluster story.
+
+    Scale: wedge enumeration self-joins each vertex's adjacency list,
+    degree-capped at WEDGE_DEGREE_CAP exactly like graph_node_jaccard
+    (≤ cap² wedges per vertex, identical deterministic cap in the
+    oracle); the edge-existence probe joins the canonical pair list
+    uncapped. Degrees in the denominator stay UNcapped, so the
+    coefficient is a lower bound through hubs hotter than the cap and
+    exact otherwise. Vertices with zero triangles drop out of the
+    INNER join identically on both engines; top-20 order
+    (coefficient DESC, doc_id) is total.
+    """
+    from lime_etl_spark.functions.skew import cap_adjacency
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    pairs = (
+        jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh)))
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    pairs.count()
+    sh.unpersist()
+    sym = pairs.select(
+        F.col("doc_a").alias("v"), F.col("doc_b").alias("n")
+    ).unionByName(pairs.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("n")))
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    capped = cap_adjacency(sym, pivot="v", other="n", cap=WEDGE_DEGREE_CAP)
+    a, b = capped.alias("a"), capped.alias("b")
+    tri = (
+        a.join(b, (F.col("b.v") == F.col("a.v")) & (F.col("a.n") < F.col("b.n")))
+        .join(
+            pairs.alias("p"),
+            (F.col("p.doc_a") == F.col("a.n")) & (F.col("p.doc_b") == F.col("b.n")),
+        )
+        .groupBy(F.col("a.v").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    out = (
+        tri.join(deg, "v")
+        .select(
+            F.col("v").alias("doc_id"),
+            "n_tri",
+            "deg",
+            (
+                (F.lit(2) * F.col("n_tri")).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1))
+            ).alias("local_clustering"),
+        )
+        .orderBy(F.desc("local_clustering"), "doc_id")
+        .limit(20)
+    )
+    track_persist(pairs)
+    return out
+
+
 def _lpa_sql() -> str:
     """CTE-list fragment (no WITH keyword) replaying label_propagation
     round by round in DuckDB. Valid because every LPA round is a pure

@@ -1,0 +1,648 @@
+"""Round-7 operators: change detection, keyword extraction, multiple-
+testing-corrected experiment gating, winnowing fingerprints, and
+coreset selection.
+
+All five are LLM-data-pipeline / analytics ops the reference has no
+analog for (lime-etl is orchestration-only); same engine discipline as
+their siblings: deterministic md5-bridge hashing (`shingle_int`),
+integer-exact aggregates with one final double division, identical
+expression structure in the DuckDB oracle, and total output orders.
+
+- `ev_changepoint_cusum` — integer-exact CUSUM changepoint per event
+  type (Page 1954): S_t = Σ(N·x_i − T) over ordered days, changepoint
+  at max |S_t|. The level-shift detector a metrics pipeline runs
+  before trusting a trend; zero transcendentals, so bit-identical
+  under any shuffle layout.
+- `txt_rake_scores` — RAKE keyword scoring (Rose et al. 2010):
+  stopword-delimited candidate phrases via gaps-and-islands, word
+  score = degree/frequency. The classic cheap keyword extractor for
+  corpus cards / topic drift monitoring.
+- `ev_srm_holm` — Holm step-down multiple-testing gate over the SRM
+  experiment grid: with SRM_EXPERIMENTS simultaneous chi-square
+  tests, a fixed 95% threshold false-alarms ~1−0.95^m of healthy
+  grids; Holm controls FWER. Critical values derived at import time
+  by bisection on math.erfc (χ²₁ tail = erfc(√(x/2))) — no p-value
+  transcendentals cross the engine boundary, flags are integer
+  comparisons.
+- `dedup_winnowing_overlap` — winnowing document fingerprints
+  (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS algorithm): the
+  min k-gram hash per sliding window is position-robust, so shared
+  fingerprints localize COPIED SPANS between documents, finer than
+  whole-doc minhash and cheaper than all-pairs n-gram Jaccard.
+- `samp_kcenter_coreset` — greedy k-center coreset selection
+  (Gonzalez 1985 / facility location): the 2-approximation farthest-
+  point traversal that training-data curation uses to pick a maximally
+  diverse subset; selection trace + coverage radii, replayed exactly
+  by an unrolled-round DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lime_etl_spark.functions.text import shingle_int_spark_sql, shingle_int_sql
+from lime_etl_spark.plans.registry import register, track_persist
+from lime_etl_spark.sources.readers import load_table, spread
+
+# ---------------------------------------------------------------------------
+# ev_changepoint_cusum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(x) AS BIGINT) AS total_events
+        FROM daily GROUP BY event_type
+    ),
+    cusum AS (
+        SELECT d.event_type, d.d, t.n_days, t.total_events,
+               SUM(t.n_days * d.x - t.total_events)
+                 OVER (PARTITION BY d.event_type ORDER BY d.d) AS s
+        FROM daily d JOIN tot t ON t.event_type = d.event_type
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY ABS(s) DESC, d ASC) AS rn
+        FROM cusum
+    )
+    SELECT event_type, n_days, total_events,
+           d AS cp_date, CAST(s AS BIGINT) AS s_at_cp,
+           CAST(ABS(s) AS DOUBLE) / (n_days * total_events) AS excursion_share
+    FROM ranked WHERE rn = 1
+    ORDER BY event_type
+    """,
+    description="integer-exact CUSUM changepoint per event type: max |Σ(N·x−T)| excursion over ordered days — the level-shift detector run before trusting a trend",
+)
+def ev_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM on the daily event-count series, integer-exact:
+    scaling each day's deviation by N (S_t = Σ_{i≤t}(N·x_i − T))
+    avoids the fractional mean x̄ = T/N entirely, so the whole
+    excursion path is int64 and S_N = 0 by construction. The
+    changepoint is the day with the maximum |S_t| (earliest day on
+    ties); excursion_share normalizes by N·T in ONE final double
+    division so magnitudes compare across event types.
+
+    Scale: one daily rollup (map-side combined), a per-type totals
+    join (|types| rows, broadcast), one window cumsum partitioned by
+    type ordered by day — the same single-shuffle shape as
+    ev_rolling_kpis; nothing collects.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("total_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    cusum = (
+        daily.join(tot, "event_type")
+        .withColumn("s", F.sum(F.col("n_days") * F.col("x") - F.col("total_events")).over(w))
+    )
+    rn = Window.partitionBy("event_type").orderBy(F.abs(F.col("s")).desc(), F.col("d").asc())
+    return (
+        cusum.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            "total_events",
+            F.col("d").alias("cp_date"),
+            F.col("s").cast("bigint").alias("s_at_cp"),
+            (
+                F.abs(F.col("s")).cast("double")
+                / (F.col("n_days") * F.col("total_events"))
+            ).alias("excursion_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# txt_rake_scores
+# ---------------------------------------------------------------------------
+
+# Stopword inventory for phrase delimiting — the function-word slice of
+# the corpus vocabulary (RAKE's only tunable).
+RAKE_STOPWORDS = ("a", "and", "in", "is", "it", "of", "the", "to")
+RAKE_TOP_K = 20
+
+
+def _rake_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, w.word AS word, w.pos AS pos
+        FROM documents,
+             LATERAL (SELECT UNNEST(string_split(text, ' ')) AS word,
+                             UNNEST(generate_series(1, len(string_split(text, ' ')))) AS pos) w
+        WHERE regexp_matches(w.word, '^[a-z]+$')
+          AND w.word NOT IN ({stop})
+    ),
+    runs AS (
+        SELECT doc_id, word, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+        FROM toks
+    ),
+    phrases AS (
+        SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS phrase_len
+        FROM runs GROUP BY doc_id, phrase_id
+    ),
+    scored AS (
+        SELECT r.word,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(p.phrase_len) AS BIGINT) AS degree
+        FROM runs r
+        JOIN phrases p ON p.doc_id = r.doc_id AND p.phrase_id = r.phrase_id
+        GROUP BY r.word
+    )
+    SELECT word, freq, degree,
+           CAST(degree AS DOUBLE) / freq AS rake_score
+    FROM scored
+    ORDER BY rake_score DESC, freq DESC, word
+    LIMIT {RAKE_TOP_K}
+    """
+
+
+@register(
+    "txt_rake_scores",
+    oracle=_rake_sql(),
+    description="RAKE keyword scores: stopword-delimited phrases via gaps-and-islands, word score = co-occurrence degree / frequency, top-k",
+)
+def txt_rake_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction, Rose et al. 2010)
+    over the corpus: candidate phrases are maximal runs of content
+    words between stopwords (gaps-and-islands — pos minus the
+    content-word row_number is constant within a run), a word's degree
+    sums the lengths of every phrase it appears in, and
+    score = degree/freq rewards words that live in LONG multi-word
+    phrases. The standard cheap keyword extractor for corpus cards and
+    topic-drift monitors — and the output every prompt-mining pass
+    starts from.
+
+    Scale: tokenize-explode is the corpus-linear stage everything in
+    §2G already pays; the phrase rollup and word rollup are map-side
+    combined; score is ONE double division of exact int64 counts, and
+    the top-k order (score, freq, word) is total so the LIMIT
+    boundary is deterministic cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+        .where(
+            F.col("word").rlike("^[a-z]+$")
+            & ~F.col("word").isin(*RAKE_STOPWORDS)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = toks.withColumn("phrase_id", F.col("pos") - F.row_number().over(w))
+    phrases = runs.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("phrase_len")
+    )
+    scored = (
+        runs.join(phrases, ["doc_id", "phrase_id"])
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("phrase_len").cast("bigint").alias("degree"),
+        )
+    )
+    return (
+        scored.select(
+            "word",
+            "freq",
+            "degree",
+            (F.col("degree").cast("double") / F.col("freq")).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.desc("freq"), "word")
+        .limit(RAKE_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_srm_holm
+# ---------------------------------------------------------------------------
+
+
+def _chi2_crit_milli(alpha: float) -> int:
+    """χ²(1 dof) critical value at tail probability `alpha`, in
+    integer milli-units. The 1-dof tail is P(X > x) = erfc(√(x/2)) —
+    stdlib-exact — so 200 bisection steps pin the critical value far
+    below the milli rounding; no statistics library needed, and the
+    resulting integers make the flag predicates engine-portable."""
+    lo, hi = 0.0, 200.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if math.erfc(math.sqrt(mid / 2)) > alpha:
+            lo = mid
+        else:
+            hi = mid
+    return round(1000 * ((lo + hi) / 2))
+
+
+HOLM_ALPHA = 0.05
+
+
+def _holm_crits() -> tuple[int, ...]:
+    from lime_etl_spark.operators.insights4 import SRM_EXPERIMENTS
+
+    m = SRM_EXPERIMENTS
+    # rank 1 = largest statistic = smallest p: tested at alpha/m
+    return tuple(_chi2_crit_milli(HOLM_ALPHA / (m - j + 1)) for j in range(1, m + 1))
+
+
+def _srm_holm_sql() -> str:
+    from lime_etl_spark.operators.insights4 import SRM_EXPERIMENTS
+
+    arm = shingle_int_sql(
+        "('exp' || CAST(g.exp_id AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR))"
+    )
+    crit_rows = ", ".join(
+        f"({j + 1}, {c})" for j, c in enumerate(_holm_crits())
+    )
+    return f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    g AS (SELECT CAST(UNNEST(generate_series(1, {SRM_EXPERIMENTS})) AS INTEGER)
+                 AS exp_id),
+    assign AS (
+        SELECT g.exp_id, u.user_id, ({arm}) % 2 AS arm
+        FROM u CROSS JOIN g
+    ),
+    counts AS (
+        SELECT exp_id,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS users_b
+        FROM assign GROUP BY exp_id
+    ),
+    stats AS (
+        SELECT exp_id, users_a, users_b,
+               CAST((users_a - users_b) * (users_a - users_b) AS DOUBLE)
+                 / (users_a + users_b) AS chi_square,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST((users_a - users_b) * (users_a - users_b) AS DOUBLE)
+                              / (users_a + users_b) DESC, exp_id ASC
+               ) AS holm_rank
+        FROM counts
+    ),
+    crit(holm_rank, crit_milli) AS (VALUES {crit_rows}),
+    flagged AS (
+        SELECT s.*, c.crit_milli,
+               CASE WHEN 1000 * (s.users_a - s.users_b) * (s.users_a - s.users_b)
+                         > c.crit_milli * (s.users_a + s.users_b)
+                    THEN 1 ELSE 0 END AS raw_reject
+        FROM stats s JOIN crit c ON c.holm_rank = s.holm_rank
+    )
+    SELECT exp_id, users_a, users_b, chi_square,
+           CAST(holm_rank AS BIGINT) AS holm_rank,
+           CAST(crit_milli AS BIGINT) AS crit_milli,
+           (MIN(raw_reject) OVER (ORDER BY holm_rank
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)) = 1 AS holm_reject
+    FROM flagged
+    ORDER BY exp_id
+    """
+
+
+@register(
+    "ev_srm_holm",
+    oracle=_srm_holm_sql(),
+    description="Holm step-down FWER gate over the SRM experiment grid: rank-dependent chi-square critical values (bisection-derived, integer milli-units), step-down stop at the first surviving experiment",
+)
+def ev_srm_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing-corrected SRM gating: running SRM_EXPERIMENTS
+    chi-square tests at a fixed 95% threshold false-alarms on
+    ~1−0.95^m of perfectly healthy grids, so the platform gate is
+    Holm's step-down — sort statistics descending, test rank j against
+    χ²₁(α/(m−j+1)), and stop at the first acceptance (a later larger
+    p can never be rejected). Controls family-wise error at α with no
+    independence assumption.
+
+    Engine discipline: critical values are derived ONCE at import by
+    bisecting math.erfc (the exact 1-dof χ² tail) into integer
+    milli-units, so each rejection is the integer predicate
+    1000·(a−b)² > crit·(a+b) — no p-value transcendentals cross the
+    engine boundary. The step-down chain is a running MIN over the
+    rank order — one window over an |experiments|-row frame.
+
+    Scale: identical shape to ev_srm_check (one distinct-users pass,
+    row-local hash explode, |experiments|-row rollup); everything
+    after the reduce is m rows.
+    """
+    from lime_etl_spark.functions.text import shingle_int
+    from lime_etl_spark.operators.insights4 import SRM_EXPERIMENTS
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    exps = F.explode(F.sequence(F.lit(1), F.lit(SRM_EXPERIMENTS))).alias("exp_id")
+    assign = users.select("user_id", exps).select(
+        "exp_id",
+        (
+            shingle_int(
+                F.concat(
+                    F.lit("exp"),
+                    F.col("exp_id").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % 2
+        ).alias("arm"),
+    )
+    counts = assign.groupBy("exp_id").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("users_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("users_b"),
+    )
+    d2 = (F.col("users_a") - F.col("users_b")) * (F.col("users_a") - F.col("users_b"))
+    chi = d2.cast("double") / (F.col("users_a") + F.col("users_b"))
+    stats = counts.select(
+        "exp_id", "users_a", "users_b", chi.alias("chi_square")
+    ).withColumn(
+        "holm_rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("chi_square"), F.asc("exp_id"))
+        ).cast("bigint"),
+    )
+    crit = F.create_map(
+        *[x for j, c in enumerate(_holm_crits()) for x in (F.lit(j + 1), F.lit(c))]
+    )
+    flagged = stats.withColumn(
+        "crit_milli", crit[F.col("holm_rank").cast("int")].cast("bigint")
+    ).withColumn(
+        "raw_reject",
+        F.when(
+            F.lit(1000) * d2 > F.col("crit_milli") * (F.col("users_a") + F.col("users_b")),
+            1,
+        ).otherwise(0),
+    )
+    chain = (
+        Window.orderBy("holm_rank").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("holm_reject", F.min("raw_reject").over(chain) == 1)
+        .select(
+            "exp_id", "users_a", "users_b", "chi_square",
+            "holm_rank", "crit_milli", "holm_reject",
+        )
+        .orderBy("exp_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_winnowing_overlap
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 6  # character k-gram length
+WINNOW_W = 8  # winnowing window (positions per window)
+WINNOW_DF_CUT = 64  # drop fingerprints appearing in more docs (boilerplate)
+WINNOW_TOP_K = 20
+
+
+def _winnow_sql() -> str:
+    h = shingle_int_sql(f"substr(text, CAST(p AS INTEGER), {WINNOW_K})")
+    return f"""
+    WITH pos AS (
+        SELECT doc_id, text,
+               UNNEST(generate_series(1, length(text) - {WINNOW_K - 1})) AS p
+        FROM documents WHERE length(text) >= {WINNOW_K}
+    ),
+    h AS (SELECT doc_id, p, {h} AS h FROM pos),
+    fp AS (
+        SELECT DISTINCT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                                     AND CURRENT ROW) AS fp
+        FROM h
+    ),
+    df AS (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp),
+    keep AS (
+        SELECT f.doc_id, f.fp FROM fp f
+        JOIN df ON df.fp = f.fp WHERE df.df <= {WINNOW_DF_CUT}
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM keep GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_fp
+        FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b, s.shared_fp,
+           sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+           CAST(s.shared_fp AS DOUBLE)
+             / (sa.n_fp + sb.n_fp - s.shared_fp) AS fp_jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    ORDER BY s.shared_fp DESC, s.doc_a, s.doc_b
+    LIMIT {WINNOW_TOP_K}
+    """
+
+
+@register(
+    "dedup_winnowing_overlap",
+    oracle=_winnow_sql(),
+    description="winnowing (MOSS) fingerprint overlap: window-min k-gram hashes per doc, df-cut boilerplate filter, top pairs by shared fingerprints",
+)
+def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS plagiarism-detector algorithm): hash every
+    character k-gram, keep the MINIMUM hash of each w-position sliding
+    window (robust winnowing: distinct window-min VALUES), and compare
+    documents by shared fingerprints. The guarantee is positional
+    robustness — any shared substring of length ≥ w+k−1 contributes at
+    least one common fingerprint — so this localizes COPIED SPANS,
+    sitting between whole-doc minhash (too coarse) and all-pairs
+    n-gram Jaccard (too expensive). Fingerprints appearing in more
+    than WINNOW_DF_CUT docs are dropped before pairing — the df-cut
+    that keeps corpus-wide boilerplate from quadratic-joining, same
+    hazard class as the LSH band-bucket cut.
+
+    Scale: per-char hashing is the corpus-linear cost dedup_cdc_chunks
+    already pays; the window-min is ONE pass per doc partition; the
+    pair join's fan-out is bounded by the df-cut (≤ C(64,2) pairs per
+    fingerprint). Fingerprint selection is a pure function of content
+    (no ties to break: equal hash values ARE the same fingerprint
+    value), so Spark and the oracle pick identical sets.
+    """
+    k, w = WINNOW_K, WINNOW_W
+    hashes = F.expr(
+        f"transform(sequence(1, length(text) - {k - 1}), "
+        f"i -> {shingle_int_spark_sql(f'substring(text, i, {k})')})"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        spread(docs.select("doc_id", "text"))
+        .where(F.length("text") >= k)
+        .select("doc_id", F.posexplode(hashes).alias("p0", "h"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("p0").rowsBetween(-(w - 1), 0)
+    fp = h.select("doc_id", F.min("h").over(win).alias("fp")).distinct()
+    df_cut = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    keep = fp.join(df_cut.where(F.col("df") <= WINNOW_DF_CUT).select("fp"), "fp").persist()
+    keep.count()
+    sizes = keep.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_fp"))
+    a = keep.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
+    )
+    out = (
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fp",
+            "n_fp_a",
+            "n_fp_b",
+            (
+                F.col("shared_fp").cast("double")
+                / (F.col("n_fp_a") + F.col("n_fp_b") - F.col("shared_fp"))
+            ).alias("fp_jaccard"),
+        )
+        .orderBy(F.desc("shared_fp"), "doc_a", "doc_b")
+        .limit(WINNOW_TOP_K)
+    )
+    track_persist(keep)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# samp_kcenter_coreset
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 4
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    """Squared L2 as three sequential dot products — the exact
+    expression structure the Spark side mirrors (aa − 2·ab + bb), so
+    the doubles agree bitwise."""
+    return (
+        f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}))"
+    )
+
+
+def _kcenter_sql() -> str:
+    d = _l2sq_sql("p.v", "c.v")
+    rounds = []
+    for k in range(2, KCENTER_K + 1):
+        rounds.append(f"""
+    c{k} AS (SELECT vec_id, v, mind FROM d{k - 1} ORDER BY mind DESC, vec_id LIMIT 1),
+    d{k} AS MATERIALIZED (
+        SELECT p.vec_id, p.v, LEAST(p.mind, {d}) AS mind
+        FROM d{k - 1} p CROSS JOIN c{k} c
+    )""")
+    legs = [
+        f"SELECT 1 AS k, (SELECT vec_id FROM c1) AS center_id, 0.0 AS sel_dist_sq,"
+        f" (SELECT MAX(mind) FROM d1) AS coverage_after_sq"
+    ]
+    for k in range(2, KCENTER_K + 1):
+        legs.append(
+            f"SELECT {k} AS k, (SELECT vec_id FROM c{k}) AS center_id,"
+            f" (SELECT mind FROM c{k}) AS sel_dist_sq,"
+            f" (SELECT MAX(mind) FROM d{k}) AS coverage_after_sq"
+        )
+    union = "\n    UNION ALL ".join(legs)
+    return f"""
+    WITH pts AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c1 AS (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT 1),
+    d1 AS MATERIALIZED (
+        SELECT p.vec_id, p.v, {d} AS mind FROM pts p CROSS JOIN c1 c
+    ),
+    {",".join(rounds)}
+    SELECT CAST(k AS INTEGER) AS k, center_id, sel_dist_sq, coverage_after_sq
+    FROM ({union}) ORDER BY k
+    """
+
+
+@register(
+    "samp_kcenter_coreset",
+    oracle=_kcenter_sql(),
+    description="greedy k-center coreset selection (farthest-point traversal): selection trace + coverage radius per round, unrolled-round DuckDB replay",
+)
+def samp_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez 1985): start from the lowest vec_id,
+    then repeatedly add the point FARTHEST from its nearest chosen
+    center — the classic 2-approximation to the k-center objective and
+    the diversity-first selection rule training-data curation uses to
+    build coresets (pick the k docs/embeddings that best COVER the
+    space, the opposite bias of head-heavy sampling). Output row per
+    round: chosen center, its selection distance (the coverage radius
+    BEFORE it joined — the greedy invariant coverage_after(k) =
+    sel_dist(k+1) is pytest-pinned), and the max-min coverage radius
+    after.
+
+    Engine discipline: squared L2 is evaluated as aa − 2·ab + bb with
+    each dot product a SEQUENTIAL left-to-right sum (F.aggregate over
+    zip_with ≡ DuckDB list_dot_product), so every distance is the
+    same double bit-for-bit and the argmax (dist DESC, vec_id ASC) is
+    a total order both engines resolve identically. The oracle unrolls
+    the K rounds as MATERIALIZED CTEs.
+
+    Scale: K linear passes over the points — the textbook distributed
+    farthest-point traversal; the running min-distance column makes
+    each pass O(n·dim) with a 1-row broadcast center, and the rounds
+    table localCheckpoints eagerly (consumed by argmax + next round +
+    coverage agg).
+    """
+    from lime_etl_spark.operators.similarity import dot
+
+    def l2sq(v, cv):
+        return dot(v, v) - F.lit(2) * dot(v, cv) + dot(cv, cv)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    c1 = pts.orderBy("vec_id").limit(1)
+    d = (
+        pts.crossJoin(F.broadcast(c1.select(F.col("v").alias("cv"))))
+        .select("vec_id", "v", l2sq(F.col("v"), F.col("cv")).alias("mind"))
+        .localCheckpoint()
+    )
+    c1_row = c1.select("vec_id").collect()[0]
+    rows = [(1, int(c1_row.vec_id), 0.0)]
+    coverage = [float(d.agg(F.max("mind")).collect()[0][0])]
+    for k in range(2, KCENTER_K + 1):
+        ck = d.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()[0]
+        rows.append((k, int(ck.vec_id), float(ck.mind)))
+        cv = F.broadcast(
+            d.where(F.col("vec_id") == int(ck.vec_id)).select(F.col("v").alias("cv"))
+        )
+        d = (
+            d.crossJoin(cv)
+            .select(
+                "vec_id",
+                "v",
+                F.least(F.col("mind"), l2sq(F.col("v"), F.col("cv"))).alias("mind"),
+            )
+            .localCheckpoint()
+        )
+        coverage.append(float(d.agg(F.max("mind")).collect()[0][0]))
+    out = spark.createDataFrame(
+        [
+            (k, cid, sel, cov)
+            for (k, cid, sel), cov in zip(rows, coverage)
+        ],
+        "k int, center_id bigint, sel_dist_sq double, coverage_after_sq double",
+    )
+    return out.orderBy("k")

@@ -1188,10 +1188,95 @@ def mm_payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _av_bitrate_oracle(n_av: int = 120) -> str:
+    """Arithmetic replay of mm_av_bitrate_budget from _encode_av's
+    id→geometry formulas — same discipline as _decode_stats_oracle."""
+    mp4_oh = av_containers.mp4_overhead()
+    return f"""
+WITH av_ids AS (SELECT CAST(range AS BIGINT) AS i FROM range({n_av})),
+av_spec AS (
+  SELECT i, i % 3 AS m,
+         10 + i % 20 AS nf,
+         (1 + i % 10) * 500 AS dur,
+         256 + (i % 7) * 128 AS mp4_payload,
+         200 + (i % 5) * 100 AS ogg_payload
+  FROM av_ids),
+av AS (
+  SELECT
+    CASE m WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp4v' ELSE 'vorbis' END AS codec,
+    CASE m
+      WHEN 0 THEN 576 * nf
+      WHEN 1 THEN {mp4_oh} + mp4_payload
+      ELSE 27 + 1 + 30 + 27 + (ogg_payload // 255 + 1) + ogg_payload
+    END AS n_bytes,
+    CASE m WHEN 0 THEN 36 * nf ELSE dur END AS duration_ms
+  FROM av_spec)
+SELECT codec,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
+       CAST(8 * SUM(n_bytes) AS DOUBLE) / SUM(duration_ms) AS avg_kbps,
+       CAST(MIN(duration_ms) AS BIGINT) AS min_duration_ms,
+       CAST(MAX(duration_ms) AS BIGINT) AS max_duration_ms
+FROM av GROUP BY codec ORDER BY codec
+"""
+
+
+@register(
+    "mm_av_bitrate_budget",
+    oracle=_av_bitrate_oracle(),
+    description="per-codec A/V duration/bitrate budget from header-metadata parses alone (no sample decode): the storage-planning table for compressed audio/video columns",
+)
+def mm_av_bitrate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage/compute planning table the metadata-first decode
+    exists for: per compressed codec, clip counts, total payload
+    bytes, total duration, and average bitrate (8·bytes/ms ≡ kbps) —
+    all derived purely from sync-word/box/page HEADER walks
+    (av_containers.py), demonstrating that a 100 TB A/V column can be
+    budgeted without a single sample decoded. avg_kbps is ONE double
+    division of exact integer sums; the oracle recomputes every
+    number from the fixture's id→geometry formulas.
+    """
+    media = build_av_fixture(spark, n=120)
+    decoded = decode_media(media)
+    return (
+        decoded.groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.sum("duration_ms").cast("bigint").alias("total_duration_ms"),
+            (
+                (F.lit(8) * F.sum("n_bytes")).cast("double")
+                / F.sum("duration_ms")
+            ).alias("avg_kbps"),
+            F.min("duration_ms").cast("bigint").alias("min_duration_ms"),
+            F.max("duration_ms").cast("bigint").alias("max_duration_ms"),
+        )
+        .orderBy("codec")
+    )
+
+
+# Golden vectors (r6 verdict #5): the corpus is the deterministic
+# md5-chain fixture and every stage (decoders, nearest-neighbor
+# resample, frame sampling, P6/P5 re-encode) is deterministic
+# from-spec code, so the exact result table is a reproducible golden
+# — the oracle pins it, upgrading this from rows-only to
+# hash-matched. Regenerate after ANY fixture/codec change by running
+# the builder at sf0.01 and pasting the rows (the sweep fails loudly
+# until the golden matches the code again).
+_PREPROCESS_GOLDEN = """
+SELECT * FROM (VALUES
+  ('frame_sample_1fps', CAST(100 AS BIGINT), CAST(659950 AS BIGINT), CAST(0 AS BIGINT)),
+  ('resize_64x64',      CAST(100 AS BIGINT), CAST(1230100 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(leg, n_items, total_bytes, n_invariant_violations)
+ORDER BY leg
+"""
+
+
 @register(
     "mm_preprocess_audit",
-    oracle=None,
-    description="preprocessing plumbing audit: real resize + frame-sample legs with per-leg invariant stats",
+    oracle=_PREPROCESS_GOLDEN,
+    description="preprocessing plumbing audit: real resize + frame-sample legs with per-leg invariant stats; golden-vector oracle (deterministic fixture + from-spec codecs)",
 )
 def mm_preprocess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two preprocessing legs a vision/video training pipeline
@@ -1532,12 +1617,37 @@ def _codec_matrix_corpus(spark: SparkSession, n: int) -> DataFrame:
     return spark.range(n).repartition(8).mapInPandas(gen, schema)
 
 
+# Golden vectors (r6 verdict #5): deterministic pixels through
+# deterministic from-spec encoders — byte counts (incl. the zlib/
+# Huffman-coded PNG/JPEG/GIF sizes no SQL can recompute) and fidelity
+# stats are exactly reproducible, so the full result table is a
+# golden the oracle pins. pytest additionally pins the INVARIANTS
+# (lossless exact parity, JPEG within quantization distance, zero dim
+# mismatches); this catches any byte-level drift in encoder/decoder/
+# feature math. Regenerate after any codec change by running the
+# builder and pasting the rows.
+_CODEC_MATRIX_GOLDEN = """
+SELECT * FROM (VALUES
+  ('bmp',    CAST(96 AS BIGINT), CAST(0 AS BIGINT), CAST(143424 AS BIGINT),
+             CAST(3.1125 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)),
+  ('gif',    CAST(96 AS BIGINT), CAST(0 AS BIGINT), CAST(68091 AS BIGINT),
+             CAST(1.4777 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)),
+  ('jpeg',   CAST(96 AS BIGINT), CAST(0 AS BIGINT), CAST(213250 AS BIGINT),
+             CAST(4.6278 AS DOUBLE), CAST(0.008789 AS DOUBLE), CAST(54 AS BIGINT)),
+  ('netpbm', CAST(96 AS BIGINT), CAST(0 AS BIGINT), CAST(139488 AS BIGINT),
+             CAST(3.0271 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)),
+  ('png',    CAST(96 AS BIGINT), CAST(0 AS BIGINT), CAST(56102 AS BIGINT),
+             CAST(1.2175 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT))
+) AS t(codec, n_images, n_dim_mismatch, total_bytes, bytes_per_pixel,
+       max_feat_delta, n_ahash_mismatch)
+ORDER BY codec
+"""
+
+
 @register(
     "mm_codec_matrix",
-    oracle=None,  # payloads come from the from-spec encoders; pytest
-    # pins the invariants (lossless exact parity, JPEG within
-    # quantization distance, zero dim mismatches)
-    description="five-container codec matrix: same pixels through PPM/PNG/BMP/JPEG/GIF — size vs fidelity per codec",
+    oracle=_CODEC_MATRIX_GOLDEN,
+    description="five-container codec matrix: same pixels through PPM/PNG/BMP/JPEG/GIF — size vs fidelity per codec; golden-vector oracle (deterministic pixels + from-spec encoders)",
 )
 def mm_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec decision table for an image-ingest pipeline: ONE set of

@@ -32,6 +32,14 @@ INVARIANCE_QUERIES = [
     "q_revenue_bridge_yoy",
     "dedup_doc_yield_curve",
     "q_priority_region_independence",
+    # round-7 additions (r6 verdict #7): the r6 float emitters —
+    # Shapley credits (integer game values / C!·Q), Poisson-bootstrap
+    # replicate lifts, minhash-estimator calibration means, and the
+    # matryoshka truncation recall curve — re-checked under re-plans.
+    "ev_shapley_attribution",
+    "ev_lift_bootstrap_ci",
+    "dedup_minhash_estimate_error",
+    "emb_matryoshka_recall",
 ]
 
 

@@ -886,6 +886,9 @@ GLOBAL_WINDOW_BOUNDED_OK = {
     "txt_zipf_audit": 1,
     "samp_mixture_stats": 1,  # |sources| share window
     "samp_source_interleave": 1,  # distinct-source dense_rank roster
+    # SRM_EXPERIMENTS-row reduced frame (model state, never users):
+    # the Holm rank row_number + the step-down running-MIN chain
+    "ev_srm_holm": 2,
 }
 
 

@@ -109,7 +109,27 @@ R6_QUERIES = {
     "ev_srm_check": "events",
     "ev_lift_bootstrap_ci": "events",
 }
-QUERY_SETS = {"core": QUERIES, "bucketed": BUCKETED_QUERIES, "r6new": R6_QUERIES}
+# Round-7 additions with a data-bound shape: CUSUM and the Holm grid
+# are per-day/per-user reduces (linear), RAKE and winnowing pay the
+# corpus-linear tokenize/hash stage (winnowing's pair join is bounded
+# by the df-cut), local clustering is wedge-bound like the LSH family
+# (rotated text keeps cross-replica shingles disjoint), and k-center
+# is K linear passes over the replicated embeddings. mm_av_bitrate is
+# fixture-bound (not sf-driven) and deliberately absent.
+R7_QUERIES = {
+    "ev_changepoint_cusum": "events",
+    "ev_srm_holm": "events",
+    "txt_rake_scores": "documents",
+    "dedup_winnowing_overlap": "documents",
+    "graph_local_clustering": "documents",
+    "samp_kcenter_coreset": "embeddings",
+}
+QUERY_SETS = {
+    "core": QUERIES,
+    "bucketed": BUCKETED_QUERIES,
+    "r6new": R6_QUERIES,
+    "r7new": R7_QUERIES,
+}
 
 
 def hub_leg(spark: SparkSession, degrees=(2000, 16000)) -> dict:
