@@ -1,8 +1,8 @@
 """Round-7 operators: change detection, keyword extraction, multiple-
 testing-corrected experiment gating, winnowing fingerprints, and
-coreset selection.
+coreset selection, plus the LSH bucket-skew audit.
 
-All five are LLM-data-pipeline / analytics ops the reference has no
+All six are LLM-data-pipeline / analytics ops the reference has no
 analog for (lime-etl is orchestration-only); same engine discipline as
 their siblings: deterministic md5-bridge hashing (`shingle_int`),
 integer-exact aggregates with one final double division, identical
@@ -34,6 +34,10 @@ expression structure in the DuckDB oracle, and total output orders.
   point traversal that training-data curation uses to pick a maximally
   diverse subset; selection trace + coverage radii, replayed exactly
   by an unrolled-round DuckDB oracle.
+- `dedup_lsh_bucket_cap_audit` — band-bucket size census pricing the
+  posting-list cap: candidate-pair mass per power-of-two bucket-size
+  class and the share a 64-doc cap would drop — the skew table read
+  before running LSH at scale.
 """
 
 from __future__ import annotations
@@ -646,3 +650,128 @@ def samp_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k int, center_id bigint, sel_dist_sq double, coverage_after_sq double",
     )
     return out.orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_bucket_cap_audit
+# ---------------------------------------------------------------------------
+
+LSH_BUCKET_CAP = 64  # the posting-list cap whose cost this audit prices
+
+
+def _lsh_bucket_audit_sql() -> str:
+    from lime_etl_spark.operators.dedup import (
+        _SHINGLES_SQL,
+        MERSENNE_P,
+        MINHASH_PERMS,
+        N_BANDS,
+    )
+
+    mins = ", ".join(
+        f"MIN((x * {a} + {b}) % {MERSENNE_P}) AS mh_{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    band_sigs = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, CAST(mh_{c0} AS VARCHAR) || ',' || "
+        "CAST(mh_{c1} AS VARCHAR) || ',' || CAST(mh_{c2} AS VARCHAR) || ',' || "
+        "CAST(mh_{c3} AS VARCHAR) AS sig FROM sigs".format(
+            band=band, c0=band * 4, c1=band * 4 + 1, c2=band * 4 + 2, c3=band * 4 + 3
+        )
+        for band in range(N_BANDS)
+    )
+    cap = LSH_BUCKET_CAP
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    buckets AS ({band_sigs}),
+    sizes AS (
+        SELECT band, sig, CAST(COUNT(*) AS BIGINT) AS n FROM buckets
+        GROUP BY band, sig
+    ),
+    classed AS (
+        SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS size_class,
+               n, n * (n - 1) // 2 AS pairs,
+               LEAST(n, {cap}) * (LEAST(n, {cap}) - 1) // 2 AS capped
+        FROM sizes
+    )
+    SELECT size_class,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_bucket_rows,
+           CAST(SUM(pairs) AS BIGINT) AS cand_pairs,
+           CAST(SUM(capped) AS BIGINT) AS capped_pairs,
+           CASE WHEN SUM(pairs) > 0
+                THEN CAST(SUM(pairs) - SUM(capped) AS DOUBLE) / SUM(pairs)
+                ELSE 0.0 END AS dropped_share
+    FROM classed GROUP BY size_class ORDER BY size_class
+    """
+
+
+@register(
+    "dedup_lsh_bucket_cap_audit",
+    oracle=_lsh_bucket_audit_sql(),
+    description="LSH band-bucket size census: candidate-pair mass per power-of-two bucket-size class and the share a 64-doc posting cap would drop — the skew table read before running LSH at scale",
+)
+def dedup_lsh_bucket_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-skew planning table for the shipped MinHash-LSH: per
+    power-of-two bucket-size class (size_class = ⌊log2 n⌋, computed as
+    length(bin(n))−1 — pure integer on both engines), how many band
+    buckets land there, how many candidate pairs C(n,2) they generate,
+    and what share of that pair mass a LSH_BUCKET_CAP posting-list cap
+    would sacrifice. A healthy near-dup corpus concentrates pair mass
+    in small buckets (dropped_share 0 everywhere); a boilerplate
+    template shows up as one giant bucket whose C(n,2) dwarfs the rest
+    — THE number that says whether the candidate join needs the cap /
+    df-cut before it explodes (the same hazard family the wedge-join
+    degree cap and the winnowing df-cut mitigate, here priced
+    explicitly instead of assumed).
+
+    Scale: the census is bucket-grain (groupBy (band, sig) count) —
+    strictly cheaper than the candidate join it audits; everything
+    after is |classes| rows. dropped_share is one guarded double
+    division of exact int64 sums.
+    """
+    from lime_etl_spark.operators.dedup import (
+        band_buckets,
+        doc_shingles,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = (
+        band_buckets(minhash_signatures(doc_shingles(docs)))
+        .groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cap = F.least(F.col("n"), F.lit(LSH_BUCKET_CAP))
+    classed = sizes.select(
+        (F.length(F.bin("n")) - 1).cast("bigint").alias("size_class"),
+        "n",
+        # n(n−1) is even, so the halving is exact; keep every addend
+        # int64 so the sums are partition-order-free by type, not luck
+        F.floor(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("pairs"),
+        F.floor(cap * (cap - 1) / 2).cast("bigint").alias("capped"),
+    )
+    return (
+        classed.groupBy("size_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("n").cast("bigint").alias("n_bucket_rows"),
+            F.sum("pairs").cast("bigint").alias("cand_pairs"),
+            F.sum("capped").cast("bigint").alias("capped_pairs"),
+        )
+        .select(
+            "size_class",
+            "n_buckets",
+            "n_bucket_rows",
+            "cand_pairs",
+            "capped_pairs",
+            F.when(
+                F.col("cand_pairs") > 0,
+                (F.col("cand_pairs") - F.col("capped_pairs")).cast("double")
+                / F.col("cand_pairs"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dropped_share"),
+        )
+        .orderBy("size_class")
+    )

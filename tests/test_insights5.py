@@ -234,3 +234,25 @@ def test_av_bitrate_budget_analytic_rows(spark, sf_dir):
     # CBR MP3 at 128 kbps: 576 bytes per 36 ms frame => exactly 128.0
     assert rows["mp3"].avg_kbps == 128.0
     assert math.isclose(rows["vorbis"].avg_kbps, 8 * rows["vorbis"].total_bytes / rows["vorbis"].total_duration_ms)
+
+
+# --- dedup_lsh_bucket_cap_audit --------------------------------------------------
+
+
+def test_lsh_bucket_cap_audit_identities(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "dedup_lsh_bucket_cap_audit")
+    rows = i5.dedup_lsh_bucket_cap_audit(spark, sf_dir).collect()
+    # size classes partition the buckets; class k holds sizes [2^k, 2^(k+1))
+    for r in rows:
+        assert r.capped_pairs <= r.cand_pairs
+        assert 0.0 <= r.dropped_share < 1.0
+        if (1 << r.size_class) <= i5.LSH_BUCKET_CAP:
+            # whole class under the cap: nothing dropped
+            if (1 << (r.size_class + 1)) - 1 <= i5.LSH_BUCKET_CAP:
+                assert r.dropped_share == 0.0
+    # total bucket rows = |docs| x N_BANDS (every doc lands in every band)
+    from lime_etl_spark.operators.dedup import N_BANDS
+    import pandas as pd
+
+    n_docs = len(pd.read_parquet(f"{sf_dir}/documents.parquet"))
+    assert sum(r.n_bucket_rows for r in rows) == n_docs * N_BANDS
