@@ -1,8 +1,9 @@
 """Round-7 operators: change detection, keyword extraction, multiple-
 testing-corrected experiment gating, winnowing fingerprints, and
-coreset selection, plus the LSH bucket-skew audit.
+coreset selection, plus the LSH bucket-skew, kNN-hubness and
+assignment-interaction audits.
 
-All six are LLM-data-pipeline / analytics ops the reference has no
+All eight are LLM-data-pipeline / analytics ops the reference has no
 analog for (lime-etl is orchestration-only); same engine discipline as
 their siblings: deterministic md5-bridge hashing (`shingle_int`),
 integer-exact aggregates with one final double division, identical
@@ -38,6 +39,13 @@ expression structure in the DuckDB oracle, and total output orders.
   posting-list cap: candidate-pair mass per power-of-two bucket-size
   class and the share a 64-doc cap would drop — the skew table read
   before running LSH at scale.
+- `emb_hubness_audit` — k-occurrence distribution of the sharded kNN
+  graph (Radovanović et al. 2010): hubs and antihubs, the
+  retrieval-quality pathology audit run before trusting kNN-label
+  methods.
+- `ev_ab_interaction_check` — pairwise 2×2 chi-square over every
+  experiment pair's arm crossing: catches correlated bucketing (salt
+  reuse) before stacked experiments confound each other.
 """
 
 from __future__ import annotations
@@ -775,3 +783,248 @@ def dedup_lsh_bucket_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_hubness_audit
+# ---------------------------------------------------------------------------
+
+
+def _hubness_sql() -> str:
+    from lime_etl_spark.operators.insights2 import MUTUAL_K, MUTUAL_MOD
+
+    return f"""
+    WITH s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id % {MUTUAL_MOD} = 0
+    ), scored AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))) AS cosine
+        FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ), knn AS (
+        SELECT va, vb FROM (
+            SELECT va, vb,
+                   ROW_NUMBER() OVER (PARTITION BY va
+                                      ORDER BY cosine DESC, vb) AS rnk
+            FROM scored
+        ) WHERE rnk <= {MUTUAL_K}
+    ), occ AS (
+        SELECT s.vec_id, CAST(COALESCE(k.n, 0) AS BIGINT) AS k_occurrence
+        FROM s LEFT JOIN (
+            SELECT vb, COUNT(*) AS n FROM knn GROUP BY vb
+        ) k ON k.vb = s.vec_id
+    ), total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shard FROM s)
+    SELECT o.k_occurrence,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(*) AS DOUBLE) / t.n_shard AS share
+    FROM occ o CROSS JOIN total t
+    GROUP BY o.k_occurrence, t.n_shard
+    ORDER BY o.k_occurrence
+    """
+
+
+@register(
+    "emb_hubness_audit",
+    oracle=_hubness_sql(),
+    description="k-occurrence (hubness) distribution of the kNN graph: how often each point appears in others' top-k — the retrieval-quality pathology audit (Radovanović et al. 2010)",
+)
+def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the same sharded kNN graph ann_mutual_knn
+    builds: N_k(x) = how many points rank x inside their top-k. In
+    high-dimensional spaces the N_k distribution skews right — a few
+    hubs appear in everyone's neighbor lists while antihubs
+    (k_occurrence 0) appear in nobody's — which silently degrades
+    retrieval relevance and poisons kNN-label methods
+    (Radovanović et al., JMLR 2010). The histogram row per
+    k-occurrence value (zero INCLUDED via the shard-spine left join —
+    antihub count is the headline number) is the audit a pipeline
+    reads before trusting emb_knn_label_consistency or shipping the
+    mutual-kNN graph downstream.
+
+    Scale: same one-windowed-top-k-over-the-shard shape as
+    ann_mutual_knn (the mod-shard is the 100 TB blocking unit); the
+    in-degree rollup touches only k·|shard| surviving edges; share is
+    one double division by the 1-row broadcast shard count.
+    """
+    from lime_etl_spark.operators.insights2 import MUTUAL_K, MUTUAL_MOD
+    from lime_etl_spark.operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = (
+        emb.where(F.col("vec_id") % MUTUAL_MOD == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        )
+        .persist()
+    )
+    s.count()
+    a, b = s.alias("a"), s.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    scored = a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("va").orderBy(F.desc("cosine"), "vb")
+    knn = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= MUTUAL_K)
+        .select("va", "vb")
+    )
+    indeg = knn.groupBy("vb").agg(F.count(F.lit(1)).alias("n"))
+    occ = (
+        s.select("vec_id")
+        .join(indeg, s["vec_id"] == indeg["vb"], "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("k_occurrence"))
+    )
+    total = s.select(F.count(F.lit(1)).cast("bigint").alias("n_shard"))
+    out = (
+        occ.groupBy("k_occurrence")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k_occurrence",
+            "n_points",
+            (F.col("n_points").cast("double") / F.col("n_shard")).alias("share"),
+        )
+        .orderBy("k_occurrence")
+    )
+    track_persist(s)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ev_ab_interaction_check
+# ---------------------------------------------------------------------------
+
+
+def _interaction_sql() -> str:
+    from lime_etl_spark.operators.insights4 import SRM_EXPERIMENTS
+
+    def arm(e: str) -> str:
+        return shingle_int_sql(
+            f"('exp' || CAST({e} AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR))"
+        )
+
+    pair_rows = ", ".join(
+        f"({i}, {j})"
+        for i in range(1, SRM_EXPERIMENTS + 1)
+        for j in range(i + 1, SRM_EXPERIMENTS + 1)
+    )
+    return f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    g(exp_a, exp_b) AS (VALUES {pair_rows}),
+    assign AS (
+        SELECT g.exp_a, g.exp_b,
+               ({arm("g.exp_a")}) % 2 AS ai,
+               ({arm("g.exp_b")}) % 2 AS aj
+        FROM u CROSS JOIN g
+    ),
+    cells AS (
+        SELECT exp_a, exp_b,
+               CAST(SUM(CASE WHEN ai = 0 AND aj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+               CAST(SUM(CASE WHEN ai = 0 AND aj = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+               CAST(SUM(CASE WHEN ai = 1 AND aj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+               CAST(SUM(CASE WHEN ai = 1 AND aj = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        FROM assign GROUP BY exp_a, exp_b
+    )
+    SELECT CAST(exp_a AS INTEGER) AS exp_a, CAST(exp_b AS INTEGER) AS exp_b,
+           n00, n01, n10, n11,
+           (CAST(n00 + n01 + n10 + n11 AS DOUBLE)
+              * (n00 * n11 - n01 * n10) * (n00 * n11 - n01 * n10))
+             / (CAST(n00 + n01 AS DOUBLE) * (n10 + n11) * (n00 + n10) * (n01 + n11))
+             AS chi_square,
+           ((CAST(n00 + n01 + n10 + n11 AS DOUBLE)
+               * (n00 * n11 - n01 * n10) * (n00 * n11 - n01 * n10))
+              / (CAST(n00 + n01 AS DOUBLE) * (n10 + n11) * (n00 + n10) * (n01 + n11))
+             > 3.841) AS interaction_flag
+    FROM cells
+    ORDER BY exp_a, exp_b
+    """
+
+
+@register(
+    "ev_ab_interaction_check",
+    oracle=_interaction_sql(),
+    description="pairwise assignment-independence audit over the experiment grid: 2x2 chi-square of every experiment pair's arm crossing — catches correlated bucketing (salt reuse) before stacked experiments bias each other",
+)
+def ev_ab_interaction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment-interaction audit: for every pair of experiments in
+    the grid, the 2x2 contingency of users' (arm_i, arm_j) crossing
+    and its chi-square N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)). Healthy
+    platforms hash each experiment with its own salt so all pairs are
+    independent (flags false); a reused salt makes two experiments'
+    arms identical and their readouts confounded — this table is how
+    that's caught BEFORE stacked experiments bias each other. The
+    complement of ev_srm_check (marginal health) and ev_srm_holm
+    (family-wise gating): this one audits the JOINT distribution.
+
+    Engine discipline: cells are exact int64; ad−bc and its square
+    stay int64 at audit scale; numerator and denominator are then
+    built in DOUBLE with identical left-to-right structure on both
+    engines, so chi_square is the same double and the 3.841 flag
+    comparison resolves identically. Scale: one distinct-users pass
+    exploded by the C(m,2) pair grid (row-local hashes, no assignment
+    table), then a C(m,2)-row rollup — nothing data-proportional
+    collects.
+    """
+    from lime_etl_spark.functions.text import shingle_int
+    from lime_etl_spark.operators.insights4 import SRM_EXPERIMENTS
+
+    def arm(e) -> F.Column:
+        return shingle_int(
+            F.concat(F.lit("exp"), e.cast("string"), F.lit(":"), F.col("user_id").cast("string"))
+        ) % 2
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("exp_a"), F.lit(j).alias("exp_b"))
+                for i in range(1, SRM_EXPERIMENTS + 1)
+                for j in range(i + 1, SRM_EXPERIMENTS + 1)
+            ]
+        )
+    ).alias("p")
+    assign = users.select("user_id", pairs).select(
+        F.col("p.exp_a").alias("exp_a"),
+        F.col("p.exp_b").alias("exp_b"),
+        arm(F.col("p.exp_a")).alias("ai"),
+        arm(F.col("p.exp_b")).alias("aj"),
+    )
+    cells = assign.groupBy("exp_a", "exp_b").agg(
+        *[
+            F.sum(F.when((F.col("ai") == i) & (F.col("aj") == j), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n{i}{j}")
+            for i in (0, 1)
+            for j in (0, 1)
+        ]
+    )
+    n = F.col("n00") + F.col("n01") + F.col("n10") + F.col("n11")
+    det = F.col("n00") * F.col("n11") - F.col("n01") * F.col("n10")
+    num = n.cast("double") * det * det
+    den = (
+        (F.col("n00") + F.col("n01")).cast("double")
+        * (F.col("n10") + F.col("n11"))
+        * (F.col("n00") + F.col("n10"))
+        * (F.col("n01") + F.col("n11"))
+    )
+    chi = num / den
+    return cells.select(
+        F.col("exp_a").cast("int").alias("exp_a"),
+        F.col("exp_b").cast("int").alias("exp_b"),
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        chi.alias("chi_square"),
+        (chi > 3.841).alias("interaction_flag"),
+    ).orderBy("exp_a", "exp_b")

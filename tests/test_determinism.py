@@ -40,6 +40,13 @@ INVARIANCE_QUERIES = [
     "ev_lift_bootstrap_ci",
     "dedup_minhash_estimate_error",
     "emb_matryoshka_recall",
+    # round-7 float emitters: CUSUM excursion shares, winnowing
+    # fingerprint Jaccards, greedy k-center distances (argmax over
+    # bitwise-identical doubles), and the 2x2 interaction chi-squares
+    "ev_changepoint_cusum",
+    "dedup_winnowing_overlap",
+    "samp_kcenter_coreset",
+    "ev_ab_interaction_check",
 ]
 
 

@@ -256,3 +256,50 @@ def test_lsh_bucket_cap_audit_identities(spark, sf_dir):
 
     n_docs = len(pd.read_parquet(f"{sf_dir}/documents.parquet"))
     assert sum(r.n_bucket_rows for r in rows) == n_docs * N_BANDS
+
+
+# --- emb_hubness_audit ------------------------------------------------------------
+
+
+def test_hubness_audit_identities(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "emb_hubness_audit")
+    from lime_etl_spark.operators.insights2 import MUTUAL_K, MUTUAL_MOD
+
+    rows = i5.emb_hubness_audit(spark, sf_dir).collect()
+    release_tracked_persists()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    n_shard = int((emb["vec_id"] % MUTUAL_MOD == 0).sum())
+    # the histogram partitions the shard (antihubs included)
+    assert sum(r.n_points for r in rows) == n_shard
+    # total k-occurrence mass = k edges per query point
+    assert sum(r.k_occurrence * r.n_points for r in rows) == n_shard * MUTUAL_K
+    for r in rows:
+        assert r.share == r.n_points / n_shard
+
+
+# --- ev_ab_interaction_check ------------------------------------------------------
+
+
+def test_interaction_check_identities(spark, sf_dir):
+    assert_query_matches_oracle(spark, sf_dir, "ev_ab_interaction_check")
+    from lime_etl_spark.operators.insights4 import SRM_EXPERIMENTS, ev_srm_check
+
+    rows = i5.ev_ab_interaction_check(spark, sf_dir).collect()
+    m = SRM_EXPERIMENTS
+    assert len(rows) == m * (m - 1) // 2
+    srm = {r.exp_id: (r.users_a, r.users_b) for r in ev_srm_check(spark, sf_dir).collect()}
+    for r in rows:
+        # 2x2 margins must reproduce the per-experiment SRM counts
+        assert (r.n00 + r.n01, r.n10 + r.n11) == srm[r.exp_a]
+        assert (r.n00 + r.n10, r.n01 + r.n11) == srm[r.exp_b]
+        n = r.n00 + r.n01 + r.n10 + r.n11
+        det = r.n00 * r.n11 - r.n01 * r.n10
+        assert r.chi_square == (float(n) * det * det) / (
+            float(r.n00 + r.n01) * (r.n10 + r.n11) * (r.n00 + r.n10) * (r.n01 + r.n11)
+        )
+        assert r.interaction_flag == (r.chi_square > 3.841)
+    # independent md5 salts per experiment: individual 5% tests over
+    # C(8,2)=28 pairs expect ~1.4 false flags — demand only that the
+    # count stays in the plausible binomial(28, 0.05) range
+    # (P(>6) < 1e-4), i.e. nothing SYSTEMATICALLY correlated
+    assert sum(r.interaction_flag for r in rows) <= 6
