@@ -88,12 +88,14 @@ HEAVY = [
     "graph_pagerank_top",
 ]
 
-# Sub-second headline queries are cheap to repeat: median-of-5 tightens
-# the median's sampling error enough to see a real 10-20% move (r6
-# verdict #1). Heavies (3-5 s each) stay at 3 reps and rely on the
-# spread column instead.
+# Median-of-5 everywhere the delta table reads (r6 verdict #1):
+# 5 samples give a real interquartile range, so the noise column is
+# a genuine IQR for heavies too — at 3 reps the only honest spread is
+# the full range, which inflates the verdict band enough to hide a
+# 30-40% heavy regression (r7 review finding). The ~25 s the two
+# extra heavy reps cost buys trendable heavy medians.
 TIMED_RUNS = 5
-TIMED_RUNS_HEAVY = 3
+TIMED_RUNS_HEAVY = 5
 
 # Stage-total fields summed from the UI REST API (r4 verdict #6):
 # load-invariant data-volume metrics — unlike wall seconds on a noisy
@@ -156,7 +158,9 @@ def _time(run, reps: int | None = None) -> tuple[float, float, float]:
 
     `spread` is the interquartile range of the samples — the run's own
     measured noise, used by BENCH_DELTA.md to decide whether a ratio
-    vs the prior round is signal or host load.
+    vs the prior round is signal or host load. Below 4 samples (the
+    sf-matrix and calibration paths, whose spread nobody reads) it
+    degrades to the full range.
     """
     samples = []
     for _ in range(reps if reps is not None else TIMED_RUNS):

@@ -93,11 +93,31 @@ def encode_mp3(media_id: int, n_frames: int) -> bytes:
     )
 
 
+def _skip_id3v2(raw: bytes) -> int:
+    """Offset of the first audio byte past an ID3v2 tag (ID3v2.4 §3.1:
+    10-byte header, 4-byte SYNCHSAFE size excluding header, optional
+    10-byte footer flagged by bit 4). 0 when no tag is present —
+    real-world MP3s are usually ID3-tagged, and routing them to the
+    frame walk without skipping the tag would misreport a valid file
+    as corrupt."""
+    if raw[:3] != b"ID3" or len(raw) < 10:
+        return 0
+    size = (
+        ((raw[6] & 0x7F) << 21)
+        | ((raw[7] & 0x7F) << 14)
+        | ((raw[8] & 0x7F) << 7)
+        | (raw[9] & 0x7F)
+    )
+    return 10 + size + (10 if raw[5] & 0x10 else 0)
+
+
 def mp3_info(raw: bytes) -> dict:
     """Walk the frame chain validating every header's sync/version/
     layer bits; duration from the frame count and the header's
-    sample-rate index — never from trusting the caller."""
-    pos, n_frames = 0, 0
+    sample-rate index — never from trusting the caller. A leading
+    ID3v2 tag is skipped (not parsed — tag text is metadata the
+    pipeline doesn't need)."""
+    pos, n_frames = _skip_id3v2(raw), 0
     rate = None
     while pos < len(raw):
         h = raw[pos : pos + 4]

@@ -5916,34 +5916,12 @@ def emb_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix rollup is ≤|labels|² rows.
     """
     from lime_etl_spark.operators.insights2 import CONSIST_K, MUTUAL_MOD
-    from lime_etl_spark.operators.similarity import dot
+    from lime_etl_spark.operators.similarity import knn_edges, knn_shard
 
     emb = load_table(spark, sf_dir, "embeddings")
-    s = (
-        emb.where(F.col("vec_id") % MUTUAL_MOD == 0)
-        .select(
-            "vec_id",
-            "label",
-            "embedding",
-            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-        )
-        .persist()
-    )
-    a, b = s.alias("a"), s.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
-    )
-    scored = a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("va"),
-        F.col("a.label").alias("own_label"),
-        F.col("b.label").alias("nbr_label"),
-        cos.alias("cosine"),
-        F.col("b.vec_id").alias("vb"),
-    )
-    wk = Window.partitionBy("va").orderBy(F.desc("cosine"), "vb")
+    s = knn_shard(emb, MUTUAL_MOD, with_label=True).persist()
     votes = (
-        scored.withColumn("rnk", F.row_number().over(wk))
-        .where(F.col("rnk") <= CONSIST_K)
+        knn_edges(s, CONSIST_K)
         .groupBy("va", "own_label", "nbr_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )

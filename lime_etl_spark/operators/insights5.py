@@ -633,10 +633,14 @@ def samp_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c1_row = c1.select("vec_id").collect()[0]
     rows = [(1, int(c1_row.vec_id), 0.0)]
-    coverage = [float(d.agg(F.max("mind")).collect()[0][0])]
+    coverage = []
     for k in range(2, KCENTER_K + 1):
         ck = d.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()[0]
         rows.append((k, int(ck.vec_id), float(ck.mind)))
+        # greedy invariant: the point selected at round k sits at the
+        # max-min distance of the first k-1 centers, so its selection
+        # distance IS coverage_after(k-1) — no extra aggregation pass
+        coverage.append(float(ck.mind))
         cv = F.broadcast(
             d.where(F.col("vec_id") == int(ck.vec_id)).select(F.col("v").alias("cv"))
         )
@@ -649,7 +653,8 @@ def samp_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        coverage.append(float(d.agg(F.max("mind")).collect()[0][0]))
+    # only the FINAL coverage radius needs its own pass
+    coverage.append(float(d.agg(F.max("mind")).collect()[0][0]))
     out = spark.createDataFrame(
         [
             (k, cid, sel, cov)
@@ -849,34 +854,12 @@ def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     one double division by the 1-row broadcast shard count.
     """
     from lime_etl_spark.operators.insights2 import MUTUAL_K, MUTUAL_MOD
-    from lime_etl_spark.operators.similarity import dot
+    from lime_etl_spark.operators.similarity import knn_edges, knn_shard
 
     emb = load_table(spark, sf_dir, "embeddings")
-    s = (
-        emb.where(F.col("vec_id") % MUTUAL_MOD == 0)
-        .select(
-            "vec_id",
-            "embedding",
-            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-        )
-        .persist()
-    )
+    s = knn_shard(emb, MUTUAL_MOD).persist()
     s.count()
-    a, b = s.alias("a"), s.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
-    )
-    scored = a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("va"),
-        F.col("b.vec_id").alias("vb"),
-        cos.alias("cosine"),
-    )
-    w = Window.partitionBy("va").orderBy(F.desc("cosine"), "vb")
-    knn = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= MUTUAL_K)
-        .select("va", "vb")
-    )
+    knn = knn_edges(s, MUTUAL_K).select("va", "vb")
     indeg = knn.groupBy("vb").agg(F.count(F.lit(1)).alias("n"))
     occ = (
         s.select("vec_id")
@@ -984,6 +967,11 @@ def ev_ab_interaction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
+    # hash each experiment's arm ONCE per user (m md5s), then explode
+    # the C(m,2) index pairs over the arms array — Catalyst does not
+    # CSE across exploded rows, so hashing inside the pair rows would
+    # cost m·(m−1) md5s per user instead of m
+    arms = F.array(*[arm(F.lit(i)) for i in range(1, SRM_EXPERIMENTS + 1)])
     pairs = F.explode(
         F.array(
             *[
@@ -993,11 +981,11 @@ def ev_ab_interaction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     ).alias("p")
-    assign = users.select("user_id", pairs).select(
+    assign = users.select(arms.alias("arms"), pairs).select(
         F.col("p.exp_a").alias("exp_a"),
         F.col("p.exp_b").alias("exp_b"),
-        arm(F.col("p.exp_a")).alias("ai"),
-        arm(F.col("p.exp_b")).alias("aj"),
+        F.element_at("arms", F.col("p.exp_a")).alias("ai"),
+        F.element_at("arms", F.col("p.exp_b")).alias("aj"),
     )
     cells = assign.groupBy("exp_a", "exp_b").agg(
         *[

@@ -109,13 +109,12 @@ _ENV_MS = 500  # audio amplitude-envelope step (silence granularity)
 
 def _payload(media_id: int, nbytes: int) -> bytes:
     """Deterministic md5-chain byte stream (uniform noise, reproducible
-    across sessions/platforms — no RNG state involved)."""
-    out = bytearray()
-    counter = 0
-    while len(out) < nbytes:
-        out += hashlib.md5(f"{media_id}:{counter}".encode()).digest()
-        counter += 1
-    return bytes(out[:nbytes])
+    across sessions/platforms — no RNG state involved). One shared
+    implementation with the AV containers' payloads (av_containers.
+    _chain): the decode-stats oracles' 'by-construction payload
+    uniqueness' argument rests on this single construction, so there
+    is exactly one copy of it."""
+    return av_containers._chain(str(media_id), nbytes)
 
 
 def _encode_ppm(media_id: int) -> tuple[bytes, tuple]:

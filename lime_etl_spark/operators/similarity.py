@@ -47,6 +47,45 @@ def cosine(x: Column, y: Column) -> Column:
     return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
 
 
+def knn_shard(emb: DataFrame, mod: int, with_label: bool = False) -> DataFrame:
+    """The deterministic vec_id %% mod == 0 shard with precomputed
+    norms — the blocking unit the kNN-graph family (ann_mutual_knn,
+    emb_knn_label_consistency, emb_knn_confusion, emb_hubness_audit)
+    shares. Callers persist (they control release timing)."""
+    cols = ["vec_id"] + (["label"] if with_label else []) + ["embedding"]
+    return emb.where(F.col("vec_id") % mod == 0).select(
+        *cols, F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm")
+    )
+
+
+def knn_edges(s: DataFrame, k: int) -> DataFrame:
+    """Top-k cosine edges over a knn_shard frame: (va, vb, cosine,
+    rnk ≤ k), plus (own_label, nbr_label) when the shard carries a
+    label column. ONE shared construction so the tie-break
+    (cosine DESC, vb) and norm expression can never drift between the
+    queries that all claim to audit 'the same kNN graph' — and so the
+    broadcast-self-join + WindowGroupLimit shape (per-key state ≤ k,
+    never the pair expansion) is written once."""
+    with_label = "label" in s.columns
+    a, b = s.alias("a"), s.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    carried = (
+        [F.col("a.label").alias("own_label"), F.col("b.label").alias("nbr_label")]
+        if with_label
+        else []
+    )
+    scored = a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        *carried,
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("va").orderBy(F.desc("cosine"), "vb")
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 _COS_SQL = (
     "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))"
     " / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"

@@ -203,6 +203,13 @@ def test_av_container_roundtrips_and_formulas():
         av.mp3_info(raw[:100])
     with pytest.raises(ValueError, match="truncated MP3"):
         av.mp3_info(av.encode_mp3(7, 2)[:-10])
+    # real-world MP3s carry an ID3v2 tag before the first frame: the
+    # parser must skip it (synchsafe size), not call the file corrupt
+    tag_body = b"TIT2" + b"\x00" * 96  # 100-byte tag body
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 100 >> 7, 100 & 0x7F]) + tag_body
+    tagged = id3 + av.encode_mp3(7, 13)
+    info = av.mp3_info(tagged)
+    assert info["n_frames"] == 13 and info["duration_ms"] == 13 * 36
 
 
 def test_mm_decode_stats_gate_rate_is_measured(spark, sf_dir):

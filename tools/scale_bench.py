@@ -24,14 +24,15 @@ Timing-only: correctness at these scales is already covered by the
 sf0.01 oracle sweep; nothing here feeds CORRECTNESS artifacts.
 
 Usage: python tools/scale_bench.py [K] [SRC_SF_DIR] [QUERY_SET]
-QUERY_SET ∈ {core (default), bucketed, r6new, hub} — `bucketed` runs
-the LSH/connected-components/PageRank/sliding-window families (r5
-verdict #3; see BUCKETED_QUERIES for why document text is rotated
-per-replica), `r6new` the round-6 operator family (see R6_QUERIES
-for why the quadratic-by-design calibration tables are excluded),
-`hub` the planted-hub wedge-join leg (r6 verdict #2; K and SRC are
-ignored — see hub_leg), `bpe` the 512-merge batched-BPE flatness leg
-(r6 verdict #4; K ignored — see bpe_leg).
+QUERY_SET ∈ {core (default), bucketed, r6new, r7new, hub, bpe} —
+`bucketed` runs the LSH/connected-components/PageRank/sliding-window
+families (r5 verdict #3; see BUCKETED_QUERIES for why document text
+is rotated per-replica), `r6new`/`r7new` the round-6/7 operator
+families (see R6_QUERIES for why the quadratic-by-design calibration
+tables are excluded), `hub` the planted-hub wedge-join leg (r6
+verdict #2; K and SRC are ignored — see hub_leg), `bpe` the
+512-merge batched-BPE flatness leg (r6 verdict #4; K and SRC are
+ignored — see bpe_leg).
 Writes one SCALE_r{N}.json-style line to stdout; the round snapshot
 commits the lines as SCALE_r{N}.json.
 """
@@ -218,14 +219,15 @@ def build_scaled(spark: SparkSession, src: str, out: str, k: int) -> None:
 
 
 def bpe_leg(
-    spark: SparkSession, src: str, rounds: int = 96, k: int = 8,
+    spark: SparkSession, rounds: int = 96, k: int = 8,
     vocab_limit: int = 50_000, n_words: int = 50_000,
 ) -> dict:
     """Production-merge-count BPE leg (r6 verdict #4): run the batched
     trainer to rounds*k >= 512 merges and report seconds per
     merge-round. The 50k-merge production claim rests on per-round
-    cost being FLAT (model-state-bounded collects + the 16-round
-    localCheckpoint lineage cadence); flatness_ratio compares the mean
+    cost being FLAT (model-state-bounded collects + the measured
+    _BATCH_CHECKPOINT_EVERY=2 localCheckpoint cadence — see bpe.py for
+    the cadence A/B); flatness_ratio compares the mean
     of the last 8 rounds to the first 8 — ~1.0 means the curve does
     not bend and 50k merges cost rounds*cost, not rounds^2.
 
@@ -297,7 +299,7 @@ def main() -> int:
         if query_set == "hub":
             print(json.dumps({"metric": "scale_leg_hub", **hub_leg(spark)}))
         else:
-            print(json.dumps({"metric": "scale_leg_bpe", **bpe_leg(spark, src)}))
+            print(json.dumps({"metric": "scale_leg_bpe", **bpe_leg(spark)}))
         spark.stop()
         return 0
     if query_set not in QUERY_SETS:
