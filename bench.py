@@ -7,9 +7,9 @@ Each query is fully materialized through the `noop` sink (computes
 every column, no driver collect, no disk write) — the honest way to
 time a distributed plan.
 
-Noise discipline (r4 verdict #5, tightened r6 verdict #1): sub-second
-headline queries are timed FIVE times after a warm-up run (heavies
-stay at 3 — they dominate wall clock); the HEADLINE number is the
+Noise discipline (r4 verdict #5, tightened r6 verdict #1): every
+query — heavies included since r7 — is timed FIVE times after a
+warm-up run; the HEADLINE number is the
 per-query MEDIAN, with the old best-of minimum kept in `queries_best`
 (and `heavy_best`) for cross-round comparability. Two additions make
 the driver-facing number able to distinguish a real 10-20% regression

@@ -31,7 +31,7 @@ from lime_etl_spark.operators.dedup import (
     minhash_signatures,
 )
 from lime_etl_spark.operators.events import SESSION_GAP_US, sessionize
-from lime_etl_spark.operators.similarity import QUERY_MOD, _COS_SQL, dot
+from lime_etl_spark.operators.similarity import QUERY_MOD_SQL, _COS_SQL, dot, query_mod
 from lime_etl_spark.plans.registry import register
 from lime_etl_spark.sources.readers import load_table
 
@@ -410,7 +410,7 @@ RANGE_TAU = 0.8
            CAST(SUM(CASE WHEN {_COS_SQL} >= {RANGE_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range,
            MAX(CASE WHEN {_COS_SQL} >= {RANGE_TAU} THEN {_COS_SQL} END) AS best_cosine
     FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
-    WHERE q.vec_id % {QUERY_MOD} = 0
+    WHERE q.vec_id % {QUERY_MOD_SQL} = 0
     GROUP BY q.vec_id
     ORDER BY q_vec_id
     """,
@@ -430,7 +430,7 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = (
-        emb.where(F.col("vec_id") % QUERY_MOD == 0)
+        emb.where(F.col("vec_id") % query_mod(emb) == 0)
         .select("vec_id", "embedding")
         .withColumn("norm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
         .alias("q")

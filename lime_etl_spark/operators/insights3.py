@@ -5589,7 +5589,7 @@ DELTA_MOD, DELTA_RESIDUE = 7, 3  # deterministic base/delta corpus split
 
 
 def _incremental_topk_oracle() -> str:
-    from lime_etl_spark.operators.similarity import _COS_SQL, QUERY_MOD, TOP_K
+    from lime_etl_spark.operators.similarity import _COS_SQL, QUERY_MOD_SQL, TOP_K
 
     return f"""
     SELECT q_vec_id, n_vec_id, cosine, rank FROM (
@@ -5598,7 +5598,7 @@ def _incremental_topk_oracle() -> str:
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                   ORDER BY {_COS_SQL} DESC, v.vec_id) AS rank
         FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
-        WHERE q.vec_id % {QUERY_MOD} = 0
+        WHERE q.vec_id % {QUERY_MOD_SQL} = 0
     ) WHERE rank <= {TOP_K}
     """
 
@@ -5624,13 +5624,13 @@ def ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     |Q|×|corpus|; the merge re-rank windows 2k rows per query.
     """
     from lime_etl_spark.operators.similarity import (
-        QUERY_MOD,
         TOP_K,
         brute_force_topk,
+        query_mod,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    queries = emb.where(F.col("vec_id") % query_mod(emb) == 0)
     base = emb.where(F.col("vec_id") % DELTA_MOD != DELTA_RESIDUE)
     delta = emb.where(F.col("vec_id") % DELTA_MOD == DELTA_RESIDUE)
     cols = ["q_vec_id", "n_vec_id", "cosine"]
@@ -5856,12 +5856,12 @@ def txt_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_confusion_oracle() -> str:
-    from lime_etl_spark.operators.insights2 import CONSIST_K, MUTUAL_MOD
+    from lime_etl_spark.operators.insights2 import CONSIST_K, MUTUAL_MOD_SQL
 
     return f"""
     WITH s AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-        FROM embeddings WHERE vec_id % {MUTUAL_MOD} = 0
+        FROM embeddings WHERE vec_id % {MUTUAL_MOD_SQL} = 0
     ), scored AS (
         SELECT a.vec_id AS va, a.label AS own_label, b.label AS nbr_label,
                ROW_NUMBER() OVER (
@@ -5915,11 +5915,11 @@ def emb_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast shard self-join and one va-keyed vote shuffle; the
     matrix rollup is ≤|labels|² rows.
     """
-    from lime_etl_spark.operators.insights2 import CONSIST_K, MUTUAL_MOD
+    from lime_etl_spark.operators.insights2 import CONSIST_K, mutual_mod
     from lime_etl_spark.operators.similarity import knn_edges, knn_shard
 
     emb = load_table(spark, sf_dir, "embeddings")
-    s = knn_shard(emb, MUTUAL_MOD, with_label=True).persist()
+    s = knn_shard(emb, mutual_mod(emb), with_label=True).persist()
     votes = (
         knn_edges(s, CONSIST_K)
         .groupBy("va", "own_label", "nbr_label")

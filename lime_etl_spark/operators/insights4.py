@@ -73,7 +73,7 @@ def _cos_slice_sql(d: int) -> str:
 
 
 def _matryoshka_sql() -> str:
-    from lime_etl_spark.operators.similarity import QUERY_MOD
+    from lime_etl_spark.operators.similarity import QUERY_MOD_SQL
 
     legs = "\n        UNION ALL\n".join(
         f"""
@@ -84,7 +84,7 @@ def _matryoshka_sql() -> str:
                        ORDER BY {_cos_slice_sql(d)} DESC, w.vec_id
                    ) AS r
             FROM e q JOIN e w ON q.vec_id <> w.vec_id
-            WHERE q.vec_id % {QUERY_MOD} = 0
+            WHERE q.vec_id % {QUERY_MOD_SQL} = 0
         ) WHERE r <= {_MK}"""
         for d in MATRYOSHKA_DIMS
     )
@@ -122,15 +122,16 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; candidates never shuffle. Recall joins happen on the
     topk frame (|dims| x |Q| x k rows), not the pair explosion.
     """
-    from lime_etl_spark.operators.similarity import QUERY_MOD, dot
+    from lime_etl_spark.operators.similarity import dot, query_mod
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     full = max(MATRYOSHKA_DIMS)
+    qmod = query_mod(emb)  # one count job, shared by every leg
 
     def leg(d: int) -> DataFrame:
-        q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        q = emb.where(F.col("vec_id") % qmod == 0).select(
             F.col("vec_id").alias("qid"), F.slice("v", 1, d).alias("e")
         )
         w = emb.select(F.col("vec_id").alias("nid"), F.slice("v", 1, d).alias("we"))
@@ -208,7 +209,7 @@ def _sign_bits_sql(col: str, lo: int, hi: int) -> str:
 
 
 def _binary_sign_sql() -> str:
-    from lime_etl_spark.operators.similarity import QUERY_MOD
+    from lime_etl_spark.operators.similarity import QUERY_MOD_SQL
 
     cos = (
         "list_dot_product(q.v, w.v)"
@@ -219,14 +220,14 @@ def _binary_sign_sql() -> str:
         f"""
         SELECT {k} AS k,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM e
-                WHERE vec_id % {QUERY_MOD} = 0) AS n_queries,
+                WHERE vec_id % {QUERY_MOD_SQL} = 0) AS n_queries,
                (SELECT CAST(COUNT(*) AS DOUBLE) FROM h
                 JOIN c ON c.q = h.q AND c.n = h.n
                 WHERE h.r_h <= {k} AND c.r_c <= {k})
-                 / ((SELECT COUNT(*) FROM e WHERE vec_id % {QUERY_MOD} = 0) * {k})
+                 / ((SELECT COUNT(*) FROM e WHERE vec_id % {QUERY_MOD_SQL} = 0) * {k})
                  AS recall_at_k,
                (SELECT CAST(SUM(h.hamming) AS DOUBLE) FROM h WHERE h.r_h <= {k})
-                 / ((SELECT COUNT(*) FROM e WHERE vec_id % {QUERY_MOD} = 0) * {k})
+                 / ((SELECT COUNT(*) FROM e WHERE vec_id % {QUERY_MOD_SQL} = 0) * {k})
                  AS avg_hamming_at_k"""
         for k in _BQ_KS
     )
@@ -244,7 +245,7 @@ def _binary_sign_sql() -> str:
         FROM (
             SELECT q.vec_id AS q, w.vec_id AS n, ({ham}) AS hamming
             FROM e q JOIN e w ON q.vec_id <> w.vec_id
-            WHERE q.vec_id % {QUERY_MOD} = 0
+            WHERE q.vec_id % {QUERY_MOD_SQL} = 0
         )
     ),
     c AS (
@@ -253,7 +254,7 @@ def _binary_sign_sql() -> str:
         FROM (
             SELECT q.vec_id AS q, w.vec_id AS n, ({cos}) AS cosine
             FROM e q JOIN e w ON q.vec_id <> w.vec_id
-            WHERE q.vec_id % {QUERY_MOD} = 0
+            WHERE q.vec_id % {QUERY_MOD_SQL} = 0
         )
     )
     SELECT k, n_queries, recall_at_k, avg_hamming_at_k FROM ({k_rows})
@@ -280,7 +281,7 @@ def emb_binary_sign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     what ships to the index, so the pair scan reads 8 bytes/vector,
     not 256.
     """
-    from lime_etl_spark.operators.similarity import QUERY_MOD, dot
+    from lime_etl_spark.operators.similarity import dot, query_mod
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -291,7 +292,7 @@ def emb_binary_sign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sign_bits_spark("v", 1, 32).alias("b0"),
         _sign_bits_spark("v", 33, 64).alias("b1"),
     )
-    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = emb.where(F.col("vec_id") % query_mod(emb) == 0).select(
         F.col("vec_id").alias("q"),
         F.col("v").alias("qv"),
         F.col("b0").alias("qb0"),

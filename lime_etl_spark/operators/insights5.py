@@ -755,14 +755,17 @@ def dedup_lsh_bucket_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band", "sig")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    cap = F.least(F.col("n"), F.lit(LSH_BUCKET_CAP))
     classed = sizes.select(
         (F.length(F.bin("n")) - 1).cast("bigint").alias("size_class"),
         "n",
-        # n(n−1) is even, so the halving is exact; keep every addend
-        # int64 so the sums are partition-order-free by type, not luck
-        F.floor(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("pairs"),
-        F.floor(cap * (cap - 1) / 2).cast("bigint").alias("capped"),
+        # n(n−1) is even, so the halving is exact; `div` keeps the whole
+        # expression int64 end-to-end (Spark's `/` on bigints is DOUBLE
+        # division, which loses exactness past ~9.5e7-row buckets — the
+        # giant-bucket regime this audit exists to price; r7 ADVICE)
+        F.expr("n * (n - 1) div 2").cast("bigint").alias("pairs"),
+        F.expr(
+            f"least(n, {LSH_BUCKET_CAP}) * (least(n, {LSH_BUCKET_CAP}) - 1) div 2"
+        ).cast("bigint").alias("capped"),
     )
     return (
         classed.groupBy("size_class")
@@ -796,12 +799,12 @@ def dedup_lsh_bucket_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hubness_sql() -> str:
-    from lime_etl_spark.operators.insights2 import MUTUAL_K, MUTUAL_MOD
+    from lime_etl_spark.operators.insights2 import MUTUAL_K, MUTUAL_MOD_SQL
 
     return f"""
     WITH s AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        FROM embeddings WHERE vec_id % {MUTUAL_MOD} = 0
+        FROM embeddings WHERE vec_id % {MUTUAL_MOD_SQL} = 0
     ), scored AS (
         SELECT a.vec_id AS va, b.vec_id AS vb,
                list_dot_product(a.e, b.e)
@@ -853,11 +856,11 @@ def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-degree rollup touches only k·|shard| surviving edges; share is
     one double division by the 1-row broadcast shard count.
     """
-    from lime_etl_spark.operators.insights2 import MUTUAL_K, MUTUAL_MOD
+    from lime_etl_spark.operators.insights2 import MUTUAL_K, mutual_mod
     from lime_etl_spark.operators.similarity import knn_edges, knn_shard
 
     emb = load_table(spark, sf_dir, "embeddings")
-    s = knn_shard(emb, MUTUAL_MOD).persist()
+    s = knn_shard(emb, mutual_mod(emb)).persist()
     s.count()
     knn = knn_edges(s, MUTUAL_K).select("va", "vb")
     indeg = knn.groupBy("vb").agg(F.count(F.lit(1)).alias("n"))
@@ -916,18 +919,20 @@ def _interaction_sql() -> str:
                CAST(SUM(CASE WHEN ai = 1 AND aj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
                CAST(SUM(CASE WHEN ai = 1 AND aj = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
         FROM assign GROUP BY exp_a, exp_b
+    ),
+    stats AS (
+        SELECT exp_a, exp_b, n00, n01, n10, n11,
+               CAST(n00 + n01 + n10 + n11 AS DOUBLE)
+                 * (n00 * n11 - n01 * n10) * (n00 * n11 - n01 * n10) AS num,
+               CAST(n00 + n01 AS DOUBLE) * (n10 + n11)
+                 * (n00 + n10) * (n01 + n11) AS den
+        FROM cells
     )
     SELECT CAST(exp_a AS INTEGER) AS exp_a, CAST(exp_b AS INTEGER) AS exp_b,
            n00, n01, n10, n11,
-           (CAST(n00 + n01 + n10 + n11 AS DOUBLE)
-              * (n00 * n11 - n01 * n10) * (n00 * n11 - n01 * n10))
-             / (CAST(n00 + n01 AS DOUBLE) * (n10 + n11) * (n00 + n10) * (n01 + n11))
-             AS chi_square,
-           ((CAST(n00 + n01 + n10 + n11 AS DOUBLE)
-               * (n00 * n11 - n01 * n10) * (n00 * n11 - n01 * n10))
-              / (CAST(n00 + n01 AS DOUBLE) * (n10 + n11) * (n00 + n10) * (n01 + n11))
-             > 3.841) AS interaction_flag
-    FROM cells
+           CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS chi_square,
+           (CASE WHEN den > 0 THEN num / den ELSE 0.0 END > 3.841) AS interaction_flag
+    FROM stats
     ORDER BY exp_a, exp_b
     """
 
@@ -952,7 +957,9 @@ def ev_ab_interaction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay int64 at audit scale; numerator and denominator are then
     built in DOUBLE with identical left-to-right structure on both
     engines, so chi_square is the same double and the 3.841 flag
-    comparison resolves identically. Scale: one distinct-users pass
+    comparison resolves identically; a zeroed 2x2 marginal (degenerate
+    all-one-arm experiment) pins chi_square to 0.0 / flag false via the
+    same CASE guard on both engines instead of NULL-vs-inf divergence. Scale: one distinct-users pass
     exploded by the C(m,2) pair grid (row-local hashes, no assignment
     table), then a C(m,2)-row rollup — nothing data-proportional
     collects.
@@ -1005,7 +1012,10 @@ def ev_ab_interaction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n00") + F.col("n10"))
         * (F.col("n01") + F.col("n11"))
     )
-    chi = num / den
+    # degenerate-marginal guard (r7 ADVICE): all users in one arm zeroes
+    # a 2x2 marginal; pin the undefined chi-square to 0.0 / flag false on
+    # BOTH engines instead of NULL-vs-inf divergence
+    chi = F.when(den > 0, num / den).otherwise(F.lit(0.0))
     return cells.select(
         F.col("exp_a").cast("int").alias("exp_a"),
         F.col("exp_b").cast("int").alias("exp_b"),

@@ -49,7 +49,7 @@ from pyspark.sql.window import Window
 
 from lime_etl_spark.functions.clustering import FIXED_POINT
 from lime_etl_spark.functions.text import shingle_int
-from lime_etl_spark.operators.similarity import QUERY_MOD
+from lime_etl_spark.operators.similarity import QUERY_MOD_SQL, query_mod
 from lime_etl_spark.plans.registry import register
 from lime_etl_spark.sources.readers import load_table
 
@@ -379,7 +379,7 @@ def _pq_topk_sql(
     lutr AS (
         SELECT u.id AS q, u.s, c.cid, {dd} AS d
         FROM subs u JOIN {final} c ON c.s = u.s
-        WHERE u.id % {QUERY_MOD} = 0
+        WHERE u.id % {QUERY_MOD_SQL} = 0
     ),
     adcp AS (
         SELECT q, n, list_dot_product(list(d ORDER BY s), {ones}) AS adc
@@ -424,5 +424,5 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq_fit(emb)
     encoded = pq_encode(emb, books)
-    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    queries = emb.where(F.col("vec_id") % query_mod(emb) == 0)
     return pq_search(queries, encoded, emb, books)

@@ -32,7 +32,24 @@ from lime_etl_spark.plans.registry import register
 from lime_etl_spark.sources.readers import load_table
 
 TOP_K = 10
-QUERY_MOD = 100  # vec_id % 100 == 0 → query set scales with SF
+# Count-derived query sampling (r7 verdict #2): the query set models "the
+# query workload" on the fixture, and its cost side is BROADCAST in every
+# ANN query — so its SIZE must be fixed at any corpus scale, not a fixed
+# FRACTION (a fraction broadcast grows with the corpus and breaks the
+# 8 GB broadcast/driver ceiling long before 100 TB). The mod is derived
+# from a 1-row corpus count targeting QUERY_TARGET vectors; the oracle
+# carries the IDENTICAL derivation as a scalar subquery, so both engines
+# compute the same mod from the same count at any sf.
+QUERY_TARGET = 5  # query-set SIZE target → sample size ∈ [TARGET, 2·TARGET)
+QUERY_MOD_SQL = f"(SELECT GREATEST(1, COUNT(*) // {QUERY_TARGET}) FROM embeddings)"
+
+
+def query_mod(emb: DataFrame) -> int:
+    """max(1, N // QUERY_TARGET) — the Python twin of QUERY_MOD_SQL.
+    One bounded 1-row count job (parquet row-group metadata at scale);
+    the returned LITERAL keeps the vec_id filter pushdown-eligible,
+    which a crossjoined count column would not be."""
+    return max(1, emb.count() // QUERY_TARGET)
 
 
 def dot(x: Column, y: Column) -> Column:
@@ -135,14 +152,14 @@ def brute_force_topk(
                {_COS_SQL} AS cosine,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_SQL} DESC, v.vec_id) AS rank
         FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
-        WHERE q.vec_id % {QUERY_MOD} = 0
+        WHERE q.vec_id % {QUERY_MOD_SQL} = 0
     ) WHERE rank <= {TOP_K}
     """,
     description="exact top-k cosine neighbors (broadcast queries, windowed top-k)",
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    queries = emb.where(F.col("vec_id") % query_mod(emb) == 0)
     return brute_force_topk(queries, emb).select("q_vec_id", "n_vec_id", "cosine", "rank")
 
 
@@ -210,7 +227,7 @@ _BUCKET_SQL = " + ".join(
                {_COS_SQL} AS cosine,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_SQL} DESC, v.vec_id) AS rank
         FROM b q JOIN b v ON q.bucket = v.bucket AND q.vec_id <> v.vec_id
-        WHERE q.vec_id % {QUERY_MOD} = 0
+        WHERE q.vec_id % {QUERY_MOD_SQL} = 0
     ) WHERE rank <= {TOP_K}
     """,
     description="IVF-style bucketed ANN: sign-bit coarse quantizer, probe own bucket",
@@ -219,7 +236,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", ivf_bucket(F.col("embedding"))
     )
-    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).alias("q")
+    q = emb.where(F.col("vec_id") % query_mod(emb) == 0).alias("q")
     v = emb.alias("v")
     pairs = (
         F.broadcast(q)
@@ -250,7 +267,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT q.vec_id AS q_vec_id, v.vec_id AS n_vec_id,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_SQL} DESC, v.vec_id) AS rank
             FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
-            WHERE q.vec_id % {QUERY_MOD} = 0
+            WHERE q.vec_id % {QUERY_MOD_SQL} = 0
         ) WHERE rank <= {TOP_K}
     ),
     votes AS (
@@ -268,7 +285,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    queries = emb.where(F.col("vec_id") % query_mod(emb) == 0)
     topk = brute_force_topk(queries, emb).select("q_vec_id", "n_vec_id")
     labels = emb.select(F.col("vec_id").alias("n_vec_id"), "label")
     votes = (
@@ -380,7 +397,7 @@ def _cells_probes_ctes() -> str:
             FROM (
                 SELECT e.vec_id, c.cid, {dd} AS dd
                 FROM e CROSS JOIN {cent} c
-                WHERE e.vec_id % {QUERY_MOD} = 0
+                WHERE e.vec_id % {QUERY_MOD_SQL} = 0
             )
         ) WHERE rn <= {N_PROBE_CENTROIDS}
     )"""
@@ -430,7 +447,7 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", nearest_centroid(F.col("embedding").cast("array<double>"), centroids)
     ).alias("v")
     q = (
-        emb.where(F.col("vec_id") % QUERY_MOD == 0)
+        emb.where(F.col("vec_id") % query_mod(emb) == 0)
         .withColumn(
             "probe",
             F.explode(
@@ -470,7 +487,7 @@ N_PROBES_BITS = 8  # probe own bucket + all Hamming-1 neighbors
     probes AS (
         SELECT vec_id, embedding, bucket,
                unnest([bucket, {", ".join(f"xor(bucket, {1 << i})" for i in range(8))}]) AS probe
-        FROM b WHERE vec_id % {QUERY_MOD} = 0
+        FROM b WHERE vec_id % {QUERY_MOD_SQL} = 0
     )
     SELECT q_vec_id, n_vec_id, cosine, rank FROM (
         SELECT q.vec_id AS q_vec_id, v.vec_id AS n_vec_id,
@@ -495,7 +512,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_PROBES_BITS)]
     )
     q = (
-        emb.where(F.col("vec_id") % QUERY_MOD == 0)
+        emb.where(F.col("vec_id") % query_mod(emb) == 0)
         .withColumn("probe", F.explode(probes))
         .alias("q")
     )
@@ -756,7 +773,7 @@ HARD_NEG_K = 5
                ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS_SQL} DESC, v.vec_id) AS rank
         FROM embeddings q JOIN embeddings v
           ON q.vec_id <> v.vec_id AND q.label <> v.label
-        WHERE q.vec_id % {QUERY_MOD} = 0
+        WHERE q.vec_id % {QUERY_MOD_SQL} = 0
     ) WHERE rank <= {HARD_NEG_K}
     """,
     description="hard-negative mining: top-k most-similar vectors with a DIFFERENT label",
@@ -777,7 +794,7 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = (
-        emb.where(F.col("vec_id") % QUERY_MOD == 0)
+        emb.where(F.col("vec_id") % query_mod(emb) == 0)
         .select("vec_id", "label", "embedding")
         .withColumn("norm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
         .alias("q")

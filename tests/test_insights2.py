@@ -192,15 +192,12 @@ def test_zipf_head_is_monotone(spark, sf_dir):
 def test_pair_hist_mass_equals_sample_pairs(spark, sf_dir):
     """Bucket counts sum to C(|sample|, 2) — no pair lost or double-
     bucketed — and cosine buckets stay within [-1, 1] range."""
-    from lime_etl_spark.operators.insights2 import PAIR_SAMPLE_MOD
+    from lime_etl_spark.operators.insights2 import pair_sample_mod
     from lime_etl_spark.operators.training import hash_bucket
     from lime_etl_spark.sources.readers import load_table
 
-    n = (
-        load_table(spark, sf_dir, "embeddings")
-        .where(hash_bucket(F.col("vec_id"), PAIR_SAMPLE_MOD) == 0)
-        .count()
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.where(hash_bucket(F.col("vec_id"), pair_sample_mod(emb)) == 0).count()
     rows = all_queries()["emb_pair_distance_hist"].builder(spark, sf_dir).collect()
     assert sum(r.n_pairs for r in rows) == n * (n - 1) // 2
     assert all(-10 <= r.bucket <= 10 for r in rows)
@@ -338,14 +335,12 @@ def test_seasonal_naive_scores_only_lagged_days(spark, sf_dir):
 def test_knn_consistency_bounds_and_coverage(spark, sf_dir):
     """Every shard vector gets exactly one majority verdict; rates in
     [0,1]; labels cover the shard's label set."""
-    from lime_etl_spark.operators.insights2 import MUTUAL_MOD
+    from lime_etl_spark.operators.insights2 import mutual_mod
     from lime_etl_spark.sources.readers import load_table
 
     rows = all_queries()["emb_knn_label_consistency"].builder(spark, sf_dir).collect()
-    shard = (
-        load_table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") % MUTUAL_MOD == 0)
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    shard = emb.where(F.col("vec_id") % mutual_mod(emb) == 0)
     assert sum(r.n_vectors for r in rows) == shard.count()
     for r in rows:
         assert 0 <= r.n_consistent <= r.n_vectors

@@ -263,12 +263,13 @@ def test_lsh_bucket_cap_audit_identities(spark, sf_dir):
 
 def test_hubness_audit_identities(spark, sf_dir):
     assert_query_matches_oracle(spark, sf_dir, "emb_hubness_audit")
-    from lime_etl_spark.operators.insights2 import MUTUAL_K, MUTUAL_MOD
+    from lime_etl_spark.operators.insights2 import MUTUAL_K, MUTUAL_TARGET
 
     rows = i5.emb_hubness_audit(spark, sf_dir).collect()
     release_tracked_persists()
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    n_shard = int((emb["vec_id"] % MUTUAL_MOD == 0).sum())
+    mod = max(1, len(emb) // MUTUAL_TARGET)
+    n_shard = int((emb["vec_id"] % mod == 0).sum())
     # the histogram partitions the shard (antihubs included)
     assert sum(r.n_points for r in rows) == n_shard
     # total k-occurrence mass = k edges per query point

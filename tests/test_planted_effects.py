@@ -251,3 +251,39 @@ def test_qini_auc_recovers_planted_targeting_value(spark, tmp_path):
     # ±arm-imbalance wiggle across deciles — an order of magnitude
     # below the concentrated signal
     assert abs(flat.qini_auc) < abs(got.qini_auc) / 5
+
+
+def test_interaction_check_degenerate_marginal_guard(spark, tmp_path):
+    """Degenerate experiment — every user in one arm of experiment 1 —
+    zeroes a 2x2 marginal for every (1, j) pair, making chi-square
+    undefined (den = 0). The guard must pin chi_square to 0.0 and
+    interaction_flag to false on both engines rather than diverging
+    NULL-vs-inf (r7 ADVICE). Users are mined so the operators' own md5
+    arm hash assigns them all arm 0 of exp 1."""
+    import hashlib
+
+    from lime_etl_spark.operators.insights4 import SRM_EXPERIMENTS
+    from lime_etl_spark.operators.insights5 import ev_ab_interaction_check
+
+    def arm(exp: int, uid: int) -> int:
+        return int(hashlib.md5(f"exp{exp}:{uid}".encode()).hexdigest()[:15], 16) % 2
+
+    users = [u for u in range(1, 2000) if arm(1, u) == 0][:60]
+    assert len(users) == 60
+    rows = [(i + 1, PRE_TS, u, "view", 1.0, "{}") for i, u in enumerate(users)]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, EV_SCHEMA).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+
+    out = ev_ab_interaction_check(spark, d).collect()
+    m = SRM_EXPERIMENTS
+    assert len(out) == m * (m - 1) // 2
+    degenerate = [r for r in out if r.exp_a == 1]
+    assert len(degenerate) == m - 1
+    for r in degenerate:
+        assert r.n10 + r.n11 == 0  # zeroed marginal by construction
+        assert r.chi_square == 0.0  # guarded, not NULL/inf
+        assert r.interaction_flag is False
+    # the non-degenerate pairs still compute real chi-squares
+    assert any(r.chi_square > 0.0 for r in out if r.exp_a != 1)

@@ -13,14 +13,14 @@ from lime_etl_spark.operators.pq import (
     pq_encode,
     pq_fit,
 )
-from lime_etl_spark.operators.similarity import QUERY_MOD
+from lime_etl_spark.operators.similarity import query_mod
 from lime_etl_spark.plans.registry import all_queries
 from lime_etl_spark.sources.readers import load_table
 
 
 def _exact_l2_topk(spark, sf_dir, k):
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = emb.where(F.col("vec_id") % query_mod(emb) == 0).select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("embedding").cast("array<double>").alias("q_vec"),
     )

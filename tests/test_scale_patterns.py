@@ -311,3 +311,35 @@ def test_aqe_skew_split_engages_on_planted_hot_key_sf01(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_count_derived_sample_mods_hold_size_across_sf(spark):
+    """r7 verdict #2 (What's-wrong #1/#2): every broadcast-side sample in
+    the embedding family targets a fixed SIZE, not a fixed fraction —
+    the mod derives from a 1-row corpus count, so the sampled/broadcast
+    row count is flat across corpus scales (sf0.01 N=500 vs sf0.1
+    N=2000, a 4x scale-up; at 100x the mod grows 100x and the sample
+    stays in the same band). Pins the band at BOTH scales."""
+    from lime_etl_spark.operators.insights2 import (
+        MUTUAL_TARGET,
+        PAIR_TARGET,
+        mutual_mod,
+        pair_sample_mod,
+    )
+    from lime_etl_spark.operators.similarity import QUERY_TARGET, query_mod
+    from lime_etl_spark.operators.training import hash_bucket
+    from lime_etl_spark.sources.readers import load_table
+
+    for d in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        emb = load_table(spark, d, "embeddings")
+        # systematic mods over dense vec_ids: exact [TARGET, 2*TARGET) band
+        n_q = emb.where(F.col("vec_id") % query_mod(emb) == 0).count()
+        assert QUERY_TARGET <= n_q < 2 * QUERY_TARGET, (d, n_q)
+        n_m = emb.where(F.col("vec_id") % mutual_mod(emb) == 0).count()
+        assert MUTUAL_TARGET <= n_m < 2 * MUTUAL_TARGET, (d, n_m)
+        # md5-bucket sample: binomial around ~[TARGET, 2*TARGET) — allow
+        # generous slack but fail loudly on any fraction-like growth
+        n_p = emb.where(
+            hash_bucket(F.col("vec_id"), pair_sample_mod(emb)) == 0
+        ).count()
+        assert PAIR_TARGET // 2 <= n_p < 3 * PAIR_TARGET, (d, n_p)
