@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from lime_etl_spark.functions.text import tokens, word_shingles
 from lime_etl_spark.operators.training import hash_bucket, _bucket_sql
@@ -589,6 +590,197 @@ def cur_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(bpt_e6) div count(1)").alias("score_e6"),
         )
     )
+    thresh = per_doc.agg(F.expr("sum(score_e6) div count(1)").alias("mean_e6"))
+    flagged = F.col("score_e6") > F.col("mean_e6")
+    return (
+        per_doc.crossJoin(F.broadcast(thresh))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.sum("score_e6").cast("double") / (F.count(F.lit(1)) * 1000000.0)
+            ).alias("mean_bits_per_token"),
+            F.sum(F.when(flagged, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above_corpus_mean"),
+            (
+                F.sum(F.when(flagged, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("share_above_corpus_mean"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- interpolated bigram LM perplexity gate (r7 verdict #4) ------------------
+
+# fixed interpolation weight λ = BIGRAM_LAMBDA_NUM / BIGRAM_LAMBDA_DEN:
+# p(w|prev) = λ·c(prev,w)/c(prev·) + (1−λ)·c(w)/T.  The ratio form keeps
+# every probability ONE division of integer products, so the bits chain
+# (division → log2 → ×1e6 → floor) is the same fixed shape per distinct
+# count tuple on both engines.
+BIGRAM_LAMBDA_NUM = 7
+BIGRAM_LAMBDA_DEN = 10
+
+
+def _bigram_doc_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc mean bits/token under the corpus-interpolated bigram LM:
+    (doc_id, lang, score_e6). Exposed separately so the planted-shuffle
+    pytest can compare per-doc scores directly.
+
+    Token i > 1 scores −log₂(λ·p_bi + (1−λ)·p_uni) with the integer-
+    ratio spelling (10·c_prev·T) / (7·c_bi·T + 3·ct·c_prev); the first
+    token of each doc has no left context and scores pure unigram
+    T/ct — the identical chain cur_perplexity_proxy uses."""
+    lam_n, lam_d = BIGRAM_LAMBDA_NUM, BIGRAM_LAMBDA_DEN
+    comp = lam_d - lam_n
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = tok.withColumn("prev", F.lag("tok").over(w)).persist()
+    uni = seq.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    tot = seq.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    bi = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    )
+    cprev = bi.groupBy("prev").agg(F.sum("cb").cast("bigint").alias("cp"))
+    # bits per DISTINCT (prev, tok): explicit left-to-right double
+    # products, identical parenthesization in the oracle
+    bi_bits = (
+        bi.join(cprev, "prev")
+        .join(uni, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev",
+            "tok",
+            F.floor(
+                F.log2(
+                    ((F.lit(float(lam_d)) * F.col("cp")) * F.col("t"))
+                    / (
+                        ((F.lit(float(lam_n)) * F.col("cb")) * F.col("t"))
+                        + ((F.lit(float(comp)) * F.col("ct")) * F.col("cp"))
+                    )
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("bits_e6"),
+        )
+    )
+    uni_bits = uni.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(F.log2(F.col("t").cast("double") / F.col("ct")) * 1000000)
+        .cast("bigint")
+        .alias("bits_e6"),
+    )
+    scored = seq.where(F.col("prev").isNotNull()).join(
+        bi_bits, ["prev", "tok"]
+    ).select("doc_id", "lang", "bits_e6").unionByName(
+        seq.where(F.col("prev").isNull())
+        .join(uni_bits, "tok")
+        .select("doc_id", "lang", "bits_e6")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        F.expr("sum(bits_e6) div count(1)").alias("score_e6"),
+    )
+
+
+def _bigram_sql() -> str:
+    lam_n, lam_d = BIGRAM_LAMBDA_NUM, BIGRAM_LAMBDA_DEN
+    comp = lam_d - lam_n
+    return f"""
+    WITH seq AS (
+        SELECT doc_id, lang, w.pos AS pos, w.tok AS tok,
+               LAG(w.tok) OVER (PARTITION BY doc_id ORDER BY w.pos) AS prev
+        FROM documents,
+             LATERAL (SELECT UNNEST(string_split(text, ' ')) AS tok,
+                             UNNEST(generate_series(1, len(string_split(text, ' ')))) AS pos) w
+    ),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM seq GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM seq),
+    bi AS (
+        SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, tok
+    ),
+    cprev AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cp FROM bi GROUP BY prev),
+    bi_bits AS (
+        SELECT bi.prev, bi.tok,
+               CAST(FLOOR(log2(
+                   (({lam_d}.0 * cprev.cp) * tot.t)
+                   / ((({lam_n}.0 * bi.cb) * tot.t) + (({comp}.0 * uni.ct) * cprev.cp))
+               ) * 1000000) AS BIGINT) AS bits_e6
+        FROM bi JOIN cprev USING (prev) JOIN uni USING (tok) CROSS JOIN tot
+    ),
+    uni_bits AS (
+        SELECT tok,
+               CAST(FLOOR(log2(CAST(tot.t AS DOUBLE) / ct) * 1000000) AS BIGINT)
+                   AS bits_e6
+        FROM uni CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT s.doc_id, s.lang, b.bits_e6
+        FROM seq s JOIN bi_bits b ON b.prev = s.prev AND b.tok = s.tok
+        WHERE s.prev IS NOT NULL
+        UNION ALL
+        SELECT s.doc_id, s.lang, u.bits_e6
+        FROM seq s JOIN uni_bits u ON u.tok = s.tok
+        WHERE s.prev IS NULL
+    ),
+    per_doc AS (
+        SELECT doc_id, ANY_VALUE(lang) AS lang,
+               SUM(bits_e6) // COUNT(*) AS score_e6
+        FROM scored GROUP BY doc_id
+    ),
+    thresh AS (SELECT SUM(score_e6) // COUNT(*) AS mean_e6 FROM per_doc)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score_e6) AS DOUBLE) / (COUNT(*) * 1000000.0)
+               AS mean_bits_per_token,
+           CAST(SUM(CASE WHEN score_e6 > thresh.mean_e6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above_corpus_mean,
+           CAST(SUM(CASE WHEN score_e6 > thresh.mean_e6 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS share_above_corpus_mean
+    FROM per_doc CROSS JOIN thresh
+    GROUP BY lang, thresh.mean_e6 ORDER BY lang
+    """
+
+
+@register(
+    "cur_perplexity_bigram",
+    oracle=_bigram_sql(),
+    description="interpolated bigram-LM perplexity gate (λ=0.7 bigram + 0.3 unigram, integer-ratio probabilities): per-lang mean bits/token + above-mean suspect share — catches word-salad the unigram proxy provably cannot",
+)
+def cur_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r7-verdict #4 upgrade of cur_perplexity_proxy: a fixed-λ
+    INTERPOLATED BIGRAM language model. The unigram proxy is blind to
+    local fluency — a word-salad document with the right unigram
+    distribution but shuffled order scores exactly clean (its per-doc
+    score is a mean over the same token multiset). The bigram term
+    prices word ORDER: shuffled text hits rare (prev, tok) pairs whose
+    λ·p_bi mass collapses toward the (1−λ) unigram floor, so its
+    bits/token rises — the planted-shuffle pytest pins exactly this
+    contrast (unigram scores equal, bigram score strictly higher).
+
+    Exactness: p(w|prev) = λ·c_bi/c_prev + (1−λ)·ct/T is spelled as the
+    single ratio (10·c_prev·T) / (7·c_bi·T + 3·ct·c_prev) — explicit
+    left-to-right double products, one log2, ×1e6, floor; identical
+    parenthesization in the oracle, so per-pair bits are bit-identical.
+    Per-doc and threshold arithmetic stay on the integer grid.
+
+    Scale: the bigram LM is |bigram vocab| counter rows (map-side
+    combined); scoring joins tokens against the bits tables on
+    (prev, tok) — broadcastable at real vocab sizes (vocab grows ~log
+    corpus) — and one groupBy(doc_id); output is |langs| rows. The one
+    lag window shuffles by doc_id, the same partitioning the score
+    rollup reuses."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = _bigram_doc_scores(docs)
     thresh = per_doc.agg(F.expr("sum(score_e6) div count(1)").alias("mean_e6"))
     flagged = F.col("score_e6") > F.col("mean_e6")
     return (

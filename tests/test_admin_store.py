@@ -235,3 +235,94 @@ def test_job_health_stats(spark, store):
     assert stats["flaky"]["failure_rate"] == 0.5
     # failed run's millis excluded from the success percentiles
     assert stats["flaky"]["p50_millis"] == 50.0
+
+
+# --- cross-process append safety (r7 verdict #6) -----------------------------
+
+
+def _mp_worker(args) -> int:
+    """Child-process body: append batch versions + job results to the
+    SHARED admin root. Runs WITHOUT Spark — the store's write path is
+    driver-side pyarrow by design, which is exactly what makes the
+    multi-process question real (two coordinators could share a root)."""
+    root, worker_ix, n_versions = args
+    import datetime as dt
+
+    from lime_etl_spark.adapter.admin_store import SparkAdminStore
+    from lime_etl_spark.domain.statuses import BatchStatus, JobResult, JobStatus
+    from lime_etl_spark.domain.value_objects import ExecutionMillis, Result
+
+    store = SparkAdminStore(spark=None, root=root)
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    for i in range(n_versions):
+        for bid in (f"batch-w{worker_ix}", "batch-contested"):
+            store.save_batch(
+                BatchStatus(
+                    id=bid, name=bid, job_results=frozenset(),
+                    execution_success_or_failure=Result.success(),
+                    execution_millis=ExecutionMillis(worker_ix * 1000 + i),
+                    running=False, ts=ts,
+                )
+            )
+        store.save_job_result(
+            JobResult(
+                id=f"job-w{worker_ix}-{i}", batch_id=f"batch-w{worker_ix}",
+                job_name=f"job_w{worker_ix}", status=JobStatus.success(),
+                execution_millis=ExecutionMillis(i), ts=ts,
+            )
+        )
+    return worker_ix
+
+
+def test_concurrent_multiprocess_appends_merge_safely(spark, tmp_path):
+    """Two+ PROCESSES appending the same admin root concurrently (r7
+    verdict #6): the reference got transactionality from SQLAlchemy;
+    this store's event-sourced design must provide the equivalent by
+    construction — every append is a NEW uuid-named parquet part file
+    (no rewrite, so no torn read), and reads are latest-wins on seq.
+    Proves: no append lost, no file corrupt, per-entity reads
+    consistent, and compaction after the concurrent phase preserves
+    every read."""
+    import glob as globmod
+    import multiprocessing as mp
+
+    root = str(tmp_path / "admin_mp")
+    n_workers, n_versions = 4, 12
+    ctx = mp.get_context("spawn")  # a REAL separate process, not a fork of the JVM-attached parent
+    with ctx.Pool(n_workers) as pool:
+        done = pool.map(_mp_worker, [(root, w, n_versions) for w in range(n_workers)])
+    assert sorted(done) == list(range(n_workers))
+
+    store = SparkAdminStore(spark, root)
+    # no append lost: one part file per save_batch call, all readable
+    batch_files = globmod.glob(f"{root}/batches/*.parquet")
+    assert len(batch_files) == n_workers * n_versions * 2
+    import pyarrow.parquet as pq_mod
+
+    rows = pq_mod.read_table(f"{root}/batches").to_pylist()
+    assert len(rows) == n_workers * n_versions * 2  # nothing torn or dropped
+
+    # per-entity latest-wins: each worker's own batch resolves to ITS
+    # final version; the contested batch resolves to the globally
+    # max-seq version, whichever process wrote it
+    for w in range(n_workers):
+        got = store.get_batch(f"batch-w{w}")
+        assert got is not None and got.execution_millis.value == w * 1000 + (n_versions - 1)
+    contested = [r for r in rows if r["batch_id"] == "batch-contested"]
+    winner_seq = max(r["seq"] for r in contested)
+    got = store.get_batch("batch-contested")
+    winning_rows = [r for r in contested if r["seq"] == winner_seq]
+    assert len(winning_rows) == 1, "time_ns seq tie across processes"
+    assert got.execution_millis.value == winning_rows[0]["execution_millis"]
+
+    # job results from every process are all present
+    for w in range(n_workers):
+        res = store.get_job_results(f"batch-w{w}")
+        assert len(res) == n_versions
+
+    # compaction after the concurrent phase must preserve every read
+    store.compact()
+    for w in range(n_workers):
+        assert store.get_batch(f"batch-w{w}").execution_millis.value == w * 1000 + (n_versions - 1)
+        assert len(store.get_job_results(f"batch-w{w}")) == n_versions
+    assert store.get_batch("batch-contested").execution_millis.value == winning_rows[0]["execution_millis"]

@@ -49,6 +49,45 @@ def test_full_registry_artifact_green_and_in_sync():
     )
 
 
+# The TERMINAL rows-only floor (r7 verdict #3): exactly these seven
+# queries are justified rows-only — DataSketches binary sketches
+# (hll/theta/kll), engine-measured accuracy (dq_sketch_accuracy),
+# engine-specific dtype names (dq_schema_snapshot), os.stat
+# (dq_file_stats) and zlib byte counts (txt_compression_ratio); each
+# is pytest error-bounded instead. Any NEW rows-only entry (a silent
+# oracle regression) or a removal (an upgrade — celebrate, then shrink
+# this set) fails the gate loudly.
+ROWS_ONLY_FLOOR = {
+    "dq_file_stats",
+    "dq_schema_snapshot",
+    "dq_sketch_accuracy",
+    "sketch_hll_daily_users",
+    "sketch_kll_value_quantiles",
+    "sketch_theta_audience",
+    "txt_compression_ratio",
+}
+
+
+def test_rows_only_floor_is_terminal():
+    path = _latest_artifact()
+    assert path
+    with open(path) as fh:
+        art = json.load(fh)
+    rows_only = {k for k, v in art["queries"].items() if v != "OK"}
+    assert rows_only == ROWS_ONLY_FLOOR, (
+        f"rows-only set drifted: unexpected={sorted(rows_only - ROWS_ONLY_FLOOR)} "
+        f"missing={sorted(ROWS_ONLY_FLOOR - rows_only)} — a new rows-only entry "
+        f"is a silent oracle regression; an upgrade should shrink ROWS_ONLY_FLOOR"
+    )
+    # the registry must agree: floor keys carry no oracle, all others do
+    from lime_etl_spark.plans.registry import all_queries
+
+    no_oracle = {n for n, spec in all_queries().items() if spec.oracle is None}
+    assert no_oracle == ROWS_ONLY_FLOOR, (
+        f"registry oracle surface drifted: no-oracle={sorted(no_oracle)}"
+    )
+
+
 # §2C/H/L component rows that are real runtime pieces verified in
 # pytest but intentionally NOT registry queries (no (spark, sf_dir)
 # builder shape): orchestration runtime, multimodal decode plumbing,

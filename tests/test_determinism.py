@@ -47,6 +47,16 @@ INVARIANCE_QUERIES = [
     "dedup_winnowing_overlap",
     "samp_kcenter_coreset",
     "ev_ab_interaction_check",
+    # round-8 float emitters (r7 verdict #7): interpolated bigram-LM
+    # bits/token means (per-pair log2 of integer-product ratios), SPRT
+    # saved-share divisions, char-entropy grid chains, rich-club phi,
+    # Gumbel-key shares, and FLAC compression ratios
+    "cur_perplexity_bigram",
+    "ev_sprt_gate",
+    "txt_entropy_profile",
+    "graph_rich_club",
+    "samp_gumbel_topk",
+    "mm_flac_compression_profile",
 ]
 
 

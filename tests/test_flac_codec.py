@@ -1,0 +1,164 @@
+"""From-spec FLAC codec tests (r7 verdict #1): bit-exact round-trips,
+size-prediction parity with the emitter, strict validation (CRC-8,
+CRC-16, PCM MD5, sync), the documented gates for the unimplemented
+surface, and the fixture/energy integration."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from lime_etl_spark.operators import flac_codec as fc
+from lime_etl_spark.operators.multimodal import (
+    AUDIO_RATE,
+    FLAC_FIXTURE_N,
+    FLAC_ID_BASE,
+    _decode_one,
+    _flac_fixture_sizes,
+    _flac_pcm,
+    _sniff,
+)
+
+
+def _fixture_clip(i: int) -> tuple[np.ndarray, bytes]:
+    pcm = _flac_pcm(FLAC_ID_BASE + i)
+    return pcm, fc.encode_flac(pcm, AUDIO_RATE)
+
+
+# --- round-trip + size parity -------------------------------------------------
+
+
+def test_roundtrip_bit_exact_over_fixture_slice():
+    for i in (0, 3, 9, 17, 44):
+        pcm, raw = _fixture_clip(i)
+        rate, out = fc.decode_flac(raw)
+        assert rate == AUDIO_RATE
+        assert out.dtype == np.int16
+        assert np.array_equal(out, pcm)
+
+
+def test_predicted_size_equals_emitted_for_every_fixture_clip():
+    """flac_stream_size shares _best_encoding with the bit emitter; this
+    parity over ALL fixture clips is what licenses the import-time
+    oracle byte totals in mm_decode_stats."""
+    sizes = _flac_fixture_sizes(FLAC_FIXTURE_N)
+    for i in range(FLAC_FIXTURE_N):
+        pcm, raw = _fixture_clip(i)
+        assert sizes[i] == len(raw) == fc.flac_stream_size(pcm)
+
+
+def test_roundtrip_edge_shapes():
+    # constant (silence), tiny blocks, exact block multiple, extremes
+    for pcm in (
+        np.zeros(100, dtype=np.int16),
+        np.full(5000, -123, dtype=np.int16),
+        np.array([1], dtype=np.int16),
+        np.array([-32768, 32767, 0, -1, 1] * 7, dtype=np.int16),
+        np.arange(fc.BLOCK_SIZE * 2, dtype=np.int64).astype(np.int16),  # ramps → order-1/2
+    ):
+        rate, out = fc.decode_flac(fc.encode_flac(pcm, 8000))
+        assert rate == 8000 and np.array_equal(out, pcm)
+
+
+def test_constant_blocks_choose_constant_subframe():
+    kind, _o, _m, bits = fc._best_encoding(np.zeros(4096, dtype=np.int64))
+    assert kind == "constant" and bits == 24
+    # a linear ramp differentiates to constants → fixed predictor wins
+    kind, order, _m, _bits = fc._best_encoding(np.arange(4096, dtype=np.int64))
+    assert kind == "fixed" and order >= 1
+
+
+def test_streaminfo_metadata():
+    pcm, raw = _fixture_clip(7)
+    info = fc.parse_streaminfo(raw)
+    assert info["sample_rate"] == AUDIO_RATE
+    assert info["channels"] == 1
+    assert info["bits_per_sample"] == 16
+    assert info["n_samples"] == pcm.size
+    assert info["duration_ms"] == pcm.size * 1000 // AUDIO_RATE
+    assert info["pcm_md5"] == hashlib.md5(pcm.astype("<i2").tobytes()).digest()
+
+
+# --- strict validation ----------------------------------------------------------
+
+
+def test_corruption_is_caught():
+    _pcm, raw = _fixture_clip(2)
+    frames_off = fc.parse_streaminfo(raw)["frames_offset"]
+    # flip one bit inside the first frame's audio payload
+    b = bytearray(raw)
+    b[frames_off + 20] ^= 0x10
+    with pytest.raises(ValueError, match="CRC|MD5|sync|sample"):
+        fc.decode_flac(bytes(b))
+    # corrupt the frame header → CRC-8
+    b = bytearray(raw)
+    b[frames_off + 2] ^= 0x01
+    with pytest.raises((ValueError, NotImplementedError)):
+        fc.decode_flac(bytes(b))
+    # bad magic
+    with pytest.raises(ValueError, match="magic"):
+        fc.parse_streaminfo(b"fLaX" + raw[4:])
+    # truncation
+    with pytest.raises(Exception):
+        fc.decode_flac(raw[:-3])
+
+
+def test_unsupported_features_gate_loudly():
+    _pcm, raw = _fixture_clip(1)
+    frames_off = fc.parse_streaminfo(raw)["frames_offset"]
+    # variable-blocksize strategy bit
+    b = bytearray(raw)
+    b[frames_off + 1] |= 0x01
+    with pytest.raises(NotImplementedError, match="variable blocksize"):
+        fc.decode_flac(bytes(b))
+    # stereo channel bits (header CRC recomputed so the gate, not the
+    # CRC check, must fire)
+    b = bytearray(raw)
+    b[frames_off + 3] = (0b0001 << 4) | (b[frames_off + 3] & 0x0F)
+    with pytest.raises(NotImplementedError, match="non-mono"):
+        fc.decode_flac(bytes(b))
+
+
+def test_coded_number_roundtrip():
+    for n in (0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10FFFF, (1 << 31) - 1):
+        enc = fc._coded_number(n)
+        got, pos = fc._read_coded_number(enc, 0)
+        assert got == n and pos == len(enc)
+        if n < 0x80:
+            assert len(enc) == 1
+
+
+def test_crc_vectors():
+    # CRC-8 poly 0x07: published check value for "123456789" is 0xF4
+    assert fc._crc8(b"123456789") == 0xF4
+    # CRC-16/BUYPASS (poly 0x8005, init 0, non-reflected): 0xFEE8
+    assert fc._crc16(b"123456789") == 0xFEE8
+
+
+# --- integration with the decode dispatch -------------------------------------
+
+
+def test_sniff_and_decode_one_flac():
+    pcm, raw = _fixture_clip(11)
+    assert _sniff(raw) == "flac"
+    out = _decode_one(FLAC_ID_BASE + 11, raw)
+    assert out["media_type"] == "audio"
+    assert out["codec"] == "flac"
+    assert out["sample_decode"] is True  # the r7 gate, now open
+    assert out["sample_rate"] == AUDIO_RATE
+    assert out["duration_ms"] == (1 + (FLAC_ID_BASE + 11) % 10) * 500
+
+
+def test_flac_compresses_silent_windows():
+    """The envelope's zero-amp windows must make FLAC beat raw PCM16 —
+    evidence the constant-subframe path actually engages on real
+    fixture content."""
+    total_pcm = total_flac = 0
+    for i in range(10):
+        pcm, raw = _fixture_clip(i)
+        total_pcm += 2 * pcm.size
+        total_flac += len(raw)
+    assert total_flac < total_pcm

@@ -216,8 +216,10 @@ def test_mm_decode_stats_gate_rate_is_measured(spark, sf_dir):
     from lime_etl_spark.plans.registry import get
 
     rows = {r.codec: r for r in get("mm_decode_stats").builder(spark, sf_dir).collect()}
-    assert set(rows) == {"ppm", "pcm_s16le", "y4m", "mp3", "mp4v", "vorbis"}
-    for codec in ("ppm", "pcm_s16le", "y4m"):
+    assert set(rows) == {"ppm", "pcm_s16le", "y4m", "mp3", "mp4v", "vorbis", "flac"}
+    # flac gate-rate 0.0 is the r7-verdict #1 'done' condition: the
+    # compressed container whose SAMPLE decode is fully available
+    for codec in ("ppm", "pcm_s16le", "y4m", "flac"):
         assert rows[codec].n_gated == 0 and rows[codec].gate_rate == 0.0
     for codec in ("mp3", "mp4v", "vorbis"):
         assert rows[codec].n_gated == rows[codec].n_media

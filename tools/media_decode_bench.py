@@ -140,5 +140,72 @@ def main() -> None:
     )
 
 
+def scale_main(k: int = 16) -> None:
+    """The committed data-bound scale leg (r7 verdict #5): both decode
+    legs at 1x and at k× the payload volume, MPix/s at each scale, the
+    wall-ratio, and the corpus decode gate-rate measured over the
+    images PLUS the entropy-A/V payloads a real crawl column carries.
+    Emits ONE JSON line to append to SCALE_r{N}.json so the
+    decode-throughput claim is reproducible without re-running the
+    bench by hand. Run alone (no concurrent Spark jobs)."""
+    spark = get_spark(app_name="media-decode-scale", shuffle_partitions=32)
+    from lime_etl_spark.functions.jvm_codecs import ensure_jvm_decoder
+    from lime_etl_spark.operators.multimodal import build_av_fixture, decode_media
+
+    ensure_jvm_decoder(spark)
+    legs = {}
+    corpora = {}
+    for kk, n in (("k1", 240), (f"k{k}", 240 * k)):
+        corpora[kk] = build_corpus(spark, n=n)
+    for name, leg in (("jvm", jvm_leg), ("python", python_leg)):
+        rec = {}
+        for kk, (df, total_px) in corpora.items():
+            leg(df)  # warm-up
+            runs = 3 if kk == "k1" else 2
+            times = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                leg(df)
+                times.append(time.perf_counter() - t0)
+            rec[f"{kk}_sec"] = round(min(times), 3)
+            rec[f"mpix_per_sec_{kk}"] = round(total_px / 1e6 / min(times), 2)
+        rec["wall_ratio"] = round(rec[f"k{k}_sec"] / rec["k1_sec"], 2)
+        legs[name] = rec
+
+    # measured gate-rate over a mixed crawl-like column: the 1x image
+    # corpus + the compressed A/V fixture (mp3/mp4/ogg header-only)
+    img_df, img_px = corpora["k1"]
+    mixed = img_df.unionByName(
+        build_av_fixture(spark, n=120).select("media_id", "content")
+    )
+    dec = decode_media(mixed)
+    agg = dec.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(~F.col("sample_decode"), 1).otherwise(0)).alias("gated"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "metric": "scale_leg_media_decode",
+                "k": k,
+                "images_k1": 240,
+                "mpix_k1": round(img_px / 1e6, 2),
+                "mpix_k16": round(corpora[f"k{k}"][1] / 1e6, 2),
+                "jvm": legs["jvm"],
+                "python": legs["python"],
+                "jvm_speedup_k1": round(legs["python"]["k1_sec"] / legs["jvm"]["k1_sec"], 2),
+                f"jvm_speedup_k{k}": round(
+                    legs["python"][f"k{k}_sec"] / legs["jvm"][f"k{k}_sec"], 2
+                ),
+                "mixed_corpus_rows": int(agg["n"]),
+                "gate_rate": round(int(agg["gated"]) / int(agg["n"]), 4),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--scale" in sys.argv:
+        scale_main()
+    else:
+        main()
