@@ -1,7 +1,9 @@
 """Round-8 operators: sequential experiment gating, character-entropy
-profiling, rich-club graph structure, and Gumbel weighted sampling.
+profiling, rich-club graph structure, Gumbel weighted sampling,
+off-policy IPS evaluation, embedding anisotropy, and next-event
+predictability.
 
-All four are LLM-data-pipeline / analytics ops the reference has no
+All eight are LLM-data-pipeline / analytics ops the reference has no
 analog for (lime-etl is orchestration-only); same engine discipline as
 their siblings: deterministic md5-bridge hashing (`shingle_int`),
 integer-exact aggregates with one final double division, fixed-shape
@@ -30,6 +32,20 @@ in the DuckDB oracle, and total output orders.
   key = ln(w) − ln(−ln(u)) with u a deterministic md5 uniform; the
   top-K keys ARE a WOR sample ∝ w. The curation sampler used when
   char-mass-weighted doc picks must be reproducible across engines.
+- `ev_offpolicy_ips` — inverse-propensity off-policy value estimates
+  over the logged uniform 2-arm assignment (Horvitz-Thompson): the
+  propensity is exactly 1/2, so the IPS weight is the integer 2 and
+  the estimator is exact int64 cents end-to-end.
+- `emb_dim_variance_audit` — per-dimension mean/variance/var-share on
+  the 2^20 fixed-point grid: the dead-dim / dominant-dim anisotropy
+  screen run before trusting cosine geometry.
+- `ev_next_event_entropy` — H(next|cur) per event type on the 1e-6
+  grid: the journey-predictability scalar ev_markov_transitions'
+  matrix feeds.
+- `dedup_minhash_bbit` — b-bit minhash compression trade (Li & König
+  2010): low-b-bits signatures with the collision-floor-corrected
+  estimator vs exact Jaccard — the bits-per-hash decision table for
+  the dedup index.
 """
 
 from __future__ import annotations
@@ -497,4 +513,539 @@ def samp_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_offpolicy_ips
+# ---------------------------------------------------------------------------
+
+# Logged assignment: the platform's uniform 2-arm md5 hash (propensity
+# exactly 1/2 per arm, so the IPS weight is the integer 2).
+IPS_POLICIES = (
+    ("always_treat", "1"),
+    ("always_control", "0"),
+    ("even_users_treated", "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END"),
+)
+
+
+def _ips_sql() -> str:
+    from lime_etl_spark.operators.training import _bucket_sql
+
+    legs = "\n        UNION ALL\n".join(
+        f"""
+        SELECT '{name}' AS policy,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN logged_arm = ({pi}) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matched,
+               CAST(SUM(CASE WHEN logged_arm = ({pi}) THEN 2 * r_cents ELSE 0 END)
+                   AS BIGINT) AS ips_cents,
+               CAST(SUM(r_cents) AS BIGINT) AS logged_cents
+        FROM per_user"""
+        for name, pi in IPS_POLICIES
+    )
+    return f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    rewards AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS r_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    per_user AS (
+        SELECT u.user_id,
+               {_bucket_sql("u.user_id", 2)} AS logged_arm,
+               COALESCE(r.r_cents, 0) AS r_cents
+        FROM users u LEFT JOIN rewards r USING (user_id)
+    ),
+    legs AS ({legs})
+    SELECT policy, n_users, n_matched,
+           CAST(ips_cents AS DOUBLE) / (100.0 * n_users) AS ips_value_per_user,
+           CAST(logged_cents AS DOUBLE) / (100.0 * n_users) AS logged_value_per_user,
+           CAST(n_matched AS DOUBLE) / n_users AS match_rate
+    FROM legs ORDER BY policy
+    """
+
+
+@register(
+    "ev_offpolicy_ips",
+    oracle=_ips_sql(),
+    description="off-policy evaluation via inverse propensity scoring over the logged uniform 2-arm assignment: IPS value estimate per candidate policy (exact integer cents, weight = 2) vs the logged mean — the counterfactual readout before shipping a targeting rule",
+)
+def ev_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation (Horvitz-Thompson / IPS): estimate what a
+    CANDIDATE targeting policy would have earned from logs collected
+    under the uniform md5 2-arm assignment, without running it —
+    V̂(π) = (1/N)·Σ_u 1{a_u = π(u)}·R_u/0.5. Because the logged
+    propensity is exactly 1/2, the weight is the INTEGER 2 and the
+    whole estimator is exact int64 cents until the final per-user
+    divisions. always_treat / always_control bracket the ladder (their
+    n_matched splits are the SRM counts) and a covariate policy sits
+    between; an unbiased IPS pipeline reproduces the logged mean when
+    π ≡ the logged assignment.
+
+    Scale: one distinct-users pass + one purchase rollup (map-side
+    combined), policies evaluated as CASE tags inside ONE aggregate
+    over the per-user frame (the union-legs-in-one-job discipline);
+    output is |policies| rows."""
+    from lime_etl_spark.operators.training import hash_bucket
+    from lime_etl_spark.functions.numeric import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    rewards = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg((F.sum(dec("value", 2, 12)) * 100).cast("bigint").alias("r_cents"))
+    )
+    per_user = users.join(rewards, "user_id", "left").select(
+        "user_id",
+        hash_bucket(F.col("user_id"), 2).alias("logged_arm"),
+        F.coalesce("r_cents", F.lit(0)).alias("r_cents"),
+    )
+    pis = {
+        "always_treat": F.lit(1).cast("bigint"),
+        "always_control": F.lit(0).cast("bigint"),
+        "even_users_treated": F.when(F.col("user_id") % 2 == 0, 1)
+        .otherwise(0)
+        .cast("bigint"),
+    }
+    legs = [
+        per_user.agg(
+            F.lit(name).alias("policy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.when(F.col("logged_arm") == pi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_matched"),
+            F.sum(
+                F.when(F.col("logged_arm") == pi, 2 * F.col("r_cents")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ips_cents"),
+            F.sum("r_cents").cast("bigint").alias("logged_cents"),
+        )
+        for name, pi in pis.items()
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.select(
+        "policy",
+        "n_users",
+        "n_matched",
+        (F.col("ips_cents").cast("double") / (100.0 * F.col("n_users"))).alias(
+            "ips_value_per_user"
+        ),
+        (F.col("logged_cents").cast("double") / (100.0 * F.col("n_users"))).alias(
+            "logged_value_per_user"
+        ),
+        (F.col("n_matched").cast("double") / F.col("n_users")).alias("match_rate"),
+    ).orderBy("policy")
+
+
+# ---------------------------------------------------------------------------
+# emb_dim_variance_audit
+# ---------------------------------------------------------------------------
+
+DIM_FP = 1 << 20  # 2^20 fixed-point grid (the kmeans_fit convention)
+
+
+@register(
+    "emb_dim_variance_audit",
+    oracle=f"""
+    WITH q AS (
+        SELECT d.dim - 1 AS dim,
+               CAST(FLOOR(CAST(e.v AS DOUBLE) * {DIM_FP}) AS BIGINT) AS qv
+        FROM (
+            SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+                   UNNEST(generate_series(1, len(embedding))) AS dim
+            FROM embeddings
+        ) AS d(v, dim), LATERAL (SELECT d.v AS v) e
+    ),
+    stats AS (
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qv) AS BIGINT) AS s,
+               CAST(SUM(qv * qv) AS BIGINT) AS ss,
+               CAST(n * ss - s * s AS BIGINT) AS num
+        FROM q GROUP BY dim
+    ),
+    -- fixed-length arrays make n identical across dims, so the share
+    -- reduces to num_d / Σ num_d: EXACT integers (decimal total for
+    -- headroom), never an order-dependent float sum of per-dim vars
+    tot AS (SELECT SUM(CAST(num AS DECIMAL(38,0))) AS tnum FROM stats)
+    SELECT CAST(dim AS INTEGER) AS dim, n,
+           (CAST(s AS DOUBLE) / n) / {DIM_FP} AS mean_value,
+           (CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+               / ({DIM_FP}.0 * {DIM_FP}) AS variance,
+           CAST(num AS DOUBLE) / CAST(tot.tnum AS DOUBLE) AS var_share
+    FROM stats CROSS JOIN tot
+    ORDER BY dim
+    """,
+    description="per-dimension mean/variance/variance-share of the embedding space on the 2^20 fixed-point grid — the dead-dim / dominant-dim health audit run before trusting cosine geometry",
+)
+def emb_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy audit: per dimension, mean, variance,
+    and the dimension's share of total variance. Dead dims (variance
+    ~0) waste index bytes; a dominant dim (share >> 1/d) makes cosine
+    effectively 1-dimensional — both are embedding-model pathologies
+    caught here before ANN tuning effort is spent. Complements
+    emb_fisher_ratio (between/within labels) with an unconditional
+    second-moment view.
+
+    Exactness: elements are quantized once to the 2^20 fixed-point
+    grid (the kmeans_fit convention — floor is a row-local fixed-shape
+    op), then every Σq and Σq² is exact int64; n·Σq²−(Σq)² assembles
+    in int64 (bounded: |q|≤2^20 ⇒ Σq² ≤ n·2^40 — at 1e10 rows shard
+    the sum in DECIMAL before the division) and pays ONE double
+    division per output cell. Scale: posexplode combines map-side to
+    |dims| counter rows; output is |dims| rows joined to a 1-row
+    total."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    ).select("dim", F.floor(F.col("v") * DIM_FP).cast("bigint").alias("qv"))
+    stats = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qv").cast("bigint").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("ss"),
+    ).withColumn(
+        "num",
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("bigint"),
+    )
+    var_fp = F.col("num").cast("double") / (F.col("n").cast("double") * F.col("n"))
+    # fixed-length arrays make n identical across dims, so var_share
+    # reduces to num_d / Σ num_d — EXACT integers (decimal total for
+    # headroom), never an order-dependent float sum of per-dim vars
+    tot = stats.agg(F.sum(F.col("num").cast("decimal(38,0)")).alias("tnum"))
+    return (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            ((F.col("s").cast("double") / F.col("n")) / DIM_FP).alias("mean_value"),
+            (var_fp / (float(DIM_FP) * DIM_FP)).alias("variance"),
+            (F.col("num").cast("double") / F.col("tnum").cast("double")).alias(
+                "var_share"
+            ),
+        )
+        .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_next_event_entropy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_next_event_entropy",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type, nxt, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+    ),
+    outs AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS n_successors
+        FROM trans GROUP BY event_type
+    ),
+    terms AS (
+        SELECT t.event_type, o.tot, o.n_successors,
+               CAST(FLOOR((t.c * log2(CAST(o.tot AS DOUBLE) / t.c)) * 1000000)
+                    AS BIGINT) AS bits_e6
+        FROM trans t JOIN outs o USING (event_type)
+    )
+    SELECT event_type,
+           ANY_VALUE(tot) AS n_transitions,
+           ANY_VALUE(n_successors) AS n_successors,
+           CAST(SUM(bits_e6) AS DOUBLE) / (ANY_VALUE(tot) * 1000000.0)
+               AS next_entropy_bits,
+           CAST(SUM(bits_e6) AS DOUBLE)
+               / (ANY_VALUE(tot) * 1000000.0 * log2(CAST(ANY_VALUE(n_successors) AS DOUBLE)))
+               AS normalized_entropy
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    description="next-event predictability: Shannon entropy of each event type's successor distribution (the scalar the ev_markov_transitions matrix feeds) — low entropy = scripted journeys, high = exploratory; 1e-6-grid term bits",
+)
+def ev_next_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How predictable is the NEXT event given the current one?
+    H(next|cur=t) per event type, plus the n-ary-normalized form
+    (entropy / log2(successors)) so types with different fan-outs
+    compare. The single-scalar summary of ev_markov_transitions'
+    matrix: funnels/scripted flows score near 0, exploratory surfaces
+    near 1 — the journey-predictability number a personalization
+    pipeline tracks for drift.
+
+    Exactness: the successor histogram is exact int64; each term
+    c·log2(tot/c) is one fixed-shape chain floored to 1e-6 (the
+    txt_entropy_profile discipline); entropy is an int64 term sum with
+    one double division (and one more for the normalized form —
+    log2(k) of a small int is deterministic). Scale: one lag window
+    per user (the sessionize shuffle), then counter-grain rollups to
+    |types|² and |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    trans = seq.groupBy("event_type", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    outs = trans.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_successors"),
+    )
+    terms = trans.join(outs, "event_type").select(
+        "event_type",
+        "tot",
+        "n_successors",
+        F.floor(
+            (F.col("c") * F.log2(F.col("tot").cast("double") / F.col("c"))) * 1000000
+        )
+        .cast("bigint")
+        .alias("bits_e6"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.first("tot").alias("n_transitions"),
+            F.first("n_successors").alias("n_successors"),
+            (
+                F.sum("bits_e6").cast("double") / (F.first("tot") * 1000000.0)
+            ).alias("next_entropy_bits"),
+            (
+                F.sum("bits_e6").cast("double")
+                / (
+                    F.first("tot")
+                    * 1000000.0
+                    * F.log2(F.first("n_successors").cast("double"))
+                )
+            ).alias("normalized_entropy"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_bbit
+# ---------------------------------------------------------------------------
+
+BBIT_LEGS = (1, 2, 4)  # b-bit widths probed next to the full-width estimator
+
+
+def _bbit_sql() -> str:
+    from lime_etl_spark.functions.text import MERSENNE_P, MINHASH_PERMS
+    from lime_etl_spark.operators.dedup import _SHINGLES_SQL, BAND_ROWS, N_BANDS
+
+    mins = ", ".join(
+        f"MIN((x * {a} + {b}) % {MERSENNE_P}) AS mh_{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    band_sigs = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, {sig} AS sig FROM sigs".format(
+            band=band,
+            sig=" || ',' || ".join(
+                f"CAST(mh_{band * BAND_ROWS + r} AS VARCHAR)"
+                for r in range(BAND_ROWS)
+            ),
+        )
+        for band in range(N_BANDS)
+    )
+    k = len(MINHASH_PERMS)
+
+    def match_sum(mask: int | None) -> str:
+        if mask is None:
+            return " + ".join(
+                f"(CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END)"
+                for j in range(k)
+            )
+        return " + ".join(
+            f"(CASE WHEN (a.mh_{j} & {mask}) = (b.mh_{j} & {mask}) THEN 1 ELSE 0 END)"
+            for j in range(k)
+        )
+
+    legs = []
+    for b in BBIT_LEGS:
+        two_b = 1 << b
+        legs.append(
+            f"""
+        SELECT 'b{b}' AS leg, CAST({16 * b} AS BIGINT) AS bits_per_sig,
+               CAST(FLOOR((CAST(m{b} * {two_b} - {k} AS DOUBLE) * 1000000)
+                          / {k * (two_b - 1)}) AS BIGINT) AS est_e6,
+               jq
+        FROM scored"""
+        )
+    legs.append(
+        f"""
+        SELECT 'full' AS leg, CAST({16 * 61} AS BIGINT) AS bits_per_sig,
+               CAST(mfull * {1_000_000 // k} AS BIGINT) AS est_e6, jq
+        FROM scored"""
+    )
+    m_cols = ", ".join(
+        f"({match_sum((1 << b) - 1)}) AS m{b}" for b in BBIT_LEGS
+    )
+    union = "\n        UNION ALL\n".join(legs)
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    buckets AS ({band_sigs}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.x = a.x
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    scored AS (
+        SELECT {m_cols}, ({match_sum(None)}) AS mfull,
+               (1000000 * i.n_inter) // (sa.n_sh + sb.n_sh - i.n_inter) AS jq
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        JOIN sigs a ON a.doc_id = i.doc_a
+        JOIN sigs b ON b.doc_id = i.doc_b
+    ),
+    legs AS ({union})
+    SELECT leg, bits_per_sig,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(est_e6) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean_est_jaccard,
+           CAST(SUM(jq) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean_exact_jaccard,
+           CAST(SUM(ABS(est_e6 - jq)) AS DOUBLE) / (COUNT(*) * 1000000.0)
+               AS mean_abs_err
+    FROM legs GROUP BY leg, bits_per_sig ORDER BY leg
+    """
+
+
+@register(
+    "dedup_minhash_bbit",
+    oracle=_bbit_sql(),
+    description="b-bit minhash compression trade (Li & Konig 2010): keep only the low b bits of each of the 16 minhash values — unbiased estimator (m·2^b−k)/(k·(2^b−1)) vs exact Jaccard on the LSH candidates, per b ∈ {1,2,4} next to the full-width estimator",
+)
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature-compression decision table for minhash at scale:
+    b-bit minhash (Li & König, WWW 2010) stores only the low b bits of
+    each permutation's minimum — a 16-perm signature shrinks from
+    ~976 bits to 16·b — and corrects the collision floor with
+    Ĵ_b = (m/k − 1/2^b)/(1 − 1/2^b). One row per width (b=1/2/4 and
+    the full-width reference) with mean estimate, mean exact Jaccard
+    and mean |error| over the same LSH candidate pairs
+    dedup_minhash_estimate_error calibrates on — the measured
+    answer to "how many bits per hash does the dedup index need".
+
+    Exactness: m is an exact int match count; the estimator is one
+    fixed-shape chain per distinct (m, b) (double division + FLOOR to
+    the 1e-6 grid — 17 distinct m values per leg); errors are int64
+    |est−jq|; every mean is one double division of int sums. The four
+    legs are tags over ONE scored pair frame (single job), not four
+    pipelines.
+
+    Scale: identical cost shape to the estimate-error query — the
+    pair frame tracks |LSH candidates|, never corpus²; the b-bit
+    masks are row-local bitwise ops on the 16-column signature rows."""
+    from lime_etl_spark.functions.text import MINHASH_PERMS
+    from lime_etl_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from lime_etl_spark.plans.registry import track_persist
+
+    k = len(MINHASH_PERMS)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist()
+    track_persist(sh)
+    sigs = minhash_signatures(sh).persist()
+    track_persist(sigs)
+    cand = lsh_candidates(sigs)
+    exact = jaccard_pairs(sh, candidates=cand, with_counts=True).select(
+        "doc_a",
+        "doc_b",
+        F.expr("1000000 * n_inter div (n_a + n_b - n_inter)").alias("jq"),
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(k)]
+    )
+    b_side = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(k)]
+    )
+
+    def m_col(mask: int | None) -> F.Column:
+        if mask is None:
+            terms = [
+                F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+                for j in range(k)
+            ]
+        else:
+            terms = [
+                F.when(
+                    F.col(f"a_{j}").bitwiseAND(F.lit(mask))
+                    == F.col(f"b_{j}").bitwiseAND(F.lit(mask)),
+                    1,
+                ).otherwise(0)
+                for j in range(k)
+            ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    scored = (
+        exact.join(a, "doc_a")
+        .join(b_side, "doc_b")
+        .select(
+            "jq",
+            *[m_col((1 << b) - 1).alias(f"m{b}") for b in BBIT_LEGS],
+            m_col(None).alias("mfull"),
+        )
+    )
+    leg_structs = [
+        F.struct(
+            F.lit(f"b{b}").alias("leg"),
+            F.lit(16 * b).cast("bigint").alias("bits_per_sig"),
+            F.floor(
+                ((F.col(f"m{b}") * (1 << b) - k).cast("double") * 1000000)
+                / (k * ((1 << b) - 1))
+            )
+            .cast("bigint")
+            .alias("est_e6"),
+        )
+        for b in BBIT_LEGS
+    ] + [
+        F.struct(
+            F.lit("full").alias("leg"),
+            F.lit(16 * 61).cast("bigint").alias("bits_per_sig"),
+            (F.col("mfull") * (1_000_000 // k)).cast("bigint").alias("est_e6"),
+        )
+    ]
+    legs = scored.select(
+        "jq", F.explode(F.array(*leg_structs)).alias("L")
+    ).select("jq", "L.leg", "L.bits_per_sig", "L.est_e6")
+    return (
+        legs.groupBy("leg", "bits_per_sig")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (F.sum("est_e6").cast("double") / (F.count(F.lit(1)) * 1000000.0)).alias(
+                "mean_est_jaccard"
+            ),
+            (F.sum("jq").cast("double") / (F.count(F.lit(1)) * 1000000.0)).alias(
+                "mean_exact_jaccard"
+            ),
+            (
+                F.sum(F.abs(F.col("est_e6") - F.col("jq"))).cast("double")
+                / (F.count(F.lit(1)) * 1000000.0)
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("leg")
     )

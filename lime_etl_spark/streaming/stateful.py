@@ -22,8 +22,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -125,4 +127,90 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
         outputStructType=RUNNING_TOTALS_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming CUSUM changepoint alarm (r8) — the online sibling of
+# ev_changepoint_cusum
+# ---------------------------------------------------------------------------
+
+CUSUM_ALARM_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), False),
+        StructField("n_obs", LongType(), False),
+        StructField("s_pos_cents", LongType(), False),
+        StructField("s_neg_cents", LongType(), False),
+        StructField("alarmed", BooleanType(), False),
+        StructField("alarm_n_obs", LongType(), True),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("n_obs", LongType(), False),
+        StructField("s_pos", LongType(), False),
+        StructField("s_neg", LongType(), False),
+        StructField("alarm_n", LongType(), False),  # 0 = not alarmed
+    ]
+)
+
+
+def cusum_alarm_stream(
+    stream: DataFrame, ref_cents: int, alarm_cents: int
+) -> DataFrame:
+    """Online two-sided CUSUM (Page 1954) per event type over a value
+    stream, in INTEGER CENTS: S⁺ = max(0, S⁺ + (x − ref)),
+    S⁻ = min(0, S⁻ + (x − ref)); the alarm latches at the first
+    micro-batch observation where |S| crosses ``alarm_cents`` and the
+    crossing index is remembered (once alarmed, always alarmed — the
+    monitor's page-out is idempotent). The streaming sibling of the
+    batch ev_changepoint_cusum: that one localizes a PAST level shift
+    exactly; this one watches the live stream with O(1) state per key
+    (four counters in the state store, sharded by event_type).
+
+    Rows within a micro-batch are walked in (ts, event_id) order so a
+    single-batch run is exactly the batch walk; across micro-batches
+    the order is arrival order, which IS the online semantic.
+    """
+
+    def update(
+        key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, sp, sn, alarm_n = state.get if state.exists else (0, 0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        cents = (
+            (batch["value"].fillna(0.0).astype("float64") * 100)
+            .round()
+            .astype("int64")
+        )
+        for c in cents:
+            n += 1
+            sp = max(0, sp + (int(c) - ref_cents))
+            sn = min(0, sn + (int(c) - ref_cents))
+            if alarm_n == 0 and (sp > alarm_cents or -sn > alarm_cents):
+                alarm_n = n
+        state.update((n, sp, sn, alarm_n))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_obs": [n],
+                "s_pos_cents": [sp],
+                "s_neg_cents": [sn],
+                "alarmed": [alarm_n > 0],
+                "alarm_n_obs": [alarm_n if alarm_n > 0 else None],
+            }
+        )
+
+    return (
+        stream.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CUSUM_ALARM_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -57,6 +57,10 @@ INVARIANCE_QUERIES = [
     "graph_rich_club",
     "samp_gumbel_topk",
     "mm_flac_compression_profile",
+    "ev_offpolicy_ips",
+    "emb_dim_variance_audit",
+    "ev_next_event_entropy",
+    "dedup_minhash_bbit",
 ]
 
 

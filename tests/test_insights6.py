@@ -1,6 +1,7 @@
 """Round-8 operator tests: independent references for the SPRT gate,
-character entropy, rich-club ladder, Gumbel top-k and the FLAC
-compression profile — each beyond the oracle hash-match."""
+character entropy, rich-club ladder, Gumbel top-k, the FLAC
+compression profile, off-policy IPS, embedding anisotropy, and
+next-event entropy — each beyond the oracle hash-match."""
 
 from __future__ import annotations
 
@@ -21,6 +22,10 @@ NEW_KEYS = [
     "graph_rich_club",
     "samp_gumbel_topk",
     "mm_flac_compression_profile",
+    "ev_offpolicy_ips",
+    "emb_dim_variance_audit",
+    "ev_next_event_entropy",
+    "dedup_minhash_bbit",
 ]
 
 
@@ -212,3 +217,116 @@ def test_flac_compression_profile_identities(spark, sf_dir):
         # md5 noise is incompressible but silent windows are free:
         # every class must land strictly below raw PCM plus container
         assert 0.5 < r.compression_ratio < 1.0
+
+
+# --- batch 2: ev_offpolicy_ips ----------------------------------------------------
+
+
+def test_ips_bracketing_identities(spark, sf_dir):
+    """always_treat and always_control partition the users, their IPS
+    estimates sum to 2x the logged mean (each user counted once with
+    weight 2), and the replayed md5 arms + integer cents match."""
+    rows = {r.policy: r for r in i6.ev_offpolicy_ips(spark, sf_dir).collect()}
+    t, c = rows["always_treat"], rows["always_control"]
+    assert t.n_users == c.n_users
+    assert t.n_matched + c.n_matched == t.n_users
+    assert t.match_rate + c.match_rate == 1.0
+    assert abs((t.ips_value_per_user + c.ips_value_per_user)
+               - 2 * t.logged_value_per_user) < 1e-9
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cents = (
+        ev[ev.event_type == "purchase"]
+        .assign(c=lambda d: (d.value.astype("float64") * 100).round().astype("int64"))
+        .groupby("user_id")["c"].sum()
+    )
+    users = ev["user_id"].unique()
+
+    def arm(u: int) -> int:
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+
+    ips = sum(2 * int(cents.get(u, 0)) for u in users if arm(u) == 1)
+    assert rows["always_treat"].ips_value_per_user == ips / (100.0 * len(users))
+    assert rows["always_treat"].n_matched == sum(1 for u in users if arm(u) == 1)
+
+
+# --- batch 2: emb_dim_variance_audit -----------------------------------------------
+
+
+def test_dim_variance_numpy_replay(spark, sf_dir):
+    import numpy as np
+
+    rows = i6.emb_dim_variance_audit(spark, sf_dir).collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy())
+    q = np.floor(mat.astype(np.float64) * (1 << 20)).astype(np.int64)
+    n = q.shape[0]
+    s = q.sum(axis=0)
+    ss = (q * q).sum(axis=0)
+    num = n * ss - s * s
+    assert len(rows) == mat.shape[1]
+    assert abs(sum(r.var_share for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        d = r.dim
+        assert r.n == n
+        assert r.mean_value == (float(s[d]) / n) / (1 << 20)
+        assert r.variance == (float(num[d]) / (float(n) * n)) / float((1 << 40))
+        assert r.var_share == float(num[d]) / float(int(num.sum()))
+        assert r.variance >= 0.0
+
+
+# --- batch 2: ev_next_event_entropy ------------------------------------------------
+
+
+def test_next_event_entropy_replay_and_bounds(spark, sf_dir):
+    rows = {r.event_type: r for r in i6.ev_next_event_entropy(spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    nxt = ev.groupby("user_id")["event_type"].shift(-1)
+    trans = (
+        pd.DataFrame({"cur": ev["event_type"], "nxt": nxt})
+        .dropna()
+        .groupby(["cur", "nxt"])
+        .size()
+    )
+    for cur, g in trans.groupby(level=0):
+        tot = int(g.sum())
+        bits = sum(
+            math.floor(int(c) * math.log2(tot / int(c)) * 1_000_000) for c in g
+        )
+        r = rows[cur]
+        assert r.n_transitions == tot
+        assert r.n_successors == len(g)
+        assert r.next_entropy_bits == bits / (tot * 1_000_000.0)
+        assert 0.0 <= r.normalized_entropy <= 1.0
+
+
+# --- batch 3: dedup_minhash_bbit ----------------------------------------------------
+
+
+def test_bbit_minhash_reconciles_with_estimate_error(spark, sf_dir):
+    """Same candidate pairs as dedup_minhash_estimate_error: pair
+    counts and the exact-Jaccard mass must reconcile, the full-width
+    leg must reproduce that query's estimator exactly, and the b-bit
+    estimator must be the collision-floor-corrected form."""
+    rows = {r.leg: r for r in i6.dedup_minhash_bbit(spark, sf_dir).collect()}
+    release_tracked_persists()
+    cal = all_queries()["dedup_minhash_estimate_error"].builder(spark, sf_dir).collect()
+    release_tracked_persists()
+    n_pairs = sum(r.n_pairs for r in cal)
+    assert {r.n_pairs for r in rows.values()} == {n_pairs}
+    assert set(rows) == {"b1", "b2", "b4", "full"}
+    # full leg == the calibration table's estimator, aggregated
+    est_mass = sum(r.matching_perms * 62500 * r.n_pairs for r in cal)
+    assert rows["full"].mean_est_jaccard == est_mass / (n_pairs * 1_000_000.0)
+    for r in rows.values():
+        assert r.mean_abs_err >= 0.0
+        assert -1.0 <= r.mean_est_jaccard <= 1.0
+    assert rows["b1"].bits_per_sig == 16
+    assert rows["b2"].bits_per_sig == 32
+    assert rows["b4"].bits_per_sig == 64
+    assert rows["full"].bits_per_sig == 16 * 61
+    # exact-Jaccard column is leg-independent (same pairs)
+    exacts = {round(r.mean_exact_jaccard, 12) for r in rows.values()}
+    assert len(exacts) == 1

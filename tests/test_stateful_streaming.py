@@ -184,3 +184,115 @@ def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
         spark.conf.unset(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
         )
+
+
+def test_cusum_alarm_stream_single_batch_replays_batch_walk(spark, sf_dir, tmp_path):
+    """One micro-batch covering all files: the in-batch (ts, event_id)
+    sort makes the stream walk identical to a pure-pandas CUSUM replay
+    — final S+/S-, alarm flag and crossing index must match exactly."""
+    import pandas as pd
+
+    from lime_etl_spark.streaming.stateful import cusum_alarm_stream
+
+    src = str(tmp_path / "events")
+    load_table(spark, sf_dir, "events").write.parquet(src)
+    ref_cents, alarm_cents = 3500, 100_000
+
+    stream = cusum_alarm_stream(
+        read_event_stream(spark, src), ref_cents=ref_cents, alarm_cents=alarm_cents
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cusum_single")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_type"]: r
+        for r in spark.table("cusum_single")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_obs").alias("n_obs"),
+            F.max_by("s_pos_cents", "n_obs").alias("s_pos_cents"),
+            F.max_by("s_neg_cents", "n_obs").alias("s_neg_cents"),
+            F.max_by("alarmed", "n_obs").alias("alarmed"),
+            F.max_by("alarm_n_obs", "n_obs").alias("alarm_n_obs"),
+        )
+        .collect()
+    }
+
+    ev = pd.read_parquet(src).sort_values(["ts", "event_id"])
+    for etype, g in ev.groupby("event_type"):
+        n = sp = sn = alarm_n = 0
+        for v in g["value"]:
+            n += 1
+            c = int(round(float(v) * 100))
+            sp = max(0, sp + c - ref_cents)
+            sn = min(0, sn + c - ref_cents)
+            if alarm_n == 0 and (sp > alarm_cents or -sn > alarm_cents):
+                alarm_n = n
+        r = got[etype]
+        assert r["n_obs"] == n
+        assert r["s_pos_cents"] == sp and r["s_neg_cents"] == sn
+        assert r["alarmed"] == (alarm_n > 0)
+        assert (r["alarm_n_obs"] or 0) == alarm_n
+
+
+def test_cusum_alarm_latches_across_micro_batches(spark, tmp_path):
+    """Order-invariant planted keys across SEVERAL micro-batches: a key
+    whose every observation sits above ref accumulates S+ = Σ(x−ref)
+    regardless of arrival order (alarm latches at a deterministic
+    index), and an all-below key keeps S+ = 0 with the mirrored S-."""
+    import datetime as dt
+
+    from lime_etl_spark.streaming.stateful import cusum_alarm_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(90):
+        rows.append((i + 1, t0 + dt.timedelta(minutes=i), 1, "hot", 45.0, "{}"))
+        rows.append((1000 + i, t0 + dt.timedelta(minutes=i), 2, "cold", 25.0, "{}"))
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).repartition(3).write.parquet(src)
+
+    stream = cusum_alarm_stream(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        ref_cents=3500,
+        alarm_cents=50_000,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cusum_multi")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("cusum_multi")
+    # state persisted across micro-batches
+    assert out.groupBy("event_type").count().where("count > 1").count() > 0
+    final = {
+        r["event_type"]: r
+        for r in out.groupBy("event_type")
+        .agg(
+            F.max("n_obs").alias("n_obs"),
+            F.max_by("s_pos_cents", "n_obs").alias("s_pos_cents"),
+            F.max_by("s_neg_cents", "n_obs").alias("s_neg_cents"),
+            F.max_by("alarm_n_obs", "n_obs").alias("alarm_n_obs"),
+        )
+        .collect()
+    }
+    # hot: +1000 cents per obs -> alarm strictly after 50 obs, latched at 51
+    assert final["hot"]["n_obs"] == 90
+    assert final["hot"]["s_pos_cents"] == 90 * 1000
+    assert final["hot"]["alarm_n_obs"] == 51
+    # cold: -1000 per obs -> S+ pinned at 0, S- runs negative, alarms at 51
+    assert final["cold"]["s_pos_cents"] == 0
+    assert final["cold"]["s_neg_cents"] == -90 * 1000
+    assert final["cold"]["alarm_n_obs"] == 51

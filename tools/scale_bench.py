@@ -24,10 +24,10 @@ Timing-only: correctness at these scales is already covered by the
 sf0.01 oracle sweep; nothing here feeds CORRECTNESS artifacts.
 
 Usage: python tools/scale_bench.py [K] [SRC_SF_DIR] [QUERY_SET]
-QUERY_SET ∈ {core (default), bucketed, r6new, r7new, hub, bpe} —
+QUERY_SET ∈ {core (default), bucketed, r6new, r7new, r8new, hub, bpe} —
 `bucketed` runs the LSH/connected-components/PageRank/sliding-window
 families (r5 verdict #3; see BUCKETED_QUERIES for why document text
-is rotated per-replica), `r6new`/`r7new` the round-6/7 operator
+is rotated per-replica), `r6new`/`r7new`/`r8new` the round-6/7/8 operator
 families (see R6_QUERIES for why the quadratic-by-design calibration
 tables are excluded), `hub` the planted-hub wedge-join leg (r6
 verdict #2; K and SRC are ignored — see hub_leg), `bpe` the
@@ -125,11 +125,27 @@ R7_QUERIES = {
     "graph_local_clustering": "documents",
     "samp_kcenter_coreset": "embeddings",
 }
+# Round-8 additions with a data-bound shape: SPRT and the bigram LM
+# are one-window / counter-grain over events/tokens (linear), char
+# entropy pays the corpus-linear char histogram, rich-club is degree-
+# join-bound over the verified pair graph (rotated text keeps
+# cross-replica shingles disjoint), and Gumbel top-K is one row-local
+# key pass + TakeOrdered. The FLAC queries are fixture-bound (not
+# sf-driven) and deliberately absent — their scale leg is the media
+# decode-throughput row (tools/media_decode_bench.py --scale).
+R8_QUERIES = {
+    "ev_sprt_gate": "events",
+    "cur_perplexity_bigram": "documents",
+    "txt_entropy_profile": "documents",
+    "graph_rich_club": "documents",
+    "samp_gumbel_topk": "documents",
+}
 QUERY_SETS = {
     "core": QUERIES,
     "bucketed": BUCKETED_QUERIES,
     "r6new": R6_QUERIES,
     "r7new": R7_QUERIES,
+    "r8new": R8_QUERIES,
 }
 
 
