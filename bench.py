@@ -464,5 +464,31 @@ def main() -> None:
     spark.stop()
 
 
+def delta_from(record_path: str, dm_path: str) -> None:
+    """Regenerate BENCH_DELTA.md from a SAVED run's artifacts (the
+    final-line record + its BENCH_DATA_METRICS payload, which carries
+    the per-query IQRs) — no re-timing. Exists so the committed
+    (BENCH json, BENCH_DELTA.md) pair can always come from the SAME
+    clean run even when later diagnostic runs have overwritten the
+    delta file (r8: bursty host load made every re-run a coin flip)."""
+    with open(record_path) as fh:
+        rec = json.load(fh)
+    with open(dm_path) as fh:
+        dm = json.load(fh)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    _write_delta(
+        repo,
+        rec["queries"],
+        dict(rec.get("queries_best", {}), **rec.get("heavy_best", {})),
+        rec.get("heavy", {}),
+        str(rec.get("sf")),
+        spreads=dm.get("spread", {}),
+        calib=rec.get("calib_sec"),
+    )
+
+
 if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--delta-from":
+        delta_from(sys.argv[2], sys.argv[3])
+        sys.exit(0)
     sys.exit(main())

@@ -391,3 +391,182 @@ def ogg_info(raw: bytes) -> dict:
         "n_pages": n_pages,
         "duration_ms": last_granule * 1000 // rate,
     }
+
+
+# ---------------------------------------------------------------------------
+# Matroska/WebM — RFC 8794 EBML + the Matroska element vocabulary
+# ---------------------------------------------------------------------------
+# Metadata-first, same contract as MP3/MP4/Ogg (r6 verdict #3 extended
+# r8): duration / dims / codec-id come from a strict EBML element walk
+# (VINT-coded sizes verified to tile every master element exactly);
+# SAMPLE decode stays gated — the payload codec (VP9 etc.) is entropy
+# code this environment cannot decode.
+
+MKV_TIMESTAMP_SCALE = 1_000_000  # ns per tick -> Duration is in ms
+
+
+def _vint(n: int) -> bytes:
+    """EBML VINT encoding of a size (RFC 8794 §4): the marker bit in
+    the first byte says how many bytes follow."""
+    for nbytes in range(1, 9):
+        if n < (1 << (7 * nbytes)) - 1:  # all-ones is reserved ("unknown")
+            marker = 1 << (8 - nbytes)
+            body = n | (marker << (8 * (nbytes - 1)))
+            return body.to_bytes(nbytes, "big")
+    raise ValueError("EBML size too large")
+
+
+def _read_vint(raw: bytes, pos: int) -> tuple[int, int]:
+    first = raw[pos]
+    if first == 0:
+        raise ValueError(f"invalid EBML VINT at byte {pos}")
+    nbytes = 9 - first.bit_length()
+    val = int.from_bytes(raw[pos : pos + nbytes], "big")
+    val &= (1 << (7 * nbytes)) - 1  # strip the marker bit
+    return val, pos + nbytes
+
+
+def _el(eid: bytes, payload: bytes) -> bytes:
+    return eid + _vint(len(payload)) + payload
+
+
+def _uint_el(eid: bytes, n: int) -> bytes:
+    nbytes = max(1, (n.bit_length() + 7) // 8)
+    return _el(eid, n.to_bytes(nbytes, "big"))
+
+
+def encode_mkv(
+    media_id: int, duration_ms: int, width: int, height: int, payload_bytes: int
+) -> bytes:
+    """Structurally valid Matroska file: EBML header (DocType
+    matroska), Segment with Info (TimestampScale + float Duration),
+    one VP9 video TrackEntry with real pixel dims, and a Cluster
+    carrying one SimpleBlock of md5-chain bytes standing in for the
+    entropy-coded samples."""
+    ebml = _el(
+        b"\x1a\x45\xdf\xa3",
+        _uint_el(b"\x42\x86", 1)  # EBMLVersion
+        + _uint_el(b"\x42\xf7", 1)  # EBMLReadVersion
+        + _uint_el(b"\x42\xf2", 4)  # EBMLMaxIDLength
+        + _uint_el(b"\x42\xf3", 8)  # EBMLMaxSizeLength
+        + _el(b"\x42\x82", b"matroska")  # DocType
+        + _uint_el(b"\x42\x87", 4)  # DocTypeVersion
+        + _uint_el(b"\x42\x85", 2),  # DocTypeReadVersion
+    )
+    info = _el(
+        b"\x15\x49\xa9\x66",
+        _uint_el(b"\x2a\xd7\xb1", MKV_TIMESTAMP_SCALE)
+        + _el(b"\x44\x89", struct.pack(">d", float(duration_ms))),
+    )
+    video = _el(
+        b"\xe0", _uint_el(b"\xb0", width) + _uint_el(b"\xba", height)
+    )
+    track = _el(
+        b"\xae",
+        _uint_el(b"\xd7", 1)  # TrackNumber
+        + _uint_el(b"\x73\xc5", media_id & 0xFFFFFFFF)  # TrackUID
+        + _uint_el(b"\x83", 1)  # TrackType video
+        + _el(b"\x86", b"V_VP9")  # CodecID
+        + video,
+    )
+    tracks = _el(b"\x16\x54\xae\x6b", track)
+    block = b"\x81" + struct.pack(">h", 0) + b"\x80" + _chain(
+        f"mkv:{media_id}", payload_bytes
+    )
+    cluster = _el(
+        b"\x1f\x43\xb6\x75", _uint_el(b"\xe7", 0) + _el(b"\xa3", block)
+    )
+    segment = _el(b"\x18\x53\x80\x67", info + tracks + cluster)
+    return ebml + segment
+
+
+_MKV_IDS = {
+    "ebml": b"\x1a\x45\xdf\xa3",
+    "doctype": b"\x42\x82",
+    "segment": b"\x18\x53\x80\x67",
+    "info": b"\x15\x49\xa9\x66",
+    "tscale": b"\x2a\xd7\xb1",
+    "duration": b"\x44\x89",
+    "tracks": b"\x16\x54\xae\x6b",
+    "track": b"\xae",
+    "tracktype": b"\x83",
+    "codec": b"\x86",
+    "video": b"\xe0",
+    "pixw": b"\xb0",
+    "pixh": b"\xba",
+}
+
+
+def _read_element(raw: bytes, pos: int, end: int) -> tuple[bytes, int, int]:
+    """(element id bytes, payload start, payload end) — size arithmetic
+    verified against the enclosing element."""
+    first = raw[pos]
+    id_len = 9 - (first.bit_length() if first else 0)
+    if not first or id_len > 4:
+        raise ValueError(f"invalid EBML element id at byte {pos}")
+    eid = raw[pos : pos + id_len]
+    size, body = _read_vint(raw, pos + id_len)
+    if body + size > end:
+        raise ValueError(f"EBML element at byte {pos} overruns its parent")
+    return eid, body, body + size
+
+
+def _walk_ebml(raw: bytes, start: int, end: int):
+    pos = start
+    while pos < end:
+        eid, a, b = _read_element(raw, pos, end)
+        yield eid, a, b
+        pos = b
+    if pos != end:
+        raise ValueError("EBML elements do not tile the parent")
+
+
+def mkv_info(raw: bytes) -> dict:
+    """Strict EBML walk: DocType validated, duration from
+    Info(TimestampScale × float Duration), dims from the first video
+    TrackEntry, codec from its CodecID."""
+    top = list(_walk_ebml(raw, 0, len(raw)))
+    if not top or top[0][0] != _MKV_IDS["ebml"]:
+        raise ValueError("not an EBML stream (missing header)")
+    ha, hb = top[0][1], top[0][2]
+    doctype = None
+    for eid, a, b in _walk_ebml(raw, ha, hb):
+        if eid == _MKV_IDS["doctype"]:
+            doctype = raw[a:b].rstrip(b"\x00").decode("ascii")
+    if doctype not in ("matroska", "webm"):
+        raise NotImplementedError(f"EBML DocType {doctype!r} is not Matroska/WebM")
+    out: dict = {
+        "codec": None, "duration_ms": None, "width": None, "height": None,
+        "doctype": doctype,
+    }
+    tscale, duration_ticks = MKV_TIMESTAMP_SCALE, None
+    for eid, a, b in top[1:]:
+        if eid != _MKV_IDS["segment"]:
+            continue
+        for e2, a2, b2 in _walk_ebml(raw, a, b):
+            if e2 == _MKV_IDS["info"]:
+                for e3, a3, b3 in _walk_ebml(raw, a2, b2):
+                    if e3 == _MKV_IDS["tscale"]:
+                        tscale = int.from_bytes(raw[a3:b3], "big")
+                    elif e3 == _MKV_IDS["duration"]:
+                        n = b3 - a3
+                        duration_ticks = struct.unpack(
+                            ">d" if n == 8 else ">f", raw[a3:b3]
+                        )[0]
+            elif e2 == _MKV_IDS["tracks"]:
+                for e3, a3, b3 in _walk_ebml(raw, a2, b2):
+                    if e3 != _MKV_IDS["track"]:
+                        continue
+                    for e4, a4, b4 in _walk_ebml(raw, a3, b3):
+                        if e4 == _MKV_IDS["codec"] and out["codec"] is None:
+                            out["codec"] = raw[a4:b4].decode("ascii").lower()
+                        elif e4 == _MKV_IDS["video"]:
+                            for e5, a5, b5 in _walk_ebml(raw, a4, b4):
+                                if e5 == _MKV_IDS["pixw"]:
+                                    out["width"] = int.from_bytes(raw[a5:b5], "big")
+                                elif e5 == _MKV_IDS["pixh"]:
+                                    out["height"] = int.from_bytes(raw[a5:b5], "big")
+    if duration_ticks is None or out["codec"] is None:
+        raise ValueError("Matroska segment missing Info duration / track codec")
+    out["duration_ms"] = int(duration_ticks * tscale / 1_000_000)
+    return out

@@ -361,6 +361,68 @@ def _flac_fixture_sizes(n: int = FLAC_FIXTURE_N) -> list[int]:
 _FLAC_SIZES_CACHE: list[int] | None = None
 
 
+MKV_ID_BASE = 3000  # Matroska fixture ids: disjoint from base/AV/FLAC
+MKV_FIXTURE_N = 30
+
+
+def _encode_mkv_row(i: int) -> tuple:
+    media_id = MKV_ID_BASE + i
+    duration_ms = (1 + media_id % 10) * 500
+    width = 320 + (i % 5) * 16
+    content = av_containers.encode_mkv(
+        media_id, duration_ms, width, 240, 200 + (i % 7) * 100
+    )
+    return media_id, "video", content, (width, 240, 3, None, duration_ms, "v_vp9")
+
+
+def build_mkv_fixture(
+    spark: SparkSession, n: int = MKV_FIXTURE_N, partitions: int = 8
+) -> DataFrame:
+    """Deterministic Matroska media table (r8): real EBML structure
+    (RFC 8794 VINT-coded elements, Info/Tracks/Cluster) around
+    md5-chain sample payloads — metadata-first like MP3/MP4/Ogg
+    (sample_decode=False; VP9 is entropy code this environment cannot
+    decode). Same schema/distributed generation as the other
+    fixtures."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_encode_mkv_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "media_type": [r[1] for r in rows],
+                    "content": [r[2] for r in rows],
+                    "meta": [
+                        {
+                            "width": r[3][0],
+                            "height": r[3][1],
+                            "channels": r[3][2],
+                            "sample_rate": r[3][3],
+                            "duration_ms": r[3][4],
+                            "codec": r[3][5],
+                        }
+                        for r in rows
+                    ],
+                }
+            )
+
+    return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _mkv_fixture_sizes(n: int = MKV_FIXTURE_N) -> list[int]:
+    """Per-file byte sizes straight from the encoder (VINT size-field
+    widths make a closed formula brittle) — derived at oracle-build
+    time, so the decode-stats arm can never drift from the code."""
+    global _MKV_SIZES_CACHE
+    if _MKV_SIZES_CACHE is None or len(_MKV_SIZES_CACHE) != n:
+        _MKV_SIZES_CACHE = [len(_encode_mkv_row(i)[2]) for i in range(n)]
+    return _MKV_SIZES_CACHE
+
+
+_MKV_SIZES_CACHE: list[int] | None = None
+
+
 # bump when _encode/_payload change: the cached fixture parquet path is
 # keyed by (n, version) so a generator change can never serve stale bytes
 _FIXTURE_PARQUET_VERSION = 1
@@ -458,14 +520,12 @@ def _y4m_frame(raw: bytes, ix: int) -> tuple[int, int, np.ndarray]:
     return width, height, planes.reshape(3, height, width)  # Y, U, V
 
 
-_CODEC_HINTS = {
-    b"\x1aE": "Matroska/WebM (needs libav)",
-}
+_CODEC_HINTS = {}
 
 # Containers whose HEADERS parse from spec (av_containers.py) but whose
 # entropy-coded samples this environment cannot decode: metadata-first
 # rows with sample_decode=False; the pixel/PCM stages gate loudly.
-_METADATA_ONLY = frozenset(("mp3", "mp4", "ogg"))
+_METADATA_ONLY = frozenset(("mp3", "mp4", "ogg", "mkv"))
 
 
 def _sniff(raw: bytes) -> str:
@@ -492,6 +552,8 @@ def _sniff(raw: bytes) -> str:
         return "ogg"  # RFC 3533 page walk (av_containers.py)
     if raw[:4] == b"fLaC":
         return "flac"  # full from-spec sample decode (flac_codec.py)
+    if raw[:4] == b"\x1a\x45\xdf\xa3":
+        return "mkv"  # RFC 8794 EBML walk (av_containers.py, r8)
     if raw[:3] == b"ID3" or (len(raw) > 1 and raw[0] == 0xFF and raw[1] & 0xE0 == 0xE0):
         return "mp3"  # ISO/IEC 11172-3 frame walk (av_containers.py)
     hint = _CODEC_HINTS.get(raw[:2], "unknown container")
@@ -630,6 +692,15 @@ def _decode_one(media_id: int, content: bytes) -> dict:
             media_type="audio",
             sample_rate=int(info["sample_rate"]),
             duration_ms=int(info["duration_ms"]),
+        )
+    elif kind == "mkv":
+        info = av_containers.mkv_info(raw)
+        out.update(
+            media_type="video",
+            width=info["width"],
+            height=info["height"],
+            duration_ms=info["duration_ms"],
+            codec=info["codec"],
         )
     else:  # y4m
         w, h, fps, n_frames, _off = _parse_y4m_header(raw)
@@ -1123,7 +1194,10 @@ from lime_etl_spark.plans.registry import register  # noqa: E402
 
 
 def _decode_stats_oracle(
-    n: int = 300, n_av: int = 120, n_flac: int = FLAC_FIXTURE_N
+    n: int = 300,
+    n_av: int = 120,
+    n_flac: int = FLAC_FIXTURE_N,
+    n_mkv: int = MKV_FIXTURE_N,
 ) -> str:
     """Replay mm_decode_stats ARITHMETICALLY: the fixture's geometry
     (dims, durations, container byte counts) is a pure formula of
@@ -1153,6 +1227,9 @@ def _decode_stats_oracle(
     mp4_oh = av_containers.mp4_overhead()
     flac_rows = ", ".join(
         f"({i}, {sz})" for i, sz in enumerate(_flac_fixture_sizes(n_flac))
+    )
+    mkv_rows = ", ".join(
+        f"({i}, {sz})" for i, sz in enumerate(_mkv_fixture_sizes(n_mkv))
     )
     return f"""
 WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range({n})),
@@ -1205,7 +1282,15 @@ flac AS (
          (1 + ({FLAC_ID_BASE} + i) % 10) * 500 AS duration_ms,
          0 AS gated
   FROM (VALUES {flac_rows}) AS t(i, n_bytes)),
-r AS (SELECT * FROM base UNION ALL SELECT * FROM av UNION ALL SELECT * FROM flac)
+mkv AS (
+  SELECT 'v_vp9' AS codec,
+         n_bytes,
+         CAST(320 + (i % 5) * 16 AS BIGINT) AS width,
+         (1 + ({MKV_ID_BASE} + i) % 10) * 500 AS duration_ms,
+         1 AS gated
+  FROM (VALUES {mkv_rows}) AS t(i, n_bytes)),
+r AS (SELECT * FROM base UNION ALL SELECT * FROM av
+      UNION ALL SELECT * FROM flac UNION ALL SELECT * FROM mkv)
 SELECT codec,
        CAST(COUNT(*) AS BIGINT) AS n_media,
        CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
@@ -1237,11 +1322,14 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulas (_decode_stats_oracle) — the Spark side must recover the
     same numbers from the BYTES. The flac group (r7 verdict #1) must
     come back gate_rate 0.0 — its sample decode is REAL (flac_codec.py
-    verifies every frame CRC and the STREAMINFO PCM MD5)."""
+    verifies every frame CRC and the STREAMINFO PCM MD5) — while the
+    Matroska leg (r8) is metadata-first like MP3/MP4/Ogg: the EBML
+    walk recovers dims/duration/codec but VP9 samples stay gated."""
     media = (
         build_media_fixture(spark, n=300)
         .unionByName(build_av_fixture(spark, n=120))
         .unionByName(build_flac_fixture(spark))
+        .unionByName(build_mkv_fixture(spark))
     )
     decoded = decode_media(media)
     return (
