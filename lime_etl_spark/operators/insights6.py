@@ -95,28 +95,25 @@ SPRT_LOWER_E6 = -SPRT_UPPER_E6
                                   ORDER BY ts, event_id) AS n_obs
         FROM obs
     ),
-    crossings AS (
-        SELECT event_type, llr_e6, n_obs,
-               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n_obs) AS rn
-        FROM path
-        WHERE llr_e6 >= {SPRT_UPPER_E6} OR llr_e6 <= {SPRT_LOWER_E6}
-    ),
-    finals AS (
-        SELECT event_type, MAX(n_obs) AS total_obs,
-               MAX_BY(llr_e6, n_obs) AS final_llr_e6
+    agg AS (
+        SELECT event_type,
+               CAST(MAX(n_obs) AS BIGINT) AS total_obs,
+               CAST(MAX_BY(llr_e6, n_obs) AS BIGINT) AS final_llr_e6,
+               MIN(CASE WHEN llr_e6 >= {SPRT_UPPER_E6}
+                          OR llr_e6 <= {SPRT_LOWER_E6} THEN n_obs END) AS cross_n,
+               MIN_BY(llr_e6, CASE WHEN llr_e6 >= {SPRT_UPPER_E6}
+                                     OR llr_e6 <= {SPRT_LOWER_E6} THEN n_obs END)
+                   AS cross_llr
         FROM path GROUP BY event_type
     )
-    SELECT f.event_type,
-           CAST(f.total_obs AS BIGINT) AS total_obs,
-           CAST(f.final_llr_e6 AS BIGINT) AS final_llr_e6,
-           CASE WHEN c.n_obs IS NULL THEN 'continue'
-                WHEN c.llr_e6 >= {SPRT_UPPER_E6} THEN 'accept_h1'
+    SELECT event_type, total_obs, final_llr_e6,
+           CASE WHEN cross_n IS NULL THEN 'continue'
+                WHEN cross_llr >= {SPRT_UPPER_E6} THEN 'accept_h1'
                 ELSE 'accept_h0' END AS decision,
-           CAST(COALESCE(c.n_obs, f.total_obs) AS BIGINT) AS n_at_decision,
-           CAST(COALESCE(c.n_obs, f.total_obs) AS DOUBLE) / f.total_obs
+           CAST(COALESCE(cross_n, total_obs) AS BIGINT) AS n_at_decision,
+           CAST(COALESCE(cross_n, total_obs) AS DOUBLE) / total_obs
                AS obs_saved_share
-    FROM finals f
-    LEFT JOIN (SELECT * FROM crossings WHERE rn = 1) c USING (event_type)
+    FROM agg
     ORDER BY event_type
     """,
     description="Wald SPRT early-stopping gate per event type (H0 p=0.35 vs H1 p=0.40 on value>50): first boundary crossing, decision, and the share of observations a fixed-horizon test would have wasted — LLR increments are 1e-6-grid integer constants",
@@ -152,45 +149,38 @@ def ev_sprt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("inc_e6").over(w).alias("llr_e6"),
         F.row_number().over(w).alias("n_obs"),
     )
-    crossed = path.where(
-        (F.col("llr_e6") >= SPRT_UPPER_E6) | (F.col("llr_e6") <= SPRT_LOWER_E6)
+    # ONE aggregate over the window output — the first-crossing pick is
+    # MIN/MIN_BY with a CASE ordering key (null = not a crossing; both
+    # engines skip null-ordered rows in min_by, verified), so the
+    # window pipeline runs ONCE instead of feeding two sibling
+    # branches (the r8 plan audit showed the two-branch form paying
+    # the events scan + window shuffle twice)
+    crossing = F.when(
+        (F.col("llr_e6") >= SPRT_UPPER_E6) | (F.col("llr_e6") <= SPRT_LOWER_E6),
+        F.col("n_obs"),
     )
-    first = (
-        crossed.withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("event_type").orderBy("n_obs")),
-        )
-        .where(F.col("rn") == 1)
-        .select(
-            "event_type",
-            F.col("llr_e6").alias("cross_llr_e6"),
-            F.col("n_obs").alias("cross_n"),
-        )
-    )
-    finals = path.groupBy("event_type").agg(
+    agg = path.groupBy("event_type").agg(
         F.max("n_obs").cast("bigint").alias("total_obs"),
         F.max_by("llr_e6", "n_obs").cast("bigint").alias("final_llr_e6"),
+        F.min(crossing).alias("cross_n"),
+        F.min_by("llr_e6", crossing).alias("cross_llr_e6"),
     )
-    return (
-        finals.join(first, "event_type", "left")
-        .select(
-            "event_type",
-            "total_obs",
-            "final_llr_e6",
-            F.when(F.col("cross_n").isNull(), F.lit("continue"))
-            .when(F.col("cross_llr_e6") >= SPRT_UPPER_E6, F.lit("accept_h1"))
-            .otherwise(F.lit("accept_h0"))
-            .alias("decision"),
-            F.coalesce(F.col("cross_n"), F.col("total_obs"))
-            .cast("bigint")
-            .alias("n_at_decision"),
-            (
-                F.coalesce(F.col("cross_n"), F.col("total_obs")).cast("double")
-                / F.col("total_obs")
-            ).alias("obs_saved_share"),
-        )
-        .orderBy("event_type")
-    )
+    return agg.select(
+        "event_type",
+        "total_obs",
+        "final_llr_e6",
+        F.when(F.col("cross_n").isNull(), F.lit("continue"))
+        .when(F.col("cross_llr_e6") >= SPRT_UPPER_E6, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        F.coalesce(F.col("cross_n"), F.col("total_obs"))
+        .cast("bigint")
+        .alias("n_at_decision"),
+        (
+            F.coalesce(F.col("cross_n"), F.col("total_obs")).cast("double")
+            / F.col("total_obs")
+        ).alias("obs_saved_share"),
+    ).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------
