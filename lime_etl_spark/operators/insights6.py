@@ -3,7 +3,7 @@ profiling, rich-club graph structure, Gumbel weighted sampling,
 off-policy IPS evaluation, embedding anisotropy, and next-event
 predictability.
 
-All eight are LLM-data-pipeline / analytics ops the reference has no
+All ten are LLM-data-pipeline / analytics ops the reference has no
 analog for (lime-etl is orchestration-only); same engine discipline as
 their siblings: deterministic md5-bridge hashing (`shingle_int`),
 integer-exact aggregates with one final double division, fixed-shape
@@ -46,6 +46,13 @@ in the DuckDB oracle, and total output orders.
   2010): low-b-bits signatures with the collision-floor-corrected
   estimator vs exact Jaccard — the bits-per-hash decision table for
   the dedup index.
+- `samp_ks_split_drift` — exact two-sample Kolmogorov-Smirnov test of
+  the length distribution across the shipped hash split, per language
+  (integer cross-multiplied ECDFs): the continuous drift audit next
+  to samp_split_balance's categorical one.
+- `q_theil_decomposition` — Theil-T inequality decomposed into
+  between-nation + within-nation components (the decomposability
+  gini lacks); ln terms on the 1e-6 grid, identity pytest-pinned.
 """
 
 from __future__ import annotations
@@ -1038,4 +1045,259 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_abs_err"),
         )
         .orderBy("leg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# samp_ks_split_drift
+# ---------------------------------------------------------------------------
+
+KS_TRAIN_CUT = 80  # the shipped 80/20 hash split (samp_hash_split's bucket)
+
+
+def _ks_sql() -> str:
+    from lime_etl_spark.operators.training import _bucket_sql
+
+    return f"""
+    WITH tagged AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS v,
+               CASE WHEN {_bucket_sql("doc_id", 100)} < {KS_TRAIN_CUT}
+                    THEN 1 ELSE 0 END AS is_train
+        FROM documents
+    ),
+    cells AS (
+        SELECT lang, v,
+               CAST(SUM(is_train) AS BIGINT) AS a,
+               CAST(SUM(1 - is_train) AS BIGINT) AS b
+        FROM tagged GROUP BY lang, v
+    ),
+    cum AS (
+        SELECT lang, v,
+               SUM(a) OVER (PARTITION BY lang ORDER BY v) AS c1,
+               SUM(b) OVER (PARTITION BY lang ORDER BY v) AS c2,
+               SUM(a) OVER (PARTITION BY lang) AS n1,
+               SUM(b) OVER (PARTITION BY lang) AS n2
+        FROM cells
+    ),
+    d AS (
+        SELECT lang, v, n1, n2, ABS(c1 * n2 - c2 * n1) AS dnum,
+               MAX(ABS(c1 * n2 - c2 * n1)) OVER (PARTITION BY lang) AS dmax
+        FROM cum
+    )
+    SELECT lang,
+           CAST(ANY_VALUE(n1) AS BIGINT) AS n_train,
+           CAST(ANY_VALUE(n2) AS BIGINT) AS n_eval,
+           CAST(ANY_VALUE(dmax) AS BIGINT) AS d_numerator,
+           CAST(ANY_VALUE(dmax) AS DOUBLE) / (ANY_VALUE(n1) * ANY_VALUE(n2))
+               AS ks_stat,
+           CAST(MIN(CASE WHEN dnum = dmax THEN v END) AS BIGINT) AS ks_at_value
+    FROM d GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "samp_ks_split_drift",
+    oracle=_ks_sql(),
+    description="two-sample Kolmogorov-Smirnov test of the doc-length distribution across the shipped 80/20 hash split, per language — exact integer D numerator max|c1*n2 - c2*n1|, one division; the continuous-distribution drift audit next to samp_split_balance's categorical one",
+)
+def samp_ks_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the hash split preserve the SHAPE of the length
+    distribution, not just category counts? Per language, the exact
+    two-sample KS statistic D = max_v |F_train(v) − F_eval(v)| over
+    doc lengths, against the same bucket hash samp_hash_split ships —
+    a hash that accidentally correlates with length would make every
+    cross-split loss comparison invalid in a way the categorical
+    balance table (samp_split_balance) cannot see.
+
+    Exactness: D's numerator is max |c1·n2 − c2·n1| — pure int64
+    (cross-multiplied ECDFs, no division until the final ks_stat);
+    the argmax value ties to the smallest v. Scale: one counter
+    groupBy to (lang, value) cells, two windows PARTITIONED by lang
+    over value-grain rows (bounded by |distinct lengths| per lang,
+    never doc-grain), output |langs| rows."""
+    from lime_etl_spark.operators.training import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "lang",
+        F.col("n_chars").cast("bigint").alias("v"),
+        F.when(hash_bucket(F.col("doc_id"), 100) < KS_TRAIN_CUT, 1)
+        .otherwise(0)
+        .alias("is_train"),
+    )
+    cells = tagged.groupBy("lang", "v").agg(
+        F.sum("is_train").cast("bigint").alias("a"),
+        F.sum(1 - F.col("is_train")).cast("bigint").alias("b"),
+    )
+    wv = Window.partitionBy("lang").orderBy("v")
+    wl = Window.partitionBy("lang")
+    cum = cells.select(
+        "lang",
+        "v",
+        F.sum("a").over(wv).alias("c1"),
+        F.sum("b").over(wv).alias("c2"),
+        F.sum("a").over(wl).alias("n1"),
+        F.sum("b").over(wl).alias("n2"),
+    )
+    d = cum.select(
+        "lang",
+        "v",
+        "n1",
+        "n2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias("dnum"),
+    ).withColumn("dmax", F.max("dnum").over(wl))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.first("n1").cast("bigint").alias("n_train"),
+            F.first("n2").cast("bigint").alias("n_eval"),
+            F.first("dmax").cast("bigint").alias("d_numerator"),
+            (
+                F.first("dmax").cast("double") / (F.first("n1") * F.first("n2"))
+            ).alias("ks_stat"),
+            F.min(F.when(F.col("dnum") == F.col("dmax"), F.col("v")))
+            .cast("bigint")
+            .alias("ks_at_value"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_theil_decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_theil_decomposition",
+    oracle="""
+    WITH r AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_nationkey
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS x
+        FROM r
+    ),
+    g AS (
+        SELECT r.c_nationkey, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(cents) AS BIGINT) AS xg
+        FROM r GROUP BY r.c_nationkey
+    ),
+    inner_terms AS (
+        SELECT r.c_nationkey,
+               CAST(SUM(r.cents * CAST(FLOOR(ln((CAST(g.ng AS DOUBLE) * r.cents) / g.xg)
+                                             * 1000000) AS BIGINT)) AS BIGINT)
+                   AS within_num
+        FROM r JOIN g ON g.c_nationkey = r.c_nationkey
+        GROUP BY r.c_nationkey
+    )
+    SELECT n.n_name AS nation,
+           g.ng AS n_buyers,
+           g.xg AS revenue_cents,
+           CAST(g.xg AS DOUBLE) / tot.x AS revenue_share,
+           CAST(i.within_num AS DOUBLE) / (CAST(g.xg AS DOUBLE) * 1000000)
+               AS theil_within,
+           (CAST(g.xg AS DOUBLE) / tot.x)
+             * (CAST(FLOOR(ln((CAST(tot.n AS DOUBLE) * g.xg)
+                              / (CAST(tot.x AS DOUBLE) * g.ng)) * 1000000) AS BIGINT)
+                / 1000000.0) AS theil_between_term
+    FROM g
+    JOIN inner_terms i ON i.c_nationkey = g.c_nationkey
+    JOIN nation n ON n.n_nationkey = g.c_nationkey
+    CROSS JOIN tot
+    ORDER BY nation
+    """,
+    description="Theil-T inequality decomposition of customer revenue by nation: per-nation within-group inequality + between-group term (the decomposability gini lacks); ln terms on the 1e-6 grid, int64 sums, two divisions per row",
+)
+def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration decomposition: the Theil-T index is the
+    one standard inequality measure that decomposes EXACTLY into a
+    between-group term plus a revenue-weighted within-group average —
+    so 'is revenue inequality a nation-mix story or an intra-nation
+    whale story?' gets a number per component (gini, already shipped
+    as q_gini_revenue, cannot be decomposed this way). Output per
+    nation: buyer count, revenue share, within-nation Theil T_g and
+    the nation's between-term; Σ share·T_g + Σ between ≈ corpus Theil
+    (pytest pins the identity to the 1e-6 grid the ln floors allow).
+
+    Exactness: revenues are exact int64 cents; each ln term is ONE
+    fixed-shape chain per distinct (cents, group) input (ratio of
+    exact ints → ln → ×1e6 → floor), summed as int64 and divided once
+    per output cell. Scale: one orders rollup (map-side combined), a
+    broadcast nation join, |nations| output rows; per-row ln terms
+    ride the same shuffle as the rollup."""
+    from lime_etl_spark.functions.numeric import dec
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    r = (
+        orders.join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+        .groupBy("o_custkey", "c_nationkey")
+        .agg((F.sum(dec("o_totalprice", 2, 18)) * 100).cast("bigint").alias("cents"))
+    )
+    tot = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("x"),
+    )
+    g = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("cents").cast("bigint").alias("xg"),
+    )
+    inner = (
+        r.join(F.broadcast(g), "c_nationkey")
+        .select(
+            "c_nationkey",
+            (
+                F.col("cents")
+                * F.floor(
+                    F.log(
+                        (F.col("ng").cast("double") * F.col("cents")) / F.col("xg")
+                    )
+                    * 1000000
+                ).cast("bigint")
+            ).alias("term"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum("term").cast("bigint").alias("within_num"))
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return (
+        g.join(inner, "c_nationkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("ng").alias("n_buyers"),
+            F.col("xg").alias("revenue_cents"),
+            (F.col("xg").cast("double") / F.col("x")).alias("revenue_share"),
+            (
+                F.col("within_num").cast("double")
+                / (F.col("xg").cast("double") * 1000000)
+            ).alias("theil_within"),
+            (
+                (F.col("xg").cast("double") / F.col("x"))
+                * (
+                    F.floor(
+                        F.log(
+                            (F.col("n").cast("double") * F.col("xg"))
+                            / (F.col("x").cast("double") * F.col("ng"))
+                        )
+                        * 1000000
+                    ).cast("bigint")
+                    / 1000000.0
+                )
+            ).alias("theil_between_term"),
+        )
+        .orderBy("nation")
     )

@@ -61,6 +61,8 @@ INVARIANCE_QUERIES = [
     "emb_dim_variance_audit",
     "ev_next_event_entropy",
     "dedup_minhash_bbit",
+    "samp_ks_split_drift",
+    "q_theil_decomposition",
 ]
 
 

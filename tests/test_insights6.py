@@ -26,6 +26,8 @@ NEW_KEYS = [
     "emb_dim_variance_audit",
     "ev_next_event_entropy",
     "dedup_minhash_bbit",
+    "samp_ks_split_drift",
+    "q_theil_decomposition",
 ]
 
 
@@ -330,3 +332,67 @@ def test_bbit_minhash_reconciles_with_estimate_error(spark, sf_dir):
     # exact-Jaccard column is leg-independent (same pairs)
     exacts = {round(r.mean_exact_jaccard, 12) for r in rows.values()}
     assert len(exacts) == 1
+
+
+# --- batch 4: samp_ks_split_drift ---------------------------------------------------
+
+
+def test_ks_split_drift_replays_in_pure_python(spark, sf_dir):
+    rows = {r.lang: r for r in i6.samp_ks_split_drift(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+
+    for lang, g in docs.groupby("lang"):
+        tr = sorted(int(v) for d, v in zip(g.doc_id, g.n_chars) if bucket(int(d)) < 80)
+        ev = sorted(int(v) for d, v in zip(g.doc_id, g.n_chars) if bucket(int(d)) >= 80)
+        n1, n2 = len(tr), len(ev)
+        support = sorted(set(tr) | set(ev))
+        best, best_v = -1, None
+        c1 = c2 = 0
+        i = j = 0
+        for v in support:
+            while i < n1 and tr[i] <= v:
+                i += 1
+            while j < n2 and ev[j] <= v:
+                j += 1
+            d = abs(i * n2 - j * n1)
+            if d > best:
+                best, best_v = d, v
+        r = rows[lang]
+        assert (r.n_train, r.n_eval) == (n1, n2)
+        assert r.d_numerator == best
+        assert r.ks_stat == best / (n1 * n2)
+        assert r.ks_at_value == best_v
+        assert 0.0 <= r.ks_stat <= 1.0
+
+
+# --- batch 4: q_theil_decomposition -------------------------------------------------
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    """Σ share·T_g + Σ between_term must reproduce the corpus Theil-T
+    (computed independently in pandas on the exact cents), up to the
+    1e-6 ln-floor grid; within-group terms are non-negative up to the
+    same grid; shares partition the revenue."""
+    rows = i6.q_theil_decomposition(spark, sf_dir).collect()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (
+        (orders["o_totalprice"].astype("float64") * 100)
+        .round()
+        .astype("int64")
+        .groupby(orders["o_custkey"])
+        .sum()
+    )
+    n, x = len(cents), int(cents.sum())
+    t_total = float(sum((c / x) * math.log(n * c / x) for c in cents))
+
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-12
+    assert sum(r.n_buyers for r in rows) == n
+    got = sum(r.revenue_share * r.theil_within for r in rows) + sum(
+        r.theil_between_term for r in rows
+    )
+    assert abs(got - t_total) < 1e-4  # ln floors contribute <=1e-6 each
+    for r in rows:
+        assert r.theil_within > -1e-5  # T_g >= 0 up to the floor grid
