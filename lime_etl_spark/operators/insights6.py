@@ -139,22 +139,76 @@ def ev_sprt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries are integer CONSTANTS (floored once in Python, inlined
     into both engines), so the cumulative path, the crossing test, and
     the decision are pure int64 — only obs_saved_share pays one final
-    double division. Scale: one window cumsum partitioned by type
-    ordered by time (the ev_rolling_kpis shape); crossings are filtered
+    double division.
+
+    Scale: event_type has ~5 distinct values, so a bare
+    `Window.partitionBy("event_type")` cumsum at EVENT grain is one
+    sorted task per type holding that type's ENTIRE history (the
+    low-cardinality-key window skew — r8's SCALE leg measured it at
+    3.82× wall at 16× rows, the worst ratio in its family). The cumsum
+    here runs per (event_type, ts-range shard) instead — the
+    dq_id_time_monotonicity decomposition: shard ids are arithmetic on
+    the broadcast (min, span) of unix-µs ts, so shard order refines
+    the (ts, event_id) order and equal timestamps never split across
+    shards; each shard computes a LOCAL running sum / row count in
+    parallel, and the per-(type, shard) totals roster (≤ |types| ×
+    N_SHARDS rows, bounded by construction) yields exclusive-prefix
+    offsets that are broadcast back. global llr = offset + local
+    cumsum — bit-identical to the single-partition window, no task
+    ever holds more than one shard of one type. Crossings are filtered
     row-locally; output is |types| rows."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    path = ev.select(
+    n_shards = 256
+    rows = ev.select(
         "event_type",
         "ts",
         "event_id",
+        F.unix_micros("ts").alias("ts_us"),
         F.when(F.col("value") > SPRT_CUT, F.lit(SPRT_INC_POS_E6))
         .otherwise(F.lit(SPRT_INC_NEG_E6))
         .alias("inc_e6"),
+    )
+    bounds = rows.agg(
+        F.min("ts_us").alias("lo"),
+        (F.max("ts_us") - F.min("ts_us") + 1).alias("span"),
+    )
+    sharded = rows.join(F.broadcast(bounds)).withColumn(
+        "shard",
+        ((F.col("ts_us") - F.col("lo")) * n_shards / F.col("span")).cast("bigint"),
+    )
+    w_in = (
+        Window.partitionBy("event_type", "shard")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rn = Window.partitionBy("event_type", "shard").orderBy("ts", "event_id")
+    local = sharded.select(
+        "event_type",
+        "shard",
+        F.sum("inc_e6").over(w_in).alias("lcum_e6"),
+        F.row_number().over(w_rn).alias("lrn"),
+    )
+    # exclusive-prefix offsets over the bounded (type, shard) roster
+    w_off = Window.partitionBy("event_type").orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    offsets = (
+        sharded.groupBy("event_type", "shard")
+        .agg(F.sum("inc_e6").alias("s_tot"), F.count(F.lit(1)).alias("s_n"))
+        .select(
+            F.col("event_type").alias("o_type"),
+            F.col("shard").alias("o_shard"),
+            (F.sum("s_tot").over(w_off) - F.col("s_tot")).alias("off_llr"),
+            (F.sum("s_n").over(w_off) - F.col("s_n")).alias("off_n"),
+        )
+    )
+    path = local.join(
+        F.broadcast(offsets),
+        (F.col("event_type") == F.col("o_type")) & (F.col("shard") == F.col("o_shard")),
     ).select(
         "event_type",
-        F.sum("inc_e6").over(w).alias("llr_e6"),
-        F.row_number().over(w).alias("n_obs"),
+        (F.col("off_llr") + F.col("lcum_e6")).alias("llr_e6"),
+        (F.col("off_n") + F.col("lrn")).cast("int").alias("n_obs"),
     )
     # ONE aggregate over the window output — the first-crossing pick is
     # MIN/MIN_BY with a CASE ordering key (null = not a crossing; both
