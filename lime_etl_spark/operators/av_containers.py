@@ -423,6 +423,16 @@ def _read_vint(raw: bytes, pos: int) -> tuple[int, int]:
     nbytes = 9 - first.bit_length()
     val = int.from_bytes(raw[pos : pos + nbytes], "big")
     val &= (1 << (7 * nbytes)) - 1  # strip the marker bit
+    if val == (1 << (7 * nbytes)) - 1:
+        # RFC 8794 §4.1: all-ones is the reserved "unknown size" VINT
+        # (streamed Matroska's unknown-size Segment/Cluster). Treating
+        # it as a concrete huge size would fail later with a misleading
+        # overruns-its-parent error; gate it loudly instead.
+        raise NotImplementedError(
+            f"EBML unknown-size (all-ones VINT) master element at byte {pos}"
+            " — streamed Matroska/WebM with unsized Segment/Cluster is not"
+            " supported by the strict size-tiling walk"
+        )
     return val, pos + nbytes
 
 

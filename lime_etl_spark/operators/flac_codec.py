@@ -89,15 +89,11 @@ def _crc16(data: bytes) -> int:
 def _coded_number(n: int) -> bytes:
     if n < 0x80:
         return bytes((n,))
-    out, nbytes = [], 2
-    while n >= (1 << (6 - nbytes + 5 * nbytes)) if False else False:
-        pass  # unreachable; kept simple below
+    if n >= (1 << 36):
+        raise ValueError(f"FLAC coded number overflows 36-bit capacity: {n}")
+    out = []
     # choose byte length: 2..7 bytes cover 11..36 payload bits
     for nbytes in range(2, 8):
-        if n < (1 << (5 * nbytes + (7 - nbytes) - 1 + 1)):
-            # payload bits = (7 - nbytes - 1 + 1) + 6*(nbytes-1)?  use
-            # the standard UTF-8 capacity: (8 - nbytes - 1) + 6*(nbytes-1)
-            pass
         capacity = (7 - nbytes) + 6 * (nbytes - 1)
         if n < (1 << capacity):
             break

@@ -63,7 +63,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lime_etl_spark.functions.text import shingle_int, shingle_int_sql
-from lime_etl_spark.plans.registry import register
+from lime_etl_spark.plans.registry import register, track_persist
 from lime_etl_spark.sources.readers import load_table
 
 # ---------------------------------------------------------------------------
@@ -416,8 +416,8 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    sh = doc_shingles(load_table(spark, sf_dir, "documents")).persist()
-    pairs = (
+    sh = track_persist(doc_shingles(load_table(spark, sf_dir, "documents")).persist())
+    pairs = track_persist(
         jaccard_pairs(sh, candidates=lsh_candidates(minhash_signatures(sh)))
         .where(F.col("jaccard") >= JACCARD_TAU)
         .select("doc_a", "doc_b")
@@ -537,6 +537,7 @@ def samp_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("key_e6"),
     ).persist()
+    track_persist(keyed)
     sel = (
         keyed.select("source", "key_e6", "doc_id")
         .orderBy(F.desc("key_e6"), "doc_id")
@@ -1011,7 +1012,6 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_candidates,
         minhash_signatures,
     )
-    from lime_etl_spark.plans.registry import track_persist
 
     k = len(MINHASH_PERMS)
     docs = load_table(spark, sf_dir, "documents")

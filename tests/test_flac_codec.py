@@ -129,6 +129,10 @@ def test_coded_number_roundtrip():
         assert got == n and pos == len(enc)
         if n < 0x80:
             assert len(enc) == 1
+    enc = fc._coded_number((1 << 36) - 1)  # 36-bit capacity boundary
+    assert fc._read_coded_number(enc, 0) == ((1 << 36) - 1, 7)
+    with pytest.raises(ValueError, match="36-bit"):
+        fc._coded_number(1 << 36)
 
 
 def test_crc_vectors():

@@ -561,3 +561,7 @@ def test_mkv_vint_roundtrip():
         enc = av._vint(n)
         got, pos = av._read_vint(enc, 0)
         assert got == n and pos == len(enc)
+    # RFC 8794 all-ones "unknown size" VINT is a loud gate, not a size
+    for unknown in (b"\xff", b"\x7f\xff", b"\x1f\xff\xff\xff"):
+        with pytest.raises(NotImplementedError, match="unknown-size"):
+            av._read_vint(unknown, 0)
