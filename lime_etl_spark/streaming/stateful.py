@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -156,6 +157,34 @@ _CUSUM_STATE_SCHEMA = StructType(
 )
 
 
+def _cusum_advance(
+    d: np.ndarray, n: int, sp: int, sn: int, alarm_n: int, alarm_cents: int
+) -> Tuple[int, int, int, int]:
+    """Advance one key's two-sided CUSUM state over a batch of int64
+    deviations, vectorized: with c_t = seed + Σ_{j≤t} d_j, the one-
+    sided recursion S⁺_t = max(0, S⁺_{t-1} + d_t) has the exact prefix
+    form S⁺_t = max(0, c_t − min(0, min_{j<t} c_j)) (and S⁻ mirrored
+    with a running max) — bit-identical to the sequential walk, pinned
+    against it in pytest. Alarm latches at the first crossing index."""
+    if not d.size:
+        return n, sp, sn, alarm_n
+    c_p = sp + np.cumsum(d)
+    prev_min = np.minimum(
+        0, np.minimum.accumulate(np.concatenate(([np.iinfo(np.int64).max], c_p[:-1])))
+    )
+    sp_path = np.maximum(0, c_p - prev_min)
+    c_n = sn + np.cumsum(d)
+    prev_max = np.maximum(
+        0, np.maximum.accumulate(np.concatenate(([np.iinfo(np.int64).min], c_n[:-1])))
+    )
+    sn_path = np.minimum(0, c_n - prev_max)
+    if alarm_n == 0:
+        hit = (sp_path > alarm_cents) | (-sn_path > alarm_cents)
+        if hit.any():
+            alarm_n = n + int(np.argmax(hit)) + 1
+    return n + int(d.size), int(sp_path[-1]), int(sn_path[-1]), alarm_n
+
+
 def cusum_alarm_stream(
     stream: DataFrame, ref_cents: int, alarm_cents: int
 ) -> DataFrame:
@@ -172,6 +201,21 @@ def cusum_alarm_stream(
     Rows within a micro-batch are walked in (ts, event_id) order so a
     single-batch run is exactly the batch walk; across micro-batches
     the order is arrival order, which IS the online semantic.
+
+    Cents convention (documented, deliberate): cents = the IEEE-double
+    product value×100 rounded half-to-even — the same int(round(v*100))
+    a monitoring agent computes, pinned by the pytest replay; the batch
+    money AGGREGATES use exact decimal, but this monitor quantizes each
+    observation independently so there is no sum to keep exact. A NULL
+    value counts as a zero-cent observation (a full drift of −ref per
+    null, also deliberate): the monitor treats a missing reading as
+    "no revenue", so a burst of nulls pulls S⁻ down and pages, rather
+    than being silently invisible to the alarm.
+
+    The per-batch walk is the vectorized prefix form of Page's
+    recursion, not a Python loop: with c_t = seed + Σ_{j≤t} d_j,
+    S⁺_t = max(0, c_t − min(0, min_{j<t} c_j)) and S⁻ mirrored with a
+    running max — exact int64, identical to the sequential recursion.
     """
 
     def update(
@@ -180,17 +224,14 @@ def cusum_alarm_stream(
         n, sp, sn, alarm_n = state.get if state.exists else (0, 0, 0, 0)
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"])
-        cents = (
+        d = (
             (batch["value"].fillna(0.0).astype("float64") * 100)
             .round()
             .astype("int64")
+            .to_numpy()
+            - ref_cents
         )
-        for c in cents:
-            n += 1
-            sp = max(0, sp + (int(c) - ref_cents))
-            sn = min(0, sn + (int(c) - ref_cents))
-            if alarm_n == 0 and (sp > alarm_cents or -sn > alarm_cents):
-                alarm_n = n
+        n, sp, sn, alarm_n = _cusum_advance(d, n, sp, sn, alarm_n, alarm_cents)
         state.update((n, sp, sn, alarm_n))
         yield pd.DataFrame(
             {

@@ -296,3 +296,51 @@ def test_cusum_alarm_latches_across_micro_batches(spark, tmp_path):
     assert final["cold"]["s_pos_cents"] == 0
     assert final["cold"]["s_neg_cents"] == -90 * 1000
     assert final["cold"]["alarm_n_obs"] == 51
+
+
+def test_cusum_prefix_form_equals_sequential_recursion():
+    """_cusum_advance's vectorized prefix form is bit-identical to
+    Page's sequential recursion, including seed carry-over, alarm
+    latching mid-batch, and multi-batch splits at every cut point."""
+    import hashlib
+
+    import numpy as np
+
+    from lime_etl_spark.streaming.stateful import _cusum_advance
+
+    def seq(d, n, sp, sn, alarm_n, alarm):
+        for c in d:
+            n += 1
+            sp = max(0, sp + int(c))
+            sn = min(0, sn + int(c))
+            if alarm_n == 0 and (sp > alarm or -sn > alarm):
+                alarm_n = n
+        return n, sp, sn, alarm_n
+
+    # deterministic adversarial sequences: md5-derived swings around 0
+    for seed_ix, alarm in ((0, 50), (1, 5), (2, 10_000)):
+        d = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(f"{seed_ix}:{i}".encode()).digest()[:2], "big"
+                )
+                % 41
+                - 20
+                for i in range(200)
+            ],
+            dtype=np.int64,
+        )
+        want = seq(d, 0, 0, 0, 0, alarm)
+        # whole batch at once
+        assert _cusum_advance(d, 0, 0, 0, 0, alarm) == want
+        # split into two batches at several cut points (state carry)
+        for cut in (1, 7, 50, 199):
+            st = _cusum_advance(d[:cut], 0, 0, 0, 0, alarm)
+            assert _cusum_advance(d[cut:], *st, alarm) == want
+    # empty batch is a no-op
+    assert _cusum_advance(np.array([], dtype=np.int64), 3, 9, -4, 2, 10) == (
+        3,
+        9,
+        -4,
+        2,
+    )
