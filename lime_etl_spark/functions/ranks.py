@@ -232,6 +232,78 @@ def with_global_ntiles(
     return result.drop(*drop_cols)
 
 
+def with_grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    order_cols: list[Column],
+    out: str = "rn",
+    total_out: str | None = None,
+    n_buckets: int = DEFAULT_RANK_BUCKETS,
+) -> DataFrame:
+    """Exact `ROW_NUMBER() OVER (PARTITION BY group_cols ORDER BY
+    order_cols)` as `out` (plus the per-group total as `total_out` if
+    named) WITHOUT one sorted task per group — the fix for the
+    low-cardinality-key window skew (ev_sprt_gate's r8 SCALE leg:
+    ~5 partitions each holding a full type history, 3.82× wall at
+    16× rows).
+
+    Same decomposition as `with_global_row_number`, group-scoped:
+    bucket by a value ascending-consistent with `order_cols[0]`
+    (GLOBAL approxQuantile boundaries — within every group the
+    assignment is still value-monotone, so per-group bucket order
+    refines the group order; only balance varies per group), local
+    row_number per (group, bucket), exclusive-prefix offsets over the
+    |groups|×≤n_buckets roster (bounded window), broadcast back. No
+    task ever holds more than one bucket of one group."""
+    tagged = df.withColumn("__gr_v", value.cast("double"))
+    probes = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(
+        set(tagged.select("__gr_v").approxQuantile("__gr_v", probes, 0.01))
+    )
+    bucketed = tagged.withColumn("__gr_b", bucket_by_bounds(F.col("__gr_v"), bounds))
+
+    w_local = Window.partitionBy(*group_cols, "__gr_b").orderBy(*order_cols)
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__gr_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    roster = bucketed.groupBy(*group_cols, "__gr_b").agg(
+        F.count(F.lit(1)).alias("__gr_cnt")
+    )
+    roster = roster.withColumn(
+        "__gr_off", F.sum("__gr_cnt").over(w_off) - F.col("__gr_cnt")
+    )
+    if total_out:
+        roster = roster.withColumn(
+            total_out,
+            F.sum("__gr_cnt").over(Window.partitionBy(*group_cols)),
+        )
+    keep = ["__gr_off"] + ([total_out] if total_out else [])
+    roster = roster.select(
+        *[F.col(g).alias(f"__gr_g_{g}") for g in group_cols],
+        F.col("__gr_b").alias("__gr_ob"),
+        *keep,
+    )
+    cond = F.col("__gr_b") == F.col("__gr_ob")
+    for g in group_cols:
+        cond = cond & (F.col(g) == F.col(f"__gr_g_{g}"))
+    return (
+        bucketed.withColumn("__gr_lrn", F.row_number().over(w_local))
+        .join(F.broadcast(roster), cond)
+        .withColumn(out, (F.col("__gr_off") + F.col("__gr_lrn")).cast("bigint"))
+        .drop(
+            "__gr_v",
+            "__gr_b",
+            "__gr_ob",
+            "__gr_off",
+            "__gr_lrn",
+            *[f"__gr_g_{g}" for g in group_cols],
+        )
+    )
+
+
 def with_ingest_bucket(
     df: DataFrame, id_col: str, n: int, out: str = "bucket"
 ) -> DataFrame:

@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lime_etl_spark.functions.numeric import dec, to_double
-from lime_etl_spark.functions.ranks import with_global_row_number
+from lime_etl_spark.functions.ranks import (
+    ntile_from_rn,
+    with_global_row_number,
+    with_grouped_row_number,
+)
 from lime_etl_spark.functions.text import shingle_int, shingle_int_sql
 from lime_etl_spark.operators.text import BPE_RE
 from lime_etl_spark.plans.registry import register
@@ -359,17 +363,26 @@ CURRICULUM_PHASES = 4
 def samp_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering for training: within each source, docs are
     ranked by a difficulty proxy (length — short docs first) and cut
-    into CURRICULUM_PHASES equal phases with NTILE; ties break on
-    doc_id so both engines assign identically. The window partitions
-    by source, so phases compute in parallel across domains. At
-    100 TB a single mega-domain would serialize its partition —
-    there the phase boundary comes from approx_percentile thresholds
-    (a 1-row broadcast) instead of an exact global sort; NTILE is the
-    exact semantic spec the approximation converges to."""
+    into CURRICULUM_PHASES equal phases; ties break on doc_id so both
+    engines assign identically. The rank is the SHARDED grouped
+    row_number (with_grouped_row_number: per-(source, length-bucket)
+    local sorts + a broadcast offset roster), so no task ever holds a
+    whole source's docs — the r8-verdict low-cardinality-window skew
+    fix — and the phase is ANSI NTILE arithmetic on (rank, per-source
+    total): bit-identical to the bare NTILE window the oracle runs."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = with_grouped_row_number(
+        docs.select("doc_id", "source", "n_chars"),
+        ["source"],
+        F.col("n_chars"),
+        [F.col("n_chars"), F.col("doc_id")],
+        out="__cur_rk",
+        total_out="__cur_n",
+    )
     return (
-        docs.withColumn("phase", F.ntile(CURRICULUM_PHASES).over(w))
+        ranked.withColumn(
+            "phase", ntile_from_rn(F.col("__cur_rk"), F.col("__cur_n"), CURRICULUM_PHASES)
+        )
         .groupBy("source", "phase")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -702,12 +715,15 @@ def samp_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source position spread: equal mean_pos across sources IS the
     uniformity proof.
 
-    One window per source partition (hash order, no global sort); the
-    source index comes from a dense_rank over the DISTINCT-source
-    roster (|sources| rows — never the doc-grain frame) broadcast
-    back, the count from a 1-row broadcast. The interleaved position
-    is pure arithmetic — a writer materializes training order by
-    range-partitioning on it.
+    The within-source rank is the SHARDED grouped row_number
+    (with_grouped_row_number over the hash-order key: per-(source,
+    hash-range-bucket) local sorts + a broadcast offset roster — the
+    r8-verdict low-cardinality-window skew fix; no task holds a whole
+    source); the source index comes from a dense_rank over the
+    DISTINCT-source roster (|sources| rows — never the doc-grain
+    frame) broadcast back, the count from a 1-row broadcast. The
+    interleaved position is pure arithmetic — a writer materializes
+    training order by range-partitioning on it.
     """
     docs = load_table(spark, sf_dir, "documents")
     n_src = docs.agg(F.countDistinct("source").alias("n_src"))
@@ -716,12 +732,14 @@ def samp_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("src_ix", F.dense_rank().over(Window.orderBy("source")))
     )
-    rk = F.row_number().over(
-        Window.partitionBy("source").orderBy(hash_bucket(F.col("doc_id"), 1_000_000), "doc_id")
-    )
     ranked = (
-        docs.select("doc_id", "source")
-        .withColumn("rk", rk)
+        with_grouped_row_number(
+            docs.select("doc_id", "source"),
+            ["source"],
+            hash_bucket(F.col("doc_id"), 1_000_000),
+            [hash_bucket(F.col("doc_id"), 1_000_000), F.col("doc_id")],
+            out="rk",
+        )
         .join(F.broadcast(src_roster), "source")
         .join(F.broadcast(n_src))
     )

@@ -954,3 +954,102 @@ def test_embedding_leakage_candidates_bucket_bounded(spark, sf_dir):
     from the (band, bv, label) bucket join, not an all-pairs block."""
     plan = plan_of(spark, sf_dir, "cur_embedding_leakage")
     assert _some_join_carries_keys(plan, {"band", "bv", "label"}), plan[:3000]
+
+
+# --- low-cardinality fact-grain window gate (round 9) ------------------------
+
+# Fixture columns whose distinct-value count is FIXED (a small roster
+# that does not grow with the corpus): partitioning a window by only
+# these over raw fact-grain input means one sorted task per value
+# holding that value's entire history — the low-cardinality window
+# skew r8's SCALE leg measured on ev_sprt_gate (3.82× wall at 16×
+# rows). Counts at sf0.01: event_type 5, lang 5, source 20,
+# o_orderpriority 5, o_orderstatus 3, l_returnflag 3, l_linestatus 2,
+# c_mktsegment 5, r_name 5, label 10.
+LOW_CARD_COLS = {
+    "event_type",
+    "lang",
+    "source",
+    "o_orderpriority",
+    "o_orderstatus",
+    "l_returnflag",
+    "l_linestatus",
+    "c_mktsegment",
+    "r_name",
+    "label",
+}
+
+# Ops whose plan legitimately carries a Window partitioned ONLY by
+# low-cardinality roster columns with NO Aggregate between the Window
+# and the scan: each entry is audited — the window input is bounded
+# for a structural reason the Aggregate heuristic can't see. Exact
+# counts, like GLOBAL_WINDOW_BOUNDED_OK: a NEW such window in a
+# listed op fails too.
+LOW_CARD_FACT_WINDOW_OK: dict[str, int] = {
+    # `label` here is the connected-components CLUSTER id (high
+    # cardinality — one per cluster), not the embeddings roster
+    # column; the cluster-size count window is bounded by the max
+    # near-dup cluster, and the localCheckpoint inside CC hides the
+    # upstream reduction from the Aggregate heuristic.
+    "samp_dedup_weighted": 1,
+}
+
+
+def _low_card_fact_window_count(df) -> int:
+    """Walk the optimized logical plan counting Window nodes whose
+    partitionSpec references ONLY fixed-roster columns (LOW_CARD_COLS)
+    while no Aggregate/GlobalLimit reduces the frame between the
+    Window and its scan — the one-giant-task-per-value shape. Windows
+    with any high-cardinality partition component (user_id, shard, …)
+    or over reduced frames (daily rollups per type) pass untouched."""
+    import re as _re
+
+    count = 0
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and not node.partitionSpec().isEmpty():
+            spec = node.partitionSpec()
+            names = set()
+            for i in range(spec.size()):
+                names |= set(_re.findall(r"(\w+)#\d+", spec.apply(i).toString()))
+            if names and names <= LOW_CARD_COLS:
+                # reduced input? look for an Aggregate/Limit below
+                reduced = False
+                sub = [node.children().apply(i) for i in range(node.children().size())]
+                while sub:
+                    ch = sub.pop()
+                    # WindowGroupLimit (rank-filter pushdown) bounds the
+                    # per-group shuffle to O(k x map partitions) rows
+                    if ch.nodeName() in ("Aggregate", "GlobalLimit", "WindowGroupLimit"):
+                        reduced = True
+                        continue  # this branch is bounded; don't descend
+                    kids = ch.children()
+                    for i in range(kids.size()):
+                        sub.append(kids.apply(i))
+                if not reduced:
+                    count += 1
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return count
+
+
+def test_no_low_cardinality_fact_grain_windows(spark, sf_dir):
+    """Round-8 verdict #3: the exact-count unpartitioned-window gate
+    was blind to `Window.partitionBy(event_type)` at event grain (the
+    ev_sprt_gate shape it called out). Flag Window nodes whose
+    partition key set is a subset of the fixed low-cardinality roster
+    columns when nothing reduces the frame below them; every exception
+    must be allowlisted with an audited bounded-input justification."""
+    bad = {}
+    for name, spec in all_queries().items():
+        try:
+            n = _low_card_fact_window_count(spec.builder(spark, sf_dir))
+        except Exception:  # noqa: BLE001 - builder needs runtime state
+            continue
+        expected = LOW_CARD_FACT_WINDOW_OK.get(name, 0)
+        if n != expected:
+            bad[name] = (n, expected)
+    spark.catalog.clearCache()
+    assert not bad, f"low-cardinality fact-grain windows (got, allowed): {bad}"

@@ -208,3 +208,35 @@ def test_cumsum_desc_ordering_via_negated_value(spark):
         ).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+def test_grouped_row_number_matches_partitioned_window(spark, shape):
+    """with_grouped_row_number == ROW_NUMBER() OVER (PARTITION BY g
+    ORDER BY v, id) on every adversarial shape, including groups that
+    collapse into a single bucket and cross-group value collisions."""
+    from lime_etl_spark.functions.ranks import with_grouped_row_number
+
+    values = SHAPES[shape]
+    rows = [(i, v, f"g{i % 3}") for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint, g string")
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r["g"], r["id"]): (r["rn"], r["nt"])
+        for r in df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn("nt", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .collect()
+    }
+    got = {
+        (r["g"], r["id"]): (r["rn"], r["nt"])
+        for r in with_grouped_row_number(
+            df,
+            ["g"],
+            F.col("v"),
+            [F.col("v"), F.col("id")],
+            out="rn",
+            total_out="nt",
+            n_buckets=4,
+        ).collect()
+    }
+    assert got == want
