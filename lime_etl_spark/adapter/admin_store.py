@@ -36,6 +36,7 @@ from __future__ import annotations
 import datetime
 import os
 import shutil
+import threading
 import time
 import uuid
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -127,6 +128,36 @@ def _pa_schema(schema: StructType, drop: Sequence[str] = ()) -> pa.Schema:
     )
 
 
+# --- seq minting (r8 verdict #8) --------------------------------------------
+#
+# seq must give a TOTAL order across every writer sharing a root. The
+# encoding: wall-clock ns with the low 22 bits replaced by the minting
+# process's pid (Linux pid_max ceiling is 2^22). Concurrent processes
+# have distinct pids by OS guarantee, so no two live writers can ever
+# mint the same seq — same-ns clock reads included; within a process a
+# lock-guarded high-water mark bumps past the last issued seq (one
+# 2^22 step ≈ 4 ms of the time field), so ordering is strictly
+# monotone across every store instance in the process and survives
+# fork (the child's pid bits differ). Cross-process ordering tracks
+# wall time at ~4 ms granularity with the pid as tie-break — total,
+# never equal. seq is only ever compared with other seqs (latest-wins
+# windows, max); time-travel reads filter on the `ts` column.
+_SEQ_PID_BITS = 22
+_SEQ_PID_MASK = (1 << _SEQ_PID_BITS) - 1
+_SEQ_LOCK = threading.Lock()
+_SEQ_LAST = 0
+
+
+def _mint_seq() -> int:
+    global _SEQ_LAST
+    with _SEQ_LOCK:
+        cand = (time.time_ns() & ~_SEQ_PID_MASK) | (os.getpid() & _SEQ_PID_MASK)
+        if cand <= _SEQ_LAST:
+            cand = _SEQ_LAST + (1 << _SEQ_PID_BITS)
+        _SEQ_LAST = cand
+        return cand
+
+
 class SparkAdminStore:
     """All admin tables under one root directory.
 
@@ -138,11 +169,11 @@ class SparkAdminStore:
     on `seq`, so concurrent appends from multiple PROCESSES sharing a
     root merge safely (pytest: tests/test_admin_store.py::
     test_concurrent_multiprocess_appends_merge_safely, a real 4-way
-    spawn-Pool race + post-race compaction). Caveats that keep this
-    honest: `seq` is wall-clock ns, so two processes versioning the
-    SAME entity in the same nanosecond would tie (astronomically
-    unlikely; within one process seq is strictly monotone), and the
-    REWRITE maintenance paths (compact / delete_old_batches /
+    spawn-Pool race + post-race compaction). `seq` is pid-stamped
+    wall-clock ns (_mint_seq): concurrent writers can never tie, so
+    latest-wins is a TOTAL order — forced same-ns collisions are
+    pytest-pinned distinct. The remaining caveat: the REWRITE
+    maintenance paths (compact / delete_old_batches /
     delete_old_logs) are still single-writer — run them from one
     coordinator with no concurrent appenders, as BatchRunner does.
     Concurrent batches normally still get separate roots via
@@ -164,9 +195,7 @@ class SparkAdminStore:
 
     @staticmethod
     def _next_seq() -> int:
-        # wall-clock ns: monotone within a process, distinct across store
-        # instances sharing a root (a counter restarting at 0 would not be)
-        return time.time_ns()
+        return _mint_seq()
 
     def _append(self, table: str, rows: Sequence[dict], schema: StructType) -> None:
         """One parquet file per append, hive-partitioned for log tables."""
