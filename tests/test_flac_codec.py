@@ -64,11 +64,11 @@ def test_roundtrip_edge_shapes():
 
 
 def test_constant_blocks_choose_constant_subframe():
-    kind, _o, _m, bits = fc._best_encoding(np.zeros(4096, dtype=np.int64))
-    assert kind == "constant" and bits == 24
+    spec = fc._best_subframe(np.zeros(4096, dtype=np.int64), 16)
+    assert spec["kind"] == "constant" and spec["bits"] == 24
     # a linear ramp differentiates to constants → fixed predictor wins
-    kind, order, _m, _bits = fc._best_encoding(np.arange(4096, dtype=np.int64))
-    assert kind == "fixed" and order >= 1
+    spec = fc._best_subframe(np.arange(4096, dtype=np.int64), 16)
+    assert spec["kind"] == "fixed" and spec["order"] >= 1
 
 
 def test_streaminfo_metadata():
@@ -114,11 +114,11 @@ def test_unsupported_features_gate_loudly():
     b[frames_off + 1] |= 0x01
     with pytest.raises(NotImplementedError, match="variable blocksize"):
         fc.decode_flac(bytes(b))
-    # stereo channel bits (header CRC recomputed so the gate, not the
-    # CRC check, must fire)
+    # bits-per-sample code other than 16-bit/STREAMINFO (8-bit here)
+    # still gates loudly — the gate fires before the CRC-8 check
     b = bytearray(raw)
-    b[frames_off + 3] = (0b0001 << 4) | (b[frames_off + 3] & 0x0F)
-    with pytest.raises(NotImplementedError, match="non-mono"):
+    b[frames_off + 3] = (b[frames_off + 3] & 0xF1) | (0b001 << 1)
+    with pytest.raises(NotImplementedError, match="bps code"):
         fc.decode_flac(bytes(b))
 
 
@@ -166,3 +166,108 @@ def test_flac_compresses_silent_windows():
         total_pcm += 2 * pcm.size
         total_flac += len(raw)
     assert total_flac < total_pcm
+
+
+# --- r9: LPC / stereo / wasted bits / partitioned Rice ------------------------
+
+
+def test_stereo_fixture_roundtrip_and_census_agreement():
+    """Every stereo clip decodes bit-exactly (CRCs + interleaved-PCM
+    MD5 inside the decoder), the size predictor matches the emitter,
+    and the decode-side census equals the encoder-plan census."""
+    from lime_etl_spark.operators.multimodal import (
+        FLAC_STEREO_ID_BASE,
+        _flac_stereo_pcm,
+    )
+
+    for i in (0, 1, 2, 3, 9, 14, 27, 39):  # all four variants, short+long
+        pcm = _flac_stereo_pcm(FLAC_STEREO_ID_BASE + i)
+        raw = fc.encode_flac(pcm, AUDIO_RATE)
+        assert len(raw) == fc.flac_stream_size(pcm)
+        rate, out = fc.decode_flac(raw)
+        assert rate == AUDIO_RATE and out.shape == pcm.shape
+        assert np.array_equal(out, pcm)
+        assert fc.flac_frame_stats(raw) == fc.planned_frame_stats(pcm)
+        info = fc.parse_streaminfo(raw)
+        assert info["channels"] == 2
+        assert info["pcm_md5"] == hashlib.md5(pcm.astype("<i2").tobytes()).digest()
+
+
+def test_stereo_corpus_engages_every_new_codec_path():
+    """The fixture is shaped so every r9 feature GENUINELY engages:
+    LPC subframes, all three stereo decorrelations, wasted bits,
+    escaped partitions, deep Rice partitions. A silent fall-back to
+    fixed/independent would pass roundtrips — this pins usage."""
+    from lime_etl_spark.operators.multimodal import _flac_stereo_frame_mix
+
+    tot: dict = {}
+    for st in _flac_stereo_frame_mix():
+        for k, v in st.items():
+            tot[k] = max(tot.get(k, 0), v) if k == "max_part_order" else tot.get(k, 0) + v
+    assert tot["n_lpc"] > 0
+    assert tot["n_left_side"] > 0 and tot["n_right_side"] > 0 and tot["n_mid_side"] > 0
+    assert tot["n_wasted"] > 0
+    assert tot["n_escaped_parts"] > 0
+    assert tot["max_part_order"] >= 4
+    assert tot["n_constant"] > 0  # silent envelope windows still engage
+
+
+def test_stereo_decorrelation_reconstructions_exact():
+    """Hand-check the three reconstruction identities on adversarial
+    parities: mid/side's (mid<<1)|(side&1) must recover odd sums."""
+    l = np.array([3, -5, 32767 // 2, -16384, 0, 1], dtype=np.int64)
+    r = np.array([2, -5, -1, 16383, -1, 1], dtype=np.int64)
+    pcm = np.stack([l, r], axis=1).astype(np.int16)
+    for _ in range(3):  # encoder picks one mode; force coverage via variants
+        raw = fc.encode_flac(pcm, 8000)
+        _rate, out = fc.decode_flac(raw)
+        assert np.array_equal(out, pcm)
+        pcm = np.stack([pcm[:, 1], pcm[:, 0]], axis=1)  # swap and re-test
+
+
+def test_rice2_method_decodes():
+    """Method-01 (5-bit 'Rice2' params) never wins the cost race on
+    16-bit content, so decode support is pinned by forcing the
+    emitter onto method 1 (params ≤ 14 are valid in both widths)."""
+    rng_pcm = np.frombuffer(
+        hashlib.md5(b"rice2").digest() * 500, dtype="<i2"
+    ).astype(np.int16)
+    orig = fc._best_partitioned_rice
+
+    def force_rice2(res, blocksize, order):
+        # method 1 re-expresses the same params (and escapes) in 5-bit
+        return dict(orig(res, blocksize, order), method=1)
+
+    fc._best_partitioned_rice = force_rice2
+    try:
+        raw = fc.encode_flac(rng_pcm, 8000)
+    finally:
+        fc._best_partitioned_rice = orig
+    _rate, out = fc.decode_flac(raw)
+    assert np.array_equal(out, rng_pcm)
+    assert fc.flac_frame_stats(raw)["n_rice2"] > 0
+
+
+def test_wasted_bits_roundtrip_and_census():
+    pcm = (np.arange(-2000, 2000, dtype=np.int64) * 4).astype(np.int16)  # 2 wasted bits
+    raw = fc.encode_flac(pcm, 8000)
+    assert len(raw) == fc.flac_stream_size(pcm)
+    _rate, out = fc.decode_flac(raw)
+    assert np.array_equal(out, pcm)
+    assert fc.flac_frame_stats(raw)["n_wasted"] > 0
+
+
+def test_lpc_beats_fixed_on_smooth_signal():
+    """On MA-filtered noise the LPC predictor must actually win the
+    size race against fixed orders — otherwise the new path is dead
+    weight the cost search never picks."""
+    noise = np.frombuffer(hashlib.md5(b"lpc").digest() * 2000, dtype="<i2").astype(
+        np.int64
+    )
+    smooth = np.convolve(noise, np.ones(4, dtype=np.int64))[: noise.size] // 8
+    pcm = smooth.astype(np.int16)
+    stats = fc.planned_frame_stats(pcm)
+    assert stats["n_lpc"] > 0
+    raw = fc.encode_flac(pcm, 8000)
+    _rate, out = fc.decode_flac(raw)
+    assert np.array_equal(out, pcm)
