@@ -565,3 +565,76 @@ def test_mkv_vint_roundtrip():
     for unknown in (b"\xff", b"\x7f\xff", b"\x1f\xff\xff\xff"):
         with pytest.raises(NotImplementedError, match="unknown-size"):
             av._read_vint(unknown, 0)
+
+
+def test_audio_near_dup_finds_planted_twins_zero_false_pairs(spark, sf_dir):
+    """r8 verdict #6: the re-encoded muted-window twins (WAV and FLAC
+    — CRCs regenerated, decode verified) must ALL be found at small
+    hamming, and no unrelated pair may survive the popcount verify."""
+    from lime_etl_spark.operators.multimodal import (
+        AUDIO_TWIN_BASE,
+        FLAC_ID_BASE,
+        FLAC_FIXTURE_N,
+        mm_audio_near_dup,
+    )
+
+    rows = mm_audio_near_dup(spark, sf_dir).collect()
+    want = {
+        (i, i + AUDIO_TWIN_BASE) for i in range(300) if i % 3 == 1 and i % 30 == 1
+    } | {
+        (i, i + AUDIO_TWIN_BASE)
+        for i in range(FLAC_ID_BASE, FLAC_ID_BASE + FLAC_FIXTURE_N)
+        if i % 10 == 0
+    }
+    got = {(r["media_a"], r["media_b"]) for r in rows}
+    assert got == want, (sorted(got - want), sorted(want - got))
+    assert all(r["hamming"] <= 2 for r in rows)  # one muted window → ≤2 delta bits
+
+
+def test_audio_energy_sig_cross_container_stability(spark):
+    """The fingerprint is a property of the PCM, not the container:
+    the same samples through WAV and FLAC must produce the SAME
+    signature (the precondition for cross-container audio dedup)."""
+    import io as iomod
+    import wave as wavemod
+
+    import pandas as pd
+
+    from lime_etl_spark.operators.flac_codec import encode_flac
+    from lime_etl_spark.operators.multimodal import (
+        AUDIO_RATE,
+        MEDIA_SCHEMA,
+        _flac_pcm,
+        audio_energy_sig,
+    )
+
+    pcm = _flac_pcm(2003)
+    buf = iomod.BytesIO()
+    with wavemod.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(AUDIO_RATE)
+        wv.writeframes(pcm.tobytes())
+    rows = [
+        (1, "audio", buf.getvalue(), (None, None, 1, AUDIO_RATE, None, "pcm_s16le")),
+        (2, "audio", encode_flac(pcm, AUDIO_RATE), (None, None, 1, AUDIO_RATE, None, "flac")),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "media_id": [r[0] for r in rows],
+            "media_type": [r[1] for r in rows],
+            "content": [r[2] for r in rows],
+            "meta": [
+                dict(
+                    zip(
+                        ("width", "height", "channels", "sample_rate", "duration_ms", "codec"),
+                        r[3],
+                    )
+                )
+                for r in rows
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf, MEDIA_SCHEMA)
+    sigs = {r["media_id"]: r["ahash"] for r in audio_energy_sig(df).collect()}
+    assert sigs[1] == sigs[2]
