@@ -45,6 +45,7 @@ _OPERATOR_MODULES = (
     "lime_etl_spark.operators.pq",
     "lime_etl_spark.operators.sketches",
     "lime_etl_spark.operators.bpe",
+    "lime_etl_spark.operators.unigram_lm",
 )
 
 

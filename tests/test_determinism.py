@@ -63,6 +63,8 @@ INVARIANCE_QUERIES = [
     "dedup_minhash_bbit",
     "samp_ks_split_drift",
     "q_theil_decomposition",
+    # round-9 float emitters: the unigram-LM fertility division
+    "txt_unigram_fertility",
 ]
 
 
