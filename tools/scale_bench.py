@@ -24,10 +24,10 @@ Timing-only: correctness at these scales is already covered by the
 sf0.01 oracle sweep; nothing here feeds CORRECTNESS artifacts.
 
 Usage: python tools/scale_bench.py [K] [SRC_SF_DIR] [QUERY_SET]
-QUERY_SET ∈ {core (default), bucketed, r6new, r7new, r8new, hub, bpe} —
+QUERY_SET ∈ {core (default), bucketed, r6new, r7new, r8new, r9new, hub, bpe} —
 `bucketed` runs the LSH/connected-components/PageRank/sliding-window
 families (r5 verdict #3; see BUCKETED_QUERIES for why document text
-is rotated per-replica), `r6new`/`r7new`/`r8new` the round-6/7/8 operator
+is rotated per-replica), `r6new`/`r7new`/`r8new`/`r9new` the round-6/7/8/9 operator
 families (see R6_QUERIES for why the quadratic-by-design calibration
 tables are excluded), `hub` the planted-hub wedge-join leg (r6
 verdict #2; K and SRC are ignored — see hub_leg), `bpe` the
@@ -140,12 +140,26 @@ R8_QUERIES = {
     "graph_rich_club": "documents",
     "samp_gumbel_topk": "documents",
 }
+# Round-9 additions with a data-bound shape: the unigram trainer's
+# only data-proportional job is the word-frequency scan (vocab-
+# bounded model state after), and the two de-skewed grouped-rank ops
+# (samp_curriculum / samp_source_interleave) are exactly the shapes
+# the r9 low-cardinality-window fix must keep sub-linear. The FLAC
+# stereo / audio near-dup queries are fixture-bound and deliberately
+# absent (media decode has its own throughput leg).
+R9_QUERIES = {
+    "txt_unigram_train": "documents",
+    "txt_unigram_fertility": "documents",
+    "samp_curriculum": "documents",
+    "samp_source_interleave": "documents",
+}
 QUERY_SETS = {
     "core": QUERIES,
     "bucketed": BUCKETED_QUERIES,
     "r6new": R6_QUERIES,
     "r7new": R7_QUERIES,
     "r8new": R8_QUERIES,
+    "r9new": R9_QUERIES,
 }
 
 
