@@ -472,3 +472,129 @@ def txt_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconciles it against txt_bpe_fertility's curve (same corpus,
     comparable vocab budget). One double division of exact ints."""
     return unigram_fertility_row(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# corpus-grain application: per-source segmentation profile
+# ---------------------------------------------------------------------------
+
+
+def unigram_segment_profile(docs: DataFrame, rounds: int = UNI_ROUNDS) -> DataFrame:
+    """Apply the trained vocabulary at CORPUS grain: every word
+    occurrence in every document is scored through the final model —
+    per source, word counts, OOV counts (words outside the trainer's
+    frame: non-[a-z], longer than UNI_MAX_WORD, or beyond the top-V
+    cap), total pieces, tokenizer-hostile occurrences (≥3 pieces),
+    and fertility. The production shape: the corpus-proportional
+    explode joins a BROADCAST (word → n_pieces) map derived from the
+    bounded distinct-word table, so the only big job is one scan."""
+    spark = docs.sparkSession
+    words = _uni_words(docs).persist()
+    words.count()
+    vocab = _seed_vocab(words)
+    for _r in range(rounds):
+        usage = _segment_usage(words, _scores(vocab))
+        vocab = [(p, c) for p, c, _u in _prune(vocab, usage)]
+    frozen = _scores(vocab)
+
+    @F.pandas_udf("int")
+    def n_pieces(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: _viterbi(w, frozen)[1])
+
+    word_n = words.select("word", n_pieces(F.col("word")).alias("n")).persist()
+    word_n.count()
+    words.unpersist()
+    corpus = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    joined = corpus.join(F.broadcast(word_n), "word", "left")
+    out = (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.when(F.col("n").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_scored"),
+            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0)))
+            .cast("bigint")
+            .alias("total_pieces"),
+            F.sum(F.when(F.col("n") >= 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hostile_words"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_scored",
+            "n_oov",
+            "total_pieces",
+            "hostile_words",
+            F.when(
+                F.col("n_scored") > 0,
+                F.col("total_pieces").cast("double") / F.col("n_scored"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pieces_per_word"),
+        )
+        .orderBy("source")
+    )
+    word_n.unpersist()
+    return out
+
+
+def unigram_segment_profile_oracle_sql(rounds: int = UNI_ROUNDS) -> str:
+    """The training replay plus one more scoring+DP pass for the
+    word → n_pieces map, joined back to the corpus-grain word
+    explode — identical OOV rule (LEFT JOIN miss)."""
+    parts = [_base_ctes()]
+    for r in range(1, rounds + 1):
+        parts.append(_score_ctes(r, f"v{r - 1}"))
+        parts.append(_dp_ctes(r, f"s{r}"))
+        parts.append(_usage_ctes(r))
+        parts.append(_prune_cte(r, f"v{r - 1}"))
+    fin = rounds + 1
+    parts.append(_score_ctes(fin, f"v{rounds}"))
+    parts.append(_dp_ctes(fin, f"s{fin}"))
+    word_n = " UNION ALL ".join(
+        f"SELECT word, n FROM d{fin}_{k} WHERE len(word) = {k}"
+        for k in range(1, UNI_MAX_WORD + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+word_n AS MATERIALIZED ({word_n}),
+corpus AS (
+  SELECT source, w.word AS word
+  FROM documents, UNNEST(string_split(text, ' ')) AS w(word))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+       CAST(SUM(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(COALESCE(n, 0)) AS BIGINT) AS total_pieces,
+       CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hostile_words,
+       CASE WHEN SUM(CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END) > 0
+            THEN CAST(SUM(COALESCE(n, 0)) AS DOUBLE)
+                 / SUM(CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END)
+            ELSE 0.0 END AS pieces_per_word
+FROM corpus LEFT JOIN word_n USING (word)
+GROUP BY source
+ORDER BY source"""
+    )
+
+
+@register(
+    "txt_unigram_segment_profile",
+    oracle=unigram_segment_profile_oracle_sql(),
+    description="trained unigram vocabulary APPLIED at corpus grain: per source, word/OOV counts, total pieces, tokenizer-hostile share and fertility — one corpus scan joining a broadcast word->pieces map from the bounded trainer",
+)
+def txt_unigram_segment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply-side of the unigram trainer: per-source segmentation
+    profile under the final model (see unigram_segment_profile). The
+    per-source OOV and hostile-word columns are the routing signal a
+    curation pipeline reads (a source whose words won't tokenize is a
+    charset/langid problem upstream of dedup)."""
+    return unigram_segment_profile(load_table(spark, sf_dir, "documents"))

@@ -42,6 +42,7 @@ _OPERATOR_MODULES = (
     "lime_etl_spark.operators.insights4",
     "lime_etl_spark.operators.insights5",
     "lime_etl_spark.operators.insights6",
+    "lime_etl_spark.operators.insights7",
     "lime_etl_spark.operators.pq",
     "lime_etl_spark.operators.sketches",
     "lime_etl_spark.operators.bpe",

@@ -255,3 +255,99 @@ def cusum_alarm_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming SPRT gate — the online twin of the batch ev_sprt_gate
+# ---------------------------------------------------------------------------
+
+SPRT_GATE_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), False),
+        StructField("n_obs", LongType(), False),
+        StructField("llr_e6", LongType(), False),
+        StructField("decision", StringType(), False),
+        StructField("n_at_decision", LongType(), True),
+    ]
+)
+
+_SPRT_STATE_SCHEMA = StructType(
+    [
+        StructField("n_obs", LongType(), False),
+        StructField("llr_e6", LongType(), False),
+        StructField("decision_n", LongType(), False),  # 0 = still open
+        StructField("decision_llr", LongType(), False),
+    ]
+)
+
+
+def sprt_gate_stream(
+    stream: DataFrame,
+    cut: float,
+    inc_pos_e6: int,
+    inc_neg_e6: int,
+    upper_e6: int,
+    lower_e6: int,
+) -> DataFrame:
+    """Online Wald SPRT per event type over a value stream — the
+    streaming twin of the batch ev_sprt_gate with the SAME integer
+    discipline: the two per-observation LLR increments and the Wald
+    boundaries arrive as pre-floored 1e-6-grid int64 literals (the
+    caller computes them ONCE, exactly as the batch op inlines them),
+    so the cumulative path and the crossing test are pure int64 in the
+    state store. The decision latches at the first boundary crossing
+    (accept_h1 at ≥ upper, accept_h0 at ≤ lower) and the gate keeps
+    reporting the latched decision — a monitor's page-out is
+    idempotent, like cusum_alarm_stream.
+
+    Per-batch work is the vectorized cumsum prefix (the SPRT path has
+    no clamp, so it is literally one np.cumsum + one np.argmax — no
+    per-row Python). Rows within a micro-batch are walked in
+    (ts, event_id) order; across micro-batches arrival order IS the
+    online semantic. O(1) state per key: four counters."""
+
+    def update(
+        key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, llr, dec_n, dec_llr = state.get if state.exists else (0, 0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        if len(batch):
+            vals = batch["value"].astype("float64").to_numpy()
+            d = np.where(vals > cut, inc_pos_e6, inc_neg_e6).astype(np.int64)
+            path = llr + np.cumsum(d)
+            if dec_n == 0:
+                hit = (path >= upper_e6) | (path <= lower_e6)
+                if hit.any():
+                    ix = int(np.argmax(hit))
+                    dec_n = n + ix + 1
+                    dec_llr = int(path[ix])
+            n += int(d.size)
+            llr = int(path[-1])
+        state.update((n, llr, dec_n, dec_llr))
+        decision = (
+            "continue"
+            if dec_n == 0
+            else ("accept_h1" if dec_llr >= upper_e6 else "accept_h0")
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_obs": [n],
+                "llr_e6": [llr],
+                "decision": [decision],
+                "n_at_decision": [dec_n if dec_n > 0 else None],
+            }
+        )
+
+    return (
+        stream.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SPRT_GATE_SCHEMA,
+            stateStructType=_SPRT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

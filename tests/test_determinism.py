@@ -63,8 +63,13 @@ INVARIANCE_QUERIES = [
     "dedup_minhash_bbit",
     "samp_ks_split_drift",
     "q_theil_decomposition",
-    # round-9 float emitters: the unigram-LM fertility division
+    # round-9 float emitters: the unigram-LM fertility/profile
+    # divisions, hazard ratios, HT relative error, modularity Q
     "txt_unigram_fertility",
+    "txt_unigram_segment_profile",
+    "ev_hazard_rate",
+    "samp_horvitz_thompson",
+    "graph_modularity",
 ]
 
 

@@ -867,6 +867,7 @@ GLOBAL_WINDOW_BOUNDED_OK = {
     "pack_shard_manifest": 1,
     "cur_budget_select": 1,  # sharded-cumsum offsets roster
     "samp_pps_systematic": 1,  # sharded-cumsum offsets roster
+    "samp_horvitz_thompson": 1,  # same sharded-cumsum offsets roster
     "dq_id_time_monotonicity": 1,  # 256-row shard boundary stitch
     # calendar-bounded rollups (|days| / |months| grain)
     "dq_id_allocation_rate": 1,

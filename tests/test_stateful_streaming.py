@@ -344,3 +344,111 @@ def test_cusum_prefix_form_equals_sequential_recursion():
         -4,
         2,
     )
+
+
+def test_sprt_gate_stream_single_batch_replays_batch_op(spark, sf_dir, tmp_path):
+    """One micro-batch covering all files: the stream's final per-type
+    row must equal the batch ev_sprt_gate exactly — same int64 LLR,
+    same latched decision and crossing index."""
+    from lime_etl_spark.operators.insights6 import (
+        SPRT_CUT,
+        SPRT_INC_NEG_E6,
+        SPRT_INC_POS_E6,
+        SPRT_LOWER_E6,
+        SPRT_UPPER_E6,
+        ev_sprt_gate,
+    )
+    from lime_etl_spark.streaming.stateful import sprt_gate_stream
+
+    src = str(tmp_path / "events")
+    load_table(spark, sf_dir, "events").write.parquet(src)
+    stream = sprt_gate_stream(
+        read_event_stream(spark, src),
+        cut=SPRT_CUT,
+        inc_pos_e6=SPRT_INC_POS_E6,
+        inc_neg_e6=SPRT_INC_NEG_E6,
+        upper_e6=SPRT_UPPER_E6,
+        lower_e6=SPRT_LOWER_E6,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sprt_single")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_type"]: r
+        for r in spark.table("sprt_single")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_obs").alias("n_obs"),
+            F.max_by("llr_e6", "n_obs").alias("llr_e6"),
+            F.max_by("decision", "n_obs").alias("decision"),
+            F.max_by("n_at_decision", "n_obs").alias("n_at_decision"),
+        )
+        .collect()
+    }
+    want = {r["event_type"]: r for r in ev_sprt_gate(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for et, w in want.items():
+        g = got[et]
+        assert g["n_obs"] == w["total_obs"]
+        assert g["llr_e6"] == w["final_llr_e6"]
+        assert g["decision"] == w["decision"]
+        if w["decision"] == "continue":
+            assert g["n_at_decision"] is None
+        else:
+            assert g["n_at_decision"] == w["n_at_decision"]
+
+
+def test_sprt_gate_stream_latches_across_micro_batches(spark, tmp_path):
+    """A planted always-above-cut key crosses the upper boundary at a
+    deterministic index and the decision must latch (stay accept_h1
+    with the same n_at_decision) across subsequent micro-batches."""
+    import datetime as dt
+    import math
+
+    from lime_etl_spark.streaming.stateful import sprt_gate_stream
+
+    inc_pos = math.floor(math.log(0.40 / 0.35) * 1_000_000)
+    inc_neg = math.floor(math.log(0.60 / 0.65) * 1_000_000)
+    upper = math.floor(math.log(0.95 / 0.05) * 1_000_000)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        rows.append((i + 1, t0 + dt.timedelta(minutes=i), 1, "hot", 99.0, "{}"))
+        rows.append((1000 + i, t0 + dt.timedelta(minutes=i), 2, "cold", 1.0, "{}"))
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).repartition(3).write.parquet(src)
+    stream = sprt_gate_stream(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        cut=50.0,
+        inc_pos_e6=inc_pos,
+        inc_neg_e6=inc_neg,
+        upper_e6=upper,
+        lower_e6=-upper,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sprt_multi")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("sprt_multi").collect()
+    assert len([r for r in out if r["event_type"] == "hot"]) > 1  # several batches
+    expected_cross = -(-upper // inc_pos)  # ceil: first n with n*inc_pos >= upper
+    hot = [r for r in out if r["event_type"] == "hot" and r["decision"] == "accept_h1"]
+    assert hot, "hot key never crossed"
+    assert {r["n_at_decision"] for r in hot} == {expected_cross}  # latched, stable
+    cold_final = max(
+        (r for r in out if r["event_type"] == "cold"), key=lambda r: r["n_obs"]
+    )
+    assert cold_final["decision"] == "accept_h0"
