@@ -31,7 +31,7 @@ from lime_etl_spark.operators.dedup import _minhash_sql
 from lime_etl_spark.operators.graph import _LPA_FINAL, _lpa_sql
 from lime_etl_spark.operators.training import _bucket_sql
 from lime_etl_spark.plans.registry import register
-from lime_etl_spark.sources.readers import load_table
+from lime_etl_spark.sources.readers import load_table, spread
 
 # --- market-basket part affinity -------------------------------------------
 
@@ -5756,7 +5756,10 @@ def cur_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from lime_etl_spark.operators.graph import connected_components
 
-    docs = load_table(spark, sf_dir, "documents").persist()
+    # spread BEFORE persist: the two md5 hash stages and the shingle
+    # explode all read this cache pre-exchange; a one-split test scan
+    # would cache a single partition and run them single-task
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id").persist()
 
     def hash_stage(key: F.Column, ord_: int, name: str) -> DataFrame:
         return (

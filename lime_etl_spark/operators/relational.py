@@ -55,14 +55,26 @@ _REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - 
     description="scan→filter→groupBy with exact decimal aggregates (TPC-H Q1)",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread on a real key (hash partitioning): the single-row-group
+    # test parquet scans as ONE task, which would run the whole
+    # decimal partial aggregation serially. A keyless repartition
+    # would pay a local sort of its input (sortBeforeRepartition);
+    # hashing a column does not. The key is a column the query already
+    # reads (l_extendedprice, ~100k distinct — spreads evenly), so the
+    # scan schema stays pruned to the query's own columns. No-op
+    # whenever the scan already has enough splits — any at-scale table.
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").where(
+            F.col("l_shipdate") <= "2001-09-02"
+        ),
+        "l_extendedprice",
+    )
     qty = dec("l_quantity", 2, 12)
     price = dec("l_extendedprice", 2, 12)
     disc = dec("l_discount", 2, 4)
     charge = _rev() * (F.lit(1).cast("decimal(3,2)") + dec("l_tax", 2, 4))
     return (
-        li.where(F.col("l_shipdate") <= "2001-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             to_double(F.sum(qty)).alias("sum_qty"),
             to_double(F.sum(price)).alias("sum_base_price"),
@@ -97,7 +109,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
+    # spread: parallelize the broadcast-probe + partial-agg stage past
+    # the single-split test scan (hash key → no pre-repartition sort)
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15"),
+        "l_orderkey",
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -270,7 +287,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computed in pass one. One lineitem pass: aggregate → filter →
     # join the (tiny) survivors to orders/customer. The group keys are
     # 1:1 with o_orderkey, so the second aggregate was a no-op anyway.
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread on the aggregation key itself: the groupBy reuses the
+    # hash partitioning, so this adds parallelism without adding an
+    # exchange (and is a no-op once the scan has real splits)
+    li = spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     big = (

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from lime_etl_spark.operators.text import CHUNK_STRIDE, CHUNK_TOKENS
 from lime_etl_spark.plans.registry import _REGISTRY, register
-from lime_etl_spark.sources.readers import load_table
+from lime_etl_spark.sources.readers import load_table, spread
 
 
 @register(
@@ -63,7 +63,9 @@ def ev_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``get_json_object`` re-parses the string per extraction.
     ``try_variant_get`` on an absent path returns NULL instead of
     failing — the drift-tolerant accessor."""
-    ev = load_table(spark, sf_dir, "events")
+    # spread: parse_json of every props string runs pre-exchange in
+    # the scan stage — hash-spread past the one-split test scan
+    ev = spread(load_table(spark, sf_dir, "events"), "event_id")
     v = F.parse_json("props")
     k = F.expr("variant_get(v, '$.k', 'bigint')")
     missing = F.expr("try_variant_get(v, '$.missing', 'string')")

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from lime_etl_spark.functions.numeric import to_double
 from lime_etl_spark.functions.text import tokens, word_shingles
 from lime_etl_spark.plans.registry import register
-from lime_etl_spark.sources.readers import load_table
+from lime_etl_spark.sources.readers import load_table, spread
 
 # Per-language stopword profiles for the n-gram/stopword language-ID
 # heuristic. Tiny on purpose: they broadcast as literals inside the
@@ -81,7 +81,9 @@ def txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="length / stopword / lexical-diversity quality features",
 )
 def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: per-doc tokenize/regex work is the whole query; hash-
+    # spread so it is not single-task on the one-split test scan
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens()
     n_tok = to_double(F.size(toks))
     return docs.select(
