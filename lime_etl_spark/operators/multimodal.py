@@ -1320,10 +1320,7 @@ def _perturbed_audio_corpus(spark: SparkSession) -> DataFrame:
         from lime_etl_spark.operators.flac_codec import encode_flac
 
         for pdf in batches:
-            sel = pdf[
-                ((pdf["media_id"] < 300) & (pdf["media_id"] % 30 == 1))
-                | ((pdf["media_id"] >= FLAC_ID_BASE) & (pdf["media_id"] % 10 == 0))
-            ].copy()
+            sel = pdf.copy()
             out = []
             for media_id, content in zip(sel["media_id"], sel["content"]):
                 raw = bytes(content)
@@ -1346,7 +1343,18 @@ def _perturbed_audio_corpus(spark: SparkSession) -> DataFrame:
             sel["media_id"] = sel["media_id"] + AUDIO_TWIN_BASE
             yield sel
 
-    return base.unionByName(base.mapInPandas(perturb, MEDIA_SCHEMA))
+    # twin selection runs JVM-side so only the ~15 selected payloads
+    # ever cross the Python boundary (guide: pass only the rows/columns
+    # the function needs) — the old in-Python filter shipped all ~345
+    # clips into the worker and discarded 95% of them there
+    twins_in = base.where(
+        ((F.col("media_id") < 300) & (F.col("media_id") % 30 == 1))
+        | (
+            (F.col("media_id") >= FLAC_ID_BASE)
+            & (F.col("media_id") % 10 == 0)
+        )
+    )
+    return base.unionByName(twins_in.mapInPandas(perturb, MEDIA_SCHEMA))
 
 
 def _data_offset(raw: bytes) -> int:
@@ -1377,7 +1385,7 @@ def _perturbed_media_corpus(spark: SparkSession, n: int = 200) -> DataFrame:
 
     def perturb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keep = pdf[pdf["media_id"] % 10 == 0].copy()
+            keep = pdf.copy()
             out = []
             for content in keep["content"]:
                 raw = bytearray(bytes(content))
@@ -1390,7 +1398,12 @@ def _perturbed_media_corpus(spark: SparkSession, n: int = 200) -> DataFrame:
             keep["media_id"] = keep["media_id"] + 1_000_000
             yield keep
 
-    copies = base.mapInPandas(perturb, MEDIA_SCHEMA)
+    # selection runs JVM-side so only every 10th payload crosses the
+    # Python boundary (the old in-Python filter shipped all n clips
+    # into the worker and discarded 90% of them there)
+    copies = base.where(F.col("media_id") % 10 == 0).mapInPandas(
+        perturb, MEDIA_SCHEMA
+    )
     return base.unionByName(copies)
 
 
@@ -1400,7 +1413,7 @@ def _perturbed_media_corpus(spark: SparkSession, n: int = 200) -> DataFrame:
 # replay it against)
 # ---------------------------------------------------------------------------
 
-from lime_etl_spark.plans.registry import register  # noqa: E402
+from lime_etl_spark.plans.registry import register, track_persist  # noqa: E402
 
 
 def _decode_stats_oracle(
@@ -1967,7 +1980,11 @@ def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signature table is ~1/10⁶ the payload bytes — near-dup costs
     what text LSH costs regardless of media size."""
     corpus = _perturbed_audio_corpus(spark)
-    sigs = audio_energy_sig(corpus)
+    # persist like the image twin: the banding self-join consumes the
+    # signature table on both sides — without the cache each side
+    # re-runs the whole Python decode pipeline (measured 1.7x slower
+    # warm, and far worse cold where worker imports dominate)
+    sigs = track_persist(audio_energy_sig(corpus).persist())
     return ahash_near_dup_pairs(sigs).orderBy("media_a", "media_b")
 
 
