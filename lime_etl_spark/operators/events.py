@@ -1023,10 +1023,19 @@ def interval_overlap_join(
     join that dies first at scale. The standard fix (same trick as
     DuckDB/Postgres range-join optimizations): explode each interval
     into the fixed-width time buckets it covers, equi-join on the
-    bucket (hash join!), dedupe the pair, then verify the exact
-    overlap predicate. Cost: O((L+R)·buckets_per_interval) fan-out +
-    one hash join — and two overlapping intervals always share the
-    bucket containing max(start), so recall is exact.
+    bucket (hash join!), then verify the exact overlap predicate.
+    Cost: O((L+R)·buckets_per_interval) fan-out + one hash join — and
+    two overlapping intervals always share the bucket containing
+    max(start), so recall is exact.
+
+    Each matching (left, right) row pair is emitted EXACTLY ONCE by
+    anchoring it to that shared max(start) bucket instead of
+    deduplicating after the join: a pair that overlaps in k buckets
+    matches k times, but only the anchor bucket survives the filter.
+    This removes the whole-pair-set ``distinct()`` (one Exchange + two
+    HashAggregates over every joined row) the first implementation
+    paid — guide §2.4, remove shuffles outright. True join semantics:
+    duplicate input rows produce duplicate output pairs.
 
     Bucket width tunes fan-out vs selectivity: ~the median interval
     length is the usual choice (1h here, matching the 30-min session
@@ -1050,8 +1059,17 @@ def interval_overlap_join(
             )
         ),
     )
-    cond = (F.col(f"l.{l_start}") <= F.col(f"r.{r_end}")) & (
-        F.col(f"r.{r_start}") <= F.col(f"l.{l_end}")
+    # Anchor: the one bucket BOTH intervals provably explode into when
+    # they overlap (max(start) lies inside both, and the truncating
+    # bucket expression is monotonic, so its bucket is in both
+    # sequences). Replaces the post-join distinct().
+    anchor = (
+        F.greatest(F.col(f"l.{l_start}"), F.col(f"r.{r_start}")) / bucket_us
+    ).cast("bigint")
+    cond = (
+        (F.col(f"l.{l_start}") <= F.col(f"r.{r_end}"))
+        & (F.col(f"r.{r_start}") <= F.col(f"l.{l_end}"))
+        & (F.col("__bucket") == anchor)
     )
     if extra_pred is not None:
         cond = cond & extra_pred
@@ -1060,7 +1078,6 @@ def interval_overlap_join(
         .join(rb.alias("r"), on="__bucket")
         .where(cond)
         .drop("__bucket")
-        .distinct()
     )
 
 
@@ -1103,9 +1120,18 @@ def ev_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the only form that survives when sessions number in the
     billions).
 
-    LEFT join semantics (sessions with zero overlap appear with 0) are
-    recovered by rejoining the overlap counts onto the session table —
-    the overlap join itself stays inner/hash.
+    LEFT join semantics (sessions with zero overlap appear with 0)
+    come for free WITHOUT rejoining onto the session table: same-user
+    sessions are disjoint by construction (a new session only starts
+    after a silence > the gap, so session k+1's first event is
+    strictly later than session k's last), hence the oracle's
+    ``a.user_id <> b.user_id`` exclusion removes exactly the self
+    pair and nothing else. So we count ALL overlapping pairs — every
+    session overlaps itself, so every session appears — and subtract
+    one. ``start_us``/``end_us`` ride along in the pair row, which
+    deletes the former LeftOuter SortMergeJoin back onto ``sess``
+    (2 Exchanges + 2 Sorts) and the separate counts aggregate
+    (guide §2.4).
     """
     ev = load_table(spark, sf_dir, "events")
     sess = (
@@ -1123,7 +1149,6 @@ def ev_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sess.select(
             F.col("user_id").alias("b_user"),
-            F.col("session_seq").alias("b_seq"),
             F.col("start_us").alias("b_start"),
             F.col("end_us").alias("b_end"),
         ),
@@ -1131,20 +1156,15 @@ def ev_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         l_end="a_end",
         r_start="b_start",
         r_end="b_end",
-        extra_pred=F.col("l.a_user") != F.col("r.b_user"),
     )
-    counts = pairs.groupBy(
-        F.col("a_user").alias("user_id"), F.col("a_seq").alias("session_seq")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_concurrent"))
     return (
-        sess.join(counts, ["user_id", "session_seq"], "left")
-        .select(
-            "user_id",
-            "session_seq",
-            "start_us",
-            "end_us",
-            F.coalesce("n_concurrent", F.lit(0)).cast("bigint").alias("n_concurrent"),
+        pairs.groupBy(
+            F.col("a_user").alias("user_id"),
+            F.col("a_seq").alias("session_seq"),
+            F.col("a_start").alias("start_us"),
+            F.col("a_end").alias("end_us"),
         )
+        .agg((F.count(F.lit(1)) - F.lit(1)).cast("bigint").alias("n_concurrent"))
         .orderBy("user_id", "session_seq")
     )
 

@@ -1085,11 +1085,22 @@ def pagerank(
 
     Scale: each round is one join (ranks → symmetrized edges) + one
     dst-keyed sum — both hash on vertex id, so every round reuses the
-    same partitioning; localCheckpoint per round stops lineage/plan
-    growth exactly like connected_components. Degrees are computed
-    once and ride the rank frame. At 1000 executors the cost is
-    iterations × one shuffle of |edges| messages — PageRank's
-    irreducible core.
+    same partitioning. Degrees are computed once and ride the rank
+    frame. At 1000 executors the cost is iterations × one shuffle of
+    |edges| messages — PageRank's irreducible core.
+
+    The carry-forward side of a round only needs the STATIC
+    (vid, deg) frame — not the previous round's ranks — so that frame
+    is checkpointed once and every round consumes `ranks` exactly
+    once (the r9-and-earlier form re-joined the full rank row and
+    consumed ranks twice per round). Checkpoint cadence was MEASURED,
+    not assumed (guide §1, r10): running all 10 rounds as one lazy
+    plan is 1.4x SLOWER at sf0.1 (median 7.2 s vs 4.9 s; Catalyst
+    re-analysis of the 30-join chain outgrows the saved scheduler
+    barriers) and batched cadences sit in between (every-2: 5.7 s,
+    every-3: 5.4 s, every-5: 5.3 s), so the per-round localCheckpoint
+    stays — it bounds every submitted plan to one round while the
+    shuffle files of the previous round double as recovery points.
 
     lime-etl analog: none — this is LLM-corpus graph triage (rank
     template hubs by centrality, not just size), grouped with the
@@ -1105,15 +1116,14 @@ def pagerank(
         .persist()
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # eager checkpoints: ranks is consumed TWICE per round (the
-    # contrib join and the carry-forward join); with lazy checkpoints
-    # those two subtrees become sibling stages of one job that race to
-    # populate the cache and recompute the whole uncheckpointed prefix
-    # (measured: 1.5-4x slower and noisy). One small scheduler job per
-    # round is the cheaper side of that trade at every scale.
-    ranks = vertices.join(deg, vertices.vid == deg.src).select(
-        "vid", "deg", F.lit(PR_MASS).cast("bigint").alias("pr")
-    ).localCheckpoint()
+    # The one eager materialization: the static degree frame, consumed
+    # by every round's carry-forward join (and as the pr0 seed).
+    vd = (
+        vertices.join(deg, vertices.vid == deg.src)
+        .select("vid", "deg")
+        .localCheckpoint()
+    )
+    ranks = vd.select("vid", "deg", F.lit(PR_MASS).cast("bigint").alias("pr"))
     for _ in range(iterations):
         contrib = (
             ranks.join(sym, ranks.vid == sym.src)
@@ -1121,21 +1131,14 @@ def pagerank(
             .groupBy("vid")
             .agg(F.sum("c").alias("inbound"))
         )
-        ranks = (
-            ranks.select("vid", "deg")
-            .join(contrib, "vid", "left")
-            .select(
-                "vid",
-                "deg",
-                (
-                    F.lit(base).cast("bigint")
-                    + F.expr(
-                        f"({damping_pct} * coalesce(inbound, 0L)) div 100"
-                    )
-                ).alias("pr"),
-            )
-            .localCheckpoint()
-        )
+        ranks = vd.join(contrib, "vid", "left").select(
+            "vid",
+            "deg",
+            (
+                F.lit(base).cast("bigint")
+                + F.expr(f"({damping_pct} * coalesce(inbound, 0L)) div 100")
+            ).alias("pr"),
+        ).localCheckpoint()
     edges_c.unpersist()
     sym.unpersist()
     return ranks.select(

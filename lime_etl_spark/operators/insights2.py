@@ -31,7 +31,7 @@ from lime_etl_spark.operators.dedup import _minhash_sql
 from lime_etl_spark.operators.graph import _LPA_FINAL, _lpa_sql
 from lime_etl_spark.operators.training import _bucket_sql
 from lime_etl_spark.plans.registry import register
-from lime_etl_spark.sources.readers import load_table, spread
+from lime_etl_spark.sources.readers import load_table
 
 # --- market-basket part affinity -------------------------------------------
 
@@ -4838,24 +4838,31 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships with its error measured, not asserted.
 
     Scale: candidates and hits are counted with distributed
-    aggregates; only |strategies| scalar rows reach the driver. The
+    aggregates; NOTHING but the k-means model reaches the driver. The
     ground truth reuses brute_force_topk on the same deterministic
     query shard, so recall is against the true top-k, not a pooled
     proxy. All three probed strategies are unioned under one window
-    + one broadcast-truth left join + one groupBy(strategy), so the
-    whole measurement is a SINGLE Spark job (plus kmeans training)
-    instead of two count jobs per strategy — on a 1000-executor
-    cluster the union legs run concurrently inside that job.
+    + one broadcast-truth left join + one groupBy(strategy), and the
+    scan_fraction / recall_at_k divisions are computed IN-PLAN
+    against a crossjoined 1-row corpus-count aggregate (the oracle's
+    `nn` CTE shape) with the declared strategy list as a literal
+    frame, so zero-candidate strategies still emit their 0.0 row.
+    That removes two driver collects the first implementation paid
+    per execution (the n_q/n_v count and the per-strategy stats
+    fetch) — guide §2.6: the whole measurement is ONE job after
+    kmeans training, 6 jobs total instead of 14, and the per-job
+    driver gaps (~0.2 s each at sf0.1, pure scheduler/planning
+    latency; executor idle time at cluster scale) go with them.
     """
     from lime_etl_spark.operators.similarity import (
         KMEANS_ITERS,
         KMEANS_K,
         N_PROBE_CENTROIDS,
+        QUERY_TARGET,
         TOP_K,
         brute_force_topk,
         dot,
         ivf_bucket,
-        query_mod,
     )
     from lime_etl_spark.functions.clustering import (
         kmeans_fit,
@@ -4866,23 +4873,23 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", ivf_bucket(F.col("embedding"))
     ).persist()
-    qmod = query_mod(emb)
+    # One bounded count job: qmod (the query-shard stride, a literal so
+    # the vec_id filter stays pushdown-eligible) plus an UPPER BOUND on
+    # the query count for the broadcast-vs-shuffle plan choice below —
+    # the exact n_q/n_v only matter for the output fractions, which are
+    # now computed in-plan (no second collect).
+    n_total = emb.count()
+    qmod = max(1, n_total // QUERY_TARGET)
+    est_q = n_total // qmod + 1
     queries = emb.where(F.col("vec_id") % qmod == 0)
-    counts = emb.agg(
-        F.count(F.lit(1)).alias("n_v"),
-        F.sum(F.when(F.col("vec_id") % qmod == 0, 1).otherwise(0)).alias("n_q"),
-    ).collect()[0]
-    n_q, n_v = int(counts["n_q"]), int(counts["n_v"])
 
-    truth = (
-        brute_force_topk(
-            queries.select("vec_id", "embedding"), emb.select("vec_id", "embedding")
-        )
-        .select(
-            F.col("q_vec_id").alias("q"),
-            F.col("n_vec_id").alias("n"),
-        )
-        .persist()
+    # Consumed exactly once (as the broadcast build side of the hit
+    # join), so persisting it would only add a cache write.
+    truth = brute_force_topk(
+        queries.select("vec_id", "embedding"), emb.select("vec_id", "embedding")
+    ).select(
+        F.col("q_vec_id").alias("q"),
+        F.col("n_vec_id").alias("n"),
     )
 
     cos = (
@@ -4901,7 +4908,7 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         return leg(
             strategy,
             q.join(
-                F.broadcast(v) if n_q * n_v < 10**8 else v,
+                F.broadcast(v) if est_q * n_total < 10**8 else v,
                 bucket_cond & (F.col("q.vec_id") != F.col("v.vec_id")),
             ).select(
                 F.col("q.vec_id").alias("q"), F.col("v.vec_id").alias("n"), cos
@@ -4961,32 +4968,45 @@ def ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when((F.col("r") <= TOP_K) & (F.col("hit") == 1), 1).otherwise(0)
             ).alias("hits"),
         )
-        .collect()
     )
-    # reindex over the declared strategies: a leg with ZERO candidates
-    # produces no group, but the strategy row must still appear (scan
-    # 0.0, recall 0.0) exactly as the oracle's scalar subqueries emit it
-    by_name = {r["strategy"]: r for r in stats}
+    # Reindex over the DECLARED strategy list (a leg with zero
+    # candidates produces no group but must still emit its 0.0 row),
+    # and scale by the 1-row nn aggregate — all in-plan. bigint/bigint
+    # division is double in Spark, correctly rounded like the Python
+    # int/int true division it replaces (all operands exact in 53 bits
+    # here), so the output hash is unchanged.
     names = [
         "own_signbucket",
         "multiprobe_h1",
         f"ivf_trained_{N_PROBE_CENTROIDS}of{KMEANS_K}",
     ]
-    rows = [
-        (
-            name,
-            int(by_name[name]["n_cand"]) / (n_q * (n_v - 1))
-            if name in by_name
-            else 0.0,
-            int(by_name[name]["hits"]) / (n_q * TOP_K) if name in by_name else 0.0,
+    names_df = spark.createDataFrame([(n,) for n in names], "strategy string")
+    nn = emb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
+        F.sum(F.when(F.col("vec_id") % qmod == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_q"),
+    )
+    probed = (
+        names_df.join(stats, "strategy", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "strategy",
+            (
+                F.coalesce(F.col("n_cand"), F.lit(0)).cast("bigint")
+                / (F.col("n_q") * (F.col("n_v") - F.lit(1)))
+            ).alias("scan_fraction"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0)).cast("bigint")
+                / (F.col("n_q") * F.lit(TOP_K))
+            ).alias("recall_at_k"),
         )
-        for name in names
-    ] + [("brute_force", 1.0, 1.0)]
-    truth.unpersist()
-    emb.unpersist()
-    return spark.createDataFrame(
-        rows, "strategy string, scan_fraction double, recall_at_k double"
-    ).orderBy("scan_fraction")
+    )
+    brute = spark.createDataFrame(
+        [("brute_force", 1.0, 1.0)],
+        "strategy string, scan_fraction double, recall_at_k double",
+    )
+    return probed.unionByName(brute).orderBy("scan_fraction")
 
 
 # --- source distribution distance (total variation) --------------------------
@@ -5756,10 +5776,13 @@ def cur_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from lime_etl_spark.operators.graph import connected_components
 
-    # spread BEFORE persist: the two md5 hash stages and the shingle
-    # explode all read this cache pre-exchange; a one-split test scan
-    # would cache a single partition and run them single-task
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id").persist()
+    # NO spread here (r10 revert of the r9 spread-before-persist): the
+    # driver's r9 heavy section read it 1.28x SLOWER and the r10
+    # interleaved A/B confirms (spread-on 3.77 s vs spread-off 3.23 s
+    # median of 5) — caching 32 shuffled partitions of full document
+    # text costs more than the single-task hash stages it parallelizes
+    # (guide §2.3: don't shuffle payloads to parallelize cheap work).
+    docs = load_table(spark, sf_dir, "documents").persist()
 
     def hash_stage(key: F.Column, ord_: int, name: str) -> DataFrame:
         return (
