@@ -458,6 +458,15 @@ def main() -> None:
                 "heavy": heavy,
                 "heavy_best": heavy_best,
                 "calib_sec": calib,
+                # Self-describing parallelism (r9 verdict #3): the
+                # effective core count the session actually ran with,
+                # so an overhead-bound sf where per-query times barely
+                # move across core counts can't be misread as the
+                # harness ignoring $SPARK_GRAFT_CPUS — calib_sec is the
+                # fixed-work probe that genuinely scales with cores
+                # (measured 0.191 s @32 vs 0.375 s @8).
+                "cores": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
             }
         )
     )

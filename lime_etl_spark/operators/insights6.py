@@ -435,7 +435,13 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     club_n = club.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
     da = deg.select(F.col("vid").alias("doc_a"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("vid").alias("doc_b"), F.col("degree").alias("deg_b"))
-    edges = pairs.join(F.broadcast(da), "doc_a").join(F.broadcast(db), "doc_b")
+    # No forced broadcast (r10): deg has one row per ACTIVE doc — at
+    # 100 TB that is billions of rows, past the 8 GB / 512M-row
+    # broadcast cap. AQE still picks a broadcast join at any size
+    # where it actually fits (it does at every test sf), so the local
+    # plan is unchanged while the at-scale plan degrades to a shuffle
+    # join instead of a driver OOM.
+    edges = pairs.join(da, "doc_a").join(db, "doc_b")
     club_e = (
         edges.select(
             F.explode(F.array(*[F.lit(k) for k in RICH_CLUB_KS])).alias("k"),

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from lime_etl_spark.functions.numeric import dec, to_double
 from lime_etl_spark.plans.registry import register
-from lime_etl_spark.sources.readers import load_table, spread
+from lime_etl_spark.sources.readers import load_table, spread, spread_for_agg
 
 
 def _rev() -> "F.Column":
@@ -287,10 +287,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computed in pass one. One lineitem pass: aggregate → filter →
     # join the (tiny) survivors to orders/customer. The group keys are
     # 1:1 with o_orderkey, so the second aggregate was a no-op anyway.
-    # spread on the aggregation key itself: the groupBy reuses the
-    # hash partitioning, so this adds parallelism without adding an
-    # exchange (and is a no-op once the scan has real splits)
-    li = spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+    # spread on the aggregation key itself, sized to shuffle.partitions
+    # (spread_for_agg): the groupBy reuses the hash partitioning only
+    # when key AND count match, so this adds parallelism without adding
+    # an exchange under ANY conf split (and is a no-op once the scan
+    # has real splits)
+    li = spread_for_agg(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     big = (
@@ -382,12 +384,15 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_parts_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    # spread: the fact side fans out across cores before the join+agg
-    # stage (no-op when the scan has enough splits). The part join is
-    # DEFERRED until after the top-3: aggregating on l_partkey keeps
-    # the wide p_name string out of the pre-agg join and the shuffle;
-    # only the ~(3 x regions) winners ever look up their name.
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    # spread KEYED on l_orderkey (r10: the keyless round-robin form
+    # paid sortBeforeRepartition's local sort of the whole fact —
+    # measured 2.16 s vs 1.71 s keyed in an interleaved A/B). Both
+    # NAME lookups are deferred past the top-3: the agg and the window
+    # carry 1-byte n_regionkey instead of the r_name string (measured
+    # a further 1.71 → 1.57 s; at scale it narrows the one full-fact
+    # shuffle this query must do — guide §2.3 narrower types), and
+    # p_name joins on only the ~(3 x regions) winners.
+    li = spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     part = load_table(spark, sf_dir, "part")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -397,15 +402,15 @@ def q_top_parts_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name", F.col("l_partkey").alias("p_partkey"))
+        .groupBy("n_regionkey", F.col("l_partkey").alias("p_partkey"))
         .agg(to_double(F.sum(_rev())).alias("revenue"))
     )
-    w = Window.partitionBy("r_name").orderBy(F.desc("revenue"), "p_partkey")
+    w = Window.partitionBy("n_regionkey").orderBy(F.desc("revenue"), "p_partkey")
     return (
         rev.withColumn("part_rank", F.row_number().over(w))
         .where(F.col("part_rank") <= 3)
         .join(F.broadcast(part.select("p_partkey", "p_name")), "p_partkey")
+        .join(region, F.col("n_regionkey") == region.r_regionkey)
         .select("r_name", "p_name", "revenue", "part_rank")
         .orderBy("r_name", "part_rank")
     )

@@ -64,7 +64,14 @@ def ev_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``try_variant_get`` on an absent path returns NULL instead of
     failing — the drift-tolerant accessor."""
     # spread: parse_json of every props string runs pre-exchange in
-    # the scan stage — hash-spread past the one-split test scan
+    # the scan stage — hash-spread past the one-split test scan.
+    # Keyed on event_id even though nothing downstream consumes it
+    # (r9 ADVICE weighed this): the only consumed alternatives are
+    # event_type (a handful of values → most partitions empty) and
+    # props itself (measured 100 distinct values at sf0.1 — ~3x the
+    # partition count, far below the 20-100x the guide's §2.5 hash-
+    # spread rule wants), so the uniform 8-byte key is the cheapest
+    # safe spreader.
     ev = spread(load_table(spark, sf_dir, "events"), "event_id")
     v = F.parse_json("props")
     k = F.expr("variant_get(v, '$.k', 'bigint')")

@@ -36,11 +36,45 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     of a CPU-heavy stage (hashing, explode) would otherwise run the
     whole stage on a single task. A no-op whenever the scan already
     yields >= defaultParallelism splits, which any at-scale table does.
+
+    MUST only wrap a raw scan (every call site does: load_table →
+    spread). The gate reads the scan's file list — NOT
+    ``df.rdd.getNumPartitions()``, which forces full physical planning
+    plus a JVM→Python RDD conversion on every builder call and, under
+    AQE, would eagerly run upstream shuffle stages if someone ever
+    applied it to a post-exchange frame (r9 ADVICE). ``inputFiles()``
+    is metadata-only. File count underestimates split count for
+    multi-row-group files (a file can yield several splits), so this
+    can repartition a table that would already have scanned wide — the
+    keyed exchange it adds is bounded by one extra pass and only fires
+    when files < cores, i.e. never on an at-scale table.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 - non-file-backed frame: planless fallback
+        n_files = 0
+    if n_files >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
+def spread_for_agg(df: DataFrame, *cols: str) -> DataFrame:
+    """`spread` keyed by a DOWNSTREAM AGGREGATION key: repartitions to
+    ``spark.sql.shuffle.partitions`` instead of defaultParallelism, so
+    the aggregate provably reuses this exchange's partitioning (hash
+    partitioning is only reused when key AND partition count match —
+    r9 ADVICE: with the two confs diverging, the old form paid a
+    second exchange and the spread became pure cost)."""
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target, *cols)
 
 
 def _path(sf_dir: str, name: str) -> str:

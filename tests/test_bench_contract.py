@@ -43,6 +43,8 @@ def _full_payload(bench) -> dict:
         "heavy": heavy,
         "heavy_best": heavy,
         "calib_sec": 12.3456,
+        "cores": 32,
+        "master": "local[32]",
     }
 
 
@@ -57,6 +59,11 @@ def test_final_line_parses_and_is_compact():
     # The host-speed yardstick must ride the driver-facing line (r6
     # verdict #1): it is what separates box slowdowns from code ones.
     assert parsed["calib_sec"] == 12.3456
+    # Self-describing parallelism (r9 verdict #3): the record must say
+    # what core count it ran with, so overhead-bound per-query ratios
+    # can't be misread as $SPARK_GRAFT_CPUS being ignored.
+    assert parsed["cores"] == 32
+    assert parsed["master"] == "local[32]"
     # Hard size bound with margin: the driver window truncated ~>8 KB
     # lines in r5; we require the whole record to fit in 4 KB.
     assert len(line) < 4096, f"final bench line too large: {len(line)} bytes"

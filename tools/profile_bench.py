@@ -33,7 +33,12 @@ def main() -> int:
     names = sys.argv[1:] or [n for n in HEADLINE + HEAVY if n in registry]
 
     def job_count() -> int:
-        return len(sc.statusTracker().getJobIdsForGroup(None))
+        # Max job id, not list length: the status tracker only retains
+        # spark.ui.retainedJobs entries, so len() undercounts once a
+        # long profiling run evicts early jobs (r9 ADVICE). Job ids are
+        # monotone, so the id delta is the true launched-job count.
+        ids = sc.statusTracker().getJobIdsForGroup(None)
+        return max(ids) + 1 if ids else 0
 
     rows = []
     for name in names:
