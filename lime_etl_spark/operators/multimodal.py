@@ -176,6 +176,17 @@ def _encode_y4m(media_id: int) -> tuple[bytes, tuple]:
     return bytes(header + body), (width, height, 3, None, duration_ms, "y4m")
 
 
+def _fixture_partitions(spark: SparkSession, partitions: int | None) -> int:
+    """Scale-adaptive fixture parallelism (r10, guide §2): the encode
+    and every downstream decode stage inherit this partitioning, and
+    the old hard-coded 8 ran the Python codec work on 8 of 32 local
+    cores (and would under-fill any real cluster). Defaults to the
+    session's defaultParallelism; an explicit value still wins (tests
+    pin small counts). Row-to-partition assignment does not affect
+    results: every payload is a pure function of its media_id."""
+    return partitions if partitions is not None else spark.sparkContext.defaultParallelism
+
+
 def _encode(media_id: int) -> tuple:
     media_type = _TYPES[media_id % 3]
     content, meta = {
@@ -186,7 +197,7 @@ def _encode(media_id: int) -> tuple:
     return media_id, media_type, content, meta
 
 
-def build_media_fixture(spark: SparkSession, n: int = 200, partitions: int = 8) -> DataFrame:
+def build_media_fixture(spark: SparkSession, n: int = 200, partitions: int | None = None) -> DataFrame:
     """Deterministic synthetic media table carrying REAL payload bytes
     (PPM / WAV / Y4M containers round id%3).
 
@@ -217,7 +228,7 @@ def build_media_fixture(spark: SparkSession, n: int = 200, partitions: int = 8) 
                 }
             )
 
-    return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
+    return spark.range(n).repartition(_fixture_partitions(spark, partitions)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def _encode_av(i: int) -> tuple:
@@ -245,7 +256,7 @@ def _encode_av(i: int) -> tuple:
     return media_id, "audio", content, meta
 
 
-def build_av_fixture(spark: SparkSession, n: int = 120, partitions: int = 8) -> DataFrame:
+def build_av_fixture(spark: SparkSession, n: int = 120, partitions: int | None = None) -> DataFrame:
     """Deterministic compressed-container media table (MP3/MP4/Ogg) —
     same schema and distributed generation path as build_media_fixture;
     payload samples are md5-chain stand-ins inside REAL container
@@ -274,7 +285,7 @@ def build_av_fixture(spark: SparkSession, n: int = 120, partitions: int = 8) -> 
                 }
             )
 
-    return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
+    return spark.range(n).repartition(_fixture_partitions(spark, partitions)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 FLAC_ID_BASE = 2000  # FLAC fixture ids: never collide with base (0-299) or AV (1000-1119)
@@ -310,7 +321,7 @@ def _encode_flac_row(i: int) -> tuple:
 
 
 def build_flac_fixture(
-    spark: SparkSession, n: int = FLAC_FIXTURE_N, partitions: int = 8
+    spark: SparkSession, n: int = FLAC_FIXTURE_N, partitions: int | None = None
 ) -> DataFrame:
     """Deterministic FLAC media table (r7 verdict #1): REAL RFC 9639
     streams (fixed predictors + Rice residuals + verified CRCs/MD5)
@@ -341,7 +352,7 @@ def build_flac_fixture(
                 }
             )
 
-    return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
+    return spark.range(n).repartition(_fixture_partitions(spark, partitions)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def _flac_fixture_sizes(n: int = FLAC_FIXTURE_N) -> list[int]:
@@ -433,7 +444,7 @@ def _encode_flac_stereo_row(i: int) -> tuple:
 
 
 def build_flac_stereo_fixture(
-    spark: SparkSession, n: int = FLAC_STEREO_N, partitions: int = 8
+    spark: SparkSession, n: int = FLAC_STEREO_N, partitions: int | None = None
 ) -> DataFrame:
     """Deterministic STEREO FLAC media table (r8 verdict #2): real RFC
     9639 streams exercising LPC subframes, left/side–right/side–
@@ -463,7 +474,7 @@ def build_flac_stereo_fixture(
                 }
             )
 
-    return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
+    return spark.range(n).repartition(_fixture_partitions(spark, partitions)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 _FLAC_STEREO_MIX_CACHE: list[dict] | None = None
@@ -501,7 +512,7 @@ def _encode_mkv_row(i: int) -> tuple:
 
 
 def build_mkv_fixture(
-    spark: SparkSession, n: int = MKV_FIXTURE_N, partitions: int = 8
+    spark: SparkSession, n: int = MKV_FIXTURE_N, partitions: int | None = None
 ) -> DataFrame:
     """Deterministic Matroska media table (r8): real EBML structure
     (RFC 8794 VINT-coded elements, Info/Tracks/Cluster) around
@@ -532,7 +543,7 @@ def build_mkv_fixture(
                 }
             )
 
-    return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
+    return spark.range(n).repartition(_fixture_partitions(spark, partitions)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def _mkv_fixture_sizes(n: int = MKV_FIXTURE_N) -> list[int]:
@@ -1528,7 +1539,7 @@ FROM r GROUP BY codec ORDER BY codec
 
 @register(
     "mm_decode_stats",
-    oracle=_decode_stats_oracle(),
+    oracle=_decode_stats_oracle,  # lazy: built on first oracle_sql() access
     description="multimodal pipeline: fixture → REAL container decode → per-codec stats incl. measured gate-rate (share of payloads only header-parseable); DuckDB recomputes everything arithmetically from the fixture's media_id formulas",
 )
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1601,7 +1612,7 @@ ORDER BY media_type
 
 @register(
     "mm_payload_integrity",
-    oracle=_payload_integrity_oracle(),
+    oracle=_payload_integrity_oracle,  # lazy: built on first oracle_sql() access
     description="binary-payload integrity audit: per-type counts, bytes, md5 uniqueness — no decode; DuckDB replays the audit over the same persisted fixture parquet",
 )
 def mm_payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1668,7 +1679,7 @@ FROM av GROUP BY codec ORDER BY codec
 
 @register(
     "mm_av_bitrate_budget",
-    oracle=_av_bitrate_oracle(),
+    oracle=_av_bitrate_oracle,  # lazy: built on first oracle_sql() access
     description="per-codec A/V duration/bitrate budget from header-metadata parses alone (no sample decode): the storage-planning table for compressed audio/video columns",
 )
 def mm_av_bitrate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1965,7 +1976,7 @@ ORDER BY media_a, media_b
 
 @register(
     "mm_audio_near_dup",
-    oracle=_audio_near_dup_oracle(),
+    oracle=_audio_near_dup_oracle,  # lazy: built on first oracle_sql() access
     description="perceptual audio near-dup (r8 verdict #6): 63-bit energy-delta fingerprint over genuinely decoded WAV + FLAC PCM, hamming banding + popcount verify JVM-side; DuckDB reconstructs every sample, window energy, signature bit, band and popcount",
 )
 def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1990,7 +2001,7 @@ def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_image_near_dup",
-    oracle=_image_near_dup_oracle(),
+    oracle=_image_near_dup_oracle,  # lazy: built on first oracle_sql() access
     description="perceptual near-dup: average-hash over decoded content + hamming-band candidates; DuckDB reconstructs every sampled cell, signature, band and popcount from the fixture's md5-chain formulas",
 )
 def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2112,7 +2123,7 @@ def _energy_rollup(en: DataFrame) -> DataFrame:
 
 @register(
     "mm_flac_audio_energy",
-    oracle=_flac_energy_oracle(),
+    oracle=_flac_energy_oracle,  # lazy: built on first oracle_sql() access
     description="FLAC bit-exactness proof: REAL RFC 9639 decode (fixed predictors + Rice residuals, CRC-8/16 + PCM-MD5 verified) → exact int64 window energies; DuckDB reconstructs every decoded sample from the md5-chain formula",
 )
 def mm_flac_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2257,7 +2268,7 @@ FLAC_STEREO_ENERGY_SCHEMA = StructType(
 
 @register(
     "mm_flac_stereo_energy",
-    oracle=_flac_stereo_energy_oracle(),
+    oracle=_flac_stereo_energy_oracle,  # lazy: built on first oracle_sql() access
     description="FLAC stereo+LPC bit-exactness proof: real RFC 9639 decode of LPC subframes, left/side-right/side-mid/side decorrelation, wasted bits and partitioned Rice → exact per-channel int64 energies; DuckDB reconstructs every sample of both channels",
 )
 def mm_flac_stereo_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2360,7 +2371,7 @@ FLAC_MIX_SCHEMA = StructType(
 
 @register(
     "mm_flac_subframe_mix",
-    oracle=_flac_subframe_mix_oracle(),
+    oracle=_flac_subframe_mix_oracle,  # lazy: built on first oracle_sql() access
     description="FLAC encoder-decoder agreement census: per stereo clip, frame stereo-mode and subframe predictor/Rice/wasted counts decoded from the BYTES vs the encoder plan's golden vector — proves LPC and the stereo decorrelations genuinely engage",
 )
 def mm_flac_subframe_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2396,7 +2407,7 @@ def mm_flac_subframe_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_flac_compression_profile",
-    oracle=_flac_compression_oracle(),
+    oracle=_flac_compression_oracle,  # lazy: built on first oracle_sql() access
     description="FLAC storage-planning profile: per duration class, real compressed bytes vs the PCM bytes they encode (ratio < 1 via constant-subframe silent windows); oracle bytes derived from the encoder's exact cost path at import",
 )
 def mm_flac_compression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2442,7 +2453,7 @@ def mm_flac_compression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_audio_energy",
-    oracle=_audio_energy_oracle(),
+    oracle=_audio_energy_oracle,  # lazy: built on first oracle_sql() access
     description="audio energy-window profile: fixture → per-window true PCM energy (exact int64 sums of squares) → per-clip silence/peak stats; DuckDB reconstructs every PCM sample from the md5-chain formula",
 )
 def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:

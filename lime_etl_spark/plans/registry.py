@@ -54,12 +54,32 @@ _OPERATOR_MODULES = (
 class QuerySpec:
     name: str
     builder: Builder
-    oracle: str | None  # DuckDB-runnable ANSI SQL, or None → rows-only check
+    # DuckDB-runnable ANSI SQL, None (rows-only check), or a zero-arg
+    # callable producing the SQL — used by oracles whose construction
+    # is itself expensive (the FLAC planners spend ~20 s replaying the
+    # encoder to build their unrolled SQL). Lazy matters beyond the
+    # driver: mapInPandas closures are pickled BY REFERENCE, so every
+    # executor-side Python worker imports the operator module on first
+    # task — eager oracle construction made each fresh worker pay the
+    # full replay before touching a single row (measured: 18 s of the
+    # 52 s mm_decode_stats cold time was worker import).
+    raw_oracle: str | None | Callable[[], str]
     description: str = ""
+
+    @property
+    def oracle(self) -> str | None:
+        raw = self.raw_oracle
+        if callable(raw):
+            sql = raw()
+            object.__setattr__(self, "raw_oracle", sql)  # cache once
+            return sql
+        return raw
 
 
 def register(
-    name: str, oracle: str | None = None, description: str = ""
+    name: str,
+    oracle: str | None | Callable[[], str] = None,
+    description: str = "",
 ) -> Callable[[Builder], Builder]:
     def deco(fn: Builder) -> Builder:
         if name in _REGISTRY:
