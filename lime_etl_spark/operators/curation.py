@@ -634,20 +634,33 @@ def _bigram_doc_scores(docs: DataFrame) -> DataFrame:
     T/ct — the identical chain cur_perplexity_proxy uses."""
     lam_n, lam_d = BIGRAM_LAMBDA_NUM, BIGRAM_LAMBDA_DEN
     comp = lam_d - lam_n
-    tok = docs.select(
-        "doc_id",
-        "lang",
-        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    # Bigrams are formed ARRAY-SIDE (slice + arrays_zip over the split
+    # tokens, r10): the original lag() window shuffled AND sorted the
+    # whole token stream by doc_id only to pair each token with its
+    # neighbor — consecutive pairs are a row-local property of the
+    # text. The grain then drops to DISTINCT (doc, prev, tok) triples
+    # with multiplicity m, so the bits join and the per-doc rollup
+    # move |doc-bigram| rows instead of |token| rows (guide §2.3/§2.4).
+    # All counts and formulas are the same integers; per-doc sums use
+    # sum(m·bits) = sum over tokens of bits exactly.
+    base = docs.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    dbi = (
+        base.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr("arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1))")
+            ).alias("p"),
+        )
+        .select("doc_id", "lang", F.col("p.0").alias("prev"), F.col("p.1").alias("tok"))
+        .groupBy("doc_id", "lang", "prev", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .persist()
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    seq = tok.withColumn("prev", F.lag("tok").over(w)).persist()
-    uni = seq.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
-    tot = seq.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-    bi = (
-        seq.where(F.col("prev").isNotNull())
-        .groupBy("prev", "tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
-    )
+    alltok = base.select("doc_id", "lang", F.explode("t").alias("tok"))
+    uni = alltok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    tot = alltok.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    bi = dbi.groupBy("prev", "tok").agg(F.sum("m").cast("bigint").alias("cb"))
     cprev = bi.groupBy("prev").agg(F.sum("cb").cast("bigint").alias("cp"))
     # bits per DISTINCT (prev, tok): explicit left-to-right double
     # products, identical parenthesization in the oracle
@@ -678,16 +691,24 @@ def _bigram_doc_scores(docs: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("bits_e6"),
     )
-    scored = seq.where(F.col("prev").isNotNull()).join(
-        bi_bits, ["prev", "tok"]
-    ).select("doc_id", "lang", "bits_e6").unionByName(
-        seq.where(F.col("prev").isNull())
-        .join(uni_bits, "tok")
-        .select("doc_id", "lang", "bits_e6")
+    # Every doc's FIRST token has no left context and scores pure
+    # unigram — exactly the rows the old lag() produced with prev NULL.
+    firsts = base.select("doc_id", "lang", F.col("t").getItem(0).alias("tok"))
+    scored = (
+        dbi.join(bi_bits, ["prev", "tok"])
+        .select("doc_id", "lang", (F.col("m") * F.col("bits_e6")).alias("s"), "m")
+        .unionByName(
+            firsts.join(uni_bits, "tok").select(
+                "doc_id",
+                "lang",
+                F.col("bits_e6").alias("s"),
+                F.lit(1).cast("bigint").alias("m"),
+            )
+        )
     )
     return scored.groupBy("doc_id").agg(
         F.first("lang").alias("lang"),
-        F.expr("sum(bits_e6) div count(1)").alias("score_e6"),
+        F.expr("sum(s) div sum(m)").alias("score_e6"),
     )
 
 
