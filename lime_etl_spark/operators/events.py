@@ -786,7 +786,12 @@ def ev_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.col("d"), F.date_add(F.col("d"), MAU_WINDOW_DAYS - 1))
         ).alias("day"),
     ).join(F.broadcast(days), "day", "left_semi")
-    dau = F.countDistinct(F.when(F.col("d") == F.col("day"), F.col("user_id")))
+    # dau needs NO distinct: (user_id, d) pairs are distinct upstream,
+    # so each user contributes exactly one row with d == day per day —
+    # a plain conditional count is the same number, and dropping the
+    # second distinct aggregate removes the Expand that doubled every
+    # exploded row through the groupBy shuffle (guide §2.3, r10).
+    dau = F.count(F.when(F.col("d") == F.col("day"), F.lit(1)))
     return (
         obs.groupBy("day")
         .agg(dau.alias("dau"), F.countDistinct("user_id").alias("mau"))
